@@ -1,0 +1,32 @@
+"""prefixtree_spark — a PySpark-native analytics engine with the query
+capabilities of the Charles-Kaminski/PrefixTree reference bundle
+(`/root/reference/PrefixTree.ecl`), extended with large-scale
+training-data-pipeline operators (dedup, similarity search, text
+analysis, multimodal plumbing).
+
+Reference parity surface (SURVEY.md §7):
+  - ``create(df, col, ...)``          ≡ Create            (PrefixTree.ecl:50-301)
+  - ``query(pt, queries, col, k)``    ≡ QueryThorLevenshtein (PrefixTree.ecl:314-446)
+  - ``query_one(index, s, k)``        ≡ QueryRoxieLevenshtein (PrefixTree.ecl:459-588)
+  - ``save_index`` / ``load_index``   ≡ OUTPUT + BUILDINDEX  (PrefixTree.ecl:611-613)
+
+Everything is DataFrame-in / DataFrame-out; kernels are Arrow-vectorized
+pandas functions; no RDD API, no Catalyst extensions.
+"""
+
+from prefixtree_spark.operators.build import create, load_index, save_index
+from prefixtree_spark.operators.query import LocalIndex, query, query_one
+from prefixtree_spark.operators.similarity_join import fuzzy_dedup, similarity_join
+
+__all__ = [
+    "create",
+    "query",
+    "query_one",
+    "LocalIndex",
+    "save_index",
+    "load_index",
+    "similarity_join",
+    "fuzzy_dedup",
+]
+
+__version__ = "0.1.0"

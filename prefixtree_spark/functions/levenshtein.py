@@ -1,0 +1,115 @@
+"""Incremental, batch-vectorized Levenshtein DP.
+
+This is the engine's replacement for the reference's embedded-C++ scalar
+kernels (SURVEY.md §2.8):
+
+  - ``CalculateLevenshteinVector`` (PrefixTree.ecl:315-377) — resume the
+    DP from the saved row and extend it by one edge label. We keep the
+    same incremental idea (DP rows for a shared prefix are computed once
+    per path and reused across the subtree, PrefixTree.ecl:321-326) but
+    (a) vectorize ACROSS ALL QUERIES at once with numpy, so one trie
+    visit advances every active query's DP row in a single O(n_queries *
+    max_len) array op, and (b) fix the reference's latent first-call
+    ``memcpy`` bug (PrefixTree.ecl:368, SURVEY.md §0 Quirk 1) by always
+    carrying full-width rows.
+  - ``GetMinDistance`` (PrefixTree.ecl:379-386) → ``row_mins`` — min of
+    the current DP row = lower bound for branch-and-bound pruning.
+  - ``GetFinalDistance`` (PrefixTree.ecl:387-394) → ``final_distances``
+    — last valid DP cell = exact distance once the path spells a word.
+
+Distances are per Unicode codepoint (matches the DuckDB ``levenshtein``
+oracle), not per byte as in ECL STRING (SURVEY.md §1.3).
+
+Vectorization note: the within-row dependency (insertion chain
+``row[j] = min(cand[j], row[j-1]+1)``) is a running min of
+``cand[j] - j`` — computed with ``np.minimum.accumulate`` so the whole
+row update is branch-free numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BIG = np.int32(1 << 20)
+
+
+class QueryBatch:
+    """A batch of query strings encoded for vectorized DP.
+
+    ``codes[i, j]`` is the codepoint of query i at position j (0 beyond
+    the query's length); ``lens[i]`` its length. DP rows are arrays of
+    shape ``(n, max_len + 1)``; ``rows[i, j]`` = edit distance between
+    the path consumed so far and ``queries[i][:j]``.
+    """
+
+    __slots__ = ("queries", "codes", "lens", "max_len", "_js", "_valid")
+
+    def __init__(self, queries: list[str]):
+        self.queries = queries
+        n = len(queries)
+        self.lens = np.fromiter((len(q) for q in queries), dtype=np.int32, count=n)
+        self.max_len = int(self.lens.max()) if n else 0
+        self.codes = np.zeros((n, self.max_len), dtype=np.int32)
+        for i, q in enumerate(queries):
+            if q:
+                self.codes[i, : len(q)] = np.fromiter(map(ord, q), dtype=np.int32, count=len(q))
+        self._js = np.arange(self.max_len + 1, dtype=np.int32)
+        # valid[i, j] == True where j <= len(queries[i])
+        self._valid = self._js[None, :] <= self.lens[:, None]
+
+    def __len__(self) -> int:
+        return len(self.queries)
+
+    def initial_rows(self, idx: np.ndarray | None = None) -> np.ndarray:
+        """Row 0 of the DP: distance(empty path, q[:j]) = j."""
+        n = len(self.queries) if idx is None else len(idx)
+        return np.broadcast_to(self._js, (n, self.max_len + 1)).copy()
+
+    def row_mins(self, rows: np.ndarray, idx: np.ndarray) -> np.ndarray:
+        """Min of each DP row over valid cells — the branch-and-bound
+        lower bound (≡ GetMinDistance, PrefixTree.ecl:379-386)."""
+        masked = np.where(self._valid[idx], rows, BIG)
+        return masked.min(axis=1)
+
+    def final_distances(self, rows: np.ndarray, idx: np.ndarray) -> np.ndarray:
+        """Last valid DP cell = exact distance(path, query)
+        (≡ GetFinalDistance, PrefixTree.ecl:387-394)."""
+        return rows[np.arange(len(idx)), self.lens[idx]]
+
+
+def extend_rows(
+    batch: QueryBatch, rows: np.ndarray, idx: np.ndarray, label: str
+) -> np.ndarray:
+    """Advance DP rows by the characters of ``label`` (one trie edge).
+
+    ``rows`` has shape (len(idx), max_len+1); ``idx`` selects which
+    queries of ``batch`` these rows belong to. Returns new rows; does
+    not mutate the input. Cost O(len(label) * len(idx) * max_len) in
+    vectorized numpy — shared across every word in the subtree below
+    this edge (the whole point of the trie, PrefixTree.ecl:321-326).
+    """
+    codes = batch.codes[idx]
+    js = batch._js
+    buf_a, buf_b = np.empty_like(rows), np.empty_like(rows)
+    cur = rows
+    for ch in label:
+        c = ord(ch)
+        out = buf_a if cur is not buf_a else buf_b
+        # candidate[j] = min(substitute via diagonal, delete word char)
+        out[:, 0] = cur[:, 0] + 1
+        np.minimum(cur[:, :-1] + (codes != c), cur[:, 1:] + 1, out=out[:, 1:])
+        # insertion chain row[j] = min(row[j-1]+1, candidate[j]) is a
+        # running min in (candidate[j] - j) space
+        out -= js
+        np.minimum.accumulate(out, axis=1, out=out)
+        out += js
+        cur = out
+    return cur if cur is not rows else rows.copy()
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Plain two-string Levenshtein distance (test oracle helper)."""
+    batch = QueryBatch([a])
+    idx = np.array([0])
+    rows = extend_rows(batch, batch.initial_rows(), idx, b)
+    return int(batch.final_distances(rows, idx)[0])

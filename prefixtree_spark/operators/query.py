@@ -1,0 +1,369 @@
+"""Prefix-tree fuzzy query — ``query`` ≡ ``QueryThorLevenshtein``
+(PrefixTree.ecl:314-446), ``query_one`` ≡ ``QueryRoxieLevenshtein``
+(PrefixTree.ecl:459-588).
+
+Semantics (verified equivalent to brute force in SURVEY.md §0): for each
+query string, return every dictionary word within ``max_distance``
+Levenshtein edits, as rows (query_string, node, final_distance) — the
+reference's output projection (PrefixTree.ecl:445).
+
+Pruning is exactly the reference's (SURVEY.md §4 O5/O6):
+  - branch-and-bound: stop descending when min of the DP row > k
+    (PrefixTree.ecl:426,434);
+  - subtree length band: skip children where len(query) is outside
+    [_min - k, _max + k] (PrefixTree.ecl:440-441). Deliberately does NOT
+    fold current_distance into the band (the reference documents the
+    dog/drop double-count counterexample, PrefixTree.ecl:435-439).
+
+Three physical strategies — chosen by data shape, because at 100 TB
+either side may be the big one:
+
+  - ``mode="broadcast_queries"``: the node table stays distributed,
+    grouped by its build partition (each partition is an independent
+    forest, SURVEY.md §0); the query batch is broadcast to every
+    partition and ALL queries traverse the forest together in one
+    vectorized DP (functions/levenshtein.py). Shuffle-free on the big
+    side; this is the inverted-index-style scale path for huge
+    dictionaries.
+  - ``mode="broadcast_tree"``: the node table is collected+broadcast and
+    queries stream through ``mapInPandas`` — the scale path for huge
+    query sets over dictionaries that fit in executor memory.
+  - ``mode="bfs"``: the reference's own physical plan — a driver loop of
+    per-level frontier joins on ``node_id == parent_id`` with the band
+    predicates as join filters and the DP as an Arrow-batched pandas UDF
+    (≡ LOOP + half-keyed JOIN, PrefixTree.ecl:430-442). Kept because it
+    is the only strategy when BOTH sides exceed memory; uses
+    ``localCheckpoint`` to stop iterative plan growth.
+
+``mode="auto"`` picks broadcast_tree for small trees else
+broadcast_queries.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from prefixtree_spark.functions.levenshtein import QueryBatch, extend_rows
+from prefixtree_spark.plans.tree import VIRTUAL_ROOT_ID
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("query_string", T.StringType(), False),
+        T.StructField("node", T.StringType(), False),
+        T.StructField("final_distance", T.IntegerType(), False),
+    ]
+)
+
+# Collected trees up to this many nodes use the broadcast_tree path in
+# mode="auto"; beyond it the tree stays distributed.
+_AUTO_BROADCAST_NODES = 2_000_000
+
+
+def _forest_from_rows(
+    ids: np.ndarray,
+    parent_ids: np.ndarray,
+    labels: np.ndarray,
+    is_word: np.ndarray,
+    mins: np.ndarray,
+    maxs: np.ndarray,
+) -> dict[int, list[int]]:
+    """children: parent_id -> list of row positions."""
+    children: dict[int, list[int]] = defaultdict(list)
+    for pos in range(len(ids)):
+        children[int(parent_ids[pos])].append(pos)
+    return children
+
+
+def _traverse(
+    batch: QueryBatch,
+    k: int,
+    ids: np.ndarray,
+    labels: np.ndarray,
+    is_word: np.ndarray,
+    mins: np.ndarray,
+    maxs: np.ndarray,
+    children: dict[int, list[int]],
+) -> tuple[list[str], list[str], list[int]]:
+    """Depth-first branch-and-bound over one forest, all queries at once.
+
+    The stack carries (node position or root marker, active query
+    indices, their DP rows). Each visited edge advances EVERY active
+    query's DP row in one vectorized ``extend_rows`` call — the batch
+    analogue of the reference's per-row LOOP body (PrefixTree.ecl:430-442).
+    """
+    out_q: list[str] = []
+    out_w: list[str] = []
+    out_d: list[int] = []
+    if not len(batch) or VIRTUAL_ROOT_ID not in children:
+        return out_q, out_w, out_d
+
+    all_idx = np.arange(len(batch))
+    init_rows = batch.initial_rows()
+    qlens = batch.lens
+
+    # stack entries: (child positions to expand, active idx, rows)
+    stack: list[tuple[list[int], np.ndarray, np.ndarray]] = [
+        (children[VIRTUAL_ROOT_ID], all_idx, init_rows)
+    ]
+    while stack:
+        kid_positions, idx, rows = stack.pop()
+        for pos in kid_positions:
+            lo, hi = int(mins[pos]), int(maxs[pos])
+            # subtree length band (PrefixTree.ecl:440-441)
+            band = (qlens[idx] >= lo - k) & (qlens[idx] <= hi + k)
+            if not band.any():
+                continue
+            sub_idx = idx[band]
+            sub_rows = rows[band]
+            if is_word[pos]:
+                # end-cap: the path already spells the whole word; the
+                # label is the full word (PrefixTree.ecl:280) — read the
+                # exact distance, no DP extension.
+                finals = batch.final_distances(sub_rows, sub_idx)
+                hit = finals <= k
+                if hit.any():
+                    word = labels[pos]
+                    for qi, d in zip(sub_idx[hit], finals[hit]):
+                        out_q.append(batch.queries[qi])
+                        out_w.append(word)
+                        out_d.append(int(d))
+                continue
+            new_rows = extend_rows(batch, sub_rows, sub_idx, labels[pos])
+            # branch-and-bound (PrefixTree.ecl:426,434)
+            alive = batch.row_mins(new_rows, sub_idx) <= k
+            if alive.any():
+                node_id = int(ids[pos])
+                kids = children.get(node_id)
+                if kids:
+                    stack.append((kids, sub_idx[alive], new_rows[alive]))
+    return out_q, out_w, out_d
+
+
+def _traverse_pdf(
+    pt_pdf: pd.DataFrame, batch: QueryBatch, k: int
+) -> pd.DataFrame:
+    ids = pt_pdf["id"].to_numpy()
+    parent_ids = pt_pdf["parent_id"].to_numpy()
+    labels = pt_pdf["node"].to_numpy()
+    is_word = pt_pdf["is_word"].to_numpy()
+    mins = pt_pdf["_min"].to_numpy()
+    maxs = pt_pdf["_max"].to_numpy()
+    children = _forest_from_rows(ids, parent_ids, labels, is_word, mins, maxs)
+    q, w, d = _traverse(batch, k, ids, labels, is_word, mins, maxs, children)
+    return pd.DataFrame(
+        {"query_string": q, "node": w, "final_distance": pd.array(d, dtype="int32")}
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed strategies
+# ---------------------------------------------------------------------------
+
+
+def _query_broadcast_queries(
+    pt: DataFrame, query_strings: list[str], k: int
+) -> DataFrame:
+    """Tree stays distributed (grouped per build partition = independent
+    forest); queries broadcast. One applyInPandas task per forest."""
+    spark = pt.sparkSession
+    bq = spark.sparkContext.broadcast(query_strings)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _traverse_pdf(pdf, QueryBatch(bq.value), k)
+
+    return pt.groupBy("compute_node").applyInPandas(run, schema=RESULT_SCHEMA)
+
+
+def _query_broadcast_tree(
+    queries: DataFrame, qcol: str, pt_rows: pd.DataFrame, k: int
+) -> DataFrame:
+    """Tree collected+broadcast; queries stream through mapInPandas."""
+    spark = queries.sparkSession
+    bt = spark.sparkContext.broadcast(pt_rows)
+
+    def run(batches):
+        pt_pdf = bt.value
+        for pdf in batches:
+            qs = [q for q in pdf[qcol].astype(str) if q is not None]
+            if qs:
+                yield _traverse_pdf(pt_pdf, QueryBatch(qs), k)
+
+    return queries.select(F.col(qcol)).mapInPandas(run, schema=RESULT_SCHEMA)
+
+
+def _query_bfs(pt: DataFrame, queries: DataFrame, qcol: str, k: int) -> DataFrame:
+    """Level-synchronous frontier join — the reference's physical plan
+    (LOOP + keyed JOIN, PrefixTree.ecl:430-442) on DataFrames.
+
+    Each level: frontier ⋈ nodes on node_id == parent_id with the band
+    and bound predicates as join filters (Catalyst pushes them into the
+    join); the DP advance is an Arrow-batched pandas UDF over
+    (query_string, state, node). End-caps exit to the accumulated
+    result (frontier early-exit, PrefixTree.ecl:431-432).
+    """
+    spark = pt.sparkSession
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def dp_extend(query: pd.Series, state: pd.Series, label: pd.Series) -> pd.Series:
+        out = []
+        for q, s, lab in zip(query, state, label):
+            batch = QueryBatch([q])
+            idx = np.array([0])
+            rows = np.asarray(s, dtype=np.int32)[None, :]
+            out.append(extend_rows(batch, rows, idx, lab)[0].tolist())
+        return pd.Series(out)
+
+    qdf = (
+        queries.select(F.col(qcol).alias("query_string"))
+        .where(F.col("query_string").isNotNull())
+        .distinct()
+    )
+    frontier = qdf.select(
+        "query_string",
+        F.length("query_string").alias("qlen"),
+        F.lit(VIRTUAL_ROOT_ID).cast("long").alias("node_id"),
+        F.sequence(F.lit(0), F.length("query_string")).alias("state"),
+    )
+    nodes = pt.select("id", "parent_id", "_max", "_min", "is_word", "node")
+    results: list[DataFrame] = []
+    level = 0
+    while True:
+        joined = frontier.join(
+            nodes, frontier.node_id == nodes.parent_id, "inner"
+        ).where(
+            (F.col("qlen") >= F.col("_min") - k) & (F.col("qlen") <= F.col("_max") + k)
+        )
+        # end-caps: path already spells the word; exact distance is the
+        # last valid DP cell (≡ GetFinalDistance at is_word rows)
+        caps = (
+            joined.where("is_word")
+            .select(
+                "query_string",
+                "node",
+                F.expr("element_at(state, qlen + 1)").alias("final_distance"),
+            )
+            .where(F.col("final_distance") <= k)
+            .select(
+                "query_string",
+                "node",
+                F.col("final_distance").cast("int").alias("final_distance"),
+            )
+        )
+        results.append(caps)
+        frontier = (
+            joined.where(~F.col("is_word"))
+            .select(
+                "query_string",
+                "qlen",
+                F.col("id").alias("node_id"),
+                dp_extend("query_string", "state", "node").alias("state"),
+            )
+            .where(F.array_min("state") <= k)
+        )
+        level += 1
+        # truncate lineage so the iterative plan doesn't grow unboundedly
+        frontier = frontier.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+    if not results:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def query(
+    pt: DataFrame,
+    queries: DataFrame,
+    col: str,
+    max_distance: int,
+    *,
+    mode: str = "auto",
+) -> DataFrame:
+    """Batch fuzzy search ≡ QueryThorLevenshtein (PrefixTree.ecl:314-446).
+
+    Returns DataFrame[query_string, node, final_distance] with one row
+    per (query, dictionary word) pair at Levenshtein distance ≤
+    ``max_distance``. ``pt`` is the node table from ``create``.
+    """
+    k = int(max_distance)
+    # semantics: one result set per DISTINCT query string
+    qdf = (
+        queries.select(F.col(col).alias(col))
+        .where(F.col(col).isNotNull())
+        .distinct()
+    )
+    if mode == "bfs":
+        return _query_bfs(pt, qdf, col, k)
+    if mode == "broadcast_tree":
+        return _query_broadcast_tree(qdf, col, pt.toPandas(), k)
+    if mode == "broadcast_queries":
+        return _query_broadcast_queries(pt, [r[0] for r in qdf.collect()], k)
+    if mode == "auto":
+        if pt.count() <= _AUTO_BROADCAST_NODES:
+            return _query_broadcast_tree(qdf, col, pt.toPandas(), k)
+        return _query_broadcast_queries(pt, [r[0] for r in qdf.collect()], k)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# point-query serving path (Roxie analog)
+# ---------------------------------------------------------------------------
+
+
+class LocalIndex:
+    """A collected, memory-resident node table for low-latency point
+    queries — the honest Spark analog of Roxie serving a preloaded index
+    (SURVEY.md §3.3): no distributed job per query, just a driver-side
+    traversal over the same kernel."""
+
+    def __init__(self, pt_pdf: pd.DataFrame):
+        self.ids = pt_pdf["id"].to_numpy()
+        self.labels = pt_pdf["node"].to_numpy()
+        self.is_word = pt_pdf["is_word"].to_numpy()
+        self.mins = pt_pdf["_min"].to_numpy()
+        self.maxs = pt_pdf["_max"].to_numpy()
+        self.children = _forest_from_rows(
+            self.ids,
+            pt_pdf["parent_id"].to_numpy(),
+            self.labels,
+            self.is_word,
+            self.mins,
+            self.maxs,
+        )
+
+    @classmethod
+    def from_dataframe(cls, pt: DataFrame) -> "LocalIndex":
+        return cls(pt.toPandas())
+
+    def search(self, s: str, max_distance: int) -> list[tuple[str, int]]:
+        batch = QueryBatch([s])
+        _, words, dists = _traverse(
+            batch,
+            int(max_distance),
+            self.ids,
+            self.labels,
+            self.is_word,
+            self.mins,
+            self.maxs,
+            self.children,
+        )
+        return sorted(zip(words, dists))
+
+
+def query_one(
+    index: LocalIndex | DataFrame, s: str, max_distance: int
+) -> list[tuple[str, int]]:
+    """Single-string fuzzy lookup ≡ QueryRoxieLevenshtein
+    (PrefixTree.ecl:459-588): returns [(word, distance)] sorted.
+    Pass a ``LocalIndex`` for repeated serving-path calls."""
+    if isinstance(index, DataFrame):
+        index = LocalIndex.from_dataframe(index)
+    return index.search(s, max_distance)

@@ -1,0 +1,94 @@
+"""Fuzzy string similarity join and dedup built on the prefix tree.
+
+These lift the reference's capability — "retrieve all (query, word)
+pairs with Levenshtein ≤ k" (PrefixTree.ecl:314-446) — into first-class
+relational operators (SURVEY.md §7 step 5):
+
+  - ``similarity_join(left, lcol, right, rcol, k)`` — builds the tree
+    over the right side's distinct values and streams the left side's
+    distinct values through it, then joins the matches back to the
+    original rows. Equivalent to (but asymptotically cheaper than) the
+    brute-force theta join ``levenshtein(l, r) <= k``.
+  - ``fuzzy_dedup(df, col, k)`` — connected components of the
+    "distance ≤ k" graph over distinct values, via iterative min-label
+    propagation (driver loop, converges in O(log(diameter)) rounds with
+    the large-star/small-star-style two-sided pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prefixtree_spark.operators.build import create
+from prefixtree_spark.operators.query import query
+
+
+def similarity_join(
+    left: DataFrame,
+    lcol: str,
+    right: DataFrame,
+    rcol: str,
+    max_distance: int,
+    *,
+    mode: str = "auto",
+) -> DataFrame:
+    """All (left_value, right_value, distance) pairs with Levenshtein
+    distance ≤ ``max_distance`` between trimmed non-empty distinct
+    values. Columns: ``left_value, right_value, distance``."""
+    pt = create(right, rcol)
+    queries = left.select(F.trim(F.col(lcol)).alias("q")).where(F.col("q") != "")
+    matches = query(pt, queries.distinct(), "q", max_distance, mode=mode)
+    return matches.select(
+        F.col("query_string").alias("left_value"),
+        F.col("node").alias("right_value"),
+        F.col("final_distance").alias("distance"),
+    )
+
+
+def fuzzy_dedup(
+    df: DataFrame, col: str, max_distance: int, *, max_iter: int = 50
+) -> DataFrame:
+    """Cluster distinct values whose Levenshtein distance ≤ k into
+    connected components. Returns DataFrame[value, component] where
+    ``component`` is the lexicographically smallest member.
+
+    The edge set comes from a prefix-tree self-similarity-join (no
+    brute-force cross join); components via iterative min-label
+    propagation with a driver-side convergence loop (each round is two
+    hash joins; lineage truncated with localCheckpoint).
+    """
+    edges = (
+        similarity_join(df, col, df, col, max_distance)
+        .where(F.col("left_value") != F.col("right_value"))
+        .select("left_value", "right_value")
+    )
+    # undirected: keep both directions for propagation
+    values = df.select(F.trim(F.col(col)).alias("value")).where(
+        F.col("value") != ""
+    ).distinct()
+    labels = values.select("value", F.col("value").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # neighbor labels: for each value, min component among neighbors
+        neighbor = (
+            edges.join(labels, edges.right_value == labels.value, "inner")
+            .select(F.col("left_value").alias("value"), "component")
+        )
+        new_labels = (
+            labels.select("value", "component")
+            .unionByName(neighbor)
+            .groupBy("value")
+            .agg(F.min("component").alias("component"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "value")
+            .where(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels

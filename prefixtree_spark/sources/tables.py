@@ -1,0 +1,34 @@
+"""Parquet table sources (≡ DATASET(file, layout, THOR) scans,
+PrefixTree.ecl:601; SURVEY.md §2.1 S1).
+
+Declarative ``spark.read.parquet`` so Catalyst gets predicate pushdown,
+column pruning, and partition pruning for free — tests assert
+``PushedFilters`` appears in the physical plan (SURVEY.md §4 O13).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
