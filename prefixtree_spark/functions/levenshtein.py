@@ -17,8 +17,10 @@ kernels (SURVEY.md §2.8):
   - ``GetFinalDistance`` (PrefixTree.ecl:387-394) → ``final_distances``
     — last valid DP cell = exact distance once the path spells a word.
 
-Distances are per Unicode codepoint (matches the DuckDB ``levenshtein``
-oracle), not per byte as in ECL STRING (SURVEY.md §1.3).
+Distances are per Unicode codepoint, not per byte as in ECL STRING
+(SURVEY.md §1.3). NB: DuckDB's ``levenshtein`` counts UTF-8 BYTES
+(café↔cafe = 2); the two agree on ASCII, which is all the driver's
+oracle columns contain — keep non-ASCII out of oracle queries.
 
 Vectorization note: the within-row dependency (insertion chain
 ``row[j] = min(cand[j], row[j-1]+1)``) is a running min of

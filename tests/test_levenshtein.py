@@ -1,0 +1,62 @@
+"""Kernel tests: the vectorized incremental DP must equal classic
+Levenshtein, including resumed (incremental) extension — the property
+the reference's CalculateLevenshteinVector (PrefixTree.ecl:315-377)
+violates on multi-char roots (SURVEY.md §0 Quirk 1)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from prefixtree_spark.functions.levenshtein import QueryBatch, extend_rows, levenshtein
+from tests.conftest import brute_levenshtein
+
+
+@pytest.mark.parametrize(
+    "a,b,d",
+    [
+        ("kitten", "sitting", 3),
+        ("", "", 0),
+        ("", "abc", 3),
+        ("abc", "", 3),
+        ("dog", "drop", 2),  # the reference's own counterexample pair
+        ("café", "cafe", 1),  # codepoint, not byte, distance
+        ("Cat", "cat", 1),  # case-sensitive
+    ],
+)
+def test_known_distances(a, b, d):
+    assert levenshtein(a, b) == d
+
+
+def test_random_vs_brute():
+    rng = random.Random(42)
+    for _ in range(300):
+        a = "".join(rng.choices("abcd", k=rng.randint(0, 12)))
+        b = "".join(rng.choices("abcd", k=rng.randint(0, 12)))
+        assert levenshtein(a, b) == brute_levenshtein(a, b)
+
+
+def test_incremental_extension_matches_single_shot():
+    """Quirk-1 regression: extending by 'KAMINSK' then 'I' must equal
+    extending by 'KAMINSKI' in one shot (sparse multi-char roots)."""
+    queries = ["KAMINSKI", "SMITH", "", "KAMINSKIY"]
+    batch = QueryBatch(queries)
+    idx = np.arange(len(queries))
+    split = extend_rows(batch, extend_rows(batch, batch.initial_rows(), idx, "KAMINSK"), idx, "I")
+    whole = extend_rows(batch, batch.initial_rows(), idx, "KAMINSKI")
+    assert np.array_equal(
+        np.where(batch._valid, split, -1), np.where(batch._valid, whole, -1)
+    )
+    finals = batch.final_distances(whole, idx)
+    assert finals.tolist() == [brute_levenshtein(q, "KAMINSKI") for q in queries]
+
+
+def test_row_mins_lower_bound():
+    """Min of the DP row is a valid lower bound on any extension."""
+    batch = QueryBatch(["SMITH"])
+    idx = np.array([0])
+    rows = extend_rows(batch, batch.initial_rows(), idx, "SM")
+    bound = batch.row_mins(rows, idx)[0]
+    for suffix in ["ITH", "YTH", "ITHE", "X" * 10]:
+        final = batch.final_distances(extend_rows(batch, rows, idx, suffix), idx)[0]
+        assert final >= bound

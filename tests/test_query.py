@@ -1,0 +1,122 @@
+"""Query tests: mode equivalence, DuckDB-oracle equality, edge cases
+(FIXTURES.md F3/F4), serving path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from prefixtree_spark import LocalIndex, create, query, query_one
+from tests.conftest import brute_levenshtein
+from tests.test_build import SPARSE_WORDS, _words_df
+
+
+def _expected(words, queries, k):
+    return {
+        (q, w, brute_levenshtein(q, w))
+        for q in set(queries)
+        for w in set(words)
+        if brute_levenshtein(q, w) <= k
+    }
+
+
+def _run(spark, pt, queries, k, mode):
+    qdf = spark.createDataFrame([(q,) for q in queries], ["q"])
+    res = query(pt, qdf, "q", k, mode=mode)
+    return {(r.query_string, r.node, r.final_distance) for r in res.collect()}
+
+
+QUERIES = ["KAMINSKI", "SMITH", "DOG", "CARTS", "BAYLESS"]
+
+
+@pytest.fixture(scope="module")
+def sparse_pt(spark):
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3).cache()
+    pt.count()
+    return pt
+
+
+@pytest.mark.parametrize("mode", ["broadcast_tree", "broadcast_queries", "bfs"])
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_modes_vs_brute_force(spark, sparse_pt, mode, k):
+    """Sparse multi-char roots (KAMINSK, SM, CA, BAYL) — the exact shape
+    where the reference's Quirk-1 DP bug bites; we must be exact."""
+    got = _run(spark, sparse_pt, QUERIES, k, mode)
+    assert got == _expected(SPARSE_WORDS, QUERIES, k)
+
+
+def test_duplicate_queries_collapse(spark, sparse_pt):
+    got = _run(spark, sparse_pt, ["SMITH", "SMITH"], 1, "broadcast_tree")
+    assert got == _expected(SPARSE_WORDS, ["SMITH"], 1)
+
+
+def test_empty_query_string(spark):
+    pt = create(_words_df(spark, ["A", "AB"]), "word", num_partitions=1)
+    got = _run(spark, pt, [""], 1, "broadcast_tree")
+    assert got == {("", "A", 1)}
+
+
+def test_unicode_codepoint_distance(spark):
+    """Engine distance is per Unicode CODEPOINT: café↔cafe = 1.
+
+    NB: DuckDB's levenshtein is UTF-8 BYTE-based (café↔cafe = 2), so
+    non-ASCII strings must not appear in driver oracle queries; on
+    ASCII the two semantics agree (SURVEY.md §1.3)."""
+    words = ["café", "cafe", "naïve"]
+    pt = create(_words_df(spark, words), "word", num_partitions=1)
+    got = _run(spark, pt, ["cafe"], 1, "broadcast_queries")
+    assert got == {("cafe", "cafe", 0), ("cafe", "café", 1)}
+
+
+def test_oracle_equivalence_customer(spark, duck):
+    """End-to-end vs DuckDB levenshtein on the sf0.001 customer names —
+    the same check the driver's CORRECTNESS gate runs."""
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    pt = create(cust, "c_name", num_partitions=4)
+    qdf = cust.where("c_custkey % 20 = 3").select(
+        F.expr(
+            "concat(substring(c_name, 1, cast(c_custkey % length(c_name) as int)),"
+            " substring(c_name, cast(c_custkey % length(c_name) as int) + 2))"
+        ).alias("q")
+    )
+    got = {(r.query_string, r.node, r.final_distance) for r in query(pt, qdf, "q", 1).collect()}
+    oracle = {
+        tuple(r)
+        for r in duck.execute(
+            """
+            WITH q AS (
+              SELECT concat(substr(c_name, 1, (c_custkey % length(c_name))::INT),
+                            substr(c_name, (c_custkey % length(c_name))::INT + 2)) AS qs
+              FROM customer WHERE c_custkey % 20 = 3
+            ),
+            w AS (SELECT DISTINCT trim(c_name) AS word FROM customer WHERE trim(c_name) <> '')
+            SELECT DISTINCT q.qs, w.word, levenshtein(q.qs, w.word)
+            FROM q, w WHERE levenshtein(q.qs, w.word) <= 1
+            """
+        ).fetchall()
+    }
+    assert got == oracle
+
+
+def test_partition_count_invariance(spark):
+    """Result sets must be identical across partitionings (SURVEY.md §0)."""
+    ref = None
+    for parts in [1, 3, 8]:
+        pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=parts)
+        got = _run(spark, pt, QUERIES, 2, "broadcast_queries")
+        if ref is None:
+            ref = got
+        assert got == ref
+
+
+def test_query_one_serving_path(spark, sparse_pt):
+    idx = LocalIndex.from_dataframe(sparse_pt)
+    assert query_one(idx, "KAMINSKI", 1) == sorted(
+        (w, brute_levenshtein("KAMINSKI", w))
+        for w in SPARSE_WORDS
+        if brute_levenshtein("KAMINSKI", w) <= 1
+    )
+    # repeated calls reuse the collected index (serving path)
+    assert query_one(idx, "SMITH", 2) == sorted(
+        (w, brute_levenshtein("SMITH", w))
+        for w in SPARSE_WORDS
+        if brute_levenshtein("SMITH", w) <= 2
+    )
