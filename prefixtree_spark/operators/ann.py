@@ -1,0 +1,203 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, as a 100 TB pipeline needs both:
+
+  - ``cosine_topk`` — exact brute-force top-k: query set broadcast
+    against the (large, distributed) corpus, per-pair cosine via
+    JVM-side ``aggregate``/``zip_with`` (sequential fold in array
+    order → bit-reproducible against an oracle that also folds left to
+    right), top-k via a window rank partitioned by query. The corpus
+    side never shuffles; only (|Q| × k) rows survive to the rank.
+  - ``cosine_topk_lsh`` — random-hyperplane LSH: every vector gets
+    ``n_tables`` independent ``n_planes``-bit signatures, computed in
+    ONE Arrow-batched pandas UDF (a single numpy matmul per batch —
+    the Python cost is per-batch, not per-row); candidates must share
+    a signature in ≥1 table; exact cosine rerank of candidates only.
+    Approximate (recall < 1 — strongly dependent on how angularly
+    concentrated true neighbors are), so it has no SQL oracle; recall
+    against ``cosine_topk`` is asserted in tests on clustered data.
+
+Hyperplanes are generated from a fixed seed so runs are deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold of the element products — the same
+    summation order DuckDB's list_dot_product uses, so doubles match
+    bit-for-bit (verified empirically)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_pairs(
+    queries: DataFrame,
+    qid: str,
+    qvec: str,
+    corpus: DataFrame,
+    cid: str,
+    cvec: str,
+) -> DataFrame:
+    """(query_id, vec_id, cosine) for the full cross product — the
+    building block; callers restrict/rank it. Queries are broadcast;
+    the corpus scan stays partition-local (no shuffle)."""
+    q = queries.select(
+        F.col(qid).alias("query_id"), _as_double(F.col(qvec)).alias("qv")
+    )
+    c = corpus.select(F.col(cid).alias("vec_id"), _as_double(F.col(cvec)).alias("cv"))
+    return F.broadcast(q).crossJoin(c).select(
+        "query_id", "vec_id", _cosine(F.col("qv"), F.col("cv")).alias("cosine")
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    qid: str,
+    qvec: str,
+    corpus: DataFrame,
+    cid: str,
+    cvec: str,
+    k: int = 10,
+    *,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k nearest neighbors by cosine. Ties and FP noise at
+    the boundary break deterministically by (cosine desc, vec_id)."""
+    pairs = cosine_pairs(queries, qid, qvec, corpus, cid, cvec)
+    if exclude_self:
+        pairs = pairs.where(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_planes, dim))
+
+
+def _with_signatures(df: DataFrame, id_alias: str, vec_col: str, planes: np.ndarray) -> DataFrame:
+    """Adds exploded (t, s) signature rows: one numpy matmul per Arrow
+    batch computes every table's signature at once."""
+    n_tables, n_planes, dim = planes.shape
+    flat = planes.reshape(n_tables * n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sigs(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        if m.size == 0:
+            return pd.Series([], dtype=object)
+        bits = (m @ flat.T) > 0
+        sig = bits.reshape(len(m), n_tables, n_planes) @ weights
+        return pd.Series(list(sig))
+
+    return (
+        df.withColumn("_sigs", sigs(F.col(vec_col)))
+        .select(
+            id_alias,
+            vec_col,
+            F.posexplode("_sigs").alias("t", "s"),
+        )
+    )
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    qid: str,
+    qvec: str,
+    corpus: DataFrame,
+    cid: str,
+    cvec: str,
+    k: int = 10,
+    *,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 16,
+    exclude_self: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucket join + exact
+    rerank of candidates. Scales with bucket collision counts."""
+    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+    q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("qv"))
+    c = corpus.select(F.col(cid).alias("vec_id"), F.col(cvec).alias("cv"))
+    q_sig = _with_signatures(q, "query_id", "qv", planes)
+    c_sig = _with_signatures(c, "vec_id", "cv", planes)
+    cand = (
+        F.broadcast(q_sig)
+        .join(c_sig, ["t", "s"])
+        .select("query_id", "qv", "vec_id", "cv")
+        .distinct()
+    )
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("vec_id"))
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        _cosine(_as_double(F.col("qv")), _as_double(F.col("cv"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame, id_col: str, vec_col: str, *, threshold: float = 0.95,
+    dim: int, n_planes: int = 8, n_tables: int = 16, seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥
+    threshold) via LSH candidates + exact verify — the embedding
+    analogue of MinHash dedup."""
+    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+    c = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    sig = _with_signatures(c, "vid", "v", planes)
+    x, y = sig.alias("x"), sig.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.s") == F.col("y.s"))
+            & (F.col("x.vid") < F.col("y.vid")),
+        )
+        .select(
+            F.col("x.vid").alias("id1"),
+            F.col("x.v").alias("v1"),
+            F.col("y.vid").alias("id2"),
+            F.col("y.v").alias("v2"),
+        )
+        .distinct()
+    )
+    cos = _cosine(_as_double(F.col("v1")), _as_double(F.col("v2")))
+    return cand.where(cos >= threshold).select(
+        "id1", "id2", F.round(cos, 6).alias("cosine")
+    )

@@ -1,0 +1,280 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All exact/near-dup strategies a 100 TB text corpus needs, each
+expressed shuffle-consciously:
+
+  - ``exact_dedup`` — hash-groupBy on the key columns; one shuffle,
+    map-side partial aggregation for the counts.
+  - ``ngram_jaccard_pairs`` — EXACT token-n-gram Jaccard similarity
+    join via a shingle-inverted-index equi-join (shuffle on shingle,
+    then on pair) — no cross join anywhere. This is also the verifier
+    and oracle for the approximate paths.
+  - ``minhash_lsh_pairs`` — MinHash signatures (JVM-side ``xxhash64``
+    per permutation — no Python in the hot path) banded into LSH
+    buckets; candidate pairs from bucket equi-joins; exact-Jaccard
+    verification of candidates only. At the default 32 bands × 2 rows,
+    a pair at the 0.8 threshold is missed with prob (1-0.64)^32 ≈ 1e-14,
+    so the verified output equals the exact join w.h.p. while scaling
+    as the candidate count, not the pair count.
+  - ``simhash_signatures`` / ``simhash_pairs`` — 60-bit
+    frequency-weighted SimHash over tokens (60 bits so the signature
+    survives a signed BIGINT in every engine); near-dup pairs by
+    Hamming distance with a 4-band pigeonhole prefilter (hamming ≤ 3
+    ⇒ at least one of 4 15-bit bands is identical) so the join is
+    equi on band value, never all-pairs.
+
+Token hashing is md5-based (first 15 hex digits → 60-bit int) wherever
+an oracle needs to reproduce it in SQL; xxhash64 (faster, JVM) where it
+doesn't (MinHash permutations are Spark-internal — correctness is
+enforced by the exact-Jaccard verify step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """One row per distinct key: the minimum ``id_col`` (the survivor)
+    and the duplicate count. Single hash-aggregate shuffle."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# token shingles (shared by Jaccard / MinHash)
+# ---------------------------------------------------------------------------
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def token_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) pairs where shingle = n consecutive
+    whitespace tokens joined by one space."""
+    toks = df.select(F.col(id_col).alias("doc"), _tokens(text_col).alias("ts"))
+    # NB: filter BEFORE sequence() — Spark's sequence(1, 0) counts DOWN
+    # and would emit invalid indices for docs shorter than n tokens
+    return (
+        toks.where(F.size("ts") >= n)
+        .select(
+            "doc",
+            F.explode(F.sequence(F.lit(1), F.size("ts") - (n - 1))).alias("i"),
+            "ts",
+        )
+        .select("doc", F.concat_ws(" ", F.slice("ts", F.col("i"), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard-similarity self-join on token n-gram shingle sets.
+
+    Returns DataFrame[id1, id2, jaccard] with id1 < id2 and jaccard ≥
+    ``threshold`` (rounded to 6 dp). Inverted-index plan: shuffle on
+    shingle to count intersections, broadcast the per-doc set sizes
+    back in — pair count is bounded by co-occurring shingles, never
+    |docs|²."""
+    sh = token_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("ic"))
+    )
+    sa = sizes.select(F.col("doc").alias("id1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("doc").alias("id2"), F.col("sz").alias("sz2"))
+    jac = F.col("ic") / (F.col("sz1") + F.col("sz2") - F.col("ic"))
+    return (
+        inter.join(F.broadcast(sa), "id1")
+        .join(F.broadcast(sb), "id2")
+        .where(jac >= threshold)
+        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    shingles: DataFrame, *, num_perm: int = 64
+) -> DataFrame:
+    """(doc, perm, minhash): per-permutation min of xxhash64(perm ⊕
+    shingle). All JVM-side — one explode + one partial-agg shuffle."""
+    return (
+        shingles.select(
+            "doc",
+            F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm"),
+            "shingle",
+        )
+        .select(
+            "doc",
+            "perm",
+            F.xxhash64(F.concat(F.col("perm").cast("string"), F.lit("#"), "shingle")).alias("h"),
+        )
+        .groupBy("doc", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """Near-dup pairs at Jaccard ≥ threshold via MinHash-LSH candidate
+    generation + exact verification. Output schema/semantics identical
+    to ``ngram_jaccard_pairs`` (w.h.p.; see module docstring)."""
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sh = token_shingles(df, id_col, text_col, n).cache()
+    sig = minhash_signatures(sh, num_perm=num_perm)
+    # band key = hash of the band's row signature
+    banded = (
+        sig.withColumn("band", (F.col("perm") / rows).cast("int"))
+        .groupBy("doc", "band")
+        .agg(F.xxhash64(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "perm", "minhash"))))).alias("bucket"))
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("id1"), F.col("y.doc").alias("id2"))
+        .distinct()
+    )
+    # exact verification of candidates only
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        candidates.join(a, F.col("id1") == F.col("a.doc"))
+        .join(b, (F.col("id2") == F.col("b.doc")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("ic"))
+    )
+    sa = sizes.select(F.col("doc").alias("id1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("doc").alias("id2"), F.col("sz").alias("sz2"))
+    jac = F.col("ic") / (F.col("sz1") + F.col("sz2") - F.col("ic"))
+    return (
+        inter.join(F.broadcast(sa), "id1")
+        .join(F.broadcast(sb), "id2")
+        .where(jac >= threshold)
+        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIM_BITS = 60  # fits a signed 64-bit int in every engine
+
+
+def _md5_60bit(col: Column) -> Column:
+    """First 15 hex digits of md5 as a 60-bit int — reproducible in
+    DuckDB as ('0x' || substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit frequency-weighted SimHash over whitespace tokens.
+
+    bit b of the signature = 1 iff sum over token occurrences of
+    (±1 depending on bit b of md5-60bit(token)) is > 0."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(_tokens(text_col)).alias("tok")
+    ).where(F.col("tok") != "")
+    hashed = toks.select("doc", _md5_60bit(F.col("tok")).alias("h"))
+    bits = hashed.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIM_BITS - 1))).alias("b"),
+        "h",
+    ).select(
+        "doc",
+        "b",
+        # shiftright() builtins require a literal shift; the SQL form
+        # accepts a column
+        F.when(F.expr("shiftright(h, b) & 1") == 1, 1).otherwise(-1).alias("s"),
+    )
+    return (
+        bits.groupBy("doc", "b")
+        .agg(F.sum("s").alias("score"))
+        .groupBy("doc")
+        .agg(
+            F.sum(
+                F.when(F.col("score") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+        .select(F.col("doc").alias("doc_id"), "simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    Scale path: pigeonhole prefilter — split the 60 bits into
+    ``max_hamming + 1`` bands; any pair within the distance budget
+    must agree exactly on ≥ 1 band, so candidates come from band-value
+    equi-joins instead of |docs|² comparisons."""
+    sig = simhash_signatures(df, id_col, text_col).cache()
+    n_bands = max_hamming + 1
+    width = _SIM_BITS // n_bands
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "band",
+        F.expr(f"shiftright(simhash, band * {width}) & {(1 << width) - 1}").alias("bandval"),
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bandval") == F.col("y.bandval"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id1"),
+            F.col("y.doc_id").alias("id2"),
+            F.col("x.simhash").alias("h1"),
+            F.col("y.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return cand.where(ham <= max_hamming).select(
+        "id1", "id2", ham.cast("int").alias("hamming")
+    )

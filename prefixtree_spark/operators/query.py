@@ -307,8 +307,19 @@ def query(
     if mode == "broadcast_queries":
         return _query_broadcast_queries(pt, [r[0] for r in qdf.collect()], k)
     if mode == "auto":
-        if pt.count() <= _AUTO_BROADCAST_NODES:
-            return _query_broadcast_tree(qdf, col, pt.toPandas(), k)
+        # persist so the size probe and the chosen strategy share one
+        # tree materialization (the build is the expensive part)
+        pt = pt.persist()
+        try:
+            if pt.count() <= _AUTO_BROADCAST_NODES:
+                local = pt.toPandas()
+                pt.unpersist()
+                return _query_broadcast_tree(qdf, col, local, k)
+        except Exception:
+            pt.unpersist()
+            raise
+        # tree too big to collect: stays distributed (and cached for the
+        # per-forest traversal tasks)
         return _query_broadcast_queries(pt, [r[0] for r in qdf.collect()], k)
     raise ValueError(f"unknown mode {mode!r}")
 

@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines: per-document
+stats/quality signals, regex token counting, heuristic language ID,
+and content fingerprinting.
+
+Everything stays JVM-side (built-in ``pyspark.sql.functions`` inside
+whole-stage codegen) — no Python UDFs: these run over every document of
+a 100 TB corpus, so the hot path must be narrow, shuffle-free
+per-document map work. Each operator has an exactly-equivalent ANSI-SQL
+formulation (see workloads_ext.py) used as its DuckDB oracle, so the
+formulas are deliberately engine-portable (md5-based hashing, explicit
+CASE tie-breaks, integer-ratio doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "an", "of", "and", "in", "to", "is"]
+
+# BPE-ish tokenization: letter runs, digit runs, single other non-space
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _nonspace_tokens(text_col: str) -> Column:
+    return F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality signals: char/token counts, mean token
+    length, punctuation ratio, stopword ratio, and a composite quality
+    score — all single-pass narrow expressions."""
+    toks = _nonspace_tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(STOPWORDS))
+    )
+    mean_tok = F.when(
+        n_tokens > 0,
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+            / n_tokens,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, F.round(n_punct / n_chars, 6)).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, F.round(stop_hits / n_tokens, 6)).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_punct.cast("long").alias("n_punct"),
+        stop_hits.cast("long").alias("n_stopwords"),
+        mean_tok.alias("mean_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+    )
+
+
+def token_count_regex(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token count under the BPE-ish regex (letter runs / digit runs /
+    single punctuation) — the cheap proxy for tokenizer cost."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+# language markers: (lang, [marker words]) — scored by occurrence count
+# of " word " in the padded text; first-listed language wins ties.
+LANG_MARKERS = [
+    ("en", ["the", "and", "of"]),
+    ("de", ["der", "und", "das"]),
+    ("es", ["el", "los", "que"]),
+    ("fr", ["le", "les", "et"]),
+    ("it", ["il", "che", "di"]),
+]
+
+
+def _marker_score(text_col: str, words: list[str]) -> Column:
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    score = F.lit(0)
+    for w in words:
+        pat = f" {w} "
+        # non-overlapping occurrence count via length difference
+        score = score + (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit(""))))
+            / len(pat)
+        ).cast("int")
+    return score
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic marker-word language heuristic. Returns
+    (doc_id, lang_pred, lang_score). Ties break in LANG_MARKERS order
+    via a strict greater-than CASE chain (same chain in the oracle)."""
+    scores = [(lang, _marker_score(text_col, ws)) for lang, ws in LANG_MARKERS]
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    for lang, s in reversed(scores):
+        pred = F.when(s == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        pred.alias("lang_pred"),
+        best.cast("long").alias("lang_score"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, *, gram: int = 8
+) -> DataFrame:
+    """Content fingerprint: min over all char-``gram``-grams of a
+    60-bit md5-derived hash (min-hash winnowing). Documents shorter
+    than ``gram`` chars are absent from the output (no shingles).
+    NB: the length filter must precede sequence() — Spark's
+    sequence(1, 0) counts DOWN."""
+    grams = df.where(F.length(text_col) >= gram).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.sequence(F.lit(1), F.length(text_col) - (gram - 1))
+        ).alias("i"),
+        F.col(text_col).alias("t"),
+    )
+    h = F.conv(F.substring(F.md5(F.expr(f"substring(t, i, {gram})")), 1, 15), 16, 10).cast("long")
+    return grams.groupBy("doc_id").agg(F.min(h).alias("fingerprint"))

@@ -1,0 +1,161 @@
+"""Workload catalog: every implemented operator exposed as a named
+(spark_fn, oracle_sql) pair for the driver's correctness gate.
+
+Each ``spark_fn(spark, sf_dir) -> DataFrame`` runs the operator through
+the public engine API on the driver's parquet tables; ``oracle_sql`` is
+the ANSI-SQL equivalent DuckDB runs on the same tables (views
+pre-registered by the driver). Column names and order-insensitive
+values must match exactly (the driver sorts columns by name and hashes
+values), so every computed column is aliased identically on both sides.
+
+Determinism rules:
+  - query/perturbation sets derive from key columns with arithmetic
+    expressible in both engines (no randomness);
+  - no floats in hashed output unless bit-reproducible in both engines
+    (ANN outputs id sets, not scores);
+  - only ASCII columns in fuzzy workloads (DuckDB levenshtein counts
+    UTF-8 bytes; the engine counts codepoints — equal on ASCII).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prefixtree_spark.operators.build import create
+from prefixtree_spark.operators.query import query
+from prefixtree_spark.sources.tables import load_table
+
+SparkFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, SparkFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def workload(name: str, oracle: str | None):
+    def deco(fn: SparkFn) -> SparkFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# reference-parity workloads (SURVEY.md §2: build + Levenshtein query)
+# ---------------------------------------------------------------------------
+
+# Deterministic query perturbation: delete the character at position
+# (key % length) + 1 — same arithmetic in Spark and DuckDB.
+_PERTURB_SPARK = (
+    "concat(substring({col}, 1, cast({key} % length({col}) as int)),"
+    " substring({col}, cast({key} % length({col}) as int) + 2))"
+)
+_PERTURB_SQL = (
+    "concat(substr({col}, 1, ({key} % length({col}))::INT),"
+    " substr({col}, ({key} % length({col}))::INT + 2))"
+)
+
+
+@workload(
+    "fuzzy_join_customer",
+    f"""
+    WITH q AS (
+      SELECT DISTINCT {_PERTURB_SQL.format(col='c_name', key='c_custkey')} AS query_string
+      FROM customer WHERE c_custkey % 20 = 3
+    ),
+    w AS (SELECT DISTINCT trim(c_name) AS word FROM customer WHERE trim(c_name) <> '')
+    SELECT q.query_string, w.word AS node,
+           levenshtein(q.query_string, w.word) AS final_distance
+    FROM q, w
+    WHERE levenshtein(q.query_string, w.word) <= 1
+    """,
+)
+def fuzzy_join_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: batch fuzzy lookup of misspelled customer names at k=1
+    (≡ QueryThorLevenshtein over a Create index, PrefixTree.ecl:609-640)."""
+    cust = load_table(spark, sf_dir, "customer")
+    pt = create(cust, "c_name")
+    qdf = cust.where("c_custkey % 20 = 3").select(
+        F.expr(_PERTURB_SPARK.format(col="c_name", key="c_custkey")).alias("q")
+    )
+    return query(pt, qdf, "q", 1)
+
+
+@workload(
+    "fuzzy_join_part_tokens",
+    f"""
+    WITH w AS (
+      SELECT DISTINCT trim(tok) AS word
+      FROM (SELECT unnest(string_split(p_name, ' ')) AS tok FROM part)
+      WHERE trim(tok) <> ''
+    ),
+    q AS (
+      SELECT DISTINCT {_PERTURB_SQL.format(col='tok', key='p_partkey')} AS query_string
+      FROM (SELECT p_partkey, string_split(p_name, ' ')[1] AS tok FROM part)
+      WHERE p_partkey % 10 = 1 AND length(tok) > 1
+    )
+    SELECT q.query_string, w.word AS node,
+           levenshtein(q.query_string, w.word) AS final_distance
+    FROM q, w
+    WHERE levenshtein(q.query_string, w.word) <= 2
+    """,
+)
+def fuzzy_join_part_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy lookup over the token vocabulary of part names at k=2
+    (BASELINE.md B2 shape)."""
+    part = load_table(spark, sf_dir, "part")
+    tokens = part.select(F.explode(F.split("p_name", " ")).alias("tok"))
+    pt = create(tokens, "tok")
+    qdf = (
+        part.where("p_partkey % 10 = 1")
+        .select("p_partkey", F.split("p_name", " ").getItem(0).alias("tok"))
+        .where(F.length("tok") > 1)
+        .select(F.expr(_PERTURB_SPARK.format(col="tok", key="p_partkey")).alias("q"))
+    )
+    return query(pt, qdf, "q", 2)
+
+
+@workload(
+    "fuzzy_join_bfs_mode",
+    f"""
+    WITH q AS (
+      SELECT DISTINCT {_PERTURB_SQL.format(col='c_name', key='c_custkey')} AS query_string
+      FROM customer WHERE c_custkey % 100 = 7
+    ),
+    w AS (SELECT DISTINCT trim(c_name) AS word FROM customer WHERE trim(c_name) <> '')
+    SELECT q.query_string, w.word AS node,
+           levenshtein(q.query_string, w.word) AS final_distance
+    FROM q, w
+    WHERE levenshtein(q.query_string, w.word) <= 1
+    """,
+)
+def fuzzy_join_bfs_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same capability through the level-synchronous frontier-join plan
+    (the reference's own physical strategy, LOOP + keyed JOIN,
+    PrefixTree.ecl:430-442) — exercised on a smaller query set."""
+    cust = load_table(spark, sf_dir, "customer")
+    pt = create(cust, "c_name")
+    qdf = cust.where("c_custkey % 100 = 7").select(
+        F.expr(_PERTURB_SPARK.format(col="c_name", key="c_custkey")).alias("q")
+    )
+    return query(pt, qdf, "q", 1, mode="bfs")
+
+
+@workload(
+    "pt_build_words",
+    """
+    SELECT DISTINCT trim(c_name) AS word
+    FROM customer WHERE trim(c_name) <> ''
+    """,
+)
+def pt_build_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-pipeline invariant as an oracle: the words spelled by the
+    tree's end-caps are exactly the distinct trimmed non-empty inputs
+    (end-caps carry the full word, PrefixTree.ecl:280,283)."""
+    cust = load_table(spark, sf_dir, "customer")
+    pt = create(cust, "c_name")
+    return pt.where("is_word").select(F.col("node").alias("word")).distinct()

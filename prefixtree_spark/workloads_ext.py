@@ -1,0 +1,286 @@
+"""Extension workloads: dedup, text analysis, embedding similarity.
+
+Registered into the same catalog as the reference-parity workloads
+(see workloads.py for the determinism rules). Approximate operators
+whose output is nevertheless exact w.h.p. (LSH candidates + exact
+verify) share the exact operator's oracle; genuinely approximate ones
+(``ann_topk_lsh``) have no oracle and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prefixtree_spark.operators import ann, dedup, text
+from prefixtree_spark.sources.tables import load_table
+from prefixtree_spark.workloads import workload
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "dedup_exact_events",
+    """
+    SELECT event_type, props, min(event_id) AS keep_id,
+           count(*) AS n_copies
+    FROM events GROUP BY event_type, props
+    """,
+)
+def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return dedup.exact_dedup(events, ["event_type", "props"], "event_id")
+
+
+_JACCARD_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts)-2)) AS i
+            FROM toks WHERE len(ts) >= 3)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ic
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id1, id2, round(ic::DOUBLE / (sa.sz + sb.sz - ic), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id1
+    JOIN sizes sb ON sb.doc_id = id2
+    WHERE ic::DOUBLE / (sa.sz + sb.sz - ic) >= 0.8
+"""
+
+
+@workload("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+@workload("dedup_minhash_lsh", _JACCARD_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates + exact verify ⇒ equals the exact Jaccard join
+    w.h.p. (miss prob ≈ 1e-14 per true pair at the 0.8 threshold with
+    32 bands × 2 rows), hence shares its oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+_SIMHASH_SIG_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      FROM toks WHERE tok <> ''
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS score
+      FROM th, (SELECT unnest(range(60)) AS b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN score > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+    FROM bits GROUP BY doc_id
+"""
+
+
+@workload("dedup_simhash_signatures", _SIMHASH_SIG_SQL)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_signatures(docs, "doc_id", "text")
+
+
+@workload(
+    "dedup_simhash_pairs",
+    f"""
+    WITH sig AS ({_SIMHASH_SIG_SQL})
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side uses the 4-band pigeonhole prefilter (never all
+    pairs); the oracle brute-forces the quadratic join — identical
+    result sets by the pigeonhole principle (exactness, not w.h.p.)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "text_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_extract_all(text, '\S+') AS toks,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+      n_chars::BIGINT AS n_chars,
+      len(toks)::BIGINT AS n_tokens,
+      n_punct::BIGINT AS n_punct,
+      len(list_filter(toks, x -> x IN ('the','a','an','of','and','in','to','is')))::BIGINT AS n_stopwords,
+      CASE WHEN len(toks) > 0
+           THEN round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 6)
+           ELSE 0.0 END AS mean_token_len,
+      CASE WHEN n_chars > 0 THEN round(n_punct::DOUBLE / n_chars, 6) ELSE 0.0 END AS punct_ratio,
+      CASE WHEN len(toks) > 0
+           THEN round(len(list_filter(toks, x -> x IN ('the','a','an','of','and','in','to','is')))::DOUBLE / len(toks), 6)
+           ELSE 0.0 END AS stopword_ratio
+    FROM t
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.text_stats(docs, "doc_id", "text")
+
+
+@workload(
+    "token_count_bpe",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_count_regex(docs, "doc_id", "text")
+
+
+def _lang_score_sql(words: list[str]) -> str:
+    terms = []
+    for w in words:
+        pat = f" {w} "
+        terms.append(
+            f"((length(p) - length(replace(p, '{pat}', ''))) / {len(pat)})::INT"
+        )
+    return " + ".join(terms)
+
+
+_LANG_CASE = " WHEN ".join(
+    f"{lang} = best THEN '{lang}'"
+    for lang, _ in text.LANG_MARKERS
+)
+
+
+@workload(
+    "lang_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_lang_score_sql(dict(text.LANG_MARKERS)['en'])} AS en,
+             {_lang_score_sql(dict(text.LANG_MARKERS)['de'])} AS de,
+             {_lang_score_sql(dict(text.LANG_MARKERS)['es'])} AS es,
+             {_lang_score_sql(dict(text.LANG_MARKERS)['fr'])} AS fr,
+             {_lang_score_sql(dict(text.LANG_MARKERS)['it'])} AS it
+      FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents)
+    ),
+    g AS (SELECT *, greatest(en, de, es, fr, it) AS best FROM s)
+    SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und' WHEN {_LANG_CASE} ELSE 'und' END AS lang_pred,
+           best::BIGINT AS lang_score
+    FROM g
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.language_id(docs, "doc_id", "text")
+
+
+@workload(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           min(('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT) AS fingerprint
+    FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
+          FROM documents WHERE length(text) >= 8)
+    GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.doc_fingerprint(docs, "doc_id", "text", gram=8)
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+_ANN_ORACLE = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+    p AS (
+      SELECT q.qid, e.vec_id AS vid,
+             list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+      FROM q, e WHERE e.vec_id <> q.qid
+    )
+    SELECT qid AS query_id, vid AS vec_id
+    FROM (SELECT qid, vid,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+          FROM p)
+    WHERE rn <= 10
+"""
+
+
+@workload("ann_topk_cosine", _ANN_ORACLE)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-10 cosine neighbors for every 50th vector.
+    Output is the (query, neighbor) id set — scores are excluded from
+    the hash because float formatting differs across engines; the
+    neighbor SET is stable (boundary gaps ≫ double-rounding noise,
+    and the fold order matches DuckDB's bit-for-bit)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id % 50 = 0")
+    topk = ann.cosine_topk(q, "vec_id", "embedding", emb, "vec_id", "embedding", k=10)
+    return topk.select("query_id", "vec_id")
+
+
+@workload("ann_topk_lsh", None)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH + exact rerank —
+    recall < 1 by design, so no SQL oracle (rows-only check); recall
+    vs the exact path is asserted in tests/test_ann.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id % 50 = 0")
+    return ann.cosine_topk_lsh(
+        q, "vec_id", "embedding", emb, "vec_id", "embedding",
+        k=10, dim=64, n_planes=6, n_tables=24,
+    )
+
+
+@workload(
+    "embedding_near_dup",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.embedding_near_dup(
+        emb, "vec_id", "embedding", threshold=0.9, dim=64
+    )

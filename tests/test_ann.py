@@ -1,0 +1,95 @@
+"""Embedding similarity tests: exact top-k vs numpy, LSH recall on
+clustered data, near-dup detection of planted duplicates."""
+
+import numpy as np
+import pytest
+from pyspark.sql import types as T
+
+from prefixtree_spark.operators import ann
+
+DIM = 16
+
+
+def _vec_schema():
+    return T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """5 well-separated clusters of 20 vectors each + planted near-dups."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((5, DIM)) * 5
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(20):
+            v = c + rng.standard_normal(DIM) * 0.3
+            rows.append((vid, [float(np.float32(x)) for x in v]))
+            vid += 1
+    # planted near-duplicate of vector 0
+    v0 = np.array(rows[0][1])
+    rows.append((vid, [float(np.float32(x)) for x in v0 + 0.001]))
+    df = spark.createDataFrame(rows, _vec_schema())
+    return df, rows
+
+
+def _numpy_topk(rows, qids, k):
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    out = {}
+    for q in qids:
+        cos = (m @ m[q]) / (norms * norms[q])
+        order = sorted(
+            (i for i in range(len(rows)) if i != q),
+            key=lambda i: (-cos[i], i),
+        )
+        out[q] = order[:k]
+    return out
+
+
+def test_cosine_topk_exact(spark, clustered):
+    df, rows = clustered
+    qids = [0, 25, 50]
+    q = df.where(df.vec_id.isin(qids))
+    got = {}
+    for r in ann.cosine_topk(q, "vec_id", "embedding", df, "vec_id", "embedding", k=5).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    exp = _numpy_topk(rows, qids, 5)
+    for qid in qids:
+        assert [v for _, v in sorted(got[qid])] == exp[qid]
+
+
+def test_lsh_recall_on_clustered(spark, clustered):
+    df, rows = clustered
+    qids = [0, 25, 50, 75]
+    q = df.where(df.vec_id.isin(qids))
+    got = {}
+    res = ann.cosine_topk_lsh(
+        q, "vec_id", "embedding", df, "vec_id", "embedding",
+        k=5, dim=DIM, n_planes=8, n_tables=12,
+    ).collect()
+    for r in res:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    exp = _numpy_topk(rows, qids, 5)
+    hits = sum(len(got.get(q, set()) & set(exp[q])) for q in qids)
+    recall = hits / (5 * len(qids))
+    assert recall >= 0.9, f"LSH recall {recall} too low on clustered data"
+
+
+def test_embedding_near_dup_finds_planted(spark, clustered):
+    df, rows = clustered
+    dup_id = len(rows) - 1
+    pairs = {
+        (r.id1, r.id2)
+        for r in ann.embedding_near_dup(
+            df, "vec_id", "embedding", threshold=0.999, dim=DIM
+        ).collect()
+    }
+    assert (0, dup_id) in pairs
+    # anything at >= 0.999 must be within-cluster
+    assert all(abs(a - b) <= 20 or b == dup_id for a, b in pairs)

@@ -1,0 +1,82 @@
+"""Dedup operator tests: exact, Jaccard, MinHash-LSH recall, SimHash."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from prefixtree_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "completely different words entirely unrelated text here now"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "short text"),  # < 3 tokens after shingling guard
+        (5, "a b"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "x", "a"), (2, "x", "a"), (3, "y", "b")], ["id", "k1", "k2"]
+    )
+    got = {tuple(r) for r in dedup.exact_dedup(df, ["k1", "k2"], "id").collect()}
+    assert got == {("x", "a", 1, 2), ("y", "b", 3, 1)}
+
+
+def test_token_shingles_short_docs(docs):
+    sh = dedup.token_shingles(docs, "doc_id", "text", 3)
+    by_doc = {r.doc: 1 for r in sh.select("doc").distinct().collect()}
+    assert 5 not in by_doc  # 2 tokens < n: no shingles, no crash
+    assert 4 not in by_doc
+
+
+def test_jaccard_exact_and_dup_pair(docs):
+    pairs = {
+        (r.id1, r.id2): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert pairs[(0, 3)] == 1.0  # exact duplicates
+    assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0
+    assert (1, 3) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_minhash_lsh_equals_exact(docs):
+    exact = {
+        (r.id1, r.id2, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id1, r.id2, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_properties(docs):
+    sig = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs, "doc_id", "text").collect()}
+    assert sig[0] == sig[3]  # identical text -> identical signature
+    assert 0 <= sig[0] < (1 << 60)
+    ham01 = bin(sig[0] ^ sig[1]).count("1")
+    ham02 = bin(sig[0] ^ sig[2]).count("1")
+    assert ham01 < ham02  # near-dup closer than unrelated
+
+
+def test_simhash_pairs_pigeonhole_matches_bruteforce(docs):
+    sig = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs, "doc_id", "text").collect()}
+    k = 10
+    expected = {
+        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        for a in sig
+        for b in sig
+        if a < b and bin(sig[a] ^ sig[b]).count("1") <= k
+    }
+    got = {
+        (r.id1, r.id2, r.hamming)
+        for r in dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=k).collect()
+    }
+    assert got == expected

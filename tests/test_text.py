@@ -1,0 +1,56 @@
+"""Text-analysis operator tests against hand-computed values."""
+
+import hashlib
+
+import pytest
+
+from prefixtree_spark.operators import text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox, and the lazy dog!"),
+        (1, "der hund und die katze und das pferd"),
+        (2, ""),
+        (3, "x" * 7),  # shorter than the 8-gram fingerprint window
+        (4, "numbers 123 and punct?!"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_text_stats(docs):
+    got = {r.doc_id: r for r in text.text_stats(docs, "doc_id", "text").collect()}
+    r0 = got[0]
+    assert r0.n_chars == len("the quick brown fox, and the lazy dog!")
+    assert r0.n_tokens == 8
+    assert r0.n_punct == 2  # ',' and '!'
+    assert r0.n_stopwords == 3  # the, and, the ('fox,' and 'dog!' don't count)
+    r2 = got[2]
+    assert r2.n_tokens == 0 and r2.mean_token_len == 0.0 and r2.stopword_ratio == 0.0
+
+
+def test_token_count_bpe(docs):
+    got = {r.doc_id: r.n_bpe_tokens for r in text.token_count_regex(docs, "doc_id", "text").collect()}
+    # "numbers 123 and punct?!" -> numbers,123,and,punct,?,! = 6
+    assert got[4] == 6
+    assert got[2] == 0
+    assert got[3] == 1
+
+
+def test_language_id(docs):
+    got = {r.doc_id: (r.lang_pred, r.lang_score) for r in text.language_id(docs, "doc_id", "text").collect()}
+    assert got[0] == ("en", 3)  # ' the '×2 + ' and '×1
+    assert got[1][0] == "de"
+    assert got[2] == ("und", 0)
+
+
+def test_doc_fingerprint(docs):
+    got = {r.doc_id: r.fingerprint for r in text.doc_fingerprint(docs, "doc_id", "text").collect()}
+    assert 2 not in got and 3 not in got  # too short: absent
+    t = "the quick brown fox, and the lazy dog!"
+    expected = min(
+        int(hashlib.md5(t[i : i + 8].encode()).hexdigest()[:15], 16)
+        for i in range(len(t) - 7)
+    )
+    assert got[0] == expected
