@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from prefixtree_spark import workloads
 from prefixtree_spark import workloads_ext  # noqa: F401  (registers entries)
+from prefixtree_spark import workloads_rel  # noqa: F401  (registers entries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,144 @@
+"""Benchmark harness: runs the headline workloads at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...}
+
+Includes the BASELINE.md self-relative baselines:
+  - ``fuzzy_brute_k1``: brute-force thresholded-levenshtein cross join
+    (what the prefix tree must beat, B1);
+  - ``point_query_100``: 100 serving-path lookups through the collected
+    index (B4), vs ``point_brute_100`` over the collected word list.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from prefixtree_spark import LocalIndex, create, query, query_one
+    from prefixtree_spark.session import get_spark
+    from prefixtree_spark.sources.tables import load_table
+    from prefixtree_spark import workloads, workloads_ext, workloads_rel  # noqa: F401
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    times: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def bench(name: str, fn) -> None:
+        t0 = time.time()
+        out = fn()
+        times[name] = round(time.time() - t0, 3)
+        if isinstance(out, (int, float)):
+            extras[f"{name}_rows"] = out
+
+    cust = load_table(spark, sf_dir, "customer")
+    perturb = (
+        "concat(substring(c_name, 1, cast(c_custkey % length(c_name) as int)),"
+        " substring(c_name, cast(c_custkey % length(c_name) as int) + 2))"
+    )
+    qdf = cust.where("c_custkey % 20 = 3").select(F.expr(perturb).alias("q")).cache()
+    n_queries = qdf.count()
+    extras["n_queries"] = n_queries
+
+    # B3: index build
+    pt_holder = {}
+
+    def build():
+        pt = create(cust, "c_name").persist()
+        n = pt.count()
+        pt_holder["pt"] = pt
+        return n
+
+    bench("build_index", build)
+
+    # B1 headline: tree-accelerated fuzzy join vs brute force
+    bench(
+        "fuzzy_tree_k1",
+        lambda: query(pt_holder["pt"], qdf, "q", 1, mode="broadcast_tree").count(),
+    )
+    words = cust.select(F.trim("c_name").alias("word")).where("word <> ''").distinct()
+    # thresholded levenshtein returns -1 when the bound is exceeded,
+    # so the filter must be >= 0, not <= k
+    bench(
+        "fuzzy_brute_k1",
+        lambda: qdf.distinct()
+        .crossJoin(words)
+        .where(F.levenshtein("q", "word", 1) >= 0)
+        .count(),
+    )
+
+    # B4: serving path — 100 point queries on the collected index
+    idx = LocalIndex.from_dataframe(pt_holder["pt"])
+    qs100 = [r.q for r in qdf.limit(100).collect()]
+
+    def points():
+        return sum(len(query_one(idx, q, 1)) for q in qs100)
+
+    bench("point_query_100", points)
+    word_list = [r.word for r in words.collect()]
+
+    def point_brute():
+        # fair baseline: the same vectorized DP kernel, but run against
+        # EVERY word (no tree, no pruning, no prefix sharing)
+        import numpy as np
+
+        from prefixtree_spark.functions.levenshtein import QueryBatch, extend_rows
+
+        batch = QueryBatch(qs100)
+        idx0 = np.arange(len(qs100))
+        init = batch.initial_rows()
+        total = 0
+        for w in word_list:
+            finals = batch.final_distances(extend_rows(batch, init, idx0, w), idx0)
+            total += int((finals <= 1).sum())
+        return total
+
+    bench("point_brute_100", point_brute)
+    pt_holder["pt"].unpersist()
+
+    # pipeline extensions
+    catalog = workloads.QUERIES
+    for name in [
+        "dedup_minhash_lsh",
+        "dedup_simhash_pairs",
+        "ann_topk_cosine",
+        "text_stats",
+        "doc_fingerprint",
+        "q1_pricing_summary",
+        "q3_top_revenue_orders",
+        "events_sessionize",
+    ]:
+        bench(name, lambda name=name: catalog[name](spark, sf_dir).count())
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "extras": extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas
+functions over ``mapInPandas``.
+
+The Spark-side machinery — schemas, batch iteration, partition-size
+control, metadata propagation — is real and tested; the actual codec
+work (JPEG decode, audio resample, video frame extraction) is stubbed
+behind ``_require_codec`` because media libraries are not available in
+this environment: with the library present the same UDF body runs; in
+tests a deterministic fake decoder exercises the full pipeline.
+
+Design notes for 100 TB of media:
+  - blobs stay in executor memory only for the life of one Arrow batch
+    (``maxRecordsPerBatch`` bounds it); nothing is collected;
+  - metadata (dims, duration, codec) is extracted once and carried as
+    ordinary columns so downstream filters prune on parquet statistics
+    without touching bytes;
+  - derived features (thumbnails, frames, fingerprints) are emitted as
+    new rows/columns, never by mutating the blob.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def attach_binary_metadata(df: DataFrame, bin_col: str) -> DataFrame:
+    """Cheap JVM-side metadata: byte length and sha256 content hash —
+    the columns every downstream media op filters/dedups on."""
+    return df.withColumn("n_bytes", F.octet_length(F.col(bin_col)).cast("long")).withColumn(
+        "sha256", F.lower(F.sha2(F.col(bin_col), 256))
+    )
+
+
+def _require_codec(kind: str):
+    """Media codecs (PIL / soundfile / av) are not installed in this
+    environment; real deployments import them here."""
+    raise NotImplementedError(
+        f"no {kind} codec available in this environment; "
+        "use fake_decode=True for the deterministic test decoder"
+    )
+
+
+def _fake_image_meta(blob: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for image decode: derives (width, height,
+    channels) from a stable content hash — exercises the full Spark
+    pipeline shape without a codec."""
+    h = hashlib.sha256(blob).digest()
+    return 64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 4
+
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+
+def decode_image_meta(
+    df: DataFrame, id_col: str, bin_col: str, *, fake_decode: bool = False
+) -> DataFrame:
+    """Extract image metadata per blob via mapInPandas. With a codec
+    installed this would open each blob; here ``fake_decode=True``
+    routes to the deterministic fake, otherwise NotImplementedError
+    surfaces from the executors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for mid, blob in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(blob)
+                if not fake_decode:
+                    _require_codec("image")
+                w, h, c = _fake_image_meta(b)
+                metas.append((int(mid), len(b), w, h, c))
+            yield pd.DataFrame(
+                metas, columns=["media_id", "n_bytes", "width", "height", "channels"]
+            )
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        run, schema=IMAGE_META_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    *,
+    n_frames: int = 4,
+    fake_decode: bool = False,
+) -> DataFrame:
+    """1→N row expansion per media blob (video frame sampling shape):
+    emits ``n_frames`` evenly spaced chunks. Real codecs replace the
+    chunker; the row-explosion plumbing (the expensive part at scale)
+    is identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(blob)
+                if not fake_decode:
+                    _require_codec("video")
+                if not b:
+                    continue
+                step = max(len(b) // n_frames, 1)
+                for i in range(min(n_frames, len(b))):
+                    out.append((int(mid), i, b[i * step : i * step + step]))
+            yield pd.DataFrame(out, columns=["media_id", "frame_no", "frame_bytes"])
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(run, schema=FRAME_SCHEMA)

@@ -1,0 +1,134 @@
+"""Relational/analytic operators beyond the reference's surface.
+
+The reference has no aggregations, windows, global sorts, or limits
+(SURVEY.md §2.9) — Spark provides them natively; these workloads prove
+the engine drives them correctly and scalably:
+
+  - ``pricing_summary`` (TPC-H Q1 shape) — hash aggregate with map-side
+    partial aggregation; DECIMAL sums so results are exact and
+    engine-portable (double summation order varies; decimal doesn't).
+  - ``top_revenue_orders`` (TPC-H Q3 shape) — selective dim filter
+    broadcast-joined to the fact table, aggregate, global top-k with a
+    deterministic tie-break (TakeOrderedAndProject, not a full sort).
+  - ``tumbling_counts`` — event-time tumbling-window aggregation
+    (the batch twin of streaming/events.py; same logical plan).
+  - ``sessionize`` — gap-based sessionization via analytic window
+    functions (lag → gap flag → running sum), the classic
+    shuffle-once-per-user formulation.
+
+Timestamps are emitted as epoch microseconds (BIGINT) so value hashes
+are formatting-independent across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-01") -> DataFrame:
+    li = lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    tax = F.col("l_tax").cast(DEC)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast(DEC) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast(DEC) - disc) * (F.lit(1).cast(DEC) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def top_revenue_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    segment: str = "BUILDING",
+    k: int = 10,
+) -> DataFrame:
+    """Revenue top-k join: the small filtered dimension side is
+    explicitly broadcast so the fact scan never shuffles for the join;
+    the final top-k is a TakeOrderedAndProject (no global sort)."""
+    cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(price * (F.lit(1).cast(DEC) - disc)).cast("double").alias("revenue"))
+    )
+    return (
+        joined.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(k)
+        .select(
+            "o_orderkey",
+            # o_orderdate is TIMESTAMP_NTZ in the parquet; unix_micros
+            # needs TIMESTAMP (session TZ is UTC, so the cast is identity)
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            "revenue",
+        )
+    )
+
+
+def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Event-time tumbling-window counts per event_type — identical
+    logical shape to the streaming version (streaming/events.py), which
+    is the point: one query, two execution modes."""
+    return (
+        events.groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap
+    from the previous event exceeds ``gap_minutes``. One shuffle
+    (partition by user), two analytic passes, no self-joins."""
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    gap_us = gap_minutes * 60 * 1_000_000
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(
+                Window.partitionBy("user_id").orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+            ) > gap_us,
+            1,
+        ).otherwise(0),
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+    sess = flagged.withColumn(
+        "session_seq", F.sum(F.coalesce(F.col("new_session"), F.lit(0))).over(w2)
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+    )

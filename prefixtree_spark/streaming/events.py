@@ -1,0 +1,77 @@
+"""Structured Streaming operators over the events table.
+
+The reference has no streaming surface (SURVEY.md §2.9); these are the
+engine's extension ops, built so the BATCH and STREAMING versions share
+one logical plan: ``operators/relational.tumbling_counts`` is the batch
+twin of ``streaming_tumbling_counts`` — tests assert the streaming
+result (availableNow file stream → memory sink) equals the batch
+result on the same input.
+
+Watermarking: event-time watermark bounds state for late data; with
+tumbling windows the state per (window, event_type) is one row — at
+100 TB/day the state store grows with windows × types, not events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources/tables.py)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over events parquet (nanos ts → µs timestamp,
+    same conversion as the batch source)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_counts(
+    stream: DataFrame, *, duration: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time tumbling-window counts with a late-data watermark —
+    the streaming twin of relational.tumbling_counts (n_users uses
+    approx_count_distinct: exact distinct isn't available in streaming
+    aggregations; the batch twin stays exact)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "n_users_approx",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, result: DataFrame, name: str, *, timeout_s: int = 120
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion with the availableNow
+    trigger into an in-memory sink; returns the sink table."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(name)
