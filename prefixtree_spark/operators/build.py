@@ -145,16 +145,25 @@ def create(
     col: str | Column,
     *,
     num_partitions: int | None = None,
-    prefix_len: int = 1,
+    prefix_len: int | None = None,
     max_word_len: int = 255,
 ) -> DataFrame:
     """Build a distributed prefix-tree node table from a string column.
 
     ≡ ``Create(infile, infield, dist_length)`` (PrefixTree.ecl:50-301).
-    ``prefix_len`` generalizes the reference's ``dist_length`` knob
-    (PrefixTree.ecl:57-63): words are hash-partitioned on their first
-    ``prefix_len`` characters so shared prefixes colocate. Raise it when
-    prefixes are skewed (more, smaller subtrees; correctness unaffected).
+
+    Partitioning (the build's ONLY shuffle, ≡ DISTRIBUTE HASH,
+    PrefixTree.ecl:84): by default words are hash-partitioned on the
+    WHOLE word — skew-proof (uniform load at any scale) and still
+    globally deduplicating, since identical words always colocate.
+    ``prefix_len`` opts into the reference's prefix-locality strategy
+    (``dist_length``, PrefixTree.ecl:57-63): colocating shared prefixes
+    shrinks the total node count slightly, but any prefix whose weight
+    exceeds 1/num_partitions serializes the build onto one worker
+    (measured: uniform-prefix dictionaries collapse to a SINGLE
+    partition at prefix_len ≤ the common-prefix length — fatal at
+    100 TB). Correctness is partition-independent either way
+    (SURVEY.md §0), so this is purely a layout choice.
 
     Returns DataFrame[id, parent_id, _max, _min, is_word, compute_node,
     node]. Words longer than ``max_word_len`` (reference envelope: 255,
@@ -166,10 +175,8 @@ def create(
     if max_word_len is not None:
         words = words.where(F.length("word") <= max_word_len)
     n = num_partitions or words.sparkSession.sparkContext.defaultParallelism
-    # The build's only shuffle (≡ DISTRIBUTE HASH(word[dist_length]),
-    # PrefixTree.ecl:84). Partition on the prefix so duplicate words and
-    # shared prefixes land together → the in-partition dedup is global.
-    words = words.repartition(n, F.substring("word", 1, prefix_len))
+    key = F.col("word") if prefix_len is None else F.substring("word", 1, prefix_len)
+    words = words.repartition(n, key)
     return words.mapInPandas(_build_partition, schema=PT_SCHEMA)
 
 

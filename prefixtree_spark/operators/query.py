@@ -52,6 +52,26 @@ from pyspark.sql import types as T
 from prefixtree_spark.functions.levenshtein import QueryBatch, extend_rows
 from prefixtree_spark.plans.tree import VIRTUAL_ROOT_ID
 
+def merge_forests(pt_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Rebuild a collected multi-partition forest into ONE local radix
+    tree (maximal prefix sharing). The distributed layout keeps one
+    independent forest per build partition (skew-proof, SURVEY.md §0);
+    once collected to a single host that layout only multiplies
+    traversal work on shared prefixes, so the serving/broadcast paths
+    re-merge. Cost: one in-memory rebuild over the end-cap words."""
+    from prefixtree_spark.operators.build import _emit_rows, _insert, _new_node
+    from prefixtree_spark.plans.tree import PT_COLUMNS
+
+    words = pt_pdf.loc[pt_pdf["is_word"], "node"]
+    root = _new_node("")
+    seen: set[str] = set()
+    for w in words:
+        if w not in seen:
+            seen.add(w)
+            _insert(root, w)
+    return pd.DataFrame(list(_emit_rows(root, 0)), columns=PT_COLUMNS)
+
+
 RESULT_SCHEMA = T.StructType(
     [
         T.StructField("query_string", T.StringType(), False),
@@ -185,7 +205,7 @@ def _query_broadcast_tree(
 ) -> DataFrame:
     """Tree collected+broadcast; queries stream through mapInPandas."""
     spark = queries.sparkSession
-    bt = spark.sparkContext.broadcast(pt_rows)
+    bt = spark.sparkContext.broadcast(merge_forests(pt_rows))
 
     def run(batches):
         pt_pdf = bt.value
@@ -335,7 +355,9 @@ class LocalIndex:
     (SURVEY.md §3.3): no distributed job per query, just a driver-side
     traversal over the same kernel."""
 
-    def __init__(self, pt_pdf: pd.DataFrame):
+    def __init__(self, pt_pdf: pd.DataFrame, *, merge: bool = True):
+        if merge:
+            pt_pdf = merge_forests(pt_pdf)
         self.ids = pt_pdf["id"].to_numpy()
         self.labels = pt_pdf["node"].to_numpy()
         self.is_word = pt_pdf["is_word"].to_numpy()
