@@ -121,6 +121,111 @@ def _emit_rows(root: list, pid: int) -> Iterator[tuple]:
                 stack2.append((c, nid))
 
 
+class _OpenNode:
+    """A node on the streaming builder's open path (not yet emitted)."""
+
+    __slots__ = ("id", "parent", "start", "label", "mn", "mx")
+
+    def __init__(self, nid: int, parent: int, start: int, label: str, mn: int, mx: int):
+        self.id = nid
+        self.parent = parent
+        self.start = start  # depth (chars) where this node's label begins
+        self.label = label
+        self.mn = mn
+        self.mx = mx
+
+
+def _stream_build_sorted(words, pid: int) -> Iterator[tuple]:
+    """One-pass radix-tree construction over SORTED words — the
+    reference's scan formulation (two directional ITERATE passes +
+    NORMALIZE + ROLLUP, PrefixTree.ecl:140-299, SURVEY.md §4 O3) as a
+    single streaming LCP pass: memory is O(max word length), not
+    O(partition words), so arbitrarily large partitions build without
+    holding their trie in memory.
+
+    Invariant: the stack is the open root-to-leaf path of the previous
+    word. For each new word, nodes deeper than the LCP are finished
+    (emitted), a straddling node is split, and the word's new suffix +
+    end-cap are opened/emitted. Emitted trees are logically identical
+    to the in-memory builder's (asserted in tests)."""
+    base = pid * ID_BLOCK
+    next_id = base + 1
+    stack: list[_OpenNode] = []
+    prev = None
+
+    def close_top() -> tuple:
+        node = stack.pop()
+        if stack:
+            top = stack[-1]
+            top.mn = min(top.mn, node.mn)
+            top.mx = max(top.mx, node.mx)
+        return (node.id, node.parent, node.mx, node.mn, False, pid, node.label)
+
+    for word in words:
+        if word == prev:  # sorted dedup (Quirk 2 fix, zero memory)
+            continue
+        if prev is None:
+            lcp = 0
+        else:
+            lcp = 0
+            m = min(len(prev), len(word))
+            while lcp < m and prev[lcp] == word[lcp]:
+                lcp += 1
+        # close everything strictly deeper than the LCP
+        while stack:
+            top = stack[-1]
+            if top.start >= lcp:
+                yield close_top()
+            elif top.start + len(top.label) > lcp:
+                # straddling node: the part below the LCP is finished —
+                # emit it as a child of a fresh open prefix node that
+                # inherits its place on the path
+                cut = lcp - top.start
+                prefix = _OpenNode(
+                    next_id, top.parent, top.start, top.label[:cut], top.mn, top.mx
+                )
+                next_id += 1
+                yield (top.id, prefix.id, top.mx, top.mn, False, pid, top.label[cut:])
+                stack[-1] = prefix
+                break
+            else:
+                break
+        parent_id = stack[-1].id if stack else 0
+        n = len(word)
+        # open the new suffix node (always non-empty: word != prev and
+        # sorted ascending means word extends past the LCP)
+        node = _OpenNode(next_id, parent_id, lcp, word[lcp:], n, n)
+        next_id += 1
+        stack.append(node)
+        # end-cap leaf carries the full word (PrefixTree.ecl:280,283)
+        yield (next_id, node.id, n, n, True, pid, word)
+        next_id += 1
+        prev = word
+    while stack:
+        yield close_top()
+
+
+def _build_partition_streaming(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from pyspark import TaskContext
+
+    pid = TaskContext.get().partitionId()
+
+    def words() -> Iterator[str]:
+        for pdf in batches:
+            yield from pdf["word"]
+
+    buf: list[tuple] = []
+    for row in _stream_build_sorted(words(), pid):
+        buf.append(row)
+        if len(buf) >= 100_000:
+            yield pd.DataFrame(buf, columns=PT_COLUMNS)
+            buf = []
+    if buf:
+        yield pd.DataFrame(buf, columns=PT_COLUMNS)
+
+
 def _build_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from pyspark import TaskContext
 
@@ -147,6 +252,7 @@ def create(
     num_partitions: int | None = None,
     prefix_len: int | None = None,
     max_word_len: int = 255,
+    builder: str = "memory",
 ) -> DataFrame:
     """Build a distributed prefix-tree node table from a string column.
 
@@ -165,6 +271,15 @@ def create(
     100 TB). Correctness is partition-independent either way
     (SURVEY.md §0), so this is purely a layout choice.
 
+    ``builder`` selects the per-partition construction strategy:
+    ``"memory"`` (default) holds one partition's trie in the Python
+    worker — fastest for partitions that fit; ``"streaming"`` adds a
+    partition-local sort and builds in ONE LCP scan with O(max word
+    length) memory (the reference's own scan formulation, ITERATE +
+    NORMALIZE + ROLLUP, PrefixTree.ecl:140-299) — use it when a single
+    partition's words exceed worker memory. Both emit logically
+    identical trees (tested).
+
     Returns DataFrame[id, parent_id, _max, _min, is_word, compute_node,
     node]. Words longer than ``max_word_len`` (reference envelope: 255,
     PrefixTree.ecl:322-326) are dropped with the same semantics as
@@ -177,6 +292,11 @@ def create(
     n = num_partitions or words.sparkSession.sparkContext.defaultParallelism
     key = F.col("word") if prefix_len is None else F.substring("word", 1, prefix_len)
     words = words.repartition(n, key)
+    if builder == "streaming":
+        words = words.sortWithinPartitions("word")
+        return words.mapInPandas(_build_partition_streaming, schema=PT_SCHEMA)
+    if builder != "memory":
+        raise ValueError(f"unknown builder {builder!r}")
     return words.mapInPandas(_build_partition, schema=PT_SCHEMA)
 
 

@@ -146,6 +146,35 @@ def fuzzy_join_bfs_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "fuzzy_dedup_customer",
+    """
+    WITH RECURSIVE w AS (
+      SELECT DISTINCT trim(c_name) AS word FROM customer WHERE trim(c_name) <> ''
+    ),
+    e AS (
+      SELECT a.word AS a, b.word AS b FROM w a, w b
+      WHERE levenshtein(a.word, b.word) <= 1
+    ),
+    reach(a, b) AS (
+      SELECT word, word FROM w
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    )
+    SELECT a AS value, min(b) AS component FROM reach GROUP BY a
+    """,
+)
+def fuzzy_dedup_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy clustering: connected components of the distance-≤1 graph
+    over customer names (prefix-tree self-join edges + iterative
+    min-label propagation). Oracle: DuckDB recursive-CTE transitive
+    closure — exponentially costlier, which is the point."""
+    from prefixtree_spark.operators.similarity_join import fuzzy_dedup
+
+    cust = load_table(spark, sf_dir, "customer")
+    return fuzzy_dedup(cust, "c_name", 1)
+
+
+@workload(
     "pt_build_words",
     """
     SELECT DISTINCT trim(c_name) AS word
