@@ -310,5 +310,32 @@ def save_index(pt: DataFrame, path: str) -> None:
     pt.write.mode("overwrite").parquet(path)
 
 
-def load_index(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def load_index(spark: SparkSession, path: str, *, colocated: bool = False) -> DataFrame:
+    """Read a saved node table. ``colocated=True`` restores
+    forest-per-partition colocation with one repartition so subsequent
+    ``query(..., colocated=True)`` calls can traverse shuffle-free
+    (the parquet reader may otherwise split a forest across input
+    partitions at row-group boundaries)."""
+    df = spark.read.parquet(path)
+    if colocated:
+        df = df.repartition("compute_node")
+    return df
+
+
+def save_index_bucketed(pt: DataFrame, table: str, *, buckets: int = 32) -> None:
+    """The reference's keyed-index layout (INDEX on {parent_id} +
+    BUILDINDEX, PrefixTree.ecl:612-613) as a bucketed, sorted table:
+    ``bfs``-mode frontier joins on ``parent_id`` then read a
+    pre-shuffled, pre-sorted tree side — only the (shrinking) frontier
+    moves. Requires a session with a warehouse dir (saveAsTable)."""
+    (
+        pt.write.mode("overwrite")
+        .bucketBy(buckets, "parent_id")
+        .sortBy("parent_id")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def load_index_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -187,12 +187,31 @@ def _traverse_pdf(
 
 
 def _query_broadcast_queries(
-    pt: DataFrame, query_strings: list[str], k: int
+    pt: DataFrame, query_strings: list[str], k: int, *, colocated: bool = False
 ) -> DataFrame:
-    """Tree stays distributed (grouped per build partition = independent
-    forest); queries broadcast. One applyInPandas task per forest."""
+    """Tree stays distributed (one independent forest per build
+    partition); queries broadcast; one traversal task per forest.
+
+    ``colocated=True`` promises every node row sits in the same Spark
+    partition as its whole forest (true for a DataFrame fresh out of
+    ``create`` and for ``load_index`` output) — then the traversal runs
+    in-place via mapInPandas with ZERO shuffle of the dictionary side.
+    Otherwise a groupBy(compute_node) shuffle restores colocation
+    first. At scale the zero-shuffle path is the point of this mode:
+    only the (small) query batch moves."""
     spark = pt.sparkSession
     bq = spark.sparkContext.broadcast(query_strings)
+
+    if colocated:
+
+        def run_partition(batches):
+            frames = [pdf for pdf in batches if len(pdf)]
+            if not frames:
+                return
+            pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            yield _traverse_pdf(pdf, QueryBatch(bq.value), k)
+
+        return pt.mapInPandas(run_partition, schema=RESULT_SCHEMA)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         return _traverse_pdf(pdf, QueryBatch(bq.value), k)
@@ -306,12 +325,17 @@ def query(
     max_distance: int,
     *,
     mode: str = "auto",
+    colocated: bool = False,
 ) -> DataFrame:
     """Batch fuzzy search ≡ QueryThorLevenshtein (PrefixTree.ecl:314-446).
 
     Returns DataFrame[query_string, node, final_distance] with one row
     per (query, dictionary word) pair at Levenshtein distance ≤
     ``max_distance``. ``pt`` is the node table from ``create``.
+
+    ``colocated=True`` (safe for a tree fresh from ``create``) lets the
+    distributed-tree strategy traverse in place with zero shuffle of
+    the dictionary side; see ``_query_broadcast_queries``.
     """
     k = int(max_distance)
     # semantics: one result set per DISTINCT query string
@@ -325,7 +349,9 @@ def query(
     if mode == "broadcast_tree":
         return _query_broadcast_tree(qdf, col, pt.toPandas(), k)
     if mode == "broadcast_queries":
-        return _query_broadcast_queries(pt, [r[0] for r in qdf.collect()], k)
+        return _query_broadcast_queries(
+            pt, [r[0] for r in qdf.collect()], k, colocated=colocated
+        )
     if mode == "auto":
         # persist so the size probe and the chosen strategy share one
         # tree materialization (the build is the expensive part)
@@ -340,7 +366,9 @@ def query(
             raise
         # tree too big to collect: stays distributed (and cached for the
         # per-forest traversal tasks)
-        return _query_broadcast_queries(pt, [r[0] for r in qdf.collect()], k)
+        return _query_broadcast_queries(
+            pt, [r[0] for r in qdf.collect()], k, colocated=colocated
+        )
     raise ValueError(f"unknown mode {mode!r}")
 
 

@@ -30,11 +30,15 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(spark: SparkSession, path: str, **options: str) -> DataFrame:
     """File-source stream over events parquet (nanos ts → µs timestamp,
-    same conversion as the batch source)."""
+    same conversion as the batch source). ``options`` pass through to
+    the source (e.g. ``maxFilesPerTrigger=1`` to bound batch size)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    raw = reader.parquet(path)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

@@ -1,0 +1,45 @@
+"""Scale-path checks: zero-shuffle colocated traversal, bucketed index
+layout, and save/load colocation round trips."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from prefixtree_spark import create, load_index, query, save_index
+from prefixtree_spark.operators.build import load_index_bucketed, save_index_bucketed
+from tests.test_build import SPARSE_WORDS, _words_df
+from tests.test_query import QUERIES, _expected, _run
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_colocated_zero_shuffle_plan_and_results(spark):
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3).cache()
+    pt.count()
+    qdf = spark.createDataFrame([(q,) for q in QUERIES], ["q"])
+    res = query(pt, qdf, "q", 2, mode="broadcast_queries", colocated=True)
+    # traversal side of the plan: no Exchange over the cached tree
+    assert "Exchange" not in _plan(res).split("InMemoryTableScan")[0]
+    got = {(r.query_string, r.node, r.final_distance) for r in res.collect()}
+    assert got == _expected(SPARSE_WORDS, QUERIES, 2)
+
+
+def test_save_load_colocated_roundtrip(spark, tmp_path):
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3)
+    path = str(tmp_path / "idx")
+    save_index(pt, path)
+    loaded = load_index(spark, path, colocated=True)
+    got = _run(spark, loaded, QUERIES, 1, "broadcast_queries")
+    assert got == _expected(SPARSE_WORDS, QUERIES, 1)
+
+
+def test_bucketed_index_roundtrip(spark):
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3)
+    save_index_bucketed(pt, "pt_bucketed_test", buckets=4)
+    try:
+        loaded = load_index_bucketed(spark, "pt_bucketed_test")
+        got = _run(spark, loaded, QUERIES, 1, "bfs")
+        assert got == _expected(SPARSE_WORDS, QUERIES, 1)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pt_bucketed_test")
