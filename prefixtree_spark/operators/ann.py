@@ -171,6 +171,94 @@ def cosine_topk_lsh(
     )
 
 
+def _kmeans_centroids(
+    sample: np.ndarray, n_cells: int, *, iters: int = 12, seed: int = 42
+) -> np.ndarray:
+    """Small spherical k-means on a driver-side sample — the coarse
+    quantizer. At 100 TB the sample (~100k vectors) is a negligible
+    collect; training is O(sample × cells) numpy."""
+    rng = np.random.default_rng(seed)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    x = sample / np.maximum(norms, 1e-12)
+    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cent[c] = v / np.maximum(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def _cell_assign_udf(cent: np.ndarray, nprobe: int):
+    """Vector → its ``nprobe`` nearest centroid ids (one matmul/batch)."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        if m.size == 0:
+            return pd.Series([], dtype=object)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cent.T
+        top = np.argpartition(-sims, min(nprobe, sims.shape[1] - 1), axis=1)[:, :nprobe]
+        return pd.Series([row.astype(np.int32) for row in top])
+
+    return assign
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    qid: str,
+    qvec: str,
+    corpus: DataFrame,
+    cid: str,
+    cvec: str,
+    k: int = 10,
+    *,
+    n_cells: int = 64,
+    nprobe: int = 8,
+    sample_size: int = 20_000,
+    exclude_self: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are inverted-listed by
+    their nearest coarse centroid (ONE cell each); queries probe their
+    ``nprobe`` nearest cells; exact cosine rerank within probed cells.
+
+    The scale path for vector search: per-query work drops from |corpus|
+    to ~|corpus|·nprobe/n_cells; the corpus side is one narrow
+    assignment pass (a matmul per Arrow batch) and the join is equi on
+    cell id — broadcastable on the query side, no corpus shuffle."""
+    sample_pdf = (
+        corpus.select(F.col(cvec).alias("v")).limit(sample_size).toPandas()
+    )
+    sample = np.array(sample_pdf["v"].tolist(), dtype=np.float64)
+    cent = _kmeans_centroids(sample, n_cells, seed=seed)
+    c_assign = _cell_assign_udf(cent, 1)
+    q_assign = _cell_assign_udf(cent, nprobe)
+    c = corpus.select(F.col(cid).alias("vec_id"), F.col(cvec).alias("cv")).withColumn(
+        "cell", c_assign(F.col("cv")).getItem(0)
+    )
+    q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("qv")).withColumn(
+        "cell", F.explode(q_assign(F.col("qv")))
+    )
+    cand = F.broadcast(q).join(c, "cell").select("query_id", "qv", "vec_id", "cv")
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("vec_id"))
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        _cosine(_as_double(F.col("qv")), _as_double(F.col("cv"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def embedding_near_dup(
     df: DataFrame, id_col: str, vec_col: str, *, threshold: float = 0.95,
     dim: int, n_planes: int = 8, n_tables: int = 16, seed: int = 42,

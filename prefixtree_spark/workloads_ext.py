@@ -267,6 +267,19 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload("ann_topk_ivf", None)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF (k-means coarse quantizer + probed
+    cells + exact rerank) — recall < 1 by design, so rows-only check;
+    recall vs the exact path asserted in tests/test_ann.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id % 50 = 0")
+    return ann.cosine_topk_ivf(
+        q, "vec_id", "embedding", emb, "vec_id", "embedding",
+        k=10, n_cells=32, nprobe=8,
+    )
+
+
 @workload(
     "embedding_near_dup",
     """

@@ -81,6 +81,23 @@ def test_lsh_recall_on_clustered(spark, clustered):
     assert recall >= 0.9, f"LSH recall {recall} too low on clustered data"
 
 
+def test_ivf_recall_on_clustered(spark, clustered):
+    df, rows = clustered
+    qids = [0, 25, 50, 75]
+    q = df.where(df.vec_id.isin(qids))
+    got = {}
+    res = ann.cosine_topk_ivf(
+        q, "vec_id", "embedding", df, "vec_id", "embedding",
+        k=5, n_cells=10, nprobe=3,
+    ).collect()
+    for r in res:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    exp = _numpy_topk(rows, qids, 5)
+    hits = sum(len(got.get(q, set()) & set(exp[q])) for q in qids)
+    recall = hits / (5 * len(qids))
+    assert recall >= 0.9, f"IVF recall {recall} too low on clustered data"
+
+
 def test_embedding_near_dup_finds_planted(spark, clustered):
     df, rows = clustered
     dup_id = len(rows) - 1
