@@ -250,12 +250,22 @@ def _query_bfs(pt: DataFrame, queries: DataFrame, qcol: str, k: int) -> DataFram
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def dp_extend(query: pd.Series, state: pd.Series, label: pd.Series) -> pd.Series:
-        out = []
-        for q, s, lab in zip(query, state, label):
-            batch = QueryBatch([q])
-            idx = np.array([0])
-            rows = np.asarray(s, dtype=np.int32)[None, :]
-            out.append(extend_rows(batch, rows, idx, lab)[0].tolist())
+        """Vectorized per Arrow batch: rows sharing an edge label (the
+        common case — one node is visited by many queries) advance as
+        ONE padded numpy DP, not row-at-a-time Python."""
+        out = pd.Series([None] * len(query), dtype=object)
+        frame = pd.DataFrame({"q": query, "s": state, "lab": label})
+        for lab, grp in frame.groupby("lab", sort=False):
+            batch = QueryBatch(grp["q"].tolist())
+            idx = np.arange(len(grp))
+            rows = np.full((len(grp), batch.max_len + 1), 0, dtype=np.int32)
+            for i, s in enumerate(grp["s"]):
+                arr = np.asarray(s, dtype=np.int32)
+                rows[i, : len(arr)] = arr
+            new = extend_rows(batch, rows, idx, lab)
+            qlens = batch.lens
+            vals = [new[i, : qlens[i] + 1].tolist() for i in range(len(grp))]
+            out.loc[grp.index] = pd.Series(vals, index=grp.index, dtype=object)
         return pd.Series(out)
 
     qdf = (
