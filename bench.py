@@ -69,6 +69,13 @@ def main() -> None:
         "fuzzy_tree_k1",
         lambda: query(pt_holder["pt"], qdf, "q", 1, mode="broadcast_tree").count(),
     )
+    # the 100 TB path: tree stays distributed, zero-shuffle traversal
+    bench(
+        "fuzzy_tree_distributed_k1",
+        lambda: query(
+            pt_holder["pt"], qdf, "q", 1, mode="broadcast_queries", colocated=True
+        ).count(),
+    )
     words = cust.select(F.trim("c_name").alias("word")).where("word <> ''").distinct()
     # thresholded levenshtein returns -1 when the bound is exceeded,
     # so the filter must be >= 0, not <= k
@@ -115,6 +122,7 @@ def main() -> None:
         "dedup_minhash_lsh",
         "dedup_simhash_pairs",
         "ann_topk_cosine",
+        "ann_topk_ivf",
         "text_stats",
         "doc_fingerprint",
         "q1_pricing_summary",

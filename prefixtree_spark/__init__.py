@@ -16,7 +16,11 @@ pandas functions; no RDD API, no Catalyst extensions.
 
 from prefixtree_spark.operators.build import create, load_index, save_index
 from prefixtree_spark.operators.query import LocalIndex, query, query_one
-from prefixtree_spark.operators.similarity_join import fuzzy_dedup, similarity_join
+from prefixtree_spark.operators.similarity_join import (
+    best_match,
+    fuzzy_dedup,
+    similarity_join,
+)
 
 __all__ = [
     "create",
@@ -27,6 +31,7 @@ __all__ = [
     "load_index",
     "similarity_join",
     "fuzzy_dedup",
+    "best_match",
 ]
 
 __version__ = "0.1.0"

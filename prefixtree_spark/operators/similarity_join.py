@@ -46,6 +46,36 @@ def similarity_join(
     )
 
 
+def best_match(
+    left: DataFrame,
+    lcol: str,
+    right: DataFrame,
+    rcol: str,
+    max_distance: int,
+    *,
+    mode: str = "auto",
+) -> DataFrame:
+    """Top-1 fuzzy match per left value: the closest right-side word
+    within ``max_distance`` (ties break lexicographically on the word —
+    deterministic). Columns: ``left_value, best_match, distance``.
+    Queries with no match within the bound are absent."""
+    from pyspark.sql import Window
+
+    pairs = similarity_join(left, lcol, right, rcol, max_distance, mode=mode)
+    w = Window.partitionBy("left_value").orderBy(
+        F.asc("distance"), F.asc("right_value")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "left_value",
+            F.col("right_value").alias("best_match"),
+            F.col("distance").cast("int").alias("distance"),
+        )
+    )
+
+
 def fuzzy_dedup(
     df: DataFrame, col: str, max_distance: int, *, max_iter: int = 50
 ) -> DataFrame:

@@ -146,6 +146,36 @@ def fuzzy_join_bfs_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "best_match_customer",
+    f"""
+    WITH q AS (
+      SELECT DISTINCT {_PERTURB_SQL.format(col='c_name', key='c_custkey')} AS left_value
+      FROM customer WHERE c_custkey % 20 = 3
+    ),
+    w AS (SELECT DISTINCT trim(c_name) AS word FROM customer WHERE trim(c_name) <> ''),
+    pairs AS (
+      SELECT q.left_value, w.word, levenshtein(q.left_value, w.word) AS d
+      FROM q, w WHERE levenshtein(q.left_value, w.word) <= 2
+    )
+    SELECT left_value, word AS best_match, d::INT AS distance
+    FROM (SELECT *, row_number() OVER (PARTITION BY left_value ORDER BY d, word) AS rn
+          FROM pairs)
+    WHERE rn = 1
+    """,
+)
+def best_match_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 fuzzy correction per misspelled name (ties break on the
+    word, deterministically in both engines)."""
+    from prefixtree_spark.operators.similarity_join import best_match
+
+    cust = load_table(spark, sf_dir, "customer")
+    queries = cust.where("c_custkey % 20 = 3").select(
+        F.expr(_PERTURB_SPARK.format(col="c_name", key="c_custkey")).alias("q")
+    )
+    return best_match(queries, "q", cust, "c_name", 2)
+
+
+@workload(
     "fuzzy_dedup_customer",
     """
     WITH RECURSIVE w AS (
