@@ -86,6 +86,20 @@ def main() -> None:
         .where(F.levenshtein("q", "word", 1) >= 0)
         .count(),
     )
+    # higher edit distance: weaker pruning, the stress case for the tree
+    bench(
+        "fuzzy_tree_distributed_k2",
+        lambda: query(
+            pt_holder["pt"], qdf, "q", 2, mode="broadcast_queries", colocated=True
+        ).count(),
+    )
+    bench(
+        "fuzzy_brute_k2",
+        lambda: qdf.distinct()
+        .crossJoin(words)
+        .where(F.levenshtein("q", "word", 2) >= 0)
+        .count(),
+    )
 
     # B4: serving path — 100 point queries on the collected index
     idx = LocalIndex.from_dataframe(pt_holder["pt"])

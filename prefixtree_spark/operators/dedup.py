@@ -9,10 +9,12 @@ expressed shuffle-consciously:
     join via a shingle-inverted-index equi-join (shuffle on shingle,
     then on pair) — no cross join anywhere. This is also the verifier
     and oracle for the approximate paths.
-  - ``minhash_lsh_pairs`` — MinHash signatures (JVM-side ``xxhash64``
-    per permutation — no Python in the hot path) banded into LSH
-    buckets; candidate pairs from bucket equi-joins; exact-Jaccard
-    verification of candidates only. At the default 32 bands × 2 rows,
+  - ``minhash_lsh_pairs`` — MinHash signatures (one JVM ``xxhash64``
+    per shingle, then all permutations at once via vectorized
+    multiply-shift hashing — the shuffle never sees the
+    shingle × permutation blow-up) banded into LSH buckets; candidate
+    pairs from bucket equi-joins; exact-Jaccard verification of
+    candidates only. At the default 32 bands × 2 rows,
     a pair at the 0.8 threshold is missed with prob (1-0.64)^32 ≈ 1e-14,
     so the verified output equals the exact join w.h.p. while scaling
     as the candidate count, not the pair count.
@@ -116,24 +118,34 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    shingles: DataFrame, *, num_perm: int = 64
+    shingles: DataFrame, *, num_perm: int = 64, seed: int = 42
 ) -> DataFrame:
-    """(doc, perm, minhash): per-permutation min of xxhash64(perm ⊕
-    shingle). All JVM-side — one explode + one partial-agg shuffle."""
-    return (
-        shingles.select(
-            "doc",
-            F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm"),
-            "shingle",
-        )
-        .select(
-            "doc",
-            "perm",
-            F.xxhash64(F.concat(F.col("perm").cast("string"), F.lit("#"), "shingle")).alias("h"),
-        )
-        .groupBy("doc", "perm")
-        .agg(F.min("h").alias("minhash"))
-    )
+    """(doc, sig: array<long>) — ``num_perm`` MinHash values per doc.
+
+    One JVM xxhash64 per shingle (the base hash), then all permutations
+    at once per Arrow batch with multiply-shift hashing
+    (``(a_i * h) mod 2^64 >> 3`` for odd random ``a_i`` — a universal
+    family, vectorized as one uint64 outer product in numpy). Compared
+    to exploding shingles × permutations this moves ``num_perm×`` less
+    data through the shuffle: the only wide stage is the per-doc
+    grouping of base hashes."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    mults = (rng.integers(1, 1 << 63, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+
+    def sigs(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["h"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            # (n_shingles, num_perm) multiply-shift, then column mins
+            m = (h[:, None] * mults[None, :]) >> np.uint64(3)
+        sig = m.min(axis=0).astype(np.int64)
+        return pd.DataFrame({"doc": [pdf["doc"].iloc[0]], "sig": [sig.tolist()]})
+
+    hashed = shingles.select("doc", F.xxhash64("shingle").alias("h"))
+    out_schema = "doc long, sig array<long>"
+    return hashed.groupBy("doc").applyInPandas(sigs, schema=out_schema)
 
 
 def minhash_lsh_pairs(
@@ -153,11 +165,21 @@ def minhash_lsh_pairs(
     rows = num_perm // bands
     sh = token_shingles(df, id_col, text_col, n).cache()
     sig = minhash_signatures(sh, num_perm=num_perm)
-    # band key = hash of the band's row signature
-    banded = (
-        sig.withColumn("band", (F.col("perm") / rows).cast("int"))
-        .groupBy("doc", "band")
-        .agg(F.xxhash64(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "perm", "minhash"))))).alias("bucket"))
+    # band key = hash of the band's signature slice
+    banded = sig.select(
+        "doc",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> slice(sig, b * {rows} + 1, {rows}))"
+            )
+        ).alias("band", "band_sig"),
+    ).select(
+        "doc",
+        "band",
+        F.xxhash64(
+            F.concat_ws(",", F.expr("transform(band_sig, x -> cast(x as string))"))
+        ).alias("bucket"),
     )
     x, y = banded.alias("x"), banded.alias("y")
     candidates = (
