@@ -78,6 +78,106 @@ def token_shingles(
     )
 
 
+def char_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Distinct (id, shingle) pairs over character n-grams — the
+    tokenization-free variant (robust to languages without whitespace
+    and to formatting noise)."""
+    base = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
+    return (
+        base.where(F.length("t") >= n)
+        .select(
+            "doc",
+            F.explode(F.sequence(F.lit(1), F.length("t") - (n - 1))).alias("i"),
+            "t",
+        )
+        .select("doc", F.expr(f"substring(t, i, {n})").alias("shingle"))
+        .distinct()
+    )
+
+
+def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
+    """id1<id2 pairs with Jaccard ≥ threshold over (doc, shingle) sets —
+    the shared inverted-index core of the exact paths."""
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("ic"))
+    )
+    sa = sizes.select(F.col("doc").alias("id1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("doc").alias("id2"), F.col("sz").alias("sz2"))
+    jac = F.col("ic") / (F.col("sz1") + F.col("sz2") - F.col("ic"))
+    return (
+        inter.join(F.broadcast(sa), "id1")
+        .join(F.broadcast(sb), "id2")
+        .where(jac >= threshold)
+        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def char_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs over character n-gram sets."""
+    return _jaccard_from_shingles(char_shingles(df, id_col, text_col, n), threshold)
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_iter: int = 20,
+) -> DataFrame:
+    """End-to-end near-dup removal: MinHash-LSH candidate pairs →
+    connected components (min-id label propagation) → keep only each
+    cluster's minimum id. Returns the survivors of ``df`` (same
+    schema). The composition a training-data pipeline actually runs."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    edges = pairs.select("id1", "id2").unionByName(
+        pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    )
+    labels = (
+        edges.select(F.col("id1").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor = edges.join(
+            labels, edges.id2 == labels.node, "inner"
+        ).select(F.col("id1").alias("node"), "component")
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        done = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if done:
+            break
+    victims = labels.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(victims, id_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

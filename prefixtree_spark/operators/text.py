@@ -111,6 +111,34 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite document-quality heuristic in [0, 1]: rewards
+    mid-length docs and high alpha ratio, penalizes punctuation excess
+    and stopword-free (keyword-spam-like) text. All integer-ratio
+    double arithmetic with explicit parentheses — the oracle evaluates
+    the identical expression."""
+    toks = _nonspace_tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    punct_pen = F.when(n_chars > 0, F.least(n_punct * F.lit(10.0) / n_chars, F.lit(1.0))).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.35) * len_score
+        + F.lit(0.35) * alpha_ratio
+        + F.lit(0.2) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+        - F.lit(0.1) * punct_pen
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(F.greatest(score, F.lit(0.0)), 6).alias("quality"),
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, id_col: str, text_col: str, *, gram: int = 8
 ) -> DataFrame:

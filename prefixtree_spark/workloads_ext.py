@@ -72,6 +72,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
 
 
+@workload(
+    "dedup_char_jaccard",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
+      FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
+            FROM documents WHERE length(text) >= 5)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ic
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id1, id2, round(ic::DOUBLE / (sa.sz + sb.sz - ic), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id1
+    JOIN sizes sb ON sb.doc_id = id2
+    WHERE ic::DOUBLE / (sa.sz + sb.sz - ic) >= 0.8
+    """,
+)
+def dedup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.char_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+
+
+_PAIRS_SQL = _JACCARD_ORACLE.replace(
+    "SELECT id1, id2, round(ic::DOUBLE / (sa.sz + sb.sz - ic), 6) AS jaccard",
+    "SELECT id1, id2",
+)
+
+_SURVIVORS_SQL = f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+              UNION ALL SELECT id2, id1 FROM pairs),
+    nodes AS (SELECT DISTINCT a FROM edges),
+    reach(a, b) AS (
+      SELECT a, a FROM nodes
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+"""
+
+
+@workload("dedup_corpus_survivors", _SURVIVORS_SQL)
+def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal: LSH pairs → components → survivors.
+    Oracle recomputes survivors from the exact Jaccard pair set via a
+    recursive-CTE closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_corpus(docs, "doc_id", "text", threshold=0.8, n=3).select("doc_id")
+
+
 _SIMHASH_SIG_SQL = """
     WITH toks AS (
       SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
@@ -220,9 +276,63 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_fingerprint(docs, "doc_id", "text", gram=8)
 
 
+@workload(
+    "quality_score",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+        length(text) AS n_chars,
+        len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+        len(list_filter(regexp_extract_all(text, '\S+'),
+                        x -> x IN ('the','a','an','of','and','in','to','is'))) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id,
+      round(greatest(
+        0.35 * least(n_chars / 500.0, 1.0)
+        + 0.35 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars::DOUBLE ELSE 0.0 END)
+        + 0.2 * least((CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens::DOUBLE ELSE 0.0 END) * 5.0, 1.0)
+        - 0.1 * (CASE WHEN n_chars > 0 THEN least(n_punct * 10.0 / n_chars, 1.0) ELSE 0.0 END),
+        0.0), 6) AS quality
+    FROM t
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_score(docs, "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # embedding similarity
 # ---------------------------------------------------------------------------
+
+
+@workload(
+    "embedding_norms",
+    """
+    SELECT vec_id, label,
+           round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector hygiene pass every embedding pipeline runs first: per-row
+    L2 norm + dimensionality (all JVM-side array expressions)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(vec, vec, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(dot), 6).alias("l2_norm"),
+        F.size("embedding").cast("long").alias("dim"),
+    )
 
 _ANN_ORACLE = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -57,6 +57,25 @@ def test_minhash_lsh_equals_exact(docs):
     assert lsh == exact
 
 
+def test_char_jaccard_pairs(docs):
+    pairs = {
+        (r.id1, r.id2)
+        for r in dedup.char_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.6).collect()
+    }
+    assert (0, 3) in pairs  # exact duplicates
+    assert (0, 1) in pairs  # near-dup (one word differs)
+    assert not any(2 in p for p in pairs)
+
+
+def test_dedup_corpus_removes_cluster_non_minima(spark, docs):
+    survivors = sorted(
+        r.doc_id
+        for r in dedup.dedup_corpus(docs, "doc_id", "text", threshold=0.5).collect()
+    )
+    # cluster {0, 1, 3} keeps only 0; singletons and short docs survive
+    assert survivors == [0, 2, 4, 5]
+
+
 def test_simhash_properties(docs):
     sig = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs, "doc_id", "text").collect()}
     assert sig[0] == sig[3]  # identical text -> identical signature

@@ -45,6 +45,14 @@ def test_language_id(docs):
     assert got[2] == ("und", 0)
 
 
+def test_quality_score_bounds_and_ordering(docs):
+    got = {r.doc_id: r.quality for r in text.quality_score(docs, "doc_id", "text").collect()}
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+    assert got[2] == 0.0  # empty doc
+    # natural english text scores above digit/punct-heavy text
+    assert got[0] > got[4]
+
+
 def test_doc_fingerprint(docs):
     got = {r.doc_id: r.fingerprint for r in text.doc_fingerprint(docs, "doc_id", "text").collect()}
     assert 2 not in got and 3 not in got  # too short: absent
