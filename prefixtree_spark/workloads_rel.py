@@ -102,6 +102,97 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "events_rollup_cube",
+    """
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(CAST(user_id % 10 AS VARCHAR), '<all>') AS user_bucket,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (event_type, user_id % 10)
+    """,
+)
+def events_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ROLLUP (absent from the reference, SURVEY §2.9) — hierarchy
+    totals in one pass; DECIMAL sums keep the oracle exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_bucket_raw", F.col("user_id") % 10)
+        .rollup("event_type", "user_bucket_raw")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("user_bucket_raw").cast("string"), F.lit("<all>")).alias("user_bucket"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@workload(
+    "events_funnel",
+    """
+    WITH seq AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           len(types) AS n_events,
+           (coalesce(list_position(types, 'signup'), 0) > 0 AND
+            coalesce(list_position(types, 'purchase'), 0)
+              > coalesce(list_position(types, 'signup'), 0)) AS converted
+    FROM seq
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence/funnel analysis: did 'purchase' ever follow the FIRST
+    'signup' per user? Ordered collect_list + array positions — the
+    Spark shape for order-dependent behavioral queries."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.withColumn(
+            "et",
+            F.struct(F.unix_micros("ts").alias("t"), F.col("event_id").alias("e"), F.col("event_type").alias("v")),
+        )
+        .groupBy("user_id")
+        .agg(F.transform(F.array_sort(F.collect_list("et")), lambda s: s["v"]).alias("types"))
+    )
+    pos_signup = F.array_position("types", "signup")
+    pos_purchase = F.array_position("types", "purchase")
+    return seq.select(
+        "user_id",
+        F.size("types").cast("long").alias("n_events"),
+        ((pos_signup > 0) & (pos_purchase > pos_signup)).alias("converted"),
+    )
+
+
+@workload(
+    "customer_segment_setops",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+    UNION
+    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+     EXCEPT
+     SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    """,
+)
+def customer_segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (absent from the reference, SURVEY §2.9):
+    INTERSECT / UNION / EXCEPT over customer segments."""
+    c = load_table(spark, sf_dir, "customer")
+    building = c.where("c_mktsegment = 'BUILDING'").select("c_custkey")
+    rich = c.where("c_acctbal > 1000").select("c_custkey")
+    machinery = c.where("c_mktsegment = 'MACHINERY'").select("c_custkey")
+    very_rich = c.where("c_acctbal > 5000").select("c_custkey")
+    return building.intersect(rich).union(machinery.exceptAll(very_rich).distinct()).distinct()
+
+
+@workload(
     "media_binary_meta",
     """
     SELECT doc_id AS media_id,
