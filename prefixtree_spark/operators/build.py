@@ -40,9 +40,10 @@ from pyspark.sql import functions as F
 
 from prefixtree_spark.plans.tree import ID_BLOCK, PT_COLUMNS, PT_SCHEMA
 
-# Sentinel child key for end-cap leaves; cannot collide with edge labels
-# because edges start with a real word character.
-_END = "\x00"
+# Sentinel child key for end-cap leaves: a unique object, so it cannot
+# collide with any first-character key — including words that contain
+# NUL or other control characters.
+_END = object()
 
 # label, children dict, subtree min/max word length
 _LABEL, _CHILDREN, _MIN, _MAX = 0, 1, 2, 3

@@ -97,16 +97,36 @@ def char_shingles(
     )
 
 
-def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_from_shingles(
+    sh: DataFrame, threshold: float, *, candidates: DataFrame | None = None
+) -> DataFrame:
     """id1<id2 pairs with Jaccard ≥ threshold over (doc, shingle) sets —
-    the shared inverted-index core of the exact paths."""
+    the shared inverted-index core of every exact path. With
+    ``candidates`` (id1, id2), intersections are computed only for
+    those pairs (the LSH verify stage)."""
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("ic"))
-    )
+    if candidates is None:
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .groupBy(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+            .agg(F.count(F.lit(1)).alias("ic"))
+        )
+    else:
+        inter = (
+            candidates.join(a, F.col("id1") == F.col("a.doc"))
+            .join(
+                b,
+                (F.col("id2") == F.col("b.doc"))
+                & (F.col("a.shingle") == F.col("b.shingle")),
+            )
+            .groupBy("id1", "id2")
+            .agg(F.count(F.lit(1)).alias("ic"))
+        )
     sa = sizes.select(F.col("doc").alias("id1"), F.col("sz").alias("sz1"))
     sb = sizes.select(F.col("doc").alias("id2"), F.col("sz").alias("sz2"))
     jac = F.col("ic") / (F.col("sz1") + F.col("sz2") - F.col("ic"))
@@ -193,22 +213,8 @@ def ngram_jaccard_pairs(
     shingle to count intersections, broadcast the per-doc set sizes
     back in — pair count is bounded by co-occurring shingles, never
     |docs|²."""
-    sh = token_shingles(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("ic"))
-    )
-    sa = sizes.select(F.col("doc").alias("id1"), F.col("sz").alias("sz1"))
-    sb = sizes.select(F.col("doc").alias("id2"), F.col("sz").alias("sz2"))
-    jac = F.col("ic") / (F.col("sz1") + F.col("sz2") - F.col("ic"))
-    return (
-        inter.join(F.broadcast(sa), "id1")
-        .join(F.broadcast(sb), "id2")
-        .where(jac >= threshold)
-        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+    return _jaccard_from_shingles(
+        token_shingles(df, id_col, text_col, n).cache(), threshold
     )
 
 
@@ -244,8 +250,12 @@ def minhash_signatures(
         return pd.DataFrame({"doc": [pdf["doc"].iloc[0]], "sig": [sig.tolist()]})
 
     hashed = shingles.select("doc", F.xxhash64("shingle").alias("h"))
-    out_schema = "doc long, sig array<long>"
-    return hashed.groupBy("doc").applyInPandas(sigs, schema=out_schema)
+    # derive the doc field's type from the input so non-long id columns
+    # (e.g. string URLs) work
+    doc_type = shingles.schema["doc"].dataType.simpleString()
+    return hashed.groupBy("doc").applyInPandas(
+        sigs, schema=f"doc {doc_type}, sig array<long>"
+    )
 
 
 def minhash_lsh_pairs(
@@ -293,23 +303,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verification of candidates only
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        candidates.join(a, F.col("id1") == F.col("a.doc"))
-        .join(b, (F.col("id2") == F.col("b.doc")) & (F.col("a.shingle") == F.col("b.shingle")))
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("ic"))
-    )
-    sa = sizes.select(F.col("doc").alias("id1"), F.col("sz").alias("sz1"))
-    sb = sizes.select(F.col("doc").alias("id2"), F.col("sz").alias("sz2"))
-    jac = F.col("ic") / (F.col("sz1") + F.col("sz2") - F.col("ic"))
-    return (
-        inter.join(F.broadcast(sa), "id1")
-        .join(F.broadcast(sb), "id2")
-        .where(jac >= threshold)
-        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
-    )
+    return _jaccard_from_shingles(sh, threshold, candidates=candidates)
 
 
 # ---------------------------------------------------------------------------

@@ -85,17 +85,10 @@ RESULT_SCHEMA = T.StructType(
 _AUTO_BROADCAST_NODES = 2_000_000
 
 
-def _forest_from_rows(
-    ids: np.ndarray,
-    parent_ids: np.ndarray,
-    labels: np.ndarray,
-    is_word: np.ndarray,
-    mins: np.ndarray,
-    maxs: np.ndarray,
-) -> dict[int, list[int]]:
+def _forest_from_rows(parent_ids: np.ndarray) -> dict[int, list[int]]:
     """children: parent_id -> list of row positions."""
     children: dict[int, list[int]] = defaultdict(list)
-    for pos in range(len(ids)):
+    for pos in range(len(parent_ids)):
         children[int(parent_ids[pos])].append(pos)
     return children
 
@@ -168,14 +161,13 @@ def _traverse(
 def _traverse_pdf(
     pt_pdf: pd.DataFrame, batch: QueryBatch, k: int
 ) -> pd.DataFrame:
-    ids = pt_pdf["id"].to_numpy()
-    parent_ids = pt_pdf["parent_id"].to_numpy()
-    labels = pt_pdf["node"].to_numpy()
-    is_word = pt_pdf["is_word"].to_numpy()
-    mins = pt_pdf["_min"].to_numpy()
-    maxs = pt_pdf["_max"].to_numpy()
-    children = _forest_from_rows(ids, parent_ids, labels, is_word, mins, maxs)
-    q, w, d = _traverse(batch, k, ids, labels, is_word, mins, maxs, children)
+    return _traverse_index(LocalIndex(pt_pdf, merge=False), batch, k)
+
+
+def _traverse_index(idx: "LocalIndex", batch: QueryBatch, k: int) -> pd.DataFrame:
+    q, w, d = _traverse(
+        batch, k, idx.ids, idx.labels, idx.is_word, idx.mins, idx.maxs, idx.children
+    )
     return pd.DataFrame(
         {"query_string": q, "node": w, "final_distance": pd.array(d, dtype="int32")}
     )
@@ -222,16 +214,19 @@ def _query_broadcast_queries(
 def _query_broadcast_tree(
     queries: DataFrame, qcol: str, pt_rows: pd.DataFrame, k: int
 ) -> DataFrame:
-    """Tree collected+broadcast; queries stream through mapInPandas."""
+    """Tree collected+broadcast; queries stream through mapInPandas.
+    The traversal index (arrays + children map) is built ONCE on the
+    driver and broadcast prebuilt, so tasks deserialize it instead of
+    re-deriving it per Arrow batch."""
     spark = queries.sparkSession
-    bt = spark.sparkContext.broadcast(merge_forests(pt_rows))
+    bt = spark.sparkContext.broadcast(LocalIndex(merge_forests(pt_rows), merge=False))
 
     def run(batches):
-        pt_pdf = bt.value
+        idx = bt.value
         for pdf in batches:
             qs = [q for q in pdf[qcol].astype(str) if q is not None]
             if qs:
-                yield _traverse_pdf(pt_pdf, QueryBatch(qs), k)
+                yield _traverse_index(idx, QueryBatch(qs), k)
 
     return queries.select(F.col(qcol)).mapInPandas(run, schema=RESULT_SCHEMA)
 
@@ -401,14 +396,7 @@ class LocalIndex:
         self.is_word = pt_pdf["is_word"].to_numpy()
         self.mins = pt_pdf["_min"].to_numpy()
         self.maxs = pt_pdf["_max"].to_numpy()
-        self.children = _forest_from_rows(
-            self.ids,
-            pt_pdf["parent_id"].to_numpy(),
-            self.labels,
-            self.is_word,
-            self.mins,
-            self.maxs,
-        )
+        self.children = _forest_from_rows(pt_pdf["parent_id"].to_numpy())
 
     @classmethod
     def from_dataframe(cls, pt: DataFrame) -> "LocalIndex":

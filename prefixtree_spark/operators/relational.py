@@ -103,25 +103,22 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessions per user: a new session starts when the gap
     from the previous event exceeds ``gap_minutes``. One shuffle
     (partition by user), two analytic passes, no self-joins."""
-    order = [F.col("ts").asc(), F.col("event_id").asc()]
-    w = Window.partitionBy("user_id").orderBy(*order)
     gap_us = gap_minutes * 60 * 1_000_000
+    # ONE window spec shared by the lag and the running sum — they must
+    # never disagree on ordering
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
     flagged = events.select(
         "user_id",
         "event_id",
         F.unix_micros("ts").alias("ts_us"),
     ).withColumn(
         "new_session",
-        F.when(
-            F.col("ts_us") - F.lag("ts_us").over(
-                Window.partitionBy("user_id").orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
-            ) > gap_us,
-            1,
-        ).otherwise(0),
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > gap_us, 1).otherwise(0),
     )
-    w2 = Window.partitionBy("user_id").orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
     sess = flagged.withColumn(
-        "session_seq", F.sum(F.coalesce(F.col("new_session"), F.lit(0))).over(w2)
+        "session_seq", F.sum(F.coalesce(F.col("new_session"), F.lit(0))).over(w)
     )
     return (
         sess.groupBy("user_id", "session_seq")

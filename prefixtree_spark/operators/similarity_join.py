@@ -6,9 +6,11 @@ relational operators (SURVEY.md §7 step 5):
 
   - ``similarity_join(left, lcol, right, rcol, k)`` — builds the tree
     over the right side's distinct values and streams the left side's
-    distinct values through it, then joins the matches back to the
-    original rows. Equivalent to (but asymptotically cheaper than) the
-    brute-force theta join ``levenshtein(l, r) <= k``.
+    distinct values through it, returning matched VALUE PAIRS
+    (left_value, right_value, distance); callers re-join on the value
+    columns when they need full original rows. Equivalent to (but
+    asymptotically cheaper than) the brute-force theta join
+    ``levenshtein(l, r) <= k``.
   - ``fuzzy_dedup(df, col, k)`` — connected components of the
     "distance ≤ k" graph over distinct values, via iterative min-label
     propagation (driver loop, converges in O(log(diameter)) rounds with

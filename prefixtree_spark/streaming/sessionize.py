@@ -75,7 +75,11 @@ def streaming_sessionize(
                     out.append((user_id, start, end, n, True))
                     start, end, n = ts, ts, 1
                 else:
-                    end = ts
+                    # max/min guard: a late (out-of-order) event arriving
+                    # in a later micro-batch must not regress the session
+                    # bounds, or the next gap test falsely splits
+                    end = max(end, ts)
+                    start = min(start, ts)
                     n += 1
         if start is not None:
             state.update((start, end, n))

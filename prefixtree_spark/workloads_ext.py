@@ -403,7 +403,15 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracle coupling requires near-certain candidate recall:
+    at cosine 0.9, one hyperplane bit agrees with p = 1-acos(0.9)/π ≈
+    0.856, a 4-bit signature matches with 0.856⁴ ≈ 0.537, and missing
+    all 32 tables ≈ (1-0.537)³² ≈ 2e-11 — comparable to the MinHash
+    w.h.p. bound. The wider 8-bit default would miss boundary pairs
+    ~0.4% of the time and flunk the gate if the fixture ever gains
+    such pairs."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann.embedding_near_dup(
-        emb, "vec_id", "embedding", threshold=0.9, dim=64
+        emb, "vec_id", "embedding", threshold=0.9, dim=64,
+        n_planes=4, n_tables=32,
     )

@@ -142,14 +142,14 @@ def events_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            len(types) AS n_events,
            (coalesce(list_position(types, 'signup'), 0) > 0 AND
-            coalesce(list_position(types, 'purchase'), 0)
-              > coalesce(list_position(types, 'signup'), 0)) AS converted
+            len(list_filter(types[coalesce(list_position(types, 'signup'), 0) + 1:],
+                            x -> x = 'purchase')) > 0) AS converted
     FROM seq
     """,
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence/funnel analysis: did 'purchase' ever follow the FIRST
-    'signup' per user? Ordered collect_list + array positions — the
+    """Sequence/funnel analysis: did ANY 'purchase' follow the FIRST
+    'signup' per user? Ordered collect_list + array slicing — the
     Spark shape for order-dependent behavioral queries."""
     ev = load_table(spark, sf_dir, "events")
     seq = (
@@ -161,11 +161,12 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.transform(F.array_sort(F.collect_list("et")), lambda s: s["v"]).alias("types"))
     )
     pos_signup = F.array_position("types", "signup")
-    pos_purchase = F.array_position("types", "purchase")
+    after_signup = F.expr("slice(types, cast(array_position(types, 'signup') as int) + 1, size(types))")
+    purchase_after = F.exists(after_signup, lambda t: t == F.lit("purchase"))
     return seq.select(
         "user_id",
         F.size("types").cast("long").alias("n_events"),
-        ((pos_signup > 0) & (pos_purchase > pos_signup)).alias("converted"),
+        ((pos_signup > 0) & purchase_after).alias("converted"),
     )
 
 

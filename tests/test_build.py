@@ -61,6 +61,15 @@ def test_dedup_blank_and_cap_handling(spark):
     assert sorted(r.node for r in pt.where("is_word").collect()) == ["CAT", "OK"]
 
 
+def test_nul_and_control_chars_in_words(spark):
+    """The end-cap sentinel must not collide with words containing NUL
+    (regression: a '\\x00' string sentinel corrupted the trie)."""
+    words = ["a", "a\x00b", "a\x00c", "ab"]
+    for builder in ["memory", "streaming"]:
+        pt = create(_words_df(spark, words), "word", num_partitions=2, builder=builder)
+        assert sorted(r.node for r in pt.where("is_word").collect()) == sorted(words)
+
+
 def test_trim_semantics(spark):
     pt = create(_words_df(spark, ["  CAT  ", "CAT"]), "word", num_partitions=1)
     assert [r.node for r in pt.where("is_word").collect()] == ["CAT"]

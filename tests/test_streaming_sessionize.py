@@ -27,6 +27,55 @@ def split_events_dir(spark, tmp_path_factory):
     return str(d)
 
 
+def test_late_event_does_not_regress_session_end(spark, tmp_path):
+    """A late (out-of-order) event in a later micro-batch must not pull
+    session_end backwards and falsely split the session."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write(path, rows):
+        # (event_id, ts_us, user_id)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] * 1000 for r in rows], pa.int64()),  # nanos
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["x"] * len(rows)),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    minute = 60 * 1_000_000
+    d = tmp_path / "late"
+    d.mkdir()
+    write(str(d / "b1.parquet"), [(1, 0 * minute, 7), (2, 20 * minute, 7)])
+    time.sleep(1.1)
+    # batch 2: one LATE event (t=5min) then a later one at t=40min —
+    # 40-20=20min <= 30min gap, so it must still be ONE session
+    write(str(d / "b2.parquet"), [(3, 5 * minute, 7), (4, 40 * minute, 7)])
+    stream = read_events_stream(spark, str(d), maxFilesPerTrigger="1")
+    q = (
+        streaming_sessionize(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    raw = spark.table("late_test").toPandas()
+    final = (
+        raw.sort_values("n_events")
+        .groupby(["user_id", "session_start_us"], as_index=False)
+        .last()
+    )
+    assert len(final) == 1  # one session, not split
+    r = final.iloc[0]
+    assert (r.session_start_us, r.session_end_us, r.n_events) == (0, 40 * minute, 4)
+
+
 def test_stateful_sessionize_equals_batch(spark, split_events_dir):
     stream = read_events_stream(spark, split_events_dir, maxFilesPerTrigger="1")
     sessions = streaming_sessionize(stream, gap_minutes=30)
