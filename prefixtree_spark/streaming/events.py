@@ -65,6 +65,17 @@ def streaming_tumbling_counts(
     )
 
 
+def streaming_dedup_events(
+    stream: DataFrame, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup on event_id: watermarked
+    ``dropDuplicates`` keeps state only within the lateness horizon —
+    the standard at-least-once → exactly-once repair for replayed
+    sources. State is one key per event inside the watermark window,
+    not per all-time event."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
 def run_stream_to_memory(
     spark: SparkSession, result: DataFrame, name: str, *, timeout_s: int = 120
 ) -> DataFrame:

@@ -194,6 +194,31 @@ def customer_segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "events_value_quantiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated quantiles per event type (Spark `percentile`
+    ≡ DuckDB `quantile_cont` — same linear interpolation). The sketch
+    path (approx_percentile/t-digest) is the 100 TB variant; exact is
+    the oracle-able twin."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+
+
+@workload(
     "media_binary_meta",
     """
     SELECT doc_id AS media_id,

@@ -41,6 +41,36 @@ def test_streaming_equals_batch(spark, events_dir):
     assert g == b and len(g) > 0
 
 
+def test_streaming_dedup_equals_batch_distinct(spark, events_dir, tmp_path):
+    """Streamed watermarked dropDuplicates == batch distinct on
+    event_id, including a replayed (duplicated) file."""
+    import shutil as sh
+
+    from prefixtree_spark.streaming.events import streaming_dedup_events
+
+    d = tmp_path / "dup_events"
+    d.mkdir()
+    sh.copy(f"{events_dir}/events.parquet", d / "a.parquet")
+    sh.copy(f"{events_dir}/events.parquet", d / "b.parquet")  # replay
+    stream = read_events_stream(spark, str(d))
+    deduped = streaming_dedup_events(stream)
+    q = (
+        deduped.select("event_id")
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.table("dedup_test").collect())
+    exp = sorted(
+        r.event_id
+        for r in load_table(spark, SF_SMOKE, "events").select("event_id").distinct().collect()
+    )
+    assert got == exp
+
+
 def test_streaming_has_watermark(spark, events_dir):
     stream = read_events_stream(spark, events_dir)
     result = streaming_tumbling_counts(stream, watermark="2 hours")
