@@ -138,6 +138,42 @@ def _jaccard_from_shingles(
     )
 
 
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Term-frequency-weighted Jaccard over token multisets:
+    J_w = Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b). More
+    repetition-sensitive than set Jaccard (boilerplate-heavy docs score
+    higher). Same inverted-index shape: join on token, aggregate
+    Σmin; Σmax = tot_a + tot_b − Σmin."""
+    toks = (
+        df.select(F.col(id_col).alias("doc"), F.explode(_tokens(text_col)).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    ).cache()
+    totals = toks.groupBy("doc").agg(F.sum("tf").alias("tot"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+        .agg(F.sum(F.least(F.col("a.tf"), F.col("b.tf"))).alias("smin"))
+    )
+    ta = totals.select(F.col("doc").alias("id1"), F.col("tot").alias("tot1"))
+    tb = totals.select(F.col("doc").alias("id2"), F.col("tot").alias("tot2"))
+    jac = F.col("smin") / (F.col("tot1") + F.col("tot2") - F.col("smin"))
+    return (
+        inter.join(F.broadcast(ta), "id1")
+        .join(F.broadcast(tb), "id2")
+        .where(jac >= threshold)
+        .select("id1", "id2", F.round(jac, 6).alias("w_jaccard"))
+    )
+
+
 def char_jaccard_pairs(
     df: DataFrame,
     id_col: str,

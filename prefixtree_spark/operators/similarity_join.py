@@ -48,6 +48,37 @@ def similarity_join(
     )
 
 
+def similarity_join_rows(
+    left: DataFrame,
+    lcol: str,
+    right: DataFrame,
+    rcol: str,
+    max_distance: int,
+    *,
+    mode: str = "auto",
+    lprefix: str = "l_",
+    rprefix: str = "r_",
+) -> DataFrame:
+    """``similarity_join`` with full row payloads: every matching
+    (left row, right row) pair within the distance bound, columns
+    prefixed to avoid collisions, plus ``distance``. The value-pair
+    join runs first (tree-accelerated); payloads come back via two
+    equi-joins on the trimmed value — payload width never enters the
+    similarity computation."""
+    pairs = similarity_join(left, lcol, right, rcol, max_distance, mode=mode)
+    lpref = left.select(
+        *[F.col(c).alias(f"{lprefix}{c}") for c in left.columns]
+    ).withColumn("__lv", F.trim(F.col(f"{lprefix}{lcol}")))
+    rpref = right.select(
+        *[F.col(c).alias(f"{rprefix}{c}") for c in right.columns]
+    ).withColumn("__rv", F.trim(F.col(f"{rprefix}{rcol}")))
+    return (
+        pairs.join(lpref, pairs.left_value == lpref.__lv)
+        .join(rpref, pairs.right_value == rpref.__rv)
+        .drop("left_value", "right_value", "__lv", "__rv")
+    )
+
+
 def best_match(
     left: DataFrame,
     lcol: str,

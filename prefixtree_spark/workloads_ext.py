@@ -128,6 +128,35 @@ def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_corpus(docs, "doc_id", "text", threshold=0.8, n=3).select("doc_id")
 
 
+@workload(
+    "dedup_weighted_jaccard",
+    """
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+      GROUP BY doc_id, tok
+    ),
+    totals AS (SELECT doc_id, sum(tf) AS tot FROM tf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, sum(least(a.tf, b.tf)) AS smin
+      FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id1, id2,
+           round(smin::DOUBLE / (ta.tot + tb.tot - smin), 6) AS w_jaccard
+    FROM inter
+    JOIN totals ta ON ta.doc_id = id1
+    JOIN totals tb ON tb.doc_id = id2
+    WHERE smin::DOUBLE / (ta.tot + tb.tot - smin) >= 0.8
+    """,
+)
+def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.weighted_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+
+
 _SIMHASH_SIG_SQL = """
     WITH toks AS (
       SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok

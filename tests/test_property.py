@@ -30,7 +30,7 @@ def _build_local(words_by_part):
 @pytest.mark.parametrize("seed", range(12))
 def test_local_engine_vs_brute(seed):
     rng = random.Random(seed)
-    alpha = rng.choice(["ab", "abcd", "abcdefghijklmnopqrstuvwxyz"])
+    alpha = rng.choice(["ab", "abcd", "abcdefghijklmnopqrstuvwxyz", "aé中b"])
     words = list({
         "".join(rng.choices(alpha, k=rng.randint(1, 12)))
         for _ in range(rng.randint(1, 400))

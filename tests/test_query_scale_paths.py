@@ -34,6 +34,18 @@ def test_save_load_colocated_roundtrip(spark, tmp_path):
     assert got == _expected(SPARSE_WORDS, QUERIES, 1)
 
 
+def test_similarity_join_rows_payload(spark):
+    from prefixtree_spark.operators.similarity_join import similarity_join_rows
+
+    left = spark.createDataFrame([(1, "CAT", "x"), (2, "DOG", "y")], ["id", "w", "extra"])
+    right = spark.createDataFrame([(10, "CART"), (11, "COG")], ["rid", "rw"])
+    got = {
+        (r.l_id, r.r_rid, r.distance, r.l_extra)
+        for r in similarity_join_rows(left, "w", right, "rw", 2).collect()
+    }
+    assert got == {(1, 10, 1, "x"), (1, 11, 2, "x"), (2, 11, 1, "y")}
+
+
 def test_bucketed_index_roundtrip(spark):
     pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3)
     save_index_bucketed(pt, "pt_bucketed_test", buckets=4)
