@@ -182,7 +182,13 @@ def char_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact Jaccard near-dup pairs over character n-gram sets."""
+    """Exact Jaccard near-dup pairs over character n-gram sets.
+
+    NB: exact inverted-index joins are quadratic in per-shingle
+    document frequency — low-entropy corpora (every doc shares common
+    n-grams) blow up the intersection join. That cost is inherent to
+    EXACT char-gram Jaccard; use ``minhash_lsh_pairs`` (candidates ∝
+    truly-similar pairs) as the scale path."""
     return _jaccard_from_shingles(char_shingles(df, id_col, text_col, n), threshold)
 
 

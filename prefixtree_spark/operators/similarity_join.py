@@ -110,26 +110,70 @@ def best_match(
 
 
 def fuzzy_dedup(
-    df: DataFrame, col: str, max_distance: int, *, max_iter: int = 50
+    df: DataFrame,
+    col: str,
+    max_distance: int,
+    *,
+    max_iter: int = 50,
+    collect_edges_below: int = 5_000_000,
 ) -> DataFrame:
     """Cluster distinct values whose Levenshtein distance ≤ k into
     connected components. Returns DataFrame[value, component] where
     ``component`` is the lexicographically smallest member.
 
     The edge set comes from a prefix-tree self-similarity-join (no
-    brute-force cross join); components via iterative min-label
-    propagation with a driver-side convergence loop (each round is two
-    hash joins; lineage truncated with localCheckpoint).
+    brute-force cross join). Components: if the edge set is small
+    enough to collect (< ``collect_edges_below``), driver-side
+    union-find finishes in one pass; otherwise iterative min-label
+    propagation (two hash joins per round, lineage truncated with
+    localCheckpoint) — the same hybrid GraphFrames-style CC uses.
     """
     edges = (
         similarity_join(df, col, df, col, max_distance)
         .where(F.col("left_value") != F.col("right_value"))
         .select("left_value", "right_value")
+        .persist()
     )
-    # undirected: keep both directions for propagation
-    values = df.select(F.trim(F.col(col)).alias("value")).where(
-        F.col("value") != ""
-    ).distinct()
+    n_edges = edges.count()
+    values = (
+        df.select(F.trim(F.col(col)).alias("value"))
+        .where(F.col("value") != "")
+        .distinct()
+    )
+    if n_edges < collect_edges_below:
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.toLocalIterator():
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                # min value becomes the root so components come out
+                # lexicographically-minimal without a second pass
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        edges.unpersist()
+        spark = df.sparkSession
+        comp_rows = [(v, find(v)) for v in parent]
+        comp_df = (
+            spark.createDataFrame(comp_rows, ["value", "component"])
+            if comp_rows
+            else spark.createDataFrame([], "value string, component string")
+        )
+        return (
+            values.join(comp_df, "value", "left")
+            .select(
+                "value",
+                F.coalesce(F.col("component"), F.col("value")).alias("component"),
+            )
+        )
+    # distributed min-label propagation (edge set too big to collect)
     labels = values.select("value", F.col("value").alias("component"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
