@@ -146,8 +146,10 @@ def cosine_topk_lsh(
     """Approximate top-k: random-hyperplane LSH bucket join + exact
     rerank of candidates. Scales with bucket collision counts."""
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
-    q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("qv"))
-    c = corpus.select(F.col(cid).alias("vec_id"), F.col(cvec).alias("cv"))
+    # one row per id: the post-distinct vector rejoin must not fan out
+    # if the input carries duplicate ids
+    q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("qv")).dropDuplicates(["query_id"])
+    c = corpus.select(F.col(cid).alias("vec_id"), F.col(cvec).alias("cv")).dropDuplicates(["vec_id"])
     # candidate dedup on id pairs only — vectors rejoin afterwards (see
     # embedding_near_dup: payloads through distinct() dominate runtime)
     q_sig = _with_signatures(q, "query_id", "qv", planes).select("query_id", "t", "s")
@@ -270,7 +272,7 @@ def embedding_near_dup(
     threshold) via LSH candidates + exact verify — the embedding
     analogue of MinHash dedup."""
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
-    c = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    c = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).dropDuplicates(["vid"])
     # signature rows carry ONLY (vid, t, s): the candidate distinct must
     # never haul vector payloads through its shuffle (measured 8x
     # slowdown at 32 tables otherwise); vectors rejoin afterwards

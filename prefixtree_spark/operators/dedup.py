@@ -205,35 +205,14 @@ def dedup_corpus(
     connected components (min-id label propagation) → keep only each
     cluster's minimum id. Returns the survivors of ``df`` (same
     schema). The composition a training-data pipeline actually runs."""
+    from prefixtree_spark.operators.graph import connected_components
+
     pairs = minhash_lsh_pairs(df, id_col, text_col, n=n, threshold=threshold)
-    edges = pairs.select("id1", "id2").unionByName(
-        pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
-    )
-    labels = (
-        edges.select(F.col("id1").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("component"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
-        neighbor = edges.join(
-            labels, edges.id2 == labels.node, "inner"
-        ).select(F.col("id1").alias("node"), "component")
-        new_labels = (
-            labels.unionByName(neighbor)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
-        )
-        done = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .isEmpty()
-        )
-        labels = new_labels
-        if done:
-            break
+    edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    labels = connected_components(nodes, edges, max_iter=max_iter)
     victims = labels.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )

@@ -122,80 +122,23 @@ def fuzzy_dedup(
     ``component`` is the lexicographically smallest member.
 
     The edge set comes from a prefix-tree self-similarity-join (no
-    brute-force cross join). Components: if the edge set is small
-    enough to collect (< ``collect_edges_below``), driver-side
-    union-find finishes in one pass; otherwise iterative min-label
-    propagation (two hash joins per round, lineage truncated with
-    localCheckpoint) — the same hybrid GraphFrames-style CC uses.
+    brute-force cross join); clustering via the shared hybrid
+    ``operators.graph.connected_components`` (driver union-find for
+    collectable edge sets, symmetrized min-label propagation beyond).
     """
+    from prefixtree_spark.operators.graph import connected_components
+
     edges = (
         similarity_join(df, col, df, col, max_distance)
         .where(F.col("left_value") != F.col("right_value"))
-        .select("left_value", "right_value")
-        .persist()
+        .select(F.col("left_value").alias("src"), F.col("right_value").alias("dst"))
     )
-    n_edges = edges.count()
     values = (
-        df.select(F.trim(F.col(col)).alias("value"))
-        .where(F.col("value") != "")
+        df.select(F.trim(F.col(col)).alias("node"))
+        .where(F.col("node") != "")
         .distinct()
     )
-    if n_edges < collect_edges_below:
-        parent: dict[str, str] = {}
-
-        def find(x: str) -> str:
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:
-                parent[x], x = root, parent[x]
-            return root
-
-        for row in edges.toLocalIterator():
-            ra, rb = find(row[0]), find(row[1])
-            if ra != rb:
-                # min value becomes the root so components come out
-                # lexicographically-minimal without a second pass
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        edges.unpersist()
-        spark = df.sparkSession
-        comp_rows = [(v, find(v)) for v in parent]
-        comp_df = (
-            spark.createDataFrame(comp_rows, ["value", "component"])
-            if comp_rows
-            else spark.createDataFrame([], "value string, component string")
-        )
-        return (
-            values.join(comp_df, "value", "left")
-            .select(
-                "value",
-                F.coalesce(F.col("component"), F.col("value")).alias("component"),
-            )
-        )
-    # distributed min-label propagation (edge set too big to collect)
-    labels = values.select("value", F.col("value").alias("component"))
-    labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        # neighbor labels: for each value, min component among neighbors
-        neighbor = (
-            edges.join(labels, edges.right_value == labels.value, "inner")
-            .select(F.col("left_value").alias("value"), "component")
-        )
-        new_labels = (
-            labels.select("value", "component")
-            .unionByName(neighbor)
-            .groupBy("value")
-            .agg(F.min("component").alias("component"))
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "value")
-            .where(F.col("n.component") != F.col("o.component"))
-            .isEmpty()
-        )
-        labels = new_labels
-        if changed:
-            break
-    return labels
+    comp = connected_components(
+        values, edges, max_iter=max_iter, collect_edges_below=collect_edges_below
+    )
+    return comp.select(F.col("node").alias("value"), "component")

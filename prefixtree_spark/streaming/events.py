@@ -68,12 +68,15 @@ def streaming_tumbling_counts(
 def streaming_dedup_events(
     stream: DataFrame, *, watermark: str = "2 hours"
 ) -> DataFrame:
-    """Streaming exact dedup on event_id: watermarked
-    ``dropDuplicates`` keeps state only within the lateness horizon —
-    the standard at-least-once → exactly-once repair for replayed
-    sources. State is one key per event inside the watermark window,
-    not per all-time event."""
-    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    """Streaming exact dedup on event_id: the standard at-least-once →
+    exactly-once repair for replayed sources. Uses
+    ``dropDuplicatesWithinWatermark`` so per-key state IS evicted once
+    the watermark passes — plain ``dropDuplicates(['event_id'])`` would
+    keep one state entry per all-time event forever (the key set lacks
+    the event-time column, so the watermark never frees anything)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def run_stream_to_memory(
