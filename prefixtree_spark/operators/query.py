@@ -283,6 +283,11 @@ def _query_bfs(pt: DataFrame, queries: DataFrame, qcol: str, k: int) -> DataFram
         ).where(
             (F.col("qlen") >= F.col("_min") - k) & (F.col("qlen") <= F.col("_max") + k)
         )
+        # one materialization per level serves BOTH the exiting end-caps
+        # and the continuing frontier; it also truncates the iterative
+        # lineage (without it every level's join would recompute when
+        # the accumulated caps are finally unioned and collected)
+        joined = joined.localCheckpoint(eager=True)
         # end-caps: path already spells the word; exact distance is the
         # last valid DP cell (≡ GetFinalDistance at is_word rows)
         caps = (
@@ -310,9 +315,10 @@ def _query_bfs(pt: DataFrame, queries: DataFrame, qcol: str, k: int) -> DataFram
             )
             .where(F.array_min("state") <= k)
         )
-        level += 1
-        # truncate lineage so the iterative plan doesn't grow unboundedly
+        # materialize the frontier too so the DP UDF runs once per level
+        # (isEmpty would otherwise evaluate it, then the next join again)
         frontier = frontier.localCheckpoint(eager=True)
+        level += 1
         if frontier.isEmpty():
             break
     if not results:
