@@ -35,8 +35,10 @@ either side may be the big one:
     is the only strategy when BOTH sides exceed memory; uses
     ``localCheckpoint`` to stop iterative plan growth.
 
-``mode="auto"`` picks broadcast_tree for small trees else
-broadcast_queries.
+``mode="auto"`` routes by BOTH sides' sizes: small tree →
+broadcast_tree; big tree + small query set → broadcast_queries; big
+tree + big query set → bfs (neither side is ever collected to the
+driver).
 """
 
 from __future__ import annotations
@@ -83,6 +85,12 @@ RESULT_SCHEMA = T.StructType(
 # Collected trees up to this many nodes use the broadcast_tree path in
 # mode="auto"; beyond it the tree stays distributed.
 _AUTO_BROADCAST_NODES = 2_000_000
+
+# Distinct query strings up to this count may be collected + broadcast
+# (tens of MB of driver memory); beyond it, with the tree ALSO too big
+# to collect, mode="auto" falls through to bfs — the only strategy that
+# never materializes either side in one place.
+_AUTO_BROADCAST_QUERIES = 1_000_000
 
 
 def _forest_from_rows(parent_ids: np.ndarray) -> dict[int, list[int]]:
@@ -372,14 +380,22 @@ def query(
                 local = pt.toPandas()
                 pt.unpersist()
                 return _query_broadcast_tree(qdf, col, local, k)
+            # tree too big to collect: stays distributed. Probe the query
+            # side BEFORE collecting it — with both sides large the only
+            # safe plan is bfs, which moves neither side to the driver.
+            if qdf.count() <= _AUTO_BROADCAST_QUERIES:
+                # cached tree is reused by the per-forest traversal tasks;
+                # the cache lives until the caller unpersists pt (persist
+                # state attaches to the shared logical plan).
+                return _query_broadcast_queries(
+                    pt, [r[0] for r in qdf.collect()], k, colocated=colocated
+                )
+            # big tree x big query set: level-synchronous frontier joins;
+            # the cached tree is re-joined every level, so keep it hot.
+            return _query_bfs(pt, qdf, col, k)
         except Exception:
             pt.unpersist()
             raise
-        # tree too big to collect: stays distributed (and cached for the
-        # per-forest traversal tasks)
-        return _query_broadcast_queries(
-            pt, [r[0] for r in qdf.collect()], k, colocated=colocated
-        )
     raise ValueError(f"unknown mode {mode!r}")
 
 

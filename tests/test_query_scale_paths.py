@@ -46,6 +46,53 @@ def test_similarity_join_rows_payload(spark):
     assert got == {(1, 10, 1, "x"), (1, 11, 2, "x"), (2, 11, 1, "y")}
 
 
+def test_auto_routes_big_tree_big_queries_to_bfs(spark, monkeypatch):
+    """When BOTH sides exceed the broadcast thresholds, auto must pick
+    bfs — i.e. never collect the query side to the driver (the round-1
+    scale hole: qdf.collect() on the big-tree branch)."""
+    import prefixtree_spark.operators.query as qmod
+
+    calls = []
+    real_bfs = qmod._query_bfs
+    monkeypatch.setattr(qmod, "_AUTO_BROADCAST_NODES", 0)
+    monkeypatch.setattr(qmod, "_AUTO_BROADCAST_QUERIES", 0)
+    monkeypatch.setattr(
+        qmod,
+        "_query_bfs",
+        lambda *a, **kw: calls.append("bfs") or real_bfs(*a, **kw),
+    )
+    monkeypatch.setattr(
+        qmod,
+        "_query_broadcast_queries",
+        lambda *a, **kw: pytest.fail("query side was collected+broadcast"),
+    )
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3)
+    qdf = spark.createDataFrame([(q,) for q in QUERIES], ["q"])
+    res = qmod.query(pt, qdf, "q", 1, mode="auto")
+    got = {(r.query_string, r.node, r.final_distance) for r in res.collect()}
+    assert calls == ["bfs"]
+    assert got == _expected(SPARSE_WORDS, QUERIES, 1)
+
+
+def test_auto_routes_big_tree_small_queries_to_broadcast_queries(spark, monkeypatch):
+    import prefixtree_spark.operators.query as qmod
+
+    calls = []
+    real = qmod._query_broadcast_queries
+    monkeypatch.setattr(qmod, "_AUTO_BROADCAST_NODES", 0)
+    monkeypatch.setattr(
+        qmod,
+        "_query_broadcast_queries",
+        lambda *a, **kw: calls.append("bq") or real(*a, **kw),
+    )
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3)
+    qdf = spark.createDataFrame([(q,) for q in QUERIES], ["q"])
+    res = qmod.query(pt, qdf, "q", 1, mode="auto")
+    got = {(r.query_string, r.node, r.final_distance) for r in res.collect()}
+    assert calls == ["bq"]
+    assert got == _expected(SPARSE_WORDS, QUERIES, 1)
+
+
 def test_bucketed_index_roundtrip(spark):
     pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3)
     save_index_bucketed(pt, "pt_bucketed_test", buckets=4)
