@@ -2,17 +2,51 @@
 core of ``fuzzy_dedup`` and ``dedup_corpus``.
 
 Hybrid strategy (GraphFrames-style): edge sets small enough to collect
-run a one-pass driver-side union-find; larger graphs run iterative
-min-label propagation (two hash joins per round, lineage truncated
-with localCheckpoint). Edges are symmetrized internally, so callers
-may pass each pair once in either direction; isolated nodes (no
-edges) keep themselves as component.
+run a one-pass driver-side union-find; larger graphs run alternating
+large-star/small-star contraction (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — rounds scale with
+O(log n), NOT graph diameter, so a million-node near-dup chain
+converges in ~20 rounds instead of a million. Edges are symmetrized
+internally, so callers may pass each pair once in either direction;
+isolated nodes (no edges) keep themselves as component.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For every node u: connect each strictly-larger neighbor to the
+    minimum of u's closed neighborhood. Preserves connectivity and
+    pulls big nodes toward component minima."""
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = sym.groupBy("src").agg(F.least(F.min("dst"), F.col("src")).alias("mn"))
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For every node u over its smaller-or-equal neighbors: connect u
+    and each such neighbor to the minimum among them. Flattens each
+    star's interior edges."""
+    e = e.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    mins = e.groupBy("src").agg(F.min("dst").alias("mn"))
+    joined = e.join(mins, "src")
+    return (
+        joined.select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .unionByName(mins.select("src", F.col("mn").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
 
 
 def connected_components(
@@ -55,32 +89,48 @@ def connected_components(
                 "node",
                 F.coalesce(F.col("component"), F.col("node")).alias("component"),
             )
-        # distributed min-label propagation; symmetrize so labels flow
-        # both ways regardless of edge direction in the input
-        sym = edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        # distributed path: alternating large-star/small-star rounds
+        # until the edge set reaches its fixed point (disjoint stars
+        # centered at component minima). localCheckpoint each round
+        # truncates iterative lineage.
+        e = (
+            edges.where(F.col("src") != F.col("dst"))
+            .select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        labels = nodes.select("node", F.col("node").alias("component"))
-        labels = labels.localCheckpoint(eager=True)
+        prev_sig = None
+        converged = False
         for _ in range(max_iter):
-            neighbor = sym.join(
-                labels, sym.dst == labels.node, "inner"
-            ).select(F.col("src").alias("node"), "component")
-            new_labels = (
-                labels.unionByName(neighbor)
-                .groupBy("node")
-                .agg(F.min("component").alias("component"))
-                .localCheckpoint(eager=True)
-            )
-            done = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .where(F.col("n.component") != F.col("o.component"))
-                .isEmpty()
-            )
-            labels = new_labels
-            if done:
+            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            # fixed-point probe: (row count, order-free hash) of the edge
+            # set — one cheap agg instead of a full exceptAll join
+            sig = e.agg(
+                F.count(F.lit(1)),
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+            ).first()
+            sig = (sig[0], sig[1])
+            if sig == prev_sig:
+                converged = True
                 break
-        return labels
+            prev_sig = sig
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "large-star/small-star rounds; rounds scale with log(n), "
+                "so raise max_iter only for astronomically large graphs"
+            )
+        # fixed point = stars: every non-root node has exactly one edge
+        # to its component minimum (groupBy-min for safety regardless)
+        comp = e.groupBy(F.col("src").alias("node")).agg(
+            F.min("dst").alias("component")
+        )
+        return nodes.join(comp, "node", "left").select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
     finally:
         edges.unpersist()

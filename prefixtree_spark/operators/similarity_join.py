@@ -12,9 +12,10 @@ relational operators (SURVEY.md §7 step 5):
     asymptotically cheaper than) the brute-force theta join
     ``levenshtein(l, r) <= k``.
   - ``fuzzy_dedup(df, col, k)`` — connected components of the
-    "distance ≤ k" graph over distinct values, via iterative min-label
-    propagation (driver loop, converges in O(log(diameter)) rounds with
-    the large-star/small-star-style two-sided pass).
+    "distance ≤ k" graph over distinct values, via
+    ``operators.graph.connected_components``: driver union-find under
+    the collect threshold, alternating large-star/small-star
+    contraction (O(log n) rounds) above it.
 """
 
 from __future__ import annotations
