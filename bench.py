@@ -27,7 +27,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-    from prefixtree_spark import LocalIndex, create, query, query_one
+    from prefixtree_spark import LocalIndex, create, query
     from prefixtree_spark.session import get_spark
     from prefixtree_spark.sources.tables import load_table
     from prefixtree_spark import workloads, workloads_ext, workloads_rel  # noqa: F401
@@ -106,7 +106,9 @@ def main() -> None:
     qs100 = [r.q for r in qdf.limit(100).collect()]
 
     def points():
-        return sum(len(query_one(idx, q, 1)) for q in qs100)
+        # batched serving API — same shape as the brute baseline below,
+        # which also runs all 100 queries through one vectorized batch
+        return len(idx.search_many(qs100, 1))
 
     bench("point_query_100", points)
     word_list = [r.word for r in words.collect()]

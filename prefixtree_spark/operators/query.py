@@ -438,6 +438,27 @@ class LocalIndex:
         )
         return sorted(zip(words, dists))
 
+    def search_many(
+        self, queries: list[str], max_distance: int
+    ) -> list[tuple[str, str, int]]:
+        """Batched serving lookups: ONE traversal shared by the whole
+        batch, so each visited trie edge advances every active query's
+        DP row in a single vectorized op — node visits amortize across
+        the batch exactly as in the distributed strategies. Returns
+        (query, word, distance) tuples (unordered)."""
+        batch = QueryBatch(list(queries))
+        q, w, d = _traverse(
+            batch,
+            int(max_distance),
+            self.ids,
+            self.labels,
+            self.is_word,
+            self.mins,
+            self.maxs,
+            self.children,
+        )
+        return list(zip(q, w, d))
+
 
 def query_one(
     index: LocalIndex | DataFrame, s: str, max_distance: int

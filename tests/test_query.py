@@ -120,3 +120,14 @@ def test_query_one_serving_path(spark, sparse_pt):
         for w in SPARSE_WORDS
         if brute_levenshtein("SMITH", w) <= 2
     )
+
+
+def test_search_many_matches_per_call(spark, sparse_pt):
+    """Batched serving == union of per-call lookups."""
+    idx = LocalIndex.from_dataframe(sparse_pt)
+    qs = ["KAMINSKI", "SMITH", "", "ZZZZZZ", "CHARLES", "SMITH"]
+    batched = set(idx.search_many(qs, 2))
+    singles = {
+        (q, w, d) for q in qs for (w, d) in idx.search(q, 2)
+    }
+    assert batched == singles
