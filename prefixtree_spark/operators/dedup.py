@@ -12,9 +12,9 @@ expressed shuffle-consciously:
   - ``minhash_lsh_pairs`` — MinHash signatures (one JVM ``xxhash64``
     per shingle, then all permutations at once via vectorized
     multiply-shift hashing — the shuffle never sees the
-    shingle × permutation blow-up) banded into LSH buckets; candidate
+    shingle x permutation blow-up) banded into LSH buckets; candidate
     pairs from bucket equi-joins; exact-Jaccard verification of
-    candidates only. At the default 32 bands × 2 rows,
+    candidates only. At the default 32 bands x 2 rows,
     a pair at the 0.8 threshold is missed with prob (1-0.64)^32 ≈ 1e-14,
     so the verified output equals the exact join w.h.p. while scaling
     as the candidate count, not the pair count.
@@ -33,6 +33,8 @@ enforced by the exact-Jaccard verify step).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -256,9 +258,6 @@ def minhash_signatures(
     to exploding shingles × permutations this moves ``num_perm×`` less
     data through the shuffle: the only wide stage is the per-doc
     grouping of base hashes."""
-    import numpy as np
-    import pandas as pd
-
     rng = np.random.default_rng(seed)
     mults = (rng.integers(1, 1 << 63, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
 
@@ -344,33 +343,36 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit frequency-weighted SimHash over whitespace tokens.
 
     bit b of the signature = 1 iff sum over token occurrences of
-    (±1 depending on bit b of md5-60bit(token)) is > 0."""
+    (±1 depending on bit b of md5-60bit(token)) is > 0.
+
+    Plan shape: the shuffle carries each token hash ONCE (a per-doc
+    collect_list — map-side partial aggregation applies), then a
+    vectorized Arrow-batched pandas UDF folds each doc's hash array
+    into the 60-bit signature with one numpy bit-matrix per doc. The
+    naive formulation (explode every token row into 60 (doc, bit)
+    rows, then two groupBy shuffles) puts 60× the token volume through
+    the shuffle — measured 1.6× slower even at sf0.1, and strictly
+    worse at scale. Peak UDF memory is O(max_doc_tokens × 60) per row,
+    never O(batch)."""
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(_tokens(text_col)).alias("tok")
     ).where(F.col("tok") != "")
     hashed = toks.select("doc", _md5_60bit(F.col("tok")).alias("h"))
-    bits = hashed.select(
-        "doc",
-        F.explode(F.sequence(F.lit(0), F.lit(_SIM_BITS - 1))).alias("b"),
-        "h",
-    ).select(
-        "doc",
-        "b",
-        # shiftright() builtins require a literal shift; the SQL form
-        # accepts a column
-        F.when(F.expr("shiftright(h, b) & 1") == 1, 1).otherwise(-1).alias("s"),
-    )
-    return (
-        bits.groupBy("doc", "b")
-        .agg(F.sum("s").alias("score"))
-        .groupBy("doc")
-        .agg(
-            F.sum(
-                F.when(F.col("score") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
-        .select(F.col("doc").alias("doc_id"), "simhash")
-    )
+    grouped = hashed.groupBy("doc").agg(F.collect_list("h").alias("hs"))
+
+    @F.pandas_udf("long")
+    def sim_udf(hs: pd.Series) -> pd.Series:
+        shifts = np.arange(_SIM_BITS, dtype=np.uint64)
+        out = np.empty(len(hs), dtype=np.int64)
+        for i, arr in enumerate(hs):
+            h = np.asarray(arr, dtype=np.uint64)
+            set_counts = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            # bit b set iff score_b = 2·set_count_b − n > 0
+            bits = (2 * set_counts > len(h)).astype(np.uint64)
+            out[i] = int((bits << shifts).sum())
+        return pd.Series(out)
+
+    return grouped.select(F.col("doc").alias("doc_id"), sim_udf("hs").alias("simhash"))
 
 
 def simhash_pairs(
