@@ -99,13 +99,41 @@ def char_shingles(
     )
 
 
+def _apply_max_df(sh: DataFrame, max_df: int | None) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    The inverted-index self-join emits df² pair rows per shingle, so a
+    boilerplate n-gram shared by m documents alone costs m² rows —
+    quadratic blow-up on low-entropy corpora. Capping df bounds the
+    join at max_df² rows per shingle (standard 100 TB practice);
+    ubiquitous shingles carry ~zero similarity signal anyway. Jaccard
+    is then computed over the filtered shingle space (dropped from
+    both intersections AND set sizes, so the measure stays a true
+    Jaccard on the reduced universe)."""
+    if max_df is None:
+        return sh
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(hot, "shingle", "left_anti")
+
+
 def _jaccard_from_shingles(
-    sh: DataFrame, threshold: float, *, candidates: DataFrame | None = None
+    sh: DataFrame,
+    threshold: float,
+    *,
+    candidates: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """id1<id2 pairs with Jaccard ≥ threshold over (doc, shingle) sets —
     the shared inverted-index core of every exact path. With
     ``candidates`` (id1, id2), intersections are computed only for
-    those pairs (the LSH verify stage)."""
+    those pairs (the LSH verify stage). ``max_df`` (off by default)
+    drops ubiquitous shingles first — see ``_apply_max_df``."""
+    sh = _apply_max_df(sh, max_df)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     if candidates is None:
@@ -132,9 +160,12 @@ def _jaccard_from_shingles(
     sa = sizes.select(F.col("doc").alias("id1"), F.col("sz").alias("sz1"))
     sb = sizes.select(F.col("doc").alias("id2"), F.col("sz").alias("sz2"))
     jac = F.col("ic") / (F.col("sz1") + F.col("sz2") - F.col("ic"))
+    # no broadcast hint: the size tables have one row per DOCUMENT, so
+    # at corpus scale they exceed executor memory — let AQE pick
+    # broadcast vs shuffle join from runtime statistics
     return (
-        inter.join(F.broadcast(sa), "id1")
-        .join(F.broadcast(sb), "id2")
+        inter.join(sa, "id1")
+        .join(sb, "id2")
         .where(jac >= threshold)
         .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
     )
@@ -168,9 +199,11 @@ def weighted_jaccard_pairs(
     ta = totals.select(F.col("doc").alias("id1"), F.col("tot").alias("tot1"))
     tb = totals.select(F.col("doc").alias("id2"), F.col("tot").alias("tot2"))
     jac = F.col("smin") / (F.col("tot1") + F.col("tot2") - F.col("smin"))
+    # per-doc totals scale with the corpus — no broadcast hint, AQE
+    # decides from runtime sizes
     return (
-        inter.join(F.broadcast(ta), "id1")
-        .join(F.broadcast(tb), "id2")
+        inter.join(ta, "id1")
+        .join(tb, "id2")
         .where(jac >= threshold)
         .select("id1", "id2", F.round(jac, 6).alias("w_jaccard"))
     )
@@ -183,15 +216,19 @@ def char_jaccard_pairs(
     *,
     n: int = 5,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs over character n-gram sets.
 
     NB: exact inverted-index joins are quadratic in per-shingle
     document frequency — low-entropy corpora (every doc shares common
-    n-grams) blow up the intersection join. That cost is inherent to
-    EXACT char-gram Jaccard; use ``minhash_lsh_pairs`` (candidates ∝
-    truly-similar pairs) as the scale path."""
-    return _jaccard_from_shingles(char_shingles(df, id_col, text_col, n), threshold)
+    n-grams) blow up the intersection join. Pass ``max_df`` to drop
+    ubiquitous n-grams first (bounds the join; see ``_apply_max_df``),
+    or use ``minhash_lsh_pairs`` (candidates ∝ truly-similar pairs) as
+    the scale path."""
+    return _jaccard_from_shingles(
+        char_shingles(df, id_col, text_col, n), threshold, max_df=max_df
+    )
 
 
 def dedup_corpus(
@@ -228,16 +265,18 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similarity self-join on token n-gram shingle sets.
 
     Returns DataFrame[id1, id2, jaccard] with id1 < id2 and jaccard ≥
     ``threshold`` (rounded to 6 dp). Inverted-index plan: shuffle on
-    shingle to count intersections, broadcast the per-doc set sizes
-    back in — pair count is bounded by co-occurring shingles, never
-    |docs|²."""
+    shingle to count intersections, join the per-doc set sizes back in
+    — pair count is bounded by co-occurring shingles, never |docs|².
+    ``max_df`` (optional) bounds the per-shingle fan-out on
+    boilerplate-heavy corpora; see ``_apply_max_df``."""
     return _jaccard_from_shingles(
-        token_shingles(df, id_col, text_col, n).cache(), threshold
+        token_shingles(df, id_col, text_col, n).cache(), threshold, max_df=max_df
     )
 
 
@@ -287,13 +326,19 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     num_perm: int = 64,
     bands: int = 32,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs at Jaccard ≥ threshold via MinHash-LSH candidate
     generation + exact verification. Output schema/semantics identical
-    to ``ngram_jaccard_pairs`` (w.h.p.; see module docstring)."""
+    to ``ngram_jaccard_pairs`` (w.h.p.; see module docstring).
+    ``max_df`` filters ubiquitous shingles BEFORE both signatures and
+    verification, so the whole pipeline operates on one consistent
+    filtered shingle space (see ``_apply_max_df``)."""
     assert num_perm % bands == 0
     rows = num_perm // bands
-    sh = token_shingles(df, id_col, text_col, n).cache()
+    sh = _apply_max_df(
+        token_shingles(df, id_col, text_col, n), max_df
+    ).cache()
     sig = minhash_signatures(sh, num_perm=num_perm)
     # band key = hash of the band's signature slice
     banded = sig.select(

@@ -76,6 +76,91 @@ def test_dedup_corpus_removes_cluster_non_minima(spark, docs):
     assert survivors == [0, 2, 4, 5]
 
 
+def _brute_jaccard_pairs(texts, n, threshold, max_df=None):
+    """Python reference: Jaccard over token-n-gram sets, optionally on
+    the max_df-filtered shingle universe."""
+    sets = {}
+    for i, t in texts.items():
+        toks = t.split()
+        sets[i] = {
+            " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+        }
+    if max_df is not None:
+        from collections import Counter
+
+        df_count = Counter(s for ss in sets.values() for s in ss)
+        sets = {
+            i: {s for s in ss if df_count[s] <= max_df}
+            for i, ss in sets.items()
+        }
+    out = {}
+    ids = sorted(sets)
+    for a in ids:
+        for b in ids:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                if inter:
+                    j = inter / (len(sets[a] | sets[b]))
+                    if j >= threshold:
+                        out[(a, b)] = round(j, 6)
+    return out
+
+
+@pytest.fixture(scope="module")
+def boilerplate_docs(spark):
+    """Every doc shares an identical boilerplate tail (the hot-shingle
+    hazard: its shingles have df == n_docs); only 0/1 share real
+    content."""
+    boiler = "subscribe to our newsletter terms of service apply all rights reserved"
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta " + boiler),
+        (1, "alpha beta gamma delta epsilon eta " + boiler),
+        (2, "one two three four five six " + boiler),
+        (3, "seven eight nine ten eleven twelve " + boiler),
+        (4, "unrelated totally different content words here " + boiler),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]), dict(
+        (i, t) for i, t in rows
+    )
+
+
+def test_max_df_caps_boilerplate_fanout(boilerplate_docs):
+    df, texts = boilerplate_docs
+    # without the cap every pair shares boilerplate shingles: the
+    # inverted-index join touches all C(5,2) pairs
+    uncapped = _brute_jaccard_pairs(texts, 3, 0.2)
+    assert len(uncapped) == 10
+    # cap at df<=2: boilerplate shingles (df=5) drop, only the real
+    # content pair remains — and Spark must agree with brute force on
+    # the filtered universe
+    capped_expected = _brute_jaccard_pairs(texts, 3, 0.2, max_df=2)
+    assert set(capped_expected) == {(0, 1)}
+    got = {
+        (r.id1, r.id2): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.2, max_df=2
+        ).collect()
+    }
+    assert got == capped_expected
+
+
+def test_max_df_lsh_matches_exact_on_filtered_space(boilerplate_docs):
+    df, texts = boilerplate_docs
+    exact = {
+        (r.id1, r.id2, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.2, max_df=2
+        ).collect()
+    }
+    lsh = {
+        (r.id1, r.id2, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.2, max_df=2
+        ).collect()
+    }
+    assert lsh == exact
+
+
 def test_simhash_properties(docs):
     sig = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs, "doc_id", "text").collect()}
     assert sig[0] == sig[3]  # identical text -> identical signature
