@@ -80,8 +80,84 @@ def cosine_topk(
     exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k nearest neighbors by cosine. Ties and FP noise at
-    the boundary break deterministically by (cosine desc, vec_id)."""
-    pairs = cosine_pairs(queries, qid, qvec, corpus, cid, cvec)
+    the boundary break deterministically by (cosine desc, vec_id).
+
+    Plan: per-corpus-partition partial top-k first (one numpy matmul
+    per Arrow batch, a bounded 2k-candidate buffer per query), THEN the
+    exact JVM-fold cosine + global rank over the surviving |Q|·2k·P
+    candidate rows. The global top-k is a subset of the union of
+    per-partition top-k sets, so nothing can be missed; the 2k pad
+    absorbs any last-ulp disagreement between numpy's pairwise
+    summation and the sequential fold used for final scoring (which
+    stays bit-identical to the SQL oracle). Without the prefilter the
+    full |Q|×|corpus| pair set shuffles through the rank exchange —
+    the round-1 scale hole."""
+    spark = queries.sparkSession
+    q_pdf = (
+        queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("qv"))
+        .dropDuplicates(["query_id"])
+        .toPandas()
+    )
+    qt = queries.schema[qid].dataType.simpleString()
+    ct = corpus.schema[cid].dataType.simpleString()
+    c = corpus.select(F.col(cid).alias("vec_id"), F.col(cvec).alias("cv"))
+    if len(q_pdf) == 0:
+        return (
+            c.limit(0)
+            .select(
+                F.col("vec_id").cast(qt).alias("query_id"),
+                "vec_id",
+                F.lit(0).cast("double").alias("cosine"),
+            )
+            .select("query_id", "vec_id", F.lit(0).cast("long").alias("rank"))
+        )
+    qmat = np.array(q_pdf["qv"].tolist(), dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    q_ids = q_pdf["query_id"].to_numpy()
+    pad = 2 * k
+    bq = spark.sparkContext.broadcast((q_ids, qmat, qnorm))
+
+    def part_topk(batches):
+        ids, qm, qn = bq.value
+        per_batch: list[tuple[np.ndarray, np.ndarray]] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf["cv"].tolist(), dtype=np.float64)
+            cn = np.linalg.norm(m, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (m @ qm.T) / (cn[:, None] * qn[None, :])
+            # Spark sorts NaN as the LARGEST double — keep such rows in
+            # the candidate set and let the exact rerank order them
+            cos = np.nan_to_num(cos, nan=np.inf)
+            take = min(pad, len(m))
+            top = np.argpartition(-cos, take - 1, axis=0)[:take]
+            vec_ids = pdf["vec_id"].to_numpy()
+            per_batch.append((vec_ids[top.T.reshape(-1)], np.repeat(np.arange(len(ids)), take)))
+        if not per_batch:
+            return
+        cand_vid = np.concatenate([v for v, _ in per_batch])
+        cand_q = np.concatenate([qidx for _, qidx in per_batch])
+        yield pd.DataFrame(
+            {"query_id": ids[cand_q], "vec_id": cand_vid}
+        ).drop_duplicates()
+
+    cand = c.mapInPandas(part_topk, schema=f"query_id {qt}, vec_id {ct}")
+    # exact rerank: recompute the sequential-fold cosine JVM-side for
+    # candidates only, so final ordering matches the non-prefiltered
+    # plan (and the oracle) bit-for-bit
+    q = queries.select(
+        F.col(qid).alias("query_id"), _as_double(F.col(qvec)).alias("qv")
+    ).dropDuplicates(["query_id"])
+    pairs = (
+        cand.join(c, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            _cosine(F.col("qv"), _as_double(F.col("cv"))).alias("cosine"),
+        )
+    )
     if exclude_self:
         pairs = pairs.where(F.col("query_id") != F.col("vec_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -235,10 +311,26 @@ def cosine_topk_ivf(
     to ~|corpus|·nprobe/n_cells; the corpus side is one narrow
     assignment pass (a matmul per Arrow batch) and the join is equi on
     cell id — broadcastable on the query side, no corpus shuffle."""
+    # seeded RANDOM sample for centroid training — .limit() would take
+    # the first partitions' rows, so a corpus sorted/clustered by label
+    # trains biased centroids and silently tanks recall
+    cvec_only = corpus.select(F.col(cvec).alias("v"))
+    n_corpus = cvec_only.count()
+    if n_corpus == 0:
+        return (
+            queries.select(F.col(qid).alias("query_id"))
+            .limit(0)
+            .join(corpus.select(F.col(cid).alias("vec_id")).limit(0))
+            .select("query_id", "vec_id", F.lit(0).cast("long").alias("rank"))
+        )
+    frac = min(1.0, (sample_size * 1.2) / n_corpus)
     sample_pdf = (
-        corpus.select(F.col(cvec).alias("v")).limit(sample_size).toPandas()
+        cvec_only.sample(fraction=frac, seed=seed).limit(sample_size).toPandas()
     )
     sample = np.array(sample_pdf["v"].tolist(), dtype=np.float64)
+    if sample.size == 0:  # pathological sampling miss: deterministic fallback
+        sample_pdf = cvec_only.limit(sample_size).toPandas()
+        sample = np.array(sample_pdf["v"].tolist(), dtype=np.float64)
     cent = _kmeans_centroids(sample, n_cells, seed=seed)
     c_assign = _cell_assign_udf(cent, 1)
     q_assign = _cell_assign_udf(cent, nprobe)

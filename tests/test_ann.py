@@ -98,6 +98,43 @@ def test_ivf_recall_on_clustered(spark, clustered):
     assert recall >= 0.9, f"IVF recall {recall} too low on clustered data"
 
 
+def test_ivf_recall_survives_sorted_corpus_with_small_sample(spark, clustered):
+    """The fixture is ordered by cluster; a .limit()-based trainer with
+    sample_size=40 would only ever see the first 2 of 5 clusters and
+    recall collapses for queries in the unseen ones. Seeded random
+    sampling must keep recall high regardless of corpus order."""
+    df, rows = clustered
+    qids = [0, 25, 50, 75]
+    q = df.where(df.vec_id.isin(qids))
+    got = {}
+    res = ann.cosine_topk_ivf(
+        q, "vec_id", "embedding", df, "vec_id", "embedding",
+        k=5, n_cells=10, nprobe=3, sample_size=40,
+    ).collect()
+    for r in res:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    exp = _numpy_topk(rows, qids, 5)
+    hits = sum(len(got.get(q, set()) & set(exp[q])) for q in qids)
+    recall = hits / (5 * len(qids))
+    assert recall >= 0.9, f"IVF recall {recall} too low with small sample on sorted corpus"
+
+
+def test_ivf_empty_corpus(spark, clustered):
+    df, _ = clustered
+    empty = df.limit(0)
+    q = df.where(df.vec_id < 3)
+    assert ann.cosine_topk_ivf(
+        q, "vec_id", "embedding", empty, "vec_id", "embedding", k=5
+    ).count() == 0
+
+
+def test_cosine_topk_empty_queries(spark, clustered):
+    df, _ = clustered
+    assert ann.cosine_topk(
+        df.limit(0), "vec_id", "embedding", df, "vec_id", "embedding", k=5
+    ).count() == 0
+
+
 def test_embedding_near_dup_finds_planted(spark, clustered):
     df, rows = clustered
     dup_id = len(rows) - 1
