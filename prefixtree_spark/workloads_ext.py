@@ -428,19 +428,25 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.42
     """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-oracle coupling requires near-certain candidate recall:
-    at cosine 0.9, one hyperplane bit agrees with p = 1-acos(0.9)/π ≈
-    0.856, a 4-bit signature matches with 0.856⁴ ≈ 0.537, and missing
-    all 32 tables ≈ (1-0.537)³² ≈ 2e-11 — comparable to the MinHash
-    w.h.p. bound. The wider 8-bit default would miss boundary pairs
-    ~0.4% of the time and flunk the gate if the fixture ever gains
-    such pairs."""
+    """Threshold 0.42 because the sf0.01 fixture's max off-diagonal
+    cosine is 0.513: the old 0.9 threshold made the gate vacuously
+    green on an empty set (round-1 verdict). 0.42 admits 34 oracle
+    pairs, so the gate exercises real output.
+
+    Exact-oracle coupling requires near-certain candidate recall, and
+    0.42 is a weak angular constraint (~65°), so signatures must be
+    narrow: one hyperplane bit agrees with p = 1-acos(0.42)/π ≈ 0.638,
+    a 2-bit signature matches with 0.638² ≈ 0.407, and a boundary pair
+    missing all 32 tables ≈ (1-0.407)³² ≈ 5e-8 — w.h.p. equal to the
+    exact join. (At such a loose threshold LSH prunes little at this
+    fixture size — the operator's pruning power returns at the tight
+    thresholds real embedding dedup uses.)"""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann.embedding_near_dup(
-        emb, "vec_id", "embedding", threshold=0.9, dim=64,
-        n_planes=4, n_tables=32,
+        emb, "vec_id", "embedding", threshold=0.42, dim=64,
+        n_planes=2, n_tables=32,
     )
