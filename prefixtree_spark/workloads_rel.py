@@ -218,6 +218,28 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload("events_value_quantiles_approx", None)
+def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of ``events_value_quantiles`` — the 100 TB path.
+
+    ``approx_percentile`` aggregates a bounded-memory quantile summary
+    (Greenwald-Khanna style) with map-side partial merge, so per-group
+    state is O(accuracy), independent of group cardinality — exact
+    ``percentile`` materializes every value per group. Error is
+    RANK-based (≤ n/accuracy ranks), not value-based; the accuracy
+    band vs the exact twin is asserted in tests/test_relational.py.
+    No SQL oracle: DuckDB's approx sketch is a different algorithm, so
+    the driver records the rows-only check."""
+    ev = load_table(spark, sf_dir, "events")
+    acc = 10_000
+    return ev.groupBy("event_type").agg(
+        F.expr(f"approx_percentile(value, 0.25, {acc})").alias("p25"),
+        F.expr(f"approx_percentile(value, 0.5, {acc})").alias("p50"),
+        F.expr(f"approx_percentile(value, 0.75, {acc})").alias("p75"),
+        F.expr(f"approx_percentile(value, 0.95, {acc})").alias("p95"),
+    )
+
+
 @workload(
     "media_binary_meta",
     """

@@ -37,6 +37,41 @@ def test_scan_column_pruning(spark):
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
 
 
+def test_approx_quantiles_within_rank_tolerance(spark):
+    """Sketch twin vs exact twin on the same fixture: with
+    accuracy=10000 the rank error is ≤ n/10000 ranks per group, so the
+    approx quantile must land inside the exact [p-eps, p+eps] value
+    band. Checked per (event_type, percentile)."""
+    from prefixtree_spark.workloads_rel import (
+        events_value_quantiles,
+        events_value_quantiles_approx,
+    )
+
+    exact_band = {}
+    ev = load_table(spark, SF_SMOKE, "events")
+    # per-group value bands at p±eps, eps = rank tolerance
+    eps = 0.005  # 50x the nominal 1/10000 rank error: generous, still tight
+    for p, lo, hi in [
+        (0.25, 0.245, 0.255),
+        (0.5, 0.495, 0.505),
+        (0.75, 0.745, 0.755),
+        (0.95, 0.945, 0.955),
+    ]:
+        rows = ev.groupBy("event_type").agg(
+            F.expr(f"percentile(value, {lo})").alias("lo"),
+            F.expr(f"percentile(value, {hi})").alias("hi"),
+        ).collect()
+        for r in rows:
+            exact_band[(r.event_type, p)] = (r.lo, r.hi)
+    approx = events_value_quantiles_approx(spark, SF_SMOKE).collect()
+    assert len(approx) > 0
+    for r in approx:
+        for p, col in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")]:
+            lo, hi = exact_band[(r.event_type, p)]
+            v = getattr(r, col)
+            assert lo <= v <= hi, (r.event_type, p, v, lo, hi)
+
+
 def test_sessionize_values(spark):
     rows = [
         (1, 100, "2024-01-01 00:00:00"),
