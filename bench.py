@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -37,10 +38,19 @@ def main() -> None:
     times: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def bench(name: str, fn) -> None:
-        t0 = time.time()
-        out = fn()
-        times[name] = round(time.time() - t0, 3)
+    def bench(name: str, fn, *, repeats: int = 1) -> None:
+        # repeats>1 → report the MEDIAN run: the two big dedup entries
+        # swing 3-12s run-to-run under local[32] contention, which made
+        # single-shot numbers useless for regression detection
+        runs = []
+        out = None
+        for _ in range(repeats):
+            t0 = time.time()
+            out = fn()
+            runs.append(time.time() - t0)
+        times[name] = round(statistics.median(runs), 3)
+        if repeats > 1:
+            extras[f"{name}_spread"] = round(max(runs) - min(runs), 3)
         if isinstance(out, (int, float)):
             extras[f"{name}_rows"] = out
 
@@ -134,6 +144,7 @@ def main() -> None:
 
     # pipeline extensions
     catalog = workloads.QUERIES
+    noisy = {"dedup_minhash_lsh", "dedup_simhash_pairs"}
     for name in [
         "dedup_minhash_lsh",
         "dedup_simhash_pairs",
@@ -145,7 +156,11 @@ def main() -> None:
         "q3_top_revenue_orders",
         "events_sessionize",
     ]:
-        bench(name, lambda name=name: catalog[name](spark, sf_dir).count())
+        bench(
+            name,
+            lambda name=name: catalog[name](spark, sf_dir).count(),
+            repeats=3 if name in noisy else 1,
+        )
 
     total = round(sum(times.values()), 3)
     print(

@@ -80,14 +80,23 @@ def streaming_dedup_events(
 
 
 def run_stream_to_memory(
-    spark: SparkSession, result: DataFrame, name: str, *, timeout_s: int = 120
+    spark: SparkSession,
+    result: DataFrame,
+    name: str,
+    *,
+    output_mode: str = "append",
+    timeout_s: int = 120,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion with the availableNow
-    trigger into an in-memory sink; returns the sink table."""
+    trigger into an in-memory sink; returns the sink table.
+
+    ``output_mode``: "append" (default — valid for every streaming
+    query) or "complete" (full-aggregate queries only; a non-aggregating
+    stream raises AnalysisException under it, so it is opt-in)."""
     q = (
         result.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

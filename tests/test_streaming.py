@@ -28,7 +28,7 @@ def test_streaming_equals_batch(spark, events_dir):
     stream = read_events_stream(spark, events_dir)
     assert stream.isStreaming
     result = streaming_tumbling_counts(stream)
-    got = run_stream_to_memory(spark, result, "tumbling_test")
+    got = run_stream_to_memory(spark, result, "tumbling_test", output_mode="complete")
     batch = tumbling_counts(load_table(spark, SF_SMOKE, "events"))
     g = {
         (r.window_start_us, r.event_type): r.n_events
@@ -54,16 +54,9 @@ def test_streaming_dedup_equals_batch_distinct(spark, events_dir, tmp_path):
     sh.copy(f"{events_dir}/events.parquet", d / "b.parquet")  # replay
     stream = read_events_stream(spark, str(d))
     deduped = streaming_dedup_events(stream)
-    q = (
-        deduped.select("event_id")
-        .writeStream.format("memory")
-        .queryName("dedup_test")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    got = sorted(r.event_id for r in spark.table("dedup_test").collect())
+    # non-aggregating stream: the helper's default append mode applies
+    sink = run_stream_to_memory(spark, deduped.select("event_id"), "dedup_test")
+    got = sorted(r.event_id for r in sink.collect())
     exp = sorted(
         r.event_id
         for r in load_table(spark, SF_SMOKE, "events").select("event_id").distinct().collect()
