@@ -324,10 +324,13 @@ def cosine_topk_ivf(
             .select("query_id", "vec_id", F.lit(0).cast("long").alias("rank"))
         )
     frac = min(1.0, (sample_size * 1.2) / n_corpus)
-    sample_pdf = (
-        cvec_only.sample(fraction=frac, seed=seed).limit(sample_size).toPandas()
-    )
-    sample = np.array(sample_pdf["v"].tolist(), dtype=np.float64)
+    # no .limit() after sample: limit consumes rows in partition order,
+    # truncating preferentially from trailing partitions — which would
+    # partially reintroduce the order bias for sorted/clustered corpora.
+    # Collect the ~1.2x oversample and hard-cap in pandas instead (the
+    # slice keeps a hash-random subset because sample() is row-wise).
+    sample_pdf = cvec_only.sample(fraction=frac, seed=seed).toPandas()
+    sample = np.array(sample_pdf["v"].tolist(), dtype=np.float64)[: int(sample_size * 1.2)]
     if sample.size == 0:  # pathological sampling miss: deterministic fallback
         sample_pdf = cvec_only.limit(sample_size).toPandas()
         sample = np.array(sample_pdf["v"].tolist(), dtype=np.float64)

@@ -177,18 +177,36 @@ def weighted_jaccard_pairs(
     text_col: str,
     *,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Term-frequency-weighted Jaccard over token multisets:
     J_w = Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b). More
     repetition-sensitive than set Jaccard (boilerplate-heavy docs score
     higher). Same inverted-index shape: join on token, aggregate
-    Σmin; Σmax = tot_a + tot_b − Σmin."""
+    Σmin; Σmax = tot_a + tot_b − Σmin.
+
+    ``max_df`` drops tokens appearing in more than ``max_df`` documents
+    BEFORE both the intersection join and the per-doc totals — the same
+    filtered-universe semantics as ``_apply_max_df`` for the shingle
+    paths: the measure stays a true weighted Jaccard on the reduced
+    token universe, and the token-level inverted-index join is bounded
+    at max_df² pair rows per token (otherwise a boilerplate token
+    shared by m docs alone emits m² rows)."""
     toks = (
         df.select(F.col(id_col).alias("doc"), F.explode(_tokens(text_col)).alias("tok"))
         .where(F.col("tok") != "")
         .groupBy("doc", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
-    ).cache()
+    )
+    if max_df is not None:
+        hot = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("tok")
+        )
+        toks = toks.join(hot, "tok", "left_anti")
+    toks = toks.cache()
     totals = toks.groupBy("doc").agg(F.sum("tf").alias("tot"))
     a, b = toks.alias("a"), toks.alias("b")
     inter = (

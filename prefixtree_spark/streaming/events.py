@@ -84,15 +84,17 @@ def run_stream_to_memory(
     result: DataFrame,
     name: str,
     *,
-    output_mode: str = "append",
+    output_mode: str,
     timeout_s: int = 120,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion with the availableNow
     trigger into an in-memory sink; returns the sink table.
 
-    ``output_mode``: "append" (default — valid for every streaming
-    query) or "complete" (full-aggregate queries only; a non-aggregating
-    stream raises AnalysisException under it, so it is opt-in)."""
+    ``output_mode`` is REQUIRED (no default): the right mode depends on
+    the query shape — "complete" for full-aggregate queries, "append"
+    for non-aggregating / watermarked ones — and a silent default flip
+    changes an aggregate stream's semantics without any caller-side
+    code change (round-2 advice). Callers state what they mean."""
     q = (
         result.writeStream.format("memory")
         .queryName(name)

@@ -157,6 +157,43 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.weighted_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
 
 
+@workload(
+    "dedup_weighted_jaccard_capped",
+    """
+    WITH tf0 AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+      GROUP BY doc_id, tok
+    ),
+    hot AS (SELECT tok FROM tf0 GROUP BY tok HAVING count(*) > 40),
+    tf AS (SELECT * FROM tf0 WHERE tok NOT IN (SELECT tok FROM hot)),
+    totals AS (SELECT doc_id, sum(tf) AS tot FROM tf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, sum(least(a.tf, b.tf)) AS smin
+      FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id1, id2,
+           round(smin::DOUBLE / (ta.tot + tb.tot - smin), 6) AS w_jaccard
+    FROM inter
+    JOIN totals ta ON ta.doc_id = id1
+    JOIN totals tb ON tb.doc_id = id2
+    WHERE smin::DOUBLE / (ta.tot + tb.tot - smin) >= 0.5
+    """,
+)
+def dedup_weighted_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-token-capped variant (max_df=40) at a looser threshold:
+    the oracle reproduces the df filter in SQL, so the gate certifies
+    the filtered-universe semantics — both the dropped tokens and the
+    reduced per-doc totals — not just the happy path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.weighted_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_df=40
+    )
+
+
 _SIMHASH_SIG_SQL = """
     WITH toks AS (
       SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok

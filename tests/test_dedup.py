@@ -184,3 +184,54 @@ def test_simhash_pairs_pigeonhole_matches_bruteforce(docs):
         for r in dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=k).collect()
     }
     assert got == expected
+
+
+def _brute_weighted_jaccard(texts, threshold, max_df=None):
+    """Driver-side TF-weighted Jaccard; with max_df, over the
+    df-filtered token universe (same semantics as the operator)."""
+    from collections import Counter
+
+    tfs = {i: Counter(t.split()) for i, t in texts.items()}
+    if max_df is not None:
+        dfc = Counter()
+        for c in tfs.values():
+            for tok in c:
+                dfc[tok] += 1
+        tfs = {
+            i: Counter({t: n for t, n in c.items() if dfc[t] <= max_df})
+            for i, c in tfs.items()
+        }
+    out = {}
+    for a in tfs:
+        for b in tfs:
+            if a < b:
+                smin = sum(min(n, tfs[b][t]) for t, n in tfs[a].items())
+                smax = sum(tfs[a].values()) + sum(tfs[b].values()) - smin
+                if smax and smin / smax >= threshold:
+                    out[(a, b)] = round(smin / smax, 6)
+    return out
+
+
+def test_weighted_jaccard_max_df_matches_bruteforce(boilerplate_docs):
+    """The one sibling that missed max_df in round 2: capped results
+    must equal brute force over the filtered token universe, and the
+    cap must actually change the answer on a boilerplate-heavy corpus
+    (otherwise this test is vacuous)."""
+    df, texts = boilerplate_docs
+    uncapped_expected = _brute_weighted_jaccard(texts, 0.2)
+    capped_expected = _brute_weighted_jaccard(texts, 0.2, max_df=2)
+    assert uncapped_expected != capped_expected
+    got_uncapped = {
+        (r.id1, r.id2): r.w_jaccard
+        for r in dedup.weighted_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.2
+        ).collect()
+    }
+    got_capped = {
+        (r.id1, r.id2): r.w_jaccard
+        for r in dedup.weighted_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.2, max_df=2
+        ).collect()
+    }
+    assert got_uncapped == uncapped_expected
+    assert got_capped == capped_expected

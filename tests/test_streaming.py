@@ -55,7 +55,9 @@ def test_streaming_dedup_equals_batch_distinct(spark, events_dir, tmp_path):
     stream = read_events_stream(spark, str(d))
     deduped = streaming_dedup_events(stream)
     # non-aggregating stream: the helper's default append mode applies
-    sink = run_stream_to_memory(spark, deduped.select("event_id"), "dedup_test")
+    sink = run_stream_to_memory(
+        spark, deduped.select("event_id"), "dedup_test", output_mode="append"
+    )
     got = sorted(r.event_id for r in sink.collect())
     exp = sorted(
         r.event_id
