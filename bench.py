@@ -79,6 +79,16 @@ def main() -> None:
         "fuzzy_tree_k1",
         lambda: query(pt_holder["pt"], qdf, "q", 1, mode="broadcast_tree").count(),
     )
+    # the serving setup: collect+merge+broadcast ONCE (untimed handle
+    # build), then repeated query() calls reuse the handle — the number
+    # the round-2 verdict asked for (warm call vs per-call rebuild)
+    from prefixtree_spark import build_local_index
+
+    handle = build_local_index(pt_holder["pt"])
+    bench(
+        "fuzzy_tree_k1_warm",
+        lambda: query(pt_holder["pt"], qdf, "q", 1, index=handle).count(),
+    )
     # the 100 TB path: tree stays distributed, zero-shuffle traversal
     bench(
         "fuzzy_tree_distributed_k1",
@@ -109,6 +119,13 @@ def main() -> None:
         .crossJoin(words)
         .where(F.levenshtein("q", "word", 2) >= 0)
         .count(),
+    )
+    # the reference's own physical plan (LOOP + keyed JOIN) — tracked
+    # since the round-3 rework (tree side pre-partitioned + one eager
+    # materialization per level instead of two)
+    bench(
+        "fuzzy_tree_bfs_k1",
+        lambda: query(pt_holder["pt"], qdf, "q", 1, mode="bfs").count(),
     )
 
     # B4: serving path — 100 point queries on the collected index

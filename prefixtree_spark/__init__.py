@@ -15,7 +15,12 @@ pandas functions; no RDD API, no Catalyst extensions.
 """
 
 from prefixtree_spark.operators.build import create, load_index, save_index
-from prefixtree_spark.operators.query import LocalIndex, query, query_one
+from prefixtree_spark.operators.query import (
+    LocalIndex,
+    build_local_index,
+    query,
+    query_one,
+)
 from prefixtree_spark.operators.similarity_join import (
     best_match,
     fuzzy_dedup,
@@ -27,6 +32,7 @@ __all__ = [
     "query",
     "query_one",
     "LocalIndex",
+    "build_local_index",
     "save_index",
     "load_index",
     "similarity_join",

@@ -38,6 +38,24 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+def _pin_release(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
+    """Materialize the (pair-set-sized) result and free the
+    corpus-sized cached intermediates that produced it.
+
+    Every near-dup operator caches a shingle/token/signature table that
+    is consumed by several branches of one plan; those caches scale
+    with the CORPUS, so leaving them persisted leaks executor memory
+    across a long multi-query pipeline (round-2 verdict #4). Pinning
+    the result (localCheckpoint) makes it self-contained, after which
+    the intermediates are unpersisted immediately. The returned
+    DataFrame owns only its own checkpoint storage — proportional to
+    the OUTPUT (near-dup pairs), not the corpus."""
+    out = result.localCheckpoint(eager=True)
+    for df in intermediates:
+        df.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -219,11 +237,12 @@ def weighted_jaccard_pairs(
     jac = F.col("smin") / (F.col("tot1") + F.col("tot2") - F.col("smin"))
     # per-doc totals scale with the corpus — no broadcast hint, AQE
     # decides from runtime sizes
-    return (
+    return _pin_release(
         inter.join(ta, "id1")
         .join(tb, "id2")
         .where(jac >= threshold)
-        .select("id1", "id2", F.round(jac, 6).alias("w_jaccard"))
+        .select("id1", "id2", F.round(jac, 6).alias("w_jaccard")),
+        toks,
     )
 
 
@@ -293,8 +312,9 @@ def ngram_jaccard_pairs(
     — pair count is bounded by co-occurring shingles, never |docs|².
     ``max_df`` (optional) bounds the per-shingle fan-out on
     boilerplate-heavy corpora; see ``_apply_max_df``."""
-    return _jaccard_from_shingles(
-        token_shingles(df, id_col, text_col, n).cache(), threshold, max_df=max_df
+    sh = token_shingles(df, id_col, text_col, n).cache()
+    return _pin_release(
+        _jaccard_from_shingles(sh, threshold, max_df=max_df), sh
     )
 
 
@@ -386,7 +406,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verification of candidates only
-    return _jaccard_from_shingles(sh, threshold, candidates=candidates)
+    return _pin_release(
+        _jaccard_from_shingles(sh, threshold, candidates=candidates), sh
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -477,6 +499,9 @@ def simhash_pairs(
         .distinct()
     )
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return cand.where(ham <= max_hamming).select(
-        "id1", "id2", ham.cast("int").alias("hamming")
+    return _pin_release(
+        cand.where(ham <= max_hamming).select(
+            "id1", "id2", ham.cast("int").alias("hamming")
+        ),
+        sig,
     )

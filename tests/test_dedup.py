@@ -235,3 +235,28 @@ def test_weighted_jaccard_max_df_matches_bruteforce(boilerplate_docs):
     }
     assert got_uncapped == uncapped_expected
     assert got_capped == capped_expected
+
+
+def test_intermediate_caches_released(spark, docs):
+    """Each near-dup operator pins its (small) result and unpersists
+    its corpus-sized shingle/token/signature cache before returning:
+    the persistent-RDD delta per call is at most the result's own
+    checkpoint — the intermediates must NOT remain (round-2 verdict #4)."""
+    jsc = spark.sparkContext._jsc
+
+    def n_persistent():
+        return jsc.getPersistentRDDs().size()
+
+    ops = [
+        lambda: dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8),
+        lambda: dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8),
+        lambda: dedup.weighted_jaccard_pairs(docs, "doc_id", "text", threshold=0.2),
+        lambda: dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3),
+    ]
+    for op in ops:
+        before = n_persistent()
+        res = op()
+        res.count()
+        # at most the pinned result's checkpoint storage; the cached
+        # shingles/tokens/signatures are gone
+        assert n_persistent() - before <= 1
