@@ -147,3 +147,51 @@ def test_embedding_near_dup_finds_planted(spark, clustered):
     assert (0, dup_id) in pairs
     # anything at >= 0.999 must be within-cluster
     assert all(abs(a - b) <= 20 or b == dup_id for a, b in pairs)
+
+
+def test_cosine_topk_chunked_matches_unchunked(spark, clustered):
+    """Query set >> chunk size: the chunked bounded-broadcast path must
+    return exactly the single-collect result (round-2 verdict #1)."""
+    df, rows = clustered
+    qids = list(range(0, 100, 2))  # 50 queries
+    q = df.where(df.vec_id.isin(qids))
+    one = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in ann.cosine_topk(
+            q, "vec_id", "embedding", df, "vec_id", "embedding", k=5
+        ).collect()
+    }
+    chunked = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in ann.cosine_topk(
+            q, "vec_id", "embedding", df, "vec_id", "embedding", k=5,
+            query_chunk_rows=7,
+        ).collect()
+    }
+    assert chunked == one
+    exp = _numpy_topk(rows, qids, 5)
+    got = {}
+    for qid, rank, vid in chunked:
+        got.setdefault(qid, []).append((rank, vid))
+    for qid in qids:
+        assert [v for _, v in sorted(got[qid])] == exp[qid]
+
+
+def test_cosine_topk_tie_heavy_duplicates(spark):
+    """More identical vectors than the 2k prefilter pad, all tied at
+    the boundary: the tie-aware per-batch selection must keep them all
+    so the exact rank picks the LOWEST vec_ids (round-2 advice). With
+    an arbitrary argpartition cut this returns the wrong id set."""
+    base = [1.0, 0.0, 0.5]
+    other = [0.0, 1.0, 0.0]
+    rows = [(i, base) for i in range(40)] + [(100 + i, other) for i in range(5)]
+    df = spark.createDataFrame(rows, _vec_schema())
+    q = spark.createDataFrame([(999, base)], _vec_schema())
+    got = [
+        (r.rank, r.vec_id)
+        for r in ann.cosine_topk(
+            q, "vec_id", "embedding", df, "vec_id", "embedding", k=10
+        ).collect()
+    ]
+    # 40 duplicates tie at cosine 1.0 > pad=20; exact order is vec_id asc
+    assert sorted(got) == [(i + 1, i) for i in range(10)]
