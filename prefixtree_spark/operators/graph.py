@@ -2,13 +2,19 @@
 core of ``fuzzy_dedup`` and ``dedup_corpus``.
 
 Hybrid strategy (GraphFrames-style): edge sets small enough to collect
-run a one-pass driver-side union-find; larger graphs run alternating
-large-star/small-star contraction (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14) — rounds scale with
-O(log n), NOT graph diameter, so a million-node near-dup chain
-converges in ~20 rounds instead of a million. Edges are symmetrized
-internally, so callers may pass each pair once in either direction;
-isolated nodes (no edges) keep themselves as component.
+run a vectorized driver-side min-label union (numpy edge relaxation +
+pointer-doubling compression — no per-edge Python); larger graphs run
+alternating large-star/small-star contraction (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — rounds
+scale with O(log n), NOT graph diameter, so a million-node near-dup
+chain converges in ~20 rounds instead of a million. Edges are
+symmetrized internally, so callers may pass each pair once in either
+direction; isolated nodes (no edges) keep themselves as component.
+
+Threshold: ``collect_edges_below`` = 5M edges ≈ 80 MB of driver ids
+and well under a second of numpy CC — a safe driver budget; above it
+the star-contraction rounds (each one shuffle) win because nothing is
+collected at all.
 """
 
 from __future__ import annotations
@@ -64,27 +70,47 @@ def connected_components(
     try:
         n_edges = edges.count()
         if n_edges < collect_edges_below:
-            parent: dict = {}
+            # vectorized driver-side min-label union: the round-2
+            # pure-Python find() loop cost ~seconds of driver stall
+            # near the 5M-edge threshold; this is numpy end-to-end —
+            # factorize node values to dense indices (sorted, so the
+            # min index IS the min value), then alternate edge
+            # relaxation (np.minimum.at both directions) with full
+            # pointer-doubling path compression until no edge spans two
+            # labels. Outer rounds are O(log n) (hash-to-min shape);
+            # each round is O(E + V log V) in C. ~5M edges ≈ well under
+            # a second of driver CPU vs ~seconds for the dict loop.
+            import numpy as np
 
-            def find(x):
-                root = x
-                while parent.get(root, root) != root:
-                    root = parent[root]
-                while parent.get(x, x) != x:
-                    parent[x], x = root, parent[x]
-                return root
-
-            for row in edges.toLocalIterator():
-                ra, rb = find(row[0]), find(row[1])
-                if ra != rb:
-                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                    parent[hi] = lo
+            pdf = edges.toPandas()
             spark = nodes.sparkSession
-            comp_rows = [(v, find(v)) for v in parent]
             schema = nodes.schema["node"].dataType.simpleString()
+            if len(pdf) == 0:
+                return nodes.select("node", F.col("node").alias("component"))
+            both = np.concatenate(
+                [pdf["src"].to_numpy(), pdf["dst"].to_numpy()]
+            )
+            vals, inv = np.unique(both, return_inverse=True)
+            si, di = inv[: len(pdf)], inv[len(pdf) :]
+            p = np.arange(len(vals))
+            for _ in range(64):  # >> log2(any driver-sized graph)
+                np.minimum.at(p, si, p[di])
+                np.minimum.at(p, di, p[si])
+                while True:  # full path compression (pointer doubling)
+                    pp = p[p]
+                    if np.array_equal(pp, p):
+                        break
+                    p = pp
+                if np.array_equal(p[si], p[di]):
+                    break
+            else:  # pragma: no cover - defensive
+                raise RuntimeError("driver union-find did not converge")
+            import pandas as pd
+
             comp_df = spark.createDataFrame(
-                comp_rows, f"node {schema}, component {schema}"
-            ) if comp_rows else spark.createDataFrame([], f"node {schema}, component {schema}")
+                pd.DataFrame({"node": vals, "component": vals[p]}),
+                schema=f"node {schema}, component {schema}",
+            )
             return nodes.join(comp_df, "node", "left").select(
                 "node",
                 F.coalesce(F.col("component"), F.col("node")).alias("component"),

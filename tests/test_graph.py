@@ -64,3 +64,23 @@ def test_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, edges, max_iter=1, collect_edges_below=0)
+
+
+def test_driver_numpy_chain_fast_and_correct(spark):
+    """The driver path on a 200k-edge chain (worst case for label
+    propagation): the vectorized min-label union must be correct and
+    fast — the round-2 pure-Python find() loop took O(seconds) here;
+    numpy does it in well under the generous 15s budget (which covers
+    Spark collect overhead, not the CC itself)."""
+    import time
+
+    n = 200_001
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    t0 = time.time()
+    got = connected_components(nodes, edges, collect_edges_below=10**9)
+    assert got.where(F.col("component") != 0).count() == 0
+    assert got.count() == n
+    assert time.time() - t0 < 15
