@@ -38,7 +38,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from prefixtree_spark.plans.tree import ID_BLOCK, PT_COLUMNS, PT_SCHEMA
+from prefixtree_spark.plans.tree import (
+    ID_BLOCK,
+    PT_COLUMNS,
+    PT_COLUMNS_DUP,
+    PT_SCHEMA,
+    PT_SCHEMA_DUP,
+)
 
 # Sentinel child key for end-cap leaves: a unique object, so it cannot
 # collide with any first-character key — including words that contain
@@ -85,11 +91,18 @@ def _insert(root: list, word: str) -> None:
     cur[_CHILDREN][_END] = [word, None, n, n]
 
 
-def _emit_rows(root: list, pid: int) -> Iterator[tuple]:
+def _emit_rows(
+    root: list, pid: int, counts: dict[str, int] | None = None
+) -> Iterator[tuple]:
     """Assign ids (block offset pid*1e14, PrefixTree.ecl:172-181),
     compute subtree _min/_max word-length bounds (PrefixTree.ecl:270-271,
     292-293), and yield PTLayout rows iteratively (no recursion — word
-    length is unbounded only by the configured cap)."""
+    length is unbounded only by the configured cap).
+
+    With ``counts`` (keep_duplicates mode) every row gains an
+    ``n_copies`` column: the word's input multiplicity at end-caps
+    (compressing the reference's n identical end-cap nodes,
+    PrefixTree.ecl:205-208, into one row + count), 1 elsewhere."""
     base = pid * ID_BLOCK
     next_id = 1
 
@@ -116,7 +129,10 @@ def _emit_rows(root: list, pid: int) -> Iterator[tuple]:
         nid = base + next_id
         next_id += 1
         is_word = node[_CHILDREN] is None
-        yield (nid, parent, node[_MAX], node[_MIN], is_word, pid, node[_LABEL])
+        row = (nid, parent, node[_MAX], node[_MIN], is_word, pid, node[_LABEL])
+        if counts is not None:
+            row += (counts[node[_LABEL]] if is_word else 1,)
+        yield row
         if not is_word:
             for c in reversed(list(node[_CHILDREN].values())):
                 stack2.append((c, nid))
@@ -136,7 +152,9 @@ class _OpenNode:
         self.mx = mx
 
 
-def _stream_build_sorted(words, pid: int) -> Iterator[tuple]:
+def _stream_build_sorted(
+    words, pid: int, *, keep_duplicates: bool = False
+) -> Iterator[tuple]:
     """One-pass radix-tree construction over SORTED words — the
     reference's scan formulation (two directional ITERATE passes +
     NORMALIZE + ROLLUP, PrefixTree.ecl:140-299, SURVEY.md §4 O3) as a
@@ -148,11 +166,22 @@ def _stream_build_sorted(words, pid: int) -> Iterator[tuple]:
     word. For each new word, nodes deeper than the LCP are finished
     (emitted), a straddling node is split, and the word's new suffix +
     end-cap are opened/emitted. Emitted trees are logically identical
-    to the in-memory builder's (asserted in tests)."""
+    to the in-memory builder's (asserted in tests).
+
+    ``keep_duplicates``: duplicates are ADJACENT in sorted order, so
+    counting a run costs zero memory; rows gain ``n_copies`` (the
+    word's multiplicity at end-caps, 1 elsewhere — see ``_emit_rows``).
+    """
     base = pid * ID_BLOCK
     next_id = base + 1
     stack: list[_OpenNode] = []
     prev = None
+    # end-cap emission is delayed one word so a sorted duplicate run
+    # can be counted into it: [id, parent, wordlen, word, n_copies]
+    pending_cap: list | None = None
+
+    def row(vals: tuple, n_copies: int = 1) -> tuple:
+        return vals + (n_copies,) if keep_duplicates else vals
 
     def close_top() -> tuple:
         node = stack.pop()
@@ -160,11 +189,20 @@ def _stream_build_sorted(words, pid: int) -> Iterator[tuple]:
             top = stack[-1]
             top.mn = min(top.mn, node.mn)
             top.mx = max(top.mx, node.mx)
-        return (node.id, node.parent, node.mx, node.mn, False, pid, node.label)
+        return row((node.id, node.parent, node.mx, node.mn, False, pid, node.label))
+
+    def cap_row(cap: list) -> tuple:
+        cid, parent, n, word, copies = cap
+        return row((cid, parent, n, n, True, pid, word), copies)
 
     for word in words:
         if word == prev:  # sorted dedup (Quirk 2 fix, zero memory)
+            if pending_cap is not None:
+                pending_cap[4] += 1
             continue
+        if pending_cap is not None:
+            yield cap_row(pending_cap)
+            pending_cap = None
         if prev is None:
             lcp = 0
         else:
@@ -186,7 +224,9 @@ def _stream_build_sorted(words, pid: int) -> Iterator[tuple]:
                     next_id, top.parent, top.start, top.label[:cut], top.mn, top.mx
                 )
                 next_id += 1
-                yield (top.id, prefix.id, top.mx, top.mn, False, pid, top.label[cut:])
+                yield row(
+                    (top.id, prefix.id, top.mx, top.mn, False, pid, top.label[cut:])
+                )
                 stack[-1] = prefix
                 break
             else:
@@ -199,49 +239,57 @@ def _stream_build_sorted(words, pid: int) -> Iterator[tuple]:
         next_id += 1
         stack.append(node)
         # end-cap leaf carries the full word (PrefixTree.ecl:280,283)
-        yield (next_id, node.id, n, n, True, pid, word)
+        pending_cap = [next_id, node.id, n, word, 1]
         next_id += 1
         prev = word
+    if pending_cap is not None:
+        yield cap_row(pending_cap)
     while stack:
         yield close_top()
 
 
 def _build_partition_streaming(
-    batches: Iterator[pd.DataFrame],
+    batches: Iterator[pd.DataFrame], *, keep_duplicates: bool = False
 ) -> Iterator[pd.DataFrame]:
     from pyspark import TaskContext
 
     pid = TaskContext.get().partitionId()
+    columns = PT_COLUMNS_DUP if keep_duplicates else PT_COLUMNS
 
     def words() -> Iterator[str]:
         for pdf in batches:
             yield from pdf["word"]
 
     buf: list[tuple] = []
-    for row in _stream_build_sorted(words(), pid):
+    for row in _stream_build_sorted(words(), pid, keep_duplicates=keep_duplicates):
         buf.append(row)
         if len(buf) >= 100_000:
-            yield pd.DataFrame(buf, columns=PT_COLUMNS)
+            yield pd.DataFrame(buf, columns=columns)
             buf = []
     if buf:
-        yield pd.DataFrame(buf, columns=PT_COLUMNS)
+        yield pd.DataFrame(buf, columns=columns)
 
 
-def _build_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _build_partition(
+    batches: Iterator[pd.DataFrame], *, keep_duplicates: bool = False
+) -> Iterator[pd.DataFrame]:
     from pyspark import TaskContext
 
     pid = TaskContext.get().partitionId()
     root = _new_node("")
-    seen: set[str] = set()
+    counts: dict[str, int] = {}
     for pdf in batches:
         for word in pdf["word"]:
-            if word not in seen:
-                seen.add(word)
+            n = counts.get(word)
+            if n is None:
+                counts[word] = 1
                 _insert(root, word)
-    if not seen:
+            else:
+                counts[word] = n + 1
+    if not counts:
         return
-    rows = list(_emit_rows(root, pid))
-    out = pd.DataFrame(rows, columns=PT_COLUMNS)
+    rows = list(_emit_rows(root, pid, counts if keep_duplicates else None))
+    out = pd.DataFrame(rows, columns=PT_COLUMNS_DUP if keep_duplicates else PT_COLUMNS)
     for start in range(0, len(out), 100_000):
         yield out.iloc[start : start + 100_000]
 
@@ -254,6 +302,7 @@ def create(
     prefix_len: int | None = None,
     max_word_len: int = 255,
     builder: str = "memory",
+    keep_duplicates: bool = False,
 ) -> DataFrame:
     """Build a distributed prefix-tree node table from a string column.
 
@@ -285,6 +334,14 @@ def create(
     node]. Words longer than ``max_word_len`` (reference envelope: 255,
     PrefixTree.ecl:322-326) are dropped with the same semantics as
     blanks; pass ``None`` to lift the cap.
+
+    ``keep_duplicates=True`` adds an ``n_copies`` column carrying each
+    word's input multiplicity at its end-cap (1 on internal nodes) —
+    the engine's compressed form of the reference's behavior, where a
+    word appearing n times gets n identical end-cap nodes and a query
+    returns n identical rows (PrefixTree.ecl:205-208, SURVEY.md §0
+    Quirk 2). The default stays deduped (query semantics unchanged;
+    every oracle is against DISTINCT words).
     """
     words = df.select(F.trim(F.col(col) if isinstance(col, str) else col).alias("word"))
     words = words.where(F.col("word") != "")
@@ -293,12 +350,19 @@ def create(
     n = num_partitions or words.sparkSession.sparkContext.defaultParallelism
     key = F.col("word") if prefix_len is None else F.substring("word", 1, prefix_len)
     words = words.repartition(n, key)
+    schema = PT_SCHEMA_DUP if keep_duplicates else PT_SCHEMA
     if builder == "streaming":
         words = words.sortWithinPartitions("word")
-        return words.mapInPandas(_build_partition_streaming, schema=PT_SCHEMA)
+        return words.mapInPandas(
+            lambda it: _build_partition_streaming(it, keep_duplicates=keep_duplicates),
+            schema=schema,
+        )
     if builder != "memory":
         raise ValueError(f"unknown builder {builder!r}")
-    return words.mapInPandas(_build_partition, schema=PT_SCHEMA)
+    return words.mapInPandas(
+        lambda it: _build_partition(it, keep_duplicates=keep_duplicates),
+        schema=schema,
+    )
 
 
 def save_index(pt: DataFrame, path: str) -> None:

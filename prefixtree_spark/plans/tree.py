@@ -33,3 +33,12 @@ PT_SCHEMA = T.StructType(
 )
 
 PT_COLUMNS = [f.name for f in PT_SCHEMA.fields]
+
+# keep_duplicates=True layout: PTLayout + the per-word input multiplicity
+# (the engine's compressed form of the reference's n-identical-end-caps
+# behavior, PrefixTree.ecl:205-208; internal nodes carry 1).
+PT_SCHEMA_DUP = T.StructType(
+    PT_SCHEMA.fields + [T.StructField("n_copies", T.IntegerType(), False)]
+)
+
+PT_COLUMNS_DUP = [f.name for f in PT_SCHEMA_DUP.fields]

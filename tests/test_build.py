@@ -90,3 +90,24 @@ def test_build_single_shuffle_plan(spark):
     df = _words_df(spark, SPARSE_WORDS)
     plan = create(df, "word", num_partitions=4)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+@pytest.mark.parametrize("builder", ["memory", "streaming"])
+def test_keep_duplicates_multiplicity(spark, builder):
+    """keep_duplicates=True: end-caps carry the word's input
+    multiplicity (the compressed form of the reference's n identical
+    end-caps, PrefixTree.ecl:205-208); internal nodes carry 1; the
+    default build is unchanged (no n_copies column, same node set)."""
+    vocab = ["CAT", "CAT", "CART", "CAT", "DOG", "DOG"]
+    df = _words_df(spark, vocab)
+    pt_dup = create(df, "word", num_partitions=1, builder=builder,
+                    keep_duplicates=True)
+    rows = pt_dup.collect()
+    caps = {r.node: r.n_copies for r in rows if r.is_word}
+    assert caps == {"CAT": 3, "CART": 1, "DOG": 2}
+    assert all(r.n_copies == 1 for r in rows if not r.is_word)
+    # default build: identical node structure, no n_copies column
+    pt = create(df, "word", num_partitions=1, builder=builder)
+    assert "n_copies" not in pt.columns
+    strip = {tuple(r)[:7] for r in rows}
+    assert {tuple(r) for r in pt.collect()} == strip
