@@ -15,6 +15,7 @@ pandas functions; no RDD API, no Catalyst extensions.
 """
 
 from prefixtree_spark.operators.build import create, load_index, save_index
+from prefixtree_spark.operators.incremental import add_words
 from prefixtree_spark.operators.query import (
     LocalIndex,
     build_local_index,
@@ -33,6 +34,7 @@ __all__ = [
     "query_one",
     "LocalIndex",
     "build_local_index",
+    "add_words",
     "save_index",
     "load_index",
     "similarity_join",

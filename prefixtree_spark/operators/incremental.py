@@ -1,0 +1,206 @@
+"""Incremental index maintenance — ``add_words`` inserts a delta
+vocabulary into an existing node table WITHOUT rebuilding the
+dictionary from raw input.
+
+The reference cannot do this: ``Create`` is monolithic (the whole
+vocabulary re-flows through DISTRIBUTE + ITERATE + NORMALIZE + ROLLUP,
+PrefixTree.ecl:50-301). For a 100 TB dictionary the raw corpus
+re-shuffle is the cost that matters; here only
+
+  - the DELTA words shuffle (routed with the same whole-word hash
+    ``create`` uses, so a delta word joins the forest holding its
+    prefix-sharing neighbors — mis-routing is impossible to get wrong:
+    correctness is partition-independent, SURVEY.md §0, so at worst a
+    wrongly-routed word costs prefix sharing, never answers), and
+  - the existing NODE table moves once through a cogroup on its build
+    partition (already-deduplicated, prefix-compressed rows — far
+    smaller than the corpus),
+
+and only partitions that actually receive delta words rebuild their
+trie; untouched forests pass through row-identical.
+
+ID discipline: surviving nodes keep their ids; new nodes allocate from
+the partition block's unused range (``max(existing id in block) + 1``,
+block scheme ≡ PrefixTree.ecl:172-181) — so ids stay globally unique
+with zero coordination, exactly as in ``create``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from prefixtree_spark.plans.tree import ID_BLOCK, PT_COLUMNS, PT_SCHEMA
+
+# node = [label, children dict (first char / _END -> node), min, max, id]
+# id is None for nodes created by this delta insert.
+_LABEL, _CHILDREN, _MIN, _MAX, _ID = 0, 1, 2, 3, 4
+_END = object()
+
+
+def _node(label: str, nid: int | None = None) -> list:
+    return [label, {}, 0, 0, nid]
+
+
+def _rebuild(rows: pd.DataFrame) -> list:
+    """Reconstruct the partition's radix forest from its PTLayout rows
+    (labels + parent links are a complete encoding; ids are preserved
+    on the rebuilt nodes)."""
+    root = _node("")
+    nodes: dict[int, list] = {}
+    internal = rows[~rows["is_word"]]
+    for nid, label in zip(internal["id"], internal["node"]):
+        nodes[int(nid)] = _node(label, int(nid))
+    for nid, parent_id, is_word, label, mn, mx in zip(
+        rows["id"], rows["parent_id"], rows["is_word"],
+        rows["node"], rows["_min"], rows["_max"],
+    ):
+        parent = root if int(parent_id) == 0 else nodes[int(parent_id)]
+        if is_word:
+            # end-cap: children=None, label = ENTIRE word
+            parent[_CHILDREN][_END] = [label, None, int(mn), int(mx), int(nid)]
+        else:
+            child = nodes[int(nid)]
+            parent[_CHILDREN][child[_LABEL][0]] = child
+    return root
+
+
+def _insert(root: list, word: str) -> None:
+    """Radix insertion with edge splitting; new nodes carry id None.
+    On a split the TAIL keeps the original node's id (its subtree
+    hangs unchanged below it); the new prefix node is fresh."""
+    cur = root
+    i = 0
+    n = len(word)
+    while i < n:
+        first = word[i]
+        child = cur[_CHILDREN].get(first)
+        if child is None:
+            child = _node(word[i:])
+            cur[_CHILDREN][first] = child
+            cur = child
+            i = n
+            break
+        label = child[_LABEL]
+        p = 0
+        max_p = min(len(label), n - i)
+        while p < max_p and label[p] == word[i + p]:
+            p += 1
+        if p < len(label):
+            tail = [label[p:], child[_CHILDREN], child[_MIN], child[_MAX], child[_ID]]
+            child[_LABEL] = label[:p]
+            child[_CHILDREN] = {label[p]: tail}
+            child[_ID] = None  # the prefix is a NEW node
+        cur = child
+        i += p
+    if _END not in cur[_CHILDREN]:
+        cur[_CHILDREN][_END] = [word, None, n, n, None]
+
+
+def _emit(root: list, pid: int, next_id: int) -> Iterator[tuple]:
+    """Recompute subtree _min/_max bottom-up, then emit all rows,
+    keeping surviving ids and allocating fresh ones from ``next_id``
+    upward (the partition block's unused range)."""
+    stack = [(root, False)]
+    while stack:
+        node, done = stack.pop()
+        if node[_CHILDREN] is None:
+            continue
+        if not done:
+            stack.append((node, True))
+            for c in node[_CHILDREN].values():
+                stack.append((c, False))
+        else:
+            kids = node[_CHILDREN].values()
+            node[_MIN] = min(c[_MIN] for c in kids)
+            node[_MAX] = max(c[_MAX] for c in kids)
+
+    def assign(node: list) -> int:
+        nonlocal next_id
+        if node[_ID] is None:
+            node[_ID] = next_id
+            next_id += 1
+        return node[_ID]
+
+    stack2 = [(c, 0) for c in reversed(list(root[_CHILDREN].values()))]
+    while stack2:
+        node, parent = stack2.pop()
+        nid = assign(node)
+        is_word = node[_CHILDREN] is None
+        yield (nid, parent, node[_MAX], node[_MIN], is_word, pid, node[_LABEL])
+        if not is_word:
+            for c in reversed(list(node[_CHILDREN].values())):
+                stack2.append((c, nid))
+
+
+def add_words(
+    pt: DataFrame,
+    df: DataFrame,
+    col: str | Column,
+    *,
+    max_word_len: int = 255,
+    prefix_len: int | None = None,
+) -> DataFrame:
+    """Insert ``df[col]``'s words into the node table ``pt`` and return
+    the updated table (same schema). Equivalent, as query-result SETS,
+    to ``create(old_words ∪ delta)`` — pinned by property tests and the
+    ``pt_add_words`` oracle workload.
+
+    ``prefix_len`` must match the value used at ``create`` time for the
+    delta routing to land words in their prefix-sharing forests; a
+    mismatch only costs locality (extra roots are harmless, SURVEY.md
+    §0). ``keep_duplicates`` tables are not supported (the multiplicity
+    column would need merge semantics — rebuild instead).
+    """
+    if "n_copies" in pt.columns:
+        raise ValueError("add_words does not support keep_duplicates tables")
+    words = df.select(
+        F.trim(F.col(col) if isinstance(col, str) else col).alias("word")
+    ).where(F.col("word") != "")
+    if max_word_len is not None:
+        words = words.where(F.length("word") <= max_word_len)
+
+    # forest count of the original build (upper bound; gaps from empty
+    # build partitions only shift routing, never correctness)
+    n = int(pt.agg(F.max("compute_node")).first()[0]) + 1
+    key = F.col("word") if prefix_len is None else F.substring("word", 1, prefix_len)
+    routed = words.repartition(n, key)
+
+    def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame({"pid": pid, "word": pdf["word"]})
+
+    delta = routed.mapInPandas(tag, schema="pid int, word string")
+
+    def merge(key: tuple, old: pd.DataFrame, new: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        if len(new) == 0:
+            # untouched forest: pass through row-identical (no rebuild)
+            return old[PT_COLUMNS]
+        fresh = set(new["word"])
+        if len(old) == 0:
+            root = _node("")
+            next_id = pid * ID_BLOCK + 1
+        else:
+            existing = set(old.loc[old["is_word"], "node"])
+            fresh -= existing
+            if not fresh:
+                return old[PT_COLUMNS]
+            root = _rebuild(old)
+            next_id = int(old["id"].max()) + 1
+        for w in sorted(fresh):
+            _insert(root, w)
+        return pd.DataFrame(list(_emit(root, pid, next_id)), columns=PT_COLUMNS)
+
+    return (
+        pt.groupBy("compute_node")
+        .cogroup(delta.groupBy("pid"))
+        .applyInPandas(merge, schema=PT_SCHEMA)
+    )

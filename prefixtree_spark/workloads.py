@@ -218,3 +218,24 @@ def pt_build_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     pt = create(cust, "c_name")
     return pt.where("is_word").select(F.col("node").alias("word")).distinct()
+
+
+@workload(
+    "pt_add_words",
+    """
+    SELECT DISTINCT trim(c_name) AS word
+    FROM customer WHERE trim(c_name) <> ''
+    """,
+)
+def pt_add_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance gate: build on half the vocabulary, then
+    ``add_words`` the other half — the merged tree must spell EXACTLY
+    the same distinct word set as a monolithic build (a capability the
+    reference lacks: Create is monolithic, PrefixTree.ecl:50-301).
+    Query-result equivalence is pinned by tests/test_incremental.py."""
+    from prefixtree_spark.operators.incremental import add_words
+
+    cust = load_table(spark, sf_dir, "customer")
+    pt = create(cust.where("c_custkey % 2 = 0"), "c_name")
+    merged = add_words(pt, cust.where("c_custkey % 2 = 1"), "c_name")
+    return merged.where("is_word").select(F.col("node").alias("word")).distinct()

@@ -1,0 +1,82 @@
+"""Incremental index maintenance: add_words(build(A), B) must be
+query-equivalent to build(A ∪ B), preserve surviving ids, and pass
+untouched forests through unchanged."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from prefixtree_spark import create, query
+from prefixtree_spark.operators.incremental import add_words
+from prefixtree_spark.plans.tree import ID_BLOCK
+from tests.conftest import brute_levenshtein
+from tests.test_build import SPARSE_WORDS, _words_df
+
+
+def _vocab(seed, n):
+    rng = random.Random(seed)
+    alpha = "ABCDE"
+    return [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(1, 8)))
+        for _ in range(n)
+    ]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.parametrize("parts", [1, 3])
+def test_add_words_query_equivalence(spark, seed, parts):
+    base = _vocab(seed, 60)
+    delta = _vocab(seed + 100, 40) + base[:5]  # overlap on purpose
+    queries = _vocab(seed + 200, 10)
+    pt_inc = add_words(
+        create(_words_df(spark, base), "word", num_partitions=parts),
+        _words_df(spark, delta),
+        "word",
+    )
+    qdf = spark.createDataFrame([(q,) for q in queries], ["q"])
+    got = {
+        (r.query_string, r.node, r.final_distance)
+        for r in query(pt_inc, qdf, "q", 1).collect()
+    }
+    expected = {
+        (q, w, brute_levenshtein(q, w))
+        for q in set(queries)
+        for w in set(base) | set(delta)
+        if brute_levenshtein(q, w) <= 1
+    }
+    assert got == expected
+    # end-cap set == full distinct vocabulary
+    caps = {r.node for r in pt_inc.where("is_word").collect()}
+    assert caps == set(base) | set(delta)
+
+
+def test_add_words_invariants_and_id_blocks(spark):
+    base, delta = SPARSE_WORDS, ["KAMINSKY", "SMITHEREENS", "CA", "DOGE"]
+    pt0 = create(_words_df(spark, base), "word", num_partitions=3)
+    pt1 = add_words(pt0, _words_df(spark, delta), "word")
+    rows = pt1.collect()
+    ids = [r.id for r in rows]
+    assert len(ids) == len(set(ids))  # globally unique
+    id_set = set(ids) | {0}
+    assert all(r.parent_id in id_set for r in rows)  # acyclic forest links
+    assert all(r.id // ID_BLOCK == r.compute_node for r in rows)  # block discipline
+    assert all(r._min <= r._max for r in rows)
+    # surviving words keep their end-cap ids (splits never touch caps)
+    old_caps = {r.node: r.id for r in pt0.where("is_word").collect()}
+    new_caps = {r.node: r.id for r in pt1.where("is_word").collect()}
+    assert all(new_caps[w] == i for w, i in old_caps.items())
+
+
+def test_add_existing_words_is_identity(spark):
+    pt0 = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=2)
+    pt1 = add_words(pt0, _words_df(spark, SPARSE_WORDS[:4]), "word")
+    assert {tuple(r) for r in pt1.collect()} == {tuple(r) for r in pt0.collect()}
+
+
+def test_add_words_rejects_keep_duplicates(spark):
+    ptd = create(
+        _words_df(spark, ["A", "A"]), "word", num_partitions=1, keep_duplicates=True
+    )
+    with pytest.raises(ValueError, match="keep_duplicates"):
+        add_words(ptd, _words_df(spark, ["B"]), "word")
