@@ -109,6 +109,50 @@ def extend_rows(
     return cur if cur is not rows else rows.copy()
 
 
+def extend_rows_multi(
+    batch: QueryBatch, rows: np.ndarray, idx: np.ndarray, labels: list[str]
+) -> np.ndarray:
+    """Advance row i by ITS OWN edge label ``labels[i]`` — the
+    heterogeneous-label twin of ``extend_rows`` for bfs mode, where one
+    Arrow batch holds (query, node) pairs visiting MANY different
+    nodes. One vectorized char-step advances every row still inside
+    its label (per-row char codes broadcast against the query-code
+    matrix), so the Python cost is O(max label length) loop iterations
+    per batch instead of one ``extend_rows`` call per distinct label —
+    the per-level UDF was the measured bfs bottleneck (thousands of
+    tiny label groups per batch)."""
+    n = len(idx)
+    if n == 0:
+        return rows.copy()
+    lab_lens = np.fromiter((len(l) for l in labels), dtype=np.int32, count=n)
+    L = int(lab_lens.max()) if n else 0
+    lab_codes = np.zeros((n, L), dtype=np.int32)
+    for i, lab in enumerate(labels):
+        if lab:
+            lab_codes[i, : len(lab)] = np.fromiter(
+                map(ord, lab), dtype=np.int32, count=len(lab)
+            )
+    codes = batch.codes[idx]
+    js = batch._js
+    cur = rows.copy()
+    for t in range(L):
+        act = lab_lens > t
+        if not act.any():
+            break
+        sub = cur[act]
+        c = lab_codes[act, t]
+        out = np.empty_like(sub)
+        out[:, 0] = sub[:, 0] + 1
+        np.minimum(
+            sub[:, :-1] + (codes[act] != c[:, None]), sub[:, 1:] + 1, out=out[:, 1:]
+        )
+        out -= js
+        np.minimum.accumulate(out, axis=1, out=out)
+        out += js
+        cur[act] = out
+    return cur
+
+
 def levenshtein(a: str, b: str) -> int:
     """Plain two-string Levenshtein distance (test oracle helper)."""
     batch = QueryBatch([a])

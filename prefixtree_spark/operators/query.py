@@ -51,7 +51,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from prefixtree_spark.functions.levenshtein import QueryBatch, extend_rows
+from prefixtree_spark.functions.levenshtein import (
+    QueryBatch,
+    extend_rows,
+    extend_rows_multi,
+)
 from prefixtree_spark.plans.tree import VIRTUAL_ROOT_ID
 
 def merge_forests(pt_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -85,6 +89,11 @@ RESULT_SCHEMA = T.StructType(
 # Collected trees up to this many nodes use the broadcast_tree path in
 # mode="auto"; beyond it the tree stays distributed.
 _AUTO_BROADCAST_NODES = 2_000_000
+
+# bfs tree sides up to this many nodes are broadcast into the per-level
+# join (zero per-level shuffles); beyond it the tree is hash-partitioned
+# on parent_id once and only the frontier moves each level.
+_BFS_BROADCAST_NODES = 5_000_000
 
 # Distinct query strings up to this count may be collected + broadcast
 # (tens of MB of driver memory); beyond it, with the tree ALSO too big
@@ -261,12 +270,16 @@ def _query_bfs(
     result (frontier early-exit, PrefixTree.ecl:431-432).
 
     Physical shape (round-3 rework):
-      - the tree side is hash-partitioned on ``parent_id`` ONCE and
-        persisted, so every level's equi-join reuses that layout and
-        only the (shrinking) frontier shuffles — the reference's keyed
-        INDEX (PrefixTree.ecl:612-613). Pass ``tree_partitioned=True``
-        when ``pt`` is already laid out on parent_id (a bucketed table
-        from ``save_index_bucketed``) to skip the upfront shuffle.
+      - the tree side is persisted once and sized: small trees are
+        BROADCAST into every level's join (zero shuffles per level —
+        frontier stays in place, the per-level cost is one stage);
+        trees too big to broadcast are hash-partitioned on
+        ``parent_id`` ONCE, so every level's equi-join reuses that
+        layout and only the (shrinking) frontier shuffles — the
+        reference's keyed INDEX (PrefixTree.ecl:612-613). Pass
+        ``tree_partitioned=True`` when ``pt`` is already laid out on
+        parent_id (a bucketed table from ``save_index_bucketed``) to
+        skip both the probe and the upfront shuffle.
       - ONE eager materialization per level (the next frontier, which
         runs the join + DP exactly once); end-cap rows are kept as
         LAZY slices off each level's checkpointed frontier and only
@@ -279,23 +292,22 @@ def _query_bfs(
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def dp_extend(query: pd.Series, state: pd.Series, label: pd.Series) -> pd.Series:
-        """Vectorized per Arrow batch: rows sharing an edge label (the
-        common case — one node is visited by many queries) advance as
-        ONE padded numpy DP, not row-at-a-time Python."""
-        out = pd.Series([None] * len(query), dtype=object)
-        frame = pd.DataFrame({"q": query, "s": state, "lab": label})
-        for lab, grp in frame.groupby("lab", sort=False):
-            batch = QueryBatch(grp["q"].tolist())
-            idx = np.arange(len(grp))
-            rows = np.full((len(grp), batch.max_len + 1), 0, dtype=np.int32)
-            for i, s in enumerate(grp["s"]):
-                arr = np.asarray(s, dtype=np.int32)
-                rows[i, : len(arr)] = arr
-            new = extend_rows(batch, rows, idx, lab)
-            qlens = batch.lens
-            vals = [new[i, : qlens[i] + 1].tolist() for i in range(len(grp))]
-            out.loc[grp.index] = pd.Series(vals, index=grp.index, dtype=object)
-        return pd.Series(out)
+        """One vectorized multi-label DP per Arrow batch: every (query,
+        node) row advances by its own edge label in a single padded
+        numpy kernel (``extend_rows_multi``) — no per-label Python loop
+        (a batch visits thousands of distinct nodes; grouping by label
+        was the measured per-level bottleneck)."""
+        n = len(query)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        batch = QueryBatch(query.tolist())
+        rows = np.zeros((n, batch.max_len + 1), dtype=np.int32)
+        for i, s in enumerate(state):
+            arr = np.asarray(s, dtype=np.int32)
+            rows[i, : len(arr)] = arr
+        new = extend_rows_multi(batch, rows, np.arange(n), label.tolist())
+        qlens = batch.lens
+        return pd.Series([new[i, : qlens[i] + 1].tolist() for i in range(n)])
 
     qdf = (
         queries.select(F.col(qcol).alias("query_string"))
@@ -308,17 +320,27 @@ def _query_bfs(
         F.lit(VIRTUAL_ROOT_ID).cast("long").alias("node_id"),
         F.sequence(F.lit(0), F.length("query_string")).alias("state"),
     ).localCheckpoint(eager=True)
-    nodes = pt.select("id", "parent_id", "_max", "_min", "is_word", "node")
-    if not tree_partitioned:
-        # one upfront shuffle keyed like the per-level join, reused by
-        # every level (persisted plans keep their output partitioning)
-        nodes = nodes.repartition(F.col("parent_id"))
-    nodes = nodes.persist()
+    base = pt.select("id", "parent_id", "_max", "_min", "is_word", "node")
+    use_broadcast = False
+    if tree_partitioned:
+        nodes = base.persist()
+    else:
+        cached = base.persist()
+        use_broadcast = cached.count() <= _BFS_BROADCAST_NODES
+        if use_broadcast:
+            nodes = cached
+        else:
+            # one upfront shuffle keyed like the per-level join, reused
+            # by every level (persisted plans keep output partitioning)
+            nodes = cached.repartition(F.col("parent_id")).persist()
+            nodes.count()
+            cached.unpersist()
+    join_tree = F.broadcast(nodes) if use_broadcast else nodes
     try:
         results: list[DataFrame] = []
         while True:
             joined = frontier.join(
-                nodes, frontier.node_id == nodes.parent_id, "inner"
+                join_tree, frontier.node_id == nodes.parent_id, "inner"
             ).where(
                 (F.col("qlen") >= F.col("_min") - k)
                 & (F.col("qlen") <= F.col("_max") + k)

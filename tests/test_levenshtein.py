@@ -60,3 +60,37 @@ def test_row_mins_lower_bound():
     for suffix in ["ITH", "YTH", "ITHE", "X" * 10]:
         final = batch.final_distances(extend_rows(batch, rows, idx, suffix), idx)[0]
         assert final >= bound
+
+
+def test_extend_rows_multi_matches_per_label():
+    """The heterogeneous-label bfs kernel must equal per-row
+    extend_rows calls for arbitrary (query, label) pairings."""
+    import random
+
+    import numpy as np
+
+    from prefixtree_spark.functions.levenshtein import (
+        QueryBatch,
+        extend_rows,
+        extend_rows_multi,
+    )
+
+    rng = random.Random(42)
+    alpha = "ABCD"
+    for trial in range(20):
+        qs = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(0, 9)))
+            for _ in range(rng.randint(1, 30))
+        ]
+        labels = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 7)))
+            for _ in qs
+        ]
+        batch = QueryBatch(qs)
+        idx = np.arange(len(qs))
+        rows = batch.initial_rows()
+        multi = extend_rows_multi(batch, rows, idx, labels)
+        for i, lab in enumerate(labels):
+            one = extend_rows(batch, rows[i : i + 1], idx[i : i + 1], lab)
+            valid = batch.lens[i] + 1
+            assert (multi[i, :valid] == one[0, :valid]).all(), (trial, i)
