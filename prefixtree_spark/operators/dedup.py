@@ -38,6 +38,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Plan-audit escape hatch (tools/dump_plans.py): pinning replaces the
+# result plan with its checkpoint scan, which would hide the operator's
+# real physical plan from explain(); everything else should leave this
+# True — it is the cache-lifecycle guarantee.
+PIN_RESULTS = True
+
+
 def _pin_release(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
     """Materialize the (pair-set-sized) result and free the
     corpus-sized cached intermediates that produced it.
@@ -50,6 +57,8 @@ def _pin_release(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
     the intermediates are unpersisted immediately. The returned
     DataFrame owns only its own checkpoint storage — proportional to
     the OUTPUT (near-dup pairs), not the corpus."""
+    if not PIN_RESULTS:
+        return result
     out = result.localCheckpoint(eager=True)
     for df in intermediates:
         df.unpersist()
