@@ -16,6 +16,7 @@ pandas functions; no RDD API, no Catalyst extensions.
 
 from prefixtree_spark.operators.build import create, load_index, save_index
 from prefixtree_spark.operators.incremental import add_words
+from prefixtree_spark.operators.prefix import prefix_search
 from prefixtree_spark.operators.query import (
     LocalIndex,
     build_local_index,
@@ -35,6 +36,7 @@ __all__ = [
     "LocalIndex",
     "build_local_index",
     "add_words",
+    "prefix_search",
     "save_index",
     "load_index",
     "similarity_join",

@@ -524,6 +524,13 @@ class LocalIndex:
         )
         return sorted(zip(words, dists))
 
+    def search_prefix(self, p: str) -> list[str]:
+        """Sorted dictionary words starting with ``p`` — the trie's
+        native second query type, on the same handle."""
+        from prefixtree_spark.operators.prefix import search_prefix
+
+        return search_prefix(self, p)
+
     def search_many(
         self, queries: list[str], max_distance: int
     ) -> list[tuple[str, str, int]]:

@@ -239,3 +239,28 @@ def pt_add_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = create(cust.where("c_custkey % 2 = 0"), "c_name")
     merged = add_words(pt, cust.where("c_custkey % 2 = 1"), "c_name")
     return merged.where("is_word").select(F.col("node").alias("word")).distinct()
+
+
+@workload(
+    "pt_prefix_search",
+    """
+    WITH w AS (SELECT DISTINCT trim(c_name) AS word
+               FROM customer WHERE trim(c_name) <> ''),
+    p AS (SELECT DISTINCT substr(trim(c_name), 1, 16) AS prefix
+          FROM customer WHERE c_custkey % 37 = 0)
+    SELECT p.prefix, w.word
+    FROM p JOIN w ON starts_with(w.word, p.prefix)
+    """,
+)
+def pt_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix retrieval (autocomplete) through the SAME index the fuzzy
+    queries use — the trie's native second query type (a capability the
+    reference's query macros don't expose; its index structure does)."""
+    from prefixtree_spark.operators.prefix import prefix_search
+
+    cust = load_table(spark, sf_dir, "customer")
+    pt = create(cust, "c_name")
+    prefixes = cust.where("c_custkey % 37 = 0").select(
+        F.substring(F.trim("c_name"), 1, 16).alias("p")
+    )
+    return prefix_search(pt, prefixes, "p", colocated=True)
