@@ -1,0 +1,77 @@
+"""Deterministic dataset splitting / sampling for training pipelines.
+
+``split_assign`` gives every row a stable train/val/test label derived
+ONLY from its id (md5 bucket arithmetic) — not from partitioning, row
+order, or a run-time RNG. That is the property a 100 TB pipeline needs:
+re-running the job, repartitioning the corpus, or adding columns never
+moves a document across the split boundary (no train/test leakage from
+nondeterminism), and the SAME assignment is reproducible in any engine
+that has md5 — which is exactly how the DuckDB oracle certifies it.
+
+Everything is a narrow JVM-side projection: no shuffle, no UDF, no
+collect; Catalyst folds the whole thing into the scan's codegen stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# parts-per-million resolution keeps threshold arithmetic in exact
+# integers (bit-identical across engines; no float boundary ambiguity)
+_PPM = 1_000_000
+
+
+def _bucket_ppm(id_col: Column, seed: str) -> Column:
+    """Uniform integer bucket in [0, 1e6) from md5(id || seed): the
+    first 15 hex digits as a 60-bit int, mod 1e6 — the same md5-60bit
+    construction the SimHash oracle already proves portable
+    (reproducible in DuckDB as ('0x' || substr(md5(x),1,15))::BIGINT)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(seed))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % _PPM
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    *,
+    seed: str = "",
+) -> DataFrame:
+    """Adds a ``split`` column assigning each row to one of the named
+    splits with the given fractions (must sum to 1 within 1e-6).
+    Assignment depends only on (id, seed): stable under repartitioning,
+    re-runs, and engine choice. Split names are assigned in the given
+    dict order over increasing bucket ranges."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if not fractions:
+        raise ValueError("at least one split required")
+    b = _bucket_ppm(F.col(id_col), seed)
+    expr = None
+    acc = 0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += int(round(fractions[name] * _PPM))
+        cond = b < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", split)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, *, seed: str = ""
+) -> DataFrame:
+    """Stable fraction-sample by id hash: the same rows are selected on
+    every run and any partitioning (unlike ``DataFrame.sample``, whose
+    selection depends on partition layout). Narrow filter — pushes to
+    the scan."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.where(_bucket_ppm(F.col(id_col), seed) < int(round(fraction * _PPM)))

@@ -239,6 +239,35 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+@workload(
+    "split_assign_docs",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(doc_id::VARCHAR || 'r3'), 1, 15))::BIGINT
+              % 1000000) AS bkt
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bkt < 800000 THEN 'train'
+                WHEN bkt < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def split_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split: assignment is a pure function of
+    (doc_id, seed) — the oracle recomputes the identical md5 bucket
+    arithmetic, certifying cross-engine reproducibility (the property
+    that prevents train/test leakage under re-runs/repartitioning)."""
+    from prefixtree_spark.operators.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="r3"
+    ).select("doc_id", "split")
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
