@@ -303,6 +303,7 @@ def create(
     max_word_len: int = 255,
     builder: str = "memory",
     keep_duplicates: bool = False,
+    trim: str = "both",
 ) -> DataFrame:
     """Build a distributed prefix-tree node table from a string column.
 
@@ -342,8 +343,17 @@ def create(
     returns n identical rows (PrefixTree.ecl:205-208, SURVEY.md §0
     Quirk 2). The default stays deduped (query semantics unchanged;
     every oracle is against DISTINCT words).
+
+    ``trim``: ``"both"`` (default — what a Spark user expects) or
+    ``"right"`` for bug-for-bug parity with ECL ``TRIM``, which strips
+    TRAILING whitespace only (PrefixTree.ecl:77, SURVEY.md §2.7 F1) —
+    under it a word with leading spaces keeps them and is a distinct
+    dictionary entry.
     """
-    words = df.select(F.trim(F.col(col) if isinstance(col, str) else col).alias("word"))
+    trim_fn = {"both": F.trim, "right": F.rtrim}.get(trim)
+    if trim_fn is None:
+        raise ValueError(f"trim must be 'both' or 'right', got {trim!r}")
+    words = df.select(trim_fn(F.col(col) if isinstance(col, str) else col).alias("word"))
     words = words.where(F.col("word") != "")
     if max_word_len is not None:
         words = words.where(F.length("word") <= max_word_len)

@@ -111,3 +111,19 @@ def test_keep_duplicates_multiplicity(spark, builder):
     assert "n_copies" not in pt.columns
     strip = {tuple(r)[:7] for r in rows}
     assert {tuple(r) for r in pt.collect()} == strip
+
+
+def test_trim_right_ecl_parity(spark):
+    """trim='right' reproduces ECL TRIM exactly (trailing-only,
+    PrefixTree.ecl:77): leading-whitespace words survive as distinct
+    dictionary entries; the default full trim collapses them."""
+    vocab = ["  CAT", "CAT  ", "CAT", " DOG"]
+    df = _words_df(spark, vocab)
+    ecl = {r.node for r in create(df, "word", num_partitions=1, trim="right")
+           .where("is_word").collect()}
+    assert ecl == {"  CAT", "CAT", " DOG"}
+    full = {r.node for r in create(df, "word", num_partitions=1)
+            .where("is_word").collect()}
+    assert full == {"CAT", "DOG"}
+    with pytest.raises(ValueError, match="trim"):
+        create(df, "word", trim="left")
