@@ -347,21 +347,26 @@ def minhash_signatures(
     rng = np.random.default_rng(seed)
     mults = (rng.integers(1, 1 << 63, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
 
-    def sigs(pdf: pd.DataFrame) -> pd.DataFrame:
-        h = pdf["h"].to_numpy().astype(np.uint64)
+    @F.pandas_udf("array<long>")
+    def sig_udf(hs: pd.Series) -> pd.Series:
+        # one Arrow batch covers MANY docs (vs one applyInPandas group
+        # per doc — per-group Python dispatch was the measured cost,
+        # the same shape the SimHash de-explode removed); per doc, one
+        # (n_shingles x num_perm) multiply-shift outer product + column
+        # mins in numpy
+        out = []
         with np.errstate(over="ignore"):
-            # (n_shingles, num_perm) multiply-shift, then column mins
-            m = (h[:, None] * mults[None, :]) >> np.uint64(3)
-        sig = m.min(axis=0).astype(np.int64)
-        return pd.DataFrame({"doc": [pdf["doc"].iloc[0]], "sig": [sig.tolist()]})
+            for arr in hs:
+                h = np.asarray(arr, dtype=np.uint64)
+                m = (h[:, None] * mults[None, :]) >> np.uint64(3)
+                out.append(m.min(axis=0).astype(np.int64))
+        return pd.Series(out)
 
     hashed = shingles.select("doc", F.xxhash64("shingle").alias("h"))
-    # derive the doc field's type from the input so non-long id columns
-    # (e.g. string URLs) work
-    doc_type = shingles.schema["doc"].dataType.simpleString()
-    return hashed.groupBy("doc").applyInPandas(
-        sigs, schema=f"doc {doc_type}, sig array<long>"
-    )
+    # collect_list gets map-side partial aggregation; the shuffle
+    # carries each base hash once
+    grouped = hashed.groupBy("doc").agg(F.collect_list("h").alias("hs"))
+    return grouped.select("doc", sig_udf("hs").alias("sig"))
 
 
 def minhash_lsh_pairs(
