@@ -34,7 +34,7 @@ PREFIX_RESULT_SCHEMA = T.StructType(
 )
 
 
-def _collect_subtree_words(idx, kids: list[int], out: list[str]) -> None:
+def _collect_subtree_words(idx, kids, out: list[str]) -> None:
     """Append every end-cap word at or below the given child positions."""
     stack = list(kids)
     while stack:
@@ -42,16 +42,16 @@ def _collect_subtree_words(idx, kids: list[int], out: list[str]) -> None:
         if idx.is_word[pos]:
             out.append(idx.labels[pos])
         else:
-            more = idx.children.get(int(idx.ids[pos]))
-            if more:
+            more = idx.kids(int(idx.ids[pos]))
+            if more is not None:
                 stack.extend(more)
 
 
 def _prefix_hits(idx, p: str) -> list[str]:
     """All dictionary words in one forest starting with ``p``."""
     out: list[str] = []
-    roots = idx.children.get(VIRTUAL_ROOT_ID)
-    if not roots:
+    roots = idx.kids(VIRTUAL_ROOT_ID)
+    if roots is None:
         return out
     if p == "":
         _collect_subtree_words(idx, roots, out)
@@ -74,14 +74,12 @@ def _prefix_hits(idx, p: str) -> list[str]:
                 if label.startswith(rem):
                     # prefix fully consumed inside this edge: the whole
                     # subtree matches — no more comparisons below here
-                    sub: list[str] = []
-                    _collect_subtree_words(
-                        idx, idx.children.get(int(idx.ids[pos]), []), sub
-                    )
-                    out.extend(sub)
+                    nxt = idx.kids(int(idx.ids[pos]))
+                    if nxt is not None:
+                        _collect_subtree_words(idx, nxt, out)
             elif rem.startswith(label):
-                nxt = idx.children.get(int(idx.ids[pos]))
-                if nxt:
+                nxt = idx.kids(int(idx.ids[pos]))
+                if nxt is not None:
                     stack.append((nxt, consumed + len(label)))
     return out
 

@@ -43,8 +43,6 @@ driver).
 
 from __future__ import annotations
 
-from collections import defaultdict
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -102,23 +100,8 @@ _BFS_BROADCAST_NODES = 5_000_000
 _AUTO_BROADCAST_QUERIES = 1_000_000
 
 
-def _forest_from_rows(parent_ids: np.ndarray) -> dict[int, list[int]]:
-    """children: parent_id -> list of row positions."""
-    children: dict[int, list[int]] = defaultdict(list)
-    for pos in range(len(parent_ids)):
-        children[int(parent_ids[pos])].append(pos)
-    return children
-
-
 def _traverse(
-    batch: QueryBatch,
-    k: int,
-    ids: np.ndarray,
-    labels: np.ndarray,
-    is_word: np.ndarray,
-    mins: np.ndarray,
-    maxs: np.ndarray,
-    children: dict[int, list[int]],
+    batch: QueryBatch, k: int, index: "LocalIndex"
 ) -> tuple[list[str], list[str], list[int]]:
     """Depth-first branch-and-bound over one forest, all queries at once.
 
@@ -130,16 +113,19 @@ def _traverse(
     out_q: list[str] = []
     out_w: list[str] = []
     out_d: list[int] = []
-    if not len(batch) or VIRTUAL_ROOT_ID not in children:
+    roots = index.kids(VIRTUAL_ROOT_ID)
+    if not len(batch) or roots is None:
         return out_q, out_w, out_d
+    ids, labels = index.ids, index.labels
+    is_word, mins, maxs = index.is_word, index.mins, index.maxs
 
     all_idx = np.arange(len(batch))
     init_rows = batch.initial_rows()
     qlens = batch.lens
 
     # stack entries: (child positions to expand, active idx, rows)
-    stack: list[tuple[list[int], np.ndarray, np.ndarray]] = [
-        (children[VIRTUAL_ROOT_ID], all_idx, init_rows)
+    stack: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = [
+        (roots, all_idx, init_rows)
     ]
     while stack:
         kid_positions, idx, rows = stack.pop()
@@ -168,9 +154,8 @@ def _traverse(
             # branch-and-bound (PrefixTree.ecl:426,434)
             alive = batch.row_mins(new_rows, sub_idx) <= k
             if alive.any():
-                node_id = int(ids[pos])
-                kids = children.get(node_id)
-                if kids:
+                kids = index.kids(int(ids[pos]))
+                if kids is not None:
                     stack.append((kids, sub_idx[alive], new_rows[alive]))
     return out_q, out_w, out_d
 
@@ -182,9 +167,7 @@ def _traverse_pdf(
 
 
 def _traverse_index(idx: "LocalIndex", batch: QueryBatch, k: int) -> pd.DataFrame:
-    q, w, d = _traverse(
-        batch, k, idx.ids, idx.labels, idx.is_word, idx.mins, idx.maxs, idx.children
-    )
+    q, w, d = _traverse(batch, k, idx)
     return pd.DataFrame(
         {"query_string": q, "node": w, "final_distance": pd.array(d, dtype="int32")}
     )
@@ -484,8 +467,26 @@ class LocalIndex:
         self.is_word = pt_pdf["is_word"].to_numpy()
         self.mins = pt_pdf["_min"].to_numpy()
         self.maxs = pt_pdf["_max"].to_numpy()
-        self.children = _forest_from_rows(pt_pdf["parent_id"].to_numpy())
+        # CSR adjacency instead of a dict of Python lists: three numpy
+        # arrays pickle/deserialize as raw buffers, so every traversal
+        # task decodes the broadcast in ~O(1) — a dict with one list
+        # per internal node costs seconds per task at millions of nodes
+        parents = np.asarray(pt_pdf["parent_id"].to_numpy(), dtype=np.int64)
+        order = np.argsort(parents, kind="stable").astype(np.int64)
+        sp = parents[order]
+        uniq, starts = np.unique(sp, return_index=True)
+        self._kids_pos = order
+        self._kids_parents = uniq
+        self._kids_offsets = np.append(starts, len(sp)).astype(np.int64)
         self._bc = None  # cached Spark broadcast (per-process, not pickled)
+
+    def kids(self, parent_id: int):
+        """Row positions of ``parent_id``'s children (build order), or
+        None — CSR binary search, no per-node Python objects."""
+        i = int(np.searchsorted(self._kids_parents, parent_id))
+        if i >= len(self._kids_parents) or self._kids_parents[i] != parent_id:
+            return None
+        return self._kids_pos[self._kids_offsets[i] : self._kids_offsets[i + 1]]
 
     def __getstate__(self):
         state = {s: getattr(self, s) for s in self.__slots__ if s != "_bc"}
@@ -496,7 +497,17 @@ class LocalIndex:
             setattr(self, s, v)
         self._bc = None
 
-    __slots__ = ("ids", "labels", "is_word", "mins", "maxs", "children", "_bc")
+    __slots__ = (
+        "ids",
+        "labels",
+        "is_word",
+        "mins",
+        "maxs",
+        "_kids_pos",
+        "_kids_parents",
+        "_kids_offsets",
+        "_bc",
+    )
 
     def spark_broadcast(self, spark: SparkSession):
         """Broadcast this index ONCE and reuse it across ``query``
@@ -512,16 +523,7 @@ class LocalIndex:
 
     def search(self, s: str, max_distance: int) -> list[tuple[str, int]]:
         batch = QueryBatch([s])
-        _, words, dists = _traverse(
-            batch,
-            int(max_distance),
-            self.ids,
-            self.labels,
-            self.is_word,
-            self.mins,
-            self.maxs,
-            self.children,
-        )
+        _, words, dists = _traverse(batch, int(max_distance), self)
         return sorted(zip(words, dists))
 
     def search_prefix(self, p: str) -> list[str]:
@@ -540,16 +542,7 @@ class LocalIndex:
         the batch exactly as in the distributed strategies. Returns
         (query, word, distance) tuples (unordered)."""
         batch = QueryBatch(list(queries))
-        q, w, d = _traverse(
-            batch,
-            int(max_distance),
-            self.ids,
-            self.labels,
-            self.is_word,
-            self.mins,
-            self.maxs,
-            self.children,
-        )
+        q, w, d = _traverse(batch, int(max_distance), self)
         return list(zip(q, w, d))
 
 
