@@ -277,6 +277,35 @@ def char_jaccard_pairs(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 13,
+) -> DataFrame:
+    """Remove from ``train`` every document sharing at least one
+    ``n``-token shingle with ``test`` — benchmark decontamination, the
+    step a pretraining pipeline runs so evaluation data never leaks
+    into the training set (13-gram collision is the standard bar; the
+    fixture workload uses a smaller n to fit short documents).
+
+    Plan shape: test's distinct shingles (small side — the eval set)
+    semi-join against train's shingles on the shingle key, then one
+    anti-join removes contaminated ids. Both joins are equi;
+    train-side text never moves — only its (doc, shingle) projection
+    shuffles once."""
+    tr = token_shingles(train, id_col, text_col, n)
+    te = token_shingles(test, id_col, text_col, n).select("shingle").distinct()
+    contaminated = (
+        tr.join(te, "shingle", "left_semi")
+        .select(F.col("doc").alias(id_col))
+        .distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti")
+
+
 def dedup_corpus(
     df: DataFrame,
     id_col: str,

@@ -156,3 +156,18 @@ def doc_fingerprint(
     )
     h = F.conv(F.substring(F.md5(F.expr(f"substring(t, i, {gram})")), 1, 15), 16, 10).cast("long")
     return grams.groupBy("doc_id").agg(F.min(h).alias("fingerprint"))
+
+
+def top_tokens(df: DataFrame, text_col: str, k: int = 1000) -> DataFrame:
+    """Corpus vocabulary head: the ``k`` most frequent whitespace
+    tokens with counts — the first statistic a tokenizer/vocab build
+    looks at. Deterministic tie-break on the token itself so top-k is
+    stable across engines.
+
+    Plan: explode → one hash-agg shuffle (map-side partials) → global
+    top-k as TakeOrderedAndProject (no full sort of the vocabulary)."""
+    toks = df.select(F.explode(_nonspace_tokens(text_col)).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("tok")).limit(k)

@@ -240,6 +240,50 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "decontaminate_train",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+             || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts,
+                   unnest(generate_series(1, len(string_split_regex(trim(text), '\\s+')) - 5)) AS i
+            FROM documents
+            WHERE len(string_split_regex(trim(text), '\\s+')) >= 6)
+    ),
+    test_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 19 = 0),
+    bad AS (SELECT DISTINCT doc_id FROM sh WHERE shingle IN (SELECT shingle FROM test_sh))
+    SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 19th document plays the eval
+    set; any training doc sharing a 6-token shingle with it is removed
+    (6 instead of the standard 13 because the fixture documents are
+    short). Self-contamination guarantees the gate is non-vacuous."""
+    docs = load_table(spark, sf_dir, "documents")
+    test = docs.where("doc_id % 19 = 0")
+    return dedup.decontaminate(docs, test, "doc_id", "text", n=6).select("doc_id")
+
+
+@workload(
+    "vocab_top_tokens",
+    r"""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n DESC, tok ASC
+    LIMIT 100
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: top-100 tokens by frequency, deterministic
+    tie-break on the token — TakeOrderedAndProject, not a full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.top_tokens(docs, "text", k=100)
+
+
+@workload(
     "split_assign_docs",
     """
     WITH b AS (

@@ -260,3 +260,28 @@ def test_intermediate_caches_released(spark, docs):
         # at most the pinned result's checkpoint storage; the cached
         # shingles/tokens/signatures are gone
         assert n_persistent() - before <= 1
+
+
+def test_decontaminate_removes_ngram_overlap(spark):
+    """Train docs sharing an n-gram with the test set are removed;
+    clean docs survive; the test doc itself (when present in train) is
+    contaminated by definition."""
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over dogs"),
+            (2, "a completely clean training document here"),
+            (3, "prefix words then the quick brown fox appears again"),
+            (4, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame(
+        [(100, "something the quick brown fox something")], ["doc_id", "text"]
+    )
+    survivors = {
+        r.doc_id
+        for r in dedup.decontaminate(train, test, "doc_id", "text", n=4).collect()
+    }
+    # docs 1 and 3 share the 4-gram "the quick brown fox"; 2 is clean;
+    # 4 is shorter than n tokens so it can never collide
+    assert survivors == {2, 4}

@@ -62,3 +62,14 @@ def test_doc_fingerprint(docs):
         for i in range(len(t) - 7)
     )
     assert got[0] == expected
+
+
+def test_top_tokens_counts_and_tiebreak(spark):
+    from prefixtree_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "b a a c b a"), (2, "c b d")], ["doc_id", "text"]
+    )
+    got = [(r.tok, r.n) for r in text_ops.top_tokens(df, "text", k=3).collect()]
+    # a:3, b:3 (tie -> 'a' first), c:2
+    assert got == [("a", 3), ("b", 3), ("c", 2)]
