@@ -129,3 +129,68 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .select("user_id", "session_start_us", "session_end_us", "n_events")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: str,
+    right_cols: list[str],
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of (backward, inclusive) join: each left row picks up the
+    LATEST right row with ``right.on <= left.on`` within its ``by``
+    group — the time-series join (trades⋈quotes, event⋈latest-state)
+    the reference has no answer to and Spark has no native operator
+    for.
+
+    Spark-first plan (the union + carry-forward formulation): tag both
+    sides, union them, and per ``by`` group run ONE ordered window pass
+    where every left row inherits the last non-null right payload at
+    or before its timestamp. Cost = one shuffle on ``by`` + one
+    partition-local sort — no range cross join, no per-row lookup, and
+    skew only where a single ``by`` key is itself hot. Equal
+    timestamps: the right row sorts BEFORE the left row, so ties are
+    inclusive — exactly DuckDB ``ASOF JOIN``'s ``>=`` semantics (the
+    oracle).
+
+    ``right_cols`` are the right payload columns to carry (returned
+    with ``suffix``). Right rows should be unique per (by, on) — with
+    duplicates, the carry-forward picks the LAST in ``right``'s sort
+    order; dedup first for determinism.
+    """
+    lcols = left.columns
+    tagged_l = left.select(
+        *lcols,
+        F.lit(1).alias("_src"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix) for c in right_cols],
+    )
+    tagged_r = right.select(
+        *[
+            (
+                F.col(c)
+                if c in (by, on)
+                else F.lit(None).cast(left.schema[c].dataType)
+            ).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("_src"),
+        *[F.col(c).alias(c + suffix) for c in right_cols],
+    )
+    unioned = tagged_l.unionByName(tagged_r)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_src").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        *lcols,
+        "_src",
+        *[
+            F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix)
+            for c in right_cols
+        ],
+    )
+    return carried.where(F.col("_src") == 1).drop("_src")

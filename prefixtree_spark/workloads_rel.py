@@ -7,7 +7,7 @@ travel as epoch microseconds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prefixtree_spark.operators import multimodal, relational
@@ -259,4 +259,58 @@ def media_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return multimodal.attach_binary_metadata(blobs, "blob").select(
         "media_id", "n_bytes", "sha256"
+    )
+
+
+@workload(
+    "events_asof_join",
+    """
+    WITH v0 AS (
+      SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'view'
+    ),
+    v AS (SELECT user_id, ts, event_id FROM v0 WHERE rn = 1),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts)::BIGINT AS ts_us,
+           v.event_id AS view_event_id,
+           epoch_us(v.ts)::BIGINT AS view_ts_us
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks up the user's LATEST view at or
+    before it (the trades⋈quotes shape). Engine plan: union +
+    carry-forward window — ONE shuffle on user_id, no range cross
+    join; DuckDB's native ASOF LEFT JOIN is the oracle. The right side
+    is deduped to one row per (user, ts) so both engines' pick is
+    deterministic."""
+    from prefixtree_spark.operators.relational import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.where("event_type = 'view'").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = (
+        views.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+    )
+    purchases = events.where("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="ts",
+        by="user_id",
+        right_cols=["event_id", "ts"],
+        suffix="_v",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id_v").alias("view_event_id"),
+        F.unix_micros("ts_v").alias("view_ts_us"),
     )

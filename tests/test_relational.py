@@ -92,3 +92,33 @@ def test_sessionize_values(spark):
         (100, base + 4200_000_000, base + 4200_000_000, 1),
         (200, base, base, 1),
     }
+
+
+def test_asof_join_backward_inclusive(spark):
+    """Backward as-of semantics: latest right row with r.on <= l.on per
+    key; exact-tie matches (inclusive); no prior row -> nulls; other
+    keys never leak."""
+    from prefixtree_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 300), (4, 20, 50), (5, 30, 99)],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(91, 10, 100), (92, 10, 200), (93, 10, 301), (94, 20, 49)],
+        ["event_id", "user_id", "ts"],
+    )
+    got = {
+        (r.event_id, r.event_id_r, r.ts_r)
+        for r in asof_join(
+            left, right, on="ts", by="user_id",
+            right_cols=["event_id", "ts"], suffix="_r",
+        ).collect()
+    }
+    assert got == {
+        (1, 91, 100),   # exact tie is inclusive
+        (2, 92, 200),   # latest prior
+        (3, 92, 200),   # 301 is in the future
+        (4, 94, 49),
+        (5, None, None), # user 30 has no right rows
+    }
