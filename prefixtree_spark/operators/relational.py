@@ -194,3 +194,45 @@ def asof_join(
         ],
     )
     return carried.where(F.col("_src") == 1).drop("_src")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    lo: str,
+    hi: str,
+    by: str | None = None,
+    bucket: int,
+) -> DataFrame:
+    """Interval containment join: pairs where ``right.lo <= left.on <
+    right.hi`` (and ``left.by == right.by`` when given) — the θ-join
+    Spark would otherwise plan as a broadcast nested loop (quadratic at
+    scale).
+
+    Scale shape: ``bucket`` (same integer units as ``on``) discretizes
+    time — each left row carries ONE bucket id, each right interval
+    explodes to the ~(len/bucket + 1) buckets it overlaps, and the join
+    becomes an equi-join on (bucket [, by]) with the exact range
+    predicate as a post-filter. Pick ``bucket`` near the typical
+    interval length: fan-out stays O(1) per interval and the shuffle is
+    hash-partitioned, never all-pairs. Pairs are unique because a left
+    row lives in exactly one bucket.
+    """
+    lb = left.withColumn("_b", F.floor(F.col(on) / bucket))
+    rb = right.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / bucket),
+                # hi is EXCLUSIVE: the last candidate bucket holds hi-1
+                F.floor((F.col(hi) - 1) / bucket),
+            )
+        ),
+    )
+    keys = ["_b"] + ([by] if by else [])
+    joined = lb.join(rb, keys)
+    return joined.where(
+        (F.col(on) >= F.col(lo)) & (F.col(on) < F.col(hi))
+    ).drop("_b")

@@ -314,3 +314,47 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id_v").alias("view_event_id"),
         F.unix_micros("ts_v").alias("view_ts_us"),
     )
+
+
+@workload(
+    "events_range_join",
+    """
+    WITH s AS (
+      SELECT event_id AS signup_id, user_id,
+             epoch_us(ts)::BIGINT AS lo,
+             epoch_us(ts)::BIGINT + 7200000000 AS hi
+      FROM events WHERE event_type = 'signup'
+    ),
+    c AS (
+      SELECT event_id, user_id, epoch_us(ts)::BIGINT AS ts_us
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, s.signup_id
+    FROM c JOIN s
+      ON c.user_id = s.user_id AND c.ts_us >= s.lo AND c.ts_us < s.hi
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment: clicks landing inside a 2-hour window
+    after the same user's signup. Engine plan: bucketed overlap
+    equi-join (bucket = 1 hour ⇒ ≤3 bucket rows per interval) + exact
+    range filter — never the broadcast-nested-loop θ-join the naive
+    formulation plans; oracle is the plain inequality join."""
+    from prefixtree_spark.operators.relational import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    signups = events.where("event_type = 'signup'").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.unix_micros("ts").alias("lo"),
+        (F.unix_micros("ts") + 2 * hour_us).alias("hi"),
+    )
+    clicks = events.where("event_type = 'click'").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    joined = range_join(
+        clicks, signups, on="ts_us", lo="lo", hi="hi", by="user_id",
+        bucket=hour_us,
+    )
+    return joined.select("event_id", "signup_id")

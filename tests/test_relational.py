@@ -122,3 +122,33 @@ def test_asof_join_backward_inclusive(spark):
         (4, 94, 49),
         (5, None, None), # user 30 has no right rows
     }
+
+
+def test_range_join_bucketed_equals_bruteforce(spark):
+    """Bucketed interval join == naive θ-join on random data, including
+    intervals spanning many buckets and exclusive upper bounds."""
+    import random
+
+    from prefixtree_spark.operators.relational import range_join
+
+    rng = random.Random(11)
+    lrows = [(i, rng.randint(0, 5), rng.randint(0, 1000)) for i in range(200)]
+    rrows = []
+    for j in range(60):
+        lo = rng.randint(0, 950)
+        rrows.append((1000 + j, rng.randint(0, 5), lo, lo + rng.randint(1, 400)))
+    left = spark.createDataFrame(lrows, ["lid", "k", "x"])
+    right = spark.createDataFrame(rrows, ["rid", "k", "lo", "hi"])
+    got = {
+        (r.lid, r.rid)
+        for r in range_join(
+            left, right, on="x", lo="lo", hi="hi", by="k", bucket=100
+        ).collect()
+    }
+    expected = {
+        (lid, rid)
+        for lid, lk, x in lrows
+        for rid, rk, lo, hi in rrows
+        if lk == rk and lo <= x < hi
+    }
+    assert got == expected
