@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from prefixtree_spark.plans.lifecycle import release_checkpoint
+
 
 def _large_star(e: DataFrame) -> DataFrame:
     """For every node u: connect each strictly-larger neighbor to the
@@ -131,7 +133,13 @@ def connected_components(
         prev_sig = None
         converged = False
         for _ in range(max_iter):
+            prev_e = e
             e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            # the previous round's checkpoint is never read again —
+            # release its executor storage instead of leaking one
+            # cached edge set per round (plain unpersist() is a no-op
+            # on checkpoints; see plans/lifecycle.py)
+            release_checkpoint(prev_e)
             # fixed-point probe: (row count, order-free hash) of the edge
             # set — one cheap agg instead of a full exceptAll join
             sig = e.agg(

@@ -54,6 +54,7 @@ from prefixtree_spark.functions.levenshtein import (
     extend_rows,
     extend_rows_multi,
 )
+from prefixtree_spark.plans.lifecycle import release_checkpoint
 from prefixtree_spark.plans.tree import VIRTUAL_ROOT_ID
 
 def merge_forests(pt_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -321,6 +322,10 @@ def _query_bfs(
     join_tree = F.broadcast(nodes) if use_broadcast else nodes
     try:
         results: list[DataFrame] = []
+        # every level's checkpointed frontier stays referenced by its
+        # caps slice until the final union — released together after
+        # the result is pinned (no storage left behind, round-2 #4)
+        checkpoints: list[DataFrame] = [frontier]
         while True:
             joined = frontier.join(
                 join_tree, frontier.node_id == nodes.parent_id, "inner"
@@ -360,13 +365,18 @@ def _query_bfs(
                 .where(F.array_min("state") <= k)
                 .localCheckpoint(eager=True)
             )
+            checkpoints.append(frontier)
             if frontier.isEmpty():
                 break
         out = results[0]
         for r in results[1:]:
             out = out.unionByName(r)
-        # pin before unpersisting the tree side the caps still reference
-        return out.localCheckpoint(eager=True)
+        # pin before releasing the tree side and the per-level frontier
+        # checkpoints the caps slices still reference
+        out = out.localCheckpoint(eager=True)
+        for cp in checkpoints:
+            release_checkpoint(cp)
+        return out
     finally:
         nodes.unpersist()
 

@@ -84,3 +84,19 @@ def test_driver_numpy_chain_fast_and_correct(spark):
     assert got.where(F.col("component") != 0).count() == 0
     assert got.count() == n
     assert time.time() - t0 < 15
+
+
+def test_distributed_cc_releases_round_checkpoints(spark):
+    """Star-contraction rounds must not accumulate one cached edge set
+    per round: after the call, at most the final round's checkpoint
+    (which the returned lazy plan still references) remains."""
+    jsc = spark.sparkContext._jsc
+    n = 500
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    before = jsc.getPersistentRDDs().size()
+    got = connected_components(nodes, edges, collect_edges_below=0)
+    assert got.where(F.col("component") != 0).count() == 0
+    assert jsc.getPersistentRDDs().size() - before <= 1

@@ -169,3 +169,17 @@ def test_auto_mode_unpersists_tree(spark):
     res = query(pt, qdf, "q", 1, mode="auto")
     res.count()
     assert pt.storageLevel.useMemory is False and pt.storageLevel.useDisk is False
+
+
+def test_bfs_releases_per_level_checkpoints(spark):
+    """bfs materializes one checkpoint per level; after the result is
+    pinned they must ALL be released — at most the pinned output's own
+    storage remains (localCheckpoint storage is invisible to plain
+    unpersist, see plans/lifecycle.py)."""
+    jsc = spark.sparkContext._jsc
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3)
+    qdf = spark.createDataFrame([(q,) for q in QUERIES], ["q"])
+    before = jsc.getPersistentRDDs().size()
+    res = query(pt, qdf, "q", 2, mode="bfs")
+    res.count()
+    assert jsc.getPersistentRDDs().size() - before <= 1
