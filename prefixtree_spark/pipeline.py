@@ -1,0 +1,77 @@
+"""End-to-end corpus preparation — the composition a training-data
+pipeline actually runs, as one call over the engine's oracled
+primitives:
+
+  quality filter → language filter → near-dup removal (MinHash-LSH →
+  components → survivors) → benchmark decontamination → deterministic
+  train/val/test split.
+
+Each stage is individually oracle-pinned (see workloads_ext.py); this
+module only composes them, keeping the whole flow lazy where the
+stages allow and documenting the shuffle budget: one hash-agg per text
+statistic, the LSH candidate joins, one semi/anti join pair for
+decontamination, and zero shuffles for the split (a narrow md5
+projection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prefixtree_spark.operators import dedup, text
+from prefixtree_spark.operators.sampling import split_assign
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    test_set: DataFrame | None = None,
+    min_quality: float = 0.3,
+    languages: list[str] | None = None,
+    dedup_threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_df: int | None = None,
+    decontaminate_n: int = 13,
+    splits: dict[str, float] | None = None,
+    split_seed: str = "",
+) -> DataFrame:
+    """Returns the prepared corpus: input rows that survive every
+    enabled stage, with ``quality``, ``lang_pred`` and (when ``splits``
+    is given) ``split`` columns attached. Pass ``test_set`` to remove
+    training documents sharing a ``decontaminate_n``-gram with it;
+    pass ``languages`` to keep only those predicted languages.
+
+    Determinism: every stage is a pure function of the input rows
+    (hash-based dedup survivors keep each cluster's minimum id; the
+    split is md5-stable), so re-runs and repartitionings produce the
+    same corpus.
+    """
+    out = docs
+    # quality + language annotations (pure JVM expressions, no UDFs;
+    # both ops emit their id as 'doc_id' — rename back to id_col)
+    quality = text.quality_score(out, id_col, text_col).withColumnRenamed(
+        "doc_id", id_col
+    )
+    lang = (
+        text.language_id(out, id_col, text_col)
+        .withColumnRenamed("doc_id", id_col)
+        .select(id_col, "lang_pred")
+    )
+    out = out.join(quality, id_col).join(lang, id_col)
+    out = out.where(F.col("quality") >= min_quality)
+    if languages is not None:
+        out = out.where(F.col("lang_pred").isin(languages))
+    # near-dup removal over the filtered corpus
+    out = dedup.dedup_corpus(
+        out, id_col, text_col, threshold=dedup_threshold, n=shingle_n
+    )
+    if test_set is not None:
+        out = dedup.decontaminate(
+            out, test_set, id_col, text_col, n=decontaminate_n
+        )
+    if splits is not None:
+        out = split_assign(out, id_col, splits, seed=split_seed)
+    return out

@@ -1,0 +1,65 @@
+"""End-to-end corpus preparation: each stage's effect is visible on a
+hand-built corpus, and the result is deterministic."""
+
+from prefixtree_spark.pipeline import prepare_corpus
+
+
+def _docs(spark):
+    good = (
+        "the project of the committee is to review and approve the annual "
+        "report of the service in a fair and open manner for all members"
+    )
+    rows = [
+        (1, good),
+        (2, good + " extra tail words here"),          # near-dup of 1
+        (3, "x! y? z. #, @! ~~ !!"),                   # junk → low quality
+        (4, "der und die das ist nicht ein von mit auch sich auf es der und die"),  # German
+        (5, "completely different clean text about the weather and the sea and the sky today"),
+        (6, good.replace("annual", "yearly")),         # near-dup of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_prepare_corpus_stages(spark):
+    docs = _docs(spark)
+    test_set = spark.createDataFrame(
+        [(100, "clean text about the weather and the sea")], ["doc_id", "text"]
+    )
+    out = prepare_corpus(
+        docs,
+        "doc_id",
+        "text",
+        test_set=test_set,
+        min_quality=0.3,
+        languages=["en"],
+        dedup_threshold=0.5,
+        decontaminate_n=5,
+        splits={"train": 0.5, "test": 0.5},
+        split_seed="s",
+    ).collect()
+    survivors = {r.doc_id for r in out}
+    # 3 dies on quality, 4 on language, 2/6 lose near-dup to min-id 1,
+    # 5 is decontaminated by the test set's 5-gram
+    assert survivors == {1}
+    row = out[0]
+    assert row.quality >= 0.3
+    assert row.lang_pred == "en"
+    assert row.split in ("train", "test")
+
+
+def test_prepare_corpus_deterministic(spark):
+    docs = _docs(spark)
+    a = sorted(
+        (r.doc_id, r.split)
+        for r in prepare_corpus(
+            docs, "doc_id", "text", splits={"train": 0.5, "test": 0.5}
+        ).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.split)
+        for r in prepare_corpus(
+            docs.repartition(7), "doc_id", "text",
+            splits={"train": 0.5, "test": 0.5},
+        ).collect()
+    )
+    assert a == b

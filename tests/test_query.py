@@ -131,3 +131,20 @@ def test_search_many_matches_per_call(spark, sparse_pt):
         (q, w, d) for q in qs for (w, d) in idx.search(q, 2)
     }
     assert batched == singles
+
+
+def test_query_works_on_keep_duplicates_table(spark):
+    """A keep_duplicates node table carries an extra n_copies column;
+    every query strategy must still work (deduped results — the
+    multiplicity is metadata, not fan-out)."""
+    from tests.test_build import _words_df
+
+    pt = create(
+        _words_df(spark, ["CAT", "CAT", "CART"]),
+        "word",
+        num_partitions=1,
+        keep_duplicates=True,
+    )
+    for mode in ["broadcast_tree", "broadcast_queries", "bfs"]:
+        got = _run(spark, pt, ["CAT"], 1, mode)
+        assert got == {("CAT", "CAT", 0), ("CAT", "CART", 1)}, mode
