@@ -269,6 +269,11 @@ def _query_bfs(
         LAZY slices off each level's checkpointed frontier and only
         evaluated in the final union — this replaces round-2's two
         eager checkpoints per level (the measured bfs overhead).
+        Sparser cadences were measured and rejected: checkpointing
+        every 2nd/3rd level fuses the intermediate joins into one
+        stage but re-runs the fused DP chain when the skipped levels'
+        end-caps are finally evaluated — 13.7s / 13.1s / 15.7s for
+        cadence 1/2/3 on the 150-query sf0.1 workload, i.e. no win.
       - the final union is checkpointed before the tree side is
         unpersisted, so the returned DataFrame is self-contained.
     """
