@@ -87,6 +87,42 @@ def main() -> None:
     finally:
         dedup.PIN_RESULTS = True
 
+    events = load_table(spark, sf, "events")
+    views = events.where("event_type = 'view'").select("user_id", "ts", "event_id")
+    purchases = events.where("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    aj = relational.asof_join(
+        purchases, views, on="ts", by="user_id", right_cols=["event_id"], suffix="_v"
+    )
+    grab(
+        "As-of join — union + carry-forward window",
+        aj,
+        "ONE shuffle (hash on the by-key feeding the window sort); no "
+        "range join, no nested loop — both sides union into a single "
+        "ordered pass where left rows inherit the last right payload. "
+        "Oracled against DuckDB's native ASOF JOIN (events_asof_join).",
+    )
+
+    hour = 3_600_000_000
+    signups = events.where("event_type = 'signup'").select(
+        F.col("event_id").alias("signup_id"), "user_id",
+        F.unix_micros("ts").alias("lo"), (F.unix_micros("ts") + 2 * hour).alias("hi"),
+    )
+    clicks = events.where("event_type = 'click'").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    rj = relational.range_join(
+        clicks, signups, on="ts_us", lo="lo", hi="hi", by="user_id", bucket=hour
+    )
+    grab(
+        "Range join — bucketed interval overlap",
+        rj,
+        "The interval predicate becomes an EQUI-join on (bucket, by) "
+        "(SortMerge/Hash, broadcastable) with the exact range check as "
+        "a post-filter — Spark's native plan for this θ-join is a "
+        "BroadcastNestedLoopJoin, which is quadratic at scale. Explode "
+        "fan-out is ~(interval/bucket + 1) rows per interval.",
+    )
+
     from prefixtree_spark.operators import ann
 
     emb = load_table(spark, sf, "embeddings")
