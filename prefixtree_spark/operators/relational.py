@@ -236,3 +236,36 @@ def range_join(
     return joined.where(
         (F.col(on) >= F.col(lo)) & (F.col(on) < F.col(hi))
     ).drop("_b")
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-quality profile: one ROW per column with null count,
+    approximate-free distinct count, and min/max rendered as strings
+    (schema-stable across column types). ONE aggregation job for all
+    columns (a single pass over the data — not one job per column),
+    then a narrow unpivot of the tiny result."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__total"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    parts = [
+        row.select(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__total").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

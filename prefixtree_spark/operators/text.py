@@ -171,3 +171,24 @@ def top_tokens(df: DataFrame, text_col: str, k: int = 1000) -> DataFrame:
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.desc("n"), F.asc("tok")).limit(k)
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str, k: int = 200
+) -> DataFrame:
+    """The inner statistic of one BPE training step: corpus-wide counts
+    of ADJACENT character pairs within whitespace tokens, top-``k`` by
+    frequency (deterministic tie-break on the pair). A tokenizer
+    trainer calls this repeatedly with merged symbols; the Spark shape
+    stays the same — explode to pairs, one hash-agg shuffle (map-side
+    partials), TakeOrderedAndProject."""
+    toks = df.select(F.explode(_nonspace_tokens(text_col)).alias("tok")).where(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("pair")).limit(k)

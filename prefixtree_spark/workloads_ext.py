@@ -284,6 +284,65 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "bpe_pair_counts",
+    r"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents
+    ),
+    pairs AS (
+      SELECT substr(tok, i, 2) AS pair
+      FROM (SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS i
+            FROM toks WHERE length(tok) >= 2)
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT 200
+    """,
+)
+def bpe_pair_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training step's statistic: top adjacent character pairs
+    within tokens, corpus-wide, deterministic tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_pair_counts(docs, "text", k=200)
+
+
+@workload(
+    "profile_customer",
+    """
+    WITH a AS (
+      SELECT 'c_custkey' AS column, count(*) AS n_rows,
+             sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+             count(DISTINCT c_custkey) AS n_distinct,
+             min(c_custkey)::VARCHAR AS min_value,
+             max(c_custkey)::VARCHAR AS max_value
+      FROM customer
+      UNION ALL
+      SELECT 'c_mktsegment', count(*),
+             sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT c_mktsegment),
+             min(c_mktsegment), max(c_mktsegment)
+      FROM customer
+      UNION ALL
+      SELECT 'c_nationkey', count(*),
+             sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT c_nationkey),
+             min(c_nationkey)::VARCHAR, max(c_nationkey)::VARCHAR
+      FROM customer
+    )
+    SELECT * FROM a
+    """,
+)
+def profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of three customer columns in ONE pass
+    (single aggregation job, not one per column)."""
+    from prefixtree_spark.operators.relational import profile_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    return profile_table(cust, ["c_custkey", "c_mktsegment", "c_nationkey"])
+
+
+@workload(
     "split_assign_docs",
     """
     WITH b AS (

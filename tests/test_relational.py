@@ -152,3 +152,19 @@ def test_range_join_bucketed_equals_bruteforce(spark):
         if lk == rk and lo <= x < hi
     }
     assert got == expected
+
+
+def test_profile_table_single_pass(spark):
+    from prefixtree_spark.operators.relational import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "c")], ["k", "v"]
+    )
+    got = {
+        r.column: (r.n_rows, r.n_nulls, r.n_distinct, r.min_value, r.max_value)
+        for r in profile_table(df, ["k", "v"]).collect()
+    }
+    assert got == {
+        "k": (3, 0, 2, "1", "2"),
+        "v": (3, 1, 2, "a", "c"),
+    }

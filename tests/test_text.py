@@ -73,3 +73,12 @@ def test_top_tokens_counts_and_tiebreak(spark):
     got = [(r.tok, r.n) for r in text_ops.top_tokens(df, "text", k=3).collect()]
     # a:3, b:3 (tie -> 'a' first), c:2
     assert got == [("a", 3), ("b", 3), ("c", 2)]
+
+
+def test_bpe_pair_counts(spark):
+    from prefixtree_spark.operators import text as text_ops
+
+    df = spark.createDataFrame([(1, "aab ab x")], ["doc_id", "text"])
+    got = [(r.pair, r.n) for r in text_ops.bpe_pair_counts(df, "text", k=10).collect()]
+    # token "aab" -> aa, ab ; "ab" -> ab ; "x" too short
+    assert got == [("ab", 2), ("aa", 1)]
