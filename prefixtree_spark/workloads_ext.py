@@ -619,3 +619,59 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", threshold=0.42, dim=64,
         n_planes=2, n_tables=32,
     )
+
+
+@workload(
+    "bm25_rank_docs",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
+    ),
+    posts AS (
+      SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM d
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+      FROM posts GROUP BY doc_id, dl, term
+    ),
+    stats AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(len(ts))::BIGINT AS total_len FROM d
+    ),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    qt AS (
+      SELECT DISTINCT doc_id AS query_id, unnest(ts[1:3]) AS term
+      FROM d WHERE doc_id % 41 = 0 AND len(ts) >= 3
+    ),
+    scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             sum(CAST(
+               (((s.n_docs - f.df + 0.5e0) / (f.df + 0.5e0)) * (tf.tf * 2.25e0))
+               / (tf.tf + 1.25e0 * (0.25e0 + 0.75e0
+                    * (tf.dl / ((s.total_len * 1.0e0) / s.n_docs))))
+             AS DECIMAL(28,9))) AS score
+      FROM qt JOIN dfreq f ON qt.term = f.term
+              JOIN tf ON qt.term = tf.term, stats s
+      GROUP BY qt.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, rank FROM (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: every 41st document's first three tokens play a
+    query; top-10 docs per query by rank. Oracled with the exact-IEEE
+    ``idf="ratio"`` variant (no transcendentals — see ranking.py's
+    determinism notes); the textbook ln-idf path is pinned by a
+    pure-Python brute-force test instead."""
+    from prefixtree_spark.operators import ranking
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        F.col("doc_id").alias("qid"),
+        F.slice(F.regexp_extract_all("text", F.lit(r"\S+"), 0), 1, 3).alias("terms"),
+    ).where("doc_id % 41 = 0 AND size(terms) >= 3")
+    return ranking.bm25_rank(docs, "doc_id", "text", q, "qid", "terms", idf="ratio")

@@ -1,0 +1,102 @@
+"""BM25 ranking tests: pure-Python brute force for the textbook ln-idf
+path, and oracle-equivalence (DuckDB) for the exact-IEEE ratio-idf
+path the correctness gate hashes."""
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+
+from prefixtree_spark.operators.ranking import bm25_rank
+
+K1, B = 1.25, 0.75
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "spark shuffle join spark spark aggregate"),
+        (1, "join the table with the other table"),
+        (2, "spark streaming watermark state"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "shuffle partitions and shuffle spill and shuffle write"),
+        (5, "aggregate pushdown into the scan"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def brute_bm25(rows, query_terms, idf_mode, topk=10):
+    """Reference implementation, including the operator's
+    DECIMAL(28,9)-before-sum semantics (quantize HALF_UP)."""
+    toks = {i: t.split() for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) * 1.0 / n
+    df = {}
+    for ts in toks.values():
+        for term in set(ts):
+            df[term] = df.get(term, 0) + 1
+    scores = {}
+    for doc, ts in toks.items():
+        s = Decimal(0)
+        for term in set(query_terms):
+            if term not in df or term not in ts:
+                continue
+            tf = ts.count(term)
+            if idf_mode == "log":
+                idf = math.log((n - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
+            else:
+                idf = (n - df[term] + 0.5) / (df[term] + 0.5)
+            c = (idf * (tf * (K1 + 1.0))) / (tf + K1 * (1.0 - B + B * (len(ts) / avgdl)))
+            s += Decimal(c).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+        if s > 0:
+            scores[doc] = s
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+    return [doc for doc, _ in ranked]
+
+
+@pytest.mark.parametrize("idf_mode", ["log", "ratio"])
+def test_bm25_matches_brute_force(spark, corpus, idf_mode):
+    rows = [(r.doc_id, r.text) for r in corpus.collect()]
+    queries = spark.createDataFrame(
+        [(100, ["spark", "shuffle"]), (101, ["the", "table"]), (102, ["aggregate"])],
+        ["qid", "terms"],
+    )
+    got = bm25_rank(corpus, "doc_id", "text", queries, "qid", "terms", idf=idf_mode).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r.query_id, []).append((r.rank, r.doc_id))
+    for qid, terms in [(100, ["spark", "shuffle"]), (101, ["the", "table"]), (102, ["aggregate"])]:
+        expect = brute_bm25(rows, terms, idf_mode)
+        ranked = [d for _, d in sorted(by_query.get(qid, []))]
+        assert ranked == expect, (qid, terms, ranked, expect)
+
+
+def test_bm25_dedups_query_terms(spark, corpus):
+    """Repeated query terms must not double-count (sum is over
+    DISTINCT terms, matching the oracle's SELECT DISTINCT)."""
+    q1 = spark.createDataFrame([(1, ["spark", "spark"])], ["qid", "terms"])
+    q2 = spark.createDataFrame([(1, ["spark"])], ["qid", "terms"])
+    r1 = sorted((r.rank, r.doc_id) for r in bm25_rank(corpus, "doc_id", "text", q1, "qid", "terms").collect())
+    r2 = sorted((r.rank, r.doc_id) for r in bm25_rank(corpus, "doc_id", "text", q2, "qid", "terms").collect())
+    assert r1 == r2
+
+
+def test_bm25_workload_matches_oracle(spark, duck):
+    """The gate's exact comparison, pinned at sf0.001 for fast
+    regression: ratio-idf ranks hash-match DuckDB."""
+    from prefixtree_spark import workloads
+    import prefixtree_spark.workloads_ext  # noqa: F401 — registers
+
+    sdf = workloads.QUERIES["bm25_rank_docs"](spark, "/root/testdata/sf0.001")
+    got = sorted(map(tuple, sdf.toPandas()[sorted(sdf.columns)].values.tolist()))
+    odf = duck.execute(workloads.ORACLES["bm25_rank_docs"]).fetchdf()
+    want = sorted(map(tuple, odf[sorted(odf.columns)].values.tolist()))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_bm25_unknown_idf_raises(corpus, spark):
+    q = spark.createDataFrame([(1, ["x"])], ["qid", "terms"])
+    with pytest.raises(ValueError):
+        bm25_rank(corpus, "doc_id", "text", q, "qid", "terms", idf="bogus")
