@@ -94,11 +94,46 @@ _AUTO_BROADCAST_NODES = 2_000_000
 # on parent_id once and only the frontier moves each level.
 _BFS_BROADCAST_NODES = 5_000_000
 
+# Cold-path merges at or below this node count run merge_forests on the
+# driver (one Python insert pass — cheapest for small trees); above it
+# the merge is a DISTRIBUTED rebuild: create() on the end-cap words with
+# prefix_len=1, so each first-character subtree is fully merged inside
+# one executor partition and distinct partitions own disjoint root
+# children — their concatenation IS the merged forest (no driver CPU).
+# Measured crossover ≈60-100k nodes; at 933k nodes: 9.3s driver vs 2.7s
+# distributed on local[8].
+_DRIVER_MERGE_NODES = 100_000
+
 # Distinct query strings up to this count may be collected + broadcast
 # (tens of MB of driver memory); beyond it, with the tree ALSO too big
 # to collect, mode="auto" falls through to bfs — the only strategy that
 # never materializes either side in one place.
 _AUTO_BROADCAST_QUERIES = 1_000_000
+
+
+def _merged_local_index(pt: DataFrame, n_nodes: int | None = None) -> "LocalIndex":
+    """Collect ``pt`` into one merged LocalIndex, routing the merge by
+    size: small trees collect raw and merge on the driver; large trees
+    re-build DISTRIBUTED via ``create(words, prefix_len=1)`` — the
+    prefix-hash layout makes every partition's forest a set of complete
+    first-char subtrees, so the collected concatenation is already the
+    maximal-prefix-sharing forest and ``merge=False`` applies. The
+    rebuild uses ``trim="right"`` (identity on end-cap words — both
+    trim modes already stripped trailing blanks) and no length cap, so
+    the word set is preserved verbatim for EITHER build configuration.
+
+    Callers that already know the node count pass it; otherwise ``pt``
+    should be persisted by the caller (the count and the chosen route
+    share one materialization)."""
+    from prefixtree_spark.operators.build import create
+
+    if n_nodes is None:
+        n_nodes = pt.count()
+    if n_nodes <= _DRIVER_MERGE_NODES:
+        return LocalIndex(pt.toPandas())
+    words = pt.where("is_word").select(F.col("node").alias("w"))
+    merged = create(words, "w", prefix_len=1, max_word_len=None, trim="right")
+    return LocalIndex(merged.toPandas(), merge=False)
 
 
 def _traverse(
@@ -430,7 +465,11 @@ def query(
     if mode == "bfs":
         return _query_bfs(pt, qdf, col, k, tree_partitioned=tree_partitioned)
     if mode == "broadcast_tree":
-        return _query_broadcast_tree(qdf, col, LocalIndex(pt.toPandas()), k)
+        pt = pt.persist()
+        try:
+            return _query_broadcast_tree(qdf, col, _merged_local_index(pt), k)
+        finally:
+            pt.unpersist()
     if mode == "broadcast_queries":
         return _query_broadcast_queries(
             pt, [r[0] for r in qdf.collect()], k, colocated=colocated
@@ -443,9 +482,11 @@ def query(
         # (round-2 verdict #4: no caller-burdening leaked caches).
         pt = pt.persist()
         try:
-            if pt.count() <= _AUTO_BROADCAST_NODES:
-                local = pt.toPandas()
-                return _query_broadcast_tree(qdf, col, LocalIndex(local), k)
+            n_nodes = pt.count()
+            if n_nodes <= _AUTO_BROADCAST_NODES:
+                return _query_broadcast_tree(
+                    qdf, col, _merged_local_index(pt, n_nodes), k
+                )
             # tree too big to collect: stays distributed. Probe the query
             # side BEFORE collecting it — with both sides large the only
             # safe plan is bfs, which moves neither side to the driver.
@@ -583,5 +624,11 @@ def build_local_index(pt: DataFrame) -> LocalIndex:
     This is the preload step of the reference's serving engine (Roxie
     holds the BUILDINDEX output memory-resident across queries,
     PrefixTree.ecl:459-588, SURVEY.md §3.3); per-call rebuild was
-    round-2's verdict item #1."""
-    return LocalIndex.from_dataframe(pt)
+    round-2's verdict item #1. Above ``_DRIVER_MERGE_NODES`` the merge
+    itself runs distributed (see ``_merged_local_index``) — the driver
+    only receives the final merged forest over Arrow."""
+    pt = pt.persist()
+    try:
+        return _merged_local_index(pt)
+    finally:
+        pt.unpersist()

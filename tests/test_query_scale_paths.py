@@ -183,3 +183,45 @@ def test_bfs_releases_per_level_checkpoints(spark):
     res = query(pt, qdf, "q", 2, mode="bfs")
     res.count()
     assert jsc.getPersistentRDDs().size() - before <= 1
+
+
+def test_distributed_merge_matches_driver_merge(spark, monkeypatch):
+    """Above _DRIVER_MERGE_NODES the cold broadcast/serving merge is a
+    distributed create(prefix_len=1) rebuild; its traversal results
+    must be identical to the driver-side merge_forests path (and to
+    brute force). Forced via threshold=0 so the fixture-sized tree
+    takes the distributed route."""
+    import prefixtree_spark.operators.query as qmod
+
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3)
+    qdf = spark.createDataFrame([(q,) for q in QUERIES], ["q"])
+
+    monkeypatch.setattr(qmod, "_DRIVER_MERGE_NODES", 0)
+    got_dist = {
+        (r.query_string, r.node, r.final_distance)
+        for r in query(pt, qdf, "q", 2, mode="broadcast_tree").collect()
+    }
+    monkeypatch.setattr(qmod, "_DRIVER_MERGE_NODES", 10**9)
+    got_driver = {
+        (r.query_string, r.node, r.final_distance)
+        for r in query(pt, qdf, "q", 2, mode="broadcast_tree").collect()
+    }
+    assert got_dist == got_driver == _expected(SPARSE_WORDS, QUERIES, 2)
+
+
+def test_distributed_merge_handle_serves_and_preserves_right_trim(spark, monkeypatch):
+    """build_local_index through the distributed route: serving lookups
+    still work, and a trim='right' tree's leading-space words survive
+    the rebuild verbatim (the rebuild must not re-trim)."""
+    import prefixtree_spark.operators.query as qmod
+    from prefixtree_spark import build_local_index
+
+    monkeypatch.setattr(qmod, "_DRIVER_MERGE_NODES", 0)
+    words = spark.createDataFrame(
+        [("  cat ",), ("cat ",), ("cart",)], ["word"]
+    )
+    pt = create(words, "word", trim="right")
+    idx = build_local_index(pt)
+    assert sorted(idx.labels[idx.is_word]) == ["  cat", "cart", "cat"]
+    assert idx.search("cat", 0) == [("cat", 0)]
+    assert ("  cat", 1) not in idx.search("cat", 1)
