@@ -28,7 +28,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-    from prefixtree_spark import LocalIndex, create, query
+    from prefixtree_spark import create, query
     from prefixtree_spark.session import get_spark
     from prefixtree_spark.sources.tables import load_table
     from prefixtree_spark import workloads, workloads_ext, workloads_rel  # noqa: F401
@@ -135,8 +135,10 @@ def main() -> None:
     )
     qdf_bfs.unpersist()
 
-    # B4: serving path — 100 point queries on the collected index
-    idx = LocalIndex.from_dataframe(pt_holder["pt"])
+    # B4: serving path — 100 point queries on the preloaded handle
+    # (the same one the warm batch entry reuses; building a second
+    # LocalIndex here would double-pay the collect+merge)
+    idx = handle
     qs100 = [r.q for r in qdf.limit(100).collect()]
 
     def points():
@@ -184,6 +186,32 @@ def main() -> None:
             name,
             lambda name=name: catalog[name](spark, sf_dir).count(),
             repeats=3 if name in noisy else 1,
+        )
+
+    # IVF accuracy/speed tradeoff (untimed — headline_total unchanged):
+    # recall@10 vs the exact top-k at a narrow and a wide probe width.
+    # This is the number that justifies shipping the approximate path:
+    # per-query work scales with nprobe/n_cells, so recall-per-probe is
+    # the tuning curve a user reads before trading exactness for speed.
+    from prefixtree_spark.operators import ann as ann_ops
+    from prefixtree_spark.sources.tables import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    q_emb = emb.where("vec_id % 50 = 0")
+    exact_set = {
+        (r.query_id, r.vec_id)
+        for r in catalog["ann_topk_cosine"](spark, sf_dir).collect()
+    }
+    for nprobe in (2, 8):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ann_ops.cosine_topk_ivf(
+                q_emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+                k=10, n_cells=32, nprobe=nprobe,
+            ).collect()
+        }
+        extras[f"ivf_recall_nprobe{nprobe}"] = round(
+            len(got & exact_set) / max(1, len(exact_set)), 4
         )
 
     # skewed-corpus stress: a pure boilerplate-heavy corpus (every doc
