@@ -8,13 +8,16 @@ moves a document across the split boundary (no train/test leakage from
 nondeterminism), and the SAME assignment is reproducible in any engine
 that has md5 — which is exactly how the DuckDB oracle certifies it.
 
-Everything is a narrow JVM-side projection: no shuffle, no UDF, no
-collect; Catalyst folds the whole thing into the scan's codegen stage.
+``split_assign`` / ``deterministic_sample`` are narrow JVM-side
+projections: no shuffle, no UDF, no collect; Catalyst folds them into
+the scan's codegen stage. ``top_n_per_group`` / ``pack_sequences`` are
+single-shuffle window ops on the group key (quota sampling and
+sequence packing are per-group by definition); both stay UDF-free.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # parts-per-million resolution keeps threshold arithmetic in exact
@@ -63,6 +66,75 @@ def split_assign(
     last = F.lit(names[-1])
     split = last if expr is None else expr.otherwise(names[-1])
     return df.withColumn("split", split)
+
+
+def top_n_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    n: int,
+    *,
+    order_col: str | None = None,
+    id_col: str | None = None,
+    seed: str = "",
+) -> DataFrame:
+    """Per-group quota: at most ``n`` rows from every group — the
+    corpus-curation primitive behind "≤N documents per domain/source".
+
+    Ordering inside a group: ``order_col`` ascending if given (quality
+    rank, recency, …), else the md5 bucket of ``id_col`` — a stable
+    STRATIFIED SAMPLE (same rows chosen on every run/partitioning).
+    ``id_col`` always breaks ties so the selection is total-ordered.
+
+    Scale shape: declared as a rank-filter window, which Spark compiles
+    to WindowGroupLimit — each map task keeps only its local top-n per
+    group BEFORE the shuffle, so the exchange carries O(n · groups ·
+    tasks) rows, not the corpus (verified in tests against the plan).
+    """
+    if id_col is None:
+        raise ValueError("id_col is required (total-order tie-break)")
+    if order_col is not None:
+        ordering = [F.col(order_col).asc(), F.col(id_col).asc()]
+    else:
+        ordering = [_bucket_ppm(F.col(id_col), seed).asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(*group_cols).orderBy(*ordering)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n)
+        .drop("rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Concatenate-and-cut sequence packing: documents are laid out in
+    ``id_col`` order (within each group) and cut into context windows
+    of ``budget`` tokens. Adds ``token_offset`` (exclusive running sum
+    — where this document's tokens start) and ``bin_id``
+    (``token_offset div budget`` — the window its first token lands
+    in; a document may spill into the next window, exactly like
+    GPT-style packed pretraining batches).
+
+    All-integer window arithmetic (exact in any engine). One shuffle on
+    the group key; the running sum is a single ordered pass per group —
+    pass ``group_cols`` (shard/source) at scale, since packing ONE
+    global stream serializes the scan into a single task by definition.
+    """
+    keys = group_cols or []
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum(token_count_col).over(w), F.lit(0)).cast("long")
+    return df.withColumn("token_offset", offset).withColumn(
+        "bin_id", F.floor(F.col("token_offset") / budget).cast("long")
+    )
 
 
 def deterministic_sample(

@@ -371,6 +371,73 @@ def split_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+@workload(
+    "docs_top_per_source",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY (('0x' || substr(md5(doc_id::VARCHAR || 'q3'), 1, 15))::BIGINT
+                         % 1000000) ASC, doc_id ASC
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def docs_top_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota (≤20 docs each), chosen by stable md5-hash
+    order — the "at most N documents per domain" curation step as a
+    reproducible stratified sample. The oracle recomputes the identical
+    bucket arithmetic and rank."""
+    from prefixtree_spark.operators.sampling import top_n_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_n_per_group(
+        docs, ["source"], 20, id_col="doc_id", seed="q3"
+    ).select("doc_id", "source")
+
+
+@workload(
+    "docs_pack_sequences",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           COALESCE(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0)::BIGINT AS token_offset,
+           (COALESCE(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) // 512)::BIGINT AS bin_id
+    FROM t
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-cut packing into 512-token context windows,
+    per source shard: every document gets its start offset and window
+    id in the packed token stream. All-integer window arithmetic —
+    exact in both engines."""
+    from prefixtree_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return pack_sequences(
+        with_counts, "doc_id", "n_tokens", 512, group_cols=["source"]
+    ).select("doc_id", "source", "n_tokens", "token_offset", "bin_id")
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
