@@ -138,6 +138,37 @@ def main() -> None:
         "chunk (driver memory is one chunk; see cosine_topk docstring).",
     )
 
+    from prefixtree_spark.operators import ranking, sampling
+
+    bm_q = docs.select(
+        F.col("doc_id").alias("qid"),
+        F.slice(F.regexp_extract_all("text", F.lit(r"\S+"), 0), 1, 3).alias("terms"),
+    ).where("doc_id % 41 = 0 AND size(terms) >= 3")
+    dedup.PIN_RESULTS = False  # keep the LAZY plan (shared flag — see dedup sections)
+    bm = ranking.bm25_rank(docs, "doc_id", "text", bm_q, "qid", "terms", idf="ratio")
+    dedup.PIN_RESULTS = True
+    grab(
+        "BM25 retrieval — bm25_rank",
+        bm,
+        "Inverted-index retrieval: ONE tokenize+hash-agg pass builds the "
+        "postings (cached — shared by the df-statistics branch and the "
+        "probe), corpus stats are a 1-row broadcast, and the enriched "
+        "query-term side is BROADCAST into the postings probe so the "
+        "corpus never shuffles for the lookup. Scoring is one hash-agg "
+        "on (query_id, doc_id); contributions are DECIMAL-cast before "
+        "the sum (order-independent, cross-engine exact — oracled).",
+    )
+
+    quota = sampling.top_n_per_group(docs, ["source"], 20, id_col="doc_id", seed="q3")
+    grab(
+        "Per-group quota — top_n_per_group",
+        quota,
+        "The rank-filter window compiles to WindowGroupLimit: every map "
+        "task keeps only its local top-n per group BEFORE the exchange, "
+        "so the shuffle carries O(n·groups·tasks) rows, not the corpus "
+        "(pinned by test_top_n_per_group_hash_stable_and_plan).",
+    )
+
     out = ["# PLANS — physical-plan audit of headline operators", ""]
     out.append(
         "Generated by `tools/dump_plans.py` (re-run after plan-affecting "
