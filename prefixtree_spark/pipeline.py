@@ -3,15 +3,16 @@ pipeline actually runs, as one call over the engine's oracled
 primitives:
 
   quality filter → language filter → near-dup removal (MinHash-LSH →
-  components → survivors) → benchmark decontamination → deterministic
-  train/val/test split.
+  components → survivors) → benchmark decontamination → per-source
+  quota → deterministic train/val/test split → context-window packing.
 
 Each stage is individually oracle-pinned (see workloads_ext.py); this
 module only composes them, keeping the whole flow lazy where the
 stages allow and documenting the shuffle budget: one hash-agg per text
 statistic, the LSH candidate joins, one semi/anti join pair for
-decontamination, and zero shuffles for the split (a narrow md5
-projection).
+decontamination, one group-key window shuffle each for the optional
+quota and packing stages, and zero shuffles for the split (a narrow
+md5 projection).
 """
 
 from __future__ import annotations
@@ -20,7 +21,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from prefixtree_spark.operators import dedup, text
-from prefixtree_spark.operators.sampling import split_assign
+from prefixtree_spark.operators.sampling import (
+    pack_sequences,
+    split_assign,
+    top_n_per_group,
+)
 
 
 def prepare_corpus(
@@ -35,8 +40,12 @@ def prepare_corpus(
     shingle_n: int = 3,
     max_df: int | None = None,
     decontaminate_n: int = 13,
+    quota_col: str | None = None,
+    quota_n: int | None = None,
     splits: dict[str, float] | None = None,
     split_seed: str = "",
+    pack_budget: int | None = None,
+    pack_group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Returns the prepared corpus: input rows that survive every
     enabled stage, with ``quality``, ``lang_pred`` and (when ``splits``
@@ -44,10 +53,18 @@ def prepare_corpus(
     training documents sharing a ``decontaminate_n``-gram with it;
     pass ``languages`` to keep only those predicted languages.
 
+    ``quota_col``+``quota_n`` caps the corpus at ``quota_n`` documents
+    per ``quota_col`` value (md5-stable stratified choice). With
+    ``pack_budget``, each surviving row additionally gets
+    ``n_tokens`` / ``token_offset`` / ``bin_id`` — its place in the
+    concatenate-and-cut packed token stream (per ``pack_group_cols``,
+    which should include ``split`` when splitting, so windows never
+    straddle the train/val boundary).
+
     Determinism: every stage is a pure function of the input rows
     (hash-based dedup survivors keep each cluster's minimum id; the
-    split is md5-stable), so re-runs and repartitionings produce the
-    same corpus.
+    split and quota are md5-stable), so re-runs and repartitionings
+    produce the same corpus.
     """
     out = docs
     # quality + language annotations (pure JVM expressions, no UDFs;
@@ -72,6 +89,20 @@ def prepare_corpus(
         out = dedup.decontaminate(
             out, test_set, id_col, text_col, n=decontaminate_n
         )
+    if quota_col is not None and quota_n is not None:
+        out = top_n_per_group(
+            out, [quota_col], quota_n, id_col=id_col, seed=split_seed
+        )
     if splits is not None:
         out = split_assign(out, id_col, splits, seed=split_seed)
+    if pack_budget is not None:
+        out = out.withColumn(
+            "n_tokens",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)).cast("long"),
+        )
+        out = pack_sequences(
+            out, id_col, "n_tokens", pack_budget,
+            group_cols=pack_group_cols
+            or (["split"] if splits is not None else None),
+        )
     return out

@@ -63,3 +63,36 @@ def test_prepare_corpus_deterministic(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_prepare_corpus_quota_and_packing(spark):
+    rows = [
+        (i, "src%d" % (i % 2), "token " * 10 + "word%d unique%d tail%d" % (i, i * 7, i * 13))
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = prepare_corpus(
+        docs,
+        "doc_id",
+        "text",
+        min_quality=0.0,
+        dedup_threshold=0.95,
+        quota_col="source",
+        quota_n=4,
+        splits={"train": 0.5, "test": 0.5},
+        split_seed="s",
+        pack_budget=20,
+    ).collect()
+    # quota: at most 4 docs per source survive
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert all(len(v) <= 4 for v in by_src.values()) and len(out) > 0
+    # packing groups default to the split column: offsets restart per
+    # split and every doc's window id is its offset div budget
+    for split in {r.split for r in out}:
+        grp = sorted((r for r in out if r.split == split), key=lambda r: r.doc_id)
+        offset = 0
+        for r in grp:
+            assert (r.token_offset, r.bin_id) == (offset, offset // 20)
+            offset += r.n_tokens
