@@ -38,6 +38,58 @@ from pyspark.storagelevel import StorageLevel
 from prefixtree_spark.operators import dedup as _dedup
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str,
+    id_col: str,
+    rank_col: str = "rank",
+    *,
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N per-query rankings — the standard
+    hybrid-retrieval combiner (lexical + semantic + priors):
+    ``score(q, d) = Σ_r 1 / (c + rank_r(q, d))`` over the rankings
+    that contain (q, d). Returns ``(query_col, id_col, rrf_rank)``
+    with the top ``k`` fused results per query, ties on ``id_col``.
+
+    Fusion needs only rank positions, never the incomparable raw
+    scores — which is also what makes it oracle-exact: 1/(c+rank) is
+    one correctly-rounded IEEE division (identical in any engine),
+    cast to DECIMAL before the sum so aggregation order can't perturb
+    ties. Plan shape: union of (tiny) top-k candidate sets → one
+    hash-agg on (query, id) → per-query top-k window; cost is bounded
+    by Σ|rankings|, independent of corpus size.
+    """
+    if not rankings:
+        raise ValueError("at least one ranking required")
+    contrib = (F.lit(1.0) / (F.lit(c) + F.col(rank_col))).cast("decimal(28,18)")
+    tagged = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            contrib.alias("contrib"),
+        )
+        for r in rankings
+    ]
+    allr = tagged[0]
+    for t in tagged[1:]:
+        allr = allr.unionByName(t)
+    scored = allr.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rrf_rank", F.row_number().over(w))
+        .where(F.col("rrf_rank") <= k)
+        .select(
+            F.col("query_id").alias(query_col),
+            F.col("doc_id").alias(id_col),
+            "rrf_rank",
+        )
+    )
+
+
 def bm25_rank(
     docs: DataFrame,
     id_col: str,

@@ -742,3 +742,113 @@ def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.regexp_extract_all("text", F.lit(r"\S+"), 0), 1, 3).alias("terms"),
     ).where("doc_id % 41 = 0 AND size(terms) >= 3")
     return ranking.bm25_rank(docs, "doc_id", "text", q, "qid", "terms", idf="ratio")
+
+
+@workload(
+    "hybrid_rrf_docs",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
+    ),
+    posts AS (
+      SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM d
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+      FROM posts GROUP BY doc_id, dl, term
+    ),
+    stats AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(len(ts))::BIGINT AS total_len FROM d
+    ),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    qt AS (
+      SELECT DISTINCT doc_id AS query_id, unnest(ts[1:3]) AS term
+      FROM d WHERE doc_id % 41 = 0 AND len(ts) >= 3
+    ),
+    bscored AS (
+      SELECT qt.query_id, tf.doc_id,
+             sum(CAST(
+               (((s.n_docs - f.df + 0.5e0) / (f.df + 0.5e0)) * (tf.tf * 2.25e0))
+               / (tf.tf + 1.25e0 * (0.25e0 + 0.75e0
+                    * (tf.dl / ((s.total_len * 1.0e0) / s.n_docs))))
+             AS DECIMAL(28,9))) AS score
+      FROM qt JOIN dfreq f ON qt.term = f.term
+              JOIN tf ON qt.term = tf.term, stats s
+      GROUP BY qt.query_id, tf.doc_id
+    ),
+    bm AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id ASC) AS rank
+        FROM bscored)
+      WHERE rank <= 10
+    ),
+    qstats AS (
+      SELECT doc_id,
+        length(text) AS n_chars,
+        len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+        len(list_filter(regexp_extract_all(text, '\S+'),
+                        x -> x IN ('the','a','an','of','and','in','to','is'))) AS stop_hits
+      FROM documents
+    ),
+    qual AS (
+      SELECT doc_id,
+        round(greatest(
+          0.35 * least(n_chars / 500.0, 1.0)
+          + 0.35 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars::DOUBLE ELSE 0.0 END)
+          + 0.2 * least((CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens::DOUBLE ELSE 0.0 END) * 5.0, 1.0)
+          - 0.1 * (CASE WHEN n_chars > 0 THEN least(n_punct * 10.0 / n_chars, 1.0) ELSE 0.0 END),
+          0.0), 6) AS quality
+      FROM qstats
+    ),
+    qr AS (
+      SELECT bm.query_id, bm.doc_id,
+             row_number() OVER (PARTITION BY bm.query_id
+                                ORDER BY qual.quality DESC, bm.doc_id ASC) AS rank
+      FROM bm JOIN qual ON bm.doc_id = qual.doc_id
+    ),
+    uni AS (
+      SELECT query_id, doc_id,
+             CAST(1.0e0 / (60 + rank) AS DECIMAL(28,18)) AS contrib FROM bm
+      UNION ALL
+      SELECT query_id, doc_id,
+             CAST(1.0e0 / (60 + rank) AS DECIMAL(28,18)) AS contrib FROM qr
+    ),
+    fused AS (
+      SELECT query_id, doc_id, sum(contrib) AS s
+      FROM uni GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_rank FROM (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, doc_id ASC) AS INT) AS rrf_rank
+      FROM fused)
+    WHERE rrf_rank <= 5
+    """,
+)
+def hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 relevance fused with a document-quality
+    prior by reciprocal-rank fusion — the curation pattern "relevant
+    AND high-quality". Ranker A: the oracled BM25 top-10; ranker B:
+    the same candidates re-ranked by the oracled quality score. RRF
+    needs only rank positions, so the whole fusion is exact decimal
+    arithmetic in both engines."""
+    from pyspark.sql import Window
+    from prefixtree_spark.operators import ranking
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        F.col("doc_id").alias("qid"),
+        F.slice(F.regexp_extract_all("text", F.lit(r"\S+"), 0), 1, 3).alias("terms"),
+    ).where("doc_id % 41 = 0 AND size(terms) >= 3")
+    bm = ranking.bm25_rank(docs, "doc_id", "text", q, "qid", "terms", idf="ratio")
+    qual = text.quality_score(docs, "doc_id", "text")
+    w = Window.partitionBy("query_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    qr = (
+        bm.join(qual, "doc_id")
+        .select("query_id", "doc_id", F.row_number().over(w).alias("rank"))
+    )
+    return ranking.rrf_fuse([bm, qr], "query_id", "doc_id", k=5)

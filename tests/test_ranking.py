@@ -100,3 +100,49 @@ def test_bm25_unknown_idf_raises(corpus, spark):
     q = spark.createDataFrame([(1, ["x"])], ["qid", "terms"])
     with pytest.raises(ValueError):
         bm25_rank(corpus, "doc_id", "text", q, "qid", "terms", idf="bogus")
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from prefixtree_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], ["qid", "doc", "rank"]
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 10, 3)], ["qid", "doc", "rank"]
+    )
+    got = [
+        (r.doc, r.rrf_rank)
+        for r in sorted(
+            rrf_fuse([a, b], "qid", "doc", k=3).collect(), key=lambda r: r.rrf_rank
+        )
+    ]
+    # 11: 1/62+1/61 > 10: 1/61+1/63 > 13: 1/62 (12: 1/63 just below)
+    assert got == [(11, 1), (10, 2), (13, 3)]
+
+
+def test_rrf_fuse_tie_breaks_on_id(spark):
+    from prefixtree_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame([(1, 20, 1), (1, 7, 1)], ["qid", "doc", "rank"])
+    got = [(r.doc, r.rrf_rank) for r in sorted(
+        rrf_fuse([a], "qid", "doc", k=2).collect(), key=lambda r: r.rrf_rank)]
+    assert got == [(7, 1), (20, 2)]
+
+
+def test_rrf_fuse_empty_rankings_raises(spark):
+    from prefixtree_spark.operators.ranking import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([], "qid", "doc")
+
+
+def test_hybrid_rrf_workload_matches_oracle(spark, duck):
+    from prefixtree_spark import workloads
+    import prefixtree_spark.workloads_ext  # noqa: F401
+
+    sdf = workloads.QUERIES["hybrid_rrf_docs"](spark, "/root/testdata/sf0.001")
+    got = sorted(map(tuple, sdf.toPandas()[sorted(sdf.columns)].values.tolist()))
+    odf = duck.execute(workloads.ORACLES["hybrid_rrf_docs"]).fetchdf()
+    want = sorted(map(tuple, odf[sorted(odf.columns)].values.tolist()))
+    assert got == want and len(got) > 0
