@@ -32,9 +32,14 @@ from pyspark.sql import types as T
 
 def attach_binary_metadata(df: DataFrame, bin_col: str) -> DataFrame:
     """Cheap JVM-side metadata: byte length and sha256 content hash —
-    the columns every downstream media op filters/dedups on."""
+    the columns every downstream media op filters/dedups on.
+
+    ``sha2`` already emits lowercase hex; do NOT wrap it in
+    ``lower()`` — on Spark 4 a collation-aware string function's first
+    call loads the ICU machinery (measured: 6-30 s of one-time JVM
+    work for a no-op lowercase)."""
     return df.withColumn("n_bytes", F.octet_length(F.col(bin_col)).cast("long")).withColumn(
-        "sha256", F.lower(F.sha2(F.col(bin_col), 256))
+        "sha256", F.sha2(F.col(bin_col), 256)
     )
 
 
