@@ -17,6 +17,14 @@ pandas functions; no RDD API, no Catalyst extensions.
 from prefixtree_spark.operators.build import create, load_index, save_index
 from prefixtree_spark.operators.incremental import add_words
 from prefixtree_spark.operators.prefix import prefix_search
+from prefixtree_spark.operators.ranking import bm25_rank, rrf_fuse
+from prefixtree_spark.operators.sampling import (
+    deterministic_sample,
+    pack_sequences,
+    split_assign,
+    top_n_per_group,
+)
+from prefixtree_spark.pipeline import prepare_corpus
 from prefixtree_spark.operators.query import (
     LocalIndex,
     build_local_index,
@@ -42,6 +50,13 @@ __all__ = [
     "similarity_join",
     "fuzzy_dedup",
     "best_match",
+    "bm25_rank",
+    "rrf_fuse",
+    "split_assign",
+    "deterministic_sample",
+    "top_n_per_group",
+    "pack_sequences",
+    "prepare_corpus",
 ]
 
 __version__ = "0.1.0"
