@@ -158,6 +158,73 @@ def doc_fingerprint(
     return grams.groupBy("doc_id").agg(F.min(h).alias("fingerprint"))
 
 
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+      - ``top_ngram_frac``: occurrences of the single most frequent
+        word ``n``-gram over total ``n``-grams — boilerplate/spam
+        repeats a phrase, natural text doesn't;
+      - ``dup_token_frac``: ``1 - distinct/total`` tokens — keyword
+        stuffing and degenerate generations re-use tokens.
+
+    Documents with fewer than ``n`` tokens get 0.0 for the n-gram
+    signal (no n-grams exist); empty documents get 0.0 for both.
+    Ratios are integer-ratio doubles rounded to 6 (the oracle
+    evaluates identical expressions).
+
+    Plan: one explode + hash-agg shuffle per signal (map-side
+    partials), joined back on doc_id — no UDFs, no windows over the
+    corpus; per-group state is one (max, sum) pair, so skewed
+    documents cost their own size only."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), _nonspace_tokens(text_col).alias("ts")
+    )
+    tok_stats = (
+        toks.select("doc_id", F.explode("ts").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("total_toks"),
+            F.count(F.lit(1)).alias("distinct_toks"),
+        )
+    )
+    grams = toks.where(F.size("ts") >= n).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(ts) - {n - 1}),"
+                f" i -> array_join(slice(ts, i, {n}), ' '))"
+            )
+        ).alias("gram"),
+    )
+    gram_stats = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_gram"), F.sum("c").alias("total_grams"))
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    out = base.join(tok_stats, "doc_id", "left").join(gram_stats, "doc_id", "left")
+    dup_frac = F.when(
+        F.col("total_toks") > 0,
+        F.round(
+            F.lit(1.0) - F.col("distinct_toks") / F.col("total_toks"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        F.col("total_grams") > 0,
+        F.round(F.col("top_gram") / F.col("total_grams"), 6),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id",
+        top_frac.alias("top_ngram_frac"),
+        dup_frac.alias("dup_token_frac"),
+    )
+
+
 def top_tokens(df: DataFrame, text_col: str, k: int = 1000) -> DataFrame:
     """Corpus vocabulary head: the ``k`` most frequent whitespace
     tokens with counts — the first statistic a tokenizer/vocab build

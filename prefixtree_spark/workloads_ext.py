@@ -312,20 +312,22 @@ def bpe_pair_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH a AS (
       SELECT 'c_custkey' AS column, count(*) AS n_rows,
-             sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+             -- ::BIGINT: DuckDB sum() yields HUGEINT, which pandas
+             -- renders as float64 — hash-mismatches Spark's int64
+             sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
              count(DISTINCT c_custkey) AS n_distinct,
              min(c_custkey)::VARCHAR AS min_value,
              max(c_custkey)::VARCHAR AS max_value
       FROM customer
       UNION ALL
       SELECT 'c_mktsegment', count(*),
-             sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+             sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)::BIGINT,
              count(DISTINCT c_mktsegment),
              min(c_mktsegment), max(c_mktsegment)
       FROM customer
       UNION ALL
       SELECT 'c_nationkey', count(*),
-             sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+             sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
              count(DISTINCT c_nationkey),
              min(c_nationkey)::VARCHAR, max(c_nationkey)::VARCHAR
       FROM customer
@@ -852,3 +854,43 @@ def hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", F.row_number().over(w).alias("rank"))
     )
     return ranking.rrf_fuse([bm, qr], "query_id", "doc_id", k=5)
+
+
+@workload(
+    "repetition_signals",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, sum(c) AS total_toks, count(*) AS distinct_toks
+      FROM (SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id, unnest(ts) AS tok FROM t)
+            GROUP BY doc_id, tok)
+      GROUP BY doc_id
+    ),
+    g AS (
+      SELECT doc_id, max(c) AS top_gram, sum(c) AS total_grams
+      FROM (SELECT doc_id, gram, count(*) AS c
+            FROM (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram
+                  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+                        FROM t WHERE len(ts) >= 2))
+            GROUP BY doc_id, gram)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+      CASE WHEN g.total_grams > 0
+           THEN round(g.top_gram / g.total_grams::DOUBLE, 6) ELSE 0.0 END AS top_ngram_frac,
+      CASE WHEN tok.total_toks > 0
+           THEN round(1.0e0 - tok.distinct_toks / tok.total_toks::DOUBLE, 6) ELSE 0.0 END AS dup_token_frac
+    FROM documents d
+    LEFT JOIN tok ON d.doc_id = tok.doc_id
+    LEFT JOIN g ON d.doc_id = g.doc_id
+    """,
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: most-frequent-bigram share and
+    duplicate-token share per document — the quality rules that catch
+    boilerplate and degenerate text before training."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_signals(docs, "doc_id", "text", n=2)

@@ -82,3 +82,22 @@ def test_bpe_pair_counts(spark):
     got = [(r.pair, r.n) for r in text_ops.bpe_pair_counts(df, "text", k=10).collect()]
     # token "aab" -> aa, ab ; "ab" -> ab ; "x" too short
     assert got == [("ab", 2), ("aa", 1)]
+
+
+def test_repetition_signals(spark):
+    rows = [
+        (0, "spam spam spam spam"),          # one bigram repeated
+        (1, "all words here are distinct"),
+        (2, ""),
+        (3, "one"),                          # no bigrams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.top_ngram_frac, r.dup_token_frac)
+        for r in text.repetition_signals(df, "doc_id", "text").collect()
+    }
+    # doc 0: 3 bigrams, all "spam spam" -> 1.0; tokens 4 total 1 distinct -> 0.75
+    assert got[0] == (1.0, 0.75)
+    assert got[1] == (round(1 / 4, 6), 0.0)
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (0.0, 0.0)
