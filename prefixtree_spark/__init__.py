@@ -15,7 +15,7 @@ pandas functions; no RDD API, no Catalyst extensions.
 """
 
 from prefixtree_spark.operators.build import create, load_index, save_index
-from prefixtree_spark.operators.incremental import add_words
+from prefixtree_spark.operators.incremental import add_words, remove_words
 from prefixtree_spark.operators.prefix import prefix_search
 from prefixtree_spark.operators.ranking import bm25_rank, rrf_fuse
 from prefixtree_spark.operators.sampling import (
@@ -44,6 +44,7 @@ __all__ = [
     "LocalIndex",
     "build_local_index",
     "add_words",
+    "remove_words",
     "prefix_search",
     "save_index",
     "load_index",

@@ -1,6 +1,6 @@
 """Incremental index maintenance — ``add_words`` inserts a delta
-vocabulary into an existing node table WITHOUT rebuilding the
-dictionary from raw input.
+vocabulary into an existing node table, ``remove_words`` deletes one,
+WITHOUT rebuilding the dictionary from raw input.
 
 The reference cannot do this: ``Create`` is monolithic (the whole
 vocabulary re-flows through DISTRIBUTE + ITERATE + NORMALIZE + ROLLUP,
@@ -134,6 +134,90 @@ def _emit(root: list, pid: int, next_id: int) -> Iterator[tuple]:
         if not is_word:
             for c in reversed(list(node[_CHILDREN].values())):
                 stack2.append((c, nid))
+
+
+def _remove(root: list, word: str) -> bool:
+    """Delete ``word``'s end-cap from the forest and prune any chain of
+    nodes left childless. Internal nodes that drop to a single child
+    are NOT re-merged — query correctness never depends on maximal
+    path compression (the path still spells the same strings and
+    ``_emit`` recomputes the bands); it only costs a little traversal
+    depth until the next rebuild. Returns False if the word is absent
+    (the removal is a no-op)."""
+    cur = root
+    i, n = 0, len(word)
+    path: list[tuple[list, str]] = []
+    while i < n:
+        child = cur[_CHILDREN].get(word[i])
+        if child is None:
+            return False
+        label = child[_LABEL]
+        if word[i : i + len(label)] != label:
+            return False
+        path.append((cur, word[i]))
+        cur = child
+        i += len(label)
+    cap = cur[_CHILDREN].get(_END)
+    if cap is None or cap[_LABEL] != word:
+        return False
+    del cur[_CHILDREN][_END]
+    node = cur
+    while path and not node[_CHILDREN]:
+        parent, k = path.pop()
+        del parent[_CHILDREN][k]
+        node = parent
+    return True
+
+
+def remove_words(
+    pt: DataFrame,
+    df: DataFrame,
+    col: str | Column,
+) -> DataFrame:
+    """Delete ``df[col]``'s words from the node table ``pt`` and return
+    the updated table. Equivalent, as query-result SETS, to
+    ``create(old_words − removal)`` — pinned by the ``pt_remove_words``
+    oracle workload and property tests. Words not in the dictionary
+    are ignored.
+
+    Unlike ``add_words``, the removal delta is routed by the INDEX'S
+    OWN layout, not by re-hashing: each word finds its forest through
+    an equi-join against the end-cap rows (``is_word`` nodes carry the
+    full word), so removal is exact under ANY historical partitioning
+    — prefix_len builds, add_words growth, repartitioned reloads. Cost:
+    one equi-join over the (prefix-compressed) end-caps + a rebuild of
+    only the forests that actually lose words; untouched forests pass
+    through row-identical. Surviving nodes keep their ids; no new ids
+    are ever allocated."""
+    if "n_copies" in pt.columns:
+        raise ValueError("remove_words does not support keep_duplicates tables")
+    words = df.select(
+        F.trim(F.col(col) if isinstance(col, str) else col).alias("word")
+    ).where(F.col("word") != "").distinct()
+    hits = (
+        pt.where("is_word")
+        .join(words, pt["node"] == words["word"])
+        .select(F.col("compute_node").alias("pid"), F.col("word"))
+        .distinct()
+    )
+
+    def merge(key: tuple, old: pd.DataFrame, rem: pd.DataFrame) -> pd.DataFrame:
+        if len(rem) == 0 or len(old) == 0:
+            return old[PT_COLUMNS]
+        root = _rebuild(old)
+        for w in rem["word"]:
+            _remove(root, w)
+        if not root[_CHILDREN]:
+            return old[PT_COLUMNS].iloc[0:0]
+        next_id = int(old["id"].max()) + 1  # never consumed: no new nodes
+        pid = int(key[0])
+        return pd.DataFrame(list(_emit(root, pid, next_id)), columns=PT_COLUMNS)
+
+    return (
+        pt.groupBy("compute_node")
+        .cogroup(hits.groupBy("pid"))
+        .applyInPandas(merge, schema=PT_SCHEMA)
+    )
 
 
 def add_words(

@@ -242,6 +242,29 @@ def pt_add_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "pt_remove_words",
+    """
+    SELECT DISTINCT trim(c_name) AS word
+    FROM customer WHERE trim(c_name) <> ''
+    EXCEPT
+    SELECT DISTINCT trim(c_name) AS word
+    FROM customer WHERE c_custkey % 3 = 0 AND trim(c_name) <> ''
+    """,
+)
+def pt_remove_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion gate: build on the full vocabulary, ``remove_words``
+    every name held by a c_custkey ≡ 0 (mod 3) customer — the pruned
+    tree must spell EXACTLY the set difference (removal routed by the
+    index's own end-cap layout, no re-hash assumption)."""
+    from prefixtree_spark.operators.incremental import remove_words
+
+    cust = load_table(spark, sf_dir, "customer")
+    pt = create(cust, "c_name")
+    pruned = remove_words(pt, cust.where("c_custkey % 3 = 0"), "c_name")
+    return pruned.where("is_word").select(F.col("node").alias("word")).distinct()
+
+
+@workload(
     "pt_prefix_search",
     """
     WITH w AS (SELECT DISTINCT trim(c_name) AS word

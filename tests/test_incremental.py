@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from prefixtree_spark import create, query
-from prefixtree_spark.operators.incremental import add_words
+from prefixtree_spark.operators.incremental import add_words, remove_words
 from prefixtree_spark.plans.tree import ID_BLOCK
 from tests.conftest import brute_levenshtein
 from tests.test_build import SPARSE_WORDS, _words_df
@@ -80,3 +80,64 @@ def test_add_words_rejects_keep_duplicates(spark):
     )
     with pytest.raises(ValueError, match="keep_duplicates"):
         add_words(ptd, _words_df(spark, ["B"]), "word")
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+@pytest.mark.parametrize("parts", [1, 3])
+def test_remove_words_query_equivalence(spark, seed, parts):
+    """remove_words(build(A), R) ≡ build(A − R) as query-result sets,
+    across partitionings; removing absent words is a no-op."""
+    base = _vocab(seed, 80)
+    removal = base[::3] + _vocab(seed + 50, 10)  # some absent on purpose
+    remaining = sorted(set(base) - set(removal))
+    queries = _vocab(seed + 200, 10)
+    pruned = remove_words(
+        create(_words_df(spark, base), "word", num_partitions=parts),
+        _words_df(spark, removal),
+        "word",
+    )
+    qdf = spark.createDataFrame([(q,) for q in queries], ["q"])
+    got = {
+        (r.query_string, r.node, r.final_distance)
+        for r in query(pruned, qdf, "q", 1).collect()
+    }
+    want = {
+        (q, w, brute_levenshtein(q, w))
+        for q in set(queries)
+        for w in remaining
+        if brute_levenshtein(q, w) <= 1
+    }
+    assert got == want
+
+
+def test_remove_words_ids_stable_and_untouched_forests(spark):
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3).cache()
+    before = {r.id for r in pt.select("id").collect()}
+    victim = SPARSE_WORDS[0]
+    pruned = remove_words(pt, spark.createDataFrame([(victim,)], ["word"]), "word").cache()
+    after_rows = pruned.collect()
+    after = {r.id for r in after_rows}
+    # no new ids ever; the victim's end-cap is gone
+    assert after <= before
+    assert victim not in {r.node for r in after_rows if r.is_word}
+    # words removed entirely -> empty table allowed
+    empty = remove_words(pt, _words_df(spark, SPARSE_WORDS), "word")
+    assert empty.where("is_word").count() == 0
+    pt.unpersist(); pruned.unpersist()
+
+
+def test_remove_then_add_roundtrip(spark):
+    """remove then re-add restores the exact word set (ids may differ)."""
+    base = _vocab(9, 50)
+    pt = create(_words_df(spark, base), "word", num_partitions=3)
+    sub = base[::4]
+    back = add_words(remove_words(pt, _words_df(spark, sub), "word"),
+                     _words_df(spark, sub), "word")
+    got = {r.node for r in back.where("is_word").collect()}
+    assert got == set(base)
+
+
+def test_remove_words_rejects_keep_duplicates(spark):
+    pt = create(_words_df(spark, ["AA", "AA", "AB"]), "word", keep_duplicates=True)
+    with pytest.raises(ValueError, match="keep_duplicates"):
+        remove_words(pt, _words_df(spark, ["AA"]), "word")
