@@ -166,6 +166,26 @@ def main() -> None:
         return total
 
     bench("point_brute_100", point_brute)
+
+    # incremental maintenance: a 10% vocabulary delta applied to an
+    # existing index vs rebuilding from raw (= build_index above). The
+    # scale claim: delta cost tracks the DELTA + node table, not the
+    # corpus.
+    from prefixtree_spark import add_words, remove_words
+
+    pt90 = create(cust.where("c_custkey % 10 != 0"), "c_name").persist()
+    pt90.count()
+    bench(
+        "add_words_delta",
+        lambda: add_words(pt90, cust.where("c_custkey % 10 = 0"), "c_name").count(),
+    )
+    bench(
+        "remove_words_delta",
+        lambda: remove_words(
+            pt_holder["pt"], cust.where("c_custkey % 10 = 0"), "c_name"
+        ).count(),
+    )
+    pt90.unpersist()
     pt_holder["pt"].unpersist()
 
     # pipeline extensions
