@@ -158,6 +158,86 @@ def doc_fingerprint(
     return grams.groupBy("doc_id").agg(F.min(h).alias("fingerprint"))
 
 
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    *,
+    max_vocab: int = 1_000_000,
+) -> "list[tuple[str, str]]":
+    """Train BPE merges over the corpus: returns the ordered merge list
+    ``[(left, right), ...]`` (length ≤ ``n_merges``; shorter if the
+    corpus exhausts its pairs).
+
+    Architecture mirrors how tokenizer training actually scales: the
+    CORPUS-sized work is one distributed pass aggregating the word
+    frequency table (explode → hash-agg, map-side partials, top
+    ``max_vocab`` words by count — the standard cap: the head carries
+    almost all token mass); the merge loop then runs on that
+    aggregated vocabulary with the classic incremental algorithm
+    (pair counts updated only for words containing the merged pair).
+    The loop is inherently sequential (merge i+1's statistics depend
+    on merge i), so distributing it would mean n_merges full-corpus
+    jobs — the aggregated-vocab loop is the scale design, not a
+    shortcut. Deterministic: ties break on the pair lexicographically.
+    Pinned by a pure-Python brute-force equivalence test; exposed as a
+    rows-only workload (iterative — not SQL-expressible)."""
+    vocab_rows = (
+        df.select(F.explode(_nonspace_tokens(text_col)).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(max_vocab)
+        .collect()
+    )
+    # word -> (symbol tuple, count); symbols start as single characters
+    words: list[list] = [[tuple(r.tok), int(r.cnt)] for r in vocab_rows]
+    # pair -> total count, and pair -> set of word indices containing it
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, cnt) in enumerate(words):
+        for pair in zip(syms, syms[1:]):
+            pair_counts[pair] = pair_counts.get(pair, 0) + cnt
+            pair_words.setdefault(pair, set()).add(wi)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new_sym = best[0] + best[1]
+        for wi in list(pair_words.get(best, ())):
+            syms, cnt = words[wi]
+            # retract this word's old pair contributions
+            for pair in zip(syms, syms[1:]):
+                pair_counts[pair] -= cnt
+                if pair_counts[pair] <= 0:
+                    del pair_counts[pair]
+                ws = pair_words.get(pair)
+                if ws is not None:
+                    ws.discard(wi)
+                    if not ws:
+                        del pair_words[pair]
+            # apply the merge left-to-right
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
+                    out.append(new_sym)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = tuple(out)
+            words[wi][0] = syms
+            # add the new contributions back
+            for pair in zip(syms, syms[1:]):
+                pair_counts[pair] = pair_counts.get(pair, 0) + cnt
+                pair_words.setdefault(pair, set()).add(wi)
+    return merges
+
+
 def repetition_signals(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 2
 ) -> DataFrame:

@@ -894,3 +894,18 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate and degenerate text before training."""
     docs = load_table(spark, sf_dir, "documents")
     return text.repetition_signals(docs, "doc_id", "text", n=2)
+
+
+@workload("bpe_train_merges", None)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training end-to-end: distributed vocab-count pass,
+    then the classic incremental merge loop over the aggregated
+    vocabulary. Iterative (merge i+1 depends on merge i) — not
+    SQL-expressible, so rows-only check here; merge-list equivalence
+    to the textbook trainer is pinned in tests/test_text.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text.bpe_train(docs, "text", 100)
+    return spark.createDataFrame(
+        [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
+        ["merge_rank", "left", "right"],
+    )

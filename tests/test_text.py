@@ -101,3 +101,53 @@ def test_repetition_signals(spark):
     assert got[1] == (round(1 / 4, 6), 0.0)
     assert got[2] == (0.0, 0.0)
     assert got[3] == (0.0, 0.0)
+
+
+def brute_bpe(token_counts, n_merges):
+    """Textbook BPE trainer: full pair recount every iteration."""
+    words = {tuple(w): c for w, c in token_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, cnt in words.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] = pairs.get(p, 0) + cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new = {}
+        for syms, cnt in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1]); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + cnt
+        words = new
+    return merges
+
+
+def test_bpe_train_matches_brute_force(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest lower",
+        "low low low newer",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    counts = {}
+    for t in texts:
+        for tok in t.split():
+            counts[tok] = counts.get(tok, 0) + 1
+    for n in (1, 5, 20, 200):
+        assert text.bpe_train(df, "text", n) == brute_bpe(counts, n), n
+
+
+def test_bpe_train_exhausts_pairs(spark):
+    df = spark.createDataFrame([(0, "ab ab cd")], ["doc_id", "text"])
+    merges = text.bpe_train(df, "text", 100)
+    # finite merge list, first merge is the most frequent pair
+    assert merges[0] == ("a", "b")
+    assert len(merges) < 100
