@@ -1,0 +1,49 @@
+"""Source/sink roundtrips and the partition-pruning claim."""
+
+import pytest
+
+from prefixtree_spark.sources.io import convert_to_parquet, read_source, write_sink
+
+
+@pytest.fixture()
+def small(spark):
+    return spark.createDataFrame(
+        [(1, "a", "train"), (2, "b", "val"), (3, "c", "train")],
+        ["id", "name", "split"],
+    )
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_roundtrip_formats(spark, small, tmp_path, fmt):
+    path = str(tmp_path / fmt)
+    write_sink(small, path, format=fmt)
+    schema = "id BIGINT, name STRING, split STRING" if fmt in ("csv", "json") else None
+    back = read_source(spark, path, format=fmt, schema=schema)
+    assert sorted((r.id, r.name, r.split) for r in back.collect()) == [
+        (1, "a", "train"), (2, "b", "val"), (3, "c", "train"),
+    ]
+
+
+def test_partitioned_write_prunes(spark, small, tmp_path):
+    path = str(tmp_path / "parted")
+    write_sink(small, path, partition_by=["split"])
+    back = read_source(spark, path).where("split = 'train'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the equality filter becomes partition pruning, not a data filter
+    assert "PartitionFilters: [isnotnull(split" in plan
+    assert back.count() == 2
+
+
+def test_convert_to_parquet(spark, small, tmp_path):
+    src, dst = str(tmp_path / "src_csv"), str(tmp_path / "dst_pq")
+    write_sink(small, src, format="csv")
+    out = convert_to_parquet(
+        spark, src, dst, format="csv", schema="id BIGINT, name STRING, split STRING"
+    )
+    assert out.count() == 3
+    assert spark.read.parquet(dst).columns == out.columns
+
+
+def test_read_source_rejects_unknown_format(spark):
+    with pytest.raises(ValueError, match="format"):
+        read_source(spark, "/tmp/x", format="avroish")
