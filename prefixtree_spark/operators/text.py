@@ -13,8 +13,10 @@ CASE tie-breaks, integer-ratio doubles).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 STOPWORDS = ["the", "a", "an", "of", "and", "in", "to", "is"]
 
@@ -236,6 +238,56 @@ def bpe_train(
                 pair_counts[pair] = pair_counts.get(pair, 0) + cnt
                 pair_words.setdefault(pair, set()).add(wi)
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: "list[tuple[str, str]]",
+) -> DataFrame:
+    """Apply a trained merge list to the corpus — the DISTRIBUTED half
+    of tokenization (training aggregates once; encoding touches every
+    byte of 100 TB). Returns ``(doc_id, tokens array<string>,
+    n_tokens)``.
+
+    The merge ranks broadcast with the UDF closure (a tokenizer is
+    KBs); encoding is the classic lowest-rank-first merge loop per
+    word, memoized per Arrow batch — corpora repeat words heavily, so
+    the per-batch cache turns most words into dict hits. Arrow-batched
+    pandas UDF (not per-row Python), no shuffle: a pure map stage that
+    scales with input bytes."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def encode(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w)
+            while len(syms) > 1:
+                best_rank, best_i = None, -1
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_rank is None:
+                    break
+                syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            cache[w] = syms
+            return syms
+
+        return texts.map(
+            lambda t: [s for w in t.split() for s in enc_word(w)] if t else []
+        )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        encode(F.col(text_col)).alias("tokens"),
+    ).withColumn("n_tokens", F.size("tokens").cast("long"))
 
 
 def repetition_signals(

@@ -909,3 +909,14 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
         ["merge_rank", "left", "right"],
     )
+
+
+@workload("bpe_encode_tokens", None)
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer end-to-end: train 100 merges on the corpus, then the
+    distributed encode pass (the 100 TB-shaped map stage). Rows-only
+    check (encoding is the iterative lowest-rank merge loop); encode
+    semantics are pinned against stepwise merging in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text.bpe_train(docs, "text", 100)
+    return text.bpe_encode(docs, "doc_id", "text", merges).select("doc_id", "n_tokens")

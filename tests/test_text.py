@@ -151,3 +151,33 @@ def test_bpe_train_exhausts_pairs(spark):
     # finite merge list, first merge is the most frequent pair
     assert merges[0] == ("a", "b")
     assert len(merges) < 100
+
+
+def test_bpe_encode_roundtrip_with_trained_merges(spark):
+    texts = ["low lower lowest", "low lower low", "newest newer new"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    merges = text.bpe_train(df, "text", 50)
+    out = {r.doc_id: (r.tokens, r.n_tokens) for r in text.bpe_encode(df, "doc_id", "text", merges).collect()}
+    # every word must re-concatenate to the original text's words
+    for i, t in enumerate(texts):
+        toks, n = out[i]
+        assert n == len(toks)
+        assert "".join(toks) == t.replace(" ", "")
+    # with enough merges over a tiny corpus, frequent words collapse to
+    # one token each ("low" appears 3x -> fully merged)
+    assert "low" in out[1][0]
+
+
+def test_bpe_encode_matches_stepwise_merge(spark):
+    df = spark.createDataFrame([(0, "abab abab")], ["doc_id", "text"])
+    # rank order: (a,b) then (ab,ab)
+    merges = [("a", "b"), ("ab", "ab")]
+    toks = text.bpe_encode(df, "doc_id", "text", merges).collect()[0].tokens
+    assert toks == ["abab", "abab"]
+
+
+def test_bpe_encode_empty_and_unknown(spark):
+    df = spark.createDataFrame([(0, ""), (1, "zz qq")], ["doc_id", "text"])
+    got = {r.doc_id: r.tokens for r in text.bpe_encode(df, "doc_id", "text", [("a", "b")]).collect()}
+    assert got[0] == []
+    assert got[1] == ["z", "z", "q", "q"]  # no applicable merges: chars
