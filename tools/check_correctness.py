@@ -81,6 +81,18 @@ def main() -> int:
             continue
         g, e = normalize(got), normalize(exp)
         if not g.equals(e):
+            if list(g.dtypes) != list(e.dtypes):
+                # e.g. DuckDB sum() -> HUGEINT -> pandas float64 vs
+                # Spark int64: values can compare equal elementwise
+                # while the hash/dtype differs — name the real culprit
+                bad = [
+                    f"{c}: spark={g[c].dtype} oracle={e[c].dtype}"
+                    for c in g.columns
+                    if g[c].dtype != e[c].dtype
+                ]
+                print(f"FAIL  {name}: dtype mismatch ({'; '.join(bad)})")
+                failures += 1
+                continue
             diff = (g != e).any(axis=1)
             print(f"FAIL  {name}: values differ in {int(diff.sum())}/{len(g)} rows")
             print(pd.concat([g[diff].head(3), e[diff].head(3)]))
