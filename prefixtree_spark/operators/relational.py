@@ -139,33 +139,48 @@ def asof_join(
     by: str,
     right_cols: list[str],
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of (backward, inclusive) join: each left row picks up the
-    LATEST right row with ``right.on <= left.on`` within its ``by``
-    group — the time-series join (trades⋈quotes, event⋈latest-state)
-    the reference has no answer to and Spark has no native operator
-    for.
+    """As-of join: each left row picks up ONE right row within its
+    ``by`` group — the time-series join (trades⋈quotes,
+    event⋈latest-state) the reference has no answer to and Spark has
+    no native operator for. ``direction``:
 
-    Spark-first plan (the union + carry-forward formulation): tag both
-    sides, union them, and per ``by`` group run ONE ordered window pass
-    where every left row inherits the last non-null right payload at
-    or before its timestamp. Cost = one shuffle on ``by`` + one
-    partition-local sort — no range cross join, no per-row lookup, and
-    skew only where a single ``by`` key is itself hot. Equal
-    timestamps: the right row sorts BEFORE the left row, so ties are
-    inclusive — exactly DuckDB ``ASOF JOIN``'s ``>=`` semantics (the
-    oracle).
+      - ``"backward"`` (default): the LATEST right with
+        ``right.on <= left.on`` (inclusive);
+      - ``"forward"``: the EARLIEST right with ``right.on >= left.on``;
+      - ``"nearest"``: whichever of the two is closer in ``on``
+        (ties break backward). Distances compare on ``on`` cast to
+        double, so ``on`` must be numeric or a timestamp.
+
+    Spark-first plan (the union + carry formulation): tag both sides,
+    union them, and per ``by`` group run ordered window passes where
+    every left row inherits the nearest non-null right payload in the
+    requested direction. Cost = ONE shuffle on ``by`` + partition-local
+    sorts (``nearest`` runs both orderings over the same exchange) —
+    no range cross join, no per-row lookup, and skew only where a
+    single ``by`` key is itself hot. Equal timestamps are inclusive in
+    both directions — exactly DuckDB ``ASOF JOIN``'s ``>=`` / ``<=``
+    semantics (the oracles).
 
     ``right_cols`` are the right payload columns to carry (returned
     with ``suffix``). Right rows should be unique per (by, on) — with
-    duplicates, the carry-forward picks the LAST in ``right``'s sort
-    order; dedup first for determinism.
+    duplicates, the carry picks the last/first in sort order; dedup
+    first for determinism.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
     lcols = left.columns
+    nearest = direction == "nearest"
+    # hidden numeric copy of right.on for nearest's distance compare
+    hid = "_asof_on"
     tagged_l = left.select(
         *lcols,
         F.lit(1).alias("_src"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix) for c in right_cols],
+        *([F.lit(None).cast("double").alias(hid)] if nearest else []),
     )
     tagged_r = right.select(
         *[
@@ -178,21 +193,45 @@ def asof_join(
         ],
         F.lit(0).alias("_src"),
         *[F.col(c).alias(c + suffix) for c in right_cols],
+        *([F.col(on).cast("double").alias(hid)] if nearest else []),
     )
     unioned = tagged_l.unionByName(tagged_r)
-    w = (
+    # backward: right rows sort BEFORE left at equal `on` (_src asc), so
+    # the [unbounded, current] frame includes ties. forward mirrors it.
+    w_back = (
         Window.partitionBy(by)
         .orderBy(F.col(on).asc(), F.col("_src").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = unioned.select(
-        *lcols,
-        "_src",
-        *[
-            F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix)
-            for c in right_cols
-        ],
+    w_fwd = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_src").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
     )
+
+    def back(c):
+        return F.last(F.col(c), ignorenulls=True).over(w_back)
+
+    def fwd(c):
+        return F.first(F.col(c), ignorenulls=True).over(w_fwd)
+
+    if direction == "backward":
+        picked = [back(c + suffix).alias(c + suffix) for c in right_cols]
+    elif direction == "forward":
+        picked = [fwd(c + suffix).alias(c + suffix) for c in right_cols]
+    else:
+        cur = F.col(on).cast("double")
+        b_on, f_on = back(hid), fwd(hid)
+        use_fwd = (
+            F.when(b_on.isNull(), F.lit(True))
+            .when(f_on.isNull(), F.lit(False))
+            .otherwise((f_on - cur) < (cur - b_on))
+        )
+        picked = [
+            F.when(use_fwd, fwd(c + suffix)).otherwise(back(c + suffix)).alias(c + suffix)
+            for c in right_cols
+        ]
+    carried = unioned.select(*lcols, "_src", *picked)
     return carried.where(F.col("_src") == 1).drop("_src")
 
 

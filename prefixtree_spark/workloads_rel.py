@@ -358,3 +358,51 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket=hour_us,
     )
     return joined.select("event_id", "signup_id")
+
+
+@workload(
+    "events_asof_forward",
+    """
+    WITH v0 AS (
+      SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'view'
+    ),
+    v AS (SELECT user_id, ts, event_id FROM v0 WHERE rn = 1),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts)::BIGINT AS ts_us,
+           v.event_id AS view_event_id,
+           epoch_us(v.ts)::BIGINT AS view_ts_us
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts <= v.ts
+    """,
+)
+def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase picks up the user's EARLIEST view
+    at or after it (follow-up attribution). Same single-shuffle
+    union+carry plan, mirrored ordering; DuckDB ASOF with ``<=`` is
+    the oracle."""
+    from prefixtree_spark.operators.relational import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.where("event_type = 'view'").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = views.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+    purchases = events.where("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases.withColumnRenamed("event_id", "p_event_id"),
+        views.withColumnRenamed("event_id", "view_event_id"),
+        on="ts", by="user_id", right_cols=["view_event_id", "ts"],
+        direction="forward",
+    )
+    return joined.select(
+        F.col("p_event_id").alias("event_id"),
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("view_event_id_r").alias("view_event_id"),
+        F.unix_micros("ts_r").alias("view_ts_us"),
+    )

@@ -2,6 +2,7 @@
 ones we'd want at 100 TB (broadcast join for the small dim, top-k as
 TakeOrderedAndProject, pushed filters)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from prefixtree_spark.operators import relational
@@ -168,3 +169,63 @@ def test_profile_table_single_pass(spark):
         "k": (3, 0, 2, "1", "2"),
         "v": (3, 1, 2, "a", "c"),
     }
+
+
+def test_asof_join_directions_brute_force(spark):
+    """All three directions vs a brute-force reference on synthetic
+    (by, ts) data with ties, gaps, and empty sides."""
+    import random
+
+    from prefixtree_spark.operators.relational import asof_join
+
+    rng = random.Random(7)
+    lrows = [(i, "u%d" % (i % 3), rng.randint(0, 50)) for i in range(40)]
+    rrows = [(100 + i, "u%d" % (i % 4), rng.randint(0, 50)) for i in range(30)]
+    left = spark.createDataFrame(lrows, ["lid", "uid", "ts"])
+    right = spark.createDataFrame(rrows, ["rid", "uid", "ts"])
+    # dedup right per (uid, ts): keep max rid (mirrors the workloads)
+    best = {}
+    for rid, uid, ts in rrows:
+        if (uid, ts) not in best or rid > best[(uid, ts)]:
+            best[(uid, ts)] = rid
+    rkeep = [(rid, uid, ts) for (uid, ts), rid in best.items()]
+    right = spark.createDataFrame(rkeep, ["rid", "uid", "ts"])
+
+    def brute(direction):
+        out = {}
+        for lid, uid, lts in lrows:
+            back = [(ts, rid) for rid, u, ts in rkeep if u == uid and ts <= lts]
+            fwdc = [(ts, rid) for rid, u, ts in rkeep if u == uid and ts >= lts]
+            b = max(back) if back else None          # latest; rid breaks (uid,ts) dedup
+            f = min(fwdc) if fwdc else None
+            if direction == "backward":
+                pick = b
+            elif direction == "forward":
+                pick = f
+            else:
+                if b is None:
+                    pick = f
+                elif f is None:
+                    pick = b
+                else:
+                    pick = f if (f[0] - lts) < (lts - b[0]) else b
+            out[lid] = pick[1] if pick else None
+        return out
+
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r.lid: r.rid_r
+            for r in asof_join(
+                left, right, on="ts", by="uid", right_cols=["rid"],
+                direction=direction,
+            ).collect()
+        }
+        assert got == brute(direction), direction
+
+
+def test_asof_join_rejects_unknown_direction(spark):
+    from prefixtree_spark.operators.relational import asof_join
+
+    df = spark.createDataFrame([(1, "a", 1)], ["lid", "uid", "ts"])
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(df, df, on="ts", by="uid", right_cols=["lid"], direction="sideways")
