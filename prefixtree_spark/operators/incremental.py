@@ -169,10 +169,19 @@ def _remove(root: list, word: str) -> bool:
     return True
 
 
+def _trim_fn(trim: str):
+    fn = {"both": F.trim, "right": F.rtrim}.get(trim)
+    if fn is None:
+        raise ValueError(f"trim must be 'both' or 'right', got {trim!r}")
+    return fn
+
+
 def remove_words(
     pt: DataFrame,
     df: DataFrame,
     col: str | Column,
+    *,
+    trim: str = "both",
 ) -> DataFrame:
     """Delete ``df[col]``'s words from the node table ``pt`` and return
     the updated table. Equivalent, as query-result SETS, to
@@ -188,11 +197,16 @@ def remove_words(
     one equi-join over the (prefix-compressed) end-caps + a rebuild of
     only the forests that actually lose words; untouched forests pass
     through row-identical. Surviving nodes keep their ids; no new ids
-    are ever allocated."""
+    are ever allocated.
+
+    ``trim`` MUST match the build's trim mode: a ``trim="right"``
+    index keeps leading-space words as distinct entries, and full-
+    trimming the removal delta here would silently delete the WRONG
+    word (the trimmed homograph) instead."""
     if "n_copies" in pt.columns:
         raise ValueError("remove_words does not support keep_duplicates tables")
     words = df.select(
-        F.trim(F.col(col) if isinstance(col, str) else col).alias("word")
+        _trim_fn(trim)(F.col(col) if isinstance(col, str) else col).alias("word")
     ).where(F.col("word") != "").distinct()
     hits = (
         pt.where("is_word")
@@ -227,22 +241,25 @@ def add_words(
     *,
     max_word_len: int = 255,
     prefix_len: int | None = None,
+    trim: str = "both",
 ) -> DataFrame:
     """Insert ``df[col]``'s words into the node table ``pt`` and return
     the updated table (same schema). Equivalent, as query-result SETS,
     to ``create(old_words ∪ delta)`` — pinned by property tests and the
     ``pt_add_words`` oracle workload.
 
-    ``prefix_len`` must match the value used at ``create`` time for the
-    delta routing to land words in their prefix-sharing forests; a
-    mismatch only costs locality (extra roots are harmless, SURVEY.md
-    §0). ``keep_duplicates`` tables are not supported (the multiplicity
-    column would need merge semantics — rebuild instead).
+    ``prefix_len`` and ``trim`` must match the values used at
+    ``create`` time: a prefix_len mismatch only costs locality (extra
+    roots are harmless, SURVEY.md §0), but a trim mismatch changes
+    WHICH word the delta spells on a ``trim="right"`` index (leading
+    spaces are significant there). ``keep_duplicates`` tables are not
+    supported (the multiplicity column would need merge semantics —
+    rebuild instead).
     """
     if "n_copies" in pt.columns:
         raise ValueError("add_words does not support keep_duplicates tables")
     words = df.select(
-        F.trim(F.col(col) if isinstance(col, str) else col).alias("word")
+        _trim_fn(trim)(F.col(col) if isinstance(col, str) else col).alias("word")
     ).where(F.col("word") != "")
     if max_word_len is not None:
         words = words.where(F.length("word") <= max_word_len)

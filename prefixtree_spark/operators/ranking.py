@@ -119,9 +119,11 @@ def bm25_rank(
     if idf not in ("log", "ratio"):
         raise ValueError(f"idf must be 'log' or 'ratio', got {idf!r}")
 
+    from prefixtree_spark.operators.text import _nonspace_tokens
+
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0).alias("ts"),
+        _nonspace_tokens(text_col).alias("ts"),
     )
     # dl rides along from before the explode: (doc_id, dl) is
     # functionally dependent, so grouping on both costs nothing extra.
@@ -136,10 +138,15 @@ def bm25_rank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # scalar corpus stats — a 1-row broadcast join
-    stats = toks.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("ts").cast("long")).alias("total_len"),
+    # scalar corpus stats — a 1-row broadcast join. total_len comes
+    # from the CACHED postings (Σtf ≡ Σ|tokens|), and n_docs from a
+    # column-pruned count — neither re-runs the regex tokenize over
+    # the corpus (empty docs still count toward n_docs, as in the
+    # oracle).
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        postings.agg(
+            F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias("total_len")
+        )
     )
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 

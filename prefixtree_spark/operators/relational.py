@@ -150,8 +150,8 @@ def asof_join(
         ``right.on <= left.on`` (inclusive);
       - ``"forward"``: the EARLIEST right with ``right.on >= left.on``;
       - ``"nearest"``: whichever of the two is closer in ``on``
-        (ties break backward). Distances compare on ``on`` cast to
-        double, so ``on`` must be numeric or a timestamp.
+        (ties break backward). ``on`` must be numeric or a timestamp;
+        timestamp distances compare on exact µs-epoch integers.
 
     Spark-first plan (the union + carry formulation): tag both sides,
     union them, and per ``by`` group run ordered window passes where
@@ -174,11 +174,29 @@ def asof_join(
         )
     lcols = left.columns
     nearest = direction == "nearest"
-    # hidden numeric copy of right.on for nearest's distance compare
+
+    from pyspark.sql import types as T
+
+    def _num(c):
+        # exact distance key: µs-epoch int64 for timestamps (every
+        # value < 2^53 is a double-exact integer); a raw
+        # cast(timestamp as double) has ~0.5µs ulps at current epochs
+        # and mis-resolves µs-scale ties
+        if isinstance(left.schema[on].dataType, (T.TimestampType, T.TimestampNTZType)):
+            return F.unix_micros(c).cast("double")
+        return c.cast("double")
+
+    # internal column names must not shadow caller columns
+    taken = set(lcols) | {c + suffix for c in right_cols}
+    src = "_src"
+    while src in taken:
+        src += "_"
     hid = "_asof_on"
+    while hid in taken or hid == src:
+        hid += "_"
     tagged_l = left.select(
         *lcols,
-        F.lit(1).alias("_src"),
+        F.lit(1).alias(src),
         *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix) for c in right_cols],
         *([F.lit(None).cast("double").alias(hid)] if nearest else []),
     )
@@ -191,21 +209,21 @@ def asof_join(
             ).alias(c)
             for c in lcols
         ],
-        F.lit(0).alias("_src"),
+        F.lit(0).alias(src),
         *[F.col(c).alias(c + suffix) for c in right_cols],
-        *([F.col(on).cast("double").alias(hid)] if nearest else []),
+        *([_num(F.col(on)).alias(hid)] if nearest else []),
     )
     unioned = tagged_l.unionByName(tagged_r)
     # backward: right rows sort BEFORE left at equal `on` (_src asc), so
     # the [unbounded, current] frame includes ties. forward mirrors it.
     w_back = (
         Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("_src").asc())
+        .orderBy(F.col(on).asc(), F.col(src).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_fwd = (
         Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("_src").desc())
+        .orderBy(F.col(on).asc(), F.col(src).desc())
         .rowsBetween(0, Window.unboundedFollowing)
     )
 
@@ -220,7 +238,7 @@ def asof_join(
     elif direction == "forward":
         picked = [fwd(c + suffix).alias(c + suffix) for c in right_cols]
     else:
-        cur = F.col(on).cast("double")
+        cur = _num(F.col(on))
         b_on, f_on = back(hid), fwd(hid)
         use_fwd = (
             F.when(b_on.isNull(), F.lit(True))
@@ -231,8 +249,8 @@ def asof_join(
             F.when(use_fwd, fwd(c + suffix)).otherwise(back(c + suffix)).alias(c + suffix)
             for c in right_cols
         ]
-    carried = unioned.select(*lcols, "_src", *picked)
-    return carried.where(F.col("_src") == 1).drop("_src")
+    carried = unioned.select(*lcols, src, *picked)
+    return carried.where(F.col(src) == 1).drop(src)
 
 
 def range_join(

@@ -90,15 +90,19 @@ def prepare_corpus(
             out, test_set, id_col, text_col, n=decontaminate_n
         )
     if quota_col is not None and quota_n is not None:
+        # DERIVED seed, never split_seed itself: quota keeps the rows
+        # with the SMALLEST md5 buckets, and split_assign buckets on
+        # the same hash — sharing the seed would hand every quota
+        # survivor to the first split name and starve the rest.
         out = top_n_per_group(
-            out, [quota_col], quota_n, id_col=id_col, seed=split_seed
+            out, [quota_col], quota_n, id_col=id_col, seed=split_seed + ":quota"
         )
     if splits is not None:
         out = split_assign(out, id_col, splits, seed=split_seed)
     if pack_budget is not None:
         out = out.withColumn(
             "n_tokens",
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)).cast("long"),
+            F.size(text._nonspace_tokens(text_col)).cast("long"),
         )
         out = pack_sequences(
             out, id_col, "n_tokens", pack_budget,

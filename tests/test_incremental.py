@@ -141,3 +141,19 @@ def test_remove_words_rejects_keep_duplicates(spark):
     pt = create(_words_df(spark, ["AA", "AA", "AB"]), "word", keep_duplicates=True)
     with pytest.raises(ValueError, match="keep_duplicates"):
         remove_words(pt, _words_df(spark, ["AA"]), "word")
+
+
+def test_incremental_trim_right_targets_exact_word(spark):
+    """On a trim='right' index, add/remove must respect leading spaces
+    (review finding: a full-trimmed delta deletes the wrong homograph)."""
+    words = spark.createDataFrame([("  cat ",), ("cat ",)], ["word"])
+    pt = create(words, "word", trim="right")
+    pruned = remove_words(
+        pt, spark.createDataFrame([("  cat ",)], ["word"]), "word", trim="right"
+    )
+    left = {r.node for r in pruned.where("is_word").collect()}
+    assert left == {"cat"}  # '  cat' removed, homograph 'cat' intact
+    grown = add_words(
+        pruned, spark.createDataFrame([("  dog ",)], ["word"]), "word", trim="right"
+    )
+    assert {r.node for r in grown.where("is_word").collect()} == {"cat", "  dog"}

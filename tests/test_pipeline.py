@@ -96,3 +96,24 @@ def test_prepare_corpus_quota_and_packing(spark):
         for r in grp:
             assert (r.token_offset, r.bin_id) == (offset, offset // 20)
             offset += r.n_tokens
+
+
+def test_quota_does_not_starve_splits(spark):
+    """Quota ordering must use a seed DERIVED from split_seed, not the
+    seed itself — sharing it hands every quota survivor to the first
+    split name (review finding)."""
+    rows = [(i, "s", "unique text %d %d %d" % (i, i * 7, i * 13)) for i in range(400)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = prepare_corpus(
+        docs, "doc_id", "text",
+        min_quality=0.0, dedup_threshold=0.99,
+        quota_col="source", quota_n=100,
+        splits={"train": 0.5, "test": 0.5}, split_seed="s",
+    ).collect()
+    by_split = {}
+    for r in out:
+        by_split[r.split] = by_split.get(r.split, 0) + 1
+    assert len(out) == 100
+    # both splits populated, neither hoarding > 75% of survivors
+    assert set(by_split) == {"train", "test"}
+    assert max(by_split.values()) <= 75, by_split

@@ -229,3 +229,43 @@ def test_asof_join_rejects_unknown_direction(spark):
     df = spark.createDataFrame([(1, "a", 1)], ["lid", "uid", "ts"])
     with pytest.raises(ValueError, match="direction"):
         asof_join(df, df, on="ts", by="uid", right_cols=["lid"], direction="sideways")
+
+
+def test_asof_nearest_timestamp_microsecond_tie(spark):
+    """µs-scale nearest decisions on TIMESTAMP on-columns must be
+    exact (review finding: cast-to-double has ~0.5µs ulps at current
+    epochs). Exact tie -> backward; 1µs-closer forward row wins."""
+    from pyspark.sql import functions as SF
+
+    from prefixtree_spark.operators.relational import asof_join
+
+    base = 1_771_000_000_000_000  # µs epoch, 2026-ish
+    left = spark.createDataFrame([(1, "u", base), (2, "u", base + 10)], ["lid", "uid", "us"])
+    right = spark.createDataFrame(
+        [(100, "u", base - 3), (101, "u", base + 3),          # exact tie around lid 1
+         (102, "u", base + 10 - 4), (103, "u", base + 10 + 3)],  # forward closer for lid 2
+        ["rid", "uid", "us"],
+    )
+    to_ts = lambda df: df.withColumn("ts", SF.timestamp_micros("us")).drop("us")
+    got = {
+        r.lid: r.rid_r
+        for r in asof_join(
+            to_ts(left), to_ts(right), on="ts", by="uid",
+            right_cols=["rid"], direction="nearest",
+        ).collect()
+    }
+    assert got == {1: 100, 2: 103}
+
+
+def test_asof_internal_name_collision(spark):
+    """Caller columns named _src/_asof_on must not break the join."""
+    from prefixtree_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 5, "x", "y")], ["lid", "uid", "ts", "_src", "_asof_on"]
+    )
+    right = spark.createDataFrame([(9, "u", 4)], ["rid", "uid", "ts"])
+    got = asof_join(
+        left, right, on="ts", by="uid", right_cols=["rid"], direction="nearest"
+    ).collect()
+    assert len(got) == 1 and got[0].rid_r == 9 and got[0]._src == "x"
