@@ -137,6 +137,44 @@ def pack_sequences(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    *,
+    default_fraction: float = 0.0,
+    seed: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sample: keep a different fraction of
+    each stratum (e.g. downsample boilerplate-heavy sources, keep all
+    of rare languages). Selection depends only on (id, seed) — the
+    same stability contract as ``deterministic_sample`` — so rebalance
+    runs are reproducible and never leak rows across re-runs.
+
+    Strata not named in ``fractions`` fall back to
+    ``default_fraction`` (0.0 = drop, 1.0 = keep all).
+
+    Scale shape: a narrow filter — the per-stratum threshold is a
+    CASE expression on the stratum column, folded into the scan's
+    codegen stage; no shuffle, no driver-side stratum list collect
+    (unlike ``DataFrame.sampleBy``, which is also partition-layout
+    dependent)."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0,1], got {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0,1], got {default_fraction}")
+    thresh = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col) == name
+        ppm = F.lit(int(round(frac * _PPM)))
+        thresh = F.when(cond, ppm) if thresh is None else thresh.when(cond, ppm)
+    default_ppm = F.lit(int(round(default_fraction * _PPM)))
+    thresh = default_ppm if thresh is None else thresh.otherwise(default_ppm)
+    return df.where(_bucket_ppm(F.col(id_col), seed) < thresh)
+
+
 def deterministic_sample(
     df: DataFrame, id_col: str, fraction: float, *, seed: str = ""
 ) -> DataFrame:

@@ -374,6 +374,37 @@ def split_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "docs_stratified_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE (('0x' || substr(md5(doc_id::VARCHAR || 'r3s'), 1, 15))::BIGINT
+           % 1000000)
+          < CASE lang WHEN 'en' THEN 900000
+                      WHEN 'zh' THEN 500000
+                      WHEN 'de' THEN 250000
+                      ELSE 100000 END
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language rebalancing: keep 90% of en, 50% of zh, 25% of de,
+    10% of everything else — selection a pure function of (doc_id,
+    seed), so the rebalanced corpus is reproducible across runs,
+    partitionings, and engines (the oracle recomputes the identical
+    md5-bucket threshold)."""
+    from prefixtree_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.9, "zh": 0.5, "de": 0.25},
+        default_fraction=0.1,
+        seed="r3s",
+    ).select("doc_id", "lang")
+
+
+@workload(
     "docs_top_per_source",
     """
     SELECT doc_id, source FROM (

@@ -361,6 +361,82 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "events_hopping_counts",
+    """
+    WITH starts AS (
+      SELECT date_trunc('hour', ts) AS w_start, event_type FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events
+    )
+    SELECT epoch_us(w_start)::BIGINT AS window_start_us,
+           epoch_us(w_start + INTERVAL 2 HOUR)::BIGINT AS window_end_us,
+           event_type,
+           count(*) AS n_events
+    FROM starts
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows (size 2h, slide 1h): every event counts toward
+    2 overlapping windows. Spark's ``window()`` generates the window
+    set per row before aggregating; the oracle materializes the same
+    two window starts with a UNION ALL."""
+    return relational.hopping_counts(
+        load_table(spark, sf_dir, "events"), size="2 hours", slide="1 hour"
+    )
+
+
+@workload(
+    "events_props_json",
+    """
+    SELECT event_id,
+           CAST(props->>'k' AS BIGINT) AS k_value,
+           CAST(props->>'missing' AS VARCHAR) AS absent
+    FROM events
+    """,
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: typed fields out of the JSON
+    ``props`` column via ONE schema'd ``from_json`` pass per row;
+    absent paths yield NULL (permissive), certified against DuckDB's
+    JSON operators."""
+    ev = load_table(spark, sf_dir, "events")
+    return relational.extract_json(
+        ev, "props", {"k": "bigint", "missing": "string"}
+    ).select(
+        "event_id",
+        F.col("k").alias("k_value"),
+        F.col("missing").alias("absent"),
+    )
+
+
+@workload(
+    "events_distinct_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_exact
+    FROM events GROUP BY event_type
+    """,
+)
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type user cardinality — the oracle-able twin of the
+    HLL sketch path below."""
+    ev = load_table(spark, sf_dir, "events")
+    return relational.distinct_counts(ev, "event_type", "user_id").select(
+        "event_type", "n_exact"
+    )
+
+
+@workload("events_distinct_users_approx", None)
+def events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch cardinality next to the exact count — the
+    100 TB path (fixed-size mergeable state, one sketch shuffle). No
+    SQL oracle: DuckDB's approx sketch differs; the error band vs the
+    exact column is asserted in tests/test_relational.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return relational.distinct_counts(ev, "event_type", "user_id", rsd=0.02)
+
+
+@workload(
     "events_asof_forward",
     """
     WITH v0 AS (

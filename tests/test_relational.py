@@ -269,3 +269,70 @@ def test_asof_internal_name_collision(spark):
         left, right, on="ts", by="uid", right_cols=["rid"], direction="nearest"
     ).collect()
     assert len(got) == 1 and got[0].rid_r == 9 and got[0]._src == "x"
+
+
+def test_extract_json_permissive_nulls(spark):
+    from prefixtree_spark.operators.relational import extract_json
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 7, "s": "a"}'),
+            (2, '{"k": null}'),
+            (3, "not json at all"),
+            (4, None),
+        ],
+        "id int, props string",
+    )
+    out = extract_json(df, "props", {"k": "bigint", "s": "string"})
+    got = {r.id: (r.k, r.s) for r in out.collect()}
+    assert got == {1: (7, "a"), 2: (None, None), 3: (None, None), 4: (None, None)}
+    # the json column itself is preserved; helper column dropped
+    assert set(out.columns) == {"id", "props", "k", "s"}
+
+
+def test_hopping_counts_double_count(spark):
+    from prefixtree_spark.operators.relational import hopping_counts
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:15:00", "click"),
+            (2, "2024-01-01 10:45:00", "click"),
+            (3, "2024-01-01 11:05:00", "view"),
+        ],
+        "event_id long, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = hopping_counts(ev, size="2 hours", slide="1 hour").collect()
+    # every event lands in exactly size/slide = 2 windows
+    assert sum(r.n_events for r in out) == 2 * 3
+    hour = 3_600_000_000
+    for r in out:
+        assert r.window_end_us - r.window_start_us == 2 * hour
+        assert r.window_start_us % hour == 0
+    # the 10:00-12:00 window holds all three events... of its types
+    by_key = {(r.window_start_us, r.event_type): r.n_events for r in out}
+    t10 = int(
+        spark.sql("select unix_micros(timestamp'2024-01-01 10:00:00')").collect()[0][0]
+    )
+    assert by_key[(t10, "click")] == 2
+    assert by_key[(t10 + hour, "view")] == 1
+
+
+def test_distinct_counts_sketch_band(spark):
+    from prefixtree_spark.operators.relational import distinct_counts
+
+    df = spark.range(200_000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        # per-group cardinality varies with the group index
+        (F.col("id") % ((F.col("id") % 4 + 1) * 1000)).alias("v"),
+    )
+    expected = {
+        r.g: r.n
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    out = distinct_counts(df, "g", "v", rsd=0.02).collect()
+    assert len(out) == 4
+    assert len(set(expected.values())) > 1  # cardinalities actually differ
+    for r in out:
+        assert r.n_exact == expected[r.g]
+        # HLL++ rsd=0.02: allow 5 sigma
+        assert abs(r.n_approx - r.n_exact) / r.n_exact < 0.10

@@ -127,3 +127,53 @@ def test_pack_sequences_global_stream(spark):
     df = spark.createDataFrame([(i, 100) for i in range(10)], ["id", "toks"])
     got = {r.id: r.bin_id for r in pack_sequences(df, "id", "toks", 250).collect()}
     assert got == {i: (i * 100) // 250 for i in range(10)}
+
+
+def test_stratified_sample_fractions_and_stability(spark):
+    from prefixtree_spark.operators.sampling import stratified_sample
+
+    rows = spark.range(30_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+    frac = {"en": 0.9, "de": 0.2}
+    out = stratified_sample(
+        rows, "doc_id", "lang", frac, default_fraction=0.0, seed="t"
+    )
+    counts = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert "fr" not in counts  # default_fraction=0 drops unnamed strata
+    assert abs(counts["en"] / 10_000 - 0.9) < 0.02
+    assert abs(counts["de"] / 10_000 - 0.2) < 0.02
+    # stability: same rows selected under a different partitioning
+    a = {r.doc_id for r in out.collect()}
+    b = {
+        r.doc_id
+        for r in stratified_sample(
+            rows.repartition(13), "doc_id", "lang", frac,
+            default_fraction=0.0, seed="t",
+        ).collect()
+    }
+    assert a == b
+    # selection is a subset of deterministic_sample at the same seed:
+    # a stratum's 0.2 sample is nested inside its 0.9 sample
+    small = stratified_sample(
+        rows, "doc_id", "lang", {"en": 0.2}, default_fraction=0.0, seed="t"
+    )
+    en_big = {r.doc_id for r in out.where("lang = 'en'").collect()}
+    assert {r.doc_id for r in small.collect()} <= en_big
+
+
+def test_stratified_sample_validates_fractions(spark):
+    from prefixtree_spark.operators.sampling import stratified_sample
+
+    df = spark.range(5).select(F.col("id").alias("doc_id"), F.lit("x").alias("s"))
+    with pytest.raises(ValueError):
+        stratified_sample(df, "doc_id", "s", {"x": 1.5})
+    with pytest.raises(ValueError):
+        stratified_sample(df, "doc_id", "s", {}, default_fraction=-0.1)
