@@ -300,6 +300,21 @@ def main() -> None:
         return sink.count()
 
     bench("events_sessionize_stream", sessionize_stream)
+
+    def topk_stream():
+        from prefixtree_spark.streaming.topk import latest_topk, streaming_topk
+
+        stream = read_events_stream(spark, stream_dir)
+        sink = run_stream_to_memory(
+            spark,
+            streaming_topk(stream, k=10),
+            "bench_topk_stream",
+            output_mode="append",
+            timeout_s=300,
+        )
+        return latest_topk(sink).count()
+
+    bench("events_topk_stream", topk_stream)
     shutil.rmtree(stream_dir, ignore_errors=True)
 
     total = round(sum(times.values()), 3)

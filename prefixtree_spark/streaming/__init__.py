@@ -3,9 +3,12 @@ from prefixtree_spark.streaming.events import (
     streaming_tumbling_counts,
 )
 from prefixtree_spark.streaming.sessionize import streaming_sessionize
+from prefixtree_spark.streaming.topk import latest_topk, streaming_topk
 
 __all__ = [
     "read_events_stream",
     "streaming_tumbling_counts",
     "streaming_sessionize",
+    "streaming_topk",
+    "latest_topk",
 ]

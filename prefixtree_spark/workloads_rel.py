@@ -411,6 +411,32 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "events_topk",
+    """
+    SELECT event_type, rank, event_id, value FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id ASC) AS rank
+      FROM events
+    ) WHERE rank <= 10
+    """,
+)
+def events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type top-10 events by value — the BATCH twin of
+    ``streaming/topk.streaming_topk`` (total order: value DESC,
+    event_id ASC; the stream==batch equality is pinned in
+    tests/test_streaming_topk.py). Raw parquet doubles pass through
+    both engines unchanged, so hashing them is bit-safe."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("event_type", F.col("rank").cast("long").alias("rank"), "event_id", "value")
+    )
+
+
+@workload(
     "events_distinct_users",
     """
     SELECT event_type, count(DISTINCT user_id) AS n_exact
