@@ -233,6 +233,19 @@ def main() -> None:
         extras[f"ivf_recall_nprobe{nprobe}"] = round(
             len(got & exact_set) / max(1, len(exact_set)), 4
         )
+    # the second recall lever: replicated (spilled) postings — corpus
+    # vectors assigned to their 2 nearest cells at the narrow probe
+    # width, trading 2x posting storage for boundary recall
+    got = {
+        (r.query_id, r.vec_id)
+        for r in ann_ops.cosine_topk_ivf(
+            q_emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+            k=10, n_cells=32, nprobe=2, n_replicas=2,
+        ).collect()
+    }
+    extras["ivf_recall_nprobe2_rep2"] = round(
+        len(got & exact_set) / max(1, len(exact_set)), 4
+    )
 
     # skewed-corpus stress: a pure boilerplate-heavy corpus (every doc
     # = one shared 40-token boilerplate + a unique tail) makes the

@@ -354,13 +354,23 @@ def cosine_topk_ivf(
     *,
     n_cells: int = 64,
     nprobe: int = 8,
+    n_replicas: int = 1,
     sample_size: int = 20_000,
     exclude_self: bool = True,
     seed: int = 42,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are inverted-listed by
-    their nearest coarse centroid (ONE cell each); queries probe their
-    ``nprobe`` nearest cells; exact cosine rerank within probed cells.
+    their nearest coarse centroid (ONE cell each by default); queries
+    probe their ``nprobe`` nearest cells; exact cosine rerank within
+    probed cells.
+
+    ``n_replicas > 1`` assigns each corpus vector to its ``n_replicas``
+    nearest cells (spilled postings) — the recall lever for corpora
+    whose vectors sit near cell boundaries (storage and candidate work
+    scale ×replicas; recall-vs-cost measured in bench extras). A
+    (query, vector) pair can then meet in several probed cells, so
+    candidates are deduped as id-pairs BEFORE scoring — a duplicate
+    scored row would occupy two ranks and corrupt top-k.
 
     The scale path for vector search: per-query work drops from |corpus|
     to ~|corpus|·nprobe/n_cells; the corpus side is one narrow
@@ -390,15 +400,30 @@ def cosine_topk_ivf(
         sample_pdf = cvec_only.limit(sample_size).toPandas()
         sample = np.array(sample_pdf["v"].tolist(), dtype=np.float64)
     cent = _kmeans_centroids(sample, n_cells, seed=seed)
-    c_assign = _cell_assign_udf(cent, 1)
+    c_assign = _cell_assign_udf(cent, n_replicas)
     q_assign = _cell_assign_udf(cent, nprobe)
-    c = corpus.select(F.col(cid).alias("vec_id"), F.col(cvec).alias("cv")).withColumn(
-        "cell", c_assign(F.col("cv")).getItem(0)
-    )
-    q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("qv")).withColumn(
-        "cell", F.explode(q_assign(F.col("qv")))
-    )
-    cand = F.broadcast(q).join(c, "cell").select("query_id", "qv", "vec_id", "cv")
+    cbase = corpus.select(F.col(cid).alias("vec_id"), F.col(cvec).alias("cv"))
+    qbase = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("qv"))
+    if n_replicas <= 1:
+        c = cbase.withColumn("cell", c_assign(F.col("cv")).getItem(0))
+        q = qbase.withColumn("cell", F.explode(q_assign(F.col("qv"))))
+        cand = F.broadcast(q).join(c, "cell").select("query_id", "qv", "vec_id", "cv")
+    else:
+        # replicated postings: dedup id-pairs first (no payloads through
+        # the distinct), then rejoin both vector sides
+        c_ids = cbase.withColumn("cell", F.explode(c_assign(F.col("cv")))).select(
+            "vec_id", "cell"
+        )
+        q_ids = qbase.withColumn("cell", F.explode(q_assign(F.col("qv")))).select(
+            "query_id", "cell"
+        )
+        pairs = (
+            F.broadcast(q_ids)
+            .join(c_ids, "cell")
+            .select("query_id", "vec_id")
+            .distinct()
+        )
+        cand = pairs.join(F.broadcast(qbase), "query_id").join(cbase, "vec_id")
     if exclude_self:
         cand = cand.where(F.col("query_id") != F.col("vec_id"))
     scored = cand.select(

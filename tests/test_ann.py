@@ -195,3 +195,54 @@ def test_cosine_topk_tie_heavy_duplicates(spark):
     ]
     # 40 duplicates tie at cosine 1.0 > pad=20; exact order is vec_id asc
     assert sorted(got) == [(i + 1, i) for i in range(10)]
+
+
+def test_ivf_replicated_postings_no_duplicate_ranks(spark, clustered):
+    """n_replicas > 1 lets a (query, vector) pair meet in several
+    probed cells; the result must still have each vec_id at most once
+    per query and contiguous ranks 1..k."""
+    df, rows = clustered
+    qids = [0, 25, 50, 75]
+    q = df.where(df.vec_id.isin(qids))
+    res = ann.cosine_topk_ivf(
+        q, "vec_id", "embedding", df, "vec_id", "embedding",
+        k=5, n_cells=10, nprobe=3, n_replicas=3,
+    ).collect()
+    got = {}
+    for r in res:
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    for qid, pairs in got.items():
+        ranks = sorted(p[0] for p in pairs)
+        assert ranks == list(range(1, len(pairs) + 1)), f"ranks broken for {qid}"
+        vids = [p[1] for p in pairs]
+        assert len(vids) == len(set(vids)), f"duplicate vec_id for {qid}"
+
+
+def test_ivf_replicas_monotone_recall(spark):
+    """On a near-uniform corpus (worst case for IVF), replicated
+    postings must not lose candidates: recall(n_replicas=2) >=
+    recall(n_replicas=1) with the same centroids/probes, and the
+    replicated candidate set is a superset per query."""
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(DIM)]) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, _vec_schema())
+    qids = list(range(0, 400, 50))
+    q = df.where(df.vec_id.isin(qids))
+    exp = _numpy_topk(rows, qids, 5)
+
+    def run(reps):
+        res = ann.cosine_topk_ivf(
+            q, "vec_id", "embedding", df, "vec_id", "embedding",
+            k=5, n_cells=16, nprobe=2, n_replicas=reps,
+        ).collect()
+        got = {}
+        for r in res:
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        hits = sum(len(got.get(qq, set()) & set(exp[qq])) for qq in qids)
+        return got, hits / (5 * len(qids))
+
+    got1, r1 = run(1)
+    got2, r2 = run(2)
+    assert r2 >= r1, f"replicas reduced recall: {r2} < {r1}"
