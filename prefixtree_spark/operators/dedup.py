@@ -398,6 +398,26 @@ def minhash_signatures(
     return grouped.select("doc", sig_udf("hs").alias("sig"))
 
 
+def _band_buckets(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc, band, bucket) rows: bucket = hash of the band's signature
+    slice — the LSH candidate key (equal band+bucket ⇒ candidate)."""
+    return sig.select(
+        "doc",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> slice(sig, b * {rows} + 1, {rows}))"
+            )
+        ).alias("band", "band_sig"),
+    ).select(
+        "doc",
+        "band",
+        F.xxhash64(
+            F.concat_ws(",", F.expr("transform(band_sig, x -> cast(x as string))"))
+        ).alias("bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -421,22 +441,7 @@ def minhash_lsh_pairs(
         token_shingles(df, id_col, text_col, n), max_df
     ).cache()
     sig = minhash_signatures(sh, num_perm=num_perm)
-    # band key = hash of the band's signature slice
-    banded = sig.select(
-        "doc",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}),"
-                f" b -> slice(sig, b * {rows} + 1, {rows}))"
-            )
-        ).alias("band", "band_sig"),
-    ).select(
-        "doc",
-        "band",
-        F.xxhash64(
-            F.concat_ws(",", F.expr("transform(band_sig, x -> cast(x as string))"))
-        ).alias("bucket"),
-    )
+    banded = _band_buckets(sig, bands, rows)
     x, y = banded.alias("x"), banded.alias("y")
     candidates = (
         x.join(
@@ -452,6 +457,76 @@ def minhash_lsh_pairs(
     return _pin_release(
         _jaccard_from_shingles(sh, threshold, candidates=candidates), sh
     )
+
+
+def incremental_lsh_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """Bipartite near-dup detection: which NEW documents are near-dups
+    of the EXISTING corpus? Returns (new_id, corpus_id, jaccard ≥
+    threshold) — the incremental-ingest primitive ("drop crawl-snapshot
+    docs already in the training set") that avoids re-running dedup
+    over corpus × corpus.
+
+    Scale shape: signatures and band buckets are computed per side and
+    joined only ACROSS sides (delta × corpus candidates; never corpus²
+    — at 100 TB the corpus-side signatures/buckets are computed once
+    and persisted, so each snapshot pays |delta| signature work plus an
+    equi-join on band buckets). Exact verification over the candidate
+    pairs' shingles only; id spaces of the two sides may overlap
+    (sides never mix — a pair is always one doc from each).
+    """
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sh_new = token_shingles(new_df, id_col, text_col, n).cache()
+    sh_cor = token_shingles(corpus_df, id_col, text_col, n).cache()
+    b_new = _band_buckets(
+        minhash_signatures(sh_new, num_perm=num_perm), bands, rows
+    )
+    b_cor = _band_buckets(
+        minhash_signatures(sh_cor, num_perm=num_perm), bands, rows
+    )
+    candidates = (
+        b_new.select(F.col("doc").alias("new_id"), "band", "bucket")
+        .join(
+            b_cor.select(F.col("doc").alias("corpus_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    # bipartite exact verify: intersections equi-join each side's
+    # shingles on (id, shingle) — both keys in the join condition
+    a = sh_new.select(F.col("doc").alias("new_id"), F.col("shingle").alias("s"))
+    b = sh_cor.select(F.col("doc").alias("corpus_id"), F.col("shingle").alias("s"))
+    inter = (
+        candidates.join(a, "new_id")
+        .join(b, ["corpus_id", "s"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("ic"))
+    )
+    sz_new = sh_new.groupBy("doc").agg(F.count(F.lit(1)).alias("sz1")).select(
+        F.col("doc").alias("new_id"), "sz1"
+    )
+    sz_cor = sh_cor.groupBy("doc").agg(F.count(F.lit(1)).alias("sz2")).select(
+        F.col("doc").alias("corpus_id"), "sz2"
+    )
+    jac = F.col("ic") / (F.col("sz1") + F.col("sz2") - F.col("ic"))
+    out = (
+        inter.join(sz_new, "new_id")
+        .join(sz_cor, "corpus_id")
+        .where(jac >= threshold)
+        .select("new_id", "corpus_id", F.round(jac, 6).alias("jaccard"))
+    )
+    return _pin_release(out, sh_new, sh_cor)
 
 
 # ---------------------------------------------------------------------------

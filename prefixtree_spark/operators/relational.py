@@ -355,6 +355,55 @@ def distinct_counts(
     )
 
 
+def frequent_items(
+    df: DataFrame, value_col: str, *, min_share: float = 0.01
+) -> DataFrame:
+    """Exact heavy hitters: values whose share of all rows is ≥
+    ``min_share``, with count and share. One hash-agg shuffle (map-side
+    partials) + a scalar total joined back — output is at most
+    ``1/min_share`` rows by definition, so the result is always tiny
+    no matter the input scale. The sketch alternative (Misra-Gries /
+    count-min) only matters when the VALUE cardinality itself
+    overwhelms the cluster; per-value counts at 1e9 distinct values
+    are still a routine Spark aggregation."""
+    counts = df.groupBy(F.col(value_col).alias("value")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = df.select(F.count(F.lit(1)).alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("n") >= F.col("_total") * min_share)
+        .select(
+            "value",
+            "n",
+            F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+        )
+    )
+
+
+def pseudonymize(
+    df: DataFrame, cols: list[str], *, salt: str
+) -> DataFrame:
+    """Irreversibly replace identifier columns with salted SHA-256
+    digests (hex) — the PII hygiene step before a corpus leaves its
+    trust boundary. Same value + same salt ⇒ same digest, so joins and
+    grouping on the pseudonymized key still work across tables hashed
+    with the same salt; without the salt the digests resist dictionary
+    reversal of low-entropy identifiers. NULLs stay NULL.
+
+    Narrow JVM-side projection (no UDF, no shuffle)."""
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col(c).isNotNull(),
+                F.sha2(F.concat(F.lit(salt), F.col(c).cast("string")), 256),
+            ),
+        )
+    return out
+
+
 def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     """Data-quality profile: one ROW per column with null count,
     approximate-free distinct count, and min/max rendered as strings

@@ -73,6 +73,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "dedup_incremental_lsh",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts)-2)) AS i
+            FROM toks WHERE len(ts) >= 3)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS ic
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT new_id, corpus_id,
+           round(ic::DOUBLE / (sa.sz + sb.sz - ic), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = new_id
+    JOIN sizes sb ON sb.doc_id = corpus_id
+    WHERE ic::DOUBLE / (sa.sz + sb.sz - ic) >= 0.8
+    """,
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: every 5th document plays the new crawl
+    snapshot; the rest are the existing corpus. LSH bands join only
+    ACROSS sides (delta x corpus — never corpus²), exact verify on
+    candidates; oracle is the exact bipartite Jaccard join."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where("doc_id % 5 = 0")
+    corpus = docs.where("doc_id % 5 <> 0")
+    return dedup.incremental_lsh_pairs(
+        new, corpus, "doc_id", "text", n=3, threshold=0.8
+    )
+
+
+@workload(
     "dedup_char_jaccard",
     """
     WITH sh AS (

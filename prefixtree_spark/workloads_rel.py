@@ -463,6 +463,41 @@ def events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "events_frequent_types",
+    """
+    SELECT event_type AS value, count(*) AS n,
+           round(count(*)::DOUBLE / (SELECT count(*) FROM events), 6) AS share
+    FROM events GROUP BY event_type
+    HAVING count(*) >= (SELECT count(*) FROM events) * 0.05
+    """,
+)
+def events_frequent_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (share ≥ 5%) over event types — output is
+    bounded at 1/min_share rows regardless of input scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return relational.frequent_items(ev, "event_type", min_share=0.05)
+
+
+@workload(
+    "customer_pseudonymized",
+    """
+    SELECT c_custkey,
+           sha256('pepper7' || c_name) AS c_name,
+           sha256('pepper7' || c_nationkey::VARCHAR) AS c_nationkey,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def customer_pseudonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-SHA256 pseudonymization of PII columns; digests are
+    deterministic per (salt, value), certified cross-engine."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    return relational.pseudonymize(c, ["c_name", "c_nationkey"], salt="pepper7")
+
+
+@workload(
     "events_asof_forward",
     """
     WITH v0 AS (

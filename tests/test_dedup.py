@@ -285,3 +285,67 @@ def test_decontaminate_removes_ngram_overlap(spark):
     # docs 1 and 3 share the 4-gram "the quick brown fox"; 2 is clean;
     # 4 is shorter than n tokens so it can never collide
     assert survivors == {2, 4}
+
+
+def test_incremental_lsh_bipartite(spark):
+    """Cross-side near-dups found; same-side near-dups NOT reported;
+    overlapping id spaces between the two tables never mix."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            # 2 and 3 are near-dups of each other WITHIN the corpus —
+            # must not appear in the bipartite output
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "one two three four five six seven eight nine eleven"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            # id 1 ALSO exists in the corpus with different text: id
+            # spaces may overlap, sides must stay separate
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+            (9, "totally unrelated fresh document about spark engines here"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.incremental_lsh_pairs(
+        new, corpus, "doc_id", "text", n=3, threshold=0.5
+    ).collect()
+    got = {(r.new_id, r.corpus_id) for r in pairs}
+    # new doc 1 matches corpus doc 1 (9-of-10 tokens shared); new doc 9
+    # matches nothing; the corpus-internal (2,3) pair is absent
+    assert got == {(1, 1)}
+    for r in pairs:
+        assert 0.0 < r.jaccard <= 1.0
+
+
+def test_incremental_lsh_matches_exact_bipartite(spark, docs):
+    """LSH-band candidates + exact verify equals the brute-force
+    bipartite Jaccard join on the fixture corpus."""
+    new = docs.where("doc_id % 3 = 0")
+    corpus = docs.where("doc_id % 3 <> 0")
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in dedup.incremental_lsh_pairs(
+            new, corpus, "doc_id", "text", n=2, threshold=0.6
+        ).collect()
+    }
+    # brute force in python
+    import itertools
+
+    def shingles(text, n=2):
+        ts = text.split()
+        return {" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)}
+
+    rows = docs.collect()
+    new_rows = [(r.doc_id, shingles(r.text)) for r in rows if r.doc_id % 3 == 0]
+    cor_rows = [(r.doc_id, shingles(r.text)) for r in rows if r.doc_id % 3 != 0]
+    want = set()
+    for (ni, ns), (ci, cs) in itertools.product(new_rows, cor_rows):
+        if not ns or not cs:
+            continue
+        j = len(ns & cs) / len(ns | cs)
+        if j >= 0.6:
+            want.add((ni, ci))
+    assert got == want

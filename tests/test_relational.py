@@ -336,3 +336,34 @@ def test_distinct_counts_sketch_band(spark):
         assert r.n_exact == expected[r.g]
         # HLL++ rsd=0.02: allow 5 sigma
         assert abs(r.n_approx - r.n_exact) / r.n_exact < 0.10
+
+
+def test_frequent_items_threshold_boundary(spark):
+    from prefixtree_spark.operators.relational import frequent_items
+
+    # 100 rows: 'a' x 50, 'b' x 30, 'c' x 19, 'd' x 1
+    vals = ["a"] * 50 + ["b"] * 30 + ["c"] * 19 + ["d"] * 1
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {r.value: (r.n, r.share) for r in frequent_items(df, "v", min_share=0.19).collect()}
+    # 'c' sits exactly at 19% — >= keeps it; 'd' is out
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"] == (50, 0.5)
+    assert got["c"] == (19, 0.19)
+
+
+def test_pseudonymize_deterministic_joinable_and_null_safe(spark):
+    from prefixtree_spark.operators.relational import pseudonymize
+
+    a = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, None)], "id long, name string"
+    )
+    b = spark.createDataFrame([(10, "alice")], "id long, name string")
+    pa_ = pseudonymize(a, ["name"], salt="s1")
+    pb = pseudonymize(b, ["name"], salt="s1")
+    rows = {r.id: r.name for r in pa_.collect()}
+    assert rows[3] is None  # NULL stays NULL
+    assert rows[1] != "alice" and len(rows[1]) == 64  # hex sha256
+    # same salt => joinable pseudonyms across tables
+    assert pb.collect()[0].name == rows[1]
+    # different salt => different digests
+    assert pseudonymize(a, ["name"], salt="s2").collect()[0].name != rows[1]
