@@ -330,6 +330,40 @@ def main() -> None:
     bench("events_topk_stream", topk_stream)
     shutil.rmtree(stream_dir, ignore_errors=True)
 
+    # storage-format scan throughput (untimed extras — headline_total
+    # unchanged): the same lineitem slice written as parquet / orc /
+    # csv / json, then one filter+agg scan each. The point on record:
+    # columnar formats give scan pruning + predicate pushdown (the
+    # ReadSchema/PushedFilters the plan tests pin); row formats
+    # re-parse every byte of every row — the measured gap is why the
+    # engine's sinks default to parquet and `convert_to_parquet`
+    # exists for CSV/JSON landings.
+    from prefixtree_spark.sources.io import read_source, write_sink
+
+    fmt_dir = tempfile.mkdtemp(prefix="bench_formats_")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    ddl = (
+        "l_orderkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE,"
+        " l_discount DOUBLE, l_shipdate TIMESTAMP"
+    )
+    for fmt in ("parquet", "orc", "csv", "json"):
+        path = f"{fmt_dir}/{fmt}"
+        write_sink(li, path, format=fmt)
+        t0 = time.time()
+        # schema supplied for row formats: columnar formats carry one;
+        # csv/json would otherwise pay a full inference pass up front
+        src = read_source(
+            spark, path, format=fmt,
+            schema=ddl if fmt in ("csv", "json") else None,
+        )
+        src.where("l_quantity > 25").agg(
+            F.sum("l_extendedprice").alias("s")
+        ).collect()
+        extras[f"format_scan_{fmt}"] = round(time.time() - t0, 3)
+    shutil.rmtree(fmt_dir, ignore_errors=True)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
