@@ -391,3 +391,73 @@ def bpe_pair_counts(
     )
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.desc("n"), F.asc("pair")).limit(k)
+
+
+def ngram_counts(
+    df: DataFrame, text_col: str, *, n: int = 2, k: int = 500
+) -> DataFrame:
+    """Corpus-wide token n-gram frequencies, top-``k`` (deterministic
+    tie-break on the n-gram) — the statistic behind contamination
+    screens, boilerplate discovery, and LM data analysis. Counts
+    multiplicity (unlike dedup's per-doc DISTINCT shingles).
+
+    Plan: narrow explode → one hash-agg shuffle with map-side partials
+    → TakeOrderedAndProject top-k; nothing driver-side."""
+    toks = df.select(_nonspace_tokens(text_col).alias("ts")).where(
+        F.size("ts") >= n
+    )
+    grams = toks.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(ts) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(ts, i, {n})))"
+            )
+        ).alias("ngram")
+    )
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("ngram")).limit(k)
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the
+    retrieval/context-window chunker): chunk ``c`` covers tokens
+    ``[c*stride, c*stride + chunk_tokens)``; the last chunk may be
+    short; a document shorter than one stride yields one chunk.
+    Output: (doc_id, chunk_id, token_start, n_tokens, chunk) — offsets
+    are 0-based so callers can map spans back into the source.
+
+    Narrow 1→N explode, no shuffle, no UDF: chunking 100 TB is a
+    map-only pass that parallelizes with the scan. ``stride <
+    chunk_tokens`` gives overlap; ``stride == chunk_tokens`` gives a
+    disjoint partition of the token stream."""
+    if chunk_tokens < 1 or stride < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), _nonspace_tokens(text_col).alias("ts")
+    ).where(F.size("ts") >= 1)
+    # starts: 1, 1+stride, ... while start <= len (1-based slice math)
+    chunks = base.select(
+        "doc_id",
+        "ts",
+        F.explode(
+            F.expr(f"sequence(1, size(ts), {stride})")
+        ).alias("start1"),
+    ).select(
+        "doc_id",
+        (F.col("start1") - 1).cast("long").alias("token_start"),
+        F.expr(f"slice(ts, start1, {chunk_tokens})").alias("chunk_ts"),
+    )
+    return chunks.select(
+        "doc_id",
+        (F.col("token_start") / stride).cast("long").alias("chunk_id"),
+        "token_start",
+        F.size("chunk_ts").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", "chunk_ts").alias("chunk"),
+    )

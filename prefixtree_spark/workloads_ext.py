@@ -413,6 +413,56 @@ def split_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "docs_ngram_counts",
+    r"""
+    WITH toks AS (
+      SELECT regexp_extract_all(text, '\S+') AS ts FROM documents
+    ),
+    grams AS (
+      SELECT ts[i] || ' ' || ts[i+1] AS ngram
+      FROM (SELECT ts, unnest(generate_series(1, len(ts)-1)) AS i
+            FROM toks WHERE len(ts) >= 2)
+    )
+    SELECT ngram, count(*) AS n FROM grams
+    GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 500
+    """,
+)
+def docs_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency head (multiplicity-counting, unlike
+    dedup's per-doc DISTINCT shingles); deterministic tie-break makes
+    top-k engine-portable."""
+    from prefixtree_spark.operators.text import ngram_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_counts(docs, "text", n=2, k=500)
+
+
+@workload(
+    "docs_chunks",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
+    )
+    SELECT doc_id,
+           ((s - 1) // 16)::BIGINT AS chunk_id,
+           (s - 1)::BIGINT AS token_start,
+           len(list_slice(ts, s, s + 31))::BIGINT AS n_tokens,
+           array_to_string(list_slice(ts, s, s + 31), ' ') AS chunk
+    FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts), 16)) AS s
+          FROM t WHERE len(ts) >= 1)
+    """,
+)
+def docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks, stride 16)
+    — the retrieval/context-window chunker as a narrow map-only
+    explode; offsets map chunks back to source spans."""
+    from prefixtree_spark.operators.text import chunk_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_text(docs, "doc_id", "text", chunk_tokens=32, stride=16)
+
+
+@workload(
     "docs_stratified_sample",
     """
     SELECT doc_id, lang FROM documents

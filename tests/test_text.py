@@ -181,3 +181,41 @@ def test_bpe_encode_empty_and_unknown(spark):
     got = {r.doc_id: r.tokens for r in text.bpe_encode(df, "doc_id", "text", [("a", "b")]).collect()}
     assert got[0] == []
     assert got[1] == ["z", "z", "q", "q"]  # no applicable merges: chars
+
+
+def test_ngram_counts_hand_computed(spark):
+    from prefixtree_spark.operators.text import ngram_counts
+
+    df = spark.createDataFrame(
+        [("a b a b c",), ("a b",), ("solo",)], "text string"
+    )
+    got = {(r.ngram, r.n) for r in ngram_counts(df, "text", n=2, k=10).collect()}
+    # "a b" occurs twice in doc1 + once in doc2 (multiplicity counted);
+    # "solo" has no bigram
+    assert got == {("a b", 3), ("b a", 1), ("b c", 1)}
+
+
+def test_chunk_text_offsets_and_overlap(spark):
+    from prefixtree_spark.operators.text import chunk_text
+
+    toks = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, toks), (2, "short doc"), (3, "")],
+                               "doc_id long, text string")
+    out = chunk_text(df, "doc_id", "text", chunk_tokens=8, stride=4)
+    rows = sorted(
+        ((r.doc_id, r.chunk_id, r.token_start, r.n_tokens, r.chunk) for r in out.collect())
+    )
+    # doc1: starts 0,4,8 -> 8,6,2 tokens; doc2: one chunk; doc3 (empty): none
+    assert [(d, c, s, n) for d, c, s, n, _ in rows] == [
+        (1, 0, 0, 8), (1, 1, 4, 6), (1, 2, 8, 2), (2, 0, 0, 2),
+    ]
+    # overlap: chunk 1 starts at token 4, which chunk 0 also contains
+    assert rows[0][4].split()[4:] == rows[1][4].split()[:4]
+    # chunks reassemble the doc: disjoint stride == chunk_tokens
+    disjoint = chunk_text(df, "doc_id", "text", chunk_tokens=4, stride=4)
+    d1 = sorted(
+        (r.chunk_id, r.chunk) for r in disjoint.where("doc_id = 1").collect()
+    )
+    assert " ".join(c for _, c in d1) == toks
+    with pytest.raises(ValueError):
+        chunk_text(df, "doc_id", "text", chunk_tokens=0, stride=4)
