@@ -22,7 +22,15 @@ from prefixtree_spark.operators.sampling import (
     deterministic_sample,
     pack_sequences,
     split_assign,
+    stratified_sample,
     top_n_per_group,
+)
+from prefixtree_spark.operators.text import chunk_text, ngram_counts
+from prefixtree_spark.operators.relational import (
+    distinct_counts,
+    extract_json,
+    frequent_items,
+    pseudonymize,
 )
 from prefixtree_spark.pipeline import prepare_corpus
 from prefixtree_spark.operators.query import (
@@ -55,9 +63,16 @@ __all__ = [
     "rrf_fuse",
     "split_assign",
     "deterministic_sample",
+    "stratified_sample",
     "top_n_per_group",
     "pack_sequences",
     "prepare_corpus",
+    "chunk_text",
+    "ngram_counts",
+    "extract_json",
+    "frequent_items",
+    "distinct_counts",
+    "pseudonymize",
 ]
 
 __version__ = "0.1.0"

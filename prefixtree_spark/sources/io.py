@@ -19,6 +19,8 @@ per call site:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 
 _READ_FORMATS = ("parquet", "orc", "csv", "json")
@@ -74,6 +76,40 @@ def write_sink(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def compact(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    *,
+    format: str = "parquet",
+    target_file_mb: int = 256,
+) -> int:
+    """Small-files compaction: rewrite ``src_path`` into files of
+    ~``target_file_mb`` each; returns the output file count.
+
+    The operational problem this solves: streaming sinks, incremental
+    ingests, and over-parallel writes leave thousands of KB-sized
+    files, and at 100 TB the NameNode/listing cost plus per-file open
+    overhead dominates the scan. File count is sized from the SOURCE
+    byte size (listing metadata — no data pass); the rewrite is one
+    job whose only wide stage is the ``repartition`` round-robin
+    exchange. Rewrites to a NEW path: an in-place rewrite that crashes
+    mid-job loses the table (atomic swap is the table format's job —
+    Delta/Iceberg OPTIMIZE; on plain directories the caller swaps)."""
+    sc = spark.sparkContext
+    hadoop_path = sc._jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hadoop_path.getFileSystem(sc._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hadoop_path).getLength()
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = read_source(spark, src_path, format=format)
+    write_sink(df.repartition(n_files), dst_path, format=format)
+    out_path = sc._jvm.org.apache.hadoop.fs.Path(dst_path)
+    listed = fs.listStatus(out_path)
+    return sum(
+        1 for st in listed if st.getPath().getName().endswith(f".{format}")
+    )
 
 
 def convert_to_parquet(

@@ -47,3 +47,22 @@ def test_convert_to_parquet(spark, small, tmp_path):
 def test_read_source_rejects_unknown_format(spark):
     with pytest.raises(ValueError, match="format"):
         read_source(spark, "/tmp/x", format="avroish")
+
+
+def test_compact_small_files(spark, tmp_path):
+    from prefixtree_spark.sources.io import compact, read_source
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    # 64 tiny files
+    spark.range(10_000).repartition(64).write.parquet(src)
+    import os
+
+    n_src = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_src == 64
+    n_out = compact(spark, src, dst, target_file_mb=256)
+    n_dst = sum(1 for f in os.listdir(dst) if f.endswith(".parquet"))
+    assert n_out == n_dst == 1  # 10k longs << 256 MB -> one file
+    # data preserved
+    assert read_source(spark, dst).count() == 10_000
+    assert {r.id for r in read_source(spark, dst).collect()} == set(range(10_000))
