@@ -110,6 +110,51 @@ def best_match(
     )
 
 
+def suggest(
+    left: DataFrame,
+    lcol: str,
+    vocab: DataFrame,
+    vcol: str,
+    freq_col: str,
+    max_distance: int,
+    *,
+    mode: str = "auto",
+) -> DataFrame:
+    """Frequency-weighted spell suggestion (the autocorrect ranking):
+    the best vocabulary word per left value, ranked by (distance ASC,
+    frequency DESC, word ASC) — among equally-close candidates the
+    more common word wins, which is what turns raw fuzzy match into a
+    usable corrector (classic noisy-channel ranking with a unigram
+    prior). Exact matches therefore rank first automatically
+    (distance 0). Columns: ``left_value, suggestion, distance, freq``.
+
+    Plan shape: the tree-accelerated similarity join produces the
+    bounded candidate pairs; the prior arrives via an equi-join on the
+    word (broadcast-able vocab stats); rank is one window over the
+    per-query candidate set (tiny by the distance bound)."""
+    from pyspark.sql import Window
+
+    stats = vocab.select(
+        F.trim(F.col(vcol)).alias("right_value"),
+        F.col(freq_col).cast("long").alias("freq"),
+    ).groupBy("right_value").agg(F.max("freq").alias("freq"))
+    pairs = similarity_join(left, lcol, vocab, vcol, max_distance, mode=mode)
+    scored = pairs.join(stats, "right_value")
+    w = Window.partitionBy("left_value").orderBy(
+        F.asc("distance"), F.desc("freq"), F.asc("right_value")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "left_value",
+            F.col("right_value").alias("suggestion"),
+            F.col("distance").cast("int").alias("distance"),
+            "freq",
+        )
+    )
+
+
 def fuzzy_dedup(
     df: DataFrame,
     col: str,

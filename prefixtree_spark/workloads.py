@@ -176,6 +176,53 @@ def best_match_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "suggest_part_tokens",
+    f"""
+    WITH vocab AS (
+      SELECT trim(tok) AS word, count(*) AS freq
+      FROM (SELECT unnest(string_split(p_name, ' ')) AS tok FROM part)
+      WHERE trim(tok) <> '' GROUP BY 1
+    ),
+    q AS (
+      SELECT DISTINCT {_PERTURB_SQL.format(col='tok', key='p_partkey')} AS left_value
+      FROM (SELECT p_partkey, string_split(p_name, ' ')[1] AS tok FROM part)
+      WHERE p_partkey % 10 = 3 AND length(tok) > 1
+    ),
+    pairs AS (
+      SELECT q.left_value, v.word, levenshtein(q.left_value, v.word) AS d, v.freq
+      FROM q, vocab v WHERE levenshtein(q.left_value, v.word) <= 1
+    )
+    SELECT left_value, word AS suggestion, d::INT AS distance, freq
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY left_value ORDER BY d, freq DESC, word) AS rn
+          FROM pairs)
+    WHERE rn = 1
+    """,
+)
+def suggest_part_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted spell suggestion over the part-name token
+    vocabulary: among equally-close candidates the most frequent token
+    wins (noisy-channel ranking with a unigram prior) — the autocorrect
+    composition of the tree join."""
+    from prefixtree_spark.operators.similarity_join import suggest
+
+    part = load_table(spark, sf_dir, "part")
+    vocab = (
+        part.select(F.explode(F.split("p_name", " ")).alias("tok"))
+        .where(F.trim("tok") != "")
+        .groupBy(F.trim(F.col("tok")).alias("tok"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    queries = (
+        part.where("p_partkey % 10 = 3")
+        .select("p_partkey", F.split("p_name", " ").getItem(0).alias("tok"))
+        .where(F.length("tok") > 1)
+        .select(F.expr(_PERTURB_SPARK.format(col="tok", key="p_partkey")).alias("q"))
+    )
+    return suggest(queries, "q", vocab, "tok", "freq", 1)
+
+
+@workload(
     "fuzzy_dedup_customer",
     """
     WITH RECURSIVE w AS (

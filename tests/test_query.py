@@ -148,3 +148,23 @@ def test_query_works_on_keep_duplicates_table(spark):
     for mode in ["broadcast_tree", "broadcast_queries", "bfs"]:
         got = _run(spark, pt, ["CAT"], 1, mode)
         assert got == {("CAT", "CAT", 0), ("CAT", "CART", 1)}, mode
+
+
+def test_suggest_frequency_prior(spark):
+    """Among equally-distant candidates the most frequent word wins;
+    exact matches rank first; ties on freq break on the word."""
+    from prefixtree_spark.operators.similarity_join import suggest
+
+    vocab = spark.createDataFrame(
+        [("the", 1000), ("thy", 10), ("tho", 10), ("spark", 50)],
+        ["w", "n"],
+    )
+    queries = spark.createDataFrame([("thx",), ("spark",)], ["q"])
+    got = {
+        r.left_value: (r.suggestion, r.distance, r.freq)
+        for r in suggest(queries, "q", vocab, "w", "n", 1).collect()
+    }
+    # 'thx' is distance 1 from the/thy/tho: 'the' wins on freq
+    assert got["thx"] == ("the", 1, 1000)
+    # exact match wins at distance 0 regardless of freq
+    assert got["spark"] == ("spark", 0, 50)
