@@ -18,28 +18,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources/tables.py)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, path: str, **options: str) -> DataFrame:
-    """File-source stream over events parquet (nanos ts → µs timestamp,
-    same conversion as the batch source). ``options`` pass through to
+    """File-source stream over events parquet, normalizing ``ts`` to a
+    session-TZ µs timestamp exactly like the batch source (the fixture's
+    physical ts type has varied across driver generations — see
+    sources/tables.py). The file-source requires an explicit schema, so
+    one footer-only batch read supplies it. ``options`` pass through to
     the source (e.g. ``maxFilesPerTrigger=1`` to bound batch size)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
     for k, v in options.items():
         reader = reader.option(k, v)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # TIMESTAMP(NANOS) read as long
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def streaming_tumbling_counts(

@@ -8,7 +8,7 @@ import pytest
 
 from prefixtree_spark.operators.relational import sessionize
 from prefixtree_spark.sources.tables import load_table
-from prefixtree_spark.streaming.events import EVENTS_SCHEMA, read_events_stream
+from prefixtree_spark.streaming.events import read_events_stream
 from prefixtree_spark.streaming.sessionize import streaming_sessionize
 from tests.conftest import SF_SMOKE
 
