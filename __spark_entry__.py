@@ -8,6 +8,10 @@ expose every implemented workload from the catalog in
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -16,15 +20,55 @@ from prefixtree_spark import workloads
 from prefixtree_spark import workloads_ext  # noqa: F401  (registers entries)
 from prefixtree_spark import workloads_rel  # noqa: F401  (registers entries)
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return workloads.fuzzy_join_customer(spark, "/root/testdata/sf0.001")
 
 
+def _last_verified() -> dict[str, int]:
+    """Round in which each workload last got a passing driver row.
+
+    The driver's correctness gate evaluates at most the first 50
+    registry entries per round, while the registry holds more.  To keep
+    every workload inside the gate at least every other round, we order
+    the registry least-recently-verified first, using the committed
+    ``CORRECTNESS_r*.json`` history.  A pass is a hash-match row or a
+    by-design ``no_oracle`` rows-only row; failed/errored rows do NOT
+    count, so regressions bubble straight back to the front.
+    """
+    seen: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            ok = bool(row.get("hash_match")) or row.get("err") == "no_oracle"
+            if ok and rnd > seen.get(name, -1):
+                seen[name] = rnd
+    return seen
+
+
+def _rotated(names: list[str]) -> list[str]:
+    seen = _last_verified()
+    # Stable sort: never/least-recently verified first, registration
+    # order as the tiebreak (earlier entries are the flagship surface).
+    return sorted(names, key=lambda n: seen.get(n, -1))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(workloads.QUERIES)
+    order = _rotated(list(workloads.QUERIES))
+    return {name: workloads.QUERIES[name] for name in order}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(workloads.ORACLES)
+    order = _rotated(list(workloads.QUERIES))
+    return {name: workloads.ORACLES[name] for name in order if name in workloads.ORACLES}
