@@ -38,10 +38,13 @@ def main() -> None:
     times: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def bench(name: str, fn, *, repeats: int = 1) -> None:
-        # repeats>1 → report the MEDIAN run: the two big dedup entries
-        # swing 3-12s run-to-run under local[32] contention, which made
-        # single-shot numbers useless for regression detection
+    def bench(name: str, fn, *, repeats: int = 3) -> None:
+        # Every headline entry reports the MEDIAN of `repeats` runs plus
+        # the max-min spread: single-shot numbers swing up to 12x under
+        # local[32] contention (the round-3 bench recorded 8-19x phantom
+        # "regressions" that did not reproduce), so medians-with-spread
+        # are the only regression-grade signal. The median also absorbs
+        # the first (cold JIT/shuffle-file) run without discarding it.
         runs = []
         out = None
         for _ in range(repeats):
@@ -67,6 +70,8 @@ def main() -> None:
     pt_holder = {}
 
     def build():
+        if "pt" in pt_holder:
+            pt_holder["pt"].unpersist()
         pt = create(cust, "c_name").persist()
         n = pt.count()
         pt_holder["pt"] = pt
@@ -190,7 +195,6 @@ def main() -> None:
 
     # pipeline extensions
     catalog = workloads.QUERIES
-    noisy = {"dedup_minhash_lsh", "dedup_simhash_pairs"}
     for name in [
         "dedup_minhash_lsh",
         "dedup_simhash_pairs",
@@ -202,11 +206,7 @@ def main() -> None:
         "q3_top_revenue_orders",
         "events_sessionize",
     ]:
-        bench(
-            name,
-            lambda name=name: catalog[name](spark, sf_dir).count(),
-            repeats=3 if name in noisy else 1,
-        )
+        bench(name, lambda name=name: catalog[name](spark, sf_dir).count())
 
     # IVF accuracy/speed tradeoff (untimed — headline_total unchanged):
     # recall@10 vs the exact top-k at a narrow and a wide probe width.

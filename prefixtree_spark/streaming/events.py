@@ -18,25 +18,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-def read_events_stream(spark: SparkSession, path: str, **options: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: T.StructType | None = None,
+    **options: str,
+) -> DataFrame:
     """File-source stream over events parquet, normalizing ``ts`` to a
-    session-TZ µs timestamp exactly like the batch source (the fixture's
-    physical ts type has varied across driver generations — see
-    sources/tables.py). The file-source requires an explicit schema, so
-    one footer-only batch read supplies it. ``options`` pass through to
-    the source (e.g. ``maxFilesPerTrigger=1`` to bound batch size)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    session-TZ µs timestamp exactly like the batch source (see
+    sources/tables.py). The file source requires a schema up front:
+    pass ``schema`` explicitly to start a stream over a directory that
+    is empty at start time (files arriving later must match it);
+    otherwise one footer-only batch read infers it — which requires at
+    least one file to exist, so an empty/missing directory fails fast
+    here with a clear error instead of a generic AnalysisException
+    mid-plan. ``options`` pass through to the source (e.g.
+    ``maxFilesPerTrigger=1`` to bound batch size)."""
+    from prefixtree_spark.sources.tables import (
+        normalize_events_ts,
+        scoped_nanos_as_long,
+    )
+
+    if schema is None:
+        try:
+            with scoped_nanos_as_long(spark):
+                schema = spark.read.parquet(path).schema
+        except Exception as exc:  # AnalysisException: no files / no path
+            raise ValueError(
+                f"cannot infer the events stream schema from {path!r} "
+                f"(directory empty or missing at stream start?). Pass "
+                f"schema= explicitly to stream from a not-yet-populated "
+                f"directory."
+            ) from exc
     reader = spark.readStream.schema(schema)
     for k, v in options.items():
         reader = reader.option(k, v)
-    raw = reader.parquet(path)
-    ts_type = schema["ts"].dataType
-    if isinstance(ts_type, T.LongType):  # TIMESTAMP(NANOS) read as long
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if isinstance(ts_type, T.TimestampNTZType):
-        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    return normalize_events_ts(spark, reader.parquet(path))
 
 
 def streaming_tumbling_counts(
