@@ -372,6 +372,21 @@ def cosine_topk_ivf(
     candidates are deduped as id-pairs BEFORE scoring — a duplicate
     scored row would occupy two ranks and corrupt top-k.
 
+    Recall depends on how clustered the corpus is (measured, bench
+    extras + SCALING.md). Presets:
+
+    - clustered corpora (real text/image embeddings): defaults-like
+      ``nprobe/n_cells ≈ 0.25`` reaches recall ≥ 0.9 — measured 1.0
+      at (n_cells=32, nprobe=8) on a 20-cluster corpus at sf0.1.
+    - unclustered/worst-case corpora (near-random vectors, e.g. the
+      synthetic fixture): no cell structure exists to exploit; ≥0.9
+      needs ~60% of the corpus scanned — measured 0.90 at
+      (n_cells=32, nprobe=12, n_replicas=2) and 0.93 at
+      (n_cells=32, nprobe=8, n_replicas=4). If your corpus looks like
+      this, prefer the exact ``cosine_topk`` (it scans 100% once and
+      needs no index build) unless ×replicas storage is cheaper than
+      the 1.6x scan saving.
+
     The scale path for vector search: per-query work drops from |corpus|
     to ~|corpus|·nprobe/n_cells; the corpus side is one narrow
     assignment pass (a matmul per Arrow batch) and the join is equi on
