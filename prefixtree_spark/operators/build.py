@@ -414,3 +414,31 @@ def save_index_bucketed(pt: DataFrame, table: str, *, buckets: int = 32) -> None
 
 def load_index_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def index_is_bucketed(df: DataFrame, col: str = "parent_id") -> bool:
+    """True when ``df`` reads a catalog table bucketed on ``col`` (the
+    BUILDINDEX layout, PrefixTree.ecl:612-613) — possibly under
+    projections/filters, which preserve the scan's partitioning.
+
+    Used by ``query`` to honor the reference's build-once/query-keyed
+    contract without the caller passing ``tree_partitioned=True``:
+    detection walks the analyzed plan to the scan and reads the
+    catalog bucket spec. Conservative: any doubt (several scan leaves,
+    no catalog table, introspection failure on a non-classic backend)
+    returns False, which only costs the one upfront repartition the
+    caller would otherwise skip."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        if leaves.size() != 1:
+            return False
+        ct = leaves.apply(0).catalogTable()
+        if not ct.isDefined():
+            return False
+        bs = ct.get().bucketSpec()
+        if not bs.isDefined():
+            return False
+        cols = bs.get().bucketColumnNames()
+        return [str(cols.apply(i)) for i in range(cols.size())] == [col]
+    except Exception:
+        return False

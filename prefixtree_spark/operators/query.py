@@ -462,6 +462,14 @@ def query(
     )
     if index is not None:
         return _query_broadcast_tree(qdf, col, index, k)
+    if not tree_partitioned and mode in ("bfs", "auto"):
+        # build-once/query-keyed: a tree loaded from a bucketed index
+        # (save_index_bucketed ≡ BUILDINDEX, PrefixTree.ecl:612-613) is
+        # already laid out on parent_id — skip bfs's upfront repartition
+        # without the caller knowing the flag
+        from prefixtree_spark.operators.build import index_is_bucketed
+
+        tree_partitioned = index_is_bucketed(pt)
     if mode == "bfs":
         return _query_bfs(pt, qdf, col, k, tree_partitioned=tree_partitioned)
     if mode == "broadcast_tree":
@@ -498,7 +506,7 @@ def query(
                 ).localCheckpoint(eager=True)
             # big tree x big query set: level-synchronous frontier joins
             # (internally eager; its result is pinned before return)
-            return _query_bfs(pt, qdf, col, k)
+            return _query_bfs(pt, qdf, col, k, tree_partitioned=tree_partitioned)
         finally:
             pt.unpersist()
     raise ValueError(f"unknown mode {mode!r}")

@@ -161,6 +161,61 @@ def test_bucketed_tree_partitioned_bfs(spark):
         spark.sql("DROP TABLE IF EXISTS pt_bucketed_bfs_test")
 
 
+def test_bucketed_tree_autodetected_no_tree_exchange(spark, monkeypatch):
+    """Plain query(mode='bfs') over a table loaded from
+    save_index_bucketed must detect the BUILDINDEX layout itself
+    (PrefixTree.ecl:612-613: build once, every query uses the keyed
+    layout): no tree_partitioned flag, no upfront tree repartition, and
+    the per-level join's tree side reads the bucketed scan without an
+    Exchange."""
+    import prefixtree_spark.operators.query as qmod
+    from prefixtree_spark.operators.build import index_is_bucketed
+
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3)
+    save_index_bucketed(pt, "pt_bucketed_auto_test", buckets=4)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        loaded = load_index_bucketed(spark, "pt_bucketed_auto_test")
+        assert index_is_bucketed(loaded)
+        assert not index_is_bucketed(pt)
+
+        # the flag _query_bfs actually receives, without the caller
+        # passing tree_partitioned=True
+        seen = {}
+        real_bfs = qmod._query_bfs
+
+        def spy(pt_, qdf_, col_, k_, *, tree_partitioned=False):
+            seen["tree_partitioned"] = tree_partitioned
+            return real_bfs(pt_, qdf_, col_, k_, tree_partitioned=tree_partitioned)
+
+        monkeypatch.setattr(qmod, "_query_bfs", spy)
+        qdf = spark.createDataFrame([(q,) for q in QUERIES], ["q"])
+        res = qmod.query(loaded, qdf, "q", 1, mode="bfs")
+        got = {(r.query_string, r.node, r.final_distance) for r in res.collect()}
+        assert seen == {"tree_partitioned": True}
+        assert got == _expected(SPARSE_WORDS, QUERIES, 1)
+
+        # plan shape: the level join over the persisted bucketed scan
+        # shuffles ONLY the frontier side (force non-broadcast so the
+        # exchange placement is visible)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        base = loaded.select(
+            "id", "parent_id", "_max", "_min", "is_word", "node"
+        ).persist()
+        try:
+            base.count()
+            frontier = spark.range(10).select(F.col("id").alias("node_id"))
+            j = frontier.join(base, frontier.node_id == base.parent_id)
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange") == 1
+            assert "Exchange" not in plan.split("InMemoryTableScan")[1]
+        finally:
+            base.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS pt_bucketed_auto_test")
+
+
 def test_auto_mode_unpersists_tree(spark):
     """mode='auto' must not leak the probe persist: after the call (any
     route), the tree's cache is released (round-2 verdict #4)."""
