@@ -338,12 +338,25 @@ def _query_bfs(
         .where(F.col("query_string").isNotNull())
         .distinct()
     )
-    frontier = qdf.select(
-        "query_string",
-        F.length("query_string").alias("qlen"),
-        F.lit(VIRTUAL_ROOT_ID).cast("long").alias("node_id"),
-        F.sequence(F.lit(0), F.length("query_string")).alias("state"),
-    ).localCheckpoint(eager=True)
+    # Spread the initial frontier over the full parallelism explicitly:
+    # AQE coalesces the tiny distinct() shuffle to ONE partition, and
+    # every later level inherits that layout through the (narrow)
+    # broadcast join + DP — so the widest mid-trie level's DP would run
+    # on a single core (measured: 42k-row level, 1 partition, 2.2s of
+    # a 6.6s loop; the whole loop drops ~3x with the frontier spread).
+    # An explicit numPartitions is exempt from AQE coalescing; the
+    # frontier then STAYS at this width for the broadcast-tree path,
+    # and the partitioned-tree path reshuffles it per level anyway.
+    frontier = (
+        qdf.select(
+            "query_string",
+            F.length("query_string").alias("qlen"),
+            F.lit(VIRTUAL_ROOT_ID).cast("long").alias("node_id"),
+            F.sequence(F.lit(0), F.length("query_string")).alias("state"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
     base = pt.select("id", "parent_id", "_max", "_min", "is_word", "node")
     use_broadcast = False
     if tree_partitioned:
