@@ -36,6 +36,7 @@ from prefixtree_spark.pipeline import prepare_corpus
 from prefixtree_spark.operators.query import (
     LocalIndex,
     build_local_index,
+    clear_local_index_cache,
     query,
     query_one,
 )
@@ -51,6 +52,7 @@ __all__ = [
     "query_one",
     "LocalIndex",
     "build_local_index",
+    "clear_local_index_cache",
     "add_words",
     "remove_words",
     "prefix_search",

@@ -43,6 +43,8 @@ driver).
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -623,14 +625,55 @@ class LocalIndex:
         return list(zip(q, w, d))
 
 
+# Recently built query_one handles, keyed on the node table's semantic
+# hash (+ schema, to cheapen collisions). Bounded LRU: each entry holds
+# a collected tree, so the cap bounds driver memory at a few indexes.
+_QUERY_ONE_CACHE: "OrderedDict[tuple[int, str], LocalIndex]" = OrderedDict()
+_QUERY_ONE_CACHE_MAX = 4
+
+
+def clear_local_index_cache() -> None:
+    """Drop the cached ``query_one`` handles (e.g. after overwriting an
+    index table in place — the cache assumes immutable inputs)."""
+    _QUERY_ONE_CACHE.clear()
+
+
+def _cached_local_index(pt: DataFrame) -> LocalIndex:
+    """One collect+merge per distinct node-table PLAN, not per call:
+    repeated ``query_one(df, ...)`` on the same table reuse one handle
+    (keyed by Catalyst's semantic hash — positional/cosmetic plan
+    differences still hit). A changed plan or a cache spill rebuilds;
+    data mutated under an unchanged plan requires
+    ``clear_local_index_cache`` (documented, same contract as any
+    collected handle)."""
+    try:
+        key = (pt.semanticHash(), pt.schema.simpleString())
+    except Exception:  # non-classic backend without semanticHash
+        return build_local_index(pt)
+    idx = _QUERY_ONE_CACHE.get(key)
+    if idx is None:
+        idx = build_local_index(pt)
+        _QUERY_ONE_CACHE[key] = idx
+        while len(_QUERY_ONE_CACHE) > _QUERY_ONE_CACHE_MAX:
+            _QUERY_ONE_CACHE.popitem(last=False)
+    else:
+        _QUERY_ONE_CACHE.move_to_end(key)
+    return idx
+
+
 def query_one(
     index: LocalIndex | DataFrame, s: str, max_distance: int
 ) -> list[tuple[str, int]]:
     """Single-string fuzzy lookup ≡ QueryRoxieLevenshtein
     (PrefixTree.ecl:459-588): returns [(word, distance)] sorted.
-    Pass a ``LocalIndex`` for repeated serving-path calls."""
+
+    Pass a ``LocalIndex`` (``build_local_index``) for explicit handle
+    control. A DataFrame argument is served from a small LRU of
+    prebuilt handles keyed on the plan's semantic hash, so repeated
+    calls against the same table pay ONE collect+merge — the Roxie
+    preload contract — instead of re-collecting per call."""
     if isinstance(index, DataFrame):
-        index = LocalIndex.from_dataframe(index)
+        index = _cached_local_index(index)
     return index.search(s, max_distance)
 
 

@@ -122,6 +122,36 @@ def test_query_one_serving_path(spark, sparse_pt):
     )
 
 
+def test_query_one_dataframe_overload_caches_handle(spark, monkeypatch):
+    """query_one(DataFrame, ...) must pay ONE collect+merge per table:
+    repeated calls on the same (semantically identical) plan reuse the
+    cached handle; a different table builds a fresh one."""
+    import prefixtree_spark.operators.query as qmod
+
+    qmod.clear_local_index_cache()
+    builds = []
+    real = qmod.build_local_index
+    monkeypatch.setattr(
+        qmod, "build_local_index", lambda pt: builds.append(1) or real(pt)
+    )
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3)
+    expected = sorted(
+        (w, brute_levenshtein("SMITH", w))
+        for w in SPARSE_WORDS
+        if brute_levenshtein("SMITH", w) <= 2
+    )
+    assert query_one(pt, "SMITH", 2) == expected
+    assert query_one(pt, "SMITH", 2) == expected
+    # a re-derived but semantically identical plan also hits
+    assert query_one(pt.select("*"), "SMITH", 2) == expected
+    assert builds == [1]
+    # a genuinely different table misses and builds its own handle
+    other = create(_words_df(spark, ["SMITH", "SMYTHE"]), "word")
+    assert query_one(other, "SMITH", 0) == [("SMITH", 0)]
+    assert builds == [1, 1]
+    qmod.clear_local_index_cache()
+
+
 def test_search_many_matches_per_call(spark, sparse_pt):
     """Batched serving == union of per-call lookups."""
     idx = LocalIndex.from_dataframe(sparse_pt)
