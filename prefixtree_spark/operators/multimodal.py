@@ -22,6 +22,7 @@ Design notes for 100 TB of media:
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -52,6 +53,59 @@ def _require_codec(kind: str):
     )
 
 
+def sniff_image_meta(data: bytes) -> tuple[str, int, int, int] | None:
+    """(format, width, height, channels) parsed from header bytes alone
+    — no codec library. Pure-Python struct reads of the published
+    container layouts:
+
+      - PNG: 8-byte signature, then the IHDR chunk's big-endian
+        width/height at offsets 16/20 and color type at 25;
+      - GIF87a/89a: little-endian logical-screen width/height at 6/8;
+      - BMP: BITMAPINFOHEADER little-endian int32 width/height at
+        18/22 (height negative for top-down rows → abs), bit depth 28;
+      - JPEG: walk the segment chain from SOI to the first SOFn
+        (0xC0-0xCF except DHT/JPG/DAC), big-endian height/width at
+        +5/+7 and component count at +9.
+
+    Returns None for anything unrecognized or truncated — the caller
+    decides between a real codec and the fake test decoder."""
+    if (
+        len(data) >= 26
+        and data[:8] == b"\x89PNG\r\n\x1a\n"
+        and data[12:16] == b"IHDR"
+    ):
+        w, h = struct.unpack(">II", data[16:24])
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(data[25], 3)
+        return ("png", w, h, channels)
+    if len(data) >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        return ("gif", w, h, 3)
+    if len(data) >= 30 and data[:2] == b"BM":
+        w, h = struct.unpack("<ii", data[18:26])
+        bits = struct.unpack("<H", data[28:30])[0]
+        channels = 4 if bits == 32 else (3 if bits == 24 else 1)
+        return ("bmp", w, abs(h), channels)
+    if len(data) >= 4 and data[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(data):
+            if data[i] != 0xFF:
+                return None
+            marker = data[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # bare markers
+                i += 2
+                continue
+            if i + 4 > len(data):
+                return None
+            seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 10 > len(data):
+                    return None
+                h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                return ("jpeg", w, h, data[i + 9])
+            i += 2 + seg_len
+    return None
+
+
 def _fake_image_meta(blob: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for image decode: derives (width, height,
     channels) from a stable content hash — exercises the full Spark
@@ -64,6 +118,7 @@ IMAGE_META_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
@@ -74,22 +129,31 @@ IMAGE_META_SCHEMA = T.StructType(
 def decode_image_meta(
     df: DataFrame, id_col: str, bin_col: str, *, fake_decode: bool = False
 ) -> DataFrame:
-    """Extract image metadata per blob via mapInPandas. With a codec
-    installed this would open each blob; here ``fake_decode=True``
-    routes to the deterministic fake, otherwise NotImplementedError
-    surfaces from the executors."""
+    """Extract image metadata per blob via mapInPandas.
+
+    PNG/GIF/BMP/JPEG dimensions are parsed for real from header bytes
+    (``sniff_image_meta`` — pure Python, no codec needed). Blobs in any
+    other format still need a decoder: ``fake_decode=True`` routes them
+    to the deterministic test fake (format ``"fake"``), otherwise
+    NotImplementedError surfaces from the executors."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = []
             for mid, blob in zip(pdf[id_col], pdf[bin_col]):
                 b = bytes(blob)
-                if not fake_decode:
+                sniffed = sniff_image_meta(b)
+                if sniffed is not None:
+                    fmt, w, h, c = sniffed
+                elif fake_decode:
+                    fmt = "fake"
+                    w, h, c = _fake_image_meta(b)
+                else:
                     _require_codec("image")
-                w, h, c = _fake_image_meta(b)
-                metas.append((int(mid), len(b), w, h, c))
+                metas.append((int(mid), len(b), fmt, int(w), int(h), int(c)))
             yield pd.DataFrame(
-                metas, columns=["media_id", "n_bytes", "width", "height", "channels"]
+                metas,
+                columns=["media_id", "n_bytes", "format", "width", "height", "channels"],
             )
 
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(

@@ -543,3 +543,54 @@ def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("view_event_id_r").alias("view_event_id"),
         F.unix_micros("ts_r").alias("view_ts_us"),
     )
+
+
+# Tiny valid image headers (hex): dims/channels parseable from header
+# bytes alone — see multimodal.sniff_image_meta. Payload text appended
+# after the header stands in for image data.
+_HDR_PNG = "89504E470D0A1A0A0000000D4948445200000040000000300806000000"  # 64x48 RGBA
+_HDR_GIF = "4749463839614001C800000000"  # 320x200
+_HDR_BMP = "424D00000000000000003600000028000000640000003200000001000800"  # 100x50 8-bit
+_HDR_JPG = "FFD8FFC000110801E0028003011100021101031101"  # 640x480 3-comp
+
+
+@workload(
+    "media_image_dims",
+    f"""
+    SELECT doc_id AS media_id,
+           CASE (doc_id % 4)::INT WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                                  WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+           CASE (doc_id % 4)::INT WHEN 0 THEN 64 WHEN 1 THEN 320
+                                  WHEN 2 THEN 100 ELSE 640 END AS width,
+           CASE (doc_id % 4)::INT WHEN 0 THEN 48 WHEN 1 THEN 200
+                                  WHEN 2 THEN 50 ELSE 480 END AS height,
+           CASE (doc_id % 4)::INT WHEN 0 THEN 4 WHEN 1 THEN 3
+                                  WHEN 2 THEN 1 ELSE 3 END AS channels,
+           octet_length(
+             CASE (doc_id % 4)::INT
+               WHEN 0 THEN unhex('{_HDR_PNG}') WHEN 1 THEN unhex('{_HDR_GIF}')
+               WHEN 2 THEN unhex('{_HDR_BMP}') ELSE unhex('{_HDR_JPG}')
+             END || encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def media_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only image metadata, oracled cross-engine: every doc
+    becomes a blob with a REAL (PNG/GIF/BMP/JPEG) header followed by
+    the text payload; ``decode_image_meta`` parses dimensions from the
+    header bytes alone (no codec), and DuckDB reconstructs the same
+    blobs to check format/width/height/channels/n_bytes exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    header = F.unhex(
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_HDR_PNG))
+        .when(F.col("doc_id") % 4 == 1, F.lit(_HDR_GIF))
+        .when(F.col("doc_id") % 4 == 2, F.lit(_HDR_BMP))
+        .otherwise(F.lit(_HDR_JPG))
+    )
+    blobs = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header, F.encode("text", "UTF-8")).alias("blob"),
+    )
+    return multimodal.decode_image_meta(blobs, "media_id", "blob").select(
+        "media_id", "format", "width", "height", "channels", "n_bytes"
+    )
