@@ -33,6 +33,7 @@ from prefixtree_spark.operators.relational import (
     pseudonymize,
 )
 from prefixtree_spark.pipeline import prepare_corpus
+from prefixtree_spark.serving import PrefixTreeServer
 from prefixtree_spark.operators.query import (
     LocalIndex,
     build_local_index,
@@ -52,6 +53,7 @@ __all__ = [
     "query_one",
     "LocalIndex",
     "build_local_index",
+    "PrefixTreeServer",
     "clear_local_index_cache",
     "add_words",
     "remove_words",
