@@ -461,3 +461,53 @@ def chunk_text(
         F.size("chunk_ts").cast("long").alias("n_tokens"),
         F.concat_ws(" ", "chunk_ts").alias("chunk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII hygiene (detection + redaction)
+# ---------------------------------------------------------------------------
+
+# Patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB oracle): character classes, bounded repeats, and \b only.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+# Redaction applies in this fixed order: email first (emails contain
+# dots/digits that later patterns could chew up), SSN before the more
+# general phone shape, IPv4 last.
+_PII_ORDER = ("email", "ssn", "phone", "ipv4")
+
+
+def detect_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII signal: match counts per kind plus ``has_pii``
+    — the filter/audit column a training-data pipeline gates exports
+    on. Pure JVM ``regexp_count`` expressions (whole-stage codegen, no
+    Python), one scan."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    ]
+    out = df.select(F.col(id_col), *counts)
+    has = None
+    for kind in PII_PATTERNS:
+        c = F.col(f"n_{kind}") > 0
+        has = c if has is None else (has | c)
+    return out.withColumn("has_pii", has)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, *, out_col: str | None = None
+) -> DataFrame:
+    """Replace every PII match with a typed token (``<EMAIL>``,
+    ``<SSN>``, ``<PHONE>``, ``<IPV4>``) in one JVM expression chain —
+    the redact-before-training step. Order is fixed (see _PII_ORDER)
+    so overlapping shapes resolve deterministically."""
+    expr = F.col(text_col)
+    for kind in _PII_ORDER:
+        expr = F.regexp_replace(
+            expr, F.lit(PII_PATTERNS[kind]), F.lit(f"<{kind.upper()}>")
+        )
+    return df.withColumn(out_col or text_col, expr)

@@ -1040,3 +1040,63 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = text.bpe_train(docs, "text", 100)
     return text.bpe_encode(docs, "doc_id", "text", merges).select("doc_id", "n_tokens")
+
+
+@workload(
+    "docs_pii_redacted",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com call 555-123-'
+                  || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  || ' ip 10.0.' || (doc_id % 256) || '.7'
+                  || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+           len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+           len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+           true AS has_pii,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def docs_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction, oracled: documents are augmented with
+    deterministic synthetic PII (email, dotted phone, IPv4, SSN on
+    every third doc) in BOTH engines, then per-kind regexp match counts
+    and the fully redacted text must agree exactly. Pure JVM regex —
+    no Python in the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    detected = text.detect_pii(aug, "doc_id", "text")
+    redacted = text.redact_pii(aug, "text", out_col="redacted").select("doc_id", "redacted")
+    return detected.join(redacted, "doc_id").select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ssn").cast("long").alias("n_ssn"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        "has_pii",
+        "redacted",
+    )

@@ -219,3 +219,31 @@ def test_chunk_text_offsets_and_overlap(spark):
     assert " ".join(c for _, c in d1) == toks
     with pytest.raises(ValueError):
         chunk_text(df, "doc_id", "text", chunk_tokens=0, stride=4)
+
+
+def test_detect_and_redact_pii(spark):
+    from prefixtree_spark.operators.text import detect_pii, redact_pii
+
+    rows = [
+        (1, "mail a.b+c@ex-ample.org and b@c.io today"),
+        (2, "call 555-123-4567 or 555.123.4567"),
+        (3, "ssn 123-45-6789 ip 10.0.0.1"),
+        (4, "clean text, no identifiers at all"),
+        (5, "versions 1.2.3.4 and 255.255.255.255"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in detect_pii(df, "doc_id", "text").collect()}
+    assert (got[1].n_email, got[1].has_pii) == (2, True)
+    assert (got[2].n_phone, got[2].n_ssn) == (2, 0)
+    assert (got[3].n_ssn, got[3].n_ipv4, got[3].has_pii) == (1, 1, True)
+    assert got[4].has_pii is False
+    assert got[5].n_ipv4 == 2  # honest: dotted quads match, version-like or not
+
+    red = {r.doc_id: r.text for r in redact_pii(df, "text").collect()}
+    assert red[1] == "mail <EMAIL> and <EMAIL> today"
+    assert red[2] == "call <PHONE> or <PHONE>"
+    assert red[3] == "ssn <SSN> ip <IPV4>"
+    assert red[4] == rows[3][1]
+    # out_col keeps the original column intact
+    both = redact_pii(df, "text", out_col="clean").where("doc_id = 3").first()
+    assert "123-45-6789" in both.text and "<SSN>" in both.clean
