@@ -343,6 +343,103 @@ def _cell_assign_udf(cent: np.ndarray, nprobe: int):
     return assign
 
 
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    *,
+    iters: int = 12,
+    sample_size: int = 20_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Distributed spherical k-means over an embedding column — the
+    coarse-quantizer trainer for ``cosine_topk_ivf`` at corpus scales
+    where a driver-side sample under-represents the distribution.
+
+    Plan shape (the part that matters at 100 TB): each Lloyd iteration
+    is ONE narrow ``mapInPandas`` pass — every partition assigns its
+    vectors to the broadcast centroids (one numpy matmul per Arrow
+    batch) and emits k partial (sum, count) rows — followed by a
+    driver-side combine of (partitions × k) tiny rows. No shuffle, no
+    vector ever moves; per-iteration traffic is k × dim × partitions
+    floats. Initialization is a seeded random sample (same rationale
+    as ``cosine_topk_ivf``'s trainer: ``.limit()`` would bias toward
+    leading partitions on clustered corpora).
+
+    Returns the (k', dim) L2-normalized centroid matrix (k' ≤ k when
+    the corpus has fewer distinct directions); pass it to
+    ``cosine_topk_ivf(..., centroids=...)``."""
+    vecs = df.select(F.col(vec_col).alias("v"))
+    n = vecs.count()
+    if n == 0:
+        raise ValueError("kmeans_fit: empty input")
+    frac = min(1.0, (sample_size * 1.2) / n)
+    sample_pdf = vecs.sample(fraction=frac, seed=seed).toPandas()
+    sample = np.array(sample_pdf["v"].tolist(), dtype=np.float64)[: int(sample_size * 1.2)]
+    if sample.size == 0:
+        sample = np.array(vecs.limit(sample_size).toPandas()["v"].tolist(), dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    # greedy maximin (farthest-point) init on the sample: each next
+    # center is the point least similar to every chosen one — avoids
+    # random init's classic cluster-merge/split convergence traps and
+    # is deterministic given the seed of the first pick
+    first = int(rng.integers(len(sample)))
+    chosen = [first]
+    max_sim = sample @ sample[first]
+    for _ in range(min(k, len(sample)) - 1):
+        nxt = int(np.argmin(max_sim))
+        chosen.append(nxt)
+        max_sim = np.maximum(max_sim, sample @ sample[nxt])
+    cent = sample[chosen]
+    dim = cent.shape[1]
+    spark = df.sparkSession
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cent)
+
+        def partials(batches):
+            c = bc.value
+            sums = np.zeros((len(c), dim))
+            counts = np.zeros(len(c), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.array(pdf["v"].tolist(), dtype=np.float64)
+                m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                assign = np.argmax(m @ c.T, axis=1)
+                np.add.at(sums, assign, m)
+                np.add.at(counts, assign, 1)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "cell": nz.astype(np.int32),
+                    "s": list(sums[nz]),
+                    "n": counts[nz],
+                }
+            )
+
+        rows = vecs.mapInPandas(
+            partials, schema="cell int, s array<double>, n long"
+        ).collect()
+        bc.unpersist()
+        sums = np.zeros((len(cent), dim))
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for r in rows:
+            sums[r.cell] += np.asarray(r.s)
+            counts[r.cell] += r.n
+        new = cent.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / np.maximum(
+            np.linalg.norm(sums[nz], axis=1, keepdims=True), 1e-12
+        )
+        if np.allclose(new, cent, atol=1e-9):
+            cent = new
+            break
+        cent = new
+    return cent
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     qid: str,
@@ -358,6 +455,7 @@ def cosine_topk_ivf(
     sample_size: int = 20_000,
     exclude_self: bool = True,
     seed: int = 42,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are inverted-listed by
     their nearest coarse centroid (ONE cell each by default); queries
@@ -403,18 +501,24 @@ def cosine_topk_ivf(
             .join(corpus.select(F.col(cid).alias("vec_id")).limit(0))
             .select("query_id", "vec_id", F.lit(0).cast("long").alias("rank"))
         )
-    frac = min(1.0, (sample_size * 1.2) / n_corpus)
-    # no .limit() after sample: limit consumes rows in partition order,
-    # truncating preferentially from trailing partitions — which would
-    # partially reintroduce the order bias for sorted/clustered corpora.
-    # Collect the ~1.2x oversample and hard-cap in pandas instead (the
-    # slice keeps a hash-random subset because sample() is row-wise).
-    sample_pdf = cvec_only.sample(fraction=frac, seed=seed).toPandas()
-    sample = np.array(sample_pdf["v"].tolist(), dtype=np.float64)[: int(sample_size * 1.2)]
-    if sample.size == 0:  # pathological sampling miss: deterministic fallback
-        sample_pdf = cvec_only.limit(sample_size).toPandas()
-        sample = np.array(sample_pdf["v"].tolist(), dtype=np.float64)
-    cent = _kmeans_centroids(sample, n_cells, seed=seed)
+    if centroids is not None:
+        # pretrained coarse quantizer (kmeans_fit — the full-corpus
+        # distributed trainer) — skip the sample-trained one entirely
+        cent = np.asarray(centroids, dtype=np.float64)
+    else:
+        frac = min(1.0, (sample_size * 1.2) / n_corpus)
+        # no .limit() after sample: limit consumes rows in partition
+        # order, truncating preferentially from trailing partitions —
+        # which would partially reintroduce the order bias for
+        # sorted/clustered corpora. Collect the ~1.2x oversample and
+        # hard-cap in pandas instead (the slice keeps a hash-random
+        # subset because sample() is row-wise).
+        sample_pdf = cvec_only.sample(fraction=frac, seed=seed).toPandas()
+        sample = np.array(sample_pdf["v"].tolist(), dtype=np.float64)[: int(sample_size * 1.2)]
+        if sample.size == 0:  # pathological sampling miss: deterministic fallback
+            sample_pdf = cvec_only.limit(sample_size).toPandas()
+            sample = np.array(sample_pdf["v"].tolist(), dtype=np.float64)
+        cent = _kmeans_centroids(sample, n_cells, seed=seed)
     c_assign = _cell_assign_udf(cent, n_replicas)
     q_assign = _cell_assign_udf(cent, nprobe)
     cbase = corpus.select(F.col(cid).alias("vec_id"), F.col(cvec).alias("cv"))

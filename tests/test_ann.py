@@ -246,3 +246,52 @@ def test_ivf_replicas_monotone_recall(spark):
     got1, r1 = run(1)
     got2, r2 = run(2)
     assert r2 >= r1, f"replicas reduced recall: {r2} < {r1}"
+
+
+def test_kmeans_fit_recovers_clusters_and_feeds_ivf(spark):
+    """Distributed Lloyd's: per-partition partial sums, no shuffle.
+    On a well-separated corpus the trained centroids must (a) give
+    near-pure assignments and (b) drive cosine_topk_ivf to the exact
+    top-k at a narrow probe width."""
+    import numpy as np
+
+    from prefixtree_spark.operators.ann import (
+        cosine_topk,
+        cosine_topk_ivf,
+        kmeans_fit,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((6, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, 6, 600)
+    x = centers[labels] + 0.15 * rng.standard_normal((600, 16))
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    ).repartition(5)
+
+    cent = kmeans_fit(df, "embedding", 6, iters=15, seed=3)
+    assert cent.shape == (6, 16)
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0)
+    # purity: each true cluster maps dominantly to one learned cell
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    assign = np.argmax(xn @ cent.T, axis=1)
+    purity = sum(
+        np.bincount(assign[labels == c]).max() for c in range(6)
+    ) / len(x)
+    assert purity > 0.95
+
+    q = df.where("vec_id % 60 = 0")
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(q, "vec_id", "embedding", df, "vec_id", "embedding", k=5).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_ivf(
+            q, "vec_id", "embedding", df, "vec_id", "embedding",
+            k=5, n_cells=6, nprobe=2, centroids=cent,
+        ).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.9
