@@ -43,17 +43,22 @@ def main() -> None:
         # the max-min spread: single-shot numbers swing up to 12x under
         # local[32] contention (the round-3 bench recorded 8-19x phantom
         # "regressions" that did not reproduce), so medians-with-spread
-        # are the only regression-grade signal. The median also absorbs
-        # the first (cold JIT/shuffle-file) run without discarding it.
+        # are the only regression-grade signal. The FIRST run is a
+        # warmup (JIT, shuffle files, Python workers) excluded from the
+        # median/spread — it routinely measured 2-4x the warm time and
+        # made every spread exceed its median — but it is kept on
+        # record as `<name>_cold`.
         runs = []
         out = None
         for _ in range(repeats):
             t0 = time.time()
             out = fn()
             runs.append(time.time() - t0)
-        times[name] = round(statistics.median(runs), 3)
-        if repeats > 1:
-            extras[f"{name}_spread"] = round(max(runs) - min(runs), 3)
+        warm = runs[1:] if len(runs) > 1 else runs
+        times[name] = round(statistics.median(warm), 3)
+        if len(runs) > 1:
+            extras[f"{name}_cold"] = round(runs[0], 3)
+            extras[f"{name}_spread"] = round(max(warm) - min(warm), 3)
         if isinstance(out, (int, float)):
             extras[f"{name}_rows"] = out
 

@@ -435,3 +435,40 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def pivot_counts(
+    df: DataFrame,
+    group_col: str,
+    pivot_col: str,
+    values: list[str],
+    *,
+    agg_col: str | None = None,
+) -> DataFrame:
+    """Wide-format pivot: one row per ``group_col``, one column per
+    ``pivot_col`` value (``n_<value>`` counts, or sums of ``agg_col``).
+
+    ``values`` is REQUIRED, not inferred: at 100 TB an unconstrained
+    ``pivot()`` first runs a distinct scan over the pivot column and
+    then builds a row per value — an unbounded-width schema decided by
+    the data. A fixed value list keeps this a single hash aggregate
+    with map-side partials (one CASE-conditional accumulator per
+    column, no extra scan, no second shuffle); unexpected values are
+    deliberately NOT silently absorbed — count them with an explicit
+    'other' bucket upstream if needed."""
+    if agg_col is None:
+        aggs = [
+            F.count(F.when(F.col(pivot_col) == v, 1)).alias(f"n_{v}")
+            for v in values
+        ]
+    else:
+        aggs = [
+            F.coalesce(
+                F.sum(F.when(F.col(pivot_col) == v, F.col(agg_col).cast(DEC))),
+                F.lit(0).cast(DEC),
+            )
+            .cast("double")
+            .alias(f"sum_{v}")
+            for v in values
+        ]
+    return df.groupBy(group_col).agg(*aggs)

@@ -511,3 +511,22 @@ def redact_pii(
             expr, F.lit(PII_PATTERNS[kind]), F.lit(f"<{kind.upper()}>")
         )
     return df.withColumn(out_col or text_col, expr)
+
+
+def normalize_text(
+    df: DataFrame, text_col: str, *, out_col: str | None = None
+) -> DataFrame:
+    """Canonical text normalization for dedup/fingerprint keys:
+    lowercase, strip ASCII control characters, collapse whitespace
+    runs to single spaces, trim. One JVM expression chain (single
+    codegen scan) — normalize ONCE, then hash/shingle the result;
+    running exact_dedup on un-normalized text silently misses
+    case/whitespace variants of the same document."""
+    expr = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[\x00-\x1F\x7F]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.withColumn(out_col or text_col, expr)

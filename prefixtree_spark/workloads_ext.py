@@ -1100,3 +1100,52 @@ def docs_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_pii",
         "redacted",
     )
+
+
+@workload(
+    "docs_normalized_dedup",
+    r"""
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             '  ' || upper(text) || CHR(9) || '  ' AS text
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'),
+                                 '\s+', ' ', 'g')) AS text
+      FROM unioned
+    )
+    SELECT substr(text, 1, 40) AS text_head,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM norm
+    GROUP BY text
+    """,
+)
+def docs_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize_text as the dedup key-maker, oracled end-to-end: each
+    doc gets a case/whitespace-mangled twin (upper + pad + a tab)
+    in BOTH engines; after normalization,
+    exact_dedup must collapse every pair (n_copies counts per
+    normalized text). Without normalization the twins are distinct —
+    the miss this operator exists to prevent."""
+    docs = load_table(spark, sf_dir, "documents")
+    twins = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.lit("  "), F.upper("text"), F.lit("\t"), F.lit("  ")
+        ).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(twins)
+    norm = text.normalize_text(both, "text")
+    return (
+        dedup.exact_dedup(norm, ["text"], "doc_id")
+        .select(
+            F.substring("text", 1, 40).alias("text_head"),
+            "keep_id",
+            "n_copies",
+        )
+    )

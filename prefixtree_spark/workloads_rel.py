@@ -594,3 +594,26 @@ def media_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_meta(blobs, "media_id", "blob").select(
         "media_id", "format", "width", "height", "channels", "n_bytes"
     )
+
+
+@workload(
+    "events_pivot_types",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS n_click,
+           count(*) FILTER (WHERE event_type = 'error') AS n_error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           count(*) FILTER (WHERE event_type = 'view') AS n_view
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format pivot with an EXPLICIT value list (no inference
+    scan, no data-decided schema width): one hash aggregate with
+    map-side partials, one conditional accumulator per output column."""
+    ev = load_table(spark, sf_dir, "events")
+    return relational.pivot_counts(
+        ev, "user_id", "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    )

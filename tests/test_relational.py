@@ -367,3 +367,19 @@ def test_pseudonymize_deterministic_joinable_and_null_safe(spark):
     assert pb.collect()[0].name == rows[1]
     # different salt => different digests
     assert pseudonymize(a, ["name"], salt="s2").collect()[0].name != rows[1]
+
+
+def test_pivot_counts_and_sums(spark):
+    from prefixtree_spark.operators.relational import pivot_counts
+
+    rows = [
+        (1, "a", 10.0), (1, "a", 5.0), (1, "b", 1.0),
+        (2, "b", 2.0), (2, "c", 7.0),  # 'c' not in the value list
+    ]
+    df = spark.createDataFrame(rows, ["uid", "kind", "v"])
+    got = {r.uid: r for r in pivot_counts(df, "uid", "kind", ["a", "b"]).collect()}
+    assert (got[1].n_a, got[1].n_b) == (2, 1)
+    assert (got[2].n_a, got[2].n_b) == (0, 1)  # 'c' deliberately absent
+    sums = {r.uid: r for r in pivot_counts(df, "uid", "kind", ["a", "b"], agg_col="v").collect()}
+    assert (sums[1].sum_a, sums[1].sum_b) == (15.0, 1.0)
+    assert (sums[2].sum_a, sums[2].sum_b) == (0.0, 2.0)

@@ -247,3 +247,21 @@ def test_detect_and_redact_pii(spark):
     # out_col keeps the original column intact
     both = redact_pii(df, "text", out_col="clean").where("doc_id = 3").first()
     assert "123-45-6789" in both.text and "<SSN>" in both.clean
+
+
+def test_normalize_text(spark):
+    from prefixtree_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "  Hello   WORLD  "),
+        (2, "tab\there\x00and\x1fcontrol\x7fchars"),
+        (3, "already clean"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.text for r in normalize_text(df, "text").collect()}
+    assert got[1] == "hello world"
+    assert got[2] == "tab here and control chars"
+    assert got[3] == "already clean"
+    # out_col preserves the original
+    r = normalize_text(df, "text", out_col="norm").where("doc_id = 1").first()
+    assert r.text == "  Hello   WORLD  " and r.norm == "hello world"
