@@ -472,3 +472,42 @@ def pivot_counts(
             for v in values
         ]
     return df.groupBy(group_col).agg(*aggs)
+
+
+def resample_carry_forward(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    by_col: str,
+    value_cols: list[str],
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regularize an irregular time series: one row per ``by`` group per
+    ``step`` tick (from the group's first observation, hour-aligned, to
+    its last), each carrying the latest observation at-or-before the
+    tick — gap-filling for feature/training pipelines that need
+    fixed-cadence inputs from event streams.
+
+    Plan: per-group bounds (one hash aggregate) → ``sequence()`` +
+    ``explode`` builds the grid as a NARROW 1→N expansion (the grid
+    never shuffles on its own) → ``asof_join(grid, observations,
+    backward)``, which is the engine's one-shuffle union+carry
+    formulation. Total: two shuffles on ``by``, no range join, grid
+    size = Σ group spans / step (bounded by time span, not event
+    count). Observations should be unique per (by, ts); dedup first
+    for determinism (see ``asof_join``)."""
+    bounds = df.groupBy(by_col).agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("_t0"),
+        F.max(ts_col).alias("_t1"),
+    )
+    grid = bounds.select(
+        by_col,
+        F.explode(
+            F.expr(f"sequence(_t0, _t1, interval {step})")
+        ).alias(ts_col),
+    )
+    obs = df.select(by_col, ts_col, *value_cols)
+    return asof_join(
+        grid, obs, on=ts_col, by=by_col, right_cols=value_cols,
+        direction="backward",
+    )

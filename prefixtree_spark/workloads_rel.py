@@ -617,3 +617,46 @@ def events_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "event_type",
         ["click", "error", "purchase", "signup", "view"],
     )
+
+
+@workload(
+    "events_resampled_hourly",
+    """
+    WITH o0 AS (
+      SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    ),
+    obs AS (SELECT user_id, ts, value FROM o0 WHERE rn = 1),
+    bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+      FROM obs GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts
+      FROM bounds
+    )
+    SELECT g.user_id, epoch_us(g.ts)::BIGINT AS ts_us, o.value AS value_r
+    FROM grid g ASOF LEFT JOIN obs o
+      ON g.user_id = o.user_id AND g.ts >= o.ts
+    """,
+)
+def events_resampled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resampling of each user's event stream
+    (carry-forward), oracled against DuckDB generate_series + native
+    ASOF JOIN. Observations deduped to one per (user, ts) first —
+    asof carries require unique keys for determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    obs = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "ts", "value")
+    )
+    out = relational.resample_carry_forward(
+        obs, ts_col="ts", by_col="user_id", value_cols=["value"], step="1 hour"
+    )
+    return out.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value_r"
+    )

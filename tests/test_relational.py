@@ -383,3 +383,34 @@ def test_pivot_counts_and_sums(spark):
     sums = {r.uid: r for r in pivot_counts(df, "uid", "kind", ["a", "b"], agg_col="v").collect()}
     assert (sums[1].sum_a, sums[1].sum_b) == (15.0, 1.0)
     assert (sums[2].sum_a, sums[2].sum_b) == (0.0, 2.0)
+
+
+def test_resample_carry_forward_bruteforce(spark):
+    from prefixtree_spark.operators.relational import resample_carry_forward
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 10, 20)  # not hour-aligned
+    rows = [
+        (7, base, 1.0),
+        (7, base + dt.timedelta(minutes=100), 2.0),   # 12:00 tick carries 2.0
+        (7, base + dt.timedelta(hours=5), 3.0),
+        (8, base + dt.timedelta(minutes=30), 9.0),    # single-obs group
+    ]
+    df = spark.createDataFrame(rows, ["uid", "ts", "v"])
+    got = {
+        (r.uid, r.ts.isoformat(), r.v_r)
+        for r in resample_carry_forward(
+            df, ts_col="ts", by_col="uid", value_cols=["v"]
+        ).collect()
+    }
+    # uid 7: grid 10:00..15:20 hourly from truncated min -> 6 ticks
+    expected = {
+        (7, "2024-01-01T10:00:00", None),   # tick before first obs
+        (7, "2024-01-01T11:00:00", 1.0),
+        (7, "2024-01-01T12:00:00", 2.0),
+        (7, "2024-01-01T13:00:00", 2.0),
+        (7, "2024-01-01T14:00:00", 2.0),
+        (7, "2024-01-01T15:00:00", 2.0),
+        (8, "2024-01-01T10:00:00", None),
+    }
+    assert got == expected
