@@ -198,3 +198,137 @@ def sample_frames(
             yield pd.DataFrame(out, columns=["media_id", "frame_no", "frame_bytes"])
 
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def sniff_audio_meta(data: bytes) -> tuple[str, int, int, float] | None:
+    """(format, channels, sample_rate, duration_s) from a WAV/RIFF
+    header — pure-Python chunk walk, no codec. Returns None for
+    non-RIFF/truncated input. Duration = data-chunk bytes / byte rate
+    (the container's own accounting; no sample decode)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    channels = rate = byte_rate = None
+    data_size = None
+    i = 12
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        (size,) = struct.unpack("<I", data[i + 4 : i + 8])
+        if cid == b"fmt " and i + 24 <= len(data):
+            channels, rate, byte_rate = struct.unpack(
+                "<HII", data[i + 10 : i + 20]
+            )
+        elif cid == b"data":
+            data_size = size
+            # payload may be truncated/absent in a header-only blob;
+            # the declared size is still the duration authority
+        if cid == b"data":
+            break
+        i += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if channels is None or data_size is None or not byte_rate:
+        return None
+    return ("wav", int(channels), int(rate), round(data_size / byte_rate, 6))
+
+
+def sniff_video_meta(data: bytes) -> tuple[str, float] | None:
+    """(format, duration_s) from an MP4/ISO-BMFF header: walk the box
+    tree to ``moov/mvhd`` and read timescale + duration (version 0 or
+    1). Pure Python, no codec; None for non-MP4/truncated input."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+
+    def walk(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            (size,) = struct.unpack(">I", data[i : i + 4])
+            box = data[i + 4 : i + 8]
+            if size == 1:  # 64-bit box size
+                if i + 16 > hi:
+                    return None
+                (size,) = struct.unpack(">Q", data[i + 8 : i + 16])
+                body = i + 16
+            else:
+                body = i + 8
+            if size < 8 or i + size > hi:
+                # truncated box: can still descend if it's the one we want
+                if box != b"moov":
+                    return None
+                size = hi - i
+            if box == b"moov":
+                return walk(body, i + size)
+            if box == b"mvhd":
+                # v0: verflags(4) ctime(4) mtime(4) ts(4) dur(4)
+                # v1: verflags(4) ctime(8) mtime(8) ts(4) dur(8)
+                ver = data[body]
+                if ver == 1 and body + 32 <= hi:
+                    ts, dur = struct.unpack(">IQ", data[body + 20 : body + 32])
+                elif ver == 0 and body + 20 <= hi:
+                    ts, dur = struct.unpack(">II", data[body + 12 : body + 20])
+                else:
+                    return None
+                return (ts, dur)
+            i += size
+        return None
+
+    got = walk(0, len(data))
+    if not got:
+        return None
+    ts, dur = got
+    if not ts:
+        return None
+    return ("mp4", round(dur / ts, 6))
+
+
+AV_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def decode_av_meta(
+    df: DataFrame, id_col: str, bin_col: str, *, fake_decode: bool = False
+) -> DataFrame:
+    """Audio/video metadata per blob via mapInPandas: WAV
+    channels/sample-rate/duration and MP4 duration parse for REAL from
+    container headers (``sniff_audio_meta`` / ``sniff_video_meta`` —
+    pure Python). Other formats need a codec: ``fake_decode=True``
+    routes them to a deterministic fake (format ``"fake"``), otherwise
+    NotImplementedError surfaces from the executors. MP4 rows carry
+    NULL channels/sample_rate (audio-track detail is codec work)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for mid, blob in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(blob)
+                audio = sniff_audio_meta(b)
+                if audio is not None:
+                    fmt, ch, rate, dur = audio
+                else:
+                    video = sniff_video_meta(b)
+                    if video is not None:
+                        fmt, dur = video
+                        ch = rate = None
+                    elif fake_decode:
+                        h = hashlib.sha256(b).digest()
+                        fmt, ch, rate = "fake", 1 + h[0] % 2, 8000 * (1 + h[1] % 6)
+                        dur = round(1 + h[2] / 64, 6)
+                    else:
+                        _require_codec("audio/video")
+                metas.append((int(mid), len(b), fmt, ch, rate, dur))
+            yield pd.DataFrame(
+                metas,
+                columns=[
+                    "media_id", "n_bytes", "format",
+                    "channels", "sample_rate", "duration_s",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        run, schema=AV_META_SCHEMA
+    )

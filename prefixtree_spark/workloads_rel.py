@@ -660,3 +660,53 @@ def events_resampled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", F.unix_micros("ts").alias("ts_us"), "value_r"
     )
+
+
+# Tiny valid audio/video headers (hex) — channels/rate/duration are
+# all parseable from the header bytes (multimodal.sniff_audio_meta /
+# sniff_video_meta); payload text appended after stands in for samples.
+_HDR_WAV_ST = "524946464462050057415645666D7420100000000100020044AC000010B10200040010006461746120620500"  # stereo 44.1k, 2.0s
+_HDR_WAV_16K = "524946462477010057415645666D74201000000001000100803E0000007D0000020010006461746100770100"  # mono 16k, 3.0s
+_HDR_WAV_8K = "52494646649C000057415645666D74201000000001000100401F0000401F00000100080064617461409C0000"  # mono 8k, 5.0s
+_HDR_MP4 = "000000106674797069736F6D00000000000000246D6F6F760000001C6D766864000000000000000000000000000003E800001D4C"  # 7.5s
+
+
+@workload(
+    "media_av_meta",
+    f"""
+    SELECT doc_id AS media_id,
+           CASE (doc_id % 4)::INT WHEN 3 THEN 'mp4' ELSE 'wav' END AS format,
+           CASE (doc_id % 4)::INT WHEN 0 THEN 2 WHEN 3 THEN NULL ELSE 1 END AS channels,
+           CASE (doc_id % 4)::INT WHEN 0 THEN 44100 WHEN 1 THEN 16000
+                                  WHEN 2 THEN 8000 ELSE NULL END AS sample_rate,
+           CASE (doc_id % 4)::INT WHEN 0 THEN 2.0 WHEN 1 THEN 3.0
+                                  WHEN 2 THEN 5.0 ELSE 7.5 END AS duration_s,
+           octet_length(
+             CASE (doc_id % 4)::INT
+               WHEN 0 THEN unhex('{_HDR_WAV_ST}') WHEN 1 THEN unhex('{_HDR_WAV_16K}')
+               WHEN 2 THEN unhex('{_HDR_WAV_8K}') ELSE unhex('{_HDR_MP4}')
+             END || encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def media_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only audio/video metadata, oracled cross-engine: every
+    doc becomes a blob with a REAL WAV or MP4 header (three WAV
+    layouts + one MP4 mvhd) followed by the text payload;
+    ``decode_av_meta`` parses channels/sample-rate/duration from the
+    container headers alone, and DuckDB reconstructs the same blobs to
+    check every column exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    header = F.unhex(
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_HDR_WAV_ST))
+        .when(F.col("doc_id") % 4 == 1, F.lit(_HDR_WAV_16K))
+        .when(F.col("doc_id") % 4 == 2, F.lit(_HDR_WAV_8K))
+        .otherwise(F.lit(_HDR_MP4))
+    )
+    blobs = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header, F.encode("text", "UTF-8")).alias("blob"),
+    )
+    return multimodal.decode_av_meta(blobs, "media_id", "blob").select(
+        "media_id", "format", "channels", "sample_rate", "duration_s", "n_bytes"
+    )

@@ -122,3 +122,48 @@ def test_decode_image_meta_sniffs_real_headers(spark):
     with _pytest.raises(Exception) as exc:
         multimodal.decode_image_meta(df, "media_id", "blob").collect()
     assert "codec" in str(exc.value)
+
+
+def _wav(channels=2, rate=44100, bits=16, data_size=352800):
+    import struct
+
+    byte_rate = rate * channels * bits // 8
+    return (
+        b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, channels, rate, byte_rate, channels * bits // 8, bits)
+        + b"data" + struct.pack("<I", data_size)
+    )
+
+
+def _mp4(timescale=1000, duration=7500, version=0):
+    import struct
+
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 0)
+    if version == 0:
+        body = bytes([0, 0, 0, 0]) + b"\0" * 8 + struct.pack(">II", timescale, duration)
+    else:
+        body = bytes([1, 0, 0, 0]) + b"\0" * 16 + struct.pack(">IQ", timescale, duration)
+    mvhd = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return ftyp + moov
+
+
+def test_sniff_audio_meta_wav():
+    assert multimodal.sniff_audio_meta(_wav()) == ("wav", 2, 44100, 2.0)
+    assert multimodal.sniff_audio_meta(_wav(channels=1, rate=16000, data_size=16000 * 2 * 3)) == ("wav", 1, 16000, 3.0)
+    assert multimodal.sniff_audio_meta(b"RIFF1234WAVE") is None  # no chunks
+    assert multimodal.sniff_audio_meta(b"not audio") is None
+    # LIST chunk before fmt/data still parses (chunk walk, not offsets)
+    import struct as s
+
+    w = _wav()
+    listed = w[:12] + b"LIST" + s.pack("<I", 4) + b"INFO" + w[12:]
+    assert multimodal.sniff_audio_meta(listed) == ("wav", 2, 44100, 2.0)
+
+
+def test_sniff_video_meta_mp4():
+    assert multimodal.sniff_video_meta(_mp4()) == ("mp4", 7.5)
+    assert multimodal.sniff_video_meta(_mp4(timescale=90000, duration=90000 * 61, version=1)) == ("mp4", 61.0)
+    assert multimodal.sniff_video_meta(b"\x00\x00\x00\x10freeAAAAAAAA") is None  # no ftyp
+    assert multimodal.sniff_video_meta(_mp4()[:20]) is None  # truncated before moov
