@@ -1149,3 +1149,93 @@ def docs_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_copies",
         )
     )
+
+
+@workload(
+    "prepare_corpus_e2e",
+    r"""
+    WITH RECURSIVE qt AS (
+      SELECT doc_id,
+        length(text) AS n_chars,
+        len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+        len(list_filter(regexp_extract_all(text, '\S+'),
+                        x -> x IN ('the','a','an','of','and','in','to','is'))) AS stop_hits
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+        round(greatest(
+          0.35 * least(n_chars / 500.0, 1.0)
+          + 0.35 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars::DOUBLE ELSE 0.0 END)
+          + 0.2 * least((CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens::DOUBLE ELSE 0.0 END) * 5.0, 1.0)
+          - 0.1 * (CASE WHEN n_chars > 0 THEN least(n_punct * 10.0 / n_chars, 1.0) ELSE 0.0 END),
+          0.0), 6) AS quality
+      FROM qt
+    ),
+    kept AS (
+      SELECT d.doc_id, d.text, q.quality
+      FROM documents d JOIN q ON d.doc_id = q.doc_id
+      WHERE q.quality >= 0.3
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM kept
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts)-2)) AS i
+            FROM toks WHERE len(ts) >= 3)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ic
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id1, id2 FROM inter
+      JOIN sizes sa ON sa.doc_id = id1
+      JOIN sizes sb ON sb.doc_id = id2
+      WHERE ic::DOUBLE / (sa.sz + sb.sz - ic) >= 0.8
+    ),
+    edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+              UNION ALL SELECT id2, id1 FROM pairs),
+    nodes AS (SELECT DISTINCT a FROM edges),
+    reach(a, b) AS (
+      SELECT a, a FROM nodes
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+    surv AS (
+      SELECT doc_id, quality FROM kept
+      WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+    )
+    SELECT doc_id, quality,
+           CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR || 'r4'), 1, 15))::BIGINT
+                      % 1000000) < 800000 THEN 'train'
+                WHEN (('0x' || substr(md5(doc_id::VARCHAR || 'r4'), 1, 15))::BIGINT
+                      % 1000000) < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM surv
+    """,
+)
+def prepare_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship LLM-corpus pipeline END-TO-END under one oracle:
+    quality gate → MinHash-LSH near-dup removal (survivors = min-id
+    per component) → deterministic 80/10/10 split. The DuckDB side
+    recomputes every stage (quality formula, exact Jaccard pairs at
+    0.8, recursive-CTE component closure, md5 split buckets) on the
+    same chained inputs — so the COMPOSITION is gate-checked, not just
+    each stage in isolation."""
+    from prefixtree_spark.pipeline import prepare_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = prepare_corpus(
+        docs, "doc_id", "text",
+        min_quality=0.3,
+        splits={"train": 0.8, "val": 0.1, "test": 0.1},
+        split_seed="r4",
+    )
+    return out.select("doc_id", "quality", "split")

@@ -414,3 +414,21 @@ def test_resample_carry_forward_bruteforce(spark):
         (8, "2024-01-01T10:00:00", None),
     }
     assert got == expected
+
+
+def test_pivot_counts_single_aggregate_plan(spark):
+    """The explicit value list keeps pivot ONE hash aggregate: no
+    distinct-scan job, exactly one Exchange (the groupBy shuffle)."""
+    from prefixtree_spark.operators.relational import pivot_counts
+
+    df = spark.range(100).selectExpr(
+        "id % 10 AS uid", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS kind"
+    )
+    plan = (
+        pivot_counts(df, "uid", "kind", ["a", "b"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "HashAggregate" in plan
