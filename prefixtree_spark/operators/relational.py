@@ -511,3 +511,28 @@ def resample_carry_forward(
         grid, obs, on=ts_col, by=by_col, right_cols=value_cols,
         direction="backward",
     )
+
+
+def cohort_retention(
+    df: DataFrame, *, user_col: str, ts_col: str, period: str = "week"
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    period; one row per (cohort_period, activity_period) with the
+    distinct users active then — the standard growth/engagement rollup.
+
+    Two hash aggregates on ``user_col`` (first-period + distinct
+    activity periods) and one final count aggregate; the cohort join
+    is on the user key, so AQE broadcasts the (|users|-sized) cohort
+    side only when it fits — no window functions, no event-grain
+    shuffle beyond the two user-keyed passes."""
+    cohort = df.groupBy(user_col).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("cohort_period")
+    )
+    active = df.select(
+        user_col, F.date_trunc(period, F.col(ts_col)).alias("activity_period")
+    ).distinct()
+    return (
+        active.join(cohort, user_col)
+        .groupBy("cohort_period", "activity_period")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -710,3 +710,33 @@ def media_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_av_meta(blobs, "media_id", "blob").select(
         "media_id", "format", "channels", "sample_rate", "duration_s", "n_bytes"
     )
+
+
+@workload(
+    "events_cohort_retention",
+    """
+    WITH cohort AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_period
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_period
+      FROM events
+    )
+    SELECT epoch_us(c.cohort_period)::BIGINT AS cohort_us,
+           epoch_us(a.activity_period)::BIGINT AS activity_us,
+           count(*) AS n_users
+    FROM active a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events stream — first-activity
+    cohorts x activity periods with distinct-user counts."""
+    ev = load_table(spark, sf_dir, "events")
+    out = relational.cohort_retention(ev, user_col="user_id", ts_col="ts")
+    return out.select(
+        F.unix_micros("cohort_period").alias("cohort_us"),
+        F.unix_micros("activity_period").alias("activity_us"),
+        "n_users",
+    )
