@@ -185,3 +185,38 @@ def deterministic_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
     return df.where(_bucket_ppm(F.col(id_col), seed) < int(round(fraction * _PPM)))
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    *,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic weighted sample of ``n`` rows — sequential Poisson
+    sampling (Ohlsson): each row gets priority ``u / w`` where ``u`` is
+    its uniform md5 bucket and ``w`` its INTEGER weight (rows with
+    w <= 0 are excluded); the ``n`` smallest priorities win, so
+    inclusion probability grows ~proportionally with weight. The
+    quality-weighted corpus-mixture draw, with the engine's standard
+    reproducibility contract: the priority is a pure function of
+    (id, seed, weight) — independent of partitioning and re-runs.
+
+    Cross-engine exactness: ``u`` and ``w`` are int64s below 2^53, so
+    the IEEE double division is exactly rounded — bit-identical in any
+    compliant engine (the DuckDB oracle reproduces it) — and ties
+    break on id. Plan: a narrow projection + global top-n
+    (TakeOrderedAndProject): no shuffle beyond the final n-row
+    gather."""
+    u = _bucket_ppm(F.col(id_col), seed) + F.lit(1)  # 1..1e6: never 0
+    w = F.col(weight_col).cast("long")
+    pri = u.cast("double") / w.cast("double")
+    return (
+        df.where(w > 0)
+        .withColumn("_pri", pri)
+        .orderBy(F.col("_pri").asc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("_pri")
+    )

@@ -1239,3 +1239,31 @@ def prepare_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_seed="r4",
     )
     return out.select("doc_id", "quality", "split")
+
+
+@workload(
+    "docs_weighted_sample",
+    """
+    WITH pri AS (
+      SELECT doc_id, source, length(text) AS n_chars,
+             ((('0x' || substr(md5(doc_id::VARCHAR || 'wq'), 1, 15))::BIGINT
+               % 1000000) + 1)::DOUBLE / length(text)::DOUBLE AS p
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, source, n_chars
+    FROM pri ORDER BY p ASC, doc_id ASC LIMIT 100
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document draw (sequential Poisson sampling):
+    longer docs proportionally likelier. The oracle reproduces the
+    md5-uniform priority and the exactly-rounded int64/int64 double
+    division, so the selected SET matches bit-for-bit."""
+    from prefixtree_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    return weighted_sample(docs, "doc_id", "n_chars", 100, seed="wq").select(
+        "doc_id", "source", "n_chars"
+    )

@@ -177,3 +177,23 @@ def test_stratified_sample_validates_fractions(spark):
         stratified_sample(df, "doc_id", "s", {"x": 1.5})
     with pytest.raises(ValueError):
         stratified_sample(df, "doc_id", "s", {}, default_fraction=-0.1)
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    """Priorities are partitioning-independent; heavier rows win more
+    often; zero/negative weights never selected."""
+    from prefixtree_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 50 if i % 10 == 0 else 1) for i in range(500)] + [(900, 0), (901, -5)]
+    a = spark.createDataFrame(rows, ["id", "w"]).repartition(7)
+    b = spark.createDataFrame(list(reversed(rows)), ["id", "w"]).repartition(2)
+    got_a = sorted(r.id for r in weighted_sample(a, "id", "w", 50, seed="s").collect())
+    got_b = sorted(r.id for r in weighted_sample(b, "id", "w", 50, seed="s").collect())
+    assert got_a == got_b  # layout-independent
+    assert 900 not in got_a and 901 not in got_a
+    heavy = sum(1 for i in got_a if i % 10 == 0 and i < 900)
+    # 50 heavy rows (w=50) vs 450 light (w=1): heavy should dominate
+    assert heavy >= 30
+    # a different seed draws a different sample
+    got_c = sorted(r.id for r in weighted_sample(a, "id", "w", 50, seed="t").collect())
+    assert got_a != got_c
