@@ -18,19 +18,30 @@ from prefixtree_spark.operators.build import create, load_index, save_index
 from prefixtree_spark.operators.incremental import add_words, remove_words
 from prefixtree_spark.operators.prefix import prefix_search
 from prefixtree_spark.operators.ranking import bm25_rank, rrf_fuse
+from prefixtree_spark.operators.ann import kmeans_fit
 from prefixtree_spark.operators.sampling import (
     deterministic_sample,
     pack_sequences,
     split_assign,
     stratified_sample,
     top_n_per_group,
+    weighted_sample,
 )
-from prefixtree_spark.operators.text import chunk_text, ngram_counts
+from prefixtree_spark.operators.text import (
+    chunk_text,
+    detect_pii,
+    ngram_counts,
+    normalize_text,
+    redact_pii,
+)
 from prefixtree_spark.operators.relational import (
+    cohort_retention,
     distinct_counts,
     extract_json,
     frequent_items,
+    pivot_counts,
     pseudonymize,
+    resample_carry_forward,
 )
 from prefixtree_spark.pipeline import prepare_corpus
 from prefixtree_spark.serving import PrefixTreeServer
@@ -58,6 +69,14 @@ __all__ = [
     "add_words",
     "remove_words",
     "prefix_search",
+    "kmeans_fit",
+    "weighted_sample",
+    "normalize_text",
+    "detect_pii",
+    "redact_pii",
+    "pivot_counts",
+    "resample_carry_forward",
+    "cohort_retention",
     "save_index",
     "load_index",
     "similarity_join",

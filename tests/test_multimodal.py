@@ -167,3 +167,34 @@ def test_sniff_video_meta_mp4():
     assert multimodal.sniff_video_meta(_mp4(timescale=90000, duration=90000 * 61, version=1)) == ("mp4", 61.0)
     assert multimodal.sniff_video_meta(b"\x00\x00\x00\x10freeAAAAAAAA") is None  # no ftyp
     assert multimodal.sniff_video_meta(_mp4()[:20]) is None  # truncated before moov
+
+
+def test_sniffers_never_crash_on_fuzz():
+    """Arbitrary bytes (including prefix-valid-then-garbage blobs) must
+    yield a well-formed tuple or None — never raise: the sniffers run
+    inside executors over untrusted corpus blobs."""
+    import random
+
+    rng = random.Random(42)
+    seeds = [
+        PNG_RGBA_64x48, GIF_320x200, BMP_8BIT_100x50, JPEG_WITH_APP0,
+        _wav(), _mp4(), b"",
+    ]
+    blobs = []
+    for _ in range(300):
+        base = rng.choice(seeds)
+        cut = rng.randrange(0, max(1, len(base) + 1))
+        mutated = bytearray(base[:cut])
+        for _ in range(rng.randrange(0, 6)):
+            if mutated:
+                mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+        mutated += bytes(rng.randrange(256) for _ in range(rng.randrange(0, 40)))
+        blobs.append(bytes(mutated))
+    for b in blobs:
+        for fn, width in [
+            (multimodal.sniff_image_meta, 4),
+            (multimodal.sniff_audio_meta, 4),
+            (multimodal.sniff_video_meta, 2),
+        ]:
+            got = fn(b)
+            assert got is None or (isinstance(got, tuple) and len(got) == width)
