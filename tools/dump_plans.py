@@ -169,6 +169,32 @@ def main() -> None:
         "(pinned by test_top_n_per_group_hash_stable_and_plan).",
     )
 
+    pv = relational.pivot_counts(
+        events, "user_id", "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+    grab(
+        "Explicit-value pivot — pivot_counts",
+        pv,
+        "ONE HashAggregate with a conditional accumulator per output "
+        "column and exactly one Exchange — no distinct scan over the "
+        "pivot column, no data-decided schema width (pinned by "
+        "test_pivot_counts_single_aggregate_plan).",
+    )
+
+    rs = relational.resample_carry_forward(
+        events.select("user_id", "ts", "value"),
+        ts_col="ts", by_col="user_id", value_cols=["value"],
+    )
+    grab(
+        "Time-series resample — resample_carry_forward",
+        rs,
+        "Grid rows come from a NARROW sequence/explode over the "
+        "per-group bounds aggregate; the carry is the asof_join "
+        "union+window pass — shuffles only on the group key, never a "
+        "range join (oracled: events_resampled_hourly).",
+    )
+
     out = ["# PLANS — physical-plan audit of headline operators", ""]
     out.append(
         "Generated by `tools/dump_plans.py` (re-run after plan-affecting "
