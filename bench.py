@@ -210,6 +210,9 @@ def main() -> None:
         "q1_pricing_summary",
         "q3_top_revenue_orders",
         "events_sessionize",
+        "events_pivot_types",
+        "events_resampled_hourly",
+        "docs_pii_redacted",
     ]:
         bench(name, lambda name=name: catalog[name](spark, sf_dir).count())
 
