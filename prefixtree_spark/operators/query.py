@@ -466,7 +466,10 @@ def query(
 
     ``tree_partitioned=True`` tells ``bfs`` mode that ``pt`` is already
     laid out on ``parent_id`` (e.g. via ``save_index_bucketed``), so it
-    skips its upfront tree shuffle.
+    skips its upfront tree shuffle. Tables read from a catalog table
+    bucketed on ``parent_id`` are DETECTED automatically
+    (``index_is_bucketed``) — the flag exists for layouts the detector
+    cannot see (e.g. a DataFrame you repartitioned yourself).
     """
     k = int(max_distance)
     # semantics: one result set per DISTINCT query string
