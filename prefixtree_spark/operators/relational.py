@@ -536,3 +536,38 @@ def cohort_retention(
         .groupBy("cohort_period", "activity_period")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def attribution_join(df: DataFrame, *, window_minutes: int = 60) -> DataFrame:
+    """Batch twin of ``streaming.joins.streaming_attribution_join``:
+    purchases joined to every view by the same user within the
+    lookback window (inclusive bounds). Equality on ``user_id`` keys
+    the hash join; the time bounds are post-filters — never a
+    nested-loop range join."""
+    views = df.where("event_type = 'view'").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = df.where("event_type = 'purchase'").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = purchases.alias("p").join(
+        views.alias("v"),
+        (F.col("p.user_id") == F.col("v.user_id"))
+        & (F.col("v.view_ts") <= F.col("p.purchase_ts"))
+        & (
+            F.col("v.view_ts")
+            >= F.col("p.purchase_ts") - F.expr(f"interval {window_minutes} minutes")
+        ),
+        "inner",
+    )
+    return joined.select(
+        F.col("p.user_id").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        F.unix_micros("view_ts").alias("view_ts_us"),
+    )

@@ -740,3 +740,26 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("activity_period").alias("activity_us"),
         "n_users",
     )
+
+
+@workload(
+    "events_attribution",
+    """
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           epoch_us(p.ts)::BIGINT AS purchase_ts_us,
+           epoch_us(v.ts)::BIGINT AS view_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 60 MINUTES
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution join (purchases x prior views within an hour, same
+    user) — the batch twin of the watermarked stream-stream join in
+    streaming/joins.py; both compute this exact row set."""
+    ev = load_table(spark, sf_dir, "events")
+    return relational.attribution_join(ev, window_minutes=60)

@@ -70,3 +70,49 @@ def test_streaming_has_watermark(spark, events_dir):
     stream = read_events_stream(spark, events_dir)
     result = streaming_tumbling_counts(stream, watermark="2 hours")
     assert "watermark" in result._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_stream_stream_attribution_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream join (purchases x prior views, same
+    user, 60-min lookback) must equal its batch twin — including pairs
+    whose two sides arrive in DIFFERENT microbatches (both-sided state
+    buffering)."""
+    import shutil
+    import time as _t
+
+    import pandas as pd
+
+    from prefixtree_spark.operators.relational import attribution_join
+    from prefixtree_spark.sources.tables import load_table
+    from prefixtree_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+    from prefixtree_spark.streaming.joins import streaming_attribution_join
+    from tests.conftest import SF_SMOKE
+
+    d = tmp_path / "attr_src"
+    d.mkdir()
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet").sort_values("ts")
+    mid = len(pdf) // 2
+    pdf.iloc[:mid].to_parquet(d / "b1.parquet", index=False)
+    _t.sleep(1.1)
+    pdf.iloc[mid:].to_parquet(d / "b2.parquet", index=False)
+
+    stream = read_events_stream(spark, str(d), maxFilesPerTrigger="1")
+    got_df = run_stream_to_memory(
+        spark,
+        streaming_attribution_join(stream, window_minutes=60),
+        "attr_stream_test",
+        output_mode="append",
+        timeout_s=180,
+    )
+    got = {tuple(r) for r in got_df.collect()}
+    batch = {
+        tuple(r)
+        for r in attribution_join(
+            load_table(spark, SF_SMOKE, "events"), window_minutes=60
+        ).collect()
+    }
+    assert got == batch
+    assert len(got) > 0
