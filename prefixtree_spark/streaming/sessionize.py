@@ -99,3 +99,80 @@ def streaming_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sessionize_timeout(
+    stream: DataFrame, *, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Sessionize with EVENT-TIME TIMEOUTS — the production variant of
+    ``streaming_sessionize``: an idle user's open session is CLOSED and
+    its state EVICTED when the watermark passes session_end + gap,
+    without waiting for that user's next event. The NoTimeout variant
+    above keeps one state row per all-time user and only closes a
+    session when a later event from the same user arrives — fine for
+    replay/backfill, wrong for an unbounded stream where most users
+    eventually go quiet forever.
+
+    Mechanics: the input gets a ``ts`` watermark (required by
+    ``EventTimeTimeout``); after folding each batch the handler arms
+    ``setTimeoutTimestamp(end + gap)``; when the watermark crosses it,
+    Spark calls the handler with ``state.hasTimedOut`` and NO rows —
+    it emits the final closed session and removes the state. State
+    size: O(active-within-gap users), not O(all-time users). Output
+    mode: append. (Timeouts fire on a LATER microbatch's watermark
+    advance — with availableNow triggers, sessions idle at end-of-
+    input close on the next run over the same checkpoint.)"""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        cols = [
+            "user_id", "session_start_us", "session_end_us", "n_events", "closed",
+        ]
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame([(user_id, start, end, n, True)], columns=cols)
+            return
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start = end = n = None
+        out: list[tuple] = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for ts in pdf["ts_us"]:
+                ts = int(ts)
+                if start is None:
+                    start, end, n = ts, ts, 1
+                elif ts - end > gap_us:
+                    out.append((user_id, start, end, n, True))
+                    start, end, n = ts, ts, 1
+                else:
+                    end = max(end, ts)
+                    start = min(start, ts)
+                    n += 1
+        if start is not None:
+            state.update((start, end, n))
+            # close when the EVENT-TIME watermark passes the gap after
+            # the last event (ms — the GroupState API's unit)
+            state.setTimeoutTimestamp((end + gap_us) // 1000)
+            out.append((user_id, start, end, n, False))
+        yield pd.DataFrame(out, columns=cols)
+
+    prepared = stream.withWatermark("ts", watermark).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "ts"
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

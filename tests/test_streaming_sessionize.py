@@ -107,3 +107,66 @@ def test_stateful_sessionize_equals_batch(spark, split_events_dir):
         for r in sessionize(load_table(spark, SF_SMOKE, "events"), gap_minutes=30).collect()
     }
     assert got == batch
+
+
+def test_timeout_sessionize_closes_idle_sessions(spark, tmp_path):
+    """EventTimeTimeout: a user who goes quiet gets their session
+    CLOSED (and state evicted) when OTHER users' later events advance
+    the watermark — no follow-up event from the idle user needed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from prefixtree_spark.streaming.sessionize import (
+        streaming_sessionize_timeout,
+    )
+
+    minute = 60 * 1_000_000
+
+    def write(path, rows):  # (event_id, ts_us, user_id)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] * 1000 for r in rows], pa.int64()),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array(["x"] * len(rows)),
+                    "value": pa.array([0.0] * len(rows)),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            path,
+        )
+
+    d = tmp_path / "idle"
+    d.mkdir()
+    # user 7: two events early, then silence. user 8: keeps going much
+    # later — its events push the watermark past 7's end + gap. (base
+    # offset keeps ts off epoch 0: the first batch's initial watermark
+    # IS epoch 0 and the stateful op's late filter is strict.)
+    base = 1000 * minute
+    write(
+        str(d / "b1.parquet"),
+        [(1, base, 7), (2, base + 10 * minute, 7), (3, base + 5 * minute, 8)],
+    )
+    time.sleep(1.1)
+    write(
+        str(d / "b2.parquet"),
+        [(4, base + 500 * minute, 8), (5, base + 505 * minute, 8)],
+    )
+    stream = read_events_stream(spark, str(d), maxFilesPerTrigger="1")
+    q = (
+        streaming_sessionize_timeout(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("timeout_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    raw = spark.table("timeout_test").toPandas()
+    u7 = raw[raw.user_id == 7]
+    # the idle user's session was emitted CLOSED via the timeout path
+    closed = u7[u7.closed]
+    assert len(closed) == 1
+    r = closed.iloc[0]
+    assert (r.session_start_us, r.session_end_us, r.n_events) == (base, base + 10 * minute, 2)
