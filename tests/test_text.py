@@ -265,3 +265,22 @@ def test_normalize_text(spark):
     # out_col preserves the original
     r = normalize_text(df, "text", out_col="norm").where("doc_id = 1").first()
     assert r.text == "  Hello   WORLD  " and r.norm == "hello world"
+
+
+def test_normalize_and_redact_idempotent(spark):
+    """normalize(normalize(x)) == normalize(x) and redact(redact(x)) ==
+    redact(x): both are safe to re-run in restartable pipelines."""
+    from prefixtree_spark.operators.text import normalize_text, redact_pii
+
+    rows = [
+        (1, "  MiXeD   Case\x00and  control  "),
+        (2, "mail a@b.co ssn 123-45-6789 ip 10.0.0.1 call 555-123-4567"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    once_n = normalize_text(df, "text", out_col="n1")
+    twice_n = normalize_text(once_n, "n1", out_col="n2")
+    assert all(r.n1 == r.n2 for r in twice_n.collect())
+    once_r = redact_pii(df, "text", out_col="r1")
+    twice_r = redact_pii(once_r, "r1", out_col="r2")
+    assert all(r.r1 == r.r2 for r in twice_r.collect())
