@@ -530,3 +530,44 @@ def normalize_text(
         )
     )
     return df.withColumn(out_col or text_col, expr)
+
+
+def oov_rate(
+    df: DataFrame, id_col: str, text_col: str, *, vocab_k: int = 1000
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_k`` token vocabulary — the cheap LM-free proxy for
+    "does this doc look like the corpus" (gibberish, code dumps, and
+    wrong-language docs score high; the filter companion to
+    ``quality_score``).
+
+    Plan: one tokenize+count pass builds the vocabulary head
+    (TakeOrderedAndProject with deterministic (count desc, token asc)
+    ties), which is broadcast into a left-anti-style membership join;
+    per-doc totals ride the same exploded pass. Token counts use
+    MULTIPLICITY (a doc repeating one rare token is mostly OOV)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_nonspace_tokens(text_col)).alias("tok"),
+    ).where(F.col("tok") != "")
+    toks = toks.cache()
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(vocab_k)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    per_tok = toks.join(F.broadcast(vocab), "tok", "left")
+    out = per_tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("_in_vocab").isNull(), 1)).alias("n_oov"),
+    )
+    result = out.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+    ).localCheckpoint(eager=True)
+    toks.unpersist()
+    return result

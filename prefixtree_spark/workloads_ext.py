@@ -1267,3 +1267,34 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, "doc_id", "n_chars", 100, seed="wq").select(
         "doc_id", "source", "n_chars"
     )
+
+
+@workload(
+    "docs_oov_rate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    toks_ne AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS n FROM toks_ne GROUP BY tok
+        ORDER BY n DESC, tok ASC LIMIT 200
+      )
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           count(*) FILTER (WHERE tok NOT IN (SELECT tok FROM vocab)) AS n_oov,
+           round(count(*) FILTER (WHERE tok NOT IN (SELECT tok FROM vocab))::DOUBLE
+                 / count(*), 6) AS oov_rate
+    FROM toks_ne
+    GROUP BY doc_id
+    """,
+)
+def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate vs the corpus's own top-200 tokens —
+    oracled exactly (deterministic vocabulary ties, multiplicity
+    counting, exactly-rounded int/int division)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.oov_rate(docs, "doc_id", "text", vocab_k=200)
