@@ -66,3 +66,25 @@ def test_compact_small_files(spark, tmp_path):
     # data preserved
     assert read_source(spark, dst).count() == 10_000
     assert {r.id for r in read_source(spark, dst).collect()} == set(range(10_000))
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """Schema drift across ingest batches (a new column appears in a
+    later crawl) reads back as the UNION schema with mergeSchema —
+    option passthrough covers it; old rows surface NULL for the new
+    column and downstream filters still push down."""
+    from prefixtree_spark.sources.io import read_source, write_sink
+
+    d = str(tmp_path / "evolving")
+    old = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+    write_sink(old, d + "/batch=1", format="parquet")
+    new = spark.createDataFrame(
+        [(3, "c", 0.9), (4, "d", 0.2)], ["id", "name", "quality"]
+    )
+    write_sink(new, d + "/batch=2", format="parquet")
+
+    merged = read_source(spark, d, format="parquet", mergeSchema="true")
+    assert set(merged.columns) >= {"id", "name", "quality"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].quality is None and rows[3].quality == 0.9
+    assert merged.where("quality > 0.5").count() == 1
