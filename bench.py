@@ -47,10 +47,17 @@ def main() -> None:
         # warmup (JIT, shuffle files, Python workers) excluded from the
         # median/spread — it routinely measured 2-4x the warm time and
         # made every spread exceed its median — but it is kept on
-        # record as `<name>_cold`.
+        # record as `<name>_cold`. Sub-second entries are extended to 5
+        # runs: at those durations scheduler jitter is the same order as
+        # the work itself, and 2 warm samples showed spread ~= median
+        # (round-4 events_sessionize).
         runs = []
         out = None
         for _ in range(repeats):
+            t0 = time.time()
+            out = fn()
+            runs.append(time.time() - t0)
+        while len(runs) < 5 and statistics.median(runs[1:] or runs) < 1.0:
             t0 = time.time()
             out = fn()
             runs.append(time.time() - t0)
@@ -197,6 +204,46 @@ def main() -> None:
     )
     pt90.unpersist()
     pt_holder["pt"].unpersist()
+
+    # both-sides-big regime via mode="auto" (round-5 verdict #2): a 4x
+    # dictionary (four perturbations per customer name, ~60k words at
+    # sf0.1) against EVERY perturbed name as a query (~15k), k=2 — the
+    # shape where bfs measured 298s vs ~56s brute in round 4. auto now
+    # chunks the query side through the distributed traversal; the
+    # thresholds are forced down so this fixture-sized run exercises
+    # the same route a 100 TB input would take. Single-shot untimed
+    # extra: the comparison target is SCALING.md's ~56s brute estimate
+    # at this shape, not a per-round regression line.
+    import prefixtree_spark.operators.query as _qmod
+
+    dict_exprs = [
+        perturb,
+        "concat(c_name, '_', cast(c_custkey % 7 as string))",
+        "upper(reverse(c_name))",
+        "concat(substring(c_name, 2, 30), cast(c_custkey % 13 as string))",
+    ]
+    words_big = cust.selectExpr(f"{dict_exprs[0]} as w")
+    for e in dict_exprs[1:]:
+        words_big = words_big.union(cust.selectExpr(f"{e} as w"))
+    pt_big = create(
+        words_big, "w",
+        num_partitions=spark.sparkContext.defaultParallelism,
+    ).persist()
+    extras["both_big_dict_words"] = words_big.distinct().count()
+    pt_big.count()
+    q_big = cust.select(F.expr(perturb).alias("q"))
+    extras["both_big_queries"] = q_big.distinct().count()
+    saved = (_qmod._AUTO_BROADCAST_NODES, _qmod._AUTO_BROADCAST_QUERIES)
+    try:
+        _qmod._AUTO_BROADCAST_NODES = 0
+        _qmod._AUTO_BROADCAST_QUERIES = 5000
+        t0 = time.time()
+        n = query(pt_big, q_big, "q", 2, mode="auto").count()
+        extras["both_big_auto_k2_sec"] = round(time.time() - t0, 3)
+        extras["both_big_auto_k2_rows"] = n
+    finally:
+        _qmod._AUTO_BROADCAST_NODES, _qmod._AUTO_BROADCAST_QUERIES = saved
+    pt_big.unpersist()
 
     # pipeline extensions
     catalog = workloads.QUERIES
@@ -401,19 +448,38 @@ def main() -> None:
     shutil.rmtree(fmt_dir, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf),
-                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-                "extras": extras,
-            }
-        )
+    # The driver captures only the last ~2KB of stdout and parses the
+    # final JSON line; round 4's single line grew past that (extras) and
+    # recorded parsed:null. So: extras go to a side file AND their own
+    # earlier stdout line, and the FINAL line stays a compact headline
+    # core with a hard length assert well under the capture window.
+    extras_line = json.dumps({"metric": "bench_extras", "extras": extras})
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_EXTRAS.json"),
+            "w",
+        ) as f:
+            f.write(extras_line + "\n")
+    except OSError:
+        pass
+    print(extras_line)
+    headline = json.dumps(
+        {
+            "metric": "headline_total",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": float(sf),
+            "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        }
     )
+    assert len(headline) <= 1800, (
+        f"headline bench line is {len(headline)} bytes; must stay <=1800 "
+        "so the driver's 2KB tail capture contains it whole — move any "
+        "new detail into extras"
+    )
+    print(headline)
     spark.stop()
 
 

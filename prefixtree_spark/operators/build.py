@@ -429,6 +429,13 @@ def index_is_bucketed(df: DataFrame, col: str = "parent_id") -> bool:
     returns False, which only costs the one upfront repartition the
     caller would otherwise skip."""
     try:
+        # a bucket spec only yields the pre-shuffled scan when bucketed
+        # reads are actually enabled in the session — otherwise the
+        # detection would claim tree_partitioned for a plan that still
+        # shuffles (and skip the broadcast-size probe for nothing)
+        ss = df.sparkSession
+        if ss.conf.get("spark.sql.sources.bucketing.enabled", "true") != "true":
+            return False
         leaves = df._jdf.queryExecution().analyzed().collectLeaves()
         if leaves.size() != 1:
             return False

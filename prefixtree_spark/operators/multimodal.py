@@ -81,14 +81,31 @@ def sniff_image_meta(data: bytes) -> tuple[str, int, int, int] | None:
         w, h = struct.unpack("<HH", data[6:10])
         return ("gif", w, h, 3)
     if len(data) >= 30 and data[:2] == b"BM":
-        w, h = struct.unpack("<ii", data[18:26])
+        # 'BM' alone is 2 bytes of entropy — text starting "BMW ..."
+        # would sniff as bmp. Require a published DIB header size and a
+        # legal bit depth before trusting the struct reads.
+        # BITMAPINFOHEADER family only: the ancient 12-byte core header
+        # lays out width/height as int16 at different offsets, so the
+        # int32 reads below would be wrong for it anyway.
+        dib = struct.unpack("<I", data[14:18])[0]
         bits = struct.unpack("<H", data[28:30])[0]
-        channels = 4 if bits == 32 else (3 if bits == 24 else 1)
-        return ("bmp", w, abs(h), channels)
+        if dib in (40, 52, 56, 64, 108, 124) and bits in (
+            1, 4, 8, 16, 24, 32,
+        ):
+            w, h = struct.unpack("<ii", data[18:26])
+            channels = 4 if bits == 32 else (3 if bits == 24 else 1)
+            return ("bmp", w, abs(h), channels)
+        return None
     if len(data) >= 4 and data[:2] == b"\xff\xd8":
         i = 2
         while i + 9 <= len(data):
             if data[i] != 0xFF:
+                return None
+            # runs of 0xFF are legal fill bytes between segments
+            # (ITU T.81 §B.1.1.2): skip them before reading the marker
+            while i + 1 < len(data) and data[i + 1] == 0xFF:
+                i += 1
+            if i + 9 > len(data):
                 return None
             marker = data[i + 1]
             if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # bare markers

@@ -108,9 +108,17 @@ _DRIVER_MERGE_NODES = 100_000
 
 # Distinct query strings up to this count may be collected + broadcast
 # (tens of MB of driver memory); beyond it, with the tree ALSO too big
-# to collect, mode="auto" falls through to bfs — the only strategy that
-# never materializes either side in one place.
+# to collect, mode="auto" streams the query side in chunks of this size
+# through the distributed-tree traversal (see
+# _query_broadcast_queries_chunked).
 _AUTO_BROADCAST_QUERIES = 1_000_000
+
+# With both sides big, auto mode chunks the query side as long as the
+# tree's per-partition forests still fit one traversal task (the
+# colocated mapInPandas materializes a partition's forest in pandas:
+# ~100 B/node → 20M nodes ≈ 2 GB). Beyond that, bfs — the only strategy
+# that materializes NEITHER side anywhere — is the honest fallback.
+_CHUNK_MAX_PARTITION_NODES = 20_000_000
 
 
 def _merged_local_index(pt: DataFrame, n_nodes: int | None = None) -> "LocalIndex":
@@ -247,6 +255,68 @@ def _query_broadcast_queries(
         return _traverse_pdf(pdf, QueryBatch(bq.value), k)
 
     return pt.groupBy("compute_node").applyInPandas(run, schema=RESULT_SCHEMA)
+
+
+def _query_broadcast_queries_chunked(
+    pt: DataFrame,
+    qdf: DataFrame,
+    k: int,
+    *,
+    colocated: bool = False,
+    chunk_size: int | None = None,
+) -> DataFrame:
+    """Both-sides-big strategy: iterate ``_query_broadcast_queries``
+    over bounded slices of the query side, pinning each slice's result.
+
+    The round-4 regime map (SCALING.md) showed bfs LOSING to brute
+    force at k>=2 when both sides are big (weaker pruning explodes the
+    frontier; per-level checkpoints pay for it), while
+    broadcast_queries won by 17x whenever the query side fit — so auto
+    mode now CHUNKS the query side through that winning strategy
+    instead of falling through to bfs. Driver memory stays bounded by
+    one chunk (``toLocalIterator`` streams the query strings); the
+    tree never moves (colocated traversal) and is traversed once per
+    chunk — per-chunk cost is flat, total cost is linear in the number
+    of chunks, and nothing in the plan depends on both sides at once.
+    """
+    spark = pt.sparkSession
+    if chunk_size is None:
+        chunk_size = _AUTO_BROADCAST_QUERIES
+    chunk_size = max(1, chunk_size)
+    owned = None
+    if not colocated:
+        # colocate ONCE for all chunks (the per-call strategy would
+        # re-shuffle the tree per chunk through its groupBy); hashing
+        # by compute_node keeps whole forests together, which is all
+        # the colocated traversal needs
+        owned = pt = pt.repartition("compute_node").persist()
+        pt.count()
+    chunks: list[DataFrame] = []
+    buf: list[str] = []
+
+    def flush():
+        chunks.append(
+            _query_broadcast_queries(pt, buf, k, colocated=True)
+            .localCheckpoint(eager=True)
+        )
+
+    try:
+        for row in qdf.toLocalIterator():
+            buf.append(row[0])
+            if len(buf) >= chunk_size:
+                flush()
+                buf = []
+        if buf:
+            flush()
+    finally:
+        if owned is not None:
+            owned.unpersist()
+    if not chunks:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    out = chunks[0]
+    for c in chunks[1:]:
+        out = out.unionByName(c)
+    return out
 
 
 def _query_broadcast_tree(
@@ -522,8 +592,16 @@ def query(
                 return _query_broadcast_queries(
                     pt, [r[0] for r in qdf.collect()], k, colocated=colocated
                 ).localCheckpoint(eager=True)
-            # big tree x big query set: level-synchronous frontier joins
-            # (internally eager; its result is pinned before return)
+            # big tree x big query set: chunk the query side through
+            # the distributed-tree traversal (round-4 verdict #2 — bfs
+            # measurably loses to brute force here at k>=2). bfs
+            # remains only for trees whose per-partition forests are
+            # too big to materialize inside one traversal task.
+            per_part = n_nodes / max(1, pt.rdd.getNumPartitions())
+            if per_part <= _CHUNK_MAX_PARTITION_NODES:
+                return _query_broadcast_queries_chunked(
+                    pt, qdf, k, colocated=colocated
+                )
             return _query_bfs(pt, qdf, col, k, tree_partitioned=tree_partitioned)
         finally:
             pt.unpersist()
@@ -629,28 +707,37 @@ class LocalIndex:
 
 
 # Recently built query_one handles, keyed on the node table's semantic
-# hash (+ schema, to cheapen collisions). Bounded LRU: each entry holds
-# a collected tree, so the cap bounds driver memory at a few indexes.
-_QUERY_ONE_CACHE: "OrderedDict[tuple[int, str], LocalIndex]" = OrderedDict()
+# hash (+ schema + scanned-file listing, so in-place rewrites miss).
+# Bounded LRU: each entry holds a collected tree, so the cap bounds
+# driver memory at a few indexes.
+_QUERY_ONE_CACHE: "OrderedDict[tuple[int, str, int], LocalIndex]" = OrderedDict()
 _QUERY_ONE_CACHE_MAX = 4
 
 
 def clear_local_index_cache() -> None:
-    """Drop the cached ``query_one`` handles (e.g. after overwriting an
-    index table in place — the cache assumes immutable inputs)."""
+    """Drop the cached ``query_one`` handles. Rarely needed: the cache
+    key includes the scan's file listing, so table rewrites (new part
+    files) miss naturally — this remains for sources whose mutation the
+    listing cannot see (e.g. a file overwritten in place byte-for-byte
+    under identical names)."""
     _QUERY_ONE_CACHE.clear()
 
 
 def _cached_local_index(pt: DataFrame) -> LocalIndex:
-    """One collect+merge per distinct node-table PLAN, not per call:
-    repeated ``query_one(df, ...)`` on the same table reuse one handle
-    (keyed by Catalyst's semantic hash — positional/cosmetic plan
-    differences still hit). A changed plan or a cache spill rebuilds;
-    data mutated under an unchanged plan requires
-    ``clear_local_index_cache`` (documented, same contract as any
-    collected handle)."""
+    """One collect+merge per distinct node-table VERSION, not per call:
+    repeated ``query_one(df, ...)`` on the same table reuse one handle.
+    Keyed by (Catalyst semantic hash, schema, hash of the scan's file
+    listing): cosmetic plan differences still hit, while rewriting the
+    backing table in place — identical plan, new part files — changes
+    the listing hash and rebuilds (round-4 advice: the plan-only key
+    silently served stale words after ``save_index_bucketed``
+    overwrites). In-memory relations list no files; their data lives in
+    the plan itself, which the semantic hash already covers."""
     try:
-        key = (pt.semanticHash(), pt.schema.simpleString())
+        # inputFiles() is a driver-side listing (no job); its cost is
+        # microscopic next to the collect+merge a miss would pay
+        files_sig = hash(tuple(sorted(pt.inputFiles())))
+        key = (pt.semanticHash(), pt.schema.simpleString(), files_sig)
     except Exception:  # non-classic backend without semanticHash
         return build_local_index(pt)
     idx = _QUERY_ONE_CACHE.get(key)

@@ -93,6 +93,34 @@ def test_sniff_image_meta_rejects_unknown_and_truncated():
     assert multimodal.sniff_image_meta(JPEG_WITH_APP0[:18]) is None  # no SOF yet
 
 
+def test_sniff_rejects_bm_prefixed_text():
+    """'BM' alone must not sniff as bmp (round-4 advice): a text blob
+    starting 'BMW ...' has no valid DIB header size / bit depth."""
+    blob = b"BMW group quarterly report, fiscal year text " * 2
+    assert len(blob) >= 30
+    assert multimodal.sniff_image_meta(blob) is None
+    # corrupt DIB size on a real-shaped header also rejects
+    bad = bytearray(BMP_8BIT_100x50)
+    bad[14] = 0x29  # 41: not a published header size
+    assert multimodal.sniff_image_meta(bytes(bad)) is None
+    bad2 = bytearray(BMP_8BIT_100x50)
+    bad2[28:30] = (7).to_bytes(2, "little")  # illegal bit depth
+    assert multimodal.sniff_image_meta(bytes(bad2)) is None
+
+
+def test_sniff_jpeg_with_fill_bytes():
+    """0xFF fill bytes between segments are legal (ITU T.81 B.1.1.2);
+    the segment walk must skip them, not misread a segment length."""
+    padded = (
+        bytes.fromhex("FFD8")
+        + b"\xff\xff\xff"  # fill run before APP0
+        + bytes.fromhex("FFE000104A46494600010100000100010000")
+        + b"\xff\xff"  # fill run before SOF
+        + bytes.fromhex("FFC000110801E0028003011100021101031101")
+    )
+    assert multimodal.sniff_image_meta(padded) == ("jpeg", 640, 480, 3)
+
+
 def test_decode_image_meta_sniffs_real_headers(spark):
     rows = [
         (1, PNG_RGBA_64x48 + b"xx"),

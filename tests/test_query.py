@@ -152,6 +152,30 @@ def test_query_one_dataframe_overload_caches_handle(spark, monkeypatch):
     qmod.clear_local_index_cache()
 
 
+def test_query_one_cache_sees_in_place_table_rewrite(spark):
+    """Overwriting the backing table in place (save_index_bucketed →
+    spark.table: identical plan, identical semantic hash) must NOT
+    serve stale words from the handle cache — the file-listing part of
+    the cache key changes with the rewrite (round-4 advice, medium)."""
+    import prefixtree_spark.operators.query as qmod
+    from prefixtree_spark.operators.build import save_index_bucketed
+
+    qmod.clear_local_index_cache()
+    tbl = "t_query_one_rewrite"
+    try:
+        save_index_bucketed(
+            create(_words_df(spark, ["SMITH", "SMYTHE"]), "word"), tbl
+        )
+        assert query_one(spark.table(tbl), "SMITH", 0) == [("SMITH", 0)]
+        save_index_bucketed(create(_words_df(spark, ["JONES"]), "word"), tbl)
+        # fresh read, NO clear_local_index_cache: must see the rewrite
+        assert query_one(spark.table(tbl), "JONES", 0) == [("JONES", 0)]
+        assert query_one(spark.table(tbl), "SMITH", 0) == []
+    finally:
+        qmod.clear_local_index_cache()
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_search_many_matches_per_call(spark, sparse_pt):
     """Batched serving == union of per-call lookups."""
     idx = LocalIndex.from_dataframe(sparse_pt)

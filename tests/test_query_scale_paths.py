@@ -47,16 +47,49 @@ def test_similarity_join_rows_payload(spark):
     assert got == {(1, 10, 1, "x"), (1, 11, 2, "x"), (2, 11, 1, "y")}
 
 
-def test_auto_routes_big_tree_big_queries_to_bfs(spark, monkeypatch):
-    """When BOTH sides exceed the broadcast thresholds, auto must pick
-    bfs — i.e. never collect the query side to the driver (the round-1
-    scale hole: qdf.collect() on the big-tree branch)."""
+def test_auto_routes_big_tree_big_queries_to_chunked(spark, monkeypatch):
+    """When BOTH sides exceed the broadcast thresholds, auto must CHUNK
+    the query side through the distributed-tree traversal (round-4
+    verdict #2: bfs loses to brute force at k>=2 in this regime) —
+    never collecting the whole query side at once, and never touching
+    bfs while the tree's partitions still fit a traversal task."""
+    import prefixtree_spark.operators.query as qmod
+
+    chunk_sizes = []
+    real_bq = qmod._query_broadcast_queries
+    monkeypatch.setattr(qmod, "_AUTO_BROADCAST_NODES", 0)
+    monkeypatch.setattr(qmod, "_AUTO_BROADCAST_QUERIES", 2)
+    monkeypatch.setattr(
+        qmod,
+        "_query_broadcast_queries",
+        lambda pt, qs, k, **kw: chunk_sizes.append(len(qs))
+        or real_bq(pt, qs, k, **kw),
+    )
+    monkeypatch.setattr(
+        qmod,
+        "_query_bfs",
+        lambda *a, **kw: pytest.fail("routed to bfs in the chunkable regime"),
+    )
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3)
+    qdf = spark.createDataFrame([(q,) for q in QUERIES], ["q"])
+    res = qmod.query(pt, qdf, "q", 1, mode="auto")
+    got = {(r.query_string, r.node, r.final_distance) for r in res.collect()}
+    # every chunk bounded by the threshold, and more than one chunk ran
+    assert chunk_sizes and max(chunk_sizes) <= 2 and len(chunk_sizes) >= 2
+    assert sum(chunk_sizes) == len(set(QUERIES))
+    assert got == _expected(SPARSE_WORDS, QUERIES, 1)
+
+
+def test_auto_falls_back_to_bfs_only_when_partitions_too_big(spark, monkeypatch):
+    """bfs remains the both-sides-big fallback ONLY when the tree's
+    per-partition forests exceed a traversal task's memory budget."""
     import prefixtree_spark.operators.query as qmod
 
     calls = []
     real_bfs = qmod._query_bfs
     monkeypatch.setattr(qmod, "_AUTO_BROADCAST_NODES", 0)
     monkeypatch.setattr(qmod, "_AUTO_BROADCAST_QUERIES", 0)
+    monkeypatch.setattr(qmod, "_CHUNK_MAX_PARTITION_NODES", 0)
     monkeypatch.setattr(
         qmod,
         "_query_bfs",
