@@ -589,3 +589,160 @@ def embedding_near_dup(
     return cand.where(cos >= threshold).select(
         "id1", "id2", F.round(cos, 6).alias("cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# trained-IVF-index persistence (the vector BUILDINDEX)
+# ---------------------------------------------------------------------------
+
+
+class IVFIndex:
+    """A loaded trained IVF index: the vector-search analog of the
+    reference's build-once/query-many keyed index (``BUILDINDEX`` +
+    reuse, PrefixTree.ecl:612-613) that ``save_index_bucketed`` gives
+    the string engine. Holds the trained coarse quantizer (centroids,
+    numpy) plus two DataFrames backed by the saved parquet layout:
+
+      - ``postings``: (vec_id, cell) — id-only inverted lists,
+        PARTITIONED BY cell on disk, so a query batch probing few
+        cells prunes the scan to those directories (dynamic partition
+        pruning through the broadcast join on ``cell``);
+      - ``vectors``: (vec_id, cv) — one row per corpus vector, read
+        only to rerank candidates.
+
+    Queries against the handle skip BOTH per-call costs of
+    ``cosine_topk_ivf``: centroid training (kmeans) and the full-corpus
+    cell-assignment pass."""
+
+    def __init__(
+        self, centroids: np.ndarray, postings: DataFrame,
+        vectors: DataFrame, n_replicas: int,
+    ):
+        self.centroids = centroids
+        self.postings = postings
+        self.vectors = vectors
+        self.n_replicas = int(n_replicas)
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    cid: str,
+    cvec: str,
+    path: str,
+    *,
+    n_cells: int = 64,
+    n_replicas: int = 1,
+    sample_size: int = 20_000,
+    seed: int = 42,
+    centroids: "np.ndarray | None" = None,
+) -> None:
+    """Train (or take pretrained) centroids, assign every corpus vector
+    to its ``n_replicas`` nearest cells, and persist the whole trained
+    index under ``path``: ``centroids/`` (cell, c), ``vectors/``
+    (vec_id, cv), ``postings/`` (vec_id) partitioned by ``cell``, and
+    ``meta/``. The corpus-side work that ``cosine_topk_ivf`` re-pays
+    per call (train + assign) is paid ONCE here; ``load_ivf_index`` +
+    ``cosine_topk_ivf_index`` then serve queries from the saved layout
+    (round-4 verdict: the missing vector ``save_index_bucketed``).
+
+    ``centroids``: pass ``kmeans_fit`` output to persist the
+    full-corpus-trained quantizer; default trains on a seeded sample
+    exactly like ``cosine_topk_ivf``."""
+    spark = corpus.sparkSession
+    cvec_only = corpus.select(F.col(cvec).alias("v"))
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+    else:
+        n_corpus = cvec_only.count()
+        if n_corpus == 0:
+            raise ValueError("save_ivf_index: empty corpus")
+        frac = min(1.0, (sample_size * 1.2) / n_corpus)
+        sample_pdf = cvec_only.sample(fraction=frac, seed=seed).toPandas()
+        sample = np.array(
+            sample_pdf["v"].tolist(), dtype=np.float64
+        )[: int(sample_size * 1.2)]
+        if sample.size == 0:
+            sample_pdf = cvec_only.limit(sample_size).toPandas()
+            sample = np.array(sample_pdf["v"].tolist(), dtype=np.float64)
+        cent = _kmeans_centroids(sample, n_cells, seed=seed)
+    c_assign = _cell_assign_udf(cent, n_replicas)
+    cbase = corpus.select(F.col(cid).alias("vec_id"), F.col(cvec).alias("cv"))
+    cbase.write.mode("overwrite").parquet(f"{path}/vectors")
+    (
+        cbase.withColumn("cell", F.explode(c_assign(F.col("cv"))))
+        .select("vec_id", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/postings")
+    )
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cent)],
+        "cell int, c array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(int(len(cent)), int(n_replicas), int(cent.shape[1]))],
+        "n_cells int, n_replicas int, dim int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_ivf_index(spark, path: str) -> IVFIndex:
+    """Open a ``save_ivf_index`` layout. Centroids (tiny: n_cells × dim
+    doubles) load to the driver; postings/vectors stay as lazy scans —
+    nothing corpus-sized moves until a query runs."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cent = np.zeros((meta.n_cells, meta.dim), dtype=np.float64)
+    for r in cent_rows:
+        cent[r.cell] = np.asarray(r.c, dtype=np.float64)
+    return IVFIndex(
+        cent,
+        spark.read.parquet(f"{path}/postings"),
+        spark.read.parquet(f"{path}/vectors"),
+        meta.n_replicas,
+    )
+
+
+def cosine_topk_ivf_index(
+    queries: DataFrame,
+    qid: str,
+    qvec: str,
+    index: IVFIndex,
+    k: int = 10,
+    *,
+    nprobe: int = 8,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF top-k against a PRETRAINED, PERSISTED index: identical
+    semantics to ``cosine_topk_ivf`` with the same (centroids,
+    n_replicas) — asserted by test — but the per-call plan touches only
+    (a) the query batch, (b) the id-only postings of PROBED cells
+    (partition-pruned scan), and (c) the candidate vectors for rerank.
+    No kmeans, no corpus assignment pass."""
+    q_assign = _cell_assign_udf(index.centroids, nprobe)
+    qbase = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("qv"))
+    q_ids = qbase.withColumn("cell", F.explode(q_assign(F.col("qv")))).select(
+        "query_id", "cell"
+    )
+    pairs = F.broadcast(q_ids).join(index.postings, "cell").select(
+        "query_id", "vec_id"
+    )
+    if index.n_replicas > 1:
+        # replicated postings: a (query, vector) pair can meet in
+        # several probed cells — dedup id-pairs before scoring
+        pairs = pairs.distinct()
+    cand = pairs.join(F.broadcast(qbase), "query_id").join(
+        index.vectors, "vec_id"
+    )
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("vec_id"))
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        _cosine(_as_double(F.col("qv")), _as_double(F.col("cv"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+    )

@@ -397,6 +397,33 @@ def load_index(spark: SparkSession, path: str, *, colocated: bool = False) -> Da
     return df
 
 
+def publish_index(pt: DataFrame, root: str) -> int:
+    """Crash-safe ``save_index``: land the node table as a new
+    immutable version under ``root`` and flip the manifest pointer
+    atomically (``sources.io.publish_version``). The incremental
+    maintenance cycle — ``add_words``/``remove_words`` produce a new
+    node table from the live one — publishes each result here, so a
+    rewrite that dies mid-job leaves readers on the previous index
+    instead of a half-written directory (round-4 verdict: the
+    compact/add_words swap window). Returns the version number."""
+    from prefixtree_spark.sources.io import publish_version
+
+    return publish_version(pt, root)
+
+
+def load_published_index(
+    spark: SparkSession, root: str, *, colocated: bool = False
+) -> DataFrame:
+    """Read the LIVE version of a ``publish_index`` table; see
+    ``load_index`` for the ``colocated`` contract."""
+    from prefixtree_spark.sources.io import read_published
+
+    df = read_published(spark, root)
+    if colocated:
+        df = df.repartition("compute_node")
+    return df
+
+
 def save_index_bucketed(pt: DataFrame, table: str, *, buckets: int = 32) -> None:
     """The reference's keyed-index layout (INDEX on {parent_id} +
     BUILDINDEX, PrefixTree.ecl:612-613) as a bucketed, sorted table:

@@ -96,8 +96,10 @@ def compact(
     byte size (listing metadata — no data pass); the rewrite is one
     job whose only wide stage is the ``repartition`` round-robin
     exchange. Rewrites to a NEW path: an in-place rewrite that crashes
-    mid-job loses the table (atomic swap is the table format's job —
-    Delta/Iceberg OPTIMIZE; on plain directories the caller swaps)."""
+    mid-job loses the table. For a swap WITHOUT a caller-visible
+    window, use the manifest-pointer tables below
+    (``publish_version`` / ``compact_published`` — the plain-directory
+    OPTIMIZE); Delta/Iceberg replace both with log commits."""
     sc = spark.sparkContext
     hadoop_path = sc._jvm.org.apache.hadoop.fs.Path(src_path)
     fs = hadoop_path.getFileSystem(sc._jsc.hadoopConfiguration())
@@ -129,3 +131,172 @@ def convert_to_parquet(
     df = read_source(spark, src_path, format=format, schema=schema, **options)
     write_sink(df, dst_path, format="parquet", partition_by=partition_by)
     return spark.read.parquet(dst_path)
+
+
+# ---------------------------------------------------------------------------
+# atomic publish: manifest-pointer versioned tables on plain directories
+# ---------------------------------------------------------------------------
+#
+# compact/add_words outputs rewrite whole tables; on plain directories
+# the old "write to new path, caller swaps" dance had a window where a
+# crashed rewrite could strand readers (SCALING.md ACID appendix).
+# This closes it without a table-format dependency, using the pattern
+# Structured Streaming's HDFSMetadataLog uses for exactly-once file
+# sinks: immutable version directories plus a log of numbered manifest
+# files, where a manifest entry is CREATED ATOMICALLY (write to a temp
+# name, then rename — atomic on HDFS and POSIX; rename-if-absent also
+# arbitrates concurrent publishers). Readers resolve the newest
+# manifest entry; a writer that dies before its rename leaves only an
+# unreferenced data directory, never a partial table.
+
+_MANIFEST_DIR = "_manifest"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jvm
+
+
+def _manifest_entries(spark: SparkSession, root: str) -> list[tuple[int, str]]:
+    """Sorted (version, manifest-path) pairs; tolerates foreign files."""
+    fs, jvm = _fs(spark, root)
+    mdir = jvm.org.apache.hadoop.fs.Path(f"{root}/{_MANIFEST_DIR}")
+    if not fs.exists(mdir):
+        return []
+    out = []
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        if name.isdigit():
+            out.append((int(name), str(st.getPath())))
+    return sorted(out)
+
+
+def _read_small_file(spark: SparkSession, path: str) -> str:
+    fs, jvm = _fs(spark, path)
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
+    try:
+        data = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            data.append(b)
+        return data.decode("utf-8")
+    finally:
+        stream.close()
+
+
+def publish_version(
+    df: DataFrame,
+    root: str,
+    *,
+    format: str = "parquet",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write ``df`` as a NEW immutable version of the table at ``root``
+    and atomically make it the live one; returns the version number.
+
+    Write order is the whole guarantee: (1) the data lands complete
+    under ``root/v_<n>/`` (a crash here leaves an unreferenced
+    directory — garbage, not corruption); (2) the manifest entry is
+    written to a temp name and RENAMED to ``root/_manifest/<n>`` —
+    readers either resolve the previous version or the new one, never
+    anything partial. Rename-if-absent arbitrates racing publishers:
+    the loser's rename fails (the number is taken) and it retries with
+    the next number against the new snapshot — single-writer pipelines
+    never loop."""
+    import uuid as _uuid
+
+    fs, jvm = _fs(spark := df.sparkSession, root)
+    attempts = 0
+    while True:
+        n = (_manifest_entries(spark, root)[-1][0] + 1
+             if _manifest_entries(spark, root) else 1)
+        vdir = f"v_{n:011d}_{_uuid.uuid4().hex[:8]}"
+        write_sink(
+            df, f"{root}/{vdir}", format=format, partition_by=partition_by
+        )
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            f"{root}/{_MANIFEST_DIR}/.tmp-{_uuid.uuid4().hex}"
+        )
+        final = jvm.org.apache.hadoop.fs.Path(f"{root}/{_MANIFEST_DIR}/{n}")
+        out = fs.create(tmp, False)
+        try:
+            out.write(bytearray(f"{vdir}\t{format}".encode("utf-8")))
+        finally:
+            out.close()
+        if fs.rename(tmp, final) and not fs.exists(tmp):
+            return n
+        # lost the race: clean our temp + orphan data dir, retry
+        fs.delete(tmp, False)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{vdir}"), True)
+        attempts += 1
+        if attempts > 100:
+            raise RuntimeError(f"publish_version: contended beyond reason at {root}")
+
+
+def read_published(spark: SparkSession, root: str) -> DataFrame:
+    """Scan the LIVE version of a ``publish_version`` table: resolve
+    the newest manifest entry, read its immutable directory. A
+    concurrent (even crashing) publish never changes what an already-
+    resolved reader scans — version directories are immutable."""
+    entries = _manifest_entries(spark, root)
+    if not entries:
+        raise FileNotFoundError(f"no published version under {root!r}")
+    vdir, fmt = _read_small_file(spark, entries[-1][1]).split("\t")
+    return read_source(spark, f"{root}/{vdir}", format=fmt)
+
+
+def published_version(spark: SparkSession, root: str) -> int:
+    """Live version number (0 when nothing is published yet)."""
+    entries = _manifest_entries(spark, root)
+    return entries[-1][0] if entries else 0
+
+
+def compact_published(
+    spark: SparkSession, root: str, *, target_file_mb: int = 256
+) -> int:
+    """Crash-safe compaction of a published table — the plain-directory
+    OPTIMIZE: read the live version, rewrite at the target file size as
+    a NEW version, flip the manifest atomically. Readers concurrent
+    with a crashed compaction keep the old version; returns the new
+    version number."""
+    entries = _manifest_entries(spark, root)
+    if not entries:
+        raise FileNotFoundError(f"no published version under {root!r}")
+    vdir, fmt = _read_small_file(spark, entries[-1][1]).split("\t")
+    src = f"{root}/{vdir}"
+    fs, jvm = _fs(spark, src)
+    total_bytes = fs.getContentSummary(
+        jvm.org.apache.hadoop.fs.Path(src)
+    ).getLength()
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = read_source(spark, src, format=fmt).repartition(n_files)
+    return publish_version(df, root, format=fmt)
+
+
+def vacuum_published(spark: SparkSession, root: str, *, keep: int = 2) -> int:
+    """Delete version directories (and manifest entries) older than the
+    newest ``keep`` versions, plus orphaned data directories no
+    manifest references (failed publishes). Returns directories
+    removed. Run OUT of band, with ``keep`` ≥ the longest reader you
+    allow — a reader that resolved a version still scans its files."""
+    fs, jvm = _fs(spark, root)
+    entries = _manifest_entries(spark, root)
+    referenced = {}
+    for n, mpath in entries:
+        referenced[n] = _read_small_file(spark, mpath).split("\t")[0]
+    live = dict(list(sorted(referenced.items()))[-keep:]) if keep else {}
+    removed = 0
+    rootp = jvm.org.apache.hadoop.fs.Path(root)
+    if fs.exists(rootp):
+        for st in fs.listStatus(rootp):
+            name = st.getPath().getName()
+            if name.startswith("v_") and name not in live.values():
+                fs.delete(st.getPath(), True)
+                removed += 1
+    for n, mpath in entries:
+        if n not in live:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(mpath), False)
+    return removed

@@ -1,3 +1,7 @@
+from prefixtree_spark.streaming.dedup import (
+    streaming_drop_duplicates,
+    streaming_exact_dedup,
+)
 from prefixtree_spark.streaming.events import (
     read_events_stream,
     streaming_tumbling_counts,
@@ -11,4 +15,6 @@ __all__ = [
     "streaming_sessionize",
     "streaming_topk",
     "latest_topk",
+    "streaming_exact_dedup",
+    "streaming_drop_duplicates",
 ]

@@ -34,6 +34,47 @@ def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(events, ["event_type", "props"], "event_id")
 
 
+@workload(
+    "stream_exact_dedup_events",
+    """
+    SELECT event_type, props, min(event_id) AS keep_id,
+           count(*) AS n_copies
+    FROM events GROUP BY event_type, props
+    """,
+)
+def stream_exact_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup, run FOR REAL inside the correctness
+    gate: availableNow file stream over the events table →
+    ``streaming_exact_dedup`` (the exact streaming twin of
+    ``dedup.exact_dedup`` — same groupBy/min/count plan) → complete
+    mode memory sink. After the availableNow run drains, the sink
+    equals the batch aggregate row-for-row, so it shares
+    ``dedup_exact_events``'s exact SQL oracle."""
+    import shutil
+    import tempfile
+
+    from prefixtree_spark.streaming.dedup import streaming_exact_dedup
+    from prefixtree_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    # the file-stream source requires a DIRECTORY of files
+    stage = tempfile.mkdtemp(prefix="stream_exact_dedup_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+        stream = read_events_stream(spark, stage)
+        return run_stream_to_memory(
+            spark,
+            streaming_exact_dedup(stream, ["event_type", "props"], "event_id"),
+            "stream_exact_dedup_events_sink",
+            output_mode="complete",
+            timeout_s=300,
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 _JACCARD_ORACLE = """
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents

@@ -295,3 +295,54 @@ def test_kmeans_fit_recovers_clusters_and_feeds_ivf(spark):
         ).collect()
     }
     assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_ivf_index_roundtrip_matches_per_call(spark, clustered, tmp_path):
+    """save_ivf_index + cosine_topk_ivf_index must return EXACTLY the
+    per-call cosine_topk_ivf results when both use the same trained
+    centroids and replica count — the warm path changes cost, never
+    answers (the vector BUILDINDEX-reuse contract)."""
+    df, rows = clustered
+    qids = [0, 25, 50, 75]
+    q = df.where(df.vec_id.isin(qids))
+    for n_replicas in (1, 2):
+        path = str(tmp_path / f"ivf_r{n_replicas}")
+        cent = ann.kmeans_fit(df, "embedding", 10, sample_size=200)
+        ann.save_ivf_index(
+            df, "vec_id", "embedding", path,
+            n_replicas=n_replicas, centroids=cent,
+        )
+        idx = ann.load_ivf_index(spark, path)
+        assert idx.n_replicas == n_replicas
+        warm = {
+            (r.query_id, r.vec_id, r.rank)
+            for r in ann.cosine_topk_ivf_index(
+                q, "vec_id", "embedding", idx, k=5, nprobe=3
+            ).collect()
+        }
+        percall = {
+            (r.query_id, r.vec_id, r.rank)
+            for r in ann.cosine_topk_ivf(
+                q, "vec_id", "embedding", df, "vec_id", "embedding",
+                k=5, n_cells=10, nprobe=3, n_replicas=n_replicas,
+                centroids=cent,
+            ).collect()
+        }
+        assert warm == percall and warm
+
+
+def test_ivf_index_postings_partitioned_by_cell(spark, clustered, tmp_path):
+    """The saved postings layout must be hive-partitioned on cell so
+    probing few cells prunes the scan to those directories."""
+    import os
+
+    df, _ = clustered
+    path = str(tmp_path / "ivf_layout")
+    ann.save_ivf_index(df, "vec_id", "embedding", path, n_cells=10,
+                       sample_size=200)
+    subdirs = [d for d in os.listdir(f"{path}/postings") if d.startswith("cell=")]
+    assert len(subdirs) >= 2
+    idx = ann.load_ivf_index(spark, path)
+    # id-only postings: no vector payload in the inverted lists
+    assert set(idx.postings.columns) == {"vec_id", "cell"}
+    assert set(idx.vectors.columns) == {"vec_id", "cv"}

@@ -88,3 +88,139 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
     rows = {r.id: r for r in merged.collect()}
     assert rows[1].quality is None and rows[3].quality == 0.9
     assert merged.where("quality > 0.5").count() == 1
+
+
+# --- atomic publish (manifest-pointer versioned tables) ----------------
+
+
+def _pub_rows(df):
+    return sorted((r.id, r.name) for r in df.select("id", "name").collect())
+
+
+def test_publish_read_roundtrip_and_versioning(spark, tmp_path):
+    from prefixtree_spark.sources.io import (
+        publish_version,
+        published_version,
+        read_published,
+    )
+
+    root = str(tmp_path / "pub")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+    assert publish_version(v1, root) == 1
+    assert published_version(spark, root) == 1
+    assert _pub_rows(read_published(spark, root)) == [(1, "a"), (2, "b")]
+    v2 = spark.createDataFrame([(3, "c")], ["id", "name"])
+    assert publish_version(v2, root) == 2
+    assert _pub_rows(read_published(spark, root)) == [(3, "c")]
+
+
+def test_publish_crash_injection_reader_never_sees_partial(spark, tmp_path):
+    """A rewrite that dies at ANY point before its manifest rename must
+    leave readers on the old version: (a) a fully-written but
+    unreferenced data directory, (b) a half-written data directory,
+    (c) a temp manifest file that never got renamed."""
+    import os
+
+    from prefixtree_spark.sources.io import (
+        publish_version,
+        read_published,
+        write_sink,
+    )
+
+    root = str(tmp_path / "pub_crash")
+    good = spark.createDataFrame([(1, "a")], ["id", "name"])
+    publish_version(good, root)
+
+    # (a) crashed AFTER data write, BEFORE manifest rename
+    write_sink(
+        spark.createDataFrame([(9, "z")], ["id", "name"]),
+        f"{root}/v_00000000002_deadbeef",
+    )
+    # (b) crashed MID data write: directory with a partial/corrupt file
+    os.makedirs(f"{root}/v_00000000003_feedface")
+    with open(f"{root}/v_00000000003_feedface/part-00000.parquet", "wb") as f:
+        f.write(b"\x00\x01 not parquet")
+    # (c) crashed mid-manifest-write: temp entry present, never renamed
+    with open(f"{root}/_manifest/.tmp-crashed", "w") as f:
+        f.write("v_00000000003_feedface\tparquet")
+
+    assert _pub_rows(read_published(spark, root)) == [(1, "a")]
+
+
+def test_compact_published_atomic_and_vacuum(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.sources.io import (
+        compact_published,
+        publish_version,
+        published_version,
+        read_published,
+        vacuum_published,
+    )
+
+    root = str(tmp_path / "pub_compact")
+    df = spark.range(1000).select(
+        F.col("id"), F.col("id").cast("string").alias("name")
+    )
+    publish_version(df.repartition(16), root)  # over-parallel write
+    v = compact_published(spark, root, target_file_mb=256)
+    assert v == 2 and published_version(spark, root) == 2
+    back = read_published(spark, root)
+    assert back.count() == 1000
+    assert back.rdd.getNumPartitions() <= 4  # compacted file count
+    # vacuum drops the pre-compaction version but keeps the live one
+    removed = vacuum_published(spark, root, keep=1)
+    assert removed >= 1
+    assert read_published(spark, root).count() == 1000
+
+
+def test_publish_racing_writers_get_distinct_versions(spark, tmp_path):
+    """The rename-if-absent arbitration: a manifest number can be
+    claimed once. Simulate the loser by pre-claiming the number the
+    writer will try; it must retry and land on the next one."""
+    from prefixtree_spark.sources.io import (
+        publish_version,
+        read_published,
+    )
+
+    root = str(tmp_path / "pub_race")
+    publish_version(spark.createDataFrame([(1, "a")], ["id", "name"]), root)
+    # rival claims version 2 directly (as a concurrent publisher would)
+    import os
+
+    os.makedirs(f"{root}/v_00000000002_rival")
+    spark.createDataFrame([(2, "rival")], ["id", "name"]).write.parquet(
+        f"{root}/v_00000000002_rival", mode="overwrite"
+    )
+    with open(f"{root}/_manifest/2", "w") as f:
+        f.write("v_00000000002_rival\tparquet")
+    v = publish_version(
+        spark.createDataFrame([(3, "mine")], ["id", "name"]), root
+    )
+    assert v == 3
+    assert _pub_rows(read_published(spark, root)) == [(3, "mine")]
+
+
+def test_publish_index_add_words_cycle(spark, tmp_path):
+    """Incremental maintenance over the atomic publish path: build →
+    publish v1 → add_words off the live index → publish v2; a query on
+    the live table sees the new word only after the flip, and a
+    crashed rewrite (unreferenced dir) never disturbs it."""
+    from prefixtree_spark import add_words, create, query_one
+    from prefixtree_spark.operators.build import (
+        load_published_index,
+        publish_index,
+    )
+
+    root = str(tmp_path / "pub_idx")
+    words = spark.createDataFrame([("SMITH",), ("SMYTHE",)], ["word"])
+    pt = create(words, "word")
+    assert publish_index(pt, root) == 1
+    live = load_published_index(spark, root, colocated=True)
+    assert query_one(live, "SMITH", 0) == [("SMITH", 0)]
+    delta = spark.createDataFrame([("JONES",)], ["word"])
+    pt2 = add_words(load_published_index(spark, root), delta, "word")
+    assert publish_index(pt2, root) == 2
+    live2 = load_published_index(spark, root, colocated=True)
+    assert query_one(live2, "JONES", 0) == [("JONES", 0)]
+    assert query_one(live2, "SMITH", 0) == [("SMITH", 0)]
