@@ -18,8 +18,14 @@ from prefixtree_spark.operators.build import create, load_index, save_index
 from prefixtree_spark.operators.incremental import add_words, remove_words
 from prefixtree_spark.operators.prefix import prefix_search
 from prefixtree_spark.operators.ranking import bm25_rank, rrf_fuse
-from prefixtree_spark.operators.ann import kmeans_fit
+from prefixtree_spark.operators.ann import (
+    kmeans_fit,
+    semantic_dedup,
+    semantic_dedup_kmeans,
+)
+from prefixtree_spark.operators.dedup import duplicate_spans, line_dedup
 from prefixtree_spark.operators.sampling import (
+    mixture_resample,
     deterministic_sample,
     pack_sequences,
     split_assign,
@@ -96,6 +102,11 @@ __all__ = [
     "frequent_items",
     "distinct_counts",
     "pseudonymize",
+    "semantic_dedup",
+    "semantic_dedup_kmeans",
+    "duplicate_spans",
+    "line_dedup",
+    "mixture_resample",
 ]
 
 __version__ = "0.1.0"

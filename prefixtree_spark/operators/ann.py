@@ -746,3 +746,106 @@ def cosine_topk_ivf_index(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    *,
+    threshold: float,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup survivor set (Abbas et al. 2023, arXiv:2303.09540):
+    within each cluster, drop every vector whose cosine to ANY
+    lower-id vector of the same cluster reaches ``threshold``; return
+    the survivors (id, cluster). This is the published algorithm's
+    dominance rule — item j is removed when the pairwise-similarity
+    row max over i < j exceeds the threshold — with ``id_col`` as the
+    (arbitrary but stable) intra-cluster order, so the survivor SET is
+    deterministic across runs, partitionings, and engines.
+
+    Plan: one self-equi-join on the cluster key (shuffle both sides on
+    ``cluster_col``, AQE handles skewed clusters) + a distinct on the
+    dropped-id set + a left-anti join back. Work is Σ|cluster|² — the
+    algorithm's intrinsic cost, which SemDeDup makes tractable by
+    CHOOSING enough clusters that each is small (the paper runs k=50k
+    over 100M embeddings ≈ 2k per cluster). ``max_cluster`` guards the
+    contract at 100 TB: clusters above the cap fail fast instead of
+    silently running a quadratic join on a degenerate clustering (re-fit
+    with larger k, or pre-split hot clusters, rather than burying the
+    blow-up); cosine stays JVM-side (``aggregate``/``zip_with`` fold —
+    no UDF)."""
+    e = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(cluster_col).alias("cl"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).dropDuplicates(["vid"])
+    if max_cluster is not None:
+        hot = (
+            e.groupBy("cl")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_cluster)
+            .limit(1)
+            .collect()
+        )
+        if hot:
+            raise ValueError(
+                f"cluster {hot[0]['cl']} has {hot[0]['n']} members "
+                f"(> max_cluster={max_cluster}); re-fit with more "
+                "clusters or pre-split before semantic_dedup"
+            )
+    a, b = e.alias("a"), e.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cl") == F.col("b.cl"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .where(_cosine(F.col("a.v"), F.col("b.v")) >= threshold)
+        .select(F.col("b.vid").alias("vid"))
+        .distinct()
+    )
+    return (
+        e.join(dropped, "vid", "left_anti")
+        .select(F.col("vid").alias(id_col), F.col("cl").alias(cluster_col))
+    )
+
+
+def semantic_dedup_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int,
+    threshold: float,
+    iters: int = 12,
+    sample_size: int = 20_000,
+    seed: int = 42,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """End-to-end SemDeDup: spherical k-means the embedding space into
+    ``k`` clusters (``kmeans_fit`` — one narrow pass per Lloyd
+    iteration), assign each vector its nearest centroid (broadcast
+    matmul, no shuffle), then ``semantic_dedup`` within clusters.
+    Approximate relative to a full pairwise pass by construction —
+    near-duplicates split across a cluster boundary are not compared —
+    which is SemDeDup's published accuracy trade; recall against the
+    exhaustive pass is asserted in tests, and the workload registers
+    rows-only (no SQL oracle reproduces the kmeans fit)."""
+    cent = kmeans_fit(
+        df, vec_col, k, iters=iters, sample_size=sample_size, seed=seed
+    )
+    assign = _cell_assign_udf(cent, 1)
+    with_cl = df.withColumn("_sd_cluster", assign(F.col(vec_col))[0])
+    out = semantic_dedup(
+        with_cl, id_col, vec_col, "_sd_cluster",
+        threshold=threshold, max_cluster=max_cluster,
+    )
+    return out.withColumnRenamed("_sd_cluster", "cluster")

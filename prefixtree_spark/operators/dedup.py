@@ -623,3 +623,185 @@ def simhash_pairs(
         ),
         sig,
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring (span) dedup and cross-doc line dedup
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, *, width: int = 8
+) -> DataFrame:
+    """Exact-substring duplication profile per document (the
+    detection half of Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499 — their ExactSubstr
+    marks any ``width``-token span that occurs more than once in the
+    corpus, including repeats inside one document):
+
+      - ``total_tokens``  — whitespace tokens in the document;
+      - ``n_windows``     — sliding ``width``-token windows;
+      - ``n_dup_windows`` — windows whose token string occurs ≥2
+        times corpus-wide;
+      - ``covered_tokens``— distinct token positions lying inside at
+        least one duplicated window (the tokens ExactSubstr would cut);
+      - ``dup_cover_frac``— covered/total, rounded to 6 (0.0 for docs
+        shorter than ``width`` tokens).
+
+    Plan shape at 100 TB: windows never pairwise-join — duplication is
+    a GROUP BY on the window key with a count ≥2 filter, then a
+    semi-join of occurrences against that key set, so a span shared by
+    a million documents costs m rows, not m² (contrast the Jaccard
+    pair generators, which need ``max_df`` caps for exactly that
+    reason). Windows are grouped by their 128-bit md5, so the two
+    aggregation shuffles carry 16-byte keys instead of ~``width``-token
+    strings; counts are exact w.h.p. (a corpus would need ~2^64
+    windows before one expected collision). The coverage count
+    re-explodes positions only for occurrences of duplicated windows —
+    bounded by document length, not by corpus duplication. No UDFs;
+    everything is sequence/slice/hash-agg inside codegen."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("ts"),
+    ).select(
+        "doc_id",
+        F.when(
+            (F.size("ts") == 1) & (F.element_at("ts", 1) == ""), F.array()
+        ).otherwise(F.col("ts")).alias("ts"),
+    )
+    wins = (
+        toks.where(F.size("ts") >= width)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("ts") - (width - 1))
+            ).alias("i"),
+            "ts",
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.concat_ws(" ", F.slice("ts", F.col("i"), width))).alias("wh"),
+        )
+    )
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= 2)
+        .select("wh")
+    )
+    dup_occ = wins.join(dup, "wh", "left_semi")
+    n_dup = dup_occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_windows")
+    )
+    covered = (
+        dup_occ.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (width - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    # n_windows is a pure function of the token count — computing it
+    # as max(0, total - width + 1) saves a whole-corpus aggregation
+    # shuffle that an explicit wins.groupBy would pay
+    base = toks.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("total_tokens"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            (F.size("ts") - (width - 1)).cast("long"),
+        ).alias("n_windows"),
+    )
+    out = (
+        base.join(n_dup, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_tokens",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.coalesce("covered_tokens", F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+        )
+    )
+    frac = F.when(
+        F.col("total_tokens") > 0,
+        F.round(F.col("covered_tokens") / F.col("total_tokens"), 6),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("dup_cover_frac", frac)
+
+
+def line_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4-style cross-document line dedup (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2: "we discarded all but one of any
+    three-sentence span occurring more than once" — the widely-used
+    line-level variant drops every LINE that occurs in more than one
+    document). Returns one row per document:
+
+      - ``n_lines``      — non-empty trimmed lines;
+      - ``n_dup_lines``  — lines (occurrences) whose text appears in
+        ≥2 distinct documents;
+      - ``text_clean``   — the document with duplicated lines removed,
+        original order preserved (newline-joined).
+
+    Same scale shape as ``duplicate_spans``: the duplicated-line set
+    is a hash-agg on the line key with count(distinct doc) ≥ 2 —
+    approximated as min(doc) ≠ max(doc), two scalars per group instead
+    of a distinct-count state — then a semi/anti-join per occurrence;
+    no pairwise blow-up. Reconstruction sorts each document's kept
+    (pos, line) pairs with ``array_sort`` over a collected struct
+    list — per-document state bounded by document size."""
+    lines = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+        )
+        .select("doc_id", "pos", F.trim(F.col("raw")).alias("line"))
+        .where(F.col("line") != "")
+    )
+    dup = (
+        lines.groupBy("line")
+        .agg(F.min("doc_id").alias("d1"), F.max("doc_id").alias("d2"))
+        .where(F.col("d1") != F.col("d2"))
+        .select("line")
+    )
+    n_all = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    n_dup = (
+        lines.join(dup, "line", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_lines"))
+    )
+    kept = (
+        lines.join(dup, "line", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_clean")
+        )
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(n_all, "doc_id", "left")
+        .join(n_dup, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_dup_lines", F.lit(0)).cast("long").alias("n_dup_lines"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

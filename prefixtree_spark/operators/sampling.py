@@ -220,3 +220,95 @@ def weighted_sample(
         .limit(n)
         .drop("_pri")
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    *,
+    target_frac: float,
+    alpha: float = 0.5,
+    weight_col: str | None = None,
+    seed: str = "",
+) -> DataFrame:
+    """Temperature-scaled domain mixing: resample the corpus so each
+    group (source/domain) contributes mass proportional to
+    ``mass^alpha`` — the standard multi-corpus mixing rule (uniform
+    over domains at α=0, the natural distribution at α=1, the usual
+    up-weight-the-tail compromise at α=0.5, as in multilingual and
+    multi-source pretraining mixtures). ``mass`` is the per-group sum
+    of ``weight_col`` (token/char counts; row count when None); the
+    total kept mass targets ``target_frac`` of the corpus. Groups
+    whose target exceeds their mass keep everything (rate capped at
+    1) — no oversampling.
+
+    Per-row selection reuses ``_bucket_ppm``: a row survives iff its
+    md5 bucket < its group's rate_ppm, so the sample is a pure
+    function of (id, seed, per-group masses) — stable under
+    partitioning, re-runs, and engines.
+
+    The per-group rates are EXACT integer arithmetic, computed
+    driver-side over the collected mass table (one row per group —
+    thousands of domains at most, a bounded collect like the BPE merge
+    head):
+
+        s_g       = isqrt(m_g)            (α = 0.5; 1 at α=0; m_g at α=1)
+        T         = (target_ppm · M) // 1e6
+        rate_ppm  = min(1e6, (1e6 · T · s_g) // (S · m_g))
+
+    with S = Σ s_g, M = Σ m_g in arbitrary-precision Python ints — no
+    float sums whose order could differ across engines, no decimal
+    rounding, no int64 overflow at 100 TB masses. The SQL oracle
+    reproduces the identical computation with integer division
+    (``isqrt(m)`` ≡ ``floor(sqrt(m::DOUBLE))`` exactly for
+    m < 2^52: IEEE sqrt is correctly rounded, perfect squares hit
+    exactly, and non-squares sit ≥ ~1/(2·sqrt(m)) ≫ ulp from the
+    floor boundary). Non-canonical α fall back to ``pow`` doubles —
+    deterministic per engine, cross-engine equal only w.h.p.
+
+    Plan: one hash-agg for the masses, a broadcast map-join back, and
+    a narrow filter — the corpus itself never shuffles."""
+    import math
+
+    if not 0.0 <= target_frac <= 1.0:
+        raise ValueError(f"target_frac must be in [0,1], got {target_frac}")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    mass_rows = (
+        df.groupBy(group_col).agg(F.sum(w).alias("m")).collect()
+    )
+    masses = {r[group_col]: int(r["m"]) for r in mass_rows}
+    if alpha == 0.0:
+        sg = {g: 1 for g in masses}
+    elif alpha == 0.5:
+        sg = {g: math.isqrt(m) for g, m in masses.items()}
+    elif alpha == 1.0:
+        sg = dict(masses)
+    else:
+        sg = {g: int(math.floor(m ** alpha)) for g, m in masses.items()}
+    S = sum(sg.values())
+    M = sum(masses.values())
+    target_ppm = int(round(target_frac * _PPM))
+    T = (target_ppm * M) // _PPM
+    # zero-mass groups (empty weights) contribute nothing and keep
+    # nothing; guards the integer division, and an empty frame yields
+    # an empty rate map rather than S=0
+    rates = [
+        (g, min(_PPM, (_PPM * T * sg[g]) // (S * masses[g])))
+        for g in masses
+        if masses[g] > 0 and S > 0
+    ]
+    spark = df.sparkSession
+    gtype = df.schema[group_col].dataType.simpleString()
+    rates_df = spark.createDataFrame(
+        rates, f"{group_col} {gtype}, rate_ppm long"
+    )
+    return (
+        df.join(F.broadcast(rates_df), group_col)
+        .where(_bucket_ppm(F.col(id_col), seed) < F.col("rate_ppm"))
+        .drop("rate_ppm")
+    )

@@ -1339,3 +1339,142 @@ def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting, exactly-rounded int/int division)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.oov_rate(docs, "doc_id", "text", vocab_k=200)
+
+
+# ---------------------------------------------------------------------------
+# round 5: span dedup, semantic dedup, temperature mixing
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "dedup_duplicate_spans",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
+    ),
+    w AS (
+      SELECT doc_id, i, array_to_string(ts[i:i+7], ' ') AS win
+      FROM d, unnest(range(1, len(ts) - 8 + 2)) t(i)
+      WHERE len(ts) >= 8
+    ),
+    dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+    dw AS (SELECT w.doc_id, w.i FROM w JOIN dup USING (win)),
+    cov AS (
+      SELECT doc_id, count(DISTINCT p) AS covered
+      FROM dw, unnest(range(i, i + 8)) t(p)
+      GROUP BY doc_id
+    ),
+    nw AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id),
+    nd AS (SELECT doc_id, count(*) AS n_dup FROM dw GROUP BY doc_id)
+    SELECT d.doc_id,
+           len(d.ts)::BIGINT AS total_tokens,
+           coalesce(nw.n_windows, 0)::BIGINT AS n_windows,
+           coalesce(nd.n_dup, 0)::BIGINT AS n_dup_windows,
+           coalesce(cov.covered, 0)::BIGINT AS covered_tokens,
+           CASE WHEN len(d.ts) > 0
+                THEN round(coalesce(cov.covered, 0)::DOUBLE / len(d.ts), 6)
+                ELSE 0.0 END AS dup_cover_frac
+    FROM d
+    LEFT JOIN nw USING (doc_id)
+    LEFT JOIN nd USING (doc_id)
+    LEFT JOIN cov USING (doc_id)
+    """,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al. 2021
+    ExactSubstr detection): per document, the 8-token windows that
+    occur ≥2 times corpus-wide and the fraction of tokens they cover.
+    Spark groups windows by md5 (16-byte shuffle keys); the oracle
+    groups the raw window strings — identical counts w.h.p."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(docs, "doc_id", "text", width=8)
+
+
+@workload(
+    "semantic_dedup_labeled",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT b.vec_id, b.label AS cluster
+    FROM e b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM e a
+      WHERE a.label = b.label AND a.vec_id < b.vec_id
+        AND list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+            >= 0.3
+    )
+    """,
+)
+def semantic_dedup_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivors over the fixture's ground-truth clusters
+    (``label``): drop any vector cosine-≥0.3-similar to a lower-id
+    clustermate. 0.3 keeps the gate non-vacuous here (95 of 500
+    dropped at sf0.01; the fixture's within-cluster cosines top out
+    near 0.47, so the production-typical 0.9x thresholds would select
+    nothing). Fold order matches list_dot_product bit-for-bit, and
+    survivorship depends on strict inequality boundaries only through
+    that shared double, so the survivor SET is exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ann.semantic_dedup(emb, "vec_id", "embedding", "label", threshold=0.3)
+    return out.select("vec_id", F.col("label").alias("cluster"))
+
+
+@workload("semantic_dedup_kmeans", None)
+def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SemDeDup with the engine's own spherical k-means (10
+    clusters ≈ the fixture's generative label count) instead of the
+    ground-truth labels. Approximate by construction — boundary pairs
+    split across clusters are never compared — so rows-only here;
+    agreement with the labeled variant is asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.semantic_dedup_kmeans(
+        emb, "vec_id", "embedding", k=10, threshold=0.3, seed=42
+    ).select("vec_id", "cluster")
+
+
+@workload(
+    "docs_mixture_resample",
+    """
+    WITH m AS (
+      SELECT source, sum(length(text))::BIGINT AS mass
+      FROM documents GROUP BY source
+    ),
+    s AS (
+      SELECT source, mass,
+             CAST(floor(sqrt(mass::DOUBLE)) AS BIGINT) AS sg
+      FROM m
+    ),
+    tot AS (
+      SELECT sum(sg)::BIGINT AS S, sum(mass)::BIGINT AS M FROM s
+    ),
+    rates AS (
+      SELECT source,
+             least(1000000,
+                   (1000000::HUGEINT * ((500000::HUGEINT * M) // 1000000) * sg)
+                   // (S::HUGEINT * mass)) AS rate_ppm
+      FROM s, tot
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE (('0x' || substr(md5(d.doc_id::VARCHAR || 'mix5'), 1, 15))::BIGINT
+           % 1000000) < r.rate_ppm
+    """,
+)
+def docs_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-α=0.5 domain mixing targeting half the corpus mass:
+    sources are re-weighted ∝ sqrt(char mass), so heavy sources give
+    up share to the tail. All-integer rate arithmetic (isqrt + floor
+    divisions) reproduced verbatim by the oracle — the kept SET is
+    bit-exact, not just statistically equivalent."""
+    from prefixtree_spark.operators.sampling import mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "mass", F.length("text").cast("long")
+    )
+    out = mixture_resample(
+        docs, "doc_id", "source",
+        target_frac=0.5, alpha=0.5, weight_col="mass", seed="mix5",
+    )
+    return out.select("doc_id", "source")
