@@ -23,7 +23,11 @@ from prefixtree_spark.operators.ann import (
     semantic_dedup,
     semantic_dedup_kmeans,
 )
-from prefixtree_spark.operators.dedup import duplicate_spans, line_dedup
+from prefixtree_spark.operators.dedup import (
+    duplicate_spans,
+    line_dedup,
+    remove_duplicate_spans,
+)
 from prefixtree_spark.operators.sampling import (
     mixture_resample,
     deterministic_sample,
@@ -106,6 +110,7 @@ __all__ = [
     "semantic_dedup_kmeans",
     "duplicate_spans",
     "line_dedup",
+    "remove_duplicate_spans",
     "mixture_resample",
 ]
 

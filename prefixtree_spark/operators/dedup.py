@@ -630,6 +630,41 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _span_windows(
+    df: DataFrame, id_col: str, text_col: str, width: int
+) -> tuple[DataFrame, DataFrame]:
+    """(toks, wins) shared by the span-dedup family: ``toks`` is
+    (doc_id, ts) with empty texts normalized to empty arrays; ``wins``
+    is one row per sliding ``width``-token window occurrence —
+    (doc_id, i, wh) with ``wh`` the window's md5 (16-byte shuffle keys
+    instead of ~width-token strings; exact w.h.p.)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("ts"),
+    ).select(
+        "doc_id",
+        F.when(
+            (F.size("ts") == 1) & (F.element_at("ts", 1) == ""), F.array()
+        ).otherwise(F.col("ts")).alias("ts"),
+    )
+    wins = (
+        toks.where(F.size("ts") >= width)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("ts") - (width - 1))
+            ).alias("i"),
+            "ts",
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.concat_ws(" ", F.slice("ts", F.col("i"), width))).alias("wh"),
+        )
+    )
+    return toks, wins
+
+
 def duplicate_spans(
     df: DataFrame, id_col: str, text_col: str, *, width: int = 8
 ) -> DataFrame:
@@ -660,30 +695,7 @@ def duplicate_spans(
     re-explodes positions only for occurrences of duplicated windows —
     bounded by document length, not by corpus duplication. No UDFs;
     everything is sequence/slice/hash-agg inside codegen."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("ts"),
-    ).select(
-        "doc_id",
-        F.when(
-            (F.size("ts") == 1) & (F.element_at("ts", 1) == ""), F.array()
-        ).otherwise(F.col("ts")).alias("ts"),
-    )
-    wins = (
-        toks.where(F.size("ts") >= width)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.size("ts") - (width - 1))
-            ).alias("i"),
-            "ts",
-        )
-        .select(
-            "doc_id",
-            "i",
-            F.md5(F.concat_ws(" ", F.slice("ts", F.col("i"), width))).alias("wh"),
-        )
-    )
+    toks, wins = _span_windows(df, id_col, text_col, width)
     dup = (
         wins.groupBy("wh")
         .agg(F.count(F.lit(1)).alias("occ"))
@@ -736,6 +748,97 @@ def duplicate_spans(
         F.round(F.col("covered_tokens") / F.col("total_tokens"), 6),
     ).otherwise(F.lit(0.0))
     return out.withColumn("dup_cover_frac", frac)
+
+
+def remove_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, *, width: int = 8
+) -> DataFrame:
+    """The removal half of ExactSubstr (Lee et al. 2021,
+    arXiv:2107.06499): keep each duplicated ``width``-token span's
+    FIRST occurrence (corpus order: lowest (doc_id, position)) and cut
+    the tokens of every later occurrence. Returns one row per
+    document:
+
+      - ``total_tokens``   — whitespace tokens before removal;
+      - ``removed_tokens`` — token positions covered by at least one
+        non-first occurrence of a duplicated window;
+      - ``text_clean``     — the surviving tokens, original order,
+        space-joined.
+
+    Keep-first (not drop-all) is the published semantics — the corpus
+    retains exactly one copy of every repeated span. A token of the
+    first occurrence survives unless some OTHER duplicated window's
+    later occurrence also covers it — overlap resolution at token
+    granularity, same as cutting byte ranges in the suffix-array
+    formulation.
+
+    Scale shape: the first occurrence per window is a ``min(struct(
+    doc_id, i))`` aggregate on the window's md5 — same single
+    hash-agg as detection, no pairwise join, viral spans stay linear
+    in occurrences. Reconstruction anti-joins the removed-position
+    set (bounded by document length) and re-sorts each document's
+    kept tokens with ``array_sort`` over collected (pos, token)
+    structs — per-document state only."""
+    toks, wins = _span_windows(df, id_col, text_col, width)
+    # one aggregate yields BOTH the duplication filter and the first
+    # occurrence: occ >= 2 selects duplicated windows, (fd, fi) pins
+    # the occurrence whose tokens survive
+    firsts = (
+        wins.groupBy("wh")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.min(F.struct("doc_id", "i")).alias("first"),
+        )
+        .where(F.col("occ") >= 2)
+        .select(
+            "wh",
+            F.col("first.doc_id").alias("fd"),
+            F.col("first.i").alias("fi"),
+        )
+    )
+    later = wins.join(firsts, "wh").where(
+        (F.col("doc_id") != F.col("fd")) | (F.col("i") != F.col("fi"))
+    )
+    removed = later.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("i"), F.col("i") + (width - 1))).alias("p"),
+    ).distinct()
+    pos = toks.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("total_tokens"),
+        F.posexplode("ts").alias("p0", "tok"),
+    ).select(
+        "doc_id", "total_tokens", (F.col("p0") + 1).alias("p"), "tok"
+    )
+    kept = (
+        pos.join(removed, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.first("total_tokens").alias("total_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    base = toks.select(
+        "doc_id", F.size("ts").cast("long").alias("total_tokens")
+    )
+    return (
+        base.join(kept.drop("total_tokens"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_tokens",
+            (F.col("total_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("removed_tokens"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
 
 
 def line_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -1478,3 +1478,53 @@ def docs_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_frac=0.5, alpha=0.5, weight_col="mass", seed="mix5",
     )
     return out.select("doc_id", "source")
+
+
+@workload(
+    "dedup_spans_removed",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
+    ),
+    w AS (
+      SELECT doc_id, i, array_to_string(ts[i:i+7], ' ') AS win
+      FROM d, unnest(range(1, len(ts) - 8 + 2)) t(i) WHERE len(ts) >= 8
+    ),
+    later AS (
+      SELECT doc_id, i FROM (
+        SELECT doc_id, i,
+               row_number() OVER (PARTITION BY win ORDER BY doc_id, i) AS rn,
+               count(*) OVER (PARTITION BY win) AS occ
+        FROM w
+      ) WHERE occ >= 2 AND rn >= 2
+    ),
+    removed AS (
+      SELECT DISTINCT doc_id, p FROM later, unnest(range(i, i + 8)) t(p)
+    ),
+    pos AS (
+      SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS p
+      FROM d
+    ),
+    kept AS (
+      SELECT pos.doc_id,
+             string_agg(pos.tok, ' ' ORDER BY pos.p) AS text_clean,
+             count(*) AS n_kept
+      FROM pos LEFT JOIN removed
+        ON pos.doc_id = removed.doc_id AND pos.p = removed.p
+      WHERE removed.p IS NULL
+      GROUP BY pos.doc_id
+    )
+    SELECT d.doc_id, len(d.ts)::BIGINT AS total_tokens,
+           (len(d.ts) - coalesce(n_kept, 0))::BIGINT AS removed_tokens,
+           coalesce(text_clean, '') AS text_clean
+    FROM d LEFT JOIN kept USING (doc_id)
+    """,
+)
+def dedup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal (keep-first): every later occurrence of a
+    duplicated 8-token span is cut at token granularity and the
+    document re-assembled in order. The oracle reproduces the
+    first-occurrence choice ((doc_id, position) order) and the
+    reconstructed text byte-exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(docs, "doc_id", "text", width=8)

@@ -302,3 +302,84 @@ def test_mixture_resample_validates_and_handles_empty(spark):
     )
     with pytest.raises(ValueError, match="target_frac"):
         mixture_resample(df, "doc_id", "source", target_frac=1.5)
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicate_spans
+# ---------------------------------------------------------------------------
+
+
+def _brute_removed(rows, width):
+    toks = {d: t.split() for d, t in rows}
+    occs = {}  # window -> [(doc, start1based)]
+    for d, ts in sorted(toks.items()):
+        for i in range(len(ts) - width + 1):
+            occs.setdefault(tuple(ts[i : i + width]), []).append((d, i + 1))
+    removed = {d: set() for d in toks}
+    for w, lst in occs.items():
+        if len(lst) >= 2:
+            for d, i in sorted(lst)[1:]:  # keep first, cut the rest
+                removed[d].update(range(i, i + width))
+    out = {}
+    for d, ts in toks.items():
+        kept = [t for j, t in enumerate(ts, 1) if j not in removed[d]]
+        out[d] = (len(ts), len(removed[d]), " ".join(kept))
+    return out
+
+
+def test_remove_duplicate_spans_hand_case(spark):
+    rows = [
+        (1, "a b c d tail one"),
+        (2, "head a b c d tail"),
+        (3, "a b c d a b c d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["total_tokens"], r["removed_tokens"], r["text_clean"])
+        for r in dedup.remove_duplicate_spans(
+            df, "doc_id", "text", width=4
+        ).collect()
+    }
+    assert got == _brute_removed(rows, 4)
+    # doc 1 holds the first occurrence of "a b c d" -> fully intact
+    assert got[1] == (6, 0, "a b c d tail one")
+    # doc 2 loses both shared windows: "a b c d" (pos 2-5) and
+    # "b c d tail" (pos 3-6, ALSO first-seen in doc 1) -> only "head"
+    assert got[2][2] == "head"
+    # doc 1 owns the corpus-first "a b c d", so BOTH of doc 3's
+    # copies (pos 1-4 and 5-8) are later occurrences - the whole doc
+    # is cut even though, in isolation, its first copy would survive
+    assert got[3][2] == ""
+
+
+def test_remove_duplicate_spans_matches_bruteforce_on_fixture(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(80)
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    got = {
+        r["doc_id"]: (r["total_tokens"], r["removed_tokens"], r["text_clean"])
+        for r in dedup.remove_duplicate_spans(
+            docs, "doc_id", "text", width=6
+        ).collect()
+    }
+    assert got == _brute_removed(rows, 6)
+
+
+def test_remove_then_detect_is_clean(spark):
+    # after keep-first removal, re-detection finds no duplicated
+    # windows that were introduced by the removal stitching... the
+    # FIRST copies survive, so re-running detection on cleaned text
+    # must show every duplicated window now occurring at most once
+    # corpus-wide (stitched-together boundaries can create new
+    # windows, but none of the ORIGINAL duplicated ones remain twice)
+    rows = [
+        (1, "x y z q r s t u"),
+        (2, "p p p x y z q r s t u w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cleaned = dedup.remove_duplicate_spans(df, "doc_id", "text", width=8)
+    re_detect = dedup.duplicate_spans(
+        cleaned, "doc_id", "text_clean", width=8
+    )
+    assert all(
+        r["n_dup_windows"] == 0 for r in re_detect.collect()
+    )
