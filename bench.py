@@ -260,6 +260,9 @@ def main() -> None:
         "events_pivot_types",
         "events_resampled_hourly",
         "docs_pii_redacted",
+        "dedup_duplicate_spans",
+        "semantic_dedup_labeled",
+        "docs_mixture_resample",
     ]:
         # dedup_minhash_lsh: the round-4 judge run recorded spread ~=
         # 58% of median on 2 warm samples; 5 repeats tighten it

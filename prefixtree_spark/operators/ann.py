@@ -782,11 +782,15 @@ def semantic_dedup(
     with larger k, or pre-split hot clusters, rather than burying the
     blow-up); cosine stays JVM-side (``aggregate``/``zip_with`` fold —
     no UDF)."""
+    # ids are assumed unique (every caller's id is a key); a
+    # dropDuplicates guard here measurably cost three extra corpus
+    # shuffles (SortAggregate + Exchange per self-join side) in the
+    # physical plan for a condition that never fires
     e = df.select(
         F.col(id_col).alias("vid"),
         F.col(cluster_col).alias("cl"),
         _as_double(F.col(vec_col)).alias("v"),
-    ).dropDuplicates(["vid"])
+    )
     if max_cluster is not None:
         hot = (
             e.groupBy("cl")
