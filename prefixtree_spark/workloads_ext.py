@@ -1393,17 +1393,20 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @workload(
     "semantic_dedup_labeled",
     """
-    WITH e AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WITH e0 AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, label,
+             list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+      FROM e0
     )
     SELECT b.vec_id, b.label AS cluster
     FROM e b
     WHERE NOT EXISTS (
       SELECT 1 FROM e a
       WHERE a.label = b.label AND a.vec_id < b.vec_id
-        AND list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-            >= 0.3
+        AND list_dot_product(a.v, b.v) >= 0.3
     )
     """,
 )

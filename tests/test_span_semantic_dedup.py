@@ -383,3 +383,40 @@ def test_remove_then_detect_is_clean(spark):
     assert all(
         r["n_dup_windows"] == 0 for r in re_detect.collect()
     )
+
+
+def test_span_family_randomized_vs_brute(spark):
+    # FIXTURES.md F5 style: tiny alphabets force heavy window
+    # collisions (intra- and cross-document); one corpus unions all
+    # seeds so a single Spark round checks many regimes at once
+    import random
+
+    rows = []
+    did = 0
+    for seed in range(8):
+        rng = random.Random(seed)
+        alpha = rng.choice([["a", "b"], ["a", "b", "c"], ["x", "y", "z", "w"]])
+        for _ in range(rng.randint(2, 10)):
+            n = rng.randint(0, 30)
+            rows.append((did, " ".join(rng.choices(alpha, k=n))))
+            did += 1
+    width = 5
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    det = {
+        r["doc_id"]: (
+            r["total_tokens"],
+            r["n_windows"],
+            r["n_dup_windows"],
+            r["covered_tokens"],
+            r["dup_cover_frac"],
+        )
+        for r in dedup.duplicate_spans(df, "doc_id", "text", width=width).collect()
+    }
+    assert det == _brute_spans(rows, width)
+    rem = {
+        r["doc_id"]: (r["total_tokens"], r["removed_tokens"], r["text_clean"])
+        for r in dedup.remove_duplicate_spans(
+            df, "doc_id", "text", width=width
+        ).collect()
+    }
+    assert rem == _brute_removed(rows, width)
