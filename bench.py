@@ -108,12 +108,15 @@ def main() -> None:
         "fuzzy_tree_k1_warm",
         lambda: query(pt_holder["pt"], qdf, "q", 1, index=handle).count(),
     )
-    # the 100 TB path: tree stays distributed, zero-shuffle traversal
+    # the 100 TB path: tree stays distributed, zero-shuffle traversal.
+    # 5 repeats: this is the flagship number, and its r05 spread hit
+    # 55% of median at 3 repeats under local[32] contention
     bench(
         "fuzzy_tree_distributed_k1",
         lambda: query(
             pt_holder["pt"], qdf, "q", 1, mode="broadcast_queries", colocated=True
         ).count(),
+        repeats=5,
     )
     words = cust.select(F.trim("c_name").alias("word")).where("word <> ''").distinct()
     # thresholded levenshtein returns -1 when the bound is exceeded,
@@ -379,6 +382,10 @@ def main() -> None:
     )
     extras["ivf_index_build_sec"] = round(time.time() - t0, 3)
     ivf_idx = ann_ops.load_ivf_index(spark, ivf_dir)
+    # NB: warm runs the HIGH-RECALL config (r4/p8, recall 0.93) — read
+    # it against ivf_c32_p8_r4_sec, not the headline ann_topk_ivf
+    # (r1/p8, recall ~0.6). Matching that per-call twin's time while
+    # skipping the 10s ivf_index_build_sec is the win being measured.
     bench(
         "ann_topk_ivf_warm",
         lambda: ann_ops.cosine_topk_ivf_index(
