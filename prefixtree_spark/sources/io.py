@@ -151,6 +151,13 @@ def convert_to_parquet(
 
 _MANIFEST_DIR = "_manifest"
 
+# manifest entry payload: "vdir\tformat[\tmode]" where mode is
+# "replace" (default; the entry's directory IS the table) or "append"
+# (the entry adds a segment on top of the previous live snapshot —
+# the add-file commit of a Delta-style log, giving O(|delta|) ingest
+# commits instead of O(|corpus|) rewrites). Two-field entries written
+# before append support read as replace — old tables stay valid.
+
 
 def _fs(spark: SparkSession, path: str):
     jvm = spark.sparkContext._jvm
@@ -206,6 +213,35 @@ def publish_version(
     the loser's rename fails (the number is taken) and it retries with
     the next number against the new snapshot — single-writer pipelines
     never loop."""
+    return _publish_entry(df, root, "replace", format, partition_by)
+
+
+def append_published(
+    df: DataFrame,
+    root: str,
+    *,
+    format: str = "parquet",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Atomically ADD ``df`` as a new segment of the table at ``root``
+    (readers see old-snapshot-or-new, never partial) and return the
+    version number. The live table becomes the previous snapshot plus
+    this segment — the add-file commit shape, costing O(|df|) per
+    commit where ``publish_version`` would rewrite the whole table.
+    This is what incremental ingest (streaming sinks, ``add_words``
+    deltas, crawl snapshots) should call per batch; run
+    ``compact_published`` out of band to fold long append chains back
+    into one directory before segment-count listing costs show up."""
+    return _publish_entry(df, root, "append", format, partition_by)
+
+
+def _publish_entry(
+    df: DataFrame,
+    root: str,
+    mode: str,
+    format: str,
+    partition_by: list[str] | None,
+) -> int:
     import uuid as _uuid
 
     fs, jvm = _fs(spark := df.sparkSession, root)
@@ -223,7 +259,7 @@ def publish_version(
         final = jvm.org.apache.hadoop.fs.Path(f"{root}/{_MANIFEST_DIR}/{n}")
         out = fs.create(tmp, False)
         try:
-            out.write(bytearray(f"{vdir}\t{format}".encode("utf-8")))
+            out.write(bytearray(f"{vdir}\t{format}\t{mode}".encode("utf-8")))
         finally:
             out.close()
         if fs.rename(tmp, final) and not fs.exists(tmp):
@@ -233,19 +269,45 @@ def publish_version(
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{vdir}"), True)
         attempts += 1
         if attempts > 100:
-            raise RuntimeError(f"publish_version: contended beyond reason at {root}")
+            raise RuntimeError(f"_publish_entry: contended beyond reason at {root}")
+
+
+def _parse_entry(content: str) -> tuple[str, str, str]:
+    """(vdir, format, mode) from a manifest payload; two-field entries
+    predate append support and mean replace."""
+    parts = content.split("\t")
+    return parts[0], parts[1], (parts[2] if len(parts) > 2 else "replace")
+
+
+def _resolve_chain(
+    spark: SparkSession, entries: list[tuple[int, str]]
+) -> list[tuple[str, str]]:
+    """The (vdir, format) segments of the snapshot defined by the LAST
+    entry: that entry plus, walking backwards, every append under it
+    until (and including) the first replace. Oldest segment first."""
+    chain: list[tuple[str, str]] = []
+    for _, mpath in reversed(entries):
+        vdir, fmt, mode = _parse_entry(_read_small_file(spark, mpath))
+        chain.append((vdir, fmt))
+        if mode == "replace":
+            break
+    return list(reversed(chain))
 
 
 def read_published(spark: SparkSession, root: str) -> DataFrame:
-    """Scan the LIVE version of a ``publish_version`` table: resolve
-    the newest manifest entry, read its immutable directory. A
-    concurrent (even crashing) publish never changes what an already-
-    resolved reader scans — version directories are immutable."""
+    """Scan the LIVE snapshot of a published table: resolve the newest
+    manifest entry's segment chain (its base replace version plus any
+    appends on top), union the immutable directories. A concurrent
+    (even crashing) publish never changes what an already-resolved
+    reader scans — segment directories are immutable."""
     entries = _manifest_entries(spark, root)
     if not entries:
         raise FileNotFoundError(f"no published version under {root!r}")
-    vdir, fmt = _read_small_file(spark, entries[-1][1]).split("\t")
-    return read_source(spark, f"{root}/{vdir}", format=fmt)
+    out: DataFrame | None = None
+    for vdir, fmt in _resolve_chain(spark, entries):
+        seg = read_source(spark, f"{root}/{vdir}", format=fmt)
+        out = seg if out is None else out.unionByName(seg)
+    return out
 
 
 def published_version(spark: SparkSession, root: str) -> int:
@@ -261,42 +323,58 @@ def compact_published(
     OPTIMIZE: read the live version, rewrite at the target file size as
     a NEW version, flip the manifest atomically. Readers concurrent
     with a crashed compaction keep the old version; returns the new
-    version number."""
+    version number. An append chain folds back into ONE replace
+    directory — the listing-cost reset that makes per-batch
+    ``append_published`` commits sustainable."""
     entries = _manifest_entries(spark, root)
     if not entries:
         raise FileNotFoundError(f"no published version under {root!r}")
-    vdir, fmt = _read_small_file(spark, entries[-1][1]).split("\t")
-    src = f"{root}/{vdir}"
-    fs, jvm = _fs(spark, src)
-    total_bytes = fs.getContentSummary(
-        jvm.org.apache.hadoop.fs.Path(src)
-    ).getLength()
+    chain = _resolve_chain(spark, entries)
+    fmt = chain[0][1]
+    fs, jvm = _fs(spark, root)
+    total_bytes = sum(
+        fs.getContentSummary(
+            jvm.org.apache.hadoop.fs.Path(f"{root}/{vdir}")
+        ).getLength()
+        for vdir, _ in chain
+    )
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
-    df = read_source(spark, src, format=fmt).repartition(n_files)
+    df = read_published(spark, root).repartition(n_files)
     return publish_version(df, root, format=fmt)
 
 
 def vacuum_published(spark: SparkSession, root: str, *, keep: int = 2) -> int:
-    """Delete version directories (and manifest entries) older than the
-    newest ``keep`` versions, plus orphaned data directories no
-    manifest references (failed publishes). Returns directories
-    removed. Run OUT of band, with ``keep`` ≥ the longest reader you
-    allow — a reader that resolved a version still scans its files."""
+    """Delete segment directories (and manifest entries) not referenced
+    by the newest ``keep`` SNAPSHOTS' chains, plus orphaned data
+    directories no manifest references (failed publishes). A snapshot's
+    chain includes its base replace version and every append between —
+    an old base directory stays live as long as any kept snapshot
+    stacks on it. Returns directories removed. Run OUT of band, with
+    ``keep`` ≥ the longest reader you allow — a reader that resolved a
+    snapshot still scans its files."""
     fs, jvm = _fs(spark, root)
     entries = _manifest_entries(spark, root)
-    referenced = {}
+    kept_entries = entries[-keep:] if keep else []
+    live_dirs: set[str] = set()
+    live_versions: set[int] = set()
+    for i in range(len(entries) - len(kept_entries), len(entries)):
+        for vdir, _ in _resolve_chain(spark, entries[: i + 1]):
+            live_dirs.add(vdir)
+    # manifest entries to keep: every entry whose directory is live
+    # (chain members below a kept snapshot included — resolving a kept
+    # snapshot later must still find its appends' entries)
     for n, mpath in entries:
-        referenced[n] = _read_small_file(spark, mpath).split("\t")[0]
-    live = dict(list(sorted(referenced.items()))[-keep:]) if keep else {}
+        if _parse_entry(_read_small_file(spark, mpath))[0] in live_dirs:
+            live_versions.add(n)
     removed = 0
     rootp = jvm.org.apache.hadoop.fs.Path(root)
     if fs.exists(rootp):
         for st in fs.listStatus(rootp):
             name = st.getPath().getName()
-            if name.startswith("v_") and name not in live.values():
+            if name.startswith("v_") and name not in live_dirs:
                 fs.delete(st.getPath(), True)
                 removed += 1
     for n, mpath in entries:
-        if n not in live:
+        if n not in live_versions:
             fs.delete(jvm.org.apache.hadoop.fs.Path(mpath), False)
     return removed

@@ -224,3 +224,109 @@ def test_publish_index_add_words_cycle(spark, tmp_path):
     live2 = load_published_index(spark, root, colocated=True)
     assert query_one(live2, "JONES", 0) == [("JONES", 0)]
     assert query_one(live2, "SMITH", 0) == [("SMITH", 0)]
+
+
+# --- append segments (add-commit chains on the manifest log) -----------
+
+
+def test_append_published_chain_semantics(spark, tmp_path):
+    """append stacks segments on the live snapshot; a replace resets
+    the chain; published_version counts every commit."""
+    from prefixtree_spark.sources.io import (
+        append_published,
+        publish_version,
+        published_version,
+        read_published,
+    )
+
+    root = str(tmp_path / "pub_append")
+    publish_version(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"]), root)
+    assert append_published(
+        spark.createDataFrame([(3, "c")], ["id", "name"]), root
+    ) == 2
+    assert _pub_rows(read_published(spark, root)) == [(1, "a"), (2, "b"), (3, "c")]
+    append_published(spark.createDataFrame([(4, "d")], ["id", "name"]), root)
+    assert published_version(spark, root) == 3
+    assert len(_pub_rows(read_published(spark, root))) == 4
+    # a replace publish resets the chain
+    publish_version(spark.createDataFrame([(9, "z")], ["id", "name"]), root)
+    assert _pub_rows(read_published(spark, root)) == [(9, "z")]
+
+
+def test_append_first_commit_acts_as_base(spark, tmp_path):
+    from prefixtree_spark.sources.io import append_published, read_published
+
+    root = str(tmp_path / "pub_append_first")
+    append_published(spark.createDataFrame([(1, "a")], ["id", "name"]), root)
+    append_published(spark.createDataFrame([(2, "b")], ["id", "name"]), root)
+    assert _pub_rows(read_published(spark, root)) == [(1, "a"), (2, "b")]
+
+
+def test_compact_folds_append_chain(spark, tmp_path):
+    """compact_published reads the whole chain and republishes it as a
+    single replace directory; rows unchanged, chain length reset."""
+    from prefixtree_spark.sources.io import (
+        append_published,
+        compact_published,
+        publish_version,
+        read_published,
+        _manifest_entries,
+        _parse_entry,
+        _read_small_file,
+        _resolve_chain,
+    )
+
+    root = str(tmp_path / "pub_append_compact")
+    publish_version(spark.createDataFrame([(1, "a")], ["id", "name"]), root)
+    append_published(spark.createDataFrame([(2, "b")], ["id", "name"]), root)
+    append_published(spark.createDataFrame([(3, "c")], ["id", "name"]), root)
+    v = compact_published(spark, root)
+    assert v == 4
+    assert _pub_rows(read_published(spark, root)) == [(1, "a"), (2, "b"), (3, "c")]
+    entries = _manifest_entries(spark, root)
+    assert len(_resolve_chain(spark, entries)) == 1
+    assert _parse_entry(_read_small_file(spark, entries[-1][1]))[2] == "replace"
+
+
+def test_vacuum_keeps_base_of_live_append_chain(spark, tmp_path):
+    """A kept snapshot's WHOLE chain stays on disk: vacuum keep=1 after
+    base+append must not delete the base directory the live snapshot
+    still unions in."""
+    from prefixtree_spark.sources.io import (
+        append_published,
+        publish_version,
+        read_published,
+        vacuum_published,
+    )
+
+    root = str(tmp_path / "pub_append_vacuum")
+    publish_version(spark.createDataFrame([(1, "a")], ["id", "name"]), root)
+    append_published(spark.createDataFrame([(2, "b")], ["id", "name"]), root)
+    removed = vacuum_published(spark, root, keep=1)
+    assert removed == 0  # both dirs belong to the live snapshot's chain
+    assert _pub_rows(read_published(spark, root)) == [(1, "a"), (2, "b")]
+    # after a replace, the old chain's two dirs become vacuumable
+    publish_version(spark.createDataFrame([(9, "z")], ["id", "name"]), root)
+    removed = vacuum_published(spark, root, keep=1)
+    assert removed == 2
+    assert _pub_rows(read_published(spark, root)) == [(9, "z")]
+
+
+def test_append_crash_injection_reader_unaffected(spark, tmp_path):
+    """An append that dies before its manifest rename (orphan segment
+    dir + stale temp manifest) never changes what readers see."""
+    from prefixtree_spark.sources.io import (
+        publish_version,
+        read_published,
+        write_sink,
+    )
+
+    root = str(tmp_path / "pub_append_crash")
+    publish_version(spark.createDataFrame([(1, "a")], ["id", "name"]), root)
+    write_sink(
+        spark.createDataFrame([(8, "y")], ["id", "name"]),
+        f"{root}/v_00000000002_0badc0de",
+    )
+    with open(f"{root}/_manifest/.tmp-crashed-append", "w") as f:
+        f.write("v_00000000002_0badc0de\tparquet\tappend")
+    assert _pub_rows(read_published(spark, root)) == [(1, "a")]

@@ -1,0 +1,144 @@
+"""Streaming corpus ingest: greedy first-arrival near-dup rejection
+with atomic append commits (streaming/ingest.py). Pins:
+
+  - greedy vs global semantics on a constructed A~B~C chain;
+  - the short-doc exact-text guard (no shingles, still deduped);
+  - stream == sequential-batch twin on the documents fixture;
+  - full-replay idempotence (the at-least-once recovery story).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from prefixtree_spark.sources.io import published_version, read_published
+from prefixtree_spark.sources.tables import load_table
+from prefixtree_spark.streaming.ingest import (
+    ingest_batch,
+    ingest_sequential,
+    streaming_ingest_corpus,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _chain_docs(spark):
+    """A < B < C with jaccard(A,B)=0.6, jaccard(B,C)=0.6,
+    jaccard(A,C)=1/3 on 3-token shingles: a transitivity probe."""
+    toks = [f"t{i}" for i in range(1, 15)]
+    a = " ".join(toks[0:10])   # shingles s1..s8
+    b = " ".join(toks[2:12])   # s3..s10: |A∩B|=6, |A∪B|=10
+    c = " ".join(toks[4:14])   # s5..s12: |B∩C|=6, |A∩C|=4, |A∪C|=12
+    return {
+        "A": (1, a),
+        "B": (2, b),
+        "C": (3, c),
+    }
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_single_batch_matches_global_dedup(spark, tmp_path):
+    """All three chain docs in ONE batch: within-batch CC collapses the
+    whole A-B-C component to its min id — identical to the batch
+    ``dedup_corpus`` result on the same input."""
+    d = _chain_docs(spark)
+    batch = spark.createDataFrame(list(d.values()), ["doc_id", "text"])
+    root = str(tmp_path / "one_batch")
+    ingest_batch(batch, root, "doc_id", "text", threshold=0.5)
+    assert _ids(read_published(spark, root)) == [1]
+
+
+def test_greedy_two_batches_keeps_chain_ends(spark, tmp_path):
+    """[A,B] then [C]: A survives batch 1 (B ~ A rejected); C is NOT a
+    near-dup of the accepted corpus {A} (jaccard 1/3 < 0.5), so greedy
+    keeps it — where the global pass keeps A alone. The documented
+    first-arrival semantics, pinned."""
+    d = _chain_docs(spark)
+    b1 = spark.createDataFrame([d["A"], d["B"]], ["doc_id", "text"])
+    b2 = spark.createDataFrame([d["C"]], ["doc_id", "text"])
+    root = str(tmp_path / "greedy")
+    out = ingest_sequential([b1, b2], root, "doc_id", "text", threshold=0.5)
+    assert _ids(out) == [1, 3]
+    assert published_version(spark, root) == 2
+
+
+def test_short_doc_exact_guard(spark, tmp_path):
+    """Docs below one shingle (<3 tokens) carry no LSH evidence; the
+    corpus exact-text guard still rejects re-arrivals, while a NEW
+    short text is accepted."""
+    root = str(tmp_path / "short")
+    b1 = spark.createDataFrame([(1, "hi"), (2, "hi")], ["doc_id", "text"])
+    b2 = spark.createDataFrame([(3, "hi"), (4, "yo")], ["doc_id", "text"])
+    out = ingest_sequential([b1, b2], root, "doc_id", "text")
+    assert _ids(out) == [1, 4]
+
+
+def test_stream_equals_sequential_twin_on_documents(spark, tmp_path):
+    """availableNow file stream (maxFilesPerTrigger=1, two files in
+    arrival order) through the foreachBatch sink == folding the same
+    two halves through ingest_batch. Same keep set, same corpus."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    lo = docs.where("doc_id < 250")
+    hi = docs.where("doc_id >= 250")
+
+    stream_dir = str(tmp_path / "arrivals")
+    lo.coalesce(1).write.parquet(f"{stream_dir}/b0")
+    time.sleep(1.1)  # file-source ordering is by modification time
+    hi.coalesce(1).write.parquet(f"{stream_dir}/b1")
+
+    twin_root = str(tmp_path / "twin")
+    twin = ingest_sequential([lo, hi], twin_root, "doc_id", "text")
+
+    stream_root = str(tmp_path / "streamed")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stream_dir)
+    )
+    q = streaming_ingest_corpus(
+        stream,
+        stream_root,
+        "doc_id",
+        "text",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    got = read_published(spark, stream_root)
+    assert _ids(got) == _ids(twin)
+    # greedy invariant: multiple commits happened (one per non-empty batch)
+    assert published_version(spark, stream_root) == 2
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    """A fresh checkpoint replaying the SAME files against an already-
+    populated corpus appends nothing: every row is rejected against
+    itself (the at-least-once recovery contract)."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    sample = docs.where("doc_id < 100")
+    stream_dir = str(tmp_path / "arrivals")
+    sample.coalesce(1).write.parquet(f"{stream_dir}/b0")
+    root = str(tmp_path / "corpus")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(stream_dir)
+        )
+        q = streaming_ingest_corpus(
+            stream, root, "doc_id", "text", checkpoint_dir=str(tmp_path / ckpt)
+        )
+        q.awaitTermination(300)
+
+    run("ckpt1")
+    first = _ids(read_published(spark, root))
+    v1 = published_version(spark, root)
+    run("ckpt2")  # fresh checkpoint: full replay of every file
+    assert _ids(read_published(spark, root)) == first
+    assert published_version(spark, root) == v1  # no empty appends
