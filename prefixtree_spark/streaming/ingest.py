@@ -26,13 +26,19 @@ ingest can compute without revisiting history — and it is
 deterministic given the batch sequence, which is what the batch twin
 test pins.
 
-Scale shape: each batch pays its own shingle/signature work plus one
-band-bucket equi-join against the corpus side. At 100 TB the
-corpus-side signatures should be persisted and appended alongside the
-docs (the same add-segment commit); here the corpus side is re-read
-from the published table per batch — correct, and the right fixture
-shape — with the signature-persistence optimization documented rather
-than faked. ``compact_published`` folds the append chain out of band.
+Scale shape: the corpus side's LSH evidence is PERSISTED — each batch
+appends its survivors' (doc, band, bucket) rows to a side table
+(``<root>_bands``, same atomic add-segment commits), so batch N+1's
+candidate join reads stored buckets instead of re-shingling and
+re-hashing the whole corpus. Exact verification then re-shingles only
+the CANDIDATE corpus docs (semi-join on candidate ids — at 100 TB,
+thousands of docs, not the corpus). Per batch the corpus-side cost is
+one bucket-table scan + one bounded semi-join; the only O(corpus)
+scan left is the single-column exact-text guard. Band parameters
+(shingle n, num_perm, bands, seed) are pinned in ``<root>_bands/_params``
+— a batch with different parameters fails fast instead of silently
+joining incompatible buckets. ``compact_published`` folds both
+tables' append chains out of band.
 """
 
 from __future__ import annotations
@@ -41,11 +47,64 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from prefixtree_spark.operators import dedup
+from prefixtree_spark.operators.dedup import (
+    _band_buckets,
+    minhash_signatures,
+    token_shingles,
+)
 from prefixtree_spark.sources.io import (
+    _fs,
+    _read_small_file,
     append_published,
+    publish_version,
     published_version,
     read_published,
 )
+
+
+def _bands_root(root: str) -> str:
+    return root.rstrip("/") + "_bands"
+
+
+def _doc_bands(
+    df: DataFrame, id_col: str, text_col: str, n: int, num_perm: int, bands: int
+) -> DataFrame:
+    """(doc, band, bucket) LSH keys for every doc of ``df`` — the rows
+    the side table stores. Deterministic in the doc text (seeded
+    multiply-shift permutations over xxhash64 base hashes), so buckets
+    computed in different batches/sessions are join-compatible."""
+    sh = token_shingles(df, id_col, text_col, n)
+    return _band_buckets(
+        minhash_signatures(sh, num_perm=num_perm), bands, num_perm // bands
+    )
+
+
+def _pin_band_params(
+    spark: SparkSession, broot: str, n: int, num_perm: int, bands: int
+) -> None:
+    """First writer records (n, num_perm, bands); later batches must
+    match — stored buckets hash the parameters in, so a silent change
+    would turn the candidate join into noise."""
+    meta = f"{n},{num_perm},{bands}"
+    fs, jvm = _fs(spark, broot)
+    p = jvm.org.apache.hadoop.fs.Path(f"{broot}/_params")
+    if not fs.exists(p):
+        try:
+            out = fs.create(p, False)  # create-if-absent arbitrates racers
+            try:
+                out.write(bytearray(meta.encode("utf-8")))
+            finally:
+                out.close()
+            return
+        except Exception:
+            pass  # lost the race: fall through to compare
+    existing = _read_small_file(spark, f"{broot}/_params")
+    if existing != meta:
+        raise ValueError(
+            f"ingest at {broot} was built with (n, num_perm, bands) = "
+            f"({existing}); this batch passed ({meta}) — stored LSH "
+            f"buckets are parameter-specific, re-ingest or match them"
+        )
 
 
 def ingest_batch(
@@ -61,9 +120,17 @@ def ingest_batch(
 ) -> int:
     """Run one ingest step (the batch twin of the streaming sink):
     dedup ``batch`` within itself and against the published corpus at
-    ``root``, append the survivors atomically. Returns the number of
-    surviving rows appended (0 appends nothing — no empty segments)."""
+    ``root``, append the survivors atomically — docs to ``root``, their
+    LSH band buckets to ``<root>_bands`` (buckets commit first: a crash
+    between the two commits leaves only extra buckets for absent docs,
+    which produce candidates with no shingles and therefore no pairs —
+    never a corpus doc invisible to future rejection). Returns the
+    number of surviving rows appended (0 appends nothing)."""
+    assert num_perm % bands == 0
     spark = batch.sparkSession
+    broot = _bands_root(root)
+    _pin_band_params(spark, broot, n, num_perm, bands)
+    pins: list[DataFrame] = []
     # 1. exact within-batch: min id per exact text
     keep_exact = batch.groupBy(text_col).agg(F.min(id_col).alias(id_col))
     surv = batch.join(keep_exact, [id_col, text_col], "left_semi")
@@ -74,32 +141,82 @@ def ingest_batch(
     # 3. reject duplicates of the already-accepted corpus: exact text
     # first (catches docs shorter than one shingle, which carry no LSH
     # evidence — and is the guard that makes replayed batches no-ops),
-    # then bipartite near-dup
+    # then near-dup via the STORED corpus buckets + exact verify over
+    # candidate corpus docs only
     if published_version(spark, root) > 0:
         corpus = read_published(spark, root)
         surv = surv.join(
             corpus.select(text_col).distinct(), text_col, "left_anti"
         )
-        hits = dedup.incremental_lsh_pairs(
-            surv,
-            corpus,
-            id_col,
-            text_col,
-            n=n,
-            threshold=threshold,
-            num_perm=num_perm,
-            bands=bands,
-        ).select(F.col("new_id").alias(id_col)).distinct()
+        if published_version(spark, broot) > 0:
+            b_cor = read_published(spark, broot)
+        else:
+            # corpus predates the bands table: backfill once so every
+            # later batch reads stored buckets
+            b_cor = _doc_bands(corpus, id_col, text_col, n, num_perm, bands)
+            publish_version(b_cor, broot)
+            b_cor = read_published(spark, broot)
+        sh_new = token_shingles(surv, id_col, text_col, n).cache()
+        pins.append(sh_new)
+        b_new = _band_buckets(
+            minhash_signatures(sh_new, num_perm=num_perm),
+            bands,
+            num_perm // bands,
+        )
+        candidates = (
+            b_new.select(F.col("doc").alias("new_id"), "band", "bucket")
+            .join(
+                b_cor.select(F.col("doc").alias("corpus_id"), "band", "bucket"),
+                ["band", "bucket"],
+            )
+            .select("new_id", "corpus_id")
+            .distinct()
+        )
+        # exact verify: shingle ONLY the candidate corpus docs
+        cand_ids = candidates.select(
+            F.col("corpus_id").alias(id_col)
+        ).distinct()
+        sh_cor = token_shingles(
+            corpus.join(cand_ids, id_col, "left_semi"), id_col, text_col, n
+        )
+        a = sh_new.select(F.col("doc").alias("new_id"), F.col("shingle").alias("s"))
+        b = sh_cor.select(F.col("doc").alias("corpus_id"), F.col("shingle").alias("s"))
+        inter = (
+            candidates.join(a, "new_id")
+            .join(b, ["corpus_id", "s"])
+            .groupBy("new_id", "corpus_id")
+            .agg(F.count(F.lit(1)).alias("ic"))
+        )
+        sz_new = sh_new.groupBy("doc").agg(F.count(F.lit(1)).alias("sz1")).select(
+            F.col("doc").alias("new_id"), "sz1"
+        )
+        sz_cor = sh_cor.groupBy("doc").agg(F.count(F.lit(1)).alias("sz2")).select(
+            F.col("doc").alias("corpus_id"), "sz2"
+        )
+        jac = F.col("ic") / (F.col("sz1") + F.col("sz2") - F.col("ic"))
+        hits = (
+            inter.join(sz_new, "new_id")
+            .join(sz_cor, "corpus_id")
+            .where(jac >= threshold)
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
         surv = surv.join(hits, id_col, "left_anti")
-    # 4. atomic append (materialize once; count from the same pass)
+    # 4. atomic append (materialize once; count from the same pass) —
+    # bands first (see docstring for the crash-ordering argument)
     surv = surv.persist()
+    pins.append(surv)
     try:
         n_out = surv.count()
         if n_out:
+            append_published(
+                _doc_bands(surv, id_col, text_col, n, num_perm, bands), broot
+            )
             append_published(surv, root)
         return n_out
     finally:
-        surv.unpersist()
+        for p in pins:
+            p.unpersist()
 
 
 def streaming_ingest_corpus(

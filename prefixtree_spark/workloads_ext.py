@@ -1531,3 +1531,95 @@ def dedup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstructed text byte-exactly."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.remove_duplicate_spans(docs, "doc_id", "text", width=8)
+
+
+_INGEST_GREEDY_SQL = r"""
+    WITH RECURSIVE split AS (
+      SELECT (max(doc_id) + 1) // 2 AS s FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts)-2)) AS i
+            FROM toks WHERE len(ts) >= 3)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ic
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id1, id2 FROM inter
+      JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+      WHERE ic::DOUBLE / (sa.sz + sb.sz - ic) >= 0.8
+    ),
+    e1 AS (SELECT id1 AS a, id2 AS b FROM pairs
+           WHERE id1 < (SELECT s FROM split) AND id2 < (SELECT s FROM split)
+           UNION ALL
+           SELECT id2, id1 FROM pairs
+           WHERE id1 < (SELECT s FROM split) AND id2 < (SELECT s FROM split)),
+    n1 AS (SELECT DISTINCT a FROM e1),
+    reach1(a, b) AS (SELECT a, a FROM n1 UNION
+                     SELECT r.a, e.b FROM reach1 r JOIN e1 e ON r.b = e.a),
+    comp1 AS (SELECT a AS node, min(b) AS component FROM reach1 GROUP BY a),
+    s1 AS (SELECT doc_id FROM documents
+           WHERE doc_id < (SELECT s FROM split)
+           AND doc_id NOT IN (SELECT node FROM comp1 WHERE node <> component)),
+    e2 AS (SELECT id1 AS a, id2 AS b FROM pairs
+           WHERE id1 >= (SELECT s FROM split) AND id2 >= (SELECT s FROM split)
+           UNION ALL
+           SELECT id2, id1 FROM pairs
+           WHERE id1 >= (SELECT s FROM split) AND id2 >= (SELECT s FROM split)),
+    n2 AS (SELECT DISTINCT a FROM e2),
+    reach2(a, b) AS (SELECT a, a FROM n2 UNION
+                     SELECT r.a, e.b FROM reach2 r JOIN e2 e ON r.b = e.a),
+    comp2 AS (SELECT a AS node, min(b) AS component FROM reach2 GROUP BY a),
+    s2pre AS (SELECT doc_id FROM documents
+              WHERE doc_id >= (SELECT s FROM split)
+              AND doc_id NOT IN (SELECT node FROM comp2 WHERE node <> component)),
+    s2 AS (SELECT doc_id FROM s2pre
+           WHERE doc_id NOT IN (SELECT id2 FROM pairs
+                                WHERE id1 IN (SELECT doc_id FROM s1))
+           AND doc_id NOT IN (SELECT id1 FROM pairs
+                              WHERE id2 IN (SELECT doc_id FROM s1))
+           AND doc_id NOT IN (SELECT b.doc_id FROM documents a
+                              JOIN documents b ON a.text = b.text
+                              WHERE a.doc_id IN (SELECT doc_id FROM s1)))
+    SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2
+"""
+
+
+@workload("docs_ingest_survivors", _INGEST_GREEDY_SQL)
+def docs_ingest_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-arrival corpus ingest (streaming/ingest.py), batch
+    twin: the documents table arrives in two batches (lower doc_id half
+    first); each batch is exact+LSH-deduped within itself, then
+    rejected against the already-accepted corpus, survivors appended
+    atomically. The oracle replays the same two-step greedy schedule in
+    SQL — within-batch components keep their min id, batch 2 then drops
+    exact-text and jaccard≥0.8 matches of batch 1's survivors. Greedy
+    ingest differs from global dedup (``dedup_corpus_survivors``)
+    exactly on cross-batch transitivity chains; the fixture has none,
+    the unit tests construct one."""
+    import shutil
+    import tempfile
+
+    from prefixtree_spark.streaming.ingest import ingest_sequential
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    root = tempfile.mkdtemp(prefix="ingest_workload_")
+    try:
+        out = ingest_sequential(
+            [docs.where(F.col("doc_id") < half),
+             docs.where(F.col("doc_id") >= half)],
+            root, "doc_id", "text", threshold=0.8, n=3,
+        ).select("doc_id")
+        # the published table lives in a tempdir: materialize before
+        # cleanup so the returned frame outlives the directory
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

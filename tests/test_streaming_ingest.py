@@ -142,3 +142,45 @@ def test_replay_is_idempotent(spark, tmp_path):
     run("ckpt2")  # fresh checkpoint: full replay of every file
     assert _ids(read_published(spark, root)) == first
     assert published_version(spark, root) == v1  # no empty appends
+
+
+def test_bands_side_table_persisted_and_params_pinned(spark, tmp_path):
+    """Ingest maintains <root>_bands via the same append commits; a
+    later batch with different LSH parameters fails fast instead of
+    joining incompatible buckets."""
+    import pytest
+
+    root = str(tmp_path / "corpus")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    ingest_batch(b1, root, "doc_id", "text")
+    bands = read_published(spark, root + "_bands")
+    assert bands.columns == ["doc", "band", "bucket"]
+    assert bands.where("doc = 1").count() == 32  # default bands=32
+    b2 = spark.createDataFrame([(2, "eta theta iota kappa")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="parameter"):
+        ingest_batch(b2, root, "doc_id", "text", n=4)
+    ingest_batch(b2, root, "doc_id", "text")  # matching params fine
+    assert sorted(r.doc for r in read_published(spark, root + "_bands")
+                  .select("doc").distinct().collect()) == [1, 2]
+
+
+def test_backfill_bands_for_pre_existing_corpus(spark, tmp_path):
+    """A corpus published before the bands table existed gets its
+    buckets backfilled on the first ingest — and rejection against it
+    still works (near-dup of a backfilled doc is dropped)."""
+    from prefixtree_spark.sources.io import publish_version
+
+    root = str(tmp_path / "corpus")
+    base = " ".join(f"w{i}" for i in range(20))
+    publish_version(
+        spark.createDataFrame([(1, base)], ["doc_id", "text"]), root
+    )
+    # near-dup of doc 1 (19/21 shared 3-shingles > 0.8) + one novel doc
+    dup = " ".join(["w0x"] + [f"w{i}" for i in range(1, 20)])
+    novel = " ".join(f"z{i}" for i in range(20))
+    b = spark.createDataFrame([(2, dup), (3, novel)], ["doc_id", "text"])
+    ingest_batch(b, root, "doc_id", "text", threshold=0.5)
+    assert _ids(read_published(spark, root)) == [1, 3]
+    assert published_version(spark, root + "_bands") >= 1
