@@ -471,6 +471,40 @@ def main() -> None:
     )
     skew.unpersist()
 
+    # streaming-ingest economics (round-5, untimed extras): two-batch
+    # greedy ingest over documents at this sf, then the isolated
+    # corpus-side comparison the bands table exists for — stored-bucket
+    # scan vs full shingle+minhash recompute (the per-batch O(corpus)
+    # work persistence removes; SCALING.md round-5 appendix).
+    import shutil
+    import tempfile as _itf
+
+    from prefixtree_spark.sources.io import read_published as _read_pub
+    from prefixtree_spark.streaming.ingest import _doc_bands, ingest_batch
+
+    ing_dir = _itf.mkdtemp(prefix="bench_ingest_")
+    docs_ing = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half_ing = (docs_ing.agg(F.max("doc_id")).first()[0] + 1) // 2
+    t0 = time.time()
+    extras["ingest_batch1_kept"] = ingest_batch(
+        docs_ing.where(f"doc_id < {half_ing}"), f"{ing_dir}/c", "doc_id", "text"
+    )
+    extras["ingest_batch1_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    extras["ingest_batch2_kept"] = ingest_batch(
+        docs_ing.where(f"doc_id >= {half_ing}"), f"{ing_dir}/c", "doc_id", "text"
+    )
+    extras["ingest_batch2_sec"] = round(time.time() - t0, 3)
+    corpus_ing = _read_pub(spark, f"{ing_dir}/c")
+    for tag in ("cold", "warm"):  # second pass recorded warm
+        t0 = time.time()
+        _read_pub(spark, f"{ing_dir}/c_bands").count()
+        extras[f"ingest_bands_scan_{tag}"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _doc_bands(corpus_ing, "doc_id", "text", 3, 64, 32).count()
+        extras[f"ingest_bands_recompute_{tag}"] = round(time.time() - t0, 3)
+    shutil.rmtree(ing_dir, ignore_errors=True)
+
     # stateful streaming: sessionize the whole events stream end-to-end
     # (availableNow file stream -> applyInPandasWithState -> memory sink)
     import shutil

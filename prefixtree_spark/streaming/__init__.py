@@ -6,6 +6,11 @@ from prefixtree_spark.streaming.events import (
     read_events_stream,
     streaming_tumbling_counts,
 )
+from prefixtree_spark.streaming.ingest import (
+    ingest_batch,
+    ingest_sequential,
+    streaming_ingest_corpus,
+)
 from prefixtree_spark.streaming.sessionize import streaming_sessionize
 from prefixtree_spark.streaming.topk import latest_topk, streaming_topk
 
@@ -17,4 +22,7 @@ __all__ = [
     "latest_topk",
     "streaming_exact_dedup",
     "streaming_drop_duplicates",
+    "ingest_batch",
+    "ingest_sequential",
+    "streaming_ingest_corpus",
 ]
