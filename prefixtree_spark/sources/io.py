@@ -316,6 +316,15 @@ def published_version(spark: SparkSession, root: str) -> int:
     return entries[-1][0] if entries else 0
 
 
+def published_chain_length(spark: SparkSession, root: str) -> int:
+    """Segment count of the live snapshot (0 when nothing published):
+    the maintenance signal for ``compact_published`` — every reader
+    unions this many directories, so long append chains trade ingest
+    cheapness for scan-time listing/open overhead."""
+    entries = _manifest_entries(spark, root)
+    return len(_resolve_chain(spark, entries)) if entries else 0
+
+
 def compact_published(
     spark: SparkSession, root: str, *, target_file_mb: int = 256
 ) -> int:
@@ -343,7 +352,9 @@ def compact_published(
     return publish_version(df, root, format=fmt)
 
 
-def vacuum_published(spark: SparkSession, root: str, *, keep: int = 2) -> int:
+def vacuum_published(
+    spark: SparkSession, root: str, *, keep: int = 2, grace_s: int = 3600
+) -> int:
     """Delete segment directories (and manifest entries) not referenced
     by the newest ``keep`` SNAPSHOTS' chains, plus orphaned data
     directories no manifest references (failed publishes). A snapshot's
@@ -351,12 +362,23 @@ def vacuum_published(spark: SparkSession, root: str, *, keep: int = 2) -> int:
     an old base directory stays live as long as any kept snapshot
     stacks on it. Returns directories removed. Run OUT of band, with
     ``keep`` ≥ the longest reader you allow — a reader that resolved a
-    snapshot still scans its files."""
+    snapshot still scans its files.
+
+    Concurrency: a publisher mid-commit has written its data directory
+    but not yet renamed its manifest entry — indistinguishable from a
+    crashed publish by state alone. UNREFERENCED directories are
+    therefore only deleted once untouched for ``grace_s`` seconds
+    (default 1 h ≫ any commit), so vacuum is safe to schedule alongside
+    an active ingest; superseded REFERENCED versions carry manifest
+    proof of being old and delete immediately."""
+    import time as _time
+
     fs, jvm = _fs(spark, root)
     entries = _manifest_entries(spark, root)
     kept_entries = entries[-keep:] if keep else []
     live_dirs: set[str] = set()
     live_versions: set[int] = set()
+    referenced: set[str] = set()
     for i in range(len(entries) - len(kept_entries), len(entries)):
         for vdir, _ in _resolve_chain(spark, entries[: i + 1]):
             live_dirs.add(vdir)
@@ -364,16 +386,24 @@ def vacuum_published(spark: SparkSession, root: str, *, keep: int = 2) -> int:
     # (chain members below a kept snapshot included — resolving a kept
     # snapshot later must still find its appends' entries)
     for n, mpath in entries:
-        if _parse_entry(_read_small_file(spark, mpath))[0] in live_dirs:
+        vdir = _parse_entry(_read_small_file(spark, mpath))[0]
+        referenced.add(vdir)
+        if vdir in live_dirs:
             live_versions.add(n)
     removed = 0
+    now_ms = _time.time() * 1000
     rootp = jvm.org.apache.hadoop.fs.Path(root)
     if fs.exists(rootp):
         for st in fs.listStatus(rootp):
             name = st.getPath().getName()
-            if name.startswith("v_") and name not in live_dirs:
-                fs.delete(st.getPath(), True)
-                removed += 1
+            if not name.startswith("v_") or name in live_dirs:
+                continue
+            if name not in referenced and (
+                now_ms - st.getModificationTime() < grace_s * 1000
+            ):
+                continue  # possibly an in-flight publish — let it land
+            fs.delete(st.getPath(), True)
+            removed += 1
     for n, mpath in entries:
         if n not in live_versions:
             fs.delete(jvm.org.apache.hadoop.fs.Path(mpath), False)

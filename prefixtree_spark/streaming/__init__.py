@@ -9,6 +9,7 @@ from prefixtree_spark.streaming.events import (
 from prefixtree_spark.streaming.ingest import (
     ingest_batch,
     ingest_sequential,
+    maintain_ingest,
     streaming_ingest_corpus,
 )
 from prefixtree_spark.streaming.sessionize import streaming_sessionize
@@ -24,5 +25,6 @@ __all__ = [
     "streaming_drop_duplicates",
     "ingest_batch",
     "ingest_sequential",
+    "maintain_ingest",
     "streaming_ingest_corpus",
 ]

@@ -267,6 +267,38 @@ def streaming_ingest_corpus(
     return writer.start()
 
 
+def maintain_ingest(
+    spark: SparkSession,
+    root: str,
+    *,
+    max_segments: int = 16,
+    keep: int = 2,
+    target_file_mb: int = 256,
+) -> dict[str, int]:
+    """Out-of-band maintenance for an ingest pair (corpus + bands):
+    when either table's live chain exceeds ``max_segments``, fold it
+    into one directory (``compact_published``), then vacuum both down
+    to ``keep`` snapshots. Run from a scheduler, never from the sink —
+    compaction is O(corpus) by design and must not gate a micro-batch.
+    Returns the new chain lengths. Safe concurrent with the sink: a
+    compaction losing the manifest race to an append simply retries on
+    the longer chain, and readers resolve complete snapshots
+    throughout."""
+    from prefixtree_spark.sources.io import (
+        compact_published,
+        published_chain_length,
+        vacuum_published,
+    )
+
+    out = {}
+    for r in (root, _bands_root(root)):
+        if published_chain_length(spark, r) > max_segments:
+            compact_published(spark, r, target_file_mb=target_file_mb)
+        vacuum_published(spark, r, keep=keep)
+        out[r] = published_chain_length(spark, r)
+    return out
+
+
 def ingest_sequential(
     batches: list[DataFrame],
     root: str,

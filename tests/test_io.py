@@ -330,3 +330,34 @@ def test_append_crash_injection_reader_unaffected(spark, tmp_path):
     with open(f"{root}/_manifest/.tmp-crashed-append", "w") as f:
         f.write("v_00000000002_0badc0de\tparquet\tappend")
     assert _pub_rows(read_published(spark, root)) == [(1, "a")]
+
+
+def test_vacuum_grace_protects_inflight_publish(spark, tmp_path):
+    """An unreferenced data directory could be a crashed publish OR a
+    publish mid-commit — vacuum must not delete it until it has been
+    quiet for the grace window; referenced superseded versions delete
+    immediately regardless."""
+    from prefixtree_spark.sources.io import (
+        publish_version,
+        read_published,
+        vacuum_published,
+        write_sink,
+    )
+
+    root = str(tmp_path / "pub_grace")
+    publish_version(spark.createDataFrame([(1, "a")], ["id", "name"]), root)
+    publish_version(spark.createDataFrame([(2, "b")], ["id", "name"]), root)
+    # simulate a publisher that has written data but not yet renamed
+    # its manifest entry
+    write_sink(
+        spark.createDataFrame([(9, "z")], ["id", "name"]),
+        f"{root}/v_00000000003_1nf1ight",
+    )
+    removed = vacuum_published(spark, root, keep=1)  # default 1h grace
+    assert removed == 1  # the superseded v1 only — the orphan survives
+    import os
+
+    assert os.path.isdir(f"{root}/v_00000000003_1nf1ight")
+    removed = vacuum_published(spark, root, keep=1, grace_s=0)
+    assert removed == 1  # grace waived: the orphan goes too
+    assert _pub_rows(read_published(spark, root)) == [(2, "b")]

@@ -184,3 +184,35 @@ def test_backfill_bands_for_pre_existing_corpus(spark, tmp_path):
     ingest_batch(b, root, "doc_id", "text", threshold=0.5)
     assert _ids(read_published(spark, root)) == [1, 3]
     assert published_version(spark, root + "_bands") >= 1
+
+
+def test_maintain_ingest_folds_long_chains(spark, tmp_path):
+    """Out-of-band maintenance: after the chain outgrows max_segments,
+    both corpus and bands fold to one directory each, content
+    unchanged, and a later batch still dedups correctly against the
+    compacted corpus."""
+    from prefixtree_spark.sources.io import published_chain_length
+    from prefixtree_spark.streaming.ingest import maintain_ingest
+
+    root = str(tmp_path / "corpus")
+    texts = [
+        " ".join(f"a{b}_{i}" for i in range(12)) for b in range(4)
+    ]
+    for b in range(3):
+        ingest_batch(
+            spark.createDataFrame([(b, texts[b])], ["doc_id", "text"]),
+            root, "doc_id", "text",
+        )
+    assert published_chain_length(spark, root) == 3
+    lengths = maintain_ingest(spark, root, max_segments=2, keep=1)
+    assert lengths == {root: 1, root + "_bands": 1}
+    assert _ids(read_published(spark, root)) == [0, 1, 2]
+    # dedup against the compacted corpus still works: replay doc 1's
+    # text under a new id, plus one genuinely new doc
+    ingest_batch(
+        spark.createDataFrame(
+            [(10, texts[1]), (11, texts[3])], ["doc_id", "text"]
+        ),
+        root, "doc_id", "text",
+    )
+    assert _ids(read_published(spark, root)) == [0, 1, 2, 11]
