@@ -117,6 +117,7 @@ def ingest_batch(
     n: int = 3,
     num_perm: int = 64,
     bands: int = 32,
+    audit: bool = False,
 ) -> int:
     """Run one ingest step (the batch twin of the streaming sink):
     dedup ``batch`` within itself and against the published corpus at
@@ -125,18 +126,68 @@ def ingest_batch(
     between the two commits leaves only extra buckets for absent docs,
     which produce candidates with no shingles and therefore no pairs —
     never a corpus doc invisible to future rejection). Returns the
-    number of surviving rows appended (0 appends nothing)."""
+    number of surviving rows appended (0 appends nothing).
+
+    ``audit=True`` additionally appends one row per REJECTED doc to
+    ``<root>_audit`` — (id, reason, matched_id) where reason names the
+    stage (``exact_batch`` / ``near_batch`` / ``exact_corpus`` /
+    ``near_corpus``) and matched_id the surviving doc it collided with
+    — the rejection lineage a training-data pipeline keeps so "why is
+    this document not in the corpus?" has a queryable answer. Audit
+    rows commit LAST: a crash can lose lineage for a committed batch,
+    never invent lineage for an uncommitted one."""
     assert num_perm % bands == 0
     spark = batch.sparkSession
     broot = _bands_root(root)
     _pin_band_params(spark, broot, n, num_perm, bands)
     pins: list[DataFrame] = []
+    audits: list[DataFrame] = []
+
+    def _note(df: DataFrame, reason: str, matched) -> None:
+        # (id, reason, matched_id) rows for the audit table
+        if audit:
+            audits.append(
+                df.select(
+                    F.col(id_col).cast("long").alias("id"),
+                    F.lit(reason).alias("reason"),
+                    matched.cast("long").alias("matched_id"),
+                )
+            )
+
     # 1. exact within-batch: min id per exact text
-    keep_exact = batch.groupBy(text_col).agg(F.min(id_col).alias(id_col))
-    surv = batch.join(keep_exact, [id_col, text_col], "left_semi")
+    keep_exact = batch.groupBy(text_col).agg(F.min(id_col).alias("_keep"))
+    with_keep = batch.join(keep_exact, text_col)
+    surv = with_keep.where(F.col(id_col) == F.col("_keep")).drop("_keep")
+    _note(
+        with_keep.where(F.col(id_col) != F.col("_keep")),
+        "exact_batch",
+        F.col("_keep"),
+    )
     # 2. near-dup within-batch: LSH pairs -> components -> min-id keep
-    surv = dedup.dedup_corpus(
-        surv, id_col, text_col, threshold=threshold, n=n
+    # (dedup.dedup_corpus inlined so the component labels are available
+    # for audit attribution)
+    from prefixtree_spark.operators.graph import connected_components
+
+    pairs = dedup.minhash_lsh_pairs(
+        surv, id_col, text_col, n=n, threshold=threshold,
+        num_perm=num_perm, bands=bands,
+    )
+    edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    labels = connected_components(nodes, edges).persist()
+    pins.append(labels)
+    victims_cc = labels.where(F.col("node") != F.col("component"))
+    _note(
+        victims_cc.select(
+            F.col("node").alias(id_col), F.col("component").alias("_m")
+        ),
+        "near_batch",
+        F.col("_m"),
+    )
+    surv = surv.join(
+        victims_cc.select(F.col("node").alias(id_col)), id_col, "left_anti"
     )
     # 3. reject duplicates of the already-accepted corpus: exact text
     # first (catches docs shorter than one shingle, which carry no LSH
@@ -145,8 +196,12 @@ def ingest_batch(
     # candidate corpus docs only
     if published_version(spark, root) > 0:
         corpus = read_published(spark, root)
+        cor_text = corpus.groupBy(text_col).agg(
+            F.min(id_col).alias("_cm")
+        )
+        _note(surv.join(cor_text, text_col), "exact_corpus", F.col("_cm"))
         surv = surv.join(
-            corpus.select(text_col).distinct(), text_col, "left_anti"
+            cor_text.select(text_col), text_col, "left_anti"
         )
         if published_version(spark, broot) > 0:
             b_cor = read_published(spark, broot)
@@ -198,12 +253,20 @@ def ingest_batch(
             inter.join(sz_new, "new_id")
             .join(sz_cor, "corpus_id")
             .where(jac >= threshold)
-            .select(F.col("new_id").alias(id_col))
-            .distinct()
+            .groupBy("new_id")
+            .agg(F.min("corpus_id").alias("_cm"))
         )
-        surv = surv.join(hits, id_col, "left_anti")
+        _note(
+            hits.select(F.col("new_id").alias(id_col), "_cm"),
+            "near_corpus",
+            F.col("_cm"),
+        )
+        surv = surv.join(
+            hits.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
+        )
     # 4. atomic append (materialize once; count from the same pass) —
-    # bands first (see docstring for the crash-ordering argument)
+    # bands first (see docstring for the crash-ordering argument),
+    # audit lineage last
     surv = surv.persist()
     pins.append(surv)
     try:
@@ -213,6 +276,14 @@ def ingest_batch(
                 _doc_bands(surv, id_col, text_col, n, num_perm, bands), broot
             )
             append_published(surv, root)
+        if audit and audits:
+            rejected = audits[0]
+            for a in audits[1:]:
+                rejected = rejected.unionByName(a)
+            rejected = rejected.persist()
+            pins.append(rejected)
+            if rejected.count():
+                append_published(rejected, root.rstrip("/") + "_audit")
         return n_out
     finally:
         for p in pins:
@@ -229,6 +300,7 @@ def streaming_ingest_corpus(
     n: int = 3,
     num_perm: int = 64,
     bands: int = 32,
+    audit: bool = False,
     checkpoint_dir: str,
     available_now: bool = True,
 ):
@@ -256,6 +328,7 @@ def streaming_ingest_corpus(
             n=n,
             num_perm=num_perm,
             bands=bands,
+            audit=audit,
         )
 
     writer = (
@@ -307,6 +380,7 @@ def ingest_sequential(
     *,
     threshold: float = 0.8,
     n: int = 3,
+    audit: bool = False,
 ) -> DataFrame:
     """Batch twin of the streaming sink: fold the batches through
     ``ingest_batch`` in order and return the published corpus — the
@@ -314,5 +388,7 @@ def ingest_sequential(
     compare against."""
     spark = batches[0].sparkSession
     for b in batches:
-        ingest_batch(b, root, id_col, text_col, threshold=threshold, n=n)
+        ingest_batch(
+            b, root, id_col, text_col, threshold=threshold, n=n, audit=audit
+        )
     return read_published(spark, root)

@@ -216,3 +216,36 @@ def test_maintain_ingest_folds_long_chains(spark, tmp_path):
         root, "doc_id", "text",
     )
     assert _ids(read_published(spark, root)) == [0, 1, 2, 11]
+
+
+def test_audit_lineage_names_stage_and_match(spark, tmp_path):
+    """audit=True records every rejection as (id, reason, matched_id):
+    exact/near within-batch and exact/near against the corpus, each
+    attributed to the surviving doc it collided with."""
+    d = _chain_docs(spark)
+    a_text, b_text, c_text = d["A"][1], d["B"][1], d["C"][1]
+    root = str(tmp_path / "corpus")
+    batches = [
+        # (5, A) exact-dups (1, A); (2, B) ~ A within batch
+        spark.createDataFrame(
+            [(1, a_text), (2, b_text), (5, a_text)], ["doc_id", "text"]
+        ),
+        # (7, A) is an exact re-arrival of corpus doc 1; C is novel
+        spark.createDataFrame([(7, a_text), (3, c_text)], ["doc_id", "text"]),
+        # (8, B) is a near-dup of corpus doc 1 (jaccard 0.6 >= 0.5)
+        spark.createDataFrame([(8, b_text)], ["doc_id", "text"]),
+    ]
+    out = ingest_sequential(
+        batches, root, "doc_id", "text", threshold=0.5, audit=True
+    )
+    assert _ids(out) == [1, 3]
+    audit = {
+        (r.id, r.reason, r.matched_id)
+        for r in read_published(spark, root + "_audit").collect()
+    }
+    assert audit == {
+        (5, "exact_batch", 1),
+        (2, "near_batch", 1),
+        (7, "exact_corpus", 1),
+        (8, "near_corpus", 1),
+    }
