@@ -19,7 +19,11 @@ from prefixtree_spark.operators.incremental import add_words, remove_words
 from prefixtree_spark.operators.prefix import prefix_search
 from prefixtree_spark.operators.ranking import bm25_rank, rrf_fuse
 from prefixtree_spark.operators.ann import (
+    append_ivf_index,
+    cosine_topk_int8,
+    int8_scales,
     kmeans_fit,
+    quantize_embeddings,
     semantic_dedup,
     semantic_dedup_kmeans,
 )

@@ -818,6 +818,22 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload("ann_topk_int8", _ANN_ORACLE)
+def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 via int8 scalar quantization (SQ8): quantized-corpus
+    prefilter (4× less scan IO at scale) + exact float64 rerank.
+    Oracled against the SAME exact-top-k SQL as ``ann_topk_cosine`` —
+    at gate/bench scales the pad makes the prefilter lossless, so the
+    output is bit-identical to brute force; recall at selective pads
+    is asserted in tests/test_ann.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id % 50 = 0")
+    topk = ann.cosine_topk_int8(
+        q, "vec_id", "embedding", emb, "vec_id", "embedding", k=10
+    )
+    return topk.select("query_id", "vec_id")
+
+
 @workload(
     "embedding_near_dup",
     """

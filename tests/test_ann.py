@@ -346,3 +346,115 @@ def test_ivf_index_postings_partitioned_by_cell(spark, clustered, tmp_path):
     # id-only postings: no vector payload in the inverted lists
     assert set(idx.postings.columns) == {"vec_id", "cell"}
     assert set(idx.vectors.columns) == {"vec_id", "cv"}
+
+
+def test_int8_quantize_error_bound(spark, clustered):
+    """Dequantized values must sit within half a quantization step
+    (scales[d]/254) of the originals — the bound the prefilter-recall
+    argument in cosine_topk_int8's docstring rests on."""
+    df, rows = clustered
+    scales = ann.int8_scales(df, "embedding")
+    assert scales.shape == (DIM,) and (scales > 0).all()
+    q8 = {r.vec_id: r.qv8 for r in
+          ann.quantize_embeddings(df, "vec_id", "embedding", scales).collect()}
+    step = scales / 127.0
+    for vid, vec in rows:
+        deq = np.array(q8[vid], dtype=np.float64) * step
+        err = np.abs(deq - np.array(vec, dtype=np.float64))
+        assert (err <= scales / 254.0 + 1e-12).all()
+        assert max(abs(v) for v in q8[vid]) <= 127
+
+
+def test_int8_topk_matches_exact(spark, clustered):
+    """int8 prefilter + exact rerank returns the identical (query,
+    neighbor, rank) set as the exact path on the clustered fixture."""
+    df, rows = clustered
+    qids = [0, 25, 50, 75]
+    q = df.where(df.vec_id.isin(qids))
+    exact = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk(
+            q, "vec_id", "embedding", df, "vec_id", "embedding", k=5
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_int8(
+            q, "vec_id", "embedding", df, "vec_id", "embedding", k=5
+        ).collect()
+    }
+    assert got == exact and got
+
+
+def test_int8_topk_single_partition_small_pad(spark, clustered):
+    """Force ONE corpus partition (so the prefilter is genuinely
+    selective: pad=10 of 101 vectors survive) and check the true top-5
+    still comes out exactly — quantization noise must not evict true
+    neighbors on well-separated data."""
+    df, rows = clustered
+    qids = [0, 50]
+    dfp = df.repartition(1)
+    q = df.where(df.vec_id.isin(qids))
+    exact = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk(
+            q, "vec_id", "embedding", df, "vec_id", "embedding", k=5
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_int8(
+            q, "vec_id", "embedding", dfp, "vec_id", "embedding",
+            k=5, pad_factor=2,
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_ivf_append_matches_full_rebuild(spark, clustered, tmp_path):
+    """append_ivf_index with a frozen quantizer must serve the same
+    answers as save_ivf_index over the union corpus with the same
+    centroids — the add_words contract, vector form."""
+    df, rows = clustered
+    base = df.where("vec_id < 80")
+    delta = df.where("vec_id >= 80")
+    cent = ann.kmeans_fit(df, "embedding", 10, sample_size=200)
+    inc_path = str(tmp_path / "ivf_inc")
+    full_path = str(tmp_path / "ivf_full")
+    ann.save_ivf_index(base, "vec_id", "embedding", inc_path,
+                       n_replicas=2, centroids=cent)
+    n = ann.append_ivf_index(spark, inc_path, delta, "vec_id", "embedding")
+    assert n == delta.count()
+    ann.save_ivf_index(df, "vec_id", "embedding", full_path,
+                       n_replicas=2, centroids=cent)
+    qids = [0, 25, 85]
+    q = df.where(df.vec_id.isin(qids))
+    for path in (inc_path,):
+        idx_inc = ann.load_ivf_index(spark, inc_path)
+        idx_full = ann.load_ivf_index(spark, full_path)
+        inc = {
+            (r.query_id, r.vec_id, r.rank)
+            for r in ann.cosine_topk_ivf_index(
+                q, "vec_id", "embedding", idx_inc, k=5, nprobe=3
+            ).collect()
+        }
+        full = {
+            (r.query_id, r.vec_id, r.rank)
+            for r in ann.cosine_topk_ivf_index(
+                q, "vec_id", "embedding", idx_full, k=5, nprobe=3
+            ).collect()
+        }
+        assert inc == full and inc
+    # appended vectors are findable: 85's nearest cluster-mates rank
+    assert any(r[0] == 85 for r in inc)
+
+
+def test_ivf_append_empty_delta_noop(spark, clustered, tmp_path):
+    df, _ = clustered
+    path = str(tmp_path / "ivf_noop")
+    ann.save_ivf_index(df, "vec_id", "embedding", path, n_cells=10,
+                       sample_size=200)
+    before = spark.read.parquet(f"{path}/vectors").count()
+    assert ann.append_ivf_index(
+        spark, path, df.where("vec_id < 0"), "vec_id", "embedding") == 0
+    assert spark.read.parquet(f"{path}/vectors").count() == before
