@@ -29,6 +29,7 @@ from prefixtree_spark.operators.ann import (
 )
 from prefixtree_spark.operators.dedup import (
     duplicate_spans,
+    keep_best,
     line_dedup,
     remove_duplicate_spans,
 )

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Plan-audit escape hatch (tools/dump_plans.py): pinning replaces the
@@ -75,6 +75,34 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     and the duplicate count. Single hash-aggregate shuffle."""
     return df.groupBy(*key_cols).agg(
         F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def keep_best(
+    df: DataFrame,
+    key_cols: list[str],
+    score_col: str,
+    id_col: str,
+    *,
+    descending: bool = True,
+) -> DataFrame:
+    """One surviving ROW per duplicate group, chosen by score instead of
+    arrival order: rank within each key by (score desc, id asc) and keep
+    rank 1. ``exact_dedup`` keeps min-id — the right default for
+    idempotent re-runs — but a training corpus wants the HIGHEST-QUALITY
+    copy of each duplicated text, not the first-crawled one. Single
+    window over the group key (one shuffle, same cost shape as the
+    hash-agg); ties break on ``id_col`` so the survivor is
+    deterministic across partitionings."""
+    order = [
+        F.desc(score_col) if descending else F.asc(score_col),
+        F.asc(id_col),
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 

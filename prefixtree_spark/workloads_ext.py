@@ -1209,6 +1209,79 @@ def docs_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "docs_keep_best_quality",
+    r"""
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             '  ' || upper(text) || CHR(9) || '  ' AS text
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+        length(text) AS n_chars,
+        len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+        len(list_filter(regexp_extract_all(text, '\S+'),
+                        x -> x IN ('the','a','an','of','and','in','to','is'))) AS stop_hits
+      FROM unioned
+    ),
+    q AS (
+      SELECT doc_id,
+        round(greatest(
+          0.35 * least(n_chars / 500.0, 1.0)
+          + 0.35 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars::DOUBLE ELSE 0.0 END)
+          + 0.2 * least((CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens::DOUBLE ELSE 0.0 END) * 5.0, 1.0)
+          - 0.1 * (CASE WHEN n_chars > 0 THEN least(n_punct * 10.0 / n_chars, 1.0) ELSE 0.0 END),
+          0.0), 6) AS quality
+      FROM t
+    ),
+    norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'),
+                                 '\s+', ' ', 'g')) AS ntext
+      FROM unioned
+    ),
+    r AS (
+      SELECT n.doc_id, n.ntext, q.quality,
+             row_number() OVER (PARTITION BY n.ntext
+                                ORDER BY q.quality DESC, n.doc_id) AS rn
+      FROM norm n JOIN q ON n.doc_id = q.doc_id
+    )
+    SELECT substr(ntext, 1, 40) AS text_head, doc_id AS keep_id, quality
+    FROM r WHERE rn = 1
+    """,
+)
+def docs_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: each doc gets a case/whitespace-mangled
+    twin (same normalized text, DIFFERENT raw quality — uppercasing
+    kills the stopword hits), and ``keep_best`` must pick the
+    higher-quality copy of every pair, not the first-seen one. The
+    training-corpus survivor rule: dedup groups keep their best member.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    twins = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.lit("  "), F.upper("text"), F.lit("\t"), F.lit("  ")
+        ).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(twins)
+    qual = text.quality_score(both, "doc_id", "text")
+    norm = text.normalize_text(both, "text").withColumnRenamed("text", "ntext")
+    best = dedup.keep_best(
+        norm.join(qual, "doc_id"), ["ntext"], "quality", "doc_id"
+    )
+    return best.select(
+        F.substring("ntext", 1, 40).alias("text_head"),
+        F.col("doc_id").alias("keep_id"),
+        "quality",
+    )
+
+
+@workload(
     "prepare_corpus_e2e",
     r"""
     WITH RECURSIVE qt AS (

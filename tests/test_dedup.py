@@ -349,3 +349,41 @@ def test_incremental_lsh_matches_exact_bipartite(spark, docs):
         if j >= 0.6:
             want.add((ni, ci))
     assert got == want
+
+
+def test_keep_best_picks_highest_score(spark):
+    """keep_best keeps the max-score row per key; ties break on min id
+    (deterministic across partitionings); ascending mode inverts."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 0.5), ("a", 2, 0.9), ("a", 3, 0.9),
+            ("b", 4, 0.1),
+            ("c", 6, 0.3), ("c", 5, 0.3),
+        ],
+        "key string, id long, score double",
+    )
+    best = {
+        (r.key, r.id)
+        for r in dedup.keep_best(df, ["key"], "score", "id").collect()
+    }
+    assert best == {("a", 2), ("b", 4), ("c", 5)}
+    worst = {
+        (r.key, r.id)
+        for r in dedup.keep_best(
+            df, ["key"], "score", "id", descending=False
+        ).collect()
+    }
+    assert worst == {("a", 1), ("b", 4), ("c", 5)}
+    # full rows survive (not just keys)
+    cols = set(dedup.keep_best(df, ["key"], "score", "id").columns)
+    assert cols == {"key", "id", "score"}
+    # partitioning independence
+    rep = {
+        (r.key, r.id)
+        for r in dedup.keep_best(
+            df.repartition(7), ["key"], "score", "id"
+        ).collect()
+    }
+    assert rep == best
