@@ -255,6 +255,7 @@ def main() -> None:
         "dedup_simhash_pairs",
         "ann_topk_cosine",
         "ann_topk_ivf",
+        "ann_topk_int8",
         "text_stats",
         "doc_fingerprint",
         "q1_pricing_summary",
@@ -391,6 +392,7 @@ def main() -> None:
         lambda: ann_ops.cosine_topk_ivf_index(
             q_emb, "vec_id", "embedding", ivf_idx, k=10, nprobe=8
         ).count(),
+        repeats=5,  # r05 spread 4.3s at repeats=3 under contention
     )
     got_warm = {
         (r.query_id, r.vec_id)
@@ -457,17 +459,22 @@ def main() -> None:
     )
     skew.count()
     extras["skew_docs"] = n_skew
+    # 5 repeats: the r05 run recorded a 27s spread at repeats=3 (one
+    # GC/scheduler outlier on the capped side inverted the capped-vs-
+    # uncapped comparison that every other round reproduces)
     bench(
         "dedup_minhash_skew_capped",
         lambda: dedup.minhash_lsh_pairs(
             skew, "doc_id", "text", n=3, threshold=0.8, max_df=n_skew // 10
         ).count(),
+        repeats=5,
     )
     bench(
         "dedup_minhash_skew_uncapped",
         lambda: dedup.minhash_lsh_pairs(
             skew, "doc_id", "text", n=3, threshold=0.8
         ).count(),
+        repeats=5,
     )
     skew.unpersist()
 

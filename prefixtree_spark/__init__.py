@@ -44,6 +44,7 @@ from prefixtree_spark.operators.sampling import (
 )
 from prefixtree_spark.operators.text import (
     chunk_text,
+    corpus_report,
     detect_pii,
     ngram_counts,
     normalize_text,

@@ -113,12 +113,9 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Composite document-quality heuristic in [0, 1]: rewards
-    mid-length docs and high alpha ratio, penalizes punctuation excess
-    and stopword-free (keyword-spam-like) text. All integer-ratio
-    double arithmetic with explicit parentheses — the oracle evaluates
-    the identical expression."""
+def _quality_expr(text_col: str) -> Column:
+    """The rounded-to-6 quality column shared by ``quality_score`` and
+    ``corpus_report`` — one definition so the two can never drift."""
     toks = _nonspace_tokens(text_col)
     n_chars = F.length(F.col(text_col))
     n_tokens = F.size(toks)
@@ -135,10 +132,87 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.lit(0.2) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
         - F.lit(0.1) * punct_pen
     )
+    return F.round(F.greatest(score, F.lit(0.0)), 6)
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite document-quality heuristic in [0, 1]: rewards
+    mid-length docs and high alpha ratio, penalizes punctuation excess
+    and stopword-free (keyword-spam-like) text. All integer-ratio
+    double arithmetic with explicit parentheses — the oracle evaluates
+    the identical expression."""
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.round(F.greatest(score, F.lit(0.0)), 6).alias("quality"),
+        _quality_expr(text_col).alias("quality"),
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    low_quality: float = 0.3,
+) -> DataFrame:
+    """The corpus data card: one (metric, value) row per release
+    statistic — doc count, token totals/average, quality average,
+    low-quality share, and a 10-bucket quality histogram. One narrow
+    per-doc projection feeds two map-side-combined aggregates (global
+    + histogram groupBy on ≤10 keys); nothing corpus-sized shuffles,
+    so the report costs one scan at any corpus size.
+
+    Cross-engine determinism: quality is rounded to 6 decimals per doc,
+    then scaled to an exact integer (×1e6) BEFORE summing — integer
+    sums are order-independent, so the averages (one double division at
+    the end) hash-match the SQL oracle no matter how either engine
+    orders the fold. Histogram buckets floor the same scaled integer
+    (boundary docs land identically in both engines)."""
+    # floor explicitly: Spark's double→long cast truncates but DuckDB's
+    # rounds, so both engines must floor the scaled double themselves
+    q6 = F.floor(_quality_expr(text_col) * 1_000_000).cast("long")
+    per_doc = df.select(
+        F.size(_nonspace_tokens(text_col)).alias("n_toks"),
+        q6.alias("q6"),
+    )
+    lq = int(round(low_quality * 1_000_000))
+    global_rows = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.sum("q6").alias("sum_q6"),
+        F.sum(F.when(F.col("q6") < lq, 1).otherwise(0)).alias("n_low"),
+    ).select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(
+                    F.lit("n_docs"),
+                    F.lit("total_tokens"),
+                    F.lit("avg_tokens"),
+                    F.lit("avg_quality"),
+                    F.lit("n_low_quality"),
+                ),
+                F.array(
+                    F.col("n_docs").cast("double"),
+                    F.col("total_tokens").cast("double"),
+                    F.round(F.col("total_tokens") / F.col("n_docs"), 6),
+                    F.round(F.col("sum_q6") / F.col("n_docs") / F.lit(1_000_000.0), 6),
+                    F.col("n_low").cast("double"),
+                ),
+            )
+        ).alias("metric", "value")
+    )
+    hist = (
+        per_doc.groupBy(
+            F.least(F.floor(F.col("q6") / F.lit(100_000)), F.lit(9)).alias("b")
+        )
+        .count()
+        .select(
+            F.concat(F.lit("quality_bucket_"), F.col("b").cast("string")).alias(
+                "metric"
+            ),
+            F.col("count").cast("double").alias("value"),
+        )
+    )
+    return global_rows.unionByName(hist)
 
 
 def doc_fingerprint(

@@ -1209,6 +1209,60 @@ def docs_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "docs_corpus_report",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+        length(text) AS n_chars,
+        len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+        len(list_filter(regexp_extract_all(text, '\S+'),
+                        x -> x IN ('the','a','an','of','and','in','to','is'))) AS stop_hits
+      FROM documents
+    ),
+    q AS (
+      SELECT n_tokens AS n_toks,
+        CAST(floor(round(greatest(
+          0.35 * least(n_chars / 500.0, 1.0)
+          + 0.35 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars::DOUBLE ELSE 0.0 END)
+          + 0.2 * least((CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens::DOUBLE ELSE 0.0 END) * 5.0, 1.0)
+          - 0.1 * (CASE WHEN n_chars > 0 THEN least(n_punct * 10.0 / n_chars, 1.0) ELSE 0.0 END),
+          0.0), 6) * 1000000) AS BIGINT) AS q6
+      FROM t
+    ),
+    g AS (
+      SELECT count(*) AS n_docs, sum(n_toks) AS total_tokens,
+             sum(q6) AS sum_q6,
+             sum(CASE WHEN q6 < 300000 THEN 1 ELSE 0 END) AS n_low
+      FROM q
+    )
+    SELECT 'n_docs' AS metric, n_docs::DOUBLE AS value FROM g
+    UNION ALL
+    SELECT 'total_tokens', total_tokens::DOUBLE FROM g
+    UNION ALL
+    SELECT 'avg_tokens', round(total_tokens / n_docs, 6) FROM g
+    UNION ALL
+    SELECT 'avg_quality', round(sum_q6 / n_docs / 1000000.0, 6) FROM g
+    UNION ALL
+    SELECT 'n_low_quality', n_low::DOUBLE FROM g
+    UNION ALL
+    SELECT 'quality_bucket_' ||
+             CAST(CAST(least(floor(q6 / 100000), 9) AS INT) AS VARCHAR),
+           count(*)::DOUBLE
+    FROM q GROUP BY 1
+    """,
+)
+def docs_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release data card — doc/token totals, quality average and
+    low-quality share, 10-bucket quality histogram — as (metric, value)
+    rows from ONE corpus scan. Integer-scaled quality sums make the
+    averages order-independent, so the whole card is exact-oracled."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.corpus_report(docs, "doc_id", "text")
+
+
+@workload(
     "docs_keep_best_quality",
     r"""
     WITH unioned AS (

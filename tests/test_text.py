@@ -284,3 +284,36 @@ def test_normalize_and_redact_idempotent(spark):
     once_r = redact_pii(df, "text", out_col="r1")
     twice_r = redact_pii(once_r, "r1", out_col="r2")
     assert all(r.r1 == r.r2 for r in twice_r.collect())
+
+
+def test_corpus_report_hand_computed(spark):
+    """Data card vs hand-computed stats on a tiny corpus, including the
+    bucket boundary (quality exactly on a 0.1 edge floors into the
+    upper bucket in both engines via the same scaled-integer floor)."""
+    from prefixtree_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat."),
+            (2, "a b c d e f g h"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.metric: r.value for r in
+           T.corpus_report(docs, "doc_id", "text").collect()}
+    qual = {r.doc_id: r.quality for r in
+            T.quality_score(docs, "doc_id", "text").collect()}
+    import math
+    q6 = {d: math.floor(q * 1_000_000) for d, q in qual.items()}
+    assert got["n_docs"] == 3.0
+    assert got["total_tokens"] == 6.0 + 8.0 + 0.0
+    assert got["avg_tokens"] == round(14 / 3, 6)
+    assert got["avg_quality"] == round(sum(q6.values()) / 3 / 1e6, 6)
+    assert got["n_low_quality"] == sum(1 for v in q6.values() if v < 300_000)
+    # histogram covers every doc exactly once
+    hist = {k: v for k, v in got.items() if k.startswith("quality_bucket_")}
+    assert sum(hist.values()) == 3.0
+    for d, v in q6.items():
+        b = min(math.floor(v / 100_000), 9)
+        assert hist.get(f"quality_bucket_{b}", 0) >= 1
