@@ -36,7 +36,9 @@ from prefixtree_spark.operators.dedup import (
 from prefixtree_spark.operators.sampling import (
     mixture_resample,
     deterministic_sample,
+    export_shards,
     pack_sequences,
+    shard_assign,
     split_assign,
     stratified_sample,
     top_n_per_group,

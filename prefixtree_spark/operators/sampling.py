@@ -137,6 +137,63 @@ def pack_sequences(
     )
 
 
+def shard_assign(
+    df: DataFrame, id_col: str, n_shards: int, *, seed: str = "shard"
+) -> DataFrame:
+    """Adds ``shard`` ∈ [0, n_shards): the md5-ppm bucket of the id mod
+    ``n_shards`` — a pure function of (id, seed), so the same document
+    lands in the same shard across re-runs, repartitionings, and
+    engines (the oracle recomputes the identical arithmetic). Unless
+    ``n_shards`` divides 1e6 the mod leaves ≤1-in-(1e6/n_shards)
+    imbalance across shards — negligible for n_shards ≪ 1e6."""
+    return df.withColumn(
+        "shard",
+        F.pmod(_bucket_ppm(F.col(id_col), seed), F.lit(n_shards)).cast("int"),
+    )
+
+
+def export_shards(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    n_shards: int,
+    *,
+    token_count_col: str | None = None,
+    seed: str = "shard",
+    format: str = "parquet",
+) -> DataFrame:
+    """The training-export last mile: write the corpus as ``n_shards``
+    hive-partitioned shard directories (``shard=N/``) with exactly ONE
+    file per shard, rows sorted by id within each file — a fully
+    deterministic byte layout a trainer can checksum. Returns (and
+    writes to ``<path>/_manifest``) the per-shard manifest:
+    (shard, n_docs[, n_tokens]).
+
+    Plan: one shuffle (repartition on the shard column — unavoidable:
+    one-file-per-shard IS a co-location requirement) with a
+    sort-within-partition; several shard values may share a Spark
+    partition, but partitionBy still writes each shard's rows to its
+    own single file. The manifest is a map-side-combined aggregate on
+    ≤n_shards keys. At 100 TB size n_shards so one shard
+    (corpus/n_shards) fits an executor's write buffer comfortably —
+    shards, not files-per-shard, are the parallelism unit downstream."""
+    sharded = shard_assign(df, id_col, n_shards, seed=seed)
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .format(format)
+        .save(path)
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if token_count_col is not None:
+        aggs.append(F.sum(token_count_col).cast("long").alias("n_tokens"))
+    manifest = sharded.groupBy("shard").agg(*aggs).orderBy("shard")
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")
+    return manifest
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

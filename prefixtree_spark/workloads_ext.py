@@ -454,6 +454,40 @@ def split_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "docs_shard_manifest",
+    r"""
+    WITH b AS (
+      SELECT doc_id,
+             CAST((('0x' || substr(md5(doc_id::VARCHAR || 'r5'), 1, 15))::BIGINT
+                   % 1000000) % 16 AS INT) AS shard,
+             len(regexp_extract_all(text, '\S+')) AS n_toks
+      FROM documents
+    )
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens
+    FROM b GROUP BY shard
+    """,
+)
+def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment (16 shards) plus the
+    per-shard manifest the exporter writes: shard membership is a pure
+    md5 function of doc_id, recomputed identically by the oracle — the
+    property that makes shard layouts reproducible across engines and
+    re-runs (``export_shards`` writes these same groups one file per
+    shard)."""
+    from prefixtree_spark.operators.sampling import shard_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = shard_assign(docs, "doc_id", 16, seed="r5")
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+@workload(
     "docs_ngram_counts",
     r"""
     WITH toks AS (

@@ -197,3 +197,57 @@ def test_weighted_sample_determinism_and_bias(spark):
     # a different seed draws a different sample
     got_c = sorted(r.id for r in weighted_sample(a, "id", "w", 50, seed="t").collect())
     assert got_a != got_c
+
+
+def test_shard_assign_deterministic_and_in_range(spark):
+    from prefixtree_spark.operators.sampling import shard_assign
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["id"])
+    a = {r.id: r.shard for r in shard_assign(df, "id", 16).collect()}
+    b = {r.id: r.shard for r in
+         shard_assign(df.repartition(9), "id", 16).collect()}
+    assert a == b  # layout-independent
+    assert set(a.values()) <= set(range(16))
+    # roughly balanced: every shard within 3x of uniform on 1000 ids
+    from collections import Counter
+    counts = Counter(a.values())
+    assert len(counts) == 16 and max(counts.values()) < 3 * (1000 / 16)
+    # seed changes the layout
+    c = {r.id: r.shard for r in
+         shard_assign(df, "id", 16, seed="other").collect()}
+    assert a != c
+
+
+def test_export_shards_one_file_per_shard_roundtrip(spark, tmp_path):
+    """One data file per shard dir, deterministic manifest, and the
+    read-back corpus equals the input exactly."""
+    import os
+
+    from prefixtree_spark.operators.sampling import export_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} text", (i % 7) + 1) for i in range(300)],
+        "id long, text string, n_toks long",
+    )
+    path = str(tmp_path / "shards")
+    manifest = export_shards(
+        df, "id", path, 8, token_count_col="n_toks"
+    ).collect()
+    assert sorted(r.shard for r in manifest) == list(range(8))
+    assert sum(r.n_docs for r in manifest) == 300
+    assert sum(r.n_tokens for r in manifest) == sum((i % 7) + 1 for i in range(300))
+    for d in os.listdir(path):
+        if d.startswith("shard="):
+            files = [f for f in os.listdir(os.path.join(path, d))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
+    back = spark.read.parquet(path)
+    assert sorted((r.id, r.text, r.n_toks) for r in back.collect()) == sorted(
+        (i, f"doc {i} text", (i % 7) + 1) for i in range(300)
+    )
+    # _manifest dir is invisible to partition discovery (underscore rule)
+    assert "shard" in back.columns and "_manifest" not in back.columns
+    saved = spark.read.parquet(f"{path}/_manifest")
+    assert sorted((r.shard, r.n_docs) for r in saved.collect()) == sorted(
+        (r.shard, r.n_docs) for r in manifest
+    )
