@@ -28,6 +28,7 @@ from prefixtree_spark.operators.ann import (
     semantic_dedup_kmeans,
 )
 from prefixtree_spark.operators.dedup import (
+    contamination_report,
     duplicate_spans,
     keep_best,
     line_dedup,

@@ -334,6 +334,45 @@ def decontaminate(
     return train.join(contaminated, id_col, "left_anti")
 
 
+def contamination_report(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 13,
+) -> DataFrame:
+    """The audit companion to ``decontaminate``: instead of silently
+    dropping contaminated training docs, report HOW contaminated each
+    one is — (id, n_shingles, n_hit, frac) for every train doc sharing
+    ≥1 distinct ``n``-token shingle with the eval set. Release reviews
+    want this severity split (a doc quoting one benchmark sentence vs
+    a verbatim test-set copy are different incidents) before deciding
+    what the removal bar is.
+
+    Same plan shape as ``decontaminate`` — eval-side distinct shingles
+    semi-join the train shingles — plus one count-aggregate per side of
+    the hit: train text never moves, and the output is bounded by the
+    contaminated set, not the corpus."""
+    tr = token_shingles(train, id_col, text_col, n)
+    te = token_shingles(test, id_col, text_col, n).select("shingle").distinct()
+    totals = tr.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        tr.join(te, "shingle", "left_semi")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        hits.join(totals, "doc")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_shingles",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_shingles"), 6).alias("frac"),
+        )
+    )
+
+
 def dedup_corpus(
     df: DataFrame,
     id_col: str,

@@ -346,6 +346,40 @@ def decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "contamination_report",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+             || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts,
+                   unnest(generate_series(1, len(string_split_regex(trim(text), '\\s+')) - 5)) AS i
+            FROM documents
+            WHERE len(string_split_regex(trim(text), '\\s+')) >= 6)
+    ),
+    test_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 19 = 0),
+    totals AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hit FROM sh
+      WHERE shingle IN (SELECT shingle FROM test_sh)
+      GROUP BY doc_id
+    )
+    SELECT h.doc_id, t.n_shingles, h.n_hit,
+           round(h.n_hit / t.n_shingles::DOUBLE, 6) AS frac
+    FROM hits h JOIN totals t ON h.doc_id = t.doc_id
+    """,
+)
+def contamination_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination severity audit with the same eval-set convention
+    as ``decontaminate_train`` (every 19th doc, 6-token shingles): per
+    contaminated train doc, total distinct shingles, hit count, and
+    hit fraction. Self-contamination makes the eval docs themselves
+    appear at frac=1.0, so the gate exercises the full severity range."""
+    docs = load_table(spark, sf_dir, "documents")
+    test = docs.where("doc_id % 19 = 0")
+    return dedup.contamination_report(docs, test, "doc_id", "text", n=6)
+
+
+@workload(
     "vocab_top_tokens",
     r"""
     SELECT tok, count(*) AS n

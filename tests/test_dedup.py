@@ -387,3 +387,28 @@ def test_keep_best_picks_highest_score(spark):
         ).collect()
     }
     assert rep == best
+
+
+def test_contamination_report_severity(spark):
+    """Planted severities: a verbatim test copy reports frac=1.0, a
+    one-shingle quoter reports exactly that shingle's share, clean docs
+    are absent, and decontaminate drops exactly the reported ids."""
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),      # verbatim copy of eval
+            (2, "zzz yyy alpha beta gamma xxx www"),  # quotes one 3-shingle
+            (3, "totally clean text here now"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    rep = {r.doc_id: (r.n_shingles, r.n_hit, r.frac) for r in
+           dedup.contamination_report(train, test, "doc_id", "text", n=3).collect()}
+    assert set(rep) == {1, 2}
+    assert rep[1] == (2, 2, 1.0)          # both 3-shingles hit
+    assert rep[2] == (5, 1, 0.2)          # 7 tokens -> 5 shingles, 1 hit
+    kept = {r.doc_id for r in
+            dedup.decontaminate(train, test, "doc_id", "text", n=3).collect()}
+    assert kept == {3}
