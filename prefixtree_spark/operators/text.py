@@ -215,6 +215,78 @@ def corpus_report(
     return global_rows.unionByName(hist)
 
 
+def lm_nll(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """CCNet-style language-model quality signal without an external
+    model: train an add-one-smoothed bigram LM on the corpus ITSELF in
+    one pass, then score every document by its mean negative
+    log-likelihood under that LM. Low NLL ≈ looks like the corpus;
+    high NLL flags gibberish, wrong-language, and boilerplate-free
+    noise — the perplexity filter of the CCNet/CC-quality pipelines,
+    with the corpus standing in for the reference LM.
+
+    Plan: bigram counts C(a,b) and continuation totals C(a) are
+    map-side-combined aggregates on the (token, token) key; the
+    vocabulary size V (one scalar) is the only driver value. Each
+    DISTINCT bigram's log-probability ln((C(ab)+1)/(C(a)+V)) is
+    computed once on the stats table — floored to an exact ×1e6
+    integer — and docs join their bigram occurrences to it (equi-join
+    on the bigram key; the stats side is vocabulary-, not
+    corpus-sized). Per-doc sums are integer-exact, so the final
+    average (one double division) is order-independent and the whole
+    operator carries a SQL oracle.
+
+    Returns (doc_id, n_bigrams, avg_nll); docs with <2 tokens have no
+    bigrams and are absent (score them by length rules instead)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), _nonspace_tokens(text_col).alias("ts")
+    )
+    big = (
+        toks.where(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("ts") - 1)).alias("i"),
+            "ts",
+        )
+        .select(
+            "doc_id",
+            F.element_at("ts", F.col("i")).alias("a"),
+            F.element_at("ts", F.col("i") + 1).alias("b"),
+        )
+    )
+    v = (
+        toks.select(F.explode("ts").alias("t")).agg(
+            F.countDistinct("t").alias("v")
+        ).collect()[0].v
+    )
+    c_ab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    c_a = c_ab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    lp = c_ab.join(c_a, "a").select(
+        "a",
+        "b",
+        F.floor(
+            F.log((F.col("c_ab") + 1) / (F.col("c_a") + F.lit(float(v))))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("lp6"),
+    )
+    return (
+        big.join(lp, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp6").alias("sum_lp6"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                -F.col("sum_lp6") / (F.col("n_bigrams") * F.lit(1_000_000.0)), 6
+            ).alias("avg_nll"),
+        )
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, id_col: str, text_col: str, *, gram: int = 8
 ) -> DataFrame:

@@ -1102,6 +1102,42 @@ def hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "docs_lm_nll",
+    r"""
+    WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents),
+    big AS (
+      SELECT doc_id, ts[i] AS a, ts[i+1] AS b
+      FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+            FROM t WHERE len(ts) >= 2)
+    ),
+    v AS (SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest(ts) AS tok FROM t)),
+    cab AS (SELECT a, b, count(*) AS c_ab FROM big GROUP BY a, b),
+    ca AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a),
+    lp AS (
+      SELECT cab.a, cab.b,
+             CAST(floor(ln(CAST(cab.c_ab + 1 AS DOUBLE)
+                           / CAST(ca.c_a + v.v AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS lp6
+      FROM cab JOIN ca ON cab.a = ca.a, v
+    )
+    SELECT big.doc_id, count(*) AS n_bigrams,
+           round(-CAST(sum(lp.lp6) AS BIGINT) / (count(*) * 1000000.0), 6)
+             AS avg_nll
+    FROM big JOIN lp ON big.a = lp.a AND big.b = lp.b
+    GROUP BY big.doc_id
+    """,
+)
+def docs_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM mean negative log-likelihood per doc —
+    the CCNet-style perplexity filter with the corpus as its own
+    reference LM. Integer-scaled log-probs make the per-doc average
+    order-independent, so the operator is exact-oracled end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lm_nll(docs, "doc_id", "text")
+
+
+@workload(
     "repetition_signals",
     r"""
     WITH t AS (

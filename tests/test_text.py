@@ -317,3 +317,38 @@ def test_corpus_report_hand_computed(spark):
     for d, v in q6.items():
         b = min(math.floor(v / 100_000), 9)
         assert hist.get(f"quality_bucket_{b}", 0) >= 1
+
+
+def test_lm_nll_hand_computed_and_ranks_gibberish(spark):
+    """Exact NLL on a 2-doc corpus against a hand-built bigram LM, and
+    the filter property: a doc made of corpus-frequent bigrams scores
+    lower NLL than one of never-seen pairs."""
+    import math
+
+    from prefixtree_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),
+            (2, "a b"),
+            (3, "q z"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_bigrams, r.avg_nll) for r in
+           T.lm_nll(docs, "doc_id", "text").collect()}
+    # corpus bigrams: doc1: (a,b),(b,a),(a,b); doc2: (a,b); doc3: (q,z)
+    # C(a,b)=3 C(b,a)=1 C(q,z)=1 ; C(a)=4? no: C(a)=sum_b C(a,b)=3? plus...
+    # C(a) = C(a,b)=3 -> 3; C(b)=C(b,a)=1; C(q)=1. V=4 (a,b,q,z)
+    lp = {}
+    for (a, b), c_ab, c_a in [(("a", "b"), 3, 3), (("b", "a"), 1, 1),
+                              (("q", "z"), 1, 1)]:
+        lp[(a, b)] = math.floor(math.log((c_ab + 1) / (c_a + 4)) * 1e6)
+    exp1 = round(-(lp[("a", "b")] * 2 + lp[("b", "a")]) / (3 * 1e6), 6)
+    exp2 = round(-lp[("a", "b")] / 1e6, 6)
+    exp3 = round(-lp[("q", "z")] / 1e6, 6)
+    assert got[1] == (3, exp1)
+    assert got[2] == (1, exp2)
+    assert got[3] == (1, exp3)
+    # frequent-bigram doc looks more corpus-like than the rare one
+    assert got[2][1] < got[3][1]
