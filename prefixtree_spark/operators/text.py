@@ -175,11 +175,26 @@ def corpus_report(
         q6.alias("q6"),
     )
     lq = int(round(low_quality * 1_000_000))
-    global_rows = per_doc.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_toks").alias("total_tokens"),
-        F.sum("q6").alias("sum_q6"),
-        F.sum(F.when(F.col("q6") < lq, 1).otherwise(0)).alias("n_low"),
+    # ONE corpus pass: everything — card and histogram — folds into a
+    # single ≤10-key hash aggregate, pinned so the two output branches
+    # below read 10 rows instead of re-scanning the corpus each
+    bucketed = (
+        per_doc.groupBy(
+            F.least(F.floor(F.col("q6") / F.lit(100_000)), F.lit(9)).alias("b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_toks").alias("toks"),
+            F.sum("q6").alias("q6s"),
+            F.sum(F.when(F.col("q6") < lq, 1).otherwise(0)).alias("low"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    global_rows = bucketed.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+        F.sum("q6s").alias("sum_q6"),
+        F.sum("low").alias("n_low"),
     ).select(
         F.explode(
             F.map_from_arrays(
@@ -200,17 +215,11 @@ def corpus_report(
             )
         ).alias("metric", "value")
     )
-    hist = (
-        per_doc.groupBy(
-            F.least(F.floor(F.col("q6") / F.lit(100_000)), F.lit(9)).alias("b")
-        )
-        .count()
-        .select(
-            F.concat(F.lit("quality_bucket_"), F.col("b").cast("string")).alias(
-                "metric"
-            ),
-            F.col("count").cast("double").alias("value"),
-        )
+    hist = bucketed.select(
+        F.concat(F.lit("quality_bucket_"), F.col("b").cast("string")).alias(
+            "metric"
+        ),
+        F.col("n").cast("double").alias("value"),
     )
     return global_rows.unionByName(hist)
 
