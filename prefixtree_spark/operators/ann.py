@@ -726,26 +726,29 @@ def append_ivf_index(
     callers should re-run ``save_ivf_index`` (full retrain) when the
     appended fraction grows past ~30% — the same rebuild-vs-delta
     economics as the tree's ``add_words`` chain (SCALING.md)."""
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
-    cent = np.zeros((meta.n_cells, meta.dim), dtype=np.float64)
-    for r in cent_rows:
-        cent[r.cell] = np.asarray(r.c, dtype=np.float64)
-    c_assign = _cell_assign_udf(cent, meta.n_replicas)
+    idx = load_ivf_index(spark, path)
+    c_assign = _cell_assign_udf(idx.centroids, idx.n_replicas)
+    # persist (not localCheckpoint): the two writes must see one
+    # consistent evaluation of the delta, and the pin must be RELEASED
+    # before returning — repeated daily appends in one session would
+    # otherwise accumulate a delta-sized block per call
     delta = new_corpus.select(
         F.col(cid).alias("vec_id"), F.col(cvec).alias("cv")
-    ).localCheckpoint(eager=True)
-    n = delta.count()
-    if n == 0:
-        return 0
-    delta.write.mode("append").parquet(f"{path}/vectors")
-    (
-        delta.withColumn("cell", F.explode(c_assign(F.col("cv"))))
-        .select("vec_id", "cell")
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(f"{path}/postings")
-    )
+    ).persist()
+    try:
+        n = delta.count()
+        if n == 0:
+            return 0
+        delta.write.mode("append").parquet(f"{path}/vectors")
+        (
+            delta.withColumn("cell", F.explode(c_assign(F.col("cv"))))
+            .select("vec_id", "cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(f"{path}/postings")
+        )
+    finally:
+        delta.unpersist()
     return n
 
 
@@ -812,6 +815,8 @@ def int8_scales(corpus: DataFrame, cvec: str) -> np.ndarray:
         .agg(F.max(F.abs(F.col("x").cast("double"))).alias("m"))
         .collect()
     )
+    if not rows:  # empty corpus: callers return empty results, not crash
+        return np.zeros(0, dtype=np.float64)
     dim = max(r.pos for r in rows) + 1
     scales = np.zeros(dim, dtype=np.float64)
     for r in rows:
@@ -842,62 +847,43 @@ def quantize_embeddings(
     return df.select(F.col(id_col).alias("vec_id"), q8.alias(out_col))
 
 
-def cosine_topk_int8(
-    queries: DataFrame,
-    qid: str,
-    qvec: str,
-    corpus: DataFrame,
-    cid: str,
-    cvec: str,
-    k: int = 10,
-    *,
-    pad_factor: int = 4,
-    scales: "np.ndarray | None" = None,
-    exclude_self: bool = True,
-) -> DataFrame:
-    """Top-k cosine via an int8-quantized prefilter + exact float
-    rerank (the faiss-SQ8 shape, re-expressed for Spark):
+def _int8_chunk_pairs(
+    q_chunk: DataFrame,
+    q_pdf: pd.DataFrame,
+    c: DataFrame,
+    c8: DataFrame,
+    scales: np.ndarray,
+    k: int,
+    pad: int,
+    qt: str,
+    ct: str,
+):
+    """Exact-scored candidate pairs for ONE bounded query chunk of the
+    int8 path (the SQ8 twin of ``_chunk_scored_pairs``). Returns
+    (pairs DataFrame, python broadcast) — the caller destroys the
+    broadcast after pinning pairs.
 
-      1. quantize the corpus to ``array<tinyint>`` (4× less scan IO —
-         at scale the quantized column lives in its own parquet files
-         and the float column is read only for the k·pad survivors);
-      2. per-corpus-partition approximate top-(pad) per query, scored
-         on the DEQUANTIZED float32 matrix in one numpy matmul per
-         Arrow batch, tie-closed at the boundary like the exact path;
-      3. exact sequential-fold float64 cosine rerank of candidates
-         only — the output ordering is the same (cosine desc, vec_id)
-         rank as ``cosine_topk`` whenever the true top-k survive the
-         prefilter.
+    Boundary-correctness subtleties, both pinned by tests:
 
-    Recall: with ``pad_factor·k`` kept per partition the prefilter is
-    exhaustive whenever a partition holds ≤ pad vectors, and misses
-    only when quantization error (≤ scales[d]/254 per dim) reorders a
-    true neighbor below ~pad impostors — measured ≥0.99 on the bench
-    fixtures (tests/test_ann.py). The query side stays float; only the
-    corpus pays quantization."""
-    if scales is None:
-        scales = int8_scales(corpus, cvec)
-    spark = corpus.sparkSession
-    qt = queries.schema[qid].dataType.simpleString()
-    ct = corpus.schema[cid].dataType.simpleString()
-    q = queries.select(
-        F.col(qid).alias("query_id"), F.col(qvec).alias("qv")
-    ).dropDuplicates(["query_id"])
-    c = corpus.select(F.col(cid).alias("vec_id"), F.col(cvec).alias("cv"))
-    c8 = quantize_embeddings(corpus, cid, cvec, scales)
-    q_pdf = q.toPandas()
-    if len(q_pdf) == 0:
-        return c.limit(0).select(
-            F.col("vec_id").cast(qt).alias("query_id"),
-            "vec_id",
-            F.lit(0).cast("long").alias("rank"),
-        )
+      - a ZERO-NORM QUERY gets cosine NaN against everything; Spark
+        sorts NaN largest, so the exact path would rank the whole
+        corpus by vec_id — every row must stay a candidate;
+      - a ZERO-QUANTIZED corpus row (every |x_d| < scales[d]/254 —
+        routine when one outlier vector dominates the scales) has
+        cn=0 → NaN approximate cosine, but its FLOAT cosine is finite,
+        so it must neither win the boundary (the old +inf mapping let
+        ≥pad such rows evict every true neighbor in the batch) nor be
+        dropped (its true cosine is unknown at prefilter time). Such
+        rows are excluded from the boundary competition and appended
+        as unconditional candidates — the exact rerank decides."""
+    spark = c.sparkSession
     qmat = np.array(q_pdf["qv"].tolist(), dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
     q_ids = q_pdf["query_id"].to_numpy()
-    pad = max(pad_factor * k, k + 1)
     deq = (scales / 127.0).astype(np.float32)
-    bq = spark.sparkContext.broadcast((q_ids, qmat.astype(np.float32), qnorm.astype(np.float32), deq))
+    bq = spark.sparkContext.broadcast(
+        (q_ids, qmat.astype(np.float32), qnorm.astype(np.float32), deq)
+    )
 
     def part_topk(batches):
         ids, qm, qn, w = bq.value
@@ -910,12 +896,22 @@ def cosine_topk_int8(
             cn = np.linalg.norm(m, axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = (m @ qm.T) / (cn[:, None] * qn[None, :])
-            cos = np.nan_to_num(cos, nan=np.inf)
+            cos[:, qn == 0] = np.inf  # NaN-largest: keep everything
+            zero_rows = cn == 0
+            cos[zero_rows, :] = -np.inf  # decided by exact rerank below
             take = min(pad, len(m))
             top = np.argpartition(-cos, take - 1, axis=0)[:take]
             boundary = cos[top, np.arange(n_q)[None, :]].min(axis=0)
             rows, qidx = np.nonzero(cos >= boundary[None, :])
             vec_ids = pdf["vec_id"].to_numpy()
+            if zero_rows.any():
+                zv = vec_ids[zero_rows]
+                rows = np.concatenate(
+                    [rows, np.repeat(np.nonzero(zero_rows)[0], n_q)]
+                )
+                qidx = np.concatenate(
+                    [qidx, np.tile(np.arange(n_q), len(zv))]
+                )
             yield pd.DataFrame(
                 {"query_id": ids[qidx], "vec_id": vec_ids[rows]}
             ).drop_duplicates()
@@ -924,7 +920,9 @@ def cosine_topk_int8(
     pairs = (
         cand.join(c, "vec_id")
         .join(
-            F.broadcast(q.select("query_id", _as_double(F.col("qv")).alias("qv"))),
+            F.broadcast(
+                q_chunk.select("query_id", _as_double(F.col("qv")).alias("qv"))
+            ),
             "query_id",
         )
         .select(
@@ -933,6 +931,100 @@ def cosine_topk_int8(
             _cosine(F.col("qv"), _as_double(F.col("cv"))).alias("cosine"),
         )
     )
+    return pairs, bq
+
+
+def cosine_topk_int8(
+    queries: DataFrame,
+    qid: str,
+    qvec: str,
+    corpus: DataFrame,
+    cid: str,
+    cvec: str,
+    k: int = 10,
+    *,
+    pad_factor: int = 4,
+    scales: "np.ndarray | None" = None,
+    quantized: "DataFrame | None" = None,
+    exclude_self: bool = True,
+    query_chunk_rows: int = 65536,
+) -> DataFrame:
+    """Top-k cosine via an int8-quantized prefilter + exact float
+    rerank (the faiss-SQ8 shape, re-expressed for Spark):
+
+      1. the prefilter scans the ``array<tinyint>`` corpus — pass
+         ``quantized`` (a stored ``quantize_embeddings`` output with
+         matching ``scales``) to realize the 4× scan-IO cut; without
+         it the quantized column is derived from the float column per
+         call, which keeps semantics but pays the full-width scan;
+      2. per-corpus-partition approximate top-(pad) per query, scored
+         on the DEQUANTIZED float32 matrix in one numpy matmul per
+         Arrow batch, tie-closed at the boundary like the exact path;
+      3. exact sequential-fold float64 cosine rerank of candidates
+         only — the output ordering is the same (cosine desc, vec_id)
+         rank as ``cosine_topk`` whenever the true top-k survive the
+         prefilter.
+
+    The query side is processed in hash-chunks of ``query_chunk_rows``
+    exactly like ``cosine_topk`` (bounded driver memory regardless of
+    query-set size); zero-quantized corpus rows and zero-norm queries
+    are candidate-preserved (see ``_int8_chunk_pairs``). Recall: with
+    ``pad_factor·k`` kept per partition the prefilter is exhaustive
+    whenever a partition holds ≤ pad vectors, and misses only when
+    quantization error (≤ scales[d]/254 per dim) reorders a true
+    neighbor below ~pad impostors — exactness at selective pads is
+    pinned in tests/test_ann.py. Only the corpus pays quantization."""
+    if scales is None:
+        scales = int8_scales(corpus, cvec)
+    qt = queries.schema[qid].dataType.simpleString()
+    ct = corpus.schema[cid].dataType.simpleString()
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(qvec).alias("qv")
+    ).dropDuplicates(["query_id"])
+    c = corpus.select(F.col(cid).alias("vec_id"), F.col(cvec).alias("cv"))
+    empty = c.limit(0).select(
+        F.col("vec_id").cast(qt).alias("query_id"),
+        "vec_id",
+        F.lit(0).cast("long").alias("rank"),
+    )
+    if scales.size == 0:  # empty corpus
+        return empty
+    c8 = (
+        quantized.select("vec_id", "qv8")
+        if quantized is not None
+        else quantize_embeddings(corpus, cid, cvec, scales)
+    )
+    pad = max(pad_factor * k, k + 1)
+    n_q = q.count()
+    if n_q == 0:
+        return empty
+    if n_q <= query_chunk_rows:
+        pairs, _ = _int8_chunk_pairs(
+            q, q.toPandas(), c, c8, scales, k, pad, qt, ct
+        )
+    else:
+        n_chunks = -(-n_q // query_chunk_rows)
+        chunked = q.withColumn(
+            "_chunk",
+            F.pmod(F.xxhash64(F.col("query_id").cast("string")), F.lit(n_chunks)),
+        ).persist()
+        try:
+            parts: list[DataFrame] = []
+            for i in range(n_chunks):
+                q_chunk = chunked.where(F.col("_chunk") == i).drop("_chunk")
+                q_pdf = q_chunk.toPandas()
+                if len(q_pdf) == 0:
+                    continue
+                chunk_pairs, bq = _int8_chunk_pairs(
+                    q_chunk, q_pdf, c, c8, scales, k, pad, qt, ct
+                )
+                parts.append(chunk_pairs.localCheckpoint(eager=True))
+                bq.unpersist()
+            pairs = parts[0]
+            for p in parts[1:]:
+                pairs = pairs.unionByName(p)
+        finally:
+            chunked.unpersist()
     if exclude_self:
         pairs = pairs.where(F.col("query_id") != F.col("vec_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))

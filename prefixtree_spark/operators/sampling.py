@@ -177,6 +177,7 @@ def export_shards(
     ≤n_shards keys. At 100 TB size n_shards so one shard
     (corpus/n_shards) fits an executor's write buffer comfortably —
     shards, not files-per-shard, are the parallelism unit downstream."""
+    spark = df.sparkSession
     sharded = shard_assign(df, id_col, n_shards, seed=seed)
     (
         sharded.repartition(n_shards, "shard")
@@ -186,12 +187,20 @@ def export_shards(
         .format(format)
         .save(path)
     )
+    # the manifest aggregates the WRITTEN files, not the input plan: a
+    # recompute of `df` could disagree with the exported bytes (lazy
+    # non-determinism, a source that moved underneath), and re-running
+    # the input DAG — typically an expensive pipeline tail — just for
+    # counts doubles the export cost. Reading back pays one scan of the
+    # (already columnar) output and is checksum-consistent by
+    # construction.
+    written = spark.read.format(format).load(path)
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     if token_count_col is not None:
         aggs.append(F.sum(token_count_col).cast("long").alias("n_tokens"))
-    manifest = sharded.groupBy("shard").agg(*aggs).orderBy("shard")
+    manifest = written.groupBy("shard").agg(*aggs).orderBy("shard")
     manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")
-    return manifest
+    return spark.read.parquet(f"{path}/_manifest")
 
 
 def stratified_sample(

@@ -190,11 +190,14 @@ def corpus_report(
         )
         .localCheckpoint(eager=True)
     )
+    # coalesce: an EMPTY corpus must report zeros, not a row of nulls
+    # (sum over no rows is null; a release gate comparing n_docs == 0
+    # should not meet NaN propagation instead)
     global_rows = bucketed.agg(
-        F.sum("n").alias("n_docs"),
-        F.sum("toks").alias("total_tokens"),
-        F.sum("q6s").alias("sum_q6"),
-        F.sum("low").alias("n_low"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_docs"),
+        F.coalesce(F.sum("toks"), F.lit(0)).alias("total_tokens"),
+        F.coalesce(F.sum("q6s"), F.lit(0)).alias("sum_q6"),
+        F.coalesce(F.sum("low"), F.lit(0)).alias("n_low"),
     ).select(
         F.explode(
             F.map_from_arrays(
@@ -208,8 +211,16 @@ def corpus_report(
                 F.array(
                     F.col("n_docs").cast("double"),
                     F.col("total_tokens").cast("double"),
-                    F.round(F.col("total_tokens") / F.col("n_docs"), 6),
-                    F.round(F.col("sum_q6") / F.col("n_docs") / F.lit(1_000_000.0), 6),
+                    F.when(
+                        F.col("n_docs") > 0,
+                        F.round(F.col("total_tokens") / F.col("n_docs"), 6),
+                    ).otherwise(F.lit(0.0)),
+                    F.when(
+                        F.col("n_docs") > 0,
+                        F.round(
+                            F.col("sum_q6") / F.col("n_docs") / F.lit(1_000_000.0), 6
+                        ),
+                    ).otherwise(F.lit(0.0)),
                     F.col("n_low").cast("double"),
                 ),
             )

@@ -429,22 +429,21 @@ def test_ivf_append_matches_full_rebuild(spark, clustered, tmp_path):
                        n_replicas=2, centroids=cent)
     qids = [0, 25, 85]
     q = df.where(df.vec_id.isin(qids))
-    for path in (inc_path,):
-        idx_inc = ann.load_ivf_index(spark, inc_path)
-        idx_full = ann.load_ivf_index(spark, full_path)
-        inc = {
-            (r.query_id, r.vec_id, r.rank)
-            for r in ann.cosine_topk_ivf_index(
-                q, "vec_id", "embedding", idx_inc, k=5, nprobe=3
-            ).collect()
-        }
-        full = {
-            (r.query_id, r.vec_id, r.rank)
-            for r in ann.cosine_topk_ivf_index(
-                q, "vec_id", "embedding", idx_full, k=5, nprobe=3
-            ).collect()
-        }
-        assert inc == full and inc
+    idx_inc = ann.load_ivf_index(spark, inc_path)
+    idx_full = ann.load_ivf_index(spark, full_path)
+    inc = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_ivf_index(
+            q, "vec_id", "embedding", idx_inc, k=5, nprobe=3
+        ).collect()
+    }
+    full = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_ivf_index(
+            q, "vec_id", "embedding", idx_full, k=5, nprobe=3
+        ).collect()
+    }
+    assert inc == full and inc
     # appended vectors are findable: 85's nearest cluster-mates rank
     assert any(r[0] == 85 for r in inc)
 
@@ -458,3 +457,69 @@ def test_ivf_append_empty_delta_noop(spark, clustered, tmp_path):
     assert ann.append_ivf_index(
         spark, path, df.where("vec_id < 0"), "vec_id", "embedding") == 0
     assert spark.read.parquet(f"{path}/vectors").count() == before
+
+
+def test_int8_zero_quantized_rows_not_candidates_starved(spark):
+    """Outlier-dominated scales quantize small-norm vectors to all-zero;
+    those rows must neither evict true neighbors from the prefilter
+    boundary (the old NaN->+inf mapping did, with >= pad such rows in a
+    batch) nor be dropped — int8 output must equal the exact path."""
+    rng = np.random.default_rng(11)
+    rows = [(0, [float(1000.0)] * DIM)]  # outlier dominating every scale
+    # 40 small vectors that quantize to exactly zero (|x| < scale/254)
+    for i in range(1, 41):
+        rows.append((i, [float(x) for x in rng.uniform(-1, 1, DIM)]))
+    # 5 mid-magnitude vectors, the true neighbors of the query
+    for i in range(41, 46):
+        rows.append((i, [float(50.0 + i)] * DIM))
+    df = spark.createDataFrame(rows, _vec_schema()).repartition(1)
+    q = df.where("vec_id = 45")
+    exact = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk(
+            q, "vec_id", "embedding", df, "vec_id", "embedding", k=5
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_int8(
+            q, "vec_id", "embedding", df, "vec_id", "embedding",
+            k=5, pad_factor=2,
+        ).collect()
+    }
+    assert got == exact and got
+
+
+def test_int8_prestored_quantized_corpus(spark, clustered):
+    """Passing a stored quantize_embeddings output (the 4x-IO path)
+    returns the same answers as deriving it per call."""
+    df, rows = clustered
+    qids = [0, 50]
+    q = df.where(df.vec_id.isin(qids))
+    scales = ann.int8_scales(df, "embedding")
+    stored = ann.quantize_embeddings(df, "vec_id", "embedding", scales)
+    a = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_int8(
+            q, "vec_id", "embedding", df, "vec_id", "embedding",
+            k=5, scales=scales, quantized=stored,
+        ).collect()
+    }
+    b = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_int8(
+            q, "vec_id", "embedding", df, "vec_id", "embedding", k=5
+        ).collect()
+    }
+    assert a == b and a
+
+
+def test_int8_empty_corpus_returns_empty(spark, clustered):
+    df, _ = clustered
+    q = df.where("vec_id = 0")
+    empty = df.where("vec_id < 0")
+    out = ann.cosine_topk_int8(
+        q, "vec_id", "embedding", empty, "vec_id", "embedding", k=5
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "vec_id", "rank"]

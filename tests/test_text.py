@@ -352,3 +352,19 @@ def test_lm_nll_hand_computed_and_ranks_gibberish(spark):
     assert got[3] == (1, exp3)
     # frequent-bigram doc looks more corpus-like than the rare one
     assert got[2][1] < got[3][1]
+
+
+def test_corpus_report_empty_corpus_zeros(spark):
+    """An empty corpus reports zeros, not nulls — release gates compare
+    n_docs == 0 and must not meet NaN propagation."""
+    from prefixtree_spark.operators import text as T
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    got = {r.metric: r.value for r in
+           T.corpus_report(docs, "doc_id", "text").collect()}
+    assert got["n_docs"] == 0.0
+    assert got["total_tokens"] == 0.0
+    assert got["avg_tokens"] == 0.0
+    assert got["avg_quality"] == 0.0
+    assert got["n_low_quality"] == 0.0
+    assert not any(k.startswith("quality_bucket_") for k in got)
