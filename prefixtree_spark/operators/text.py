@@ -167,6 +167,23 @@ def corpus_report(
     the end) hash-match the SQL oracle no matter how either engine
     orders the fold. Histogram buckets floor the same scaled integer
     (boundary docs land identically in both engines)."""
+    # ONE corpus pass: everything — card and histogram — folds into a
+    # single ≤10-key hash aggregate, pinned so the two output branches
+    # below read 10 rows instead of re-scanning the corpus each
+    bucketed = _quality_bucket_partial(
+        df, text_col, low_quality
+    ).localCheckpoint(eager=True)
+    return _card_from_bucketed(bucketed)
+
+
+def _quality_bucket_partial(
+    df: DataFrame, text_col: str, low_quality: float
+) -> DataFrame:
+    """The decomposable core of the data card: a ≤10-row bucketed
+    partial (b, n, toks, q6s, low) whose integer columns fold exactly —
+    partials over disjoint corpus slices sum to the whole-corpus
+    aggregate, which is what makes the card incrementally maintainable
+    over append-log segments (``corpus_report_published``)."""
     # floor explicitly: Spark's double→long cast truncates but DuckDB's
     # rounds, so both engines must floor the scaled double themselves
     q6 = F.floor(_quality_expr(text_col) * 1_000_000).cast("long")
@@ -175,21 +192,19 @@ def corpus_report(
         q6.alias("q6"),
     )
     lq = int(round(low_quality * 1_000_000))
-    # ONE corpus pass: everything — card and histogram — folds into a
-    # single ≤10-key hash aggregate, pinned so the two output branches
-    # below read 10 rows instead of re-scanning the corpus each
-    bucketed = (
-        per_doc.groupBy(
-            F.least(F.floor(F.col("q6") / F.lit(100_000)), F.lit(9)).alias("b")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("n_toks").alias("toks"),
-            F.sum("q6").alias("q6s"),
-            F.sum(F.when(F.col("q6") < lq, 1).otherwise(0)).alias("low"),
-        )
-        .localCheckpoint(eager=True)
+    return per_doc.groupBy(
+        F.least(F.floor(F.col("q6") / F.lit(100_000)), F.lit(9)).alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_toks").alias("toks"),
+        F.sum("q6").alias("q6s"),
+        F.sum(F.when(F.col("q6") < lq, 1).otherwise(0)).alias("low"),
     )
+
+
+def _card_from_bucketed(bucketed: DataFrame) -> DataFrame:
+    """(metric, value) card rows from a (possibly folded) bucketed
+    partial. ``bucketed`` must be small/pinned — both branches scan it."""
     # coalesce: an EMPTY corpus must report zeros, not a row of nulls
     # (sum over no rows is null; a release gate comparing n_docs == 0
     # should not meet NaN propagation instead)
@@ -233,6 +248,68 @@ def corpus_report(
         F.col("n").cast("double").alias("value"),
     )
     return global_rows.unionByName(hist)
+
+
+def corpus_report_published(
+    spark,
+    root: str,
+    text_col: str,
+    *,
+    low_quality: float = 0.3,
+    cache_root: str | None = None,
+) -> DataFrame:
+    """The data card over a PUBLISHED append-log table
+    (``sources.io.append_published``), maintained incrementally:
+    per-segment bucketed partials are computed once, stored under
+    ``<root>_card/``, and folded into the card — so refreshing the
+    stats after an append batch costs O(new segments), not a full
+    corpus re-scan. Identical output to
+    ``corpus_report(read_published(root))`` (integer partials fold
+    exactly; pinned by test).
+
+    Cache correctness rides on the publish contract: segment
+    directories are immutable (compaction/vacuum mint NEW vdirs), so a
+    stored partial can never go stale. Partials are keyed by
+    (low_quality, segment dir); each is written to a temp name and
+    RENAMED, so a crashed writer leaves garbage, not a half-partial a
+    later call would trust. Orphaned partials (their segment was
+    compacted away) are ignored and cleaned by the next vacuum of the
+    cache dir."""
+    from prefixtree_spark.sources.io import (
+        _fs,
+        published_segments,
+        read_source,
+    )
+
+    cache_root = cache_root or f"{root}_card"
+    lq_tag = f"lq{int(round(low_quality * 1_000_000))}"
+    fs, jvm = _fs(spark, cache_root)
+    parts = []
+    for vdir, fmt in published_segments(spark, root):
+        ppath = f"{cache_root}/{lq_tag}/{vdir}"
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(ppath)):
+            seg = read_source(spark, f"{root}/{vdir}", format=fmt)
+            tmp = f"{cache_root}/{lq_tag}/.tmp-{vdir}"
+            _quality_bucket_partial(
+                seg, text_col, low_quality
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            if not fs.rename(
+                jvm.org.apache.hadoop.fs.Path(tmp),
+                jvm.org.apache.hadoop.fs.Path(ppath),
+            ):
+                # concurrent refresher beat us — theirs is identical
+                fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        parts.append(spark.read.parquet(ppath))
+    bucketed = parts[0]
+    for p in parts[1:]:
+        bucketed = bucketed.unionByName(p)
+    folded = bucketed.groupBy("b").agg(
+        F.sum("n").alias("n"),
+        F.sum("toks").alias("toks"),
+        F.sum("q6s").alias("q6s"),
+        F.sum("low").alias("low"),
+    )
+    return _card_from_bucketed(folded.localCheckpoint(eager=True))
 
 
 def lm_nll(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -310,6 +310,19 @@ def read_published(spark: SparkSession, root: str) -> DataFrame:
     return out
 
 
+def published_segments(spark: SparkSession, root: str) -> list[tuple[str, str]]:
+    """The immutable (segment-dir-name, format) chain of the live
+    snapshot, oldest first. Segment directories are immutable by the
+    publish contract, which is what makes them usable as cache keys for
+    per-segment derived state (incremental aggregates, side indexes):
+    state computed for a vdir never goes stale — compaction/vacuum
+    produce NEW vdirs."""
+    entries = _manifest_entries(spark, root)
+    if not entries:
+        raise FileNotFoundError(f"no published version under {root!r}")
+    return _resolve_chain(spark, entries)
+
+
 def published_version(spark: SparkSession, root: str) -> int:
     """Live version number (0 when nothing is published yet)."""
     entries = _manifest_entries(spark, root)

@@ -368,3 +368,51 @@ def test_corpus_report_empty_corpus_zeros(spark):
     assert got["avg_quality"] == 0.0
     assert got["n_low_quality"] == 0.0
     assert not any(k.startswith("quality_bucket_") for k in got)
+
+
+def test_corpus_report_published_incremental(spark, tmp_path):
+    """Incremental card over an append-log table: equals the full
+    recompute, reuses stored partials (old ones untouched after an
+    append), and survives compaction (new vdirs -> fresh partials)."""
+    import os
+
+    from prefixtree_spark.operators import text as T
+    from prefixtree_spark.sources import io as pio
+
+    root = str(tmp_path / "docs_pub")
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"the doc number {i} is here") for i in range(lo, hi)],
+            "doc_id long, text string",
+        )
+
+    pio.publish_version(batch(0, 50), root)
+    pio.append_published(batch(50, 80), root)
+
+    def card(df_or_pub):
+        return {r.metric: r.value for r in df_or_pub.collect()}
+
+    got = card(T.corpus_report_published(spark, root, "text"))
+    full = card(T.corpus_report(pio.read_published(spark, root), "doc_id", "text"))
+    assert got == full and got["n_docs"] == 80.0
+
+    cache = str(tmp_path / "docs_pub_card")
+    lq_dir = os.path.join(cache, os.listdir(cache)[0])
+    before = {d: os.path.getmtime(os.path.join(lq_dir, d))
+              for d in os.listdir(lq_dir)}
+    assert len(before) == 2  # one partial per segment
+
+    pio.append_published(batch(80, 95), root)
+    got2 = card(T.corpus_report_published(spark, root, "text"))
+    assert got2["n_docs"] == 95.0
+    after = {d: os.path.getmtime(os.path.join(lq_dir, d))
+             for d in os.listdir(lq_dir)}
+    assert len(after) == 3
+    for d, m in before.items():
+        assert after[d] == m  # stored partials untouched
+
+    # compaction mints a new segment dir -> new partial, same answers
+    pio.compact_published(spark, root)
+    got3 = card(T.corpus_report_published(spark, root, "text"))
+    assert got3 == got2
