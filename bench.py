@@ -545,6 +545,29 @@ def main() -> None:
         t0 = time.time()
         _doc_bands(corpus_ing, "doc_id", "text", 3, 64, 32).count()
         extras[f"ingest_bands_recompute_{tag}"] = round(time.time() - t0, 3)
+    # incremental data-card economics (untimed extras): after one more
+    # append, a full-card recompute re-scans the whole published corpus
+    # while corpus_report_published refreshes only the new segment's
+    # partial — the O(batch)-vs-O(corpus) gap grows with corpus size.
+    from prefixtree_spark.operators.text import corpus_report_published
+    from prefixtree_spark.operators.text import corpus_report as _full_card
+    from prefixtree_spark.sources.io import append_published as _append_pub
+
+    t0 = time.time()
+    corpus_report_published(spark, f"{ing_dir}/c", "text").count()
+    extras["card_pub_initial_sec"] = round(time.time() - t0, 3)
+    _append_pub(
+        docs_ing.where(f"doc_id < {half_ing // 10}").withColumn(
+            "doc_id", F.col("doc_id") + 10_000_000
+        ),
+        f"{ing_dir}/c",
+    )
+    t0 = time.time()
+    corpus_report_published(spark, f"{ing_dir}/c", "text").count()
+    extras["card_pub_refresh_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _full_card(_read_pub(spark, f"{ing_dir}/c"), "doc_id", "text").count()
+    extras["card_full_recompute_sec"] = round(time.time() - t0, 3)
     shutil.rmtree(ing_dir, ignore_errors=True)
 
     # stateful streaming: sessionize the whole events stream end-to-end

@@ -48,6 +48,7 @@ from prefixtree_spark.operators.sampling import (
 from prefixtree_spark.operators.text import (
     chunk_text,
     corpus_report,
+    corpus_report_published,
     detect_pii,
     ngram_counts,
     normalize_text,
