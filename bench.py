@@ -273,7 +273,9 @@ def main() -> None:
         bench(
             name,
             lambda name=name: catalog[name](spark, sf_dir).count(),
-            repeats=5 if name == "dedup_minhash_lsh" else 3,
+            # semantic_dedup_labeled joined the 5-repeat set after a
+            # 12s GC-outlier spread at repeats=3 in the r05 final run
+            repeats=5 if name in ("dedup_minhash_lsh", "semantic_dedup_labeled") else 3,
         )
 
     # minhash stage breakdown (round-5 verdict #3): time each pipeline
