@@ -705,14 +705,17 @@ def _span_windows(
     is one row per sliding ``width``-token window occurrence —
     (doc_id, i, wh) with ``wh`` the window's md5 (16-byte shuffle keys
     instead of ~width-token strings; exact w.h.p.)."""
+    # \S+ extraction, not trim+split: Spark's trim strips only SPACES,
+    # so text ending in "\n" (ubiquitous in real corpora) would emit a
+    # trailing empty token — inflating total_tokens, hashing phantom
+    # windows, and diverging from the regexp_extract_all-based oracles.
+    # Null text coalesces to the empty array (size(null) is -1).
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("ts"),
-    ).select(
-        "doc_id",
-        F.when(
-            (F.size("ts") == 1) & (F.element_at("ts", 1) == ""), F.array()
-        ).otherwise(F.col("ts")).alias("ts"),
+        F.coalesce(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0),
+            F.array().cast("array<string>"),
+        ).alias("ts"),
     )
     wins = (
         toks.where(F.size("ts") >= width)

@@ -180,16 +180,24 @@ def _manifest_entries(spark: SparkSession, root: str) -> list[tuple[int, str]]:
 
 
 def _read_small_file(spark: SparkSession, path: str) -> str:
+    """Whole-file read in ONE py4j round trip: manifest resolution runs
+    per segment per read_published call — e.g. every ingest micro-batch
+    — so the old byte-per-round-trip loop cost ~N_bytes driver↔JVM hops
+    per entry. commons-io ships on Spark's classpath; the byte loop
+    stays as the fallback for exotic classpaths."""
     fs, jvm = _fs(spark, path)
     stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
     try:
-        data = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            data.append(b)
-        return data.decode("utf-8")
+        try:
+            return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        except Exception:
+            data = bytearray()
+            while True:
+                b = stream.read()
+                if b < 0:
+                    break
+                data.append(b)
+            return data.decode("utf-8")
     finally:
         stream.close()
 
@@ -235,12 +243,21 @@ def append_published(
     return _publish_entry(df, root, "append", format, partition_by)
 
 
+class ConcurrentPublishError(RuntimeError):
+    """The snapshot moved between resolving it and committing a version
+    built FROM it (e.g. an append landed while a compaction was
+    rewriting). The caller must re-resolve and redo its derived write —
+    retrying the commit alone would publish a stale-snapshot replace
+    that silently drops the interleaved segment."""
+
+
 def _publish_entry(
     df: DataFrame,
     root: str,
     mode: str,
     format: str,
     partition_by: list[str] | None,
+    expected_version: int | None = None,
 ) -> int:
     import uuid as _uuid
 
@@ -249,6 +266,11 @@ def _publish_entry(
     while True:
         n = (_manifest_entries(spark, root)[-1][0] + 1
              if _manifest_entries(spark, root) else 1)
+        if expected_version is not None and n != expected_version:
+            raise ConcurrentPublishError(
+                f"snapshot at {root!r} moved: expected to commit version "
+                f"{expected_version}, next is {n}"
+            )
         vdir = f"v_{n:011d}_{_uuid.uuid4().hex[:8]}"
         write_sink(
             df, f"{root}/{vdir}", format=format, partition_by=partition_by
@@ -257,16 +279,36 @@ def _publish_entry(
             f"{root}/{_MANIFEST_DIR}/.tmp-{_uuid.uuid4().hex}"
         )
         final = jvm.org.apache.hadoop.fs.Path(f"{root}/{_MANIFEST_DIR}/{n}")
+        payload = f"{vdir}\t{format}\t{mode}"
         out = fs.create(tmp, False)
         try:
-            out.write(bytearray(f"{vdir}\t{format}\t{mode}".encode("utf-8")))
+            out.write(bytearray(payload.encode("utf-8")))
         finally:
             out.close()
-        if fs.rename(tmp, final) and not fs.exists(tmp):
+        # Arbitration: HDFS rename refuses an existing destination, but
+        # RawLocalFileSystem delegates to rename(2), which silently
+        # REPLACES it — two publishers that both computed n would both
+        # "win" and the first's committed entry (and data) would vanish.
+        # So: (a) don't rename onto a destination we can see exists;
+        # (b) after renaming, read the winner back — the payload embeds
+        # our uuid'd vdir, so content-match is proof we won. The
+        # residual exists→rename window on local FS is microseconds;
+        # on HDFS/object-store committers the rename itself arbitrates.
+        won = (
+            not fs.exists(final)
+            and fs.rename(tmp, final)
+            and not fs.exists(tmp)
+            and _read_small_file(spark, str(final)) == payload
+        )
+        if won:
             return n
         # lost the race: clean our temp + orphan data dir, retry
         fs.delete(tmp, False)
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{vdir}"), True)
+        if expected_version is not None:
+            raise ConcurrentPublishError(
+                f"lost the commit race for version {n} at {root!r}"
+            )
         attempts += 1
         if attempts > 100:
             raise RuntimeError(f"_publish_entry: contended beyond reason at {root}")
@@ -348,21 +390,37 @@ def compact_published(
     version number. An append chain folds back into ONE replace
     directory — the listing-cost reset that makes per-batch
     ``append_published`` commits sustainable."""
-    entries = _manifest_entries(spark, root)
-    if not entries:
-        raise FileNotFoundError(f"no published version under {root!r}")
-    chain = _resolve_chain(spark, entries)
-    fmt = chain[0][1]
-    fs, jvm = _fs(spark, root)
-    total_bytes = sum(
-        fs.getContentSummary(
-            jvm.org.apache.hadoop.fs.Path(f"{root}/{vdir}")
-        ).getLength()
-        for vdir, _ in chain
+    for _ in range(10):
+        entries = _manifest_entries(spark, root)
+        if not entries:
+            raise FileNotFoundError(f"no published version under {root!r}")
+        chain = _resolve_chain(spark, entries)
+        fmt = chain[0][1]
+        fs, jvm = _fs(spark, root)
+        total_bytes = sum(
+            fs.getContentSummary(
+                jvm.org.apache.hadoop.fs.Path(f"{root}/{vdir}")
+            ).getLength()
+            for vdir, _ in chain
+        )
+        n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+        df = read_published(spark, root).repartition(n_files)
+        # CAS commit: the replace is built FROM snapshot entries[-1], so
+        # it may only land as the very next version. If an append slips
+        # in between resolve and commit, committing anyway would publish
+        # a snapshot that silently drops that segment (the advertised
+        # safe-beside-the-sink contract) — re-resolve and recompact.
+        try:
+            return _publish_entry(
+                df, root, "replace", fmt, None,
+                expected_version=entries[-1][0] + 1,
+            )
+        except ConcurrentPublishError:
+            continue
+    raise RuntimeError(
+        f"compact_published: snapshot at {root!r} kept moving; "
+        "retry when ingest pressure drops"
     )
-    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
-    df = read_published(spark, root).repartition(n_files)
-    return publish_version(df, root, format=fmt)
 
 
 def vacuum_published(

@@ -361,3 +361,67 @@ def test_vacuum_grace_protects_inflight_publish(spark, tmp_path):
     removed = vacuum_published(spark, root, keep=1, grace_s=0)
     assert removed == 1  # grace waived: the orphan goes too
     assert _pub_rows(read_published(spark, root)) == [(2, "b")]
+
+
+def test_compact_concurrent_append_never_drops_rows(spark, tmp_path):
+    """The advertised contract: compaction is safe beside an active
+    append sink. Interleave appends with compactions from a second
+    thread; every committed row must be present in the final snapshot
+    (a stale-snapshot replace would silently drop a segment)."""
+    import threading
+
+    from prefixtree_spark.sources import io as pio
+
+    root = str(tmp_path / "race_tbl")
+    pio.publish_version(
+        spark.createDataFrame([(0, "base")], "id long, v string"), root
+    )
+
+    errs = []
+
+    def appender():
+        try:
+            for i in range(1, 7):
+                pio.append_published(
+                    spark.createDataFrame([(i, f"b{i}")], "id long, v string"),
+                    root,
+                )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    t = threading.Thread(target=appender)
+    t.start()
+    compactions = 0
+    while t.is_alive():
+        try:
+            pio.compact_published(spark, root)
+            compactions += 1
+        except RuntimeError:
+            pass  # chain kept moving; appender still owns the table
+    t.join()
+    pio.compact_published(spark, root)
+    assert not errs
+    got = sorted(r.id for r in pio.read_published(spark, root).collect())
+    assert got == list(range(7)), f"lost rows after {compactions} compactions"
+
+
+def test_publish_entry_stale_expected_version_raises(spark, tmp_path):
+    """A replace committed with expected_version must refuse to land if
+    the snapshot moved (the compaction CAS) — and leave no new version
+    behind."""
+    import pytest as _pytest
+
+    from prefixtree_spark.sources import io as pio
+
+    root = str(tmp_path / "cas_tbl")
+    pio.publish_version(
+        spark.createDataFrame([(0,)], "id long"), root
+    )
+    v = pio.published_version(spark, root)
+    pio.append_published(spark.createDataFrame([(1,)], "id long"), root)
+    with _pytest.raises(pio.ConcurrentPublishError):
+        pio._publish_entry(
+            spark.createDataFrame([(9,)], "id long"), root,
+            "replace", "parquet", None, expected_version=v + 1,
+        )
+    assert sorted(r.id for r in pio.read_published(spark, root).collect()) == [0, 1]

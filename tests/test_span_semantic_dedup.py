@@ -420,3 +420,28 @@ def test_span_family_randomized_vs_brute(spark):
         ).collect()
     }
     assert rem == _brute_removed(rows, width)
+
+
+def test_span_windows_whitespace_and_null_robust(spark):
+    """Trailing newlines/tabs and null text must not mint phantom
+    tokens or windows: 'a b c\n' has exactly 3 tokens and, at width 3,
+    one window identical to the clean twin's — so the pair dedups."""
+    from prefixtree_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b c\n"),
+            (3, "\t x\ty z \n"),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    prof = {r.doc_id: (r.total_tokens, r.n_windows, r.n_dup_windows)
+            for r in dd.duplicate_spans(df, "doc_id", "text", width=3).collect()}
+    assert prof[1] == (3, 1, 1)
+    assert prof[2] == (3, 1, 1)  # trailing \n: same tokens, same window
+    assert prof[3] == (3, 1, 0)  # x y z unique
+    assert prof[4] == (0, 0, 0)
+    assert prof[5] == (0, 0, 0)
