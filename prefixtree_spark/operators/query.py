@@ -599,9 +599,25 @@ def query(
             # too big to materialize inside one traversal task.
             per_part = n_nodes / max(1, pt.rdd.getNumPartitions())
             if per_part <= _CHUNK_MAX_PARTITION_NODES:
-                return _query_broadcast_queries_chunked(
-                    pt, qdf, k, colocated=colocated
-                )
+                if colocated:
+                    return _query_broadcast_queries_chunked(
+                        pt, qdf, k, colocated=True
+                    )
+                # colocate HERE from the still-cached tree, then release
+                # the original before the chunk loop: letting chunked
+                # pin its own copy while this frame's pt stays persisted
+                # held TWO full cached trees for the whole run — in
+                # exactly the regime defined by the tree being too big
+                # to collect. Overlap now lasts one repartition pass.
+                pt2 = pt.repartition("compute_node").persist()
+                try:
+                    pt2.count()
+                    pt.unpersist()
+                    return _query_broadcast_queries_chunked(
+                        pt2, qdf, k, colocated=True
+                    )
+                finally:
+                    pt2.unpersist()
             return _query_bfs(pt, qdf, col, k, tree_partitioned=tree_partitioned)
         finally:
             pt.unpersist()

@@ -347,7 +347,15 @@ def mixture_resample(
     mass_rows = (
         df.groupBy(group_col).agg(F.sum(w).alias("m")).collect()
     )
-    masses = {r[group_col]: int(r["m"]) for r in mass_rows}
+    # null-safe on both axes: a group whose every weight is NULL sums
+    # to NULL (treat as zero mass — keeps nothing, like empty weights);
+    # rows with a NULL group key can never match the rates equi-join,
+    # so they are zero-mass by the same contract rather than a crash
+    masses = {
+        r[group_col]: int(r["m"]) if r["m"] is not None else 0
+        for r in mass_rows
+        if r[group_col] is not None
+    }
     if alpha == 0.0:
         sg = {g: 1 for g in masses}
     elif alpha == 0.5:

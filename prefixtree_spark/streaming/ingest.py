@@ -85,19 +85,34 @@ def _pin_band_params(
     """First writer records (n, num_perm, bands); later batches must
     match — stored buckets hash the parameters in, so a silent change
     would turn the candidate join into noise."""
+    import uuid as _uuid
+
     meta = f"{n},{num_perm},{bands}"
     fs, jvm = _fs(spark, broot)
     p = jvm.org.apache.hadoop.fs.Path(f"{broot}/_params")
+    if fs.exists(p) and _read_small_file(spark, f"{broot}/_params") == "":
+        # a writer crashed between create and write: an empty params
+        # file would brick every future batch with a phantom mismatch.
+        # Deleting is safe — whoever recreates it writes via tmp+rename
+        # below, so no reader can see a half-written value again.
+        fs.delete(p, False)
     if not fs.exists(p):
+        # write-then-rename (not create-then-write): the file only
+        # appears under its final name with its full content, so a
+        # crash leaves a .tmp orphan instead of an empty _params
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            f"{broot}/.tmp-params-{_uuid.uuid4().hex}"
+        )
         try:
-            out = fs.create(p, False)  # create-if-absent arbitrates racers
+            out = fs.create(tmp, False)
             try:
                 out.write(bytearray(meta.encode("utf-8")))
             finally:
                 out.close()
-            return
+            if not fs.rename(tmp, p):
+                fs.delete(tmp, False)  # lost the race: compare below
         except Exception:
-            pass  # lost the race: fall through to compare
+            pass  # lost the race entirely: fall through to compare
     existing = _read_small_file(spark, f"{broot}/_params")
     if existing != meta:
         raise ValueError(
@@ -194,12 +209,22 @@ def ingest_batch(
     # evidence — and is the guard that makes replayed batches no-ops),
     # then near-dup via the STORED corpus buckets + exact verify over
     # candidate corpus docs only
+    bands_of_surv = None
     if published_version(spark, root) > 0:
         corpus = read_published(spark, root)
         cor_text = corpus.groupBy(text_col).agg(
             F.min(id_col).alias("_cm")
         )
-        _note(surv.join(cor_text, text_col), "exact_corpus", F.col("_cm"))
+        # self-matches (same id, same text) are REPLAYS of an already-
+        # committed batch, not rejections: auditing them would answer
+        # "why is doc X not in the corpus?" with a rejection row for a
+        # doc that IS the corpus survivor. The rejection itself still
+        # applies (idempotent replay) — only the lineage row is skipped.
+        _note(
+            surv.join(cor_text, text_col).where(F.col(id_col) != F.col("_cm")),
+            "exact_corpus",
+            F.col("_cm"),
+        )
         surv = surv.join(
             cor_text.select(text_col), text_col, "left_anti"
         )
@@ -217,7 +242,9 @@ def ingest_batch(
             minhash_signatures(sh_new, num_perm=num_perm),
             bands,
             num_perm // bands,
-        )
+        ).persist()  # reused at step 4 for the survivors' stored bands
+        pins.append(b_new)
+        bands_of_surv = b_new
         candidates = (
             b_new.select(F.col("doc").alias("new_id"), "band", "bucket")
             .join(
@@ -257,7 +284,9 @@ def ingest_batch(
             .agg(F.min("corpus_id").alias("_cm"))
         )
         _note(
-            hits.select(F.col("new_id").alias(id_col), "_cm"),
+            hits.select(F.col("new_id").alias(id_col), "_cm").where(
+                F.col(id_col) != F.col("_cm")  # replay guard, as above
+            ),
             "near_corpus",
             F.col("_cm"),
         )
@@ -272,9 +301,19 @@ def ingest_batch(
     try:
         n_out = surv.count()
         if n_out:
-            append_published(
-                _doc_bands(surv, id_col, text_col, n, num_perm, bands), broot
-            )
+            # survivors' bands: reuse the cached pipeline output from
+            # step 3 when it exists (b_new covers a superset of the
+            # final survivors — filter by id) instead of re-tokenizing
+            # and re-hashing every shingle a second time; the values
+            # are identical (same seeded permutations over the same
+            # text). The corpus-less first batch still computes fresh.
+            if bands_of_surv is not None:
+                out_bands = bands_of_surv.join(
+                    surv.select(F.col(id_col).alias("doc")), "doc", "left_semi"
+                )
+            else:
+                out_bands = _doc_bands(surv, id_col, text_col, n, num_perm, bands)
+            append_published(out_bands, broot)
             append_published(surv, root)
         if audit and audits:
             rejected = audits[0]

@@ -251,3 +251,19 @@ def test_export_shards_one_file_per_shard_roundtrip(spark, tmp_path):
     assert sorted((r.shard, r.n_docs) for r in saved.collect()) == sorted(
         (r.shard, r.n_docs) for r in manifest
     )
+
+
+def test_mixture_resample_null_weights_and_keys(spark):
+    """NULL weight sums mean zero mass (group keeps nothing, no
+    TypeError); NULL group keys are zero-mass by the same contract."""
+    from prefixtree_spark.operators.sampling import mixture_resample
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 5), (3, "b", None), (4, None, 5)],
+        "id long, src string, w int",
+    )
+    kept = mixture_resample(
+        df, "id", "src", target_frac=1.0, alpha=1.0, weight_col="w"
+    ).collect()
+    assert {r.id for r in kept} <= {1, 2}
+    assert all(r.src == "a" for r in kept)

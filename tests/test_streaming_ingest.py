@@ -249,3 +249,53 @@ def test_audit_lineage_names_stage_and_match(spark, tmp_path):
         (7, "exact_corpus", 1),
         (8, "near_corpus", 1),
     }
+
+
+def test_replay_writes_no_false_audit_lineage(spark, tmp_path):
+    """Replaying a committed batch (same ids, same texts) must reject
+    every row WITHOUT minting audit lineage: a rejection row whose
+    matched survivor is the doc itself would tell a release review the
+    doc is not in the corpus while it is."""
+    root = str(tmp_path / "corpus")
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta words here"),
+         (2, "totally different text content here now")],
+        ["doc_id", "text"],
+    )
+    assert ingest_batch(batch, root, "doc_id", "text", audit=True) == 2
+    # at-least-once replay of the SAME batch
+    assert ingest_batch(batch, root, "doc_id", "text", audit=True) == 0
+    assert _ids(read_published(spark, root)) == [1, 2]
+    from prefixtree_spark.sources.io import published_version as _pv
+
+    assert _pv(spark, root + "_audit") == 0  # no audit table at all
+    # a GENUINE duplicate from a different id still audits
+    dup = spark.createDataFrame(
+        [(9, "alpha beta gamma delta words here")], ["doc_id", "text"]
+    )
+    assert ingest_batch(dup, root, "doc_id", "text", audit=True) == 0
+    audit = {(r.id, r.reason, r.matched_id) for r in
+             read_published(spark, root + "_audit").collect()}
+    assert audit == {(9, "exact_corpus", 1)}
+
+
+def test_empty_params_file_self_heals(spark, tmp_path):
+    """A writer that crashed between creating and writing _params used
+    to brick the root (every batch saw '' != its params); an empty
+    params file is now treated as the crash artifact it is."""
+    import os
+
+    root = str(tmp_path / "corpus")
+    batch = spark.createDataFrame(
+        [(1, "some document text with words")], ["doc_id", "text"]
+    )
+    assert ingest_batch(batch, root, "doc_id", "text") == 1
+    params_path = os.path.join(str(tmp_path), "corpus_bands", "_params")
+    with open(params_path, "w"):
+        pass  # truncate: simulate the crash artifact
+    b2 = spark.createDataFrame(
+        [(2, "a second unrelated document entirely")], ["doc_id", "text"]
+    )
+    assert ingest_batch(b2, root, "doc_id", "text") == 1
+    with open(params_path) as fh:
+        assert fh.read() == "3,64,32"
