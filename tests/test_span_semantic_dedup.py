@@ -445,3 +445,39 @@ def test_span_windows_whitespace_and_null_robust(spark):
     assert prof[3] == (3, 1, 0)  # x y z unique
     assert prof[4] == (0, 0, 0)
     assert prof[5] == (0, 0, 0)
+
+
+def test_duplicate_spans_random_whitespace_adversarial(spark):
+    """Randomized corpora whose texts carry tabs, newlines, runs of
+    spaces, and leading/trailing whitespace: the engine must agree with
+    the Python str.split() brute twin (which drops empties) on every
+    document — the regression class behind the round-5 tokenization
+    fix."""
+    import random
+
+    from prefixtree_spark.operators import dedup as dd
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(12)]
+    seps = [" ", "  ", "\t", "\n", " \t ", "\n\n"]
+    for trial in range(3):
+        rows = []
+        for d in range(14):
+            n_tok = rng.randint(0, 12)
+            toks = [rng.choice(vocab) for _ in range(n_tok)]
+            body = "".join(
+                t + rng.choice(seps) for t in toks
+            )
+            text = rng.choice(["", " ", "\n", "\t"]) + body
+            rows.append((d, text))
+        width = rng.choice([2, 3])
+        got = {
+            r.doc_id: (r.total_tokens, r.n_windows, r.n_dup_windows,
+                       r.covered_tokens)
+            for r in dd.duplicate_spans(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                "doc_id", "text", width=width,
+            ).collect()
+        }
+        want = {d: v[:4] for d, v in _brute_spans(rows, width).items()}
+        assert got == want, f"trial {trial} width {width}"
