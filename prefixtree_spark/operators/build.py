@@ -294,6 +294,18 @@ def _build_partition(
         yield out.iloc[start : start + 100_000]
 
 
+def _trim_fn(trim: str):
+    """The ONE trim-mode dispatch shared by ``create`` and the
+    incremental delta ops — a mode added here reaches both, so a build
+    and its add/remove deltas can never disagree on which word a
+    string spells (the trim-mismatch corruption incremental.py's
+    docstrings warn about)."""
+    fn = {"both": F.trim, "right": F.rtrim}.get(trim)
+    if fn is None:
+        raise ValueError(f"trim must be 'both' or 'right', got {trim!r}")
+    return fn
+
+
 def create(
     df: DataFrame,
     col: str | Column,
@@ -350,10 +362,9 @@ def create(
     under it a word with leading spaces keeps them and is a distinct
     dictionary entry.
     """
-    trim_fn = {"both": F.trim, "right": F.rtrim}.get(trim)
-    if trim_fn is None:
-        raise ValueError(f"trim must be 'both' or 'right', got {trim!r}")
-    words = df.select(trim_fn(F.col(col) if isinstance(col, str) else col).alias("word"))
+    words = df.select(
+        _trim_fn(trim)(F.col(col) if isinstance(col, str) else col).alias("word")
+    )
     words = words.where(F.col("word") != "")
     if max_word_len is not None:
         words = words.where(F.length("word") <= max_word_len)

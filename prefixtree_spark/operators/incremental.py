@@ -169,11 +169,8 @@ def _remove(root: list, word: str) -> bool:
     return True
 
 
-def _trim_fn(trim: str):
-    fn = {"both": F.trim, "right": F.rtrim}.get(trim)
-    if fn is None:
-        raise ValueError(f"trim must be 'both' or 'right', got {trim!r}")
-    return fn
+from prefixtree_spark.operators.build import _trim_fn  # noqa: E402 — one
+# shared trim dispatch: build and deltas can never disagree on a mode
 
 
 def remove_words(
@@ -264,9 +261,29 @@ def add_words(
     if max_word_len is not None:
         words = words.where(F.length("word") <= max_word_len)
 
-    # forest count of the original build (upper bound; gaps from empty
-    # build partitions only shift routing, never correctness)
-    n = int(pt.agg(F.max("compute_node")).first()[0]) + 1
+    # Existing words are dropped INDEX-SIDE (anti-join on the end-cap
+    # rows, which carry the full word — the same layout-independent
+    # routing remove_words uses) BEFORE any repartitioning. This is a
+    # correctness requirement, not an optimization: hash-routing an
+    # EXISTING word with a forest count that differs from the build's
+    # (empty build partitions make max(compute_node)+1 undercount; a
+    # prefix_len mismatch changes the key outright) would land it in a
+    # different forest than its end-cap, the merge's existing-set check
+    # there would miss it, and distributed query modes would return the
+    # word TWICE. With only genuinely-new words left, any routing is
+    # correct — one partition per word by construction — and the
+    # forest count reverts to a pure locality/parallelism choice.
+    words = words.join(
+        pt.where("is_word").select(F.col("node").alias("word")),
+        "word",
+        "left_anti",
+    )
+    max_cn = pt.agg(F.max("compute_node")).first()[0]
+    n = (
+        int(max_cn) + 1
+        if max_cn is not None  # empty table (e.g. remove_words drained
+        else pt.sparkSession.sparkContext.defaultParallelism  # it) restarts fresh
+    )
     key = F.col("word") if prefix_len is None else F.substring("word", 1, prefix_len)
     routed = words.repartition(n, key)
 

@@ -319,6 +319,18 @@ def _query_broadcast_queries_chunked(
     return out
 
 
+def _own_persist(df: DataFrame):
+    """(df, owned): persist ``df`` unless the caller already holds a
+    cache on it. Spark persistence has no refcount — a blind
+    persist/unpersist pair around our probe would EVICT a cache the
+    caller created for their own reuse, silently forcing their next
+    call to rebuild the tree from source. We only release pins we
+    created."""
+    lvl = df.storageLevel
+    owned = not (lvl.useMemory or lvl.useDisk)
+    return (df.persist() if owned else df), owned
+
+
 def _query_broadcast_tree(
     queries: DataFrame, qcol: str, index: "LocalIndex", k: int
 ) -> DataFrame:
@@ -336,7 +348,11 @@ def _query_broadcast_tree(
     def run(batches):
         idx = bt.value
         for pdf in batches:
-            qs = [q for q in pdf[qcol].astype(str) if q is not None]
+            # dropna BEFORE astype: astype(str) turns None/NaN into the
+            # literal strings 'None'/'nan', which would then be searched
+            # as real queries (the old is-not-None guard ran after the
+            # conversion and so could never fire)
+            qs = list(pdf[qcol].dropna().astype(str))
             if qs:
                 yield _traverse_index(idx, QueryBatch(qs), k)
 
@@ -405,11 +421,12 @@ def _query_bfs(
         qlens = batch.lens
         return pd.Series([new[i, : qlens[i] + 1].tolist() for i in range(n)])
 
-    qdf = (
-        queries.select(F.col(qcol).alias("query_string"))
-        .where(F.col("query_string").isNotNull())
-        .distinct()
-    )
+    # query() already null-filtered and deduplicated the query side
+    # (its one-result-set-per-distinct-string contract) — repeating
+    # .where(isNotNull).distinct() here cost a redundant full shuffle
+    # of the query side on every bfs call (round-5 review); this
+    # function is private to query(), which owns that contract.
+    qdf = queries.select(F.col(qcol).alias("query_string"))
     # Spread the initial frontier over the full parallelism explicitly:
     # AQE coalesces the tiny distinct() shuffle to ONE partition, and
     # every later level inherits that layout through the (narrow)
@@ -561,11 +578,12 @@ def query(
     if mode == "bfs":
         return _query_bfs(pt, qdf, col, k, tree_partitioned=tree_partitioned)
     if mode == "broadcast_tree":
-        pt = pt.persist()
+        pt, owned = _own_persist(pt)
         try:
             return _query_broadcast_tree(qdf, col, _merged_local_index(pt), k)
         finally:
-            pt.unpersist()
+            if owned:
+                pt.unpersist()
     if mode == "broadcast_queries":
         return _query_broadcast_queries(
             pt, [r[0] for r in qdf.collect()], k, colocated=colocated
@@ -574,9 +592,11 @@ def query(
         # persist so the size probe and the chosen strategy share one
         # tree materialization (the build is the expensive part); every
         # route below either finishes with the tree collected or pins
-        # its result, so pt is ALWAYS unpersisted before returning
-        # (round-2 verdict #4: no caller-burdening leaked caches).
-        pt = pt.persist()
+        # its result, so OUR pin is always released before returning
+        # (round-2 verdict #4) — but a cache the CALLER created is
+        # theirs: unpersisting it would silently force the next call to
+        # rebuild the whole tree from source (round-5 review).
+        pt, owned = _own_persist(pt)
         try:
             n_nodes = pt.count()
             if n_nodes <= _AUTO_BROADCAST_NODES:
@@ -586,41 +606,52 @@ def query(
             # tree too big to collect: stays distributed. Probe the query
             # side BEFORE collecting it — with both sides large the only
             # safe plan is bfs, which moves neither side to the driver.
-            if qdf.count() <= _AUTO_BROADCAST_QUERIES:
-                # materialize the traversal off the cached tree, then
-                # release it (the pinned result no longer needs pt)
-                return _query_broadcast_queries(
-                    pt, [r[0] for r in qdf.collect()], k, colocated=colocated
-                ).localCheckpoint(eager=True)
-            # big tree x big query set: chunk the query side through
-            # the distributed-tree traversal (round-4 verdict #2 — bfs
-            # measurably loses to brute force here at k>=2). bfs
-            # remains only for trees whose per-partition forests are
-            # too big to materialize inside one traversal task.
-            per_part = n_nodes / max(1, pt.rdd.getNumPartitions())
-            if per_part <= _CHUNK_MAX_PARTITION_NODES:
-                if colocated:
-                    return _query_broadcast_queries_chunked(
-                        pt, qdf, k, colocated=True
-                    )
-                # colocate HERE from the still-cached tree, then release
-                # the original before the chunk loop: letting chunked
-                # pin its own copy while this frame's pt stays persisted
-                # held TWO full cached trees for the whole run — in
-                # exactly the regime defined by the tree being too big
-                # to collect. Overlap now lasts one repartition pass.
-                pt2 = pt.repartition("compute_node").persist()
-                try:
-                    pt2.count()
-                    pt.unpersist()
-                    return _query_broadcast_queries_chunked(
-                        pt2, qdf, k, colocated=True
-                    )
-                finally:
-                    pt2.unpersist()
-            return _query_bfs(pt, qdf, col, k, tree_partitioned=tree_partitioned)
+            # Pin the query side across the probe: count-then-collect on
+            # the unpinned frame ran its scan + distinct shuffle TWICE.
+            qdf = qdf.persist()
+            try:
+                if qdf.count() <= _AUTO_BROADCAST_QUERIES:
+                    # materialize the traversal off the cached tree, then
+                    # release it (the pinned result no longer needs pt)
+                    return _query_broadcast_queries(
+                        pt, [r[0] for r in qdf.collect()], k, colocated=colocated
+                    ).localCheckpoint(eager=True)
+                # big tree x big query set: chunk the query side through
+                # the distributed-tree traversal (round-4 verdict #2 — bfs
+                # measurably loses to brute force here at k>=2). bfs
+                # remains only for trees whose per-partition forests are
+                # too big to materialize inside one traversal task.
+                per_part = n_nodes / max(1, pt.rdd.getNumPartitions())
+                if per_part <= _CHUNK_MAX_PARTITION_NODES:
+                    if colocated:
+                        return _query_broadcast_queries_chunked(
+                            pt, qdf, k, colocated=True
+                        )
+                    # colocate HERE from the still-cached tree, then
+                    # release OUR pin before the chunk loop: letting
+                    # chunked pin its own copy while this frame's pt
+                    # stays persisted held TWO full cached trees for the
+                    # whole run — in exactly the regime defined by the
+                    # tree being too big to collect. Overlap now lasts
+                    # one repartition pass (caller-owned caches stay).
+                    pt2 = pt.repartition("compute_node").persist()
+                    try:
+                        pt2.count()
+                        if owned:
+                            pt.unpersist()
+                        return _query_broadcast_queries_chunked(
+                            pt2, qdf, k, colocated=True
+                        )
+                    finally:
+                        pt2.unpersist()
+                return _query_bfs(
+                    pt, qdf, col, k, tree_partitioned=tree_partitioned
+                )
+            finally:
+                qdf.unpersist()
         finally:
-            pt.unpersist()
+            if owned:
+                pt.unpersist()
     raise ValueError(f"unknown mode {mode!r}")
 
 
@@ -797,8 +828,9 @@ def build_local_index(pt: DataFrame) -> LocalIndex:
     round-2's verdict item #1. Above ``_DRIVER_MERGE_NODES`` the merge
     itself runs distributed (see ``_merged_local_index``) — the driver
     only receives the final merged forest over Arrow."""
-    pt = pt.persist()
+    pt, owned = _own_persist(pt)
     try:
         return _merged_local_index(pt)
     finally:
-        pt.unpersist()
+        if owned:
+            pt.unpersist()

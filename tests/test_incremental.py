@@ -157,3 +157,51 @@ def test_incremental_trim_right_targets_exact_word(spark):
         pruned, spark.createDataFrame([("  dog ",)], ["word"]), "word", trim="right"
     )
     assert {r.node for r in grown.where("is_word").collect()} == {"cat", "  dog"}
+
+
+def test_add_words_existing_words_never_duplicate_across_forests(spark):
+    """Regression (round-5 review): with empty build partitions,
+    max(compute_node)+1 undercounts the build's forest count, and
+    hash-routing an EXISTING delta word with that count could land it
+    in a different forest than its end-cap — a second end-cap that
+    makes distributed query modes return the word twice. Existing
+    words are now dropped index-side before routing, so every word
+    must keep exactly ONE end-cap under any layout."""
+    words = ["ALPHA", "BETA", "GAMMA"]
+    pt = create(_words_df(spark, words), "word", num_partitions=8).persist()
+    try:
+        max_cn = pt.agg(F.max("compute_node")).first()[0]
+        assert max_cn + 1 < 8  # the undercount scenario is actually live
+        delta = _words_df(spark, words + ["DELTA"])  # all-but-one existing
+        pt2 = add_words(pt, delta, "word")
+        caps = (
+            pt2.where("is_word").groupBy("node").count().where("count > 1")
+        )
+        assert caps.count() == 0
+        got = {
+            (r.query_string, r.node)
+            for r in query(
+                pt2, _words_df(spark, ["ALPHA"]).select(F.col("word").alias("q")),
+                "q", 0, mode="broadcast_queries",
+            ).collect()
+        }
+        assert got == {("ALPHA", "ALPHA")}
+    finally:
+        pt.unpersist()
+
+
+def test_add_words_on_emptied_table(spark):
+    """remove_words can drain every forest; add_words must repopulate
+    an empty node table instead of crashing on max(compute_node)=NULL."""
+    pt = create(_words_df(spark, ["ONE", "TWO"]), "word", num_partitions=2)
+    emptied = remove_words(pt, _words_df(spark, ["ONE", "TWO"]), "word")
+    assert emptied.count() == 0
+    repop = add_words(emptied, _words_df(spark, ["THREE"]), "word")
+    got = {
+        (r.query_string, r.node)
+        for r in query(
+            repop, _words_df(spark, ["THREE"]).select(F.col("word").alias("q")),
+            "q", 0, mode="broadcast_tree",
+        ).collect()
+    }
+    assert got == {("THREE", "THREE")}

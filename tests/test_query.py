@@ -222,3 +222,27 @@ def test_suggest_frequency_prior(spark):
     assert got["thx"] == ("the", 1, 1000)
     # exact match wins at distance 0 regardless of freq
     assert got["spark"] == ("spark", 0, 50)
+
+
+def test_query_does_not_evict_caller_cache(spark):
+    """query() must release only pins IT created: a caller-persisted
+    tree stays cached after auto/broadcast_tree calls (the old blind
+    unpersist silently forced the next call to rebuild from source)."""
+    from pyspark import StorageLevel
+
+    from prefixtree_spark import build_local_index
+
+    words = spark.createDataFrame([("CAT",), ("CART",)], ["w"])
+    pt = create(words, "w").persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        pt.count()
+        q = spark.createDataFrame([("CAT",)], ["q"])
+        for mode in ("auto", "broadcast_tree"):
+            assert query(pt, q, "q", 1, mode=mode).count() >= 1
+            lvl = pt.storageLevel
+            assert lvl.useMemory or lvl.useDisk, mode
+        build_local_index(pt)
+        lvl = pt.storageLevel
+        assert lvl.useMemory or lvl.useDisk
+    finally:
+        pt.unpersist()
