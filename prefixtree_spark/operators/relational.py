@@ -186,6 +186,15 @@ def asof_join(
             return F.unix_micros(c).cast("double")
         return c.cast("double")
 
+    # suffixed payload names must not collide with existing left
+    # columns — a silent duplicate would make later F.col references
+    # ambiguous (or bind the wrong column)
+    clashes = [c + suffix for c in right_cols if (c + suffix) in lcols]
+    if clashes:
+        raise ValueError(
+            f"asof_join: suffixed right column(s) {clashes} already exist "
+            f"on the left side — pass a different suffix"
+        )
     # internal column names must not shadow caller columns
     taken = set(lcols) | {c + suffix for c in right_cols}
     src = "_src"
@@ -194,10 +203,22 @@ def asof_join(
     hid = "_asof_on"
     while hid in taken or hid == src:
         hid += "_"
+    pay = "_asof_pay"
+    while pay in taken or pay in (src, hid):
+        pay += "_"
+    # The carried payload is ONE struct per right row, not one column
+    # per right field: last/first(ignorenulls) skip NULLs, so per-column
+    # carries (a) skipped a right row whose payload value was
+    # legitimately NULL, carrying a STALE older value instead (DuckDB
+    # ASOF returns the NULL), and (b) could blend columns from
+    # DIFFERENT right rows into one output row. A struct is non-NULL
+    # exactly when it comes from a right row, whatever its fields hold,
+    # so the whole row carries atomically.
+    pay_type = T.StructType([T.StructField(c, right.schema[c].dataType) for c in right_cols])
     tagged_l = left.select(
         *lcols,
         F.lit(1).alias(src),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix) for c in right_cols],
+        F.lit(None).cast(pay_type).alias(pay),
         *([F.lit(None).cast("double").alias(hid)] if nearest else []),
     )
     tagged_r = right.select(
@@ -210,7 +231,7 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias(src),
-        *[F.col(c).alias(c + suffix) for c in right_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias(pay),
         *([_num(F.col(on)).alias(hid)] if nearest else []),
     )
     unioned = tagged_l.unionByName(tagged_r)
@@ -234,9 +255,9 @@ def asof_join(
         return F.first(F.col(c), ignorenulls=True).over(w_fwd)
 
     if direction == "backward":
-        picked = [back(c + suffix).alias(c + suffix) for c in right_cols]
+        chosen = back(pay)
     elif direction == "forward":
-        picked = [fwd(c + suffix).alias(c + suffix) for c in right_cols]
+        chosen = fwd(pay)
     else:
         cur = _num(F.col(on))
         b_on, f_on = back(hid), fwd(hid)
@@ -245,12 +266,24 @@ def asof_join(
             .when(f_on.isNull(), F.lit(False))
             .otherwise((f_on - cur) < (cur - b_on))
         )
-        picked = [
-            F.when(use_fwd, fwd(c + suffix)).otherwise(back(c + suffix)).alias(c + suffix)
-            for c in right_cols
-        ]
-    carried = unioned.select(*lcols, src, *picked)
-    return carried.where(F.col(src) == 1).drop(src)
+        chosen = F.when(use_fwd, fwd(pay)).otherwise(back(pay))
+    carried = unioned.select(*lcols, src, chosen.alias(pay))
+    return carried.where(F.col(src) == 1).select(
+        *lcols,
+        *[F.col(pay)[c].alias(c + suffix) for c in right_cols],
+    )
+
+
+
+def _free_name(df: DataFrame, base: str) -> str:
+    """An internal working-column name that cannot shadow (and later
+    drop) a caller column: fixed names like '_b' silently overwrote
+    same-named user data (round-5 review; asof_join already probes its
+    names — this is that pattern, shared)."""
+    name = base
+    while name in df.columns:
+        name += "_"
+    return name
 
 
 def range_join(
@@ -277,9 +310,18 @@ def range_join(
     hash-partitioned, never all-pairs. Pairs are unique because a left
     row lives in exactly one bucket.
     """
-    lb = left.withColumn("_b", F.floor(F.col(on) / bucket))
-    rb = right.withColumn(
-        "_b",
+    b = _free_name(left, "_b")
+    while b in right.columns:
+        b += "_"
+    lb = left.withColumn(b, F.floor(F.col(on) / bucket))
+    # degenerate intervals (hi <= lo, e.g. sentinel values in dirty
+    # data) MUST be dropped before the explode: sequence(start, stop)
+    # counts DOWN when start > stop, so one bad row would fan out into
+    # (lo-hi)/bucket spurious bucket rows instead of zero — the same
+    # pitfall doc_fingerprint guards its sequence() against. The rows
+    # contribute nothing anyway (the range post-filter is vacuous).
+    rb = right.where(F.col(hi) > F.col(lo)).withColumn(
+        b,
         F.explode(
             F.sequence(
                 F.floor(F.col(lo) / bucket),
@@ -288,11 +330,11 @@ def range_join(
             )
         ),
     )
-    keys = ["_b"] + ([by] if by else [])
+    keys = [b] + ([by] if by else [])
     joined = lb.join(rb, keys)
     return joined.where(
         (F.col(on) >= F.col(lo)) & (F.col(on) < F.col(hi))
-    ).drop("_b")
+    ).drop(b)
 
 
 def extract_json(
@@ -312,10 +354,11 @@ def extract_json(
     Narrow projection: no shuffle, stays in the scan's codegen stage.
     """
     schema = ", ".join(f"{name} {typ}" for name, typ in fields.items())
-    parsed = df.withColumn("_j", F.from_json(F.col(json_col), schema))
+    j = _free_name(df, "_j")
+    parsed = df.withColumn(j, F.from_json(F.col(json_col), schema))
     for name in fields:
-        parsed = parsed.withColumn(name, F.col("_j").getField(name))
-    return parsed.drop("_j")
+        parsed = parsed.withColumn(name, F.col(j).getField(name))
+    return parsed.drop(j)
 
 
 def hopping_counts(
@@ -369,7 +412,10 @@ def frequent_items(
     counts = df.groupBy(F.col(value_col).alias("value")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    total = df.select(F.count(F.lit(1)).alias("_total"))
+    # total from the COUNTS table, not a second corpus scan: the input
+    # is read once, and the total always agrees with the counts it
+    # normalizes (a re-scan of a moving/sampled source could differ)
+    total = counts.agg(F.sum("n").alias("_total"))
     return (
         counts.crossJoin(F.broadcast(total))
         .where(F.col("n") >= F.col("_total") * min_share)
@@ -410,10 +456,13 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     (schema-stable across column types). ONE aggregation job for all
     columns (a single pass over the data — not one job per column),
     then a narrow unpivot of the tiny result."""
-    aggs = []
+    if not cols:
+        raise ValueError("profile_table: cols must name at least one column")
+    # ONE shared row count for the whole profile (it is the same value
+    # for every column; per-column copies just multiplied accumulators)
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in cols:
         aggs += [
-            F.count(F.lit(1)).alias(f"{c}__total"),
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__distinct"),
             F.min(c).cast("string").alias(f"{c}__min"),
@@ -423,7 +472,7 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     parts = [
         row.select(
             F.lit(c).alias("column"),
-            F.col(f"{c}__total").alias("n_rows"),
+            F.col("__n_rows").alias("n_rows"),
             F.col(f"{c}__nulls").alias("n_nulls"),
             F.col(f"{c}__distinct").alias("n_distinct"),
             F.col(f"{c}__min").alias("min_value"),

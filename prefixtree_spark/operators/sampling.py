@@ -97,10 +97,13 @@ def top_n_per_group(
     else:
         ordering = [_bucket_ppm(F.col(id_col), seed).asc(), F.col(id_col).asc()]
     w = Window.partitionBy(*group_cols).orderBy(*ordering)
+    rn = "rn"  # probe: a fixed name would drop a caller's own column
+    while rn in df.columns:
+        rn += "_"
     return (
-        df.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= n)
-        .drop("rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .where(F.col(rn) <= n)
+        .drop(rn)
     )
 
 
@@ -276,15 +279,18 @@ def weighted_sample(
     break on id. Plan: a narrow projection + global top-n
     (TakeOrderedAndProject): no shuffle beyond the final n-row
     gather."""
+    pri_col = "_pri"
+    while pri_col in df.columns:
+        pri_col += "_"
     u = _bucket_ppm(F.col(id_col), seed) + F.lit(1)  # 1..1e6: never 0
     w = F.col(weight_col).cast("long")
     pri = u.cast("double") / w.cast("double")
     return (
         df.where(w > 0)
-        .withColumn("_pri", pri)
-        .orderBy(F.col("_pri").asc(), F.col(id_col).asc())
+        .withColumn(pri_col, pri)
+        .orderBy(F.col(pri_col).asc(), F.col(id_col).asc())
         .limit(n)
-        .drop("_pri")
+        .drop(pri_col)
     )
 
 
@@ -356,14 +362,18 @@ def mixture_resample(
         for r in mass_rows
         if r[group_col] is not None
     }
+    # zero-mass groups are excluded from sg as well as from the rates:
+    # at alpha=0 each would otherwise contribute sg=1 to S, depressing
+    # every REAL group's rate and undershooting target_frac (a group
+    # that keeps nothing must not claim a share of the budget)
     if alpha == 0.0:
-        sg = {g: 1 for g in masses}
+        sg = {g: 1 for g, m in masses.items() if m > 0}
     elif alpha == 0.5:
-        sg = {g: math.isqrt(m) for g, m in masses.items()}
+        sg = {g: math.isqrt(m) for g, m in masses.items() if m > 0}
     elif alpha == 1.0:
-        sg = dict(masses)
+        sg = {g: m for g, m in masses.items() if m > 0}
     else:
-        sg = {g: int(math.floor(m ** alpha)) for g, m in masses.items()}
+        sg = {g: int(math.floor(m ** alpha)) for g, m in masses.items() if m > 0}
     S = sum(sg.values())
     M = sum(masses.values())
     target_ppm = int(round(target_frac * _PPM))

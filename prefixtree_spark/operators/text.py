@@ -32,10 +32,14 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document quality signals: char/token counts, mean token
     length, punctuation ratio, stopword ratio, and a composite quality
     score — all single-pass narrow expressions."""
-    toks = _nonspace_tokens(text_col)
-    n_chars = F.length(F.col(text_col))
+    # NULL text counts as empty: without the coalesce, size(NULL) is -1
+    # under default (non-ANSI) Spark, so a null-text row would report
+    # n_tokens=-1 / n_stopwords=-1 and slip through count-based filters
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.regexp_extract_all(txt, F.lit(r"\S+"), 0)
+    n_chars = F.length(txt)
     n_tokens = F.size(toks)
-    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    n_punct = F.length(F.regexp_replace(txt, r"[^.,;:!?]", ""))
     stop_hits = F.size(
         F.filter(toks, lambda t: t.isin(STOPWORDS))
     )
@@ -285,15 +289,21 @@ def corpus_report_published(
     lq_tag = f"lq{int(round(low_quality * 1_000_000))}"
     fs, jvm = _fs(spark, cache_root)
     parts = []
+    import uuid as _uuid
+
     for vdir, fmt in published_segments(spark, root):
         ppath = f"{cache_root}/{lq_tag}/{vdir}"
         if not fs.exists(jvm.org.apache.hadoop.fs.Path(ppath)):
             seg = read_source(spark, f"{root}/{vdir}", format=fmt)
-            tmp = f"{cache_root}/{lq_tag}/.tmp-{vdir}"
+            # uuid'd temp name: a DETERMINISTIC tmp path let two
+            # concurrent refreshers write over each other's half-built
+            # directory and rename the wreckage into the trusted cache
+            # (where segment immutability means it is never recomputed)
+            tmp = f"{cache_root}/{lq_tag}/.tmp-{vdir}-{_uuid.uuid4().hex}"
             _quality_bucket_partial(
                 seg, text_col, low_quality
             ).coalesce(1).write.mode("overwrite").parquet(tmp)
-            if not fs.rename(
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(ppath)) or not fs.rename(
                 jvm.org.apache.hadoop.fs.Path(tmp),
                 jvm.org.apache.hadoop.fs.Path(ppath),
             ):
@@ -806,11 +816,24 @@ def oov_rate(
         F.count(F.lit(1)).alias("n_tokens"),
         F.count(F.when(F.col("_in_vocab").isNull(), 1)).alias("n_oov"),
     )
-    result = out.select(
-        "doc_id",
-        "n_tokens",
-        "n_oov",
-        F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
-    ).localCheckpoint(eager=True)
+    # zero-token docs (empty/whitespace/null text) have no exploded
+    # rows, so the aggregate alone would DROP them — and a pipeline
+    # inner-joining this output onto the corpus would silently lose
+    # those docs. Rejoin the doc base: every input doc gets a row, with
+    # (0, 0, 0.0) as the defined rate of an empty document (the same
+    # emit-zeros convention repetition_signals uses).
+    base = df.select(F.col(id_col).alias("doc_id"))
+    result = (
+        base.join(out, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+            F.coalesce(
+                F.round(F.col("n_oov") / F.col("n_tokens"), 6), F.lit(0.0)
+            ).alias("oov_rate"),
+        )
+        .localCheckpoint(eager=True)
+    )
     toks.unpersist()
     return result

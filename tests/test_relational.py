@@ -432,3 +432,68 @@ def test_pivot_counts_single_aggregate_plan(spark):
     )
     assert plan.count("Exchange") == 1
     assert "HashAggregate" in plan
+
+
+def test_asof_join_null_payload_carried_not_skipped(spark):
+    """DuckDB ASOF semantics: the matched right row's payload comes
+    through even when a field is NULL — per-column ignorenulls carries
+    used to skip it (stale older value) and could blend columns from
+    different right rows into one output row."""
+    from prefixtree_spark.operators.relational import asof_join
+
+    right = spark.createDataFrame(
+        [("A", 1, 5, 7), ("A", 2, None, 9)],
+        "k string, t long, x int, y int",
+    )
+    left = spark.createDataFrame([("A", 3)], "k string, t long")
+    row = asof_join(
+        left, right, on="t", by="k", right_cols=["x", "y"]
+    ).collect()[0]
+    assert (row.x_r, row.y_r) == (None, 9)  # the on=2 row, atomically
+    # no-match rows stay all-NULL
+    early = spark.createDataFrame([("A", 0)], "k string, t long")
+    row0 = asof_join(
+        early, right, on="t", by="k", right_cols=["x", "y"]
+    ).collect()[0]
+    assert (row0.x_r, row0.y_r) == (None, None)
+
+
+def test_asof_join_suffix_collision_raises(spark):
+    import pytest as _pt
+
+    from prefixtree_spark.operators.relational import asof_join
+
+    right = spark.createDataFrame([("A", 1, 5)], "k string, t long, x int")
+    left = spark.createDataFrame([("A", 3, 0)], "k string, t long, x_r int")
+    with _pt.raises(ValueError, match="suffix"):
+        asof_join(left, right, on="t", by="k", right_cols=["x"])
+
+
+def test_range_join_degenerate_intervals_dropped_not_exploded(spark):
+    """hi <= lo intervals (dirty sentinels) must contribute zero rows —
+    sequence() would otherwise count DOWN and fan each one out into
+    (lo-hi)/bucket spurious bucket rows."""
+    from prefixtree_spark.operators.relational import range_join
+
+    left = spark.createDataFrame([(5,), (15,)], "t long")
+    right = spark.createDataFrame(
+        [(0, 10, "ok"), (1_000_000, 0, "bad")],  # bad: hi << lo
+        "lo long, hi long, tag string",
+    )
+    got = [(r.t, r.tag) for r in
+           range_join(left, right, on="t", lo="lo", hi="hi", bucket=8).collect()]
+    assert got == [(5, "ok")]
+
+
+def test_internal_column_names_do_not_clobber_caller_columns(spark):
+    """range_join/extract_json working columns must survive a caller
+    who already has '_b' or '_j' columns (probed names)."""
+    from prefixtree_spark.operators.relational import extract_json, range_join
+
+    left = spark.createDataFrame([(5, "keepme")], "t long, _b string")
+    right = spark.createDataFrame([(0, 10)], "lo long, hi long")
+    out = range_join(left, right, on="t", lo="lo", hi="hi", bucket=8).collect()
+    assert out[0]._b == "keepme"
+    df = spark.createDataFrame([('{"a": 1}', "mine")], "js string, _j string")
+    out2 = extract_json(df, "js", {"a": "int"}).collect()[0]
+    assert out2._j == "mine" and out2.a == 1

@@ -416,3 +416,22 @@ def test_corpus_report_published_incremental(spark, tmp_path):
     pio.compact_published(spark, root)
     got3 = card(T.corpus_report_published(spark, root, "text"))
     assert got3 == got2
+
+
+def test_text_stats_and_oov_rate_null_and_empty_text(spark):
+    """NULL/empty text: text_stats reports zeros (not -1/NULL), and
+    oov_rate emits a (0, 0, 0.0) row instead of dropping the doc."""
+    from prefixtree_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, None), (3, "   ")],
+        "doc_id long, text string",
+    )
+    stats = {r.doc_id: (r.n_chars, r.n_tokens, r.n_stopwords)
+             for r in T.text_stats(docs, "doc_id", "text").collect()}
+    assert stats[2] == (0, 0, 0)
+    assert stats[3] == (3, 0, 0)
+    oov = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+           for r in T.oov_rate(docs, "doc_id", "text").collect()}
+    assert set(oov) == {1, 2, 3}
+    assert oov[2] == (0, 0, 0.0) and oov[3] == (0, 0, 0.0)
