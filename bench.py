@@ -275,7 +275,10 @@ def main() -> None:
             lambda name=name: catalog[name](spark, sf_dir).count(),
             # semantic_dedup_labeled joined the 5-repeat set after a
             # 12s GC-outlier spread at repeats=3 in the r05 final run
-            repeats=5 if name in ("dedup_minhash_lsh", "semantic_dedup_labeled") else 3,
+            repeats=5
+            if name in ("dedup_minhash_lsh", "semantic_dedup_labeled",
+                        "events_resampled_hourly")
+            else 3,
         )
 
     # minhash stage breakdown (round-5 verdict #3): time each pipeline
