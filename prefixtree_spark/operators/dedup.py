@@ -112,7 +112,13 @@ def keep_best(
 
 
 def _tokens(text_col: str) -> Column:
-    return F.split(F.trim(F.col(text_col)), r"\s+")
+    """Non-space token runs (``\\S+``), not trim+split: Spark's trim
+    strips only SPACES, so trim+split kept phantom empty tokens around
+    tabs/newlines — and two docs identical modulo a trailing "\\n"
+    then FAILED the Jaccard threshold (the empty token mints an extra
+    shingle on one side). Same fix as ``_span_windows``; the oracles
+    tokenize with the equivalent ``regexp_extract_all('\\S+')``."""
+    return F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
 
 
 def token_shingles(

@@ -158,6 +158,10 @@ def decode_image_meta(
         for pdf in batches:
             metas = []
             for mid, blob in zip(pdf[id_col], pdf[bin_col]):
+                if mid is None or blob is None:
+                    # NULL blob/id (failed fetch upstream): a skipped
+                    # row, never a stage-killing bytes(None) TypeError
+                    continue
                 b = bytes(blob)
                 sniffed = sniff_image_meta(b)
                 if sniffed is not None:
@@ -204,6 +208,8 @@ def sample_frames(
         for pdf in batches:
             out = []
             for mid, blob in zip(pdf[id_col], pdf[bin_col]):
+                if mid is None or blob is None:
+                    continue  # NULL blob: skip, don't kill the stage
                 b = bytes(blob)
                 if not fake_decode:
                     _require_codec("video")
@@ -322,6 +328,8 @@ def decode_av_meta(
         for pdf in batches:
             metas = []
             for mid, blob in zip(pdf[id_col], pdf[bin_col]):
+                if mid is None or blob is None:
+                    continue  # NULL blob: skip, don't kill the stage
                 b = bytes(blob)
                 audio = sniff_audio_meta(b)
                 if audio is not None:

@@ -117,5 +117,12 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    # awaitTermination returns False on timeout: stop the query and
+    # FAIL rather than hand back a partially-populated memory table the
+    # still-running stream keeps mutating behind the caller's back
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream {name!r} did not finish within {timeout_s}s"
+        )
     return spark.table(name)

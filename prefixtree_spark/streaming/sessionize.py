@@ -49,7 +49,16 @@ def streaming_sessionize(
     stream: DataFrame, *, gap_minutes: int = 30
 ) -> DataFrame:
     """Stateful sessionization of an events stream (needs ``ts`` as
-    timestamp, ``user_id``, ``event_id``). Output mode: append."""
+    timestamp, ``user_id``, ``event_id``). Output mode: append.
+
+    Out-of-order contract (bounded state): a cross-batch late event
+    within ``gap`` of the open session extends it; one EARLIER than
+    the open session by more than the gap is emitted as its own closed
+    single-event session (the batch twin splits there too). What
+    bounded state cannot do is re-merge ALREADY-EMITTED sessions when
+    an even later arrival bridges them — full batch equality holds when
+    lateness never bridges emitted sessions (the timeout variant's
+    watermark bounds admissible lateness outright)."""
     gap_us = gap_minutes * 60 * 1_000_000
 
     def update(
@@ -74,10 +83,22 @@ def streaming_sessionize(
                 elif ts - end > gap_us:
                     out.append((user_id, start, end, n, True))
                     start, end, n = ts, ts, 1
+                elif start - ts > gap_us:
+                    # a cross-batch late event EARLIER than the open
+                    # session by more than the gap is its own session
+                    # (the batch twin's lag>gap rule splits there too);
+                    # merging it would glue two gap-separated sessions.
+                    # Emitted closed immediately — with bounded state, a
+                    # later arrival that would bridge the two cannot
+                    # re-merge an emitted session (contract documented
+                    # in the docstring; the timeout variant's watermark
+                    # bounds how late such bridges can be).
+                    out.append((user_id, ts, ts, 1, True))
                 else:
                     # max/min guard: a late (out-of-order) event arriving
-                    # in a later micro-batch must not regress the session
-                    # bounds, or the next gap test falsely splits
+                    # in a later micro-batch within the gap must not
+                    # regress the session bounds, or the next gap test
+                    # falsely splits
                     end = max(end, ts)
                     start = min(start, ts)
                     n += 1
@@ -154,6 +175,11 @@ def streaming_sessionize_timeout(
                 elif ts - end > gap_us:
                     out.append((user_id, start, end, n, True))
                     start, end, n = ts, ts, 1
+                elif start - ts > gap_us:
+                    # watermark-admitted late event gap-before the open
+                    # session: its own session (see the NoTimeout
+                    # variant for the contract)
+                    out.append((user_id, ts, ts, 1, True))
                 else:
                     end = max(end, ts)
                     start = min(start, ts)

@@ -77,7 +77,7 @@ def stream_exact_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_ORACLE = """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
     ),
     sh AS (
       SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
@@ -117,7 +117,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental_lsh",
     """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
     ),
     sh AS (
       SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
@@ -213,7 +213,7 @@ def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH tf AS (
       SELECT doc_id, tok, count(*) AS tf
-      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
             FROM documents)
       WHERE tok <> ''
       GROUP BY doc_id, tok
@@ -242,7 +242,7 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH tf0 AS (
       SELECT doc_id, tok, count(*) AS tf
-      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
             FROM documents)
       WHERE tok <> ''
       GROUP BY doc_id, tok
@@ -276,7 +276,7 @@ def dedup_weighted_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _SIMHASH_SIG_SQL = """
     WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
       FROM documents
     ),
     th AS (
@@ -325,10 +325,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS (
       SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
              || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] AS shingle
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts,
-                   unnest(generate_series(1, len(string_split_regex(trim(text), '\\s+')) - 5)) AS i
+      FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts,
+                   unnest(generate_series(1, len(regexp_extract_all(text, '\\S+')) - 5)) AS i
             FROM documents
-            WHERE len(string_split_regex(trim(text), '\\s+')) >= 6)
+            WHERE len(regexp_extract_all(text, '\\S+')) >= 6)
     ),
     test_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 19 = 0),
     bad AS (SELECT DISTINCT doc_id FROM sh WHERE shingle IN (SELECT shingle FROM test_sh))
@@ -351,10 +351,10 @@ def decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS (
       SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
              || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] AS shingle
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts,
-                   unnest(generate_series(1, len(string_split_regex(trim(text), '\\s+')) - 5)) AS i
+      FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts,
+                   unnest(generate_series(1, len(regexp_extract_all(text, '\\S+')) - 5)) AS i
             FROM documents
-            WHERE len(string_split_regex(trim(text), '\\s+')) >= 6)
+            WHERE len(regexp_extract_all(text, '\\S+')) >= 6)
     ),
     test_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 19 = 0),
     totals AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
@@ -1468,7 +1468,7 @@ def docs_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE q.quality >= 0.3
     ),
     toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM kept
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM kept
     ),
     sh AS (
       SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
@@ -1561,7 +1561,7 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_oov_rate",
     r"""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
       FROM documents
     ),
     toks_ne AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
@@ -1785,7 +1785,7 @@ _INGEST_GREEDY_SQL = r"""
       SELECT (max(doc_id) + 1) // 2 AS s FROM documents
     ),
     toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
     ),
     sh AS (
       SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle

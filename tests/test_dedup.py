@@ -412,3 +412,19 @@ def test_contamination_report_severity(spark):
     kept = {r.doc_id for r in
             dedup.decontaminate(train, test, "doc_id", "text", n=3).collect()}
     assert kept == {3}
+
+
+def test_token_shingles_whitespace_robust(spark):
+    """Two docs identical modulo a trailing newline must reach Jaccard
+    1.0 — trim+split tokenization minted a phantom empty token on one
+    side and failed the threshold (round-5 review)."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta\n"),
+         (3, "\t alpha  beta\tgamma delta \n")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id1, r.id2): r.jaccard for r in
+             dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3,
+                                       threshold=0.8).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert pairs.get((1, 3)) == 1.0  # runs of mixed whitespace collapse

@@ -226,3 +226,18 @@ def test_sniffers_never_crash_on_fuzz():
         ]:
             got = fn(b)
             assert got is None or (isinstance(got, tuple) and len(got) == width)
+
+
+def test_decoders_skip_null_blobs(spark):
+    """A NULL binary value (failed fetch upstream) is a skipped row,
+    not a stage-killing bytes(None) TypeError."""
+    from prefixtree_spark.operators import multimodal as mm
+
+    rows = [(1, bytes([0x42, 0x4D]) + b"\x00" * 40), (2, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = mm.decode_image_meta(df, "media_id", "payload", fake_decode=True)
+    assert {r.media_id for r in out.collect()} == {1}
+    frames = mm.sample_frames(df, "media_id", "payload", fake_decode=True)
+    assert {r.media_id for r in frames.collect()} == {1}
+    av = mm.decode_av_meta(df, "media_id", "payload", fake_decode=True)
+    assert {r.media_id for r in av.collect()} == {1}

@@ -170,3 +170,49 @@ def test_timeout_sessionize_closes_idle_sessions(spark, tmp_path):
     assert len(closed) == 1
     r = closed.iloc[0]
     assert (r.session_start_us, r.session_end_us, r.n_events) == (base, base + 10 * minute, 2)
+
+
+def test_cross_batch_gap_before_event_is_own_session(spark, tmp_path):
+    """A late event arriving in a LATER batch, earlier than the open
+    session by more than the gap, must be its own session (the batch
+    twin's lag>gap rule) — not merged into a 2h-wide mega-session."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.streaming.events import run_stream_to_memory
+    from prefixtree_spark.streaming.sessionize import streaming_sessionize
+
+    base = 1_700_000_000_000_000  # µs
+    b1 = spark.createDataFrame(
+        [(1, 100, base + 2 * 3600 * 1_000_000)],
+        "user_id long, event_id long, ts_us long",
+    ).select("user_id", "event_id",
+             F.timestamp_micros("ts_us").alias("ts"))
+    b2 = spark.createDataFrame(
+        [(1, 101, base)],  # 2h earlier than the open session, gap=30min
+        "user_id long, event_id long, ts_us long",
+    ).select("user_id", "event_id",
+             F.timestamp_micros("ts_us").alias("ts"))
+    sdir = str(tmp_path / "arrive")
+    # maxFilesPerTrigger=1 delivers b1 (the later event) in one
+    # micro-batch and b2 (the 2h-earlier event) in the next — the
+    # cross-batch out-of-order arrival under test
+    b1.coalesce(1).write.parquet(f"{sdir}/b1")
+    b2.coalesce(1).write.parquet(f"{sdir}/b2")
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(sdir))
+    out = streaming_sessionize(stream, gap_minutes=30)
+    got = run_stream_to_memory(
+        spark, out, "sess_gap_t2", output_mode="append",
+    )
+    final = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in got.collect()
+    }
+    # both events present as SEPARATE sessions somewhere in the output
+    assert (1, base, base, 1) in final
+    assert any(s == base + 2 * 3600 * 1_000_000 and n == 1
+               for (_, s, e, n) in final)
+    shutil.rmtree(sdir, ignore_errors=True)
