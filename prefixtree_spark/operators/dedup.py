@@ -387,14 +387,19 @@ def dedup_corpus(
     threshold: float = 0.8,
     n: int = 3,
     max_iter: int = 20,
+    max_df: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dup removal: MinHash-LSH candidate pairs →
     connected components (min-id label propagation) → keep only each
     cluster's minimum id. Returns the survivors of ``df`` (same
-    schema). The composition a training-data pipeline actually runs."""
+    schema). The composition a training-data pipeline actually runs.
+    ``max_df`` passes through to the LSH verify join's hot-shingle cap
+    (see ``minhash_lsh_pairs``)."""
     from prefixtree_spark.operators.graph import connected_components
 
-    pairs = minhash_lsh_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, n=n, threshold=threshold, max_df=max_df
+    )
     edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     nodes = edges.select(F.col("src").alias("node")).unionByName(
         edges.select(F.col("dst").alias("node"))

@@ -100,19 +100,28 @@ def _marker_score(text_col: str, words: list[str]) -> Column:
     return score
 
 
-def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Deterministic marker-word language heuristic. Returns
-    (doc_id, lang_pred, lang_score). Ties break in LANG_MARKERS order
-    via a strict greater-than CASE chain (same chain in the oracle)."""
+def _lang_pred_expr(text_col: str) -> Column:
+    """The language-prediction column alone (no score) — shared by
+    ``language_id`` and pipeline annotation, so a marker-list change
+    reaches both."""
     scores = [(lang, _marker_score(text_col, ws)) for lang, ws in LANG_MARKERS]
     best = F.greatest(*[s for _, s in scores])
     pred = F.lit("und")
     for lang, s in reversed(scores):
         pred = F.when(s == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic marker-word language heuristic. Returns
+    (doc_id, lang_pred, lang_score). Ties break in LANG_MARKERS order
+    via a strict greater-than CASE chain (same chain in the oracle)."""
+    best = F.greatest(
+        *[_marker_score(text_col, ws) for _, ws in LANG_MARKERS]
+    )
     return df.select(
         F.col(id_col).alias("doc_id"),
-        pred.alias("lang_pred"),
+        _lang_pred_expr(text_col).alias("lang_pred"),
         best.cast("long").alias("lang_score"),
     )
 

@@ -66,24 +66,29 @@ def prepare_corpus(
     split and quota are md5-stable), so re-runs and repartitionings
     produce the same corpus.
     """
+    if (quota_col is None) != (quota_n is None):
+        raise ValueError(
+            "prepare_corpus: quota_col and quota_n must be given together "
+            f"(got quota_col={quota_col!r}, quota_n={quota_n!r}) — a "
+            "half-specified quota silently shipping an uncapped corpus is "
+            "exactly the mistake this raise exists to catch"
+        )
     out = docs
-    # quality + language annotations (pure JVM expressions, no UDFs;
-    # both ops emit their id as 'doc_id' — rename back to id_col)
-    quality = text.quality_score(out, id_col, text_col).withColumnRenamed(
-        "doc_id", id_col
+    # quality + language annotations as NARROW withColumns (pure JVM
+    # per-row expressions — text._quality_expr/_lang_pred_expr exist
+    # precisely for this). The previous join-back formulation paid two
+    # shuffle joins, silently DROPPED null-id docs at the inner join,
+    # and row-multiplied on duplicate ids.
+    out = out.withColumn("quality", text._quality_expr(text_col)).withColumn(
+        "lang_pred", text._lang_pred_expr(text_col)
     )
-    lang = (
-        text.language_id(out, id_col, text_col)
-        .withColumnRenamed("doc_id", id_col)
-        .select(id_col, "lang_pred")
-    )
-    out = out.join(quality, id_col).join(lang, id_col)
     out = out.where(F.col("quality") >= min_quality)
     if languages is not None:
         out = out.where(F.col("lang_pred").isin(languages))
     # near-dup removal over the filtered corpus
     out = dedup.dedup_corpus(
-        out, id_col, text_col, threshold=dedup_threshold, n=shingle_n
+        out, id_col, text_col, threshold=dedup_threshold, n=shingle_n,
+        max_df=max_df,
     )
     if test_set is not None:
         out = dedup.decontaminate(
@@ -100,9 +105,15 @@ def prepare_corpus(
     if splits is not None:
         out = split_assign(out, id_col, splits, seed=split_seed)
     if pack_budget is not None:
+        # NULL text counts 0 tokens (size(NULL) is -1 under non-ANSI
+        # Spark and would shift every later doc's token_offset back)
         out = out.withColumn(
             "n_tokens",
-            F.size(text._nonspace_tokens(text_col)).cast("long"),
+            F.size(
+                F.regexp_extract_all(
+                    F.coalesce(F.col(text_col), F.lit("")), F.lit(r"\S+"), 0
+                )
+            ).cast("long"),
         )
         out = pack_sequences(
             out, id_col, "n_tokens", pack_budget,

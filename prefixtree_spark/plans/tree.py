@@ -15,8 +15,8 @@ from pyspark.sql import types as T
 
 VIRTUAL_ROOT_ID = 0
 
-# One id block per build partition; supports 92,233 partitions x 72e12
-# nodes each, matching the reference's capacity envelope
+# One id block per build partition; supports 92,233 blocks (2^63/1e14)
+# of 1e14 ids each, comfortably above the reference's capacity envelope
 # (PrefixTree.ecl:65-71).
 ID_BLOCK = 10**14
 

@@ -59,10 +59,16 @@ def normalize_events_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
     TIMESTAMP_NTZ)."""
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
-        # nanos-as-long → µs timestamp; integer division: `/` is
-        # double division and rounds the µs, drifting ±1µs from
-        # DuckDB's exact epoch_us. timestamp_micros is TZ-independent.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # nanos-as-long → µs timestamp; integer FLOOR division: `/` is
+        # double division and rounds the µs (±1µs drift vs DuckDB's
+        # epoch_us), and bare `div` truncates toward zero — wrong by
+        # 1µs for pre-epoch (negative) nanos, where epoch_us floors.
+        # Subtracting pmod first makes the numerator an exact multiple
+        # of 1000, so `div` is then floor for any sign.
+        # timestamp_micros is TZ-independent.
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+        )
     if isinstance(ts_type, T.TimestampNTZType):
         # The plain cast interprets the NTZ wall-clock in the session
         # TZ; it is value-preserving ONLY under UTC (session.py sets

@@ -36,6 +36,10 @@ ORACLES: dict[str, str] = {}
 
 def workload(name: str, oracle: str | None):
     def deco(fn: SparkFn) -> SparkFn:
+        if name in QUERIES:
+            # a silent overwrite would shadow a workload out of the
+            # correctness gate with no error — make the collision loud
+            raise ValueError(f"workload {name!r} registered twice")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -15,6 +15,15 @@ from prefixtree_spark.sources.tables import load_table
 from prefixtree_spark.workloads import workload
 
 
+def _latest_per_user_ts(df):
+    """One view row per (user_id, ts): highest event_id wins — the
+    determinism-critical dedup the as-of/resample workloads share (their
+    oracles' row_number(ORDER BY event_id DESC) twin). One definition,
+    so the tie-break can never desynchronize between them."""
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    return df.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+
+
 @workload(
     "q1_pricing_summary",
     """
@@ -190,7 +199,10 @@ def customer_segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     rich = c.where("c_acctbal > 1000").select("c_custkey")
     machinery = c.where("c_mktsegment = 'MACHINERY'").select("c_custkey")
     very_rich = c.where("c_acctbal > 5000").select("c_custkey")
-    return building.intersect(rich).union(machinery.exceptAll(very_rich).distinct()).distinct()
+    # subtract() IS distinct-EXCEPT; exceptAll+distinct only matched the
+    # oracle because c_custkey is unique — on a non-unique key it keeps
+    # left-heavy duplicates SQL EXCEPT removes
+    return building.intersect(rich).union(machinery.subtract(very_rich)).distinct()
 
 
 @workload(
@@ -291,10 +303,8 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prefixtree_spark.operators.relational import asof_join
 
     events = load_table(spark, sf_dir, "events")
-    views = events.where("event_type = 'view'").select("user_id", "ts", "event_id")
-    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
-    views = (
-        views.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+    views = _latest_per_user_ts(
+        events.where("event_type = 'view'").select("user_id", "ts", "event_id")
     )
     purchases = events.where("event_type = 'purchase'").select(
         "event_id", "user_id", "ts"
@@ -524,9 +534,9 @@ def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prefixtree_spark.operators.relational import asof_join
 
     events = load_table(spark, sf_dir, "events")
-    views = events.where("event_type = 'view'").select("user_id", "ts", "event_id")
-    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
-    views = views.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+    views = _latest_per_user_ts(
+        events.where("event_type = 'view'").select("user_id", "ts", "event_id")
+    )
     purchases = events.where("event_type = 'purchase'").select(
         "event_id", "user_id", "ts"
     )
@@ -571,7 +581,7 @@ _HDR_JPG = "FFD8FFC000110801E0028003011100021101031101"  # 640x480 3-comp
                WHEN 0 THEN unhex('{_HDR_PNG}') WHEN 1 THEN unhex('{_HDR_GIF}')
                WHEN 2 THEN unhex('{_HDR_BMP}') ELSE unhex('{_HDR_JPG}')
              END || encode(text)) AS n_bytes
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def media_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -648,12 +658,7 @@ def events_resampled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASOF JOIN. Observations deduped to one per (user, ts) first —
     asof carries require unique keys for determinism."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
-    obs = (
-        ev.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select("user_id", "ts", "value")
-    )
+    obs = _latest_per_user_ts(ev).select("user_id", "ts", "value")
     out = relational.resample_carry_forward(
         obs, ts_col="ts", by_col="user_id", value_cols=["value"], step="1 hour"
     )
@@ -686,7 +691,7 @@ _HDR_MP4 = "000000106674797069736F6D00000000000000246D6F6F760000001C6D7668640000
                WHEN 0 THEN unhex('{_HDR_WAV_ST}') WHEN 1 THEN unhex('{_HDR_WAV_16K}')
                WHEN 2 THEN unhex('{_HDR_WAV_8K}') ELSE unhex('{_HDR_MP4}')
              END || encode(text)) AS n_bytes
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def media_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
