@@ -497,3 +497,59 @@ def test_internal_column_names_do_not_clobber_caller_columns(spark):
     df = spark.createDataFrame([('{"a": 1}', "mine")], "js string, _j string")
     out2 = extract_json(df, "js", {"a": "int"}).collect()[0]
     assert out2._j == "mine" and out2.a == 1
+
+
+def test_asof_join_randomized_vs_bruteforce_with_nulls(spark):
+    """Randomized (by, on) data with NULL payload values: every
+    direction must match a Python brute force implementing the DuckDB
+    ASOF rules (inclusive bounds, nearest ties break backward, matched
+    row carried atomically)."""
+    import random
+
+    from prefixtree_spark.operators.relational import asof_join
+
+    rng = random.Random(99)
+    for trial in range(3):
+        keys = ["a", "b"]
+        right_rows = []
+        for k in keys:
+            for t in sorted(rng.sample(range(0, 50), 6)):
+                x = rng.choice([None, rng.randint(0, 9)])
+                y = rng.randint(10, 19)
+                right_rows.append((k, t, x, y))
+        left_rows = [(rng.choice(keys), rng.randint(-5, 55), i)
+                     for i in range(25)]
+        right = spark.createDataFrame(
+            right_rows, "k string, t long, x int, y int"
+        )
+        left = spark.createDataFrame(left_rows, "k string, t long, lid long")
+
+        def brute(direction):
+            out = {}
+            for k, t, lid in left_rows:
+                cand = [(rt, x, y) for (rk, rt, x, y) in right_rows if rk == k]
+                back = max((c for c in cand if c[0] <= t), default=None)
+                fwd = min((c for c in cand if c[0] >= t), default=None)
+                if direction == "backward":
+                    pick = back
+                elif direction == "forward":
+                    pick = fwd
+                else:
+                    if back is None:
+                        pick = fwd
+                    elif fwd is None:
+                        pick = back
+                    else:
+                        pick = fwd if (fwd[0] - t) < (t - back[0]) else back
+                out[lid] = (pick[1], pick[2]) if pick else (None, None)
+            return out
+
+        for direction in ("backward", "forward", "nearest"):
+            got = {
+                r.lid: (r.x_r, r.y_r)
+                for r in asof_join(
+                    left, right, on="t", by="k", right_cols=["x", "y"],
+                    direction=direction,
+                ).collect()
+            }
+            assert got == brute(direction), (trial, direction)
