@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from prefixtree_spark.plans.lifecycle import release_checkpoint
 
@@ -71,7 +72,20 @@ def connected_components(
     edges = edges.select("src", "dst").persist()
     try:
         n_edges = edges.count()
-        if n_edges < collect_edges_below:
+        collectable = n_edges < collect_edges_below
+        if collectable and n_edges > 0 and isinstance(
+            edges.schema["src"].dataType, T.StringType
+        ):
+            # the row-count threshold assumes id-sized values; STRING
+            # nodes (fuzzy_dedup clusters the values themselves) can be
+            # hundreds of bytes each, so also bound the DRIVER BYTES a
+            # collect would materialize — one cheap agg on the already-
+            # pinned edges vs an OOM'd driver
+            est_bytes = edges.agg(
+                F.sum(F.length("src") + F.length("dst")).alias("b")
+            ).first().b or 0
+            collectable = est_bytes < 256 * 1024 * 1024
+        if collectable:
             # vectorized driver-side min-label union: the round-2
             # pure-Python find() loop cost ~seconds of driver stall
             # near the 5M-edge threshold; this is numpy end-to-end —

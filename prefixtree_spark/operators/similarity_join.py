@@ -35,13 +35,24 @@ def similarity_join(
     max_distance: int,
     *,
     mode: str = "auto",
+    max_word_len: int | None = None,
 ) -> DataFrame:
     """All (left_value, right_value, distance) pairs with Levenshtein
     distance ≤ ``max_distance`` between trimmed non-empty distinct
-    values. Columns: ``left_value, right_value, distance``."""
-    pt = create(right, rcol)
+    values. Columns: ``left_value, right_value, distance``.
+
+    ``max_word_len=None`` (default) indexes right-side values of ANY
+    length — the relational contract is "all pairs", so the tree
+    builder's reference-parity 255-char cap must not silently drop
+    long values from one side (it is an opt-in here, not a default).
+    The traversal runs colocated: the tree is fresh from ``create`` and
+    already partitioned by its build layout, so the distributed query
+    path skips the tree-side shuffle (query.py's colocated contract)."""
+    pt = create(right, rcol, max_word_len=max_word_len)
     queries = left.select(F.trim(F.col(lcol)).alias("q")).where(F.col("q") != "")
-    matches = query(pt, queries.distinct(), "q", max_distance, mode=mode)
+    matches = query(
+        pt, queries.distinct(), "q", max_distance, mode=mode, colocated=True
+    )
     return matches.select(
         F.col("query_string").alias("left_value"),
         F.col("node").alias("right_value"),
@@ -174,9 +185,12 @@ def fuzzy_dedup(
     """
     from prefixtree_spark.operators.graph import connected_components
 
+    # one orientation per pair: connected_components symmetrizes
+    # internally, so keeping both (a,b) and (b,a) only doubled the
+    # edge volume (and the driver collect under the threshold)
     edges = (
         similarity_join(df, col, df, col, max_distance)
-        .where(F.col("left_value") != F.col("right_value"))
+        .where(F.col("left_value") < F.col("right_value"))
         .select(F.col("left_value").alias("src"), F.col("right_value").alias("dst"))
     )
     values = (

@@ -47,8 +47,12 @@ class PrefixTreeServer:
     >>> srv.stop()
     """
 
-    def __init__(self, index: LocalIndex, *, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self, index: LocalIndex, *, host: str = "127.0.0.1", port: int = 0,
+        max_k: int = 8,
+    ):
         self.index = index
+        self.max_k = int(max_k)
         self._host = host
         self._port = port
         self._httpd: ThreadingHTTPServer | None = None
@@ -57,9 +61,19 @@ class PrefixTreeServer:
     # -- lifecycle ---------------------------------------------------------
 
     def start(self) -> "PrefixTreeServer":
+        if self._httpd is not None:
+            # a second start() would abandon a live server with no
+            # remaining handle to stop it (leaked port + thread)
+            raise RuntimeError("server already running; stop() it first")
         index = self.index
+        max_k = self.max_k
 
         class Handler(BaseHTTPRequestHandler):
+            # keep-alive: every response carries Content-Length, so
+            # HTTP/1.1 persistent connections are free — without this
+            # each "low-latency" lookup paid a fresh TCP handshake
+            protocol_version = "HTTP/1.1"
+
             def do_GET(self) -> None:  # noqa: N802 (stdlib casing)
                 url = urlparse(self.path)
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
@@ -68,6 +82,14 @@ class PrefixTreeServer:
                         body = {"nodes": int(len(index.ids))}
                     elif url.path == "/search":
                         k = int(q.get("k", "1"))
+                        if not 0 <= k <= max_k:
+                            # unbounded k would traverse the whole trie
+                            # and serialize the entire dictionary into
+                            # one response on any client's say-so
+                            self.send_error(
+                                400, f"k must be in [0, {max_k}]"
+                            )
+                            return
                         body = [
                             [w, int(d)] for w, d in index.search(q["q"], k)
                         ]

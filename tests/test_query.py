@@ -246,3 +246,22 @@ def test_query_does_not_evict_caller_cache(spark):
         assert lvl.useMemory or lvl.useDisk
     finally:
         pt.unpersist()
+
+
+def test_similarity_join_long_values_not_dropped(spark):
+    """The relational contract is ALL pairs over distinct values: right
+    side values longer than the tree builder's reference-parity 255-char
+    cap must still be indexed (the cap is opt-in for similarity_join)."""
+    from prefixtree_spark.operators.similarity_join import fuzzy_dedup, similarity_join
+
+    long_a = "A" * 300
+    long_b = "A" * 299 + "B"
+    left = spark.createDataFrame([(long_a,)], ["v"])
+    right = spark.createDataFrame([(long_b,)], ["v"])
+    got = [(r.left_value, r.right_value, r.distance) for r in
+           similarity_join(left, "v", right, "v", 1).collect()]
+    assert got == [(long_a, long_b, 1)]
+    both = spark.createDataFrame([(long_a,), (long_b,)], ["v"])
+    comps = {r.value: r.component for r in
+             fuzzy_dedup(both, "v", 1).collect()}
+    assert comps[long_a] == comps[long_b]  # clustered, not silently split

@@ -64,3 +64,23 @@ def test_http_serving_bad_requests(spark):
                 raise AssertionError(f"{path} should have failed")
             except urllib.error.HTTPError as e:
                 assert e.code in (400, 404)
+
+
+def test_search_k_clamped_and_double_start_raises(spark):
+    """Unbounded k would traverse the whole trie into one response; a
+    second start() would leak a live server with no stop handle."""
+    import urllib.error
+
+    import pytest as _pt
+
+    pt = create(_words_df(spark, SPARSE_WORDS), "word")
+    with PrefixTreeServer(build_local_index(pt)) as srv:
+        with _pt.raises(RuntimeError, match="already running"):
+            srv.start()
+        for bad in ("-1", "9999"):
+            try:
+                _get(srv.url(f"/search?q=CAT&k={bad}"))
+                raise AssertionError(f"k={bad} should have been rejected")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, bad
+        assert isinstance(_get(srv.url("/search?q=CAT&k=1")), list)
