@@ -999,9 +999,14 @@ def cosine_topk_int8(
     if n_q == 0:
         return empty
     if n_q <= query_chunk_rows:
-        pairs, _ = _int8_chunk_pairs(
+        # eager-checkpoint then drop the query broadcast, exactly like
+        # the chunked branch: without the unpersist, repeated calls
+        # accumulate query-matrix broadcast blocks on executors
+        pairs, bq = _int8_chunk_pairs(
             q, q.toPandas(), c, c8, scales, k, pad, qt, ct
         )
+        pairs = pairs.localCheckpoint(eager=True)
+        bq.unpersist()
     else:
         n_chunks = -(-n_q // query_chunk_rows)
         chunked = q.withColumn(

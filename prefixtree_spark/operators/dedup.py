@@ -99,10 +99,15 @@ def keep_best(
         F.asc(id_col),
     ]
     w = Window.partitionBy(*key_cols).orderBy(*order)
+    # probe for a free working name: a caller column literally named
+    # '_rn' must survive (same pattern as relational._free_name)
+    rn = "_rn"
+    while rn in df.columns:
+        rn += "_"
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .where(F.col(rn) == 1)
+        .drop(rn)
     )
 
 

@@ -129,11 +129,15 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def _quality_expr(text_col: str) -> Column:
     """The rounded-to-6 quality column shared by ``quality_score`` and
     ``corpus_report`` — one definition so the two can never drift."""
-    toks = _nonspace_tokens(text_col)
-    n_chars = F.length(F.col(text_col))
+    # NULL text counts as empty (same contract as text_stats): without
+    # the coalesce, least/greatest skip NULLs and a null-text doc would
+    # score 0.35 instead of the 0.0 an empty string scores
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.regexp_extract_all(txt, F.lit(r"\S+"), 0)
+    n_chars = F.length(txt)
     n_tokens = F.size(toks)
-    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
-    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    n_alpha = F.length(F.regexp_replace(txt, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(txt, r"[^.,;:!?]", ""))
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
     len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
     alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
@@ -200,8 +204,14 @@ def _quality_bucket_partial(
     # floor explicitly: Spark's double→long cast truncates but DuckDB's
     # rounds, so both engines must floor the scaled double themselves
     q6 = F.floor(_quality_expr(text_col) * 1_000_000).cast("long")
+    # coalesce: size(NULL) is -1 under non-ANSI Spark — a null-text doc
+    # must contribute 0 tokens to the card, not corrupt total_tokens
     per_doc = df.select(
-        F.size(_nonspace_tokens(text_col)).alias("n_toks"),
+        F.size(
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")), F.lit(r"\S+"), 0
+            )
+        ).alias("n_toks"),
         q6.alias("q6"),
     )
     lq = int(round(low_quality * 1_000_000))

@@ -289,17 +289,38 @@ def _publish_entry(
         # RawLocalFileSystem delegates to rename(2), which silently
         # REPLACES it — two publishers that both computed n would both
         # "win" and the first's committed entry (and data) would vanish.
-        # So: (a) don't rename onto a destination we can see exists;
-        # (b) after renaming, read the winner back — the payload embeds
-        # our uuid'd vdir, so content-match is proof we won. The
-        # residual exists→rename window on local FS is microseconds;
-        # on HDFS/object-store committers the rename itself arbitrates.
-        won = (
-            not fs.exists(final)
-            and fs.rename(tmp, final)
-            and not fs.exists(tmp)
-            and _read_small_file(spark, str(final)) == payload
-        )
+        # On a local FS, publish via link(2) instead
+        # (java.nio.Files.createLink): hard-linking the fully-written
+        # tmp onto the final name is atomic AND fails if the
+        # destination exists, so exactly one racer can ever commit a
+        # given version — no exists→rename window at all. On HDFS the
+        # rename itself arbitrates (no-replace semantics); the
+        # read-back content check (payload embeds our uuid'd vdir)
+        # stays as belt-and-braces on both paths.
+        if fs.getScheme() == "file":
+            # java.io.File(...).toPath(), not Paths.get: py4j cannot
+            # dispatch Paths.get's String varargs signature
+            try:
+                jvm.java.nio.file.Files.createLink(
+                    jvm.java.io.File(
+                        fs.makeQualified(final).toUri().getPath()
+                    ).toPath(),
+                    jvm.java.io.File(
+                        fs.makeQualified(tmp).toUri().getPath()
+                    ).toPath(),
+                )
+                linked = True
+            except Exception:
+                linked = False
+            fs.delete(tmp, False)
+            won = linked and _read_small_file(spark, str(final)) == payload
+        else:
+            won = (
+                not fs.exists(final)
+                and fs.rename(tmp, final)
+                and not fs.exists(tmp)
+                and _read_small_file(spark, str(final)) == payload
+            )
         if won:
             return n
         # lost the race: clean our temp + orphan data dir, retry
@@ -341,14 +362,28 @@ def read_published(spark: SparkSession, root: str) -> DataFrame:
     manifest entry's segment chain (its base replace version plus any
     appends on top), union the immutable directories. A concurrent
     (even crashing) publish never changes what an already-resolved
-    reader scans — segment directories are immutable."""
+    reader scans — segment directories are immutable.
+
+    Schema drift across segments is tolerated: an append batch that
+    adds a column (the normal crawl-evolution case the source layer
+    already merges via ``mergeSchema``) must not make every later read
+    throw, so the union fills columns missing on either side with
+    NULL (``allowMissingColumns``). Column order follows the OLDEST
+    segment first, with later additions appended."""
     entries = _manifest_entries(spark, root)
     if not entries:
         raise FileNotFoundError(f"no published version under {root!r}")
     out: DataFrame | None = None
     for vdir, fmt in _resolve_chain(spark, entries):
         seg = read_source(spark, f"{root}/{vdir}", format=fmt)
-        out = seg if out is None else out.unionByName(seg)
+        if out is None:
+            out = seg
+        elif set(seg.columns) == set(out.columns):
+            out = out.unionByName(seg)
+        else:
+            # evolved segment: new columns surface on the union schema,
+            # dropped ones read back as NULL for that segment
+            out = out.unionByName(seg, allowMissingColumns=True)
     return out
 
 

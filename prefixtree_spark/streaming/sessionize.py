@@ -45,6 +45,57 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+def _fold_event(
+    user_id: int,
+    ts: int,
+    gap_us: int,
+    start: int | None,
+    end: int | None,
+    n: int | None,
+    pre: tuple[int, int, int] | None,
+    out: list[tuple],
+) -> tuple[int, int, int, tuple[int, int, int] | None]:
+    """Fold one event into (open session, pre-session buffer). The
+    buffer holds cross-batch late events that are gap-before the open
+    session: gap-adjacent ones merge into one pre-session (as the batch
+    twin would) instead of each becoming a singleton closed session;
+    the caller flushes the buffer closed at batch end. Shared by both
+    sessionize variants so their late-event semantics cannot drift."""
+    if start is None:
+        return ts, ts, 1, pre
+    if ts - end > gap_us:
+        # new event beyond the gap AFTER the open session: close it; a
+        # pre-session buffer (which is > gap before that session) is
+        # its own closed session too
+        out.append((user_id, start, end, n, True))
+        if pre is not None:
+            out.append((user_id, pre[0], pre[1], pre[2], True))
+            pre = None
+        return ts, ts, 1, pre
+    if start - ts > gap_us:
+        # gap-before the open session: buffer instead of emitting a
+        # singleton, so gap-adjacent late events merge (min/max guards:
+        # iterator chunks are each sorted but not globally ordered)
+        if pre is not None and pre[0] - gap_us <= ts <= pre[1] + gap_us:
+            pre = (min(pre[0], ts), max(pre[1], ts), pre[2] + 1)
+        else:
+            if pre is not None:
+                out.append((user_id, pre[0], pre[1], pre[2], True))
+            pre = (ts, ts, 1)
+        return start, end, n, pre
+    # within gap of the open session: extend (min/max guard — a late
+    # within-gap event must not regress the bounds), then check whether
+    # the regressed start now bridges the buffer into the session
+    end = max(end, ts)
+    start = min(start, ts)
+    n += 1
+    if pre is not None and start - pre[1] <= gap_us:
+        start = pre[0]
+        n += pre[2]
+        pre = None
+    return start, end, n, pre
+
+
 def streaming_sessionize(
     stream: DataFrame, *, gap_minutes: int = 30
 ) -> DataFrame:
@@ -52,13 +103,15 @@ def streaming_sessionize(
     timestamp, ``user_id``, ``event_id``). Output mode: append.
 
     Out-of-order contract (bounded state): a cross-batch late event
-    within ``gap`` of the open session extends it; one EARLIER than
-    the open session by more than the gap is emitted as its own closed
-    single-event session (the batch twin splits there too). What
-    bounded state cannot do is re-merge ALREADY-EMITTED sessions when
-    an even later arrival bridges them — full batch equality holds when
-    lateness never bridges emitted sessions (the timeout variant's
-    watermark bounds admissible lateness outright)."""
+    within ``gap`` of the open session extends it; events EARLIER than
+    the open session by more than the gap form their own closed
+    session(s) — gap-adjacent ones MERGE into one pre-session within
+    the batch (the batch twin merges there too), emitted closed at
+    batch end. What bounded state cannot do is re-merge
+    ALREADY-EMITTED sessions when an even later arrival (possibly in a
+    later batch) bridges them — full batch equality holds when lateness
+    never bridges emitted sessions (the timeout variant's watermark
+    bounds admissible lateness outright)."""
     gap_us = gap_minutes * 60 * 1_000_000
 
     def update(
@@ -72,36 +125,21 @@ def streaming_sessionize(
         else:
             start = end = n = None
         out: list[tuple] = []
+        pre: tuple[int, int, int] | None = None  # (start, end, n) buffer
         for pdf in pdfs:
             if not len(pdf):
                 continue
             pdf = pdf.sort_values(["ts_us", "event_id"])
             for ts in pdf["ts_us"]:
                 ts = int(ts)
-                if start is None:
-                    start, end, n = ts, ts, 1
-                elif ts - end > gap_us:
-                    out.append((user_id, start, end, n, True))
-                    start, end, n = ts, ts, 1
-                elif start - ts > gap_us:
-                    # a cross-batch late event EARLIER than the open
-                    # session by more than the gap is its own session
-                    # (the batch twin's lag>gap rule splits there too);
-                    # merging it would glue two gap-separated sessions.
-                    # Emitted closed immediately — with bounded state, a
-                    # later arrival that would bridge the two cannot
-                    # re-merge an emitted session (contract documented
-                    # in the docstring; the timeout variant's watermark
-                    # bounds how late such bridges can be).
-                    out.append((user_id, ts, ts, 1, True))
-                else:
-                    # max/min guard: a late (out-of-order) event arriving
-                    # in a later micro-batch within the gap must not
-                    # regress the session bounds, or the next gap test
-                    # falsely splits
-                    end = max(end, ts)
-                    start = min(start, ts)
-                    n += 1
+                start, end, n, pre = _fold_event(
+                    user_id, ts, gap_us, start, end, n, pre, out
+                )
+        if pre is not None:
+            # the pre-session buffer closes at batch end: gap-adjacent
+            # late events merged into ONE closed session, not one
+            # singleton each (batch-twin parity within the batch)
+            out.append((user_id, pre[0], pre[1], pre[2], True))
         if start is not None:
             state.update((start, end, n))
             out.append((user_id, start, end, n, False))
@@ -164,26 +202,21 @@ def streaming_sessionize_timeout(
         else:
             start = end = n = None
         out: list[tuple] = []
+        pre: tuple[int, int, int] | None = None
         for pdf in pdfs:
             if not len(pdf):
                 continue
             pdf = pdf.sort_values(["ts_us", "event_id"])
             for ts in pdf["ts_us"]:
                 ts = int(ts)
-                if start is None:
-                    start, end, n = ts, ts, 1
-                elif ts - end > gap_us:
-                    out.append((user_id, start, end, n, True))
-                    start, end, n = ts, ts, 1
-                elif start - ts > gap_us:
-                    # watermark-admitted late event gap-before the open
-                    # session: its own session (see the NoTimeout
-                    # variant for the contract)
-                    out.append((user_id, ts, ts, 1, True))
-                else:
-                    end = max(end, ts)
-                    start = min(start, ts)
-                    n += 1
+                # watermark-admitted late events gap-before the open
+                # session buffer/merge exactly as in the NoTimeout
+                # variant (shared fold)
+                start, end, n, pre = _fold_event(
+                    user_id, ts, gap_us, start, end, n, pre, out
+                )
+        if pre is not None:
+            out.append((user_id, pre[0], pre[1], pre[2], True))
         if start is not None:
             state.update((start, end, n))
             # close when the EVENT-TIME watermark passes the gap after

@@ -682,7 +682,7 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
              regexp_extract_all(text, '\S+') AS toks,
              length(text) AS n_chars,
              length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
-      FROM documents
+      FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
     )
     SELECT doc_id,
       n_chars::BIGINT AS n_chars,
@@ -783,7 +783,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
         len(list_filter(regexp_extract_all(text, '\S+'),
                         x -> x IN ('the','a','an','of','and','in','to','is'))) AS stop_hits
-      FROM documents
+      FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
     )
     SELECT doc_id,
       round(greatest(
@@ -1039,7 +1039,7 @@ def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
         len(list_filter(regexp_extract_all(text, '\S+'),
                         x -> x IN ('the','a','an','of','and','in','to','is'))) AS stop_hits
-      FROM documents
+      FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
     ),
     qual AS (
       SELECT doc_id,
@@ -1323,7 +1323,7 @@ def docs_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
         len(list_filter(regexp_extract_all(text, '\S+'),
                         x -> x IN ('the','a','an','of','and','in','to','is'))) AS stop_hits
-      FROM documents
+      FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
     ),
     q AS (
       SELECT n_tokens AS n_toks,
@@ -1384,7 +1384,7 @@ def docs_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
         len(list_filter(regexp_extract_all(text, '\S+'),
                         x -> x IN ('the','a','an','of','and','in','to','is'))) AS stop_hits
-      FROM unioned
+      FROM (SELECT doc_id, coalesce(text, '') AS text FROM unioned)
     ),
     q AS (
       SELECT doc_id,
@@ -1450,7 +1450,7 @@ def docs_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
         len(list_filter(regexp_extract_all(text, '\S+'),
                         x -> x IN ('the','a','an','of','and','in','to','is'))) AS stop_hits
-      FROM documents
+      FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
     ),
     q AS (
       SELECT doc_id,

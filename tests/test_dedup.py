@@ -428,3 +428,15 @@ def test_token_shingles_whitespace_robust(spark):
                                        threshold=0.8).collect()}
     assert pairs.get((1, 2)) == 1.0
     assert pairs.get((1, 3)) == 1.0  # runs of mixed whitespace collapse
+
+
+def test_keep_best_caller_rn_column_survives(spark):
+    """A caller column literally named '_rn' must survive keep_best
+    (r5 ADVICE: fixed working names silently overwrote user data)."""
+    df = spark.createDataFrame(
+        [("a", 1, 0.5, "x"), ("a", 2, 0.9, "y")],
+        "key string, id long, score double, _rn string",
+    )
+    out = dedup.keep_best(df, ["key"], "score", "id")
+    assert set(out.columns) == {"key", "id", "score", "_rn"}
+    assert [(r.id, r._rn) for r in out.collect()] == [(2, "y")]

@@ -216,3 +216,82 @@ def test_cross_batch_gap_before_event_is_own_session(spark, tmp_path):
     assert any(s == base + 2 * 3600 * 1_000_000 and n == 1
                for (_, s, e, n) in final)
     shutil.rmtree(sdir, ignore_errors=True)
+
+
+def test_late_events_within_gap_merge_into_one_pre_session(spark, tmp_path):
+    """TWO late events within gap of each other, both gap-before the
+    open session, must merge into ONE closed pre-session [9:00,9:10]
+    (the batch twin merges them) — not two singletons (r5 ADVICE)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.streaming.events import run_stream_to_memory
+    from prefixtree_spark.streaming.sessionize import streaming_sessionize
+
+    base = 1_700_000_000_000_000  # µs ≙ "9:00"
+    m = 60 * 1_000_000
+    b1 = spark.createDataFrame(
+        [(1, 100, base + 60 * m)],  # "10:00" opens the session
+        "user_id long, event_id long, ts_us long",
+    ).select("user_id", "event_id", F.timestamp_micros("ts_us").alias("ts"))
+    b2 = spark.createDataFrame(
+        [(1, 101, base), (1, 102, base + 10 * m)],  # "9:00" and "9:10"
+        "user_id long, event_id long, ts_us long",
+    ).select("user_id", "event_id", F.timestamp_micros("ts_us").alias("ts"))
+    sdir = str(tmp_path / "latemerge")
+    b1.coalesce(1).write.parquet(f"{sdir}/b1")
+    b2.coalesce(1).write.parquet(f"{sdir}/b2")
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(sdir))
+    out = streaming_sessionize(stream, gap_minutes=30)
+    got = run_stream_to_memory(spark, out, "sess_merge_t", output_mode="append")
+    closed = {
+        (r.session_start_us, r.session_end_us, r.n_events)
+        for r in got.collect() if r.closed
+    }
+    assert (base, base + 10 * m, 2) in closed          # ONE merged pre-session
+    assert not any(s == e == base for (s, e, n) in closed)          # no 9:00 singleton
+    assert not any(s == e == base + 10 * m for (s, e, n) in closed)  # no 9:10 singleton
+    shutil.rmtree(sdir, ignore_errors=True)
+
+
+def test_late_event_bridges_buffer_into_open_session(spark, tmp_path):
+    """Late events at 9:20 then 9:40 against an open 10:00 session
+    (gap 30m): 9:40 extends the session (within gap), which then
+    bridges the 9:20 buffer — the batch twin yields ONE [9:20,10:00]
+    session and so must the stream."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.streaming.events import run_stream_to_memory
+    from prefixtree_spark.streaming.sessionize import streaming_sessionize
+
+    base = 1_700_000_000_000_000  # µs ≙ "9:00"
+    m = 60 * 1_000_000
+    b1 = spark.createDataFrame(
+        [(1, 100, base + 60 * m)],
+        "user_id long, event_id long, ts_us long",
+    ).select("user_id", "event_id", F.timestamp_micros("ts_us").alias("ts"))
+    b2 = spark.createDataFrame(
+        [(1, 101, base + 20 * m), (1, 102, base + 40 * m)],
+        "user_id long, event_id long, ts_us long",
+    ).select("user_id", "event_id", F.timestamp_micros("ts_us").alias("ts"))
+    sdir = str(tmp_path / "latebridge")
+    b1.coalesce(1).write.parquet(f"{sdir}/b1")
+    b2.coalesce(1).write.parquet(f"{sdir}/b2")
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(sdir))
+    out = streaming_sessionize(stream, gap_minutes=30)
+    got = run_stream_to_memory(spark, out, "sess_bridge_t", output_mode="append")
+    final = {
+        (r.session_start_us, r.session_end_us, r.n_events)
+        for r in got.collect()
+    }
+    assert (base + 20 * m, base + 60 * m, 3) in final
+    # nothing emitted CLOSED: it is all one still-open session
+    assert not any(r.closed for r in got.collect())
+    shutil.rmtree(sdir, ignore_errors=True)

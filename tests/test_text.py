@@ -435,3 +435,22 @@ def test_text_stats_and_oov_rate_null_and_empty_text(spark):
            for r in T.oov_rate(docs, "doc_id", "text").collect()}
     assert set(oov) == {1, 2, 3}
     assert oov[2] == (0, 0, 0.0) and oov[3] == (0, 0, 0.0)
+
+
+def test_quality_and_corpus_report_null_text(spark):
+    """NULL text scores like empty text (0.0 quality, 0 tokens): the
+    r5 ADVICE finding — size(NULL)=-1 must not corrupt total_tokens,
+    and least/greatest NULL-skipping must not give NULL docs 0.35."""
+    from prefixtree_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    q = {r.doc_id: r.quality
+         for r in T.quality_score(docs, "doc_id", "text").collect()}
+    assert q[2] == q[3] == 0.0
+    card = {r.metric: r.value
+            for r in T.corpus_report(docs, "doc_id", "text").collect()}
+    assert card["n_docs"] == 3.0
+    assert card["total_tokens"] == 3.0  # NULL and empty contribute 0, not -1
