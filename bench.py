@@ -248,6 +248,55 @@ def main() -> None:
         _qmod._AUTO_BROADCAST_NODES, _qmod._AUTO_BROADCAST_QUERIES = saved
     pt_big.unpersist()
 
+    # giant-forest regime (round-5 verdict #1): the same both-big shape
+    # but the tree deliberately built as ONE forest and the chunk cap
+    # forced below it, so auto must RE-SHARD (rebuild from end-cap
+    # words at more partitions) before running the chunked traversal —
+    # the route that replaced the bfs fallback measured at 298 s vs
+    # ~56 s brute in round 4. Brute is timed at the SAME shape below so
+    # the auto-beats-brute claim is a recorded measurement.
+    pt_giant = create(words_big, "w", num_partitions=1).persist()
+    n_giant = pt_giant.count()
+    extras["giant_forest_nodes"] = n_giant
+    saved_g = (
+        _qmod._AUTO_BROADCAST_NODES,
+        _qmod._AUTO_BROADCAST_QUERIES,
+        _qmod._CHUNK_MAX_PARTITION_NODES,
+        _qmod._RESHARD_TARGET_PARTITION_NODES,
+    )
+    try:
+        _qmod._AUTO_BROADCAST_NODES = 0
+        _qmod._AUTO_BROADCAST_QUERIES = 5000
+        # per-partition nodes (= all of them) exceed the cap → re-shard
+        _qmod._CHUNK_MAX_PARTITION_NODES = max(1, n_giant // 2)
+        _qmod._RESHARD_TARGET_PARTITION_NODES = max(
+            1, n_giant // spark.sparkContext.defaultParallelism
+        )
+        t0 = time.time()
+        n = query(pt_giant, q_big, "q", 2, mode="auto").count()
+        extras["giant_forest_auto_k2_sec"] = round(time.time() - t0, 3)
+        extras["giant_forest_auto_k2_rows"] = n
+    finally:
+        (
+            _qmod._AUTO_BROADCAST_NODES,
+            _qmod._AUTO_BROADCAST_QUERIES,
+            _qmod._CHUNK_MAX_PARTITION_NODES,
+            _qmod._RESHARD_TARGET_PARTITION_NODES,
+        ) = saved_g
+    pt_giant.unpersist()
+    words_brute = (
+        words_big.select(F.trim("w").alias("w2")).where("w2 <> ''").distinct()
+    )
+    t0 = time.time()
+    nb = (
+        q_big.distinct()
+        .crossJoin(words_brute)
+        .where(F.levenshtein("q", "w2", 2) >= 0)
+        .count()
+    )
+    extras["both_big_brute_k2_sec"] = round(time.time() - t0, 3)
+    extras["both_big_brute_k2_rows"] = nb
+
     # pipeline extensions
     catalog = workloads.QUERIES
     for name in [

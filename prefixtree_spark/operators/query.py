@@ -37,8 +37,11 @@ either side may be the big one:
 
 ``mode="auto"`` routes by BOTH sides' sizes: small tree →
 broadcast_tree; big tree + small query set → broadcast_queries; big
-tree + big query set → bfs (neither side is ever collected to the
-driver).
+tree + big query set → chunked colocated traversal (query side
+streamed in bounded chunks; the tree never moves), re-sharding the
+tree first if its per-partition forests exceed a traversal task's
+budget. bfs is explicit-opt-in only (``mode="bfs"``) — it was measured
+to lose to brute force at k>=2 (SCALING.md round-4/5).
 """
 
 from __future__ import annotations
@@ -116,9 +119,18 @@ _AUTO_BROADCAST_QUERIES = 1_000_000
 # With both sides big, auto mode chunks the query side as long as the
 # tree's per-partition forests still fit one traversal task (the
 # colocated mapInPandas materializes a partition's forest in pandas:
-# ~100 B/node → 20M nodes ≈ 2 GB). Beyond that, bfs — the only strategy
-# that materializes NEITHER side anywhere — is the honest fallback.
+# ~100 B/node → 20M nodes ≈ 2 GB). Beyond that auto RE-SHARDS the tree
+# (rebuild from end-cap words at more partitions — forest granularity
+# is a build artifact, not a law) and chunks anyway: bfs, the one
+# strategy measured to LOSE to brute force at k>=2 (SCALING.md
+# round-4/5: 298 s vs ~56 s), is never auto-chosen — it stays an
+# explicit ``mode="bfs"`` opt-in for trees that must not be rebuilt.
 _CHUNK_MAX_PARTITION_NODES = 20_000_000
+
+# Re-shard target: rebuild at ~cap/4 nodes per partition. The rebuild's
+# node count can exceed the original's (more partitions → less prefix
+# sharing), so the headroom keeps the result comfortably traversable.
+_RESHARD_TARGET_PARTITION_NODES = _CHUNK_MAX_PARTITION_NODES // 4
 
 
 def _merged_local_index(pt: DataFrame, n_nodes: int | None = None) -> "LocalIndex":
@@ -317,6 +329,28 @@ def _query_broadcast_queries_chunked(
     for c in chunks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def _reshard_tree(pt: DataFrame, n_nodes: int) -> DataFrame:
+    """Rebuild ``pt`` distributed from its end-cap words at a partition
+    count targeting ``_RESHARD_TARGET_PARTITION_NODES`` nodes per
+    forest — the distributed-rebuild trick ``_merged_local_index``
+    uses (create on end-cap words), generalized from "one partition
+    per first char" to whole-word hash at an explicit partition count
+    (skew-proof at any scale; each word lives in exactly one partition,
+    so query results cannot duplicate). Returns a PERSISTED colocated
+    tree; the caller unpersists. ``n_copies`` multiplicity is not
+    carried — the traversal never reads it, and the resharded tree is
+    internal to one query() call."""
+    from prefixtree_spark.operators.build import create
+
+    target = max(1, -(-n_nodes // _RESHARD_TARGET_PARTITION_NODES))
+    words = pt.where("is_word").select(F.col("node").alias("w"))
+    re_pt = create(
+        words, "w", num_partitions=target, max_word_len=None, trim="right"
+    ).persist()
+    re_pt.count()
+    return re_pt
 
 
 def _own_persist(df: DataFrame):
@@ -604,10 +638,11 @@ def query(
                     qdf, col, _merged_local_index(pt, n_nodes), k
                 )
             # tree too big to collect: stays distributed. Probe the query
-            # side BEFORE collecting it — with both sides large the only
-            # safe plan is bfs, which moves neither side to the driver.
-            # Pin the query side across the probe: count-then-collect on
-            # the unpinned frame ran its scan + distinct shuffle TWICE.
+            # side BEFORE collecting it — with both sides large the
+            # query side must stream through in chunks, never collect
+            # whole. Pin the query side across the probe: count-then-
+            # collect on the unpinned frame ran its scan + distinct
+            # shuffle TWICE.
             qdf = qdf.persist()
             try:
                 if qdf.count() <= _AUTO_BROADCAST_QUERIES:
@@ -618,9 +653,7 @@ def query(
                     ).localCheckpoint(eager=True)
                 # big tree x big query set: chunk the query side through
                 # the distributed-tree traversal (round-4 verdict #2 — bfs
-                # measurably loses to brute force here at k>=2). bfs
-                # remains only for trees whose per-partition forests are
-                # too big to materialize inside one traversal task.
+                # measurably loses to brute force here at k>=2).
                 per_part = n_nodes / max(1, pt.rdd.getNumPartitions())
                 if per_part <= _CHUNK_MAX_PARTITION_NODES:
                     if colocated:
@@ -644,9 +677,26 @@ def query(
                         )
                     finally:
                         pt2.unpersist()
-                return _query_bfs(
-                    pt, qdf, col, k, tree_partitioned=tree_partitioned
-                )
+                # per-partition forests exceed a traversal task's
+                # budget: RE-SHARD instead of bfs (round-5 verdict #1 —
+                # bfs is the one plan measured to LOSE to brute force
+                # at k>=2). Forest granularity is a build artifact:
+                # rebuild distributed from the end-cap words at a
+                # partition count that brings forests back under the
+                # cap, then run the winning chunked traversal. Word set
+                # (and therefore the result set) is preserved verbatim:
+                # trim="right" is identity on end-cap words and the
+                # length cap is lifted. bfs stays reachable only as an
+                # explicit mode="bfs".
+                pt3 = _reshard_tree(pt, n_nodes)
+                try:
+                    if owned:
+                        pt.unpersist()
+                    return _query_broadcast_queries_chunked(
+                        pt3, qdf, k, colocated=True
+                    )
+                finally:
+                    pt3.unpersist()
             finally:
                 qdf.unpersist()
         finally:

@@ -80,32 +80,67 @@ def test_auto_routes_big_tree_big_queries_to_chunked(spark, monkeypatch):
     assert got == _expected(SPARSE_WORDS, QUERIES, 1)
 
 
-def test_auto_falls_back_to_bfs_only_when_partitions_too_big(spark, monkeypatch):
-    """bfs remains the both-sides-big fallback ONLY when the tree's
-    per-partition forests exceed a traversal task's memory budget."""
+def test_auto_reshards_giant_forests_instead_of_bfs(spark, monkeypatch):
+    """When per-partition forests exceed the chunk cap, auto RE-SHARDS
+    the tree (rebuild from end-cap words at more partitions) and runs
+    the chunked colocated traversal — bfs, the plan measured to lose
+    to brute force at k>=2, is never auto-chosen (round-5 verdict #1).
+    Results must equal the brute oracle exactly."""
     import prefixtree_spark.operators.query as qmod
 
-    calls = []
-    real_bfs = qmod._query_bfs
+    resharded_parts = []
+    real_reshard = qmod._reshard_tree
     monkeypatch.setattr(qmod, "_AUTO_BROADCAST_NODES", 0)
-    monkeypatch.setattr(qmod, "_AUTO_BROADCAST_QUERIES", 0)
+    monkeypatch.setattr(qmod, "_AUTO_BROADCAST_QUERIES", 2)
     monkeypatch.setattr(qmod, "_CHUNK_MAX_PARTITION_NODES", 0)
+    # target ~3 nodes/partition so the rebuild demonstrably widens
+    monkeypatch.setattr(qmod, "_RESHARD_TARGET_PARTITION_NODES", 3)
+    monkeypatch.setattr(
+        qmod,
+        "_reshard_tree",
+        lambda pt, n: (lambda r: resharded_parts.append(
+            r.rdd.getNumPartitions()) or r)(real_reshard(pt, n)),
+    )
     monkeypatch.setattr(
         qmod,
         "_query_bfs",
-        lambda *a, **kw: calls.append("bfs") or real_bfs(*a, **kw),
+        lambda *a, **kw: pytest.fail("auto routed to bfs — the losing plan"),
     )
-    monkeypatch.setattr(
-        qmod,
-        "_query_broadcast_queries",
-        lambda *a, **kw: pytest.fail("query side was collected+broadcast"),
-    )
-    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3)
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=1)
     qdf = spark.createDataFrame([(q,) for q in QUERIES], ["q"])
     res = qmod.query(pt, qdf, "q", 1, mode="auto")
     got = {(r.query_string, r.node, r.final_distance) for r in res.collect()}
-    assert calls == ["bfs"]
+    # the rebuild actually widened the forest layout
+    assert resharded_parts and resharded_parts[0] > 1
     assert got == _expected(SPARSE_WORDS, QUERIES, 1)
+
+
+def test_explicit_bfs_mode_still_works(spark):
+    """mode="bfs" stays a working explicit opt-in after auto stopped
+    routing to it."""
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3)
+    qdf = spark.createDataFrame([(q,) for q in QUERIES], ["q"])
+    res = query(pt, qdf, "q", 1, mode="bfs")
+    got = {(r.query_string, r.node, r.final_distance) for r in res.collect()}
+    assert got == _expected(SPARSE_WORDS, QUERIES, 1)
+
+
+def test_reshard_preserves_right_trim_and_long_words(spark, monkeypatch):
+    """The re-shard rebuild must preserve the word set VERBATIM: words
+    with leading spaces (trim='right' builds) and words longer than the
+    default 255 cap survive the round trip."""
+    import prefixtree_spark.operators.query as qmod
+
+    long_word = "x" * 300
+    words = ["  lead", "cat", long_word]
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    pt = create(df, "word", num_partitions=1, trim="right", max_word_len=None)
+    re_pt = qmod._reshard_tree(pt, pt.count())
+    try:
+        got = {r.node for r in re_pt.where("is_word").collect()}
+        assert got == set(words)
+    finally:
+        re_pt.unpersist()
 
 
 def test_auto_routes_big_tree_small_queries_to_broadcast_queries(spark, monkeypatch):
