@@ -296,8 +296,9 @@ def corpus_report_published(
     (low_quality, segment dir); each is written to a temp name and
     RENAMED, so a crashed writer leaves garbage, not a half-partial a
     later call would trust. Orphaned partials (their segment was
-    compacted away) are ignored and cleaned by the next vacuum of the
-    cache dir."""
+    compacted away) are ignored here and deleted by
+    ``vacuum_card_cache`` (run by ``maintain_ingest`` alongside the
+    table vacuums)."""
     from prefixtree_spark.sources.io import (
         _fs,
         published_segments,
@@ -339,6 +340,63 @@ def corpus_report_published(
         F.sum("low").alias("low"),
     )
     return _card_from_bucketed(folded.localCheckpoint(eager=True))
+
+
+def vacuum_card_cache(
+    spark,
+    root: str,
+    *,
+    cache_root: str | None = None,
+    tmp_grace_minutes: int = 60,
+) -> int:
+    """Delete cached per-segment card partials whose segment no longer
+    appears in ANY kept snapshot's chain (round-5 verdict #4:
+    compaction churn mints new vdirs and the orphaned partials grew the
+    cache unboundedly — nothing ever cleaned them). Covers every
+    ``low_quality`` variant (each ``lq*`` subdir); crashed-writer
+    ``.tmp-*`` directories are cleared once older than
+    ``tmp_grace_minutes`` (the grace keeps a LIVE concurrent refresher's
+    half-written temp safe). Returns the number of directories deleted.
+    Safe concurrent with ``corpus_report_published``: a partial is only
+    deleted when its segment is unreferenced by every kept manifest
+    entry, and immutable segments mean a reader that already resolved
+    its chain never revisits the cache for vanished vdirs."""
+    import time as _time
+
+    from prefixtree_spark.sources.io import (
+        _fs,
+        _manifest_entries,
+        _resolve_chain,
+    )
+
+    cache_root = cache_root or f"{root}_card"
+    fs, jvm = _fs(spark, cache_root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(Path(cache_root)):
+        return 0
+    entries = _manifest_entries(spark, root)
+    live: set[str] = set()
+    # union over every KEPT entry's snapshot chain, not just the head:
+    # vacuum_published(keep=N) leaves N resolvable snapshots and a
+    # reader pinned to an older one must still find its partials
+    for i in range(len(entries)):
+        for vdir, _fmt in _resolve_chain(spark, entries[: i + 1]):
+            live.add(vdir)
+    deleted = 0
+    cutoff_ms = (_time.time() - tmp_grace_minutes * 60) * 1000
+    for lq in fs.listStatus(Path(cache_root)):
+        if not lq.isDirectory():
+            continue
+        for part in fs.listStatus(lq.getPath()):
+            name = part.getPath().getName()
+            if name.startswith(".tmp-"):
+                if part.getModificationTime() < cutoff_ms:
+                    fs.delete(part.getPath(), True)
+                    deleted += 1
+            elif name not in live:
+                fs.delete(part.getPath(), True)
+                deleted += 1
+    return deleted
 
 
 def lm_nll(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

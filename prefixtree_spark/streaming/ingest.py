@@ -402,12 +402,17 @@ def maintain_ingest(
         vacuum_published,
     )
 
+    from prefixtree_spark.operators.text import vacuum_card_cache
+
     out = {}
     for r in (root, _bands_root(root)):
         if published_chain_length(spark, r) > max_segments:
             compact_published(spark, r, target_file_mb=target_file_mb)
         vacuum_published(spark, r, keep=keep)
         out[r] = published_chain_length(spark, r)
+    # the incremental data-card cache rides the corpus's segment churn:
+    # clear partials for segments no kept snapshot references (r5 #4)
+    out[f"{root}_card_deleted"] = vacuum_card_cache(spark, root)
     return out
 
 

@@ -205,7 +205,9 @@ def test_maintain_ingest_folds_long_chains(spark, tmp_path):
         )
     assert published_chain_length(spark, root) == 3
     lengths = maintain_ingest(spark, root, max_segments=2, keep=1)
-    assert lengths == {root: 1, root + "_bands": 1}
+    assert lengths == {
+        root: 1, root + "_bands": 1, root + "_card_deleted": 0,
+    }
     assert _ids(read_published(spark, root)) == [0, 1, 2]
     # dedup against the compacted corpus still works: replay doc 1's
     # text under a new id, plus one genuinely new doc

@@ -454,3 +454,59 @@ def test_quality_and_corpus_report_null_text(spark):
             for r in T.corpus_report(docs, "doc_id", "text").collect()}
     assert card["n_docs"] == 3.0
     assert card["total_tokens"] == 3.0  # NULL and empty contribute 0, not -1
+
+
+def test_vacuum_card_cache_deletes_only_orphans(spark, tmp_path):
+    """compaction + vacuum + vacuum_card_cache leaves only partials for
+    segments some kept snapshot still references; the refreshed card
+    still equals the full recompute (round-5 verdict #4)."""
+    import os
+
+    from prefixtree_spark.operators import text as T
+    from prefixtree_spark.sources import io as pio
+
+    root = str(tmp_path / "docs_vac")
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"the doc number {i} is here") for i in range(lo, hi)],
+            "doc_id long, text string",
+        )
+
+    pio.publish_version(batch(0, 40), root)
+    pio.append_published(batch(40, 60), root)
+    pio.append_published(batch(60, 70), root)
+    T.corpus_report_published(spark, root, "text").collect()
+    cache = str(tmp_path / "docs_vac_card")
+    lq_dir = os.path.join(cache, os.listdir(cache)[0])
+    assert len(os.listdir(lq_dir)) == 3  # one partial per segment
+    # a stale crashed-writer temp dir, old enough to clear
+    stale_tmp = os.path.join(lq_dir, ".tmp-crashed-deadbeef")
+    os.makedirs(stale_tmp)
+    old = 1_000_000_000
+    os.utime(stale_tmp, (old, old))
+
+    # compaction folds the chain into one new vdir; vacuum keeps only
+    # the latest snapshot, so the three old segments become orphans
+    pio.compact_published(spark, root)
+    pio.vacuum_published(spark, root, keep=1)
+    # refresh first so the new segment's partial exists
+    got = {r.metric: r.value
+           for r in T.corpus_report_published(spark, root, "text").collect()}
+    deleted = T.vacuum_card_cache(spark, root)
+    assert deleted == 4  # 3 orphaned partials + 1 stale tmp
+    live = [d for d in os.listdir(lq_dir)]
+    assert len(live) == 1 and not live[0].startswith(".tmp-")
+    # a FRESH tmp (concurrent refresher) survives the grace window
+    fresh_tmp = os.path.join(lq_dir, ".tmp-live-cafebabe")
+    os.makedirs(fresh_tmp)
+    assert T.vacuum_card_cache(spark, root) == 0
+    assert os.path.isdir(fresh_tmp)
+    os.rmdir(fresh_tmp)
+    # the card over the vacuumed cache still equals the full recompute
+    full = {r.metric: r.value
+            for r in T.corpus_report(
+                pio.read_published(spark, root), "doc_id", "text").collect()}
+    got2 = {r.metric: r.value
+            for r in T.corpus_report_published(spark, root, "text").collect()}
+    assert got == got2 == full and got["n_docs"] == 70.0
