@@ -16,13 +16,20 @@ across clients, not just across calls.
     GET /health                             → {"nodes": N}
 
 Operationally (documented, not sandbox-testable beyond localhost):
-run one server per replica behind any HTTP load balancer; the index
-is immutable once loaded, so replicas need no coordination — rebuild
-→ restart is the refresh story (or a blue/green pair). For batch
-traffic keep using ``query(..., index=handle)``; HTTP is the
-low-latency single-lookup path only. A Spark Connect deployment can
-host the same handle server-side; nothing here depends on a
-SparkSession once the index is built.
+run one server per replica behind any HTTP load balancer; each
+loaded index is immutable, so replicas need no coordination. Refresh
+WITHOUT restart (the Roxie package-reload analog,
+PrefixTree.ecl:459-588): ``swap(new_index)`` atomically replaces the
+served handle — in-flight requests finish on the index they started
+with, new requests see the new one, keep-alive connections stay up —
+and ``watch_published_index`` polls a ``publish_index`` root and
+swaps each newly published version in automatically (Spark-free:
+manifest + parquet read via pyarrow, so a serving replica needs no
+SparkSession). For batch traffic keep using
+``query(..., index=handle)``; HTTP is the low-latency single-lookup
+path only. A Spark Connect deployment can host the same handle
+server-side; nothing here depends on a SparkSession once the index
+is built.
 
 Threading: ``ThreadingHTTPServer`` + a read-only index — traversals
 (`LocalIndex.search`) allocate per-call state, so concurrent requests
@@ -35,6 +42,8 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
+
+import pandas as pd
 
 from prefixtree_spark.operators.query import LocalIndex
 
@@ -60,12 +69,21 @@ class PrefixTreeServer:
 
     # -- lifecycle ---------------------------------------------------------
 
+    def swap(self, index: LocalIndex) -> None:
+        """Atomically replace the served index without restarting: a
+        single attribute store (atomic under the GIL) flips the handle;
+        every request reads it ONCE on entry, so an in-flight request
+        finishes consistently on whichever index it started with and
+        keep-alive connections never observe an error. The old index
+        is garbage-collected when its last in-flight request ends."""
+        self.index = index
+
     def start(self) -> "PrefixTreeServer":
         if self._httpd is not None:
             # a second start() would abandon a live server with no
             # remaining handle to stop it (leaked port + thread)
             raise RuntimeError("server already running; stop() it first")
-        index = self.index
+        srv = self
         max_k = self.max_k
 
         class Handler(BaseHTTPRequestHandler):
@@ -75,6 +93,10 @@ class PrefixTreeServer:
             protocol_version = "HTTP/1.1"
 
             def do_GET(self) -> None:  # noqa: N802 (stdlib casing)
+                # ONE handle read per request: a concurrent swap() must
+                # not let half a request run on the old index and half
+                # on the new
+                index = srv.index
                 url = urlparse(self.path)
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 try:
@@ -142,3 +164,87 @@ class PrefixTreeServer:
 
     def __exit__(self, *exc) -> None:
         self.stop()
+
+
+def load_local_index_published(root: str) -> tuple[LocalIndex, int]:
+    """Spark-free load of the LIVE version of a ``publish_index`` root
+    on a local filesystem: resolve the manifest pointer exactly as
+    ``sources.io`` does (max integer entry; appends walk back to their
+    base replace) and read the segment parquet via pyarrow. Returns
+    (index, version) — the serving replica's path to a refreshed
+    handle with no SparkSession in the process.
+
+    Citing the contract it rides: manifest entries are
+    ``vdir<TAB>format<TAB>mode`` files named by version
+    (``sources/io.py:_publish_entry``); segment dirs are immutable."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    mdir = os.path.join(root, "_manifest")
+    entries = sorted(
+        int(f) for f in os.listdir(mdir) if f.isdigit()
+    ) if os.path.isdir(mdir) else []
+    if not entries:
+        raise FileNotFoundError(f"no published version under {root!r}")
+
+    def parse(n: int) -> tuple[str, str, str]:
+        parts = open(os.path.join(mdir, str(n))).read().split("\t")
+        return parts[0], parts[1], (parts[2] if len(parts) > 2 else "replace")
+
+    # walk appends back to the base replace, oldest first (io.py
+    # _resolve_chain semantics); indexes are normally replace-published
+    # so this is one segment, but an appended index still loads whole
+    chain: list[str] = []
+    for n in reversed(entries):
+        vdir, fmt, mode = parse(n)
+        if fmt != "parquet":
+            raise ValueError(f"non-parquet index segment {vdir!r} ({fmt})")
+        chain.append(vdir)
+        if mode == "replace":
+            break
+    pdfs = [
+        pq.read_table(os.path.join(root, vdir)).to_pandas()
+        for vdir in reversed(chain)
+    ]
+    pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+    return LocalIndex(pdf), entries[-1]
+
+
+def watch_published_index(
+    server: PrefixTreeServer,
+    root: str,
+    *,
+    poll_seconds: float = 5.0,
+) -> threading.Event:
+    """Hot refresh for a serving replica (the Roxie package-reload
+    analog): poll ``root``'s manifest version and ``swap`` each newly
+    published index into ``server`` — queries keep flowing on the old
+    index until the new one is fully loaded, then flip atomically.
+    Returns a stop event: ``set()`` it to end the watcher thread. A
+    load that fails (e.g. a publisher mid-commit) leaves the current
+    index serving and retries next poll."""
+    stop = threading.Event()
+    state = {"version": getattr(server, "_published_version", 0)}
+
+    def run() -> None:
+        while not stop.wait(poll_seconds):
+            try:
+                import os
+
+                mdir = os.path.join(root, "_manifest")
+                vers = [
+                    int(f) for f in os.listdir(mdir) if f.isdigit()
+                ] if os.path.isdir(mdir) else []
+                if not vers or max(vers) <= state["version"]:
+                    continue
+                idx, ver = load_local_index_published(root)
+            except Exception:
+                continue  # serve the current index; retry next poll
+            server.swap(idx)
+            state["version"] = ver
+
+    threading.Thread(
+        target=run, name="prefixtree-index-watcher", daemon=True
+    ).start()
+    return stop
