@@ -624,6 +624,42 @@ def main() -> None:
     extras["card_full_recompute_sec"] = round(time.time() - t0, 3)
     shutil.rmtree(ing_dir, ignore_errors=True)
 
+    # ingest skew stress (round-5 verdict #6): a boilerplate-heavy
+    # batch against a boilerplate corpus — every (band, bucket) is hot,
+    # so the uncapped batch-vs-corpus candidate join emits m·p rows per
+    # bucket; max_df drops hot buckets read-side and the capped batch
+    # should stay near the clean-corpus ingest cost (ingest_batch2_sec
+    # above). Same fixture family as dedup_minhash_skew_*; kept counts
+    # are recorded because the cap trades recall (documented).
+    skew_dir = _itf.mkdtemp(prefix="bench_ingest_skew_")
+    n_sk = max(200, int(10_000 * float(sf)))
+    boiler2 = " ".join(f"skw{i}" for i in range(40))
+
+    def _skew_docs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit(boiler2 + " tail "),
+                F.col("id").cast("string"), F.lit(" "),
+                (F.col("id") * 7 + 3).cast("string"), F.lit(" "),
+                (F.col("id") * 13 + 1).cast("string"),
+            ).alias("text"),
+        )
+
+    extras["ingest_skew_docs"] = n_sk
+    for tag, cap in (("uncapped", None), ("capped", 50)):
+        root_sk = f"{skew_dir}/{tag}"
+        ingest_batch(
+            _skew_docs(0, n_sk), root_sk, "doc_id", "text", max_df=cap
+        )
+        t0 = time.time()
+        kept = ingest_batch(
+            _skew_docs(n_sk, 2 * n_sk), root_sk, "doc_id", "text", max_df=cap
+        )
+        extras[f"ingest_skew_{tag}_sec"] = round(time.time() - t0, 3)
+        extras[f"ingest_skew_{tag}_kept"] = kept
+    shutil.rmtree(skew_dir, ignore_errors=True)
+
     # stateful streaming: sessionize the whole events stream end-to-end
     # (availableNow file stream -> applyInPandasWithState -> memory sink)
     import shutil

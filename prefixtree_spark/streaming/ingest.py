@@ -133,6 +133,7 @@ def ingest_batch(
     num_perm: int = 64,
     bands: int = 32,
     audit: bool = False,
+    max_df: int | None = None,
 ) -> int:
     """Run one ingest step (the batch twin of the streaming sink):
     dedup ``batch`` within itself and against the published corpus at
@@ -150,7 +151,22 @@ def ingest_batch(
     — the rejection lineage a training-data pipeline keeps so "why is
     this document not in the corpus?" has a queryable answer. Audit
     rows commit LAST: a crash can lose lineage for a committed batch,
-    never invent lineage for an uncommitted one."""
+    never invent lineage for an uncommitted one.
+
+    ``max_df`` (off by default) is the boilerplate skew cap: (a) the
+    within-batch LSH pass drops ubiquitous shingles
+    (``dedup.minhash_lsh_pairs``'s own cap), and (b) the batch-vs-
+    corpus candidate join drops (band, bucket) keys whose CORPUS
+    membership exceeds ``max_df`` — a hot bucket with m corpus docs ×
+    p batch docs otherwise emits m·p candidate rows, so a boilerplate-
+    heavy batch against a boilerplate corpus goes quadratic. The cap
+    is a READ-side filter: stored buckets stay unfiltered (computed
+    deterministically from doc text, the cross-batch join-compat
+    contract), so capped and uncapped batches interoperate on one
+    bands table. Recall trade (same as the batch family's ``max_df``):
+    a near-dup whose every band lands in hot buckets can slip through
+    LSH — but the exact-text guard still rejects verbatim boilerplate
+    copies regardless."""
     assert num_perm % bands == 0
     spark = batch.sparkSession
     broot = _bands_root(root)
@@ -185,7 +201,7 @@ def ingest_batch(
 
     pairs = dedup.minhash_lsh_pairs(
         surv, id_col, text_col, n=n, threshold=threshold,
-        num_perm=num_perm, bands=bands,
+        num_perm=num_perm, bands=bands, max_df=max_df,
     )
     edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     nodes = edges.select(F.col("src").alias("node")).unionByName(
@@ -245,12 +261,23 @@ def ingest_batch(
         ).persist()  # reused at step 4 for the survivors' stored bands
         pins.append(b_new)
         bands_of_surv = b_new
+        b_cor_side = b_cor.select(
+            F.col("doc").alias("corpus_id"), "band", "bucket"
+        )
+        if max_df is not None:
+            # hot-bucket cap (see docstring): drop (band, bucket) keys
+            # whose corpus membership exceeds max_df BEFORE the join —
+            # bounds candidates at max_df × batch-bucket-size per key
+            hot = (
+                b_cor_side.groupBy("band", "bucket")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") > max_df)
+                .select("band", "bucket")
+            )
+            b_cor_side = b_cor_side.join(hot, ["band", "bucket"], "left_anti")
         candidates = (
             b_new.select(F.col("doc").alias("new_id"), "band", "bucket")
-            .join(
-                b_cor.select(F.col("doc").alias("corpus_id"), "band", "bucket"),
-                ["band", "bucket"],
-            )
+            .join(b_cor_side, ["band", "bucket"])
             .select("new_id", "corpus_id")
             .distinct()
         )
@@ -340,6 +367,7 @@ def streaming_ingest_corpus(
     num_perm: int = 64,
     bands: int = 32,
     audit: bool = False,
+    max_df: int | None = None,
     checkpoint_dir: str,
     available_now: bool = True,
 ):
@@ -368,6 +396,7 @@ def streaming_ingest_corpus(
             num_perm=num_perm,
             bands=bands,
             audit=audit,
+            max_df=max_df,
         )
 
     writer = (
@@ -425,6 +454,7 @@ def ingest_sequential(
     threshold: float = 0.8,
     n: int = 3,
     audit: bool = False,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Batch twin of the streaming sink: fold the batches through
     ``ingest_batch`` in order and return the published corpus — the
@@ -433,6 +463,7 @@ def ingest_sequential(
     spark = batches[0].sparkSession
     for b in batches:
         ingest_batch(
-            b, root, id_col, text_col, threshold=threshold, n=n, audit=audit
+            b, root, id_col, text_col, threshold=threshold, n=n, audit=audit,
+            max_df=max_df,
         )
     return read_published(spark, root)

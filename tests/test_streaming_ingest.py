@@ -301,3 +301,39 @@ def test_empty_params_file_self_heals(spark, tmp_path):
     assert ingest_batch(b2, root, "doc_id", "text") == 1
     with open(params_path) as fh:
         assert fh.read() == "3,64,32"
+
+
+def test_ingest_max_df_cap_semantics(spark, tmp_path):
+    """The boilerplate skew cap (r5 verdict #6): a huge max_df equals
+    the uncapped run exactly; a tiny max_df still rejects exact
+    replays (the exact-text guard needs no buckets) and still accepts
+    genuinely new docs."""
+    boiler = " ".join(f"cap{i}" for i in range(40))
+
+    def docs(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"{boiler} tail {i} {i * 7 + 3} {i * 13 + 1}")
+             for i in range(lo, hi)],
+            "doc_id long, text string",
+        )
+
+    clean = spark.createDataFrame(
+        [(900, " ".join(f"fresh{i}x" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    # uncapped vs effectively-uncapped (max_df larger than any bucket):
+    # identical survivor sets
+    r1, r2 = str(tmp_path / "u"), str(tmp_path / "h")
+    ingest_batch(docs(0, 20), r1, "doc_id", "text")
+    ingest_batch(docs(0, 20), r2, "doc_id", "text", max_df=10_000)
+    k1 = ingest_batch(docs(20, 30), r1, "doc_id", "text")
+    k2 = ingest_batch(docs(20, 30), r2, "doc_id", "text", max_df=10_000)
+    assert k1 == k2
+    assert _ids(read_published(spark, r1)) == _ids(read_published(spark, r2))
+    # tiny cap: exact replay of committed docs is still fully rejected,
+    # and a clean doc is still accepted
+    r3 = str(tmp_path / "t")
+    ingest_batch(docs(0, 20), r3, "doc_id", "text", max_df=1)
+    replay = docs(0, 10).withColumn("doc_id", F.col("doc_id") + 1000)
+    assert ingest_batch(replay, r3, "doc_id", "text", max_df=1) == 0
+    assert ingest_batch(clean, r3, "doc_id", "text", max_df=1) == 1
