@@ -767,13 +767,30 @@ def cosine_topk_ivf_index(
     n_replicas) — asserted by test — but the per-call plan touches only
     (a) the query batch, (b) the id-only postings of PROBED cells
     (partition-pruned scan), and (c) the candidate vectors for rerank.
-    No kmeans, no corpus assignment pass."""
+    No kmeans, no corpus assignment pass.
+
+    Pruning is STATIC, not left to dynamic partition pruning: the
+    distinct probed-cell set is collected (bounded by
+    min(|queries|·nprobe, n_cells) ints — never corpus-sized) and
+    pushed into the postings scan as a literal IN, so the physical
+    plan carries ``PartitionFilters: [cell IN (...)]`` and unprobed
+    cell directories are never listed, on any Spark config."""
     q_assign = _cell_assign_udf(index.centroids, nprobe)
     qbase = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("qv"))
     q_ids = qbase.withColumn("cell", F.explode(q_assign(F.col("qv")))).select(
         "query_id", "cell"
     )
-    pairs = F.broadcast(q_ids).join(index.postings, "cell").select(
+    # one extra pass over the (small, broadcast-bound) query batch buys
+    # a guaranteed-pruned corpus scan — the right trade at any scale
+    probed = sorted({r.cell for r in q_ids.select("cell").distinct().collect()})
+    if not probed:
+        return (
+            q_ids.select("query_id", F.col("cell").cast("long").alias("vec_id"))
+            .withColumn("rank", F.lit(0).cast("long"))
+            .limit(0)
+        )
+    postings = index.postings.where(F.col("cell").isin(probed))
+    pairs = F.broadcast(q_ids).join(postings, "cell").select(
         "query_id", "vec_id"
     )
     if index.n_replicas > 1:

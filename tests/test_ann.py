@@ -348,6 +348,58 @@ def test_ivf_index_postings_partitioned_by_cell(spark, clustered, tmp_path):
     assert set(idx.vectors.columns) == {"vec_id", "cv"}
 
 
+def test_ivf_index_probed_scan_partition_pruned(spark, clustered, tmp_path):
+    """The warm query plan must prune the postings scan to the PROBED
+    cell directories statically (literal IN in PartitionFilters), not
+    rely on dynamic partition pruning kicking in — a query probing 2 of
+    10 cells that lists all 10 directories is the wrong plan at scale."""
+    df, _ = clustered
+    path = str(tmp_path / "ivf_pruned")
+    ann.save_ivf_index(df, "vec_id", "embedding", path, n_cells=10,
+                       sample_size=200)
+    idx = ann.load_ivf_index(spark, path)
+    q = df.where(df.vec_id.isin([0, 1]))
+    out = ann.cosine_topk_ivf_index(q, "vec_id", "embedding", idx, k=5,
+                                    nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the postings scan is the only one partitioned on cell; its
+    # partition filter must carry the literal IN over the probed cells
+    # (Location paths are truncated in toString, so match the filter)
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters: [cell" in ln
+    ]
+    assert scan_lines, f"no cell-partition-filtered scan:\n{plan}"
+    assert any(" IN (" in ln for ln in scan_lines), scan_lines
+    # and the answers still match the per-call plan (pruning changed
+    # cost, not results)
+    cent = idx.centroids
+    percall = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_ivf(
+            q, "vec_id", "embedding", df, "vec_id", "embedding",
+            k=5, n_cells=10, nprobe=2, centroids=cent,
+        ).collect()
+    }
+    warm = {(r.query_id, r.vec_id, r.rank) for r in out.collect()}
+    assert warm == percall and warm
+
+
+def test_ivf_index_empty_query_batch(spark, clustered, tmp_path):
+    """Zero queries → zero probed cells → empty result with the right
+    schema, no full-postings scan."""
+    df, _ = clustered
+    path = str(tmp_path / "ivf_emptyq")
+    ann.save_ivf_index(df, "vec_id", "embedding", path, n_cells=10,
+                       sample_size=200)
+    idx = ann.load_ivf_index(spark, path)
+    out = ann.cosine_topk_ivf_index(
+        df.where("vec_id < 0"), "vec_id", "embedding", idx, k=5, nprobe=2
+    )
+    assert out.columns == ["query_id", "vec_id", "rank"]
+    assert out.count() == 0
+
+
 def test_int8_quantize_error_bound(spark, clustered):
     """Dequantized values must sit within half a quantization step
     (scales[d]/254) of the originals — the bound the prefilter-recall
