@@ -337,6 +337,7 @@ def main() -> None:
         "docs_pii_redacted",
         "dedup_duplicate_spans",
         "docs_mixture_resample",
+        "fuzzy_join_damerau",
     ]:
         bench(
             name,

@@ -72,6 +72,7 @@ from prefixtree_spark.operators.query import (
     query,
     query_one,
 )
+from prefixtree_spark.functions.damerau import damerau_levenshtein
 from prefixtree_spark.operators.similarity_join import (
     best_match,
     fuzzy_dedup,
@@ -102,6 +103,7 @@ __all__ = [
     "similarity_join",
     "fuzzy_dedup",
     "best_match",
+    "damerau_levenshtein",
     "bm25_rank",
     "rrf_fuse",
     "split_assign",

@@ -36,10 +36,22 @@ def similarity_join(
     *,
     mode: str = "auto",
     max_word_len: int | None = None,
+    metric: str = "levenshtein",
 ) -> DataFrame:
-    """All (left_value, right_value, distance) pairs with Levenshtein
-    distance ≤ ``max_distance`` between trimmed non-empty distinct
-    values. Columns: ``left_value, right_value, distance``.
+    """All (left_value, right_value, distance) pairs with edit distance
+    ≤ ``max_distance`` between trimmed non-empty distinct values.
+    Columns: ``left_value, right_value, distance``.
+
+    ``metric``: ``"levenshtein"`` (default, the reference's metric) or
+    ``"damerau"`` — unrestricted Damerau-Levenshtein (adjacent
+    transposition counts ONE edit; matches DuckDB's
+    ``damerau_levenshtein`` exactly), the metric entity resolution
+    wants for typo matching. Implementation: the tree search prunes at
+    Levenshtein ≤ 2·``max_distance`` (every transposition is two
+    substitutions, so lev ≤ 2·dl — a guaranteed candidate superset),
+    then the exact DL kernel reranks the bounded survivors
+    (``functions/damerau.py``; cost O(candidates), never
+    |left|×|right|).
 
     ``max_word_len=None`` (default) indexes right-side values of ANY
     length — the relational contract is "all pairs", so the tree
@@ -48,8 +60,28 @@ def similarity_join(
     The traversal runs colocated: the tree is fresh from ``create`` and
     already partitioned by its build layout, so the distributed query
     path skips the tree-side shuffle (query.py's colocated contract)."""
+    if metric not in ("levenshtein", "damerau"):
+        raise ValueError(
+            f"metric must be 'levenshtein' or 'damerau', got {metric!r}"
+        )
     pt = create(right, rcol, max_word_len=max_word_len)
     queries = left.select(F.trim(F.col(lcol)).alias("q")).where(F.col("q") != "")
+    if metric == "damerau":
+        from prefixtree_spark.functions.damerau import dl_pairs_udf
+
+        cand = query(
+            pt, queries.distinct(), "q", 2 * max_distance, mode=mode,
+            colocated=True,
+        )
+        dl = dl_pairs_udf()
+        return (
+            cand.select(
+                F.col("query_string").alias("left_value"),
+                F.col("node").alias("right_value"),
+                dl(F.col("query_string"), F.col("node")).alias("distance"),
+            )
+            .where(F.col("distance") <= max_distance)
+        )
     matches = query(
         pt, queries.distinct(), "q", max_distance, mode=mode, colocated=True
     )
@@ -70,6 +102,7 @@ def similarity_join_rows(
     mode: str = "auto",
     lprefix: str = "l_",
     rprefix: str = "r_",
+    metric: str = "levenshtein",
 ) -> DataFrame:
     """``similarity_join`` with full row payloads: every matching
     (left row, right row) pair within the distance bound, columns
@@ -77,7 +110,9 @@ def similarity_join_rows(
     join runs first (tree-accelerated); payloads come back via two
     equi-joins on the trimmed value — payload width never enters the
     similarity computation."""
-    pairs = similarity_join(left, lcol, right, rcol, max_distance, mode=mode)
+    pairs = similarity_join(
+        left, lcol, right, rcol, max_distance, mode=mode, metric=metric
+    )
     lpref = left.select(
         *[F.col(c).alias(f"{lprefix}{c}") for c in left.columns]
     ).withColumn("__lv", F.trim(F.col(f"{lprefix}{lcol}")))
@@ -99,6 +134,7 @@ def best_match(
     max_distance: int,
     *,
     mode: str = "auto",
+    metric: str = "levenshtein",
 ) -> DataFrame:
     """Top-1 fuzzy match per left value: the closest right-side word
     within ``max_distance`` (ties break lexicographically on the word —
@@ -106,7 +142,9 @@ def best_match(
     Queries with no match within the bound are absent."""
     from pyspark.sql import Window
 
-    pairs = similarity_join(left, lcol, right, rcol, max_distance, mode=mode)
+    pairs = similarity_join(
+        left, lcol, right, rcol, max_distance, mode=mode, metric=metric
+    )
     w = Window.partitionBy("left_value").orderBy(
         F.asc("distance"), F.asc("right_value")
     )
@@ -130,6 +168,7 @@ def suggest(
     max_distance: int,
     *,
     mode: str = "auto",
+    metric: str = "levenshtein",
 ) -> DataFrame:
     """Frequency-weighted spell suggestion (the autocorrect ranking):
     the best vocabulary word per left value, ranked by (distance ASC,
@@ -149,7 +188,9 @@ def suggest(
         F.trim(F.col(vcol)).alias("right_value"),
         F.col(freq_col).cast("long").alias("freq"),
     ).groupBy("right_value").agg(F.max("freq").alias("freq"))
-    pairs = similarity_join(left, lcol, vocab, vcol, max_distance, mode=mode)
+    pairs = similarity_join(
+        left, lcol, vocab, vcol, max_distance, mode=mode, metric=metric
+    )
     scored = pairs.join(stats, "right_value")
     w = Window.partitionBy("left_value").orderBy(
         F.asc("distance"), F.desc("freq"), F.asc("right_value")
@@ -173,8 +214,10 @@ def fuzzy_dedup(
     *,
     max_iter: int = 50,
     collect_edges_below: int = 5_000_000,
+    metric: str = "levenshtein",
 ) -> DataFrame:
-    """Cluster distinct values whose Levenshtein distance ≤ k into
+    """Cluster distinct values whose edit distance ≤ k (``metric``:
+    Levenshtein, or unrestricted Damerau-Levenshtein) into
     connected components. Returns DataFrame[value, component] where
     ``component`` is the lexicographically smallest member.
 
@@ -189,7 +232,7 @@ def fuzzy_dedup(
     # internally, so keeping both (a,b) and (b,a) only doubled the
     # edge volume (and the driver collect under the threshold)
     edges = (
-        similarity_join(df, col, df, col, max_distance)
+        similarity_join(df, col, df, col, max_distance, metric=metric)
         .where(F.col("left_value") < F.col("right_value"))
         .select(F.col("left_value").alias("src"), F.col("right_value").alias("dst"))
     )

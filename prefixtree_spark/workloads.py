@@ -255,6 +255,56 @@ def fuzzy_dedup_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_dedup(cust, "c_name", 1)
 
 
+# Deterministic TRANSPOSITION perturbation: swap the adjacent characters
+# at positions p, p+1 where p = (key % (length-1)) + 1 — one Damerau
+# edit (distance 1) but TWO Levenshtein edits whenever the swapped
+# characters differ, so the workload genuinely exercises the metric
+# (plain levenshtein k=1 would miss most of these matches).
+_TRANSPOSE_SPARK = (
+    "concat(substring({col}, 1, cast({key} % (length({col}) - 1) as int)),"
+    " substring({col}, cast({key} % (length({col}) - 1) as int) + 2, 1),"
+    " substring({col}, cast({key} % (length({col}) - 1) as int) + 1, 1),"
+    " substring({col}, cast({key} % (length({col}) - 1) as int) + 3,"
+    " length({col})))"
+)
+_TRANSPOSE_SQL = (
+    "concat(substr({col}, 1, ({key} % (length({col}) - 1))::INT),"
+    " substr({col}, ({key} % (length({col}) - 1))::INT + 2, 1),"
+    " substr({col}, ({key} % (length({col}) - 1))::INT + 1, 1),"
+    " substr({col}, ({key} % (length({col}) - 1))::INT + 3))"
+)
+
+
+@workload(
+    "fuzzy_join_damerau",
+    f"""
+    WITH q AS (
+      SELECT DISTINCT trim({_TRANSPOSE_SQL.format(col='c_name', key='c_custkey')}) AS left_value
+      FROM customer WHERE c_custkey % 20 = 7 AND length(c_name) > 1
+    ),
+    w AS (SELECT DISTINCT trim(c_name) AS word FROM customer WHERE trim(c_name) <> '')
+    SELECT q.left_value, w.word AS right_value,
+           damerau_levenshtein(q.left_value, w.word)::INT AS distance
+    FROM q, w
+    WHERE damerau_levenshtein(q.left_value, w.word) <= 1
+    """,
+)
+def fuzzy_join_damerau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transposition-aware fuzzy join (``metric="damerau"``): customer
+    names perturbed by ONE adjacent-character swap, matched at
+    unrestricted Damerau-Levenshtein ≤ 1 — the typo metric entity
+    resolution wants, which the reference's Levenshtein-only engine
+    (PrefixTree.ecl:315-377) cannot express (the swap costs 2 there).
+    Tree search prunes at lev ≤ 2 (lev ≤ 2·dl), exact DL reranks."""
+    from prefixtree_spark.operators.similarity_join import similarity_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    queries = cust.where("c_custkey % 20 = 7 and length(c_name) > 1").select(
+        F.expr(_TRANSPOSE_SPARK.format(col="c_name", key="c_custkey")).alias("q")
+    )
+    return similarity_join(queries, "q", cust, "c_name", 1, metric="damerau")
+
+
 @workload(
     "pt_build_words",
     """

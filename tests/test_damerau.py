@@ -1,0 +1,139 @@
+"""Damerau-Levenshtein metric: kernel fuzz vs DuckDB, the
+metric="damerau" similarity join vs brute force, and the
+transposition-semantics demonstration."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from prefixtree_spark.functions.damerau import damerau_levenshtein
+
+
+def test_dl_hallmark_cases():
+    # unrestricted (Lowrance-Wagner), NOT the restricted OSA variant:
+    # CA -> AC -> ABC is two ops (OSA would say 3)
+    assert damerau_levenshtein("CA", "ABC") == 2
+    assert damerau_levenshtein("abcd", "acbd") == 1
+    assert damerau_levenshtein("ab", "ba") == 1
+    assert damerau_levenshtein("", "") == 0
+    assert damerau_levenshtein("a", "") == 1
+    assert damerau_levenshtein("", "xyz") == 3
+    assert damerau_levenshtein("same", "same") == 0
+
+
+def test_dl_fuzz_matches_duckdb(duck):
+    """2000 random small-alphabet pairs (transposition-dense) must match
+    DuckDB's damerau_levenshtein bit-for-bit — the oracle contract."""
+    rng = random.Random(1234)
+    alpha = "abcd"
+    cases = []
+    for _ in range(2000):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 9)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 9)))
+        cases.append((a, b))
+    want = [
+        r[0]
+        for r in duck.execute(
+            "select damerau_levenshtein(a, b)"
+            " from (select unnest($1) a, unnest($2) b)",
+            [[c[0] for c in cases], [c[1] for c in cases]],
+        ).fetchall()
+    ]
+    got = [damerau_levenshtein(a, b) for a, b in cases]
+    assert got == want
+
+
+def test_dl_lev_bound_property():
+    """lev <= 2*dl — the inequality the candidate superset rides on."""
+    from prefixtree_spark.functions.levenshtein import levenshtein
+
+    rng = random.Random(77)
+    alpha = "abc"
+    for _ in range(500):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 8)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 8)))
+        dl = damerau_levenshtein(a, b)
+        lv = levenshtein(a, b)
+        assert dl <= lv <= 2 * dl or (dl == lv == 0)
+
+
+@pytest.mark.parametrize("num_partitions", [1, 3])
+@pytest.mark.parametrize("k", [1, 2])
+def test_similarity_join_damerau_vs_brute(spark, num_partitions, k):
+    """metric="damerau" equals the brute-force DL <= k cross join on a
+    random vocabulary, across partitionings."""
+    from prefixtree_spark.operators.similarity_join import similarity_join
+
+    rng = random.Random(42)
+    alpha = "abcde"
+    vocab = sorted(
+        {"".join(rng.choice(alpha) for _ in range(rng.randint(2, 7)))
+         for _ in range(120)}
+    )
+    queries = sorted(
+        {"".join(rng.choice(alpha) for _ in range(rng.randint(2, 7)))
+         for _ in range(40)}
+    )
+    left = spark.createDataFrame([(q,) for q in queries], ["q"]).repartition(
+        num_partitions
+    )
+    right = spark.createDataFrame([(w,) for w in vocab], ["w"]).repartition(
+        num_partitions
+    )
+    got = {
+        (r.left_value, r.right_value, r.distance)
+        for r in similarity_join(
+            left, "q", right, "w", k, metric="damerau"
+        ).collect()
+    }
+    want = {
+        (q, w, damerau_levenshtein(q, w))
+        for q in queries
+        for w in vocab
+        if damerau_levenshtein(q, w) <= k
+    }
+    assert got == want
+
+
+def test_damerau_finds_transpositions_levenshtein_misses(spark):
+    """The semantics the metric exists for: a single adjacent swap is
+    distance 1 under damerau but 2 under levenshtein, so the k=1 join
+    finds it only with metric="damerau"."""
+    from prefixtree_spark.operators.similarity_join import similarity_join
+
+    right = spark.createDataFrame([("SMITH",), ("JONES",)], ["w"])
+    left = spark.createDataFrame([("SMIHT",)], ["q"])  # TH -> HT swap
+    dam = similarity_join(left, "q", right, "w", 1, metric="damerau").collect()
+    assert {(r.left_value, r.right_value, r.distance) for r in dam} == {
+        ("SMIHT", "SMITH", 1)
+    }
+    lev = similarity_join(left, "q", right, "w", 1).collect()
+    assert lev == []
+
+
+def test_metric_validation_and_passthrough(spark):
+    from prefixtree_spark.operators.similarity_join import (
+        best_match,
+        fuzzy_dedup,
+        similarity_join,
+    )
+
+    df = spark.createDataFrame([("AB",), ("BA",), ("ZZZZ",)], ["v"])
+    with pytest.raises(ValueError, match="metric"):
+        similarity_join(df, "v", df, "v", 1, metric="jaro")
+    # best_match: the swap is the closest (and only) in-bound match
+    bm = best_match(
+        spark.createDataFrame([("AB",)], ["q"]), "q",
+        spark.createDataFrame([("BA",), ("ZZZZ",)], ["v"]), "v",
+        1, metric="damerau",
+    ).collect()
+    assert [(r.left_value, r.best_match, r.distance) for r in bm] == [
+        ("AB", "BA", 1)
+    ]
+    # fuzzy_dedup: AB and BA cluster at dl<=1; ZZZZ stays alone
+    comp = {
+        r.value: r.component
+        for r in fuzzy_dedup(df, "v", 1, metric="damerau").collect()
+    }
+    assert comp["AB"] == comp["BA"] == "AB" and comp["ZZZZ"] == "ZZZZ"
