@@ -849,18 +849,41 @@ def _cached_local_index(pt: DataFrame) -> LocalIndex:
 
 
 def query_one(
-    index: LocalIndex | DataFrame, s: str, max_distance: int
+    index: LocalIndex | DataFrame, s: str, max_distance: int,
+    *, metric: str = "levenshtein",
 ) -> list[tuple[str, int]]:
     """Single-string fuzzy lookup ≡ QueryRoxieLevenshtein
     (PrefixTree.ecl:459-588): returns [(word, distance)] sorted.
+
+    ``metric="damerau"``: unrestricted Damerau-Levenshtein, the same
+    candidates-at-2k + exact-rerank composition ``similarity_join``
+    uses (lev ≤ 2·dl), so the serving path speaks the same metric as
+    the batch join. The rerank is a handful of scalar DPs over the
+    tree-pruned candidate list — point-lookup latency stays
+    point-lookup-shaped.
 
     Pass a ``LocalIndex`` (``build_local_index``) for explicit handle
     control. A DataFrame argument is served from a small LRU of
     prebuilt handles keyed on the plan's semantic hash, so repeated
     calls against the same table pay ONE collect+merge — the Roxie
     preload contract — instead of re-collecting per call."""
+    if metric not in ("levenshtein", "damerau"):
+        raise ValueError(
+            f"metric must be 'levenshtein' or 'damerau', got {metric!r}"
+        )
     if isinstance(index, DataFrame):
         index = _cached_local_index(index)
+    if metric == "damerau":
+        from prefixtree_spark.functions.damerau import damerau_levenshtein
+
+        out = []
+        for word, lev_d in index.search(s, 2 * max_distance):
+            if abs(len(word) - len(s)) > max_distance:
+                continue  # dl >= |len diff|: cannot pass
+            d = lev_d if lev_d <= 1 else damerau_levenshtein(s, word)
+            if d <= max_distance:
+                out.append((word, d))
+        return sorted(out, key=lambda t: (t[1], t[0]))
     return index.search(s, max_distance)
 
 

@@ -12,6 +12,9 @@ across clients, not just across calls.
 ``http.server``) over a ``LocalIndex``:
 
     GET /search?q=<word>&k=<max_distance>   → [[word, distance], ...]
+        (&metric=damerau for transposition-aware distance; the trie
+        is probed at 2k — still bounded by the max_k clamp — and the
+        exact DL kernel reranks the pruned candidates)
     GET /prefix?p=<prefix>                  → [word, ...]
     GET /health                             → {"nodes": N}
 
@@ -112,9 +115,23 @@ class PrefixTreeServer:
                                 400, f"k must be in [0, {max_k}]"
                             )
                             return
-                        body = [
-                            [w, int(d)] for w, d in index.search(q["q"], k)
-                        ]
+                        metric = q.get("metric", "levenshtein")
+                        if metric not in ("levenshtein", "damerau"):
+                            self.send_error(
+                                400, "metric must be levenshtein or damerau"
+                            )
+                            return
+                        if metric == "damerau":
+                            from prefixtree_spark.operators.query import (
+                                query_one,
+                            )
+
+                            hits = query_one(
+                                index, q["q"], k, metric="damerau"
+                            )
+                        else:
+                            hits = index.search(q["q"], k)
+                        body = [[w, int(d)] for w, d in hits]
                     elif url.path == "/prefix":
                         body = index.search_prefix(q["p"])
                     else:

@@ -112,6 +112,58 @@ def test_damerau_finds_transpositions_levenshtein_misses(spark):
     assert lev == []
 
 
+def test_query_one_damerau_vs_brute(spark):
+    """The serving path speaks the metric too: query_one(metric=
+    "damerau") equals brute-force DL over the vocabulary."""
+    from prefixtree_spark import build_local_index, create, query_one
+
+    rng = random.Random(9)
+    alpha = "abcd"
+    vocab = sorted(
+        {"".join(rng.choice(alpha) for _ in range(rng.randint(2, 6)))
+         for _ in range(80)}
+    )
+    pt = create(spark.createDataFrame([(w,) for w in vocab], ["w"]), "w")
+    idx = build_local_index(pt)
+    for q in ["abdc", "ba", "ddddd", "ab"]:
+        got = query_one(idx, q, 1, metric="damerau")
+        want = sorted(
+            [(w, damerau_levenshtein(q, w)) for w in vocab
+             if damerau_levenshtein(q, w) <= 1],
+            key=lambda t: (t[1], t[0]),
+        )
+        assert got == want, (q, got, want)
+    with pytest.raises(ValueError, match="metric"):
+        query_one(idx, "ab", 1, metric="osa")
+
+
+def test_http_search_metric_damerau(spark):
+    """GET /search?metric=damerau returns transposition-aware hits;
+    a bad metric is a 400, and the default stays levenshtein."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from prefixtree_spark import build_local_index, create
+    from prefixtree_spark.serving import PrefixTreeServer
+
+    pt = create(
+        spark.createDataFrame([("SMITH",), ("JONES",)], ["w"]), "w"
+    )
+    with PrefixTreeServer(build_local_index(pt)) as srv:
+        def get(path):
+            with urllib.request.urlopen(srv.url(path), timeout=10) as r:
+                return _json.loads(r.read())
+
+        assert get("/search?q=SMIHT&k=1&metric=damerau") == [["SMITH", 1]]
+        assert get("/search?q=SMIHT&k=1") == []  # levenshtein default
+        try:
+            get("/search?q=SMIHT&k=1&metric=osa")
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+
 def test_metric_validation_and_passthrough(spark):
     from prefixtree_spark.operators.similarity_join import (
         best_match,
