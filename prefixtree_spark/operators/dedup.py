@@ -519,12 +519,36 @@ def minhash_lsh_pairs(
     verification, so the whole pipeline operates on one consistent
     filtered shingle space (see ``_apply_max_df``)."""
     assert num_perm % bands == 0
-    rows = num_perm // bands
     sh = _apply_max_df(
         token_shingles(df, id_col, text_col, n), max_df
     ).cache()
-    sig = minhash_signatures(sh, num_perm=num_perm)
-    banded = _band_buckets(sig, bands, rows)
+    return _pin_release(
+        _lsh_pairs_from_shingles(
+            sh, threshold=threshold, num_perm=num_perm, bands=bands
+        ),
+        sh,
+    )
+
+
+def _lsh_pairs_from_shingles(
+    sh: DataFrame,
+    *,
+    threshold: float,
+    num_perm: int,
+    bands: int,
+    banded: DataFrame | None = None,
+) -> DataFrame:
+    """The shingles-in core of ``minhash_lsh_pairs``: callers that
+    already hold (doc, shingle) rows — or band buckets computed from
+    them (``banded``) — share that evidence instead of re-tokenizing
+    and re-hashing (the ingest path computes both once per batch and
+    reuses them across the within-batch and vs-corpus passes). ``sh``
+    must be pinned by the caller; ``banded``, when given, MUST be the
+    buckets of exactly ``sh``'s shingle space."""
+    if banded is None:
+        banded = _band_buckets(
+            minhash_signatures(sh, num_perm=num_perm), bands, num_perm // bands
+        )
     x, y = banded.alias("x"), banded.alias("y")
     candidates = (
         x.join(
@@ -537,9 +561,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verification of candidates only
-    return _pin_release(
-        _jaccard_from_shingles(sh, threshold, candidates=candidates), sh
-    )
+    return _jaccard_from_shingles(sh, threshold, candidates=candidates)
 
 
 def incremental_lsh_pairs(

@@ -26,15 +26,23 @@ ingest can compute without revisiting history — and it is
 deterministic given the batch sequence, which is what the batch twin
 test pins.
 
-Scale shape: the corpus side's LSH evidence is PERSISTED — each batch
+Scale shape: the corpus side's evidence is PERSISTED — each batch
 appends its survivors' (doc, band, bucket) rows to a side table
 (``<root>_bands``, same atomic add-segment commits), so batch N+1's
 candidate join reads stored buckets instead of re-shingling and
 re-hashing the whole corpus. Exact verification then re-shingles only
 the CANDIDATE corpus docs (semi-join on candidate ids — at 100 TB,
-thousands of docs, not the corpus). Per batch the corpus-side cost is
-one bucket-table scan + one bounded semi-join; the only O(corpus)
-scan left is the single-column exact-text guard. Band parameters
+thousands of docs, not the corpus). The exact-text guard is stored
+evidence too: survivors carry a ``_pt_md5`` column (md5 of the text)
+INSIDE the corpus segments — atomic with the corpus commit by
+construction, no cross-table crash ordering — so the guard scans a
+16-byte column plus the id, never the text column. Legacy segments
+published before this column exist as NULL rows after the
+schema-drift union; the guard computes their hashes from text on the
+fly, and parquet null-count stats prune that branch to zero files on
+a pure-ingest corpus. Per batch the corpus-side cost is one
+bucket-table scan, one narrow hash-column scan, and one bounded
+semi-join — no stage reads the corpus text column. Band parameters
 (shingle n, num_perm, bands, seed) are pinned in ``<root>_bands/_params``
 — a batch with different parameters fails fast instead of silently
 joining incompatible buckets. ``compact_published`` folds both
@@ -77,6 +85,33 @@ def _doc_bands(
     return _band_buckets(
         minhash_signatures(sh, num_perm=num_perm), bands, num_perm // bands
     )
+
+
+def _all_segments_have_column(
+    spark: SparkSession, root: str, colname: str
+) -> bool:
+    """True iff EVERY live segment's parquet schema carries ``colname``
+    — the pure-ingest fast-path test for the stored-hash guard (one
+    footer read per segment via pyarrow, no Spark job; segment dirs are
+    immutable so a chain that passes once cannot regress except by
+    growing, and it is re-checked per batch anyway). Any read problem
+    answers False: the caller falls back to the drift-tolerant path."""
+    try:
+        import pyarrow.dataset as pads
+
+        from prefixtree_spark.sources.io import published_segments
+
+        for vdir, fmt in published_segments(spark, root):
+            if fmt != "parquet":
+                return False
+            path = f"{root}/{vdir}"
+            if path.startswith("file:"):
+                path = path[len("file:"):]
+            if colname not in pads.dataset(path, format="parquet").schema.names:
+                return False
+        return True
+    except Exception:
+        return False
 
 
 def _pin_band_params(
@@ -166,7 +201,13 @@ def ingest_batch(
     bands table. Recall trade (same as the batch family's ``max_df``):
     a near-dup whose every band lands in hot buckets can slip through
     LSH — but the exact-text guard still rejects verbatim boilerplate
-    copies regardless."""
+    copies regardless.
+
+    ``_pt_md5`` is a reserved column name: survivors are appended with
+    md5(text) under it (the stored exact-text evidence — see the
+    module docstring), overwriting any same-named input column (so
+    re-ingesting a published corpus recomputes rather than trusts
+    it)."""
     assert num_perm % bands == 0
     spark = batch.sparkSession
     broot = _bands_root(root)
@@ -194,9 +235,18 @@ def ingest_batch(
         "exact_batch",
         F.col("_keep"),
     )
+    # the stored exact-text evidence rides every survivor row from here
+    # on (NULL text hashes NULL — joins miss it, matching the historic
+    # text-equality join's NULL semantics)
+    surv = surv.withColumn("_pt_md5", F.md5(F.col(text_col)))
     # 2. near-dup within-batch: LSH pairs -> components -> min-id keep
     # (dedup.dedup_corpus inlined so the component labels are available
-    # for audit attribution)
+    # for audit attribution). The pair set is eagerly pinned inside
+    # minhash_lsh_pairs — an evidence-sharing variant that cached one
+    # shingle/bucket lineage across steps 2 and 3 measured SLOWER
+    # (batch2 10.7 s -> 16-19 s at sf0.1): the layered caches and the
+    # longer lazy lineages cost more than recomputing the cheap
+    # tokenization, so each step keeps its own short-lineage evidence.
     from prefixtree_spark.operators.graph import connected_components
 
     pairs = dedup.minhash_lsh_pairs(
@@ -221,28 +271,66 @@ def ingest_batch(
         victims_cc.select(F.col("node").alias(id_col)), id_col, "left_anti"
     )
     # 3. reject duplicates of the already-accepted corpus: exact text
-    # first (catches docs shorter than one shingle, which carry no LSH
-    # evidence — and is the guard that makes replayed batches no-ops),
-    # then near-dup via the STORED corpus buckets + exact verify over
-    # candidate corpus docs only
+    # first via the STORED ``_pt_md5`` column (catches docs shorter
+    # than one shingle, which carry no LSH evidence — and is the guard
+    # that makes replayed batches no-ops), then near-dup via the STORED
+    # corpus buckets + exact verify over candidate corpus docs only
     bands_of_surv = None
     if published_version(spark, root) > 0:
         corpus = read_published(spark, root)
-        cor_text = corpus.groupBy(text_col).agg(
-            F.min(id_col).alias("_cm")
-        )
+        if "_pt_md5" in corpus.columns and _all_segments_have_column(
+            spark, root, "_pt_md5"
+        ):
+            # pure-ingest fast path: ONE two-column scan, no dedup
+            # shuffle — ingest stores each accepted text exactly once
+            # (this very guard), so stored hashes are unique and the
+            # min-id-per-hash aggregate would be a pass-through
+            cor_hash = corpus.where(F.col("_pt_md5").isNotNull()).select(
+                F.col("_pt_md5").alias("_ch"), F.col(id_col).alias("_cm")
+            )
+        else:
+            if "_pt_md5" in corpus.columns:
+                # mixed chain: stored rows scan two narrow columns;
+                # legacy segments (published before the column) surface
+                # as NULLs after the schema-drift union and hash their
+                # text on the fly — parquet null-count stats prune that
+                # branch's files where the column is fully populated
+                cor_hash = corpus.where(F.col("_pt_md5").isNotNull()).select(
+                    F.col(id_col).alias("_cid"), F.col("_pt_md5").alias("_ch")
+                ).unionByName(
+                    corpus.where(F.col("_pt_md5").isNull()).select(
+                        F.col(id_col).alias("_cid"),
+                        F.md5(F.col(text_col)).alias("_ch"),
+                    )
+                )
+            else:
+                # corpus predates the hash column entirely
+                cor_hash = corpus.select(
+                    F.col(id_col).alias("_cid"),
+                    F.md5(F.col(text_col)).alias("_ch"),
+                )
+            # min id per hash: a legacy corpus may hold duplicate
+            # texts; attribute to its first survivor, as the historic
+            # text-equality join always did
+            cor_hash = (
+                cor_hash.where(F.col("_ch").isNotNull())
+                .groupBy("_ch")
+                .agg(F.min("_cid").alias("_cm"))
+            )
         # self-matches (same id, same text) are REPLAYS of an already-
         # committed batch, not rejections: auditing them would answer
         # "why is doc X not in the corpus?" with a rejection row for a
         # doc that IS the corpus survivor. The rejection itself still
         # applies (idempotent replay) — only the lineage row is skipped.
         _note(
-            surv.join(cor_text, text_col).where(F.col(id_col) != F.col("_cm")),
+            surv.join(
+                cor_hash, F.col("_pt_md5") == F.col("_ch")
+            ).where(F.col(id_col) != F.col("_cm")),
             "exact_corpus",
             F.col("_cm"),
         )
         surv = surv.join(
-            cor_text.select(text_col), text_col, "left_anti"
+            cor_hash, F.col("_pt_md5") == F.col("_ch"), "left_anti"
         )
         if published_version(spark, broot) > 0:
             b_cor = read_published(spark, broot)
@@ -258,7 +346,7 @@ def ingest_batch(
             minhash_signatures(sh_new, num_perm=num_perm),
             bands,
             num_perm // bands,
-        ).persist()  # reused at step 4 for the survivors' stored bands
+        ).persist()  # reused at step 4 for the survivors' bands
         pins.append(b_new)
         bands_of_surv = b_new
         b_cor_side = b_cor.select(

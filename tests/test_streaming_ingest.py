@@ -281,6 +281,52 @@ def test_replay_writes_no_false_audit_lineage(spark, tmp_path):
     assert audit == {(9, "exact_corpus", 1)}
 
 
+def test_stored_text_hash_column_and_legacy_guard(spark, tmp_path):
+    """Survivors carry md5(text) under the reserved ``_pt_md5`` column
+    INSIDE the corpus segments (the stored exact-text evidence: the
+    guard scans two narrow columns, never corpus text). A corpus
+    published BEFORE the column existed reads back as NULL rows; the
+    guard hashes those on the fly — so exact re-arrivals of legacy
+    docs (including short docs with no LSH evidence) are still
+    rejected after the chain turns mixed."""
+    from prefixtree_spark.sources.io import publish_version
+
+    root = str(tmp_path / "corpus")
+    long2 = " ".join(f"legacy{i}" for i in range(20))
+    publish_version(
+        spark.createDataFrame([(1, "hi"), (2, long2)], ["doc_id", "text"]),
+        root,
+    )  # legacy segment: no _pt_md5 column at all
+    fresh4 = " ".join(f"new{i}" for i in range(20))
+    # "hi" is shorter than one shingle: only the exact guard can reject
+    # it, and the legacy corpus carries no stored hash for it
+    assert ingest_batch(
+        spark.createDataFrame([(3, "hi"), (4, fresh4)], ["doc_id", "text"]),
+        root, "doc_id", "text",
+    ) == 1
+    corpus = read_published(spark, root)
+    assert "_pt_md5" in corpus.columns
+    assert _ids(corpus) == [1, 2, 4]
+    # mixed chain: stored hashes only for the ingested segment
+    assert corpus.where("_pt_md5 is not null").count() == 1
+    assert corpus.where(
+        "_pt_md5 is not null and doc_id = 4"
+    ).count() == 1
+    # batch 2 against the mixed chain: (5) dups the STORED-hash doc 4,
+    # (6) dups the legacy NULL-hash doc 2, (7) is novel
+    fresh7 = " ".join(f"zz{i}" for i in range(20))
+    assert ingest_batch(
+        spark.createDataFrame(
+            [(5, fresh4), (6, long2), (7, fresh7)], ["doc_id", "text"]
+        ),
+        root, "doc_id", "text", audit=True,
+    ) == 1
+    assert _ids(read_published(spark, root)) == [1, 2, 4, 7]
+    audit = {(r.id, r.reason, r.matched_id) for r in
+             read_published(spark, root + "_audit").collect()}
+    assert audit == {(5, "exact_corpus", 4), (6, "exact_corpus", 2)}
+
+
 def test_empty_params_file_self_heals(spark, tmp_path):
     """A writer that crashed between creating and writing _params used
     to brick the root (every batch saw '' != its params); an empty
