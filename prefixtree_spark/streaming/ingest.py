@@ -87,17 +87,23 @@ def _doc_bands(
     )
 
 
-def _all_segments_have_column(
+def _all_segments_fully_hashed(
     spark: SparkSession, root: str, colname: str
 ) -> bool:
-    """True iff EVERY live segment's parquet schema carries ``colname``
-    — the pure-ingest fast-path test for the stored-hash guard (one
-    footer read per segment via pyarrow, no Spark job; segment dirs are
-    immutable so a chain that passes once cannot regress except by
-    growing, and it is re-checked per batch anyway). Any read problem
-    answers False: the caller falls back to the drift-tolerant path."""
+    """True iff EVERY live segment's parquet files carry ``colname``
+    with ZERO nulls — the pure-ingest fast-path test for the
+    stored-hash guard. Schema presence alone is NOT enough: compacting
+    a mixed chain (legacy segment + ingest appends) writes one segment
+    whose schema HAS the column but whose legacy rows are NULL, and a
+    fast path keyed on schema would silently drop those rows from the
+    guard — admitting exact re-arrivals of legacy short docs. Footer
+    reads only (schema + per-row-group null counts via pyarrow), no
+    Spark job; segment dirs are immutable, and the check is re-run per
+    batch anyway. Any read problem or absent statistic answers False:
+    the caller falls back to the drift-tolerant path."""
     try:
         import pyarrow.dataset as pads
+        import pyarrow.parquet as papq
 
         from prefixtree_spark.sources.io import published_segments
 
@@ -107,8 +113,19 @@ def _all_segments_have_column(
             path = f"{root}/{vdir}"
             if path.startswith("file:"):
                 path = path[len("file:"):]
-            if colname not in pads.dataset(path, format="parquet").schema.names:
+            dset = pads.dataset(path, format="parquet")
+            if colname not in dset.schema.names:
                 return False
+            for f in dset.files:
+                md = papq.ParquetFile(f).metadata
+                try:
+                    ci = md.schema.names.index(colname)
+                except ValueError:
+                    return False  # file predates the column
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or st.null_count is None or st.null_count > 0:
+                        return False
         return True
     except Exception:
         return False
@@ -278,7 +295,7 @@ def ingest_batch(
     bands_of_surv = None
     if published_version(spark, root) > 0:
         corpus = read_published(spark, root)
-        if "_pt_md5" in corpus.columns and _all_segments_have_column(
+        if "_pt_md5" in corpus.columns and _all_segments_fully_hashed(
             spark, root, "_pt_md5"
         ):
             # pure-ingest fast path: ONE two-column scan, no dedup

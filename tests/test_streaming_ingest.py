@@ -327,6 +327,46 @@ def test_stored_text_hash_column_and_legacy_guard(spark, tmp_path):
     assert audit == {(5, "exact_corpus", 4), (6, "exact_corpus", 2)}
 
 
+def test_hash_fast_path_not_fooled_by_compacted_mixed_chain(spark, tmp_path):
+    """Compacting a mixed chain (legacy segment + ingest appends) folds
+    everything into ONE segment whose schema HAS ``_pt_md5`` but whose
+    legacy rows are NULL. A fast path keyed on schema presence alone
+    would drop those rows from the exact guard and re-admit legacy
+    short docs — the null-count footer check must reject the fast path
+    there, while a pure-ingest corpus still passes it."""
+    from prefixtree_spark.sources.io import compact_published, publish_version
+    from prefixtree_spark.streaming.ingest import _all_segments_fully_hashed
+
+    root = str(tmp_path / "corpus")
+    publish_version(
+        spark.createDataFrame([(1, "hi")], ["doc_id", "text"]), root
+    )  # legacy: no hash column
+    fresh = " ".join(f"mix{i}" for i in range(20))
+    assert ingest_batch(
+        spark.createDataFrame([(2, fresh)], ["doc_id", "text"]),
+        root, "doc_id", "text",
+    ) == 1
+    compact_published(spark, root)  # one segment, schema has _pt_md5,
+    assert not _all_segments_fully_hashed(spark, root, "_pt_md5")
+    # "hi" is below one shingle: only the exact guard can reject it —
+    # if the fast path engaged on the compacted chain, (3) would slip in
+    assert ingest_batch(
+        spark.createDataFrame(
+            [(3, "hi"), (4, " ".join(f"ok{i}" for i in range(20)))],
+            ["doc_id", "text"],
+        ),
+        root, "doc_id", "text",
+    ) == 1
+    assert _ids(read_published(spark, root)) == [1, 2, 4]
+    # a pure-ingest corpus (every row hashed) does satisfy the fast path
+    pure = str(tmp_path / "pure")
+    ingest_batch(
+        spark.createDataFrame([(1, fresh)], ["doc_id", "text"]),
+        pure, "doc_id", "text",
+    )
+    assert _all_segments_fully_hashed(spark, pure, "_pt_md5")
+
+
 def test_empty_params_file_self_heals(spark, tmp_path):
     """A writer that crashed between creating and writing _params used
     to brick the root (every batch saw '' != its params); an empty
