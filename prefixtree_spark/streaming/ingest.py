@@ -40,9 +40,12 @@ construction, no cross-table crash ordering — so the guard scans a
 published before this column exist as NULL rows after the
 schema-drift union; the guard computes their hashes from text on the
 fly, and parquet null-count stats prune that branch to zero files on
-a pure-ingest corpus. Per batch the corpus-side cost is one
-bucket-table scan, one narrow hash-column scan, and one bounded
-semi-join — no stage reads the corpus text column. Band parameters
+a pure-ingest corpus. On corpora past a size threshold the near-dup
+verify's corpus re-shingle pushes its bounded candidate-id set into
+the scan as a literal IN (a semi-join would decode every row's text),
+so per batch the corpus text column is decoded only for candidate row
+groups; the remaining corpus-side cost is one bucket-table scan plus
+one narrow hash-column scan. Band parameters
 (shingle n, num_perm, bands, seed) are pinned in ``<root>_bands/_params``
 — a batch with different parameters fails fast instead of silently
 joining incompatible buckets. ``compact_published`` folds both
@@ -68,6 +71,40 @@ from prefixtree_spark.sources.io import (
     published_version,
     read_published,
 )
+
+
+# Candidate-verify static-pruning cap: collect at most this many
+# candidate corpus ids into a literal IN filter (driver cost ~8 bytes
+# each; the same order as the query-chunk collects the fuzzy engine
+# documents). Beyond it, the drift-tolerant semi-join runs instead.
+_CAND_STATIC_MAX = 100_000
+
+# Below this live-corpus size the verify keeps the plain semi-join:
+# the id-collect is a scheduling barrier worth ~1 s that only pays for
+# itself once skipping text pages skips real bytes (measured at sf0.1:
+# semi-join 9.2 s warm batch vs 10.1-11.0 s with the collect; at 100 TB
+# the semi-join's full text decode dominates everything). Tests lower
+# it to force the static path.
+_CAND_STATIC_MIN_CORPUS_BYTES = 256 << 20
+
+
+def _published_bytes(spark: SparkSession, root: str) -> int:
+    """Total bytes of the live snapshot's segment directories (one
+    content-summary call per segment — metadata only, no data read).
+    Any failure answers 0: callers treat that as 'small corpus' and
+    take the conservative semi-join plan."""
+    try:
+        from prefixtree_spark.sources.io import published_segments
+
+        fs, jvm = _fs(spark, root)
+        total = 0
+        for vdir, _fmt in published_segments(spark, root):
+            total += fs.getContentSummary(
+                jvm.org.apache.hadoop.fs.Path(f"{root}/{vdir}")
+            ).getLength()
+        return total
+    except Exception:
+        return 0
 
 
 def _bands_root(root: str) -> str:
@@ -386,13 +423,35 @@ def ingest_batch(
             .select("new_id", "corpus_id")
             .distinct()
         )
-        # exact verify: shingle ONLY the candidate corpus docs
-        cand_ids = candidates.select(
-            F.col("corpus_id").alias(id_col)
-        ).distinct()
-        sh_cor = token_shingles(
-            corpus.join(cand_ids, id_col, "left_semi"), id_col, text_col, n
-        )
+        # exact verify: shingle ONLY the candidate corpus docs. On a
+        # big corpus a semi-join decodes the TEXT column of every row
+        # (join keys never reach the parquet scan), so past
+        # _CAND_STATIC_MIN_CORPUS_BYTES the bounded candidate-id set is
+        # collected and pushed into the scan as a literal IN — row-group
+        # stats then skip non-candidate text pages (the same
+        # static-pruning rule as the IVF probed scan). Below the size
+        # threshold (or past _CAND_STATIC_MAX ids) the semi-join plan
+        # stays: the collect is a scheduling barrier that only pays for
+        # itself when the skipped bytes are real.
+        cand_corpus = None
+        if _published_bytes(spark, root) >= _CAND_STATIC_MIN_CORPUS_BYTES:
+            candidates = candidates.persist()  # collect + inter reuse
+            pins.append(candidates)
+            cand_rows = (
+                candidates.select("corpus_id").distinct()
+                .limit(_CAND_STATIC_MAX + 1).collect()
+            )
+            if len(cand_rows) <= _CAND_STATIC_MAX:
+                cand_corpus = corpus.where(
+                    F.col(id_col).isin([r[0] for r in cand_rows])
+                )
+        if cand_corpus is None:
+            cand_corpus = corpus.join(
+                candidates.select(F.col("corpus_id").alias(id_col)).distinct(),
+                id_col,
+                "left_semi",
+            )
+        sh_cor = token_shingles(cand_corpus, id_col, text_col, n)
         a = sh_new.select(F.col("doc").alias("new_id"), F.col("shingle").alias("s"))
         b = sh_cor.select(F.col("doc").alias("corpus_id"), F.col("shingle").alias("s"))
         inter = (

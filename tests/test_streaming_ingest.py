@@ -367,6 +367,50 @@ def test_hash_fast_path_not_fooled_by_compacted_mixed_chain(spark, tmp_path):
     assert _all_segments_fully_hashed(spark, pure, "_pt_md5")
 
 
+def test_static_pruned_verify_twin(spark, tmp_path, monkeypatch):
+    """The big-corpus verify plan (candidate ids collected and pushed
+    into the corpus scan as a literal IN) must keep byte-identical
+    greedy semantics with the small-corpus semi-join plan — forced here
+    by zeroing the size threshold, over batches that exercise near-dup
+    rejects, exact rejects, and accepted docs."""
+    from prefixtree_spark.streaming import ingest as ing
+
+    def batches():
+        base = " ".join(f"w{i}" for i in range(30))
+        near = " ".join(["w0x"] + [f"w{i}" for i in range(1, 30)])
+        return [
+            spark.createDataFrame(
+                [(1, base), (2, " ".join(f"q{i}" for i in range(25)))],
+                ["doc_id", "text"],
+            ),
+            spark.createDataFrame(
+                [(3, near), (5, " ".join(f"z{i}" for i in range(25)))],
+                ["doc_id", "text"],
+            ),
+            spark.createDataFrame([(4, base)], ["doc_id", "text"]),
+        ]
+
+    r_semi = str(tmp_path / "semi")
+    out_semi = ingest_sequential(
+        batches(), r_semi, "doc_id", "text", threshold=0.5, audit=True
+    )
+    ids_semi = _ids(out_semi)
+    audit_semi = {(r.id, r.reason, r.matched_id) for r in
+                  read_published(spark, r_semi + "_audit").collect()}
+
+    monkeypatch.setattr(ing, "_CAND_STATIC_MIN_CORPUS_BYTES", 0)
+    r_stat = str(tmp_path / "stat")
+    out_stat = ingest_sequential(
+        batches(), r_stat, "doc_id", "text", threshold=0.5, audit=True
+    )
+    assert _ids(out_stat) == ids_semi == [1, 2, 5]
+    audit_stat = {(r.id, r.reason, r.matched_id) for r in
+                  read_published(spark, r_stat + "_audit").collect()}
+    assert audit_stat == audit_semi
+    assert (3, "near_corpus", 1) in audit_stat
+    assert (4, "exact_corpus", 1) in audit_stat
+
+
 def test_empty_params_file_self_heals(spark, tmp_path):
     """A writer that crashed between creating and writing _params used
     to brick the root (every batch saw '' != its params); an empty
