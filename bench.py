@@ -755,6 +755,92 @@ def main() -> None:
         extras[f"ingest_skew_{tag}_kept"] = kept
     shutil.rmtree(skew_dir, ignore_errors=True)
 
+    # round-6 stored-evidence economics at the scale where they exist:
+    # the sf-level ingest above runs on a corpus far below the pruning
+    # threshold, so the two stored-evidence guard paths are measured in
+    # stage isolation on a tiled staged corpus (ingest-shaped: _pt_md5
+    # stored with the rows; each tile's ids contiguous, so parquet
+    # files carry tight id ranges exactly like append segments).
+    # Guard: the narrow hash-column join vs recomputing md5 over the
+    # full text column. Verify fetch: the literal-IN pruned scan vs the
+    # broadcast semi-join — once with CLUSTERED candidate ids (one
+    # tile: range stats prune files) and once fully SPREAD (the honest
+    # worst case, expected ~parity with the semi-join).
+    from prefixtree_spark.operators.dedup import token_shingles as _tok_sh
+    from prefixtree_spark.sources.io import publish_version as _pub_v
+
+    scale_dir = _itf.mkdtemp(prefix="bench_ingest_scale_")
+    n_base = docs_ing.count()
+    k_tiles = max(2, int(6_000_000 * float(sf)) // max(n_base, 1))
+    big_src = (
+        spark.range(k_tiles).select(F.col("id").alias("tile"))
+        .crossJoin(docs_ing)
+        .select(
+            (F.col("doc_id") + F.col("tile") * F.lit(10_000_000)).alias(
+                "doc_id"
+            ),
+            F.concat(
+                F.lit("t"), F.col("tile").cast("string"), F.lit(" "),
+                F.col("text"),
+            ).alias("text"),
+        )
+        .withColumn("_pt_md5", F.md5(F.col("text")))
+    )
+    t0 = time.time()
+    _pub_v(big_src, f"{scale_dir}/c")
+    extras["ingest_scale_stage_sec"] = round(time.time() - t0, 3)
+    big_c = _read_pub(spark, f"{scale_dir}/c")
+    extras["ingest_scale_docs"] = big_c.count()
+    batch_sc = (
+        docs_ing.where("doc_id % 5 = 0")
+        .select(F.md5(F.concat(F.lit("t3 "), F.col("text"))).alias("_h"))
+        .cache()
+    )
+    batch_sc.count()
+    for tag in ("cold", "warm"):
+        t0 = time.time()
+        big_c.select(F.col("_pt_md5").alias("_ch"), "doc_id").join(
+            batch_sc, F.col("_ch") == F.col("_h"), "left_semi"
+        ).count()
+        extras[f"ingest_scale_guard_hash_{tag}"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        big_c.select(F.md5(F.col("text")).alias("_ch"), "doc_id").join(
+            batch_sc, F.col("_ch") == F.col("_h"), "left_semi"
+        ).count()
+        extras[f"ingest_scale_guard_text_{tag}"] = round(time.time() - t0, 3)
+    batch_sc.unpersist()
+    clustered = [
+        r[0]
+        for r in big_c.where(
+            (F.col("doc_id") >= 3 * 10_000_000)
+            & (F.col("doc_id") < 4 * 10_000_000)
+        ).select("doc_id").limit(2000).collect()
+    ]
+    spread = [
+        r[0]
+        for r in big_c.where("doc_id % 997 = 7")
+        .select("doc_id").limit(2000).collect()
+    ]
+    for shape, ids in (("clustered", clustered), ("spread", spread)):
+        cand_df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        for tag in ("cold", "warm"):
+            t0 = time.time()
+            _tok_sh(
+                big_c.where(F.col("doc_id").isin(ids)), "doc_id", "text", 3
+            ).count()
+            extras[f"ingest_scale_verify_pruned_{shape}_{tag}"] = round(
+                time.time() - t0, 3
+            )
+            t0 = time.time()
+            _tok_sh(
+                big_c.join(cand_df, "doc_id", "left_semi"),
+                "doc_id", "text", 3,
+            ).count()
+            extras[f"ingest_scale_verify_semijoin_{shape}_{tag}"] = round(
+                time.time() - t0, 3
+            )
+    shutil.rmtree(scale_dir, ignore_errors=True)
+
     # stateful streaming: sessionize the whole events stream end-to-end
     # (availableNow file stream -> applyInPandasWithState -> memory sink)
     import shutil

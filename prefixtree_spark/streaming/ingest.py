@@ -42,10 +42,12 @@ schema-drift union; the guard computes their hashes from text on the
 fly, and parquet null-count stats prune that branch to zero files on
 a pure-ingest corpus. On corpora past a size threshold the near-dup
 verify's corpus re-shingle pushes its bounded candidate-id set into
-the scan as a literal IN (a semi-join would decode every row's text),
-so per batch the corpus text column is decoded only for candidate row
-groups; the remaining corpus-side cost is one bucket-table scan plus
-one narrow hash-column scan. Band parameters
+the scan as a literal IN: the filter reaches the scan (no join, so no
+corpus shuffle), and parquet's id-range stats additionally prune
+files when candidates cluster — measured 1.0-2.2 s vs 7.8-8.5 s for
+the semi-join at 600k docs, spread or clustered. The remaining
+per-batch corpus-side cost is one bucket-table scan plus one narrow
+hash-column scan. Band parameters
 (shingle n, num_perm, bands, seed) are pinned in ``<root>_bands/_params``
 — a batch with different parameters fails fast instead of silently
 joining incompatible buckets. ``compact_published`` folds both
@@ -81,11 +83,14 @@ _CAND_STATIC_MAX = 100_000
 
 # Below this live-corpus size the verify keeps the plain semi-join:
 # the id-collect is a scheduling barrier worth ~1 s that only pays for
-# itself once skipping text pages skips real bytes (measured at sf0.1:
-# semi-join 9.2 s warm batch vs 10.1-11.0 s with the collect; at 100 TB
-# the semi-join's full text decode dominates everything). Tests lower
-# it to force the static path.
-_CAND_STATIC_MIN_CORPUS_BYTES = 256 << 20
+# itself once the avoided work is real. Measured ends (BENCH_EXTRAS
+# ingest_scale_*): at a 1 MB corpus the semi-join batch runs 9.2 s warm
+# vs 10.1-11.0 s with the collect; at a 33 MB / 600k-doc corpus the
+# pruned fetch wins 1.0-2.2 s vs 7.8-8.5 s (the IN filter spares the
+# corpus both the text decode and the semi-join's shuffle). 32 MB sits
+# just under the measured-win side. Tests lower it to force the static
+# path.
+_CAND_STATIC_MIN_CORPUS_BYTES = 32 << 20
 
 
 def _published_bytes(spark: SparkSession, root: str) -> int:
@@ -423,16 +428,18 @@ def ingest_batch(
             .select("new_id", "corpus_id")
             .distinct()
         )
-        # exact verify: shingle ONLY the candidate corpus docs. On a
-        # big corpus a semi-join decodes the TEXT column of every row
-        # (join keys never reach the parquet scan), so past
-        # _CAND_STATIC_MIN_CORPUS_BYTES the bounded candidate-id set is
-        # collected and pushed into the scan as a literal IN — row-group
-        # stats then skip non-candidate text pages (the same
-        # static-pruning rule as the IVF probed scan). Below the size
-        # threshold (or past _CAND_STATIC_MAX ids) the semi-join plan
-        # stays: the collect is a scheduling barrier that only pays for
-        # itself when the skipped bytes are real.
+        # exact verify: shingle ONLY the candidate corpus docs. A
+        # semi-join decodes the TEXT column of every row and shuffles
+        # the corpus side (join keys never reach the parquet scan), so
+        # past _CAND_STATIC_MIN_CORPUS_BYTES the bounded candidate-id
+        # set is collected and pushed into the scan as a literal IN —
+        # the filter runs in the scan stage (no shuffle) and parquet's
+        # id-range stats additionally prune files when candidates
+        # cluster (measured: 1.0-2.2 s vs 7.8-8.5 s semi-join at 600k
+        # docs, spread or clustered). Below the size threshold (or past
+        # _CAND_STATIC_MAX ids) the semi-join plan stays: the collect
+        # is a scheduling barrier that costs ~1 s against a corpus too
+        # small for the avoided work to matter.
         cand_corpus = None
         if _published_bytes(spark, root) >= _CAND_STATIC_MIN_CORPUS_BYTES:
             candidates = candidates.persist()  # collect + inter reuse
