@@ -536,19 +536,15 @@ def _lsh_pairs_from_shingles(
     threshold: float,
     num_perm: int,
     bands: int,
-    banded: DataFrame | None = None,
 ) -> DataFrame:
-    """The shingles-in core of ``minhash_lsh_pairs``: callers that
-    already hold (doc, shingle) rows — or band buckets computed from
-    them (``banded``) — share that evidence instead of re-tokenizing
-    and re-hashing (the ingest path computes both once per batch and
-    reuses them across the within-batch and vs-corpus passes). ``sh``
-    must be pinned by the caller; ``banded``, when given, MUST be the
-    buckets of exactly ``sh``'s shingle space."""
-    if banded is None:
-        banded = _band_buckets(
-            minhash_signatures(sh, num_perm=num_perm), bands, num_perm // bands
-        )
+    """The shingles-in core of ``minhash_lsh_pairs`` for callers that
+    already hold (doc, shingle) rows. ``sh`` must be pinned by the
+    caller (several branches of one plan consume it); the caller also
+    owns releasing it — ``minhash_lsh_pairs`` does both via
+    ``_pin_release``."""
+    banded = _band_buckets(
+        minhash_signatures(sh, num_perm=num_perm), bands, num_perm // bands
+    )
     x, y = banded.alias("x"), banded.alias("y")
     candidates = (
         x.join(
