@@ -839,6 +839,22 @@ def main() -> None:
             extras[f"ingest_scale_verify_semijoin_{shape}_{tag}"] = round(
                 time.time() - t0, 3
             )
+    # layout counterfactual: the tiled corpus above has tight per-file
+    # id ranges (append-segment-shaped). Re-publish HASH-shuffled —
+    # every file spans the whole key space, so id stats prune nothing —
+    # and run the same pruned IN fetch on the clustered candidate set.
+    # The gap is what maintain_ingest(cluster_ids=) buys back when
+    # compaction churn would otherwise destroy the id-range layout.
+    _pub_v(big_src.repartition(32), f"{scale_dir}/h")
+    big_h = _read_pub(spark, f"{scale_dir}/h")
+    for tag in ("cold", "warm"):
+        t0 = time.time()
+        _tok_sh(
+            big_h.where(F.col("doc_id").isin(clustered)), "doc_id", "text", 3
+        ).count()
+        extras[f"ingest_scale_verify_pruned_hashlayout_{tag}"] = round(
+            time.time() - t0, 3
+        )
     shutil.rmtree(scale_dir, ignore_errors=True)
 
     # stateful streaming: sessionize the whole events stream end-to-end
@@ -917,6 +933,84 @@ def main() -> None:
         ).collect()
         extras[f"format_scan_{fmt}"] = round(time.time() - t0, 3)
     shutil.rmtree(fmt_dir, ignore_errors=True)
+
+    # Z-order layout economics (sources/layout.py): the same 2D box
+    # scan (user × time window — the audit-query shape) against three
+    # layouts of the events table at a pinned 32-file count. The
+    # x-clustered layout prunes user filters perfectly and time
+    # filters not at all; the Z-curve prunes both. Files-hit counts
+    # come from parquet footer stats (deterministic); timings are the
+    # same filtered aggregate per layout.
+    from prefixtree_spark.sources.layout import zorder_cluster
+
+    z_dir = tempfile.mkdtemp(prefix="bench_zorder_")
+    ev_src = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("long").alias("ts_l"),
+        "event_type",
+        "value",
+    )
+    u_hi, t_lo, t_hi = ev_src.agg(
+        F.max("user_id"), F.min("ts_l"), F.max("ts_l")
+    ).first()
+    u_mid, t_q1 = u_hi // 2, t_lo + (t_hi - t_lo) // 4
+    layouts = {
+        "plain": ev_src.repartition(32),
+        "userclustered": ev_src.repartitionByRange(32, "user_id")
+        .sortWithinPartitions("user_id"),
+        "zorder": zorder_cluster(
+            ev_src, ["user_id", "ts_l"], num_partitions=32
+        ),
+    }
+    import os as _zos
+
+    import pyarrow.parquet as _zpq
+
+    for tag, shaped in layouts.items():
+        path = f"{z_dir}/{tag}"
+        shaped.write.parquet(path)
+        stats = []
+        for fname in _zos.listdir(path):
+            if not fname.endswith(".parquet"):
+                continue
+            md = _zpq.ParquetFile(f"{path}/{fname}").metadata
+            lo = {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema in ("user_id", "ts_l") and c.statistics:
+                        a, b = lo.get(
+                            c.path_in_schema,
+                            (c.statistics.min, c.statistics.max),
+                        )
+                        lo[c.path_in_schema] = (
+                            min(a, c.statistics.min), max(b, c.statistics.max)
+                        )
+            if lo:
+                stats.append(lo)
+        extras[f"zorder_files_hit_{tag}"] = sum(
+            1
+            for r in stats
+            if r["user_id"][0] <= u_mid and r["ts_l"][0] <= t_q1
+        )
+        # the discriminating shape: a TIME-ONLY stripe. The user-
+        # clustered layout's every file spans all of ts (reads 32/32);
+        # the curve gives ts real pruning power too.
+        extras[f"zorder_ts_files_hit_{tag}"] = sum(
+            1 for r in stats if r["ts_l"][0] <= t_q1
+        )
+        for run in ("cold", "warm"):
+            t0 = time.time()
+            spark.read.parquet(path).where(
+                (F.col("user_id") <= u_mid) & (F.col("ts_l") <= t_q1)
+            ).agg(F.sum("value").alias("s")).collect()
+            extras[f"zorder_box_scan_{tag}_{run}"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            spark.read.parquet(path).where(
+                F.col("ts_l") <= t_q1
+            ).agg(F.sum("value").alias("s")).collect()
+            extras[f"zorder_ts_scan_{tag}_{run}"] = round(time.time() - t0, 3)
+    shutil.rmtree(z_dir, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
     # Spread audit (round-5 verdict #5): a median whose spread exceeds

@@ -202,12 +202,26 @@ def _read_small_file(spark: SparkSession, path: str) -> str:
         stream.close()
 
 
+def _range_cluster(df: DataFrame, cluster_by: list[str]) -> DataFrame:
+    """Lay ``df`` out range-clustered on ``cluster_by``: disjoint key
+    ranges per output partition (one shuffle + a sampling pass), rows
+    sorted within each. The point is parquet/ORC min-max FILE stats:
+    a later point/IN/range filter on the key skips every file whose
+    range can't match — the plain-directory analog of Delta's
+    OPTIMIZE ZORDER for the single-key case, and what makes the
+    ingest path's pinned literal-IN candidate fetch prune I/O instead
+    of scanning the corpus. Hash layouts give overlapping per-file
+    ranges, so stats prune nothing there."""
+    return df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
+
+
 def publish_version(
     df: DataFrame,
     root: str,
     *,
     format: str = "parquet",
     partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` as a NEW immutable version of the table at ``root``
     and atomically make it the live one; returns the version number.
@@ -220,7 +234,15 @@ def publish_version(
     anything partial. Rename-if-absent arbitrates racing publishers:
     the loser's rename fails (the number is taken) and it retries with
     the next number against the new snapshot — single-writer pipelines
-    never loop."""
+    never loop.
+
+    ``cluster_by`` range-clusters the layout on those columns (see
+    ``_range_cluster``) so key-filtered re-reads prune files by
+    min-max stats. Pick the column your readers filter by (doc id for
+    ingest corpora); composes with ``partition_by`` (cluster within
+    hive partitions)."""
+    if cluster_by:
+        df = _range_cluster(df, cluster_by)
     return _publish_entry(df, root, "replace", format, partition_by)
 
 
@@ -230,6 +252,7 @@ def append_published(
     *,
     format: str = "parquet",
     partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Atomically ADD ``df`` as a new segment of the table at ``root``
     (readers see old-snapshot-or-new, never partial) and return the
@@ -239,7 +262,14 @@ def append_published(
     This is what incremental ingest (streaming sinks, ``add_words``
     deltas, crawl snapshots) should call per batch; run
     ``compact_published`` out of band to fold long append chains back
-    into one directory before segment-count listing costs show up."""
+    into one directory before segment-count listing costs show up.
+
+    ``cluster_by`` range-clusters THIS batch's files; ranges across
+    different append segments still overlap (each batch spans the key
+    space), so compaction — which re-clusters globally when given the
+    same ``cluster_by`` — is what restores whole-table pruning."""
+    if cluster_by:
+        df = _range_cluster(df, cluster_by)
     return _publish_entry(df, root, "append", format, partition_by)
 
 
@@ -264,8 +294,8 @@ def _publish_entry(
     fs, jvm = _fs(spark := df.sparkSession, root)
     attempts = 0
     while True:
-        n = (_manifest_entries(spark, root)[-1][0] + 1
-             if _manifest_entries(spark, root) else 1)
+        entries = _manifest_entries(spark, root)
+        n = entries[-1][0] + 1 if entries else 1
         if expected_version is not None and n != expected_version:
             raise ConcurrentPublishError(
                 f"snapshot at {root!r} moved: expected to commit version "
@@ -357,22 +387,53 @@ def _resolve_chain(
     return list(reversed(chain))
 
 
-def read_published(spark: SparkSession, root: str) -> DataFrame:
-    """Scan the LIVE snapshot of a published table: resolve the newest
-    manifest entry's segment chain (its base replace version plus any
-    appends on top), union the immutable directories. A concurrent
-    (even crashing) publish never changes what an already-resolved
-    reader scans — segment directories are immutable.
+def _entries_at(
+    spark: SparkSession, root: str, version: int | None
+) -> list[tuple[int, str]]:
+    """Manifest entries up to and including ``version`` (all of them
+    when ``version`` is None). Raises when the table is empty or the
+    requested version is not resolvable — vacuumed-away versions lose
+    their manifest entries, so a stale pin fails HERE with the
+    still-available range, never half-resolves."""
+    entries = _manifest_entries(spark, root)
+    if not entries:
+        raise FileNotFoundError(f"no published version under {root!r}")
+    if version is None:
+        return entries
+    idx = next((i for i, (n, _) in enumerate(entries) if n == version), None)
+    if idx is None:
+        raise ValueError(
+            f"version {version} is not resolvable at {root!r}; "
+            f"available: {[n for n, _ in entries]} (older versions are "
+            "dropped by vacuum_published — raise its `keep` to retain "
+            "pinned snapshots longer)"
+        )
+    return entries[: idx + 1]
+
+
+def read_published(
+    spark: SparkSession, root: str, *, version: int | None = None
+) -> DataFrame:
+    """Scan a snapshot of a published table: resolve the manifest
+    entry's segment chain (its base replace version plus any appends
+    on top), union the immutable directories. By default the LIVE
+    snapshot; ``version=`` pins a historical one — the time-travel
+    read that makes a training run reproducible (record
+    ``published_version`` at run start, read that number forever
+    after). A concurrent (even crashing) publish never changes what an
+    already-resolved reader scans — segment directories are immutable,
+    and compaction REWRITES into new directories, so a pinned version
+    stays byte-stable until ``vacuum_published`` drops it (at which
+    point the pin fails loudly with the available range).
 
     Schema drift across segments is tolerated: an append batch that
     adds a column (the normal crawl-evolution case the source layer
     already merges via ``mergeSchema``) must not make every later read
     throw, so the union fills columns missing on either side with
     NULL (``allowMissingColumns``). Column order follows the OLDEST
-    segment first, with later additions appended."""
-    entries = _manifest_entries(spark, root)
-    if not entries:
-        raise FileNotFoundError(f"no published version under {root!r}")
+    segment first, with later additions appended. A version pinned
+    BEFORE an evolving append reads back the old schema exactly."""
+    entries = _entries_at(spark, root, version)
     out: DataFrame | None = None
     for vdir, fmt in _resolve_chain(spark, entries):
         seg = read_source(spark, f"{root}/{vdir}", format=fmt)
@@ -387,17 +448,23 @@ def read_published(spark: SparkSession, root: str) -> DataFrame:
     return out
 
 
-def published_segments(spark: SparkSession, root: str) -> list[tuple[str, str]]:
+def published_segments(
+    spark: SparkSession, root: str, *, version: int | None = None
+) -> list[tuple[str, str]]:
     """The immutable (segment-dir-name, format) chain of the live
-    snapshot, oldest first. Segment directories are immutable by the
-    publish contract, which is what makes them usable as cache keys for
-    per-segment derived state (incremental aggregates, side indexes):
-    state computed for a vdir never goes stale — compaction/vacuum
-    produce NEW vdirs."""
-    entries = _manifest_entries(spark, root)
-    if not entries:
-        raise FileNotFoundError(f"no published version under {root!r}")
-    return _resolve_chain(spark, entries)
+    snapshot (or of a pinned ``version``), oldest first. Segment
+    directories are immutable by the publish contract, which is what
+    makes them usable as cache keys for per-segment derived state
+    (incremental aggregates, side indexes): state computed for a vdir
+    never goes stale — compaction/vacuum produce NEW vdirs."""
+    return _resolve_chain(spark, _entries_at(spark, root, version))
+
+
+def published_versions(spark: SparkSession, root: str) -> list[int]:
+    """Version numbers still resolvable at ``root`` (oldest first):
+    the valid inputs to ``read_published(version=)``. Shrinks only
+    when ``vacuum_published`` drops superseded snapshots."""
+    return [n for n, _ in _manifest_entries(spark, root)]
 
 
 def published_version(spark: SparkSession, root: str) -> int:
@@ -416,7 +483,12 @@ def published_chain_length(spark: SparkSession, root: str) -> int:
 
 
 def compact_published(
-    spark: SparkSession, root: str, *, target_file_mb: int = 256
+    spark: SparkSession,
+    root: str,
+    *,
+    target_file_mb: int = 256,
+    cluster_by: list[str] | None = None,
+    zorder: bool = False,
 ) -> int:
     """Crash-safe compaction of a published table — the plain-directory
     OPTIMIZE: read the live version, rewrite at the target file size as
@@ -424,7 +496,15 @@ def compact_published(
     with a crashed compaction keep the old version; returns the new
     version number. An append chain folds back into ONE replace
     directory — the listing-cost reset that makes per-batch
-    ``append_published`` commits sustainable."""
+    ``append_published`` commits sustainable.
+
+    ``cluster_by`` rewrites range-clustered on those columns at the
+    same target file count: DISJOINT per-file key ranges across the
+    whole table (per-batch append clustering can't give that), so this
+    is where key-pruned layouts get restored after an append chain.
+    With ``zorder=True`` (and ≥2 ``cluster_by`` columns) the rewrite
+    follows the Z-curve instead (``sources.layout``): box filters on
+    EVERY listed column prune files, not just the leading one."""
     for _ in range(10):
         entries = _manifest_entries(spark, root)
         if not entries:
@@ -439,7 +519,17 @@ def compact_published(
             for vdir, _ in chain
         )
         n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
-        df = read_published(spark, root).repartition(n_files)
+        df = read_published(spark, root)
+        if cluster_by and zorder:
+            from prefixtree_spark.sources.layout import zorder_cluster
+
+            df = zorder_cluster(df, cluster_by, num_partitions=n_files)
+        elif cluster_by:
+            df = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
+        else:
+            df = df.repartition(n_files)
         # CAS commit: the replace is built FROM snapshot entries[-1], so
         # it may only land as the very next version. If an append slips
         # in between resolve and commit, committing anyway would publish

@@ -586,6 +586,7 @@ def maintain_ingest(
     max_segments: int = 16,
     keep: int = 2,
     target_file_mb: int = 256,
+    cluster_ids: str | None = None,
 ) -> dict[str, int]:
     """Out-of-band maintenance for an ingest pair (corpus + bands):
     when either table's live chain exceeds ``max_segments``, fold it
@@ -595,7 +596,14 @@ def maintain_ingest(
     Returns the new chain lengths. Safe concurrent with the sink: a
     compaction losing the manifest race to an append simply retries on
     the longer chain, and readers resolve complete snapshots
-    throughout."""
+    throughout.
+
+    ``cluster_ids`` (normally the ingest ``id_col``) range-clusters
+    the CORPUS rewrite on that column, giving disjoint per-file id
+    ranges — then ``ingest_batch``'s pinned literal-IN candidate fetch
+    prunes whole files by parquet id stats instead of scanning every
+    corpus file. The bands table stays hash-laid-out: its reader is a
+    (band, bucket) equi-join, which file stats can't prune."""
     from prefixtree_spark.sources.io import (
         compact_published,
         published_chain_length,
@@ -607,7 +615,10 @@ def maintain_ingest(
     out = {}
     for r in (root, _bands_root(root)):
         if published_chain_length(spark, r) > max_segments:
-            compact_published(spark, r, target_file_mb=target_file_mb)
+            compact_published(
+                spark, r, target_file_mb=target_file_mb,
+                cluster_by=[cluster_ids] if cluster_ids and r == root else None,
+            )
         vacuum_published(spark, r, keep=keep)
         out[r] = published_chain_length(spark, r)
     # the incremental data-card cache rides the corpus's segment churn:

@@ -1870,3 +1870,64 @@ def docs_ingest_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_TIME_TRAVEL_SQL = """
+    WITH half AS (SELECT (MAX(doc_id) + 1) // 2 AS h FROM documents)
+    SELECT doc_id, 'pinned' AS src FROM documents
+    WHERE doc_id < (SELECT h FROM half)
+    UNION ALL
+    SELECT doc_id, 'appended' AS src FROM documents
+    WHERE doc_id >= (SELECT h FROM half)
+"""
+
+
+@workload("docs_published_time_travel", _TIME_TRAVEL_SQL)
+def docs_published_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published-table snapshot pinning end-to-end (sources/io.py):
+    the first half of the documents table is published range-clustered
+    on doc_id, the second half appended WITH a new column (schema
+    evolution), the table compacted clustered — and the version pinned
+    before the append must still read exactly the first half with the
+    ORIGINAL schema after all that churn (pre-compaction segments stay
+    until vacuum). The live read surfaces the evolved column, NULL on
+    pre-evolution rows. Output: pinned rows labeled 'pinned', live
+    rows the pin can't see labeled 'appended'."""
+    import shutil
+    import tempfile
+
+    from prefixtree_spark.sources.io import (
+        append_published,
+        compact_published,
+        publish_version,
+        read_published,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    root = tempfile.mkdtemp(prefix="time_travel_workload_")
+    try:
+        v1 = publish_version(
+            docs.where(F.col("doc_id") < half), root, cluster_by=["doc_id"]
+        )
+        append_published(
+            docs.where(F.col("doc_id") >= half).withColumn(
+                "lang", F.lit("en")
+            ),
+            root,
+        )
+        compact_published(spark, root, cluster_by=["doc_id"])
+        pinned = read_published(spark, root, version=v1)
+        assert pinned.columns == ["doc_id", "text"], pinned.columns
+        live = read_published(spark, root)
+        assert set(live.columns) == {"doc_id", "text", "lang"}
+        out = pinned.select(
+            "doc_id", F.lit("pinned").alias("src")
+        ).unionByName(
+            live.where(F.col("lang").isNotNull()).select(
+                "doc_id", F.lit("appended").alias("src")
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

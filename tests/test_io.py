@@ -448,3 +448,164 @@ def test_append_published_schema_evolution(spark, tmp_path):
     append_published(spark.createDataFrame([(3, "c")], ["id", "name"]), root)
     rows = {(r.id, r.name, r.lang) for r in read_published(spark, root).collect()}
     assert rows == {(1, "a", None), (2, "b", "en"), (3, "c", None)}
+
+
+def test_time_travel_reads_pinned_versions(spark, tmp_path):
+    """read_published(version=N) replays the snapshot as of N — the
+    reproducible-training-run pin: appends after the pin are invisible,
+    and compaction (which rewrites into NEW directories) leaves the
+    pinned bytes readable until vacuum."""
+    from prefixtree_spark.sources import io as pio
+
+    root = str(tmp_path / "tt_tbl")
+    v1 = pio.publish_version(spark.createDataFrame([(1,)], "id long"), root)
+    v2 = pio.append_published(spark.createDataFrame([(2,)], "id long"), root)
+    v3 = pio.append_published(spark.createDataFrame([(3,)], "id long"), root)
+    assert pio.published_versions(spark, root) == [v1, v2, v3]
+
+    def ids(version=None):
+        return sorted(
+            r.id for r in pio.read_published(spark, root, version=version).collect()
+        )
+
+    assert ids(v1) == [1]
+    assert ids(v2) == [1, 2]
+    assert ids(v3) == [1, 2, 3] == ids()
+    # segment chains grow with the pin, and the pinned chain is a
+    # prefix of the later one (segments are immutable)
+    c1 = pio.published_segments(spark, root, version=v1)
+    c3 = pio.published_segments(spark, root, version=v3)
+    assert c3[: len(c1)] == c1 and len(c3) == 3
+    # compaction rewrites the live snapshot; the pin still reads the
+    # pre-compaction bytes
+    v4 = pio.compact_published(spark, root)
+    assert ids(v2) == [1, 2]
+    assert ids(v4) == [1, 2, 3] == ids()
+
+
+def test_time_travel_pinned_schema_predates_evolution(spark, tmp_path):
+    """A version pinned BEFORE an evolving append reads back the old
+    schema exactly — no ghost NULL column from the future."""
+    from prefixtree_spark.sources import io as pio
+
+    root = str(tmp_path / "tt_evolve")
+    v1 = pio.append_published(spark.createDataFrame([(1, "a")], ["id", "name"]), root)
+    pio.append_published(
+        spark.createDataFrame([(2, "b", "en")], ["id", "name", "lang"]), root
+    )
+    old = pio.read_published(spark, root, version=v1)
+    assert old.columns == ["id", "name"]
+    assert [(r.id, r.name) for r in old.collect()] == [(1, "a")]
+    assert set(pio.read_published(spark, root).columns) == {"id", "name", "lang"}
+
+
+def test_time_travel_vacuumed_version_fails_loudly(spark, tmp_path):
+    """Vacuum drops superseded snapshots' manifest entries; a stale pin
+    must fail at resolution with the available range, never
+    half-resolve against deleted directories."""
+    import pytest as _pytest
+
+    from prefixtree_spark.sources import io as pio
+
+    root = str(tmp_path / "tt_vac")
+    v1 = pio.publish_version(spark.createDataFrame([(1,)], "id long"), root)
+    v2 = pio.publish_version(spark.createDataFrame([(2,)], "id long"), root)
+    v3 = pio.publish_version(spark.createDataFrame([(3,)], "id long"), root)
+    pio.vacuum_published(spark, root, keep=2, grace_s=0)
+    assert pio.published_versions(spark, root) == [v2, v3]
+    assert sorted(
+        r.id for r in pio.read_published(spark, root, version=v2).collect()
+    ) == [2]
+    with _pytest.raises(ValueError, match="not resolvable"):
+        pio.read_published(spark, root, version=v1)
+    with _pytest.raises(ValueError, match="not resolvable"):
+        pio.read_published(spark, root, version=99)
+
+
+def _file_key_ranges(root_dir, column):
+    """(min, max) of ``column`` per parquet data file under the single
+    segment directory of a published table at ``root_dir``."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for dirpath, _, files in os.walk(root_dir):
+        if "_manifest" in dirpath:
+            continue
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == column and col.statistics:
+                        mins.append(col.statistics.min)
+                        maxs.append(col.statistics.max)
+            if mins:
+                ranges.append((min(mins), max(maxs)))
+    return sorted(ranges)
+
+
+def test_cluster_by_layout_properties(spark, tmp_path):
+    """cluster_by must (a) key-sort rows within every file on the
+    publish path (AQE sizes the file count there, so tiny fixtures may
+    land in one file) and (b) give DISJOINT per-file key ranges on the
+    compact path, whose file count is explicit — the property min-max
+    stats pruning depends on, which the default hash layout lacks."""
+    import pyspark.sql.functions as F
+
+    from prefixtree_spark.sources import io as pio
+
+    df = (
+        spark.range(0, 60000)
+        .withColumnRenamed("id", "doc_id")
+        # incompressible payload so target_file_mb=1 yields several files
+        .withColumn("payload", F.sha2(F.col("doc_id").cast("string"), 256))
+        .repartition(8)
+    )
+    plain = str(tmp_path / "plain_tbl")
+    pio.publish_version(df, plain)
+    overlapping = _file_key_ranges(plain, "doc_id")
+    # hash layout: every file spans ~the whole key space
+    assert len(overlapping) > 1 and any(
+        a_lo <= b_hi and b_lo <= a_hi
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(overlapping, overlapping[1:])
+    )
+
+    clustered = str(tmp_path / "clustered_tbl")
+    pio.publish_version(df, clustered, cluster_by=["doc_id"])
+    import os
+
+    import pyarrow.parquet as pq
+
+    seen = 0
+    for dirpath, _, files in os.walk(clustered):
+        if "_manifest" in dirpath:
+            continue
+        for f in files:
+            if f.endswith(".parquet"):
+                ids = pq.read_table(
+                    os.path.join(dirpath, f), columns=["doc_id"]
+                ).column("doc_id").to_pylist()
+                assert ids == sorted(ids), "rows not key-sorted within file"
+                seen += len(ids)
+    assert seen == 60000
+
+    # append chain breaks global disjointness; clustered compaction
+    # (explicit file count) restores it without losing rows
+    pio.append_published(
+        spark.range(60000, 70000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("payload", F.sha2(F.col("doc_id").cast("string"), 256)),
+        clustered,
+    )
+    pio.compact_published(spark, clustered, target_file_mb=1, cluster_by=["doc_id"])
+    assert pio.read_published(spark, clustered).count() == 70000
+    pio.vacuum_published(spark, clustered, keep=1, grace_s=0)
+    ranges = _file_key_ranges(clustered, "doc_id")
+    assert len(ranges) > 1, "compaction collapsed to one file"
+    for (_, prev_hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert prev_hi < lo, f"overlap after clustered compaction: {ranges}"
