@@ -71,8 +71,15 @@ def streaming_topk(stream: DataFrame, k: int = 10) -> DataFrame:
                 zip((int(i) for i in pdf["event_id"]), (float(v) for v in pdf["value"]))
             )
             # merge-then-cut keeps the loop O(batch + k log(batch+k));
-            # the leaderboard never exceeds k between batches
+            # the leaderboard never exceeds k between batches. One id
+            # keeps only its best row: an at-least-once source replaying
+            # an event already on the board must not seat it twice (or
+            # bump the version at all — dedup makes the replay a no-op).
             pairs.sort(key=lambda p: (-p[1], p[0]))
+            seen: set[int] = set()
+            pairs = [
+                p for p in pairs if p[0] not in seen and not seen.add(p[0])
+            ]
             del pairs[k:]
         if pairs != before:
             version += 1

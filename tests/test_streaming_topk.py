@@ -93,3 +93,50 @@ def test_streaming_topk_emits_only_on_change(spark, tmp_path):
     # exactly ONE version was ever emitted (batch 2 changed nothing)
     assert set(raw["version"]) == {1}
     assert list(raw.sort_values("rank")["event_id"]) == [1, 2, 3]
+
+
+def test_streaming_topk_replayed_event_is_idempotent(spark, tmp_path):
+    """An at-least-once source redelivering an event already ON the
+    leaderboard must neither seat it twice (two ranks for one id) nor
+    bump the version; a replay batch that also carries one genuinely
+    new top event changes exactly that seat."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write(path, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([1_000_000_000] * len(rows), pa.int64()),
+                "user_id": pa.array([0] * len(rows), pa.int64()),
+                "event_type": pa.array(["x"] * len(rows)),
+                "value": pa.array([float(r[1]) for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    d = tmp_path / "replay"
+    d.mkdir()
+    write(str(d / "b1.parquet"), [(1, 100.0), (2, 90.0), (3, 80.0)])
+    time.sleep(1.1)
+    # batch 2: pure replay of the current board → must emit nothing
+    write(str(d / "b2.parquet"), [(1, 100.0), (2, 90.0)])
+    time.sleep(1.1)
+    # batch 3: replay again + one event that takes rank 1
+    write(str(d / "b3.parquet"), [(1, 100.0), (9, 200.0)])
+    stream = read_events_stream(spark, str(d), maxFilesPerTrigger="1")
+    q = (
+        streaming_topk(stream, k=3)
+        .writeStream.format("memory")
+        .queryName("topk_replay")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    raw = spark.table("topk_replay").toPandas()
+    assert set(raw["version"]) == {1, 2}  # batch 2 emitted nothing
+    latest = raw[raw["version"] == 2].sort_values("rank")
+    assert list(latest["event_id"]) == [9, 1, 2]
+    assert list(latest["rank"]) == [1, 2, 3]
