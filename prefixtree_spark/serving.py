@@ -233,6 +233,7 @@ def watch_published_index(
     root: str,
     *,
     poll_seconds: float = 5.0,
+    current_version: int | None = None,
 ) -> threading.Event:
     """Hot refresh for a serving replica (the Roxie package-reload
     analog): poll ``root``'s manifest version and ``swap`` each newly
@@ -240,9 +241,19 @@ def watch_published_index(
     index until the new one is fully loaded, then flip atomically.
     Returns a stop event: ``set()`` it to end the watcher thread. A
     load that fails (e.g. a publisher mid-commit) leaves the current
-    index serving and retries next poll."""
+    index serving and retries next poll.
+
+    Pass ``current_version`` (the version ``load_local_index_published``
+    returned for the index the server is ALREADY holding) to skip the
+    otherwise-spurious first-poll reload; default 0 reloads once."""
     stop = threading.Event()
-    state = {"version": getattr(server, "_published_version", 0)}
+    state = {
+        "version": (
+            current_version
+            if current_version is not None
+            else getattr(server, "_published_version", 0)
+        )
+    }
 
     def run() -> None:
         while not stop.wait(poll_seconds):

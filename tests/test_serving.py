@@ -148,8 +148,9 @@ def test_watch_published_index_hot_reload(spark, tmp_path):
     assert ver1 == 1
     assert sorted(w for w, _ in idx1.search("CAT", 1)) == ["CART", "CAT"]
     with PrefixTreeServer(idx1) as srv:
-        srv._published_version = ver1
-        stop = watch_published_index(srv, root, poll_seconds=0.2)
+        stop = watch_published_index(
+            srv, root, poll_seconds=0.2, current_version=ver1
+        )
         try:
             assert _get(srv.url("/search?q=CAT&k=0")) == [["CAT", 0]]
             publish_index(create(_words_df(spark, ["DOG", "DOT"]), "word"), root)
