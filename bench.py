@@ -589,6 +589,29 @@ def main() -> None:
     )
     _sh.rmtree(sq8_dir, ignore_errors=True)
 
+    # PQ storage economics: the step past SQ8 — m bytes per vector
+    # instead of dim. Same bytes-on-disk measurement, same stored-codes
+    # query entry; exactness at gate scale is the oracle's job
+    # (ann_topk_pq), recall at selective pads is the test suite's.
+    pq_dir = _tf.mkdtemp(prefix="bench_pq_")
+    pq_books = ann_ops.pq_fit(emb, "embedding", m=16)
+    ann_ops.pq_encode(emb, "vec_id", "embedding", pq_books).write.mode(
+        "overwrite"
+    ).parquet(f"{pq_dir}/codes")
+    bpq = _dir_bytes(f"{pq_dir}/codes")
+    extras["pq_bytes_codes"] = bpq
+    extras["pq_bytes_ratio_vs_float"] = round(bf / max(1, bpq), 2)
+    extras["pq_bytes_ratio_vs_int8"] = round(b8 / max(1, bpq), 2)
+    pq_stored = spark.read.parquet(f"{pq_dir}/codes")
+    bench(
+        "ann_topk_pq_stored",
+        lambda: ann_ops.cosine_topk_pq(
+            q_emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+            k=10, codebooks=pq_books, codes=pq_stored,
+        ).count(),
+    )
+    _sh.rmtree(pq_dir, ignore_errors=True)
+
     # clustered corpus (20 spherical clusters, same row count/dim as the
     # fixture): recall at a 25% probe fraction with no replicas
     n_emb = emb.count()

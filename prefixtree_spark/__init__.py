@@ -21,8 +21,11 @@ from prefixtree_spark.operators.ranking import bm25_rank, rrf_fuse
 from prefixtree_spark.operators.ann import (
     append_ivf_index,
     cosine_topk_int8,
+    cosine_topk_pq,
     int8_scales,
     kmeans_fit,
+    pq_encode,
+    pq_fit,
     quantize_embeddings,
     semantic_dedup,
     semantic_dedup_kmeans,
@@ -124,6 +127,9 @@ __all__ = [
     "line_dedup",
     "remove_duplicate_spans",
     "mixture_resample",
+    "pq_fit",
+    "pq_encode",
+    "cosine_topk_pq",
 ]
 
 __version__ = "0.1.0"

@@ -1191,3 +1191,286 @@ def semantic_dedup_kmeans(
         threshold=threshold, max_cluster=max_cluster,
     )
     return out.withColumnRenamed("_sd_cluster", "cluster")
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(
+    corpus: DataFrame,
+    cvec: str,
+    *,
+    m: int = 16,
+    iters: int = 15,
+    sample_size: int = 20_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train PQ codebooks (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search"): split the L2-NORMALIZED vector into
+    ``m`` contiguous subvectors and k-means each subspace to ≤256
+    centroids, so a vector stores as ``m`` BYTES instead of ``dim``
+    floats — 16× beyond SQ8's 4× at the default dim-64/m-16 shape.
+    Returns the (m, ≤256, dim/m) codebook tensor.
+
+    Training is a seeded driver-side fraction sample (same rationale
+    as ``kmeans_fit``: ``.limit()`` biases toward leading partitions),
+    O(sample × 256 × dim) numpy — negligible next to one corpus scan.
+    ``dim`` must divide by ``m`` (raise, don't silently pad: a padded
+    layout would poison every stored code the moment dim changes)."""
+    vecs = corpus.select(F.col(cvec).alias("v"))
+    n = vecs.count()
+    if n == 0:
+        raise ValueError("pq_fit: empty corpus")
+    frac = min(1.0, (sample_size * 1.2) / n)
+    pdf = vecs.sample(fraction=frac, seed=seed).toPandas()
+    sample = np.array(pdf["v"].tolist(), dtype=np.float64)[:sample_size]
+    if sample.size == 0:
+        sample = np.array(
+            vecs.limit(sample_size).toPandas()["v"].tolist(), dtype=np.float64
+        )
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
+    rng = np.random.default_rng(seed)
+    n_cent = min(256, len(sample))
+    books = np.zeros((m, n_cent, dsub), dtype=np.float64)
+    for j in range(m):
+        x = sample[:, j * dsub : (j + 1) * dsub]
+        cent = x[rng.choice(len(x), size=n_cent, replace=False)]
+        for _ in range(iters):
+            # plain L2 Lloyd step per subspace
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_cent):
+                members = x[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: np.ndarray,
+    out_col: str = "pq",
+) -> DataFrame:
+    """``array<float>`` → ``binary(m)`` PQ codes. One Arrow-batched
+    pandas UDF; argmin is a matmul per subspace (``||c||² − 2·x·c``;
+    the ``||x||²`` term is rank-constant). Zero-norm input vectors are
+    outside the cosine domain engine-wide (the exact path's ANSI
+    division raises on them too), so no flag column is stored; the
+    search path's zero guard is about RECONSTRUCTED-zero codes (see
+    ``_pq_chunk_pairs``), which it detects from the codes alone."""
+    m, n_cent, dsub = codebooks.shape
+    books = codebooks.astype(np.float32)
+    cnorm2 = (books ** 2).sum(axis=2)  # (m, n_cent)
+
+    @F.pandas_udf(T.BinaryType())
+    def encode(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float32)
+        if x.size == 0:
+            return pd.Series([], dtype=object)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for j in range(m):
+            xj = x[:, j * dsub : (j + 1) * dsub]
+            d = cnorm2[j][None, :] - 2.0 * (xj @ books[j].T)
+            codes[:, j] = np.argmin(d, axis=1).astype(np.uint8)
+        return pd.Series([row.tobytes() for row in codes])
+
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        encode(F.col(vec_col)).alias(out_col),
+    )
+
+
+def _pq_chunk_pairs(
+    q_chunk: DataFrame,
+    q_pdf: pd.DataFrame,
+    c: DataFrame,
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    k: int,
+    pad: int,
+    qt: str,
+    ct: str,
+):
+    """Exact-scored candidate pairs for one bounded query chunk of the
+    PQ path (the PQ twin of ``_int8_chunk_pairs`` — same prefilter
+    shape, same boundary tie-closing, same zero-row preservation, but
+    the per-batch corpus matrix is RECONSTRUCTED from codes (one fancy
+    index + reshape) instead of dequantized. Reconstruct-then-matmul
+    is rank-identical to the classic ADC lookup-table formulation for
+    inner-product metrics and keeps executor memory at batch × dim
+    floats — the LUT tensor (queries × m × 256) would be ~1 GiB per
+    task at the default chunk size."""
+    spark = c.sparkSession
+    qmat = np.array(q_pdf["qv"].tolist(), dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    q_ids = q_pdf["query_id"].to_numpy()
+    m, _, dsub = codebooks.shape
+    bq = spark.sparkContext.broadcast(
+        (
+            q_ids,
+            qmat.astype(np.float32),
+            qnorm.astype(np.float32),
+            codebooks.astype(np.float32),
+        )
+    )
+
+    def part_topk(batches):
+        ids, qm, qn, books = bq.value
+        n_q = len(ids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.frombuffer(
+                b"".join(pdf["pq"].tolist()), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            # reconstruct: x̂ = concat_j books[j][code_j]
+            rec = books[np.arange(m)[None, :], cmat].reshape(len(pdf), m * dsub)
+            cn = np.linalg.norm(rec, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (rec @ qm.T) / (cn[:, None] * qn[None, :])
+            cos[:, qn == 0] = np.inf  # NaN-largest: keep everything
+            # RECONSTRUCTED-zero rows (every subspace decoding to a
+            # zero centroid — possible with symmetric data) have NaN
+            # approximate scores that would silently lose every
+            # boundary comparison; preserve them for the exact rerank
+            # (the SQ8 zero-quantized-row lesson, PQ form)
+            zero_rows = cn == 0
+            cos[zero_rows, :] = -np.inf
+            take = min(pad, len(rec))
+            top = np.argpartition(-cos, take - 1, axis=0)[:take]
+            boundary = cos[top, np.arange(n_q)[None, :]].min(axis=0)
+            rows, qidx = np.nonzero(cos >= boundary[None, :])
+            vec_ids = pdf["vec_id"].to_numpy()
+            if zero_rows.any():
+                zn = int(zero_rows.sum())
+                rows = np.concatenate(
+                    [rows, np.repeat(np.nonzero(zero_rows)[0], n_q)]
+                )
+                qidx = np.concatenate([qidx, np.tile(np.arange(n_q), zn)])
+            yield pd.DataFrame(
+                {"query_id": ids[qidx], "vec_id": vec_ids[rows]}
+            ).drop_duplicates()
+
+    cand = codes.mapInPandas(part_topk, schema=f"query_id {qt}, vec_id {ct}")
+    pairs = (
+        cand.join(c, "vec_id")
+        .join(
+            F.broadcast(
+                q_chunk.select("query_id", _as_double(F.col("qv")).alias("qv"))
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            _cosine(F.col("qv"), _as_double(F.col("cv"))).alias("cosine"),
+        )
+    )
+    return pairs, bq
+
+
+def cosine_topk_pq(
+    queries: DataFrame,
+    qid: str,
+    qvec: str,
+    corpus: DataFrame,
+    cid: str,
+    cvec: str,
+    k: int = 10,
+    *,
+    codebooks: "np.ndarray | None" = None,
+    codes: "DataFrame | None" = None,
+    pad_factor: int = 8,
+    m: int = 16,
+    exclude_self: bool = True,
+    query_chunk_rows: int = 65536,
+) -> DataFrame:
+    """Top-k cosine via a product-quantized prefilter + exact float
+    rerank — the 16× scan-bytes step beyond ``cosine_topk_int8``'s 4×
+    (m bytes/vector vs dim bytes vs 4·dim):
+
+      1. pass ``codes`` (a stored ``pq_encode`` output trained with
+         matching ``codebooks``) to realize the byte cut; without it
+         codes are derived per call (same semantics, full-width scan);
+      2. per-partition approximate top-(pad) per query on vectors
+         reconstructed from codes, boundary tie-closed;
+      3. exact float64 rerank of candidates only — output is the same
+         (cosine desc, vec_id) rank as ``cosine_topk`` whenever the
+         true top-k survive the prefilter.
+
+    PQ's quantization error (codebook resolution, not per-dim rounding)
+    exceeds SQ8's, so the default ``pad_factor`` is 8 vs SQ8's 4;
+    recall-vs-pad on clustered data is pinned in tests. Zero-norm
+    queries and zero-norm corpus rows are candidate-preserved exactly
+    as in the SQ8 path."""
+    if codebooks is None:
+        codebooks = pq_fit(corpus, cvec, m=m)
+    qt = queries.schema[qid].dataType.simpleString()
+    ct = corpus.schema[cid].dataType.simpleString()
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(qvec).alias("qv")
+    ).dropDuplicates(["query_id"])
+    c = corpus.select(F.col(cid).alias("vec_id"), F.col(cvec).alias("cv"))
+    empty = c.limit(0).select(
+        F.col("vec_id").cast(qt).alias("query_id"),
+        "vec_id",
+        F.lit(0).cast("long").alias("rank"),
+    )
+    cq = (
+        codes.select("vec_id", "pq")
+        if codes is not None
+        else pq_encode(corpus, cid, cvec, codebooks)
+    )
+    pad = max(pad_factor * k, k + 1)
+    n_q = q.count()
+    if n_q == 0:
+        return empty
+    if n_q <= query_chunk_rows:
+        pairs, bq = _pq_chunk_pairs(
+            q, q.toPandas(), c, cq, codebooks, k, pad, qt, ct
+        )
+        pairs = pairs.localCheckpoint(eager=True)
+        bq.unpersist()
+    else:
+        n_chunks = -(-n_q // query_chunk_rows)
+        chunked = q.withColumn(
+            "_chunk",
+            F.pmod(F.xxhash64(F.col("query_id").cast("string")), F.lit(n_chunks)),
+        ).persist()
+        try:
+            parts: list[DataFrame] = []
+            for i in range(n_chunks):
+                q_chunk = chunked.where(F.col("_chunk") == i).drop("_chunk")
+                q_pdf = q_chunk.toPandas()
+                if len(q_pdf) == 0:
+                    continue
+                chunk_pairs, bq = _pq_chunk_pairs(
+                    q_chunk, q_pdf, c, cq, codebooks, k, pad, qt, ct
+                )
+                parts.append(chunk_pairs.localCheckpoint(eager=True))
+                bq.unpersist()
+            pairs = parts[0]
+            for p in parts[1:]:
+                pairs = pairs.unionByName(p)
+        finally:
+            chunked.unpersist()
+    if exclude_self:
+        pairs = pairs.where(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+    )

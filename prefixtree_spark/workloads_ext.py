@@ -902,6 +902,22 @@ def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("query_id", "vec_id")
 
 
+@workload("ann_topk_pq", _ANN_ORACLE)
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 via product quantization (PQ, Jégou et al.): m=16 byte
+    codes per vector (16× less scan IO than float32 at dim 64) as the
+    prefilter + exact float64 rerank. Oracled against the SAME exact
+    top-k SQL as ``ann_topk_cosine`` — at gate scale the pad makes the
+    prefilter lossless; recall at selective pads on clustered data is
+    asserted in tests/test_ann.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id % 50 = 0")
+    topk = ann.cosine_topk_pq(
+        q, "vec_id", "embedding", emb, "vec_id", "embedding", k=10
+    )
+    return topk.select("query_id", "vec_id")
+
+
 @workload(
     "embedding_near_dup",
     """

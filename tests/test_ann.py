@@ -575,3 +575,131 @@ def test_int8_empty_corpus_returns_empty(spark, clustered):
     )
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["query_id", "vec_id", "rank"]
+
+
+# -- product quantization ----------------------------------------------------
+
+
+def test_pq_fit_shapes_and_determinism(spark, clustered):
+    df, rows = clustered
+    b1 = ann.pq_fit(df, "embedding", m=4, sample_size=200, seed=3)
+    b2 = ann.pq_fit(df, "embedding", m=4, sample_size=200, seed=3)
+    assert b1.shape == (4, min(256, 101), DIM // 4)
+    assert np.array_equal(b1, b2)
+    with pytest.raises(ValueError, match="not divisible"):
+        ann.pq_fit(df, "embedding", m=5)
+
+
+def test_pq_encode_codes_are_nearest_centroids(spark, clustered):
+    """Each stored byte must be the argmin-distance centroid of its
+    subspace for the NORMALIZED vector; pq_zero flags exactly the
+    zero-norm rows."""
+    df, rows = clustered
+    books = ann.pq_fit(df, "embedding", m=4, sample_size=200)
+    got = {r.vec_id: r.pq for r in
+           ann.pq_encode(df, "vec_id", "embedding", books).collect()}
+    dsub = DIM // 4
+    for vid, vec in rows[:10]:
+        x = np.array(vec, dtype=np.float32)
+        x = x / np.linalg.norm(x)
+        codes = np.frombuffer(got[vid], dtype=np.uint8)
+        for j in range(4):
+            xj = x[j * dsub : (j + 1) * dsub]
+            d = ((books[j].astype(np.float32) - xj[None, :]) ** 2).sum(axis=1)
+            assert codes[j] == int(np.argmin(d))
+
+
+def test_pq_topk_matches_exact(spark, clustered):
+    """PQ prefilter + exact rerank returns the identical (query,
+    neighbor, rank) set as the exact path on the clustered fixture."""
+    df, rows = clustered
+    q = df.where(df.vec_id.isin([0, 25, 50, 75]))
+    exact = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk(
+            q, "vec_id", "embedding", df, "vec_id", "embedding", k=5
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_pq(
+            q, "vec_id", "embedding", df, "vec_id", "embedding", k=5, m=4
+        ).collect()
+    }
+    assert got == exact and got
+
+
+def test_pq_topk_single_partition_selective_pad(spark, clustered):
+    """One corpus partition, pad=10 of 101 vectors: codebook error must
+    not evict true neighbors on well-separated data."""
+    df, rows = clustered
+    q = df.where(df.vec_id.isin([0, 50]))
+    exact = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk(
+            q, "vec_id", "embedding", df, "vec_id", "embedding", k=5
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_pq(
+            q, "vec_id", "embedding", df.repartition(1), "vec_id", "embedding",
+            k=5, m=4, pad_factor=2,
+        ).collect()
+    }
+    assert got == exact and got
+
+
+def test_pq_reconstructed_zero_rows_reach_rerank(spark):
+    """Adversarial codebooks whose zero centroid wins every subspace
+    make EVERY corpus row reconstruct to the zero vector (NaN
+    approximate score). Such rows must be candidate-preserved for the
+    exact rerank, not silently lose the boundary — output must still
+    equal the exact path."""
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(DIM)]) for i in range(30)]
+    df = spark.createDataFrame(rows, _vec_schema()).repartition(1)
+    q = df.where("vec_id = 5")
+    m, dsub = 4, DIM // 4
+    # two centroids per subspace: zeros (nearest to any unit subvector)
+    # and a far-away constant — every code decodes to the zero vector
+    books = np.zeros((m, 2, dsub))
+    books[:, 1, :] = 100.0
+    exact = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk(
+            q, "vec_id", "embedding", df, "vec_id", "embedding", k=5
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_pq(
+            q, "vec_id", "embedding", df, "vec_id", "embedding",
+            k=5, codebooks=books, pad_factor=2,
+        ).collect()
+    }
+    assert got == exact and got
+
+
+def test_pq_prestored_codes_equal_per_call(spark, clustered):
+    """Stored pq_encode output (the 16x-scan-cut path) must give the
+    same result as per-call encoding with the same codebooks."""
+    df, rows = clustered
+    books = ann.pq_fit(df, "embedding", m=4, sample_size=200)
+    codes = ann.pq_encode(df, "vec_id", "embedding", books)
+    q = df.where(df.vec_id.isin([0, 50]))
+    a = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_pq(
+            q, "vec_id", "embedding", df, "vec_id", "embedding",
+            k=5, codebooks=books,
+        ).collect()
+    }
+    b = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_pq(
+            q, "vec_id", "embedding", df, "vec_id", "embedding",
+            k=5, codebooks=books, codes=codes,
+        ).collect()
+    }
+    assert a == b and a
