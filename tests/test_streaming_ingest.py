@@ -467,3 +467,43 @@ def test_ingest_max_df_cap_semantics(spark, tmp_path):
     replay = docs(0, 10).withColumn("doc_id", F.col("doc_id") + 1000)
     assert ingest_batch(replay, r3, "doc_id", "text", max_df=1) == 0
     assert ingest_batch(clean, r3, "doc_id", "text", max_df=1) == 1
+
+
+def test_maintain_ingest_clusters_corpus_by_id(spark, tmp_path):
+    """maintain_ingest(cluster_ids=) range-clusters the corpus rewrite
+    (key-sorted rows — the layout the pinned literal-IN candidate
+    fetch prunes by id stats) while leaving content and later-batch
+    dedup behavior identical; the bands table is untouched by design."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from prefixtree_spark.sources.io import published_segments
+    from prefixtree_spark.streaming.ingest import maintain_ingest
+
+    root = str(tmp_path / "corpus")
+    texts = [" ".join(f"c{b}_{i}" for i in range(12)) for b in range(3)]
+    for b in range(3):
+        ingest_batch(
+            spark.createDataFrame([(b, texts[b])], ["doc_id", "text"]),
+            root, "doc_id", "text",
+        )
+    maintain_ingest(spark, root, max_segments=2, keep=1, cluster_ids="doc_id")
+    assert _ids(read_published(spark, root)) == [0, 1, 2]
+    (vdir, _), = published_segments(spark, root)
+    for dirpath, _, files in os.walk(os.path.join(root, vdir)):
+        for f in files:
+            if f.endswith(".parquet"):
+                ids = pq.read_table(
+                    os.path.join(dirpath, f), columns=["doc_id"]
+                ).column("doc_id").to_pylist()
+                assert ids == sorted(ids)
+    # dedup against the clustered corpus: replay + novel
+    ingest_batch(
+        spark.createDataFrame(
+            [(10, texts[1]), (11, " ".join(f"n{i}" for i in range(12)))],
+            ["doc_id", "text"],
+        ),
+        root, "doc_id", "text",
+    )
+    assert _ids(read_published(spark, root)) == [0, 1, 2, 11]
