@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _READ_FORMATS = ("parquet", "orc", "csv", "json")
 
@@ -151,12 +151,19 @@ def convert_to_parquet(
 
 _MANIFEST_DIR = "_manifest"
 
-# manifest entry payload: "vdir\tformat[\tmode]" where mode is
-# "replace" (default; the entry's directory IS the table) or "append"
-# (the entry adds a segment on top of the previous live snapshot —
-# the add-file commit of a Delta-style log, giving O(|delta|) ingest
-# commits instead of O(|corpus|) rewrites). Two-field entries written
-# before append support read as replace — old tables stay valid.
+# manifest entry payload: "vdirs\tformat[\tmode]" where mode is
+# "replace" (default; the entry's directories ARE the table) or
+# "append" (the entry adds segments on top of the previous live
+# snapshot — the add-file commit of a Delta-style log, giving
+# O(|delta|) ingest commits instead of O(|corpus|) rewrites).
+# Two-field entries written before append support read as replace —
+# old tables stay valid. ``vdirs`` is one directory name or several
+# joined by "," — the multi-dir form is the COPY-ON-WRITE commit
+# (delete_published / upsert_published): a new snapshot that
+# RE-REFERENCES untouched immutable segment directories and adds only
+# the rewritten ones, so a row-level delete costs O(matching segments)
+# instead of O(table). Single-dir readers written before COW support
+# parse the multi-dir form too (the split is unconditional).
 
 
 def _fs(spark: SparkSession, path: str):
@@ -305,56 +312,9 @@ def _publish_entry(
         write_sink(
             df, f"{root}/{vdir}", format=format, partition_by=partition_by
         )
-        tmp = jvm.org.apache.hadoop.fs.Path(
-            f"{root}/{_MANIFEST_DIR}/.tmp-{_uuid.uuid4().hex}"
-        )
-        final = jvm.org.apache.hadoop.fs.Path(f"{root}/{_MANIFEST_DIR}/{n}")
-        payload = f"{vdir}\t{format}\t{mode}"
-        out = fs.create(tmp, False)
-        try:
-            out.write(bytearray(payload.encode("utf-8")))
-        finally:
-            out.close()
-        # Arbitration: HDFS rename refuses an existing destination, but
-        # RawLocalFileSystem delegates to rename(2), which silently
-        # REPLACES it — two publishers that both computed n would both
-        # "win" and the first's committed entry (and data) would vanish.
-        # On a local FS, publish via link(2) instead
-        # (java.nio.Files.createLink): hard-linking the fully-written
-        # tmp onto the final name is atomic AND fails if the
-        # destination exists, so exactly one racer can ever commit a
-        # given version — no exists→rename window at all. On HDFS the
-        # rename itself arbitrates (no-replace semantics); the
-        # read-back content check (payload embeds our uuid'd vdir)
-        # stays as belt-and-braces on both paths.
-        if fs.getScheme() == "file":
-            # java.io.File(...).toPath(), not Paths.get: py4j cannot
-            # dispatch Paths.get's String varargs signature
-            try:
-                jvm.java.nio.file.Files.createLink(
-                    jvm.java.io.File(
-                        fs.makeQualified(final).toUri().getPath()
-                    ).toPath(),
-                    jvm.java.io.File(
-                        fs.makeQualified(tmp).toUri().getPath()
-                    ).toPath(),
-                )
-                linked = True
-            except Exception:
-                linked = False
-            fs.delete(tmp, False)
-            won = linked and _read_small_file(spark, str(final)) == payload
-        else:
-            won = (
-                not fs.exists(final)
-                and fs.rename(tmp, final)
-                and not fs.exists(tmp)
-                and _read_small_file(spark, str(final)) == payload
-            )
-        if won:
+        if _try_commit(spark, root, n, f"{vdir}\t{format}\t{mode}"):
             return n
-        # lost the race: clean our temp + orphan data dir, retry
-        fs.delete(tmp, False)
+        # lost the race: clean our orphan data dir, retry
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{vdir}"), True)
         if expected_version is not None:
             raise ConcurrentPublishError(
@@ -365,11 +325,72 @@ def _publish_entry(
             raise RuntimeError(f"_publish_entry: contended beyond reason at {root}")
 
 
-def _parse_entry(content: str) -> tuple[str, str, str]:
-    """(vdir, format, mode) from a manifest payload; two-field entries
-    predate append support and mean replace."""
+def _try_commit(spark: SparkSession, root: str, n: int, payload: str) -> bool:
+    """One attempt at atomically installing manifest entry ``n`` with
+    ``payload``; True iff WE committed it (False = another publisher
+    owns that version number; the caller cleans up its own data dirs).
+
+    Arbitration: HDFS rename refuses an existing destination, but
+    RawLocalFileSystem delegates to rename(2), which silently REPLACES
+    it — two publishers that both computed n would both "win" and the
+    first's committed entry (and data) would vanish. On a local FS,
+    publish via link(2) instead (java.nio.Files.createLink):
+    hard-linking the fully-written tmp onto the final name is atomic
+    AND fails if the destination exists, so exactly one racer can ever
+    commit a given version — no exists→rename window at all. On HDFS
+    the rename itself arbitrates (no-replace semantics); the read-back
+    content check (payload embeds the publisher's uuid'd vdir) stays
+    as belt-and-braces on both paths."""
+    import uuid as _uuid
+
+    fs, jvm = _fs(spark, root)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{root}/{_MANIFEST_DIR}/.tmp-{_uuid.uuid4().hex}"
+    )
+    final = jvm.org.apache.hadoop.fs.Path(f"{root}/{_MANIFEST_DIR}/{n}")
+    out = fs.create(tmp, False)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.getScheme() == "file":
+        # java.io.File(...).toPath(), not Paths.get: py4j cannot
+        # dispatch Paths.get's String varargs signature
+        try:
+            jvm.java.nio.file.Files.createLink(
+                jvm.java.io.File(
+                    fs.makeQualified(final).toUri().getPath()
+                ).toPath(),
+                jvm.java.io.File(
+                    fs.makeQualified(tmp).toUri().getPath()
+                ).toPath(),
+            )
+            linked = True
+        except Exception:
+            linked = False
+        fs.delete(tmp, False)
+        return linked and _read_small_file(spark, str(final)) == payload
+    won = (
+        not fs.exists(final)
+        and fs.rename(tmp, final)
+        and not fs.exists(tmp)
+        and _read_small_file(spark, str(final)) == payload
+    )
+    if not won:
+        fs.delete(tmp, False)
+    return won
+
+
+def _parse_entry(content: str) -> tuple[list[str], str, str]:
+    """(vdirs, format, mode) from a manifest payload; two-field entries
+    predate append support and mean replace; the first field is one
+    directory name or several comma-joined (the COW commit shape)."""
     parts = content.split("\t")
-    return parts[0], parts[1], (parts[2] if len(parts) > 2 else "replace")
+    return (
+        parts[0].split(","),
+        parts[1],
+        (parts[2] if len(parts) > 2 else "replace"),
+    )
 
 
 def _resolve_chain(
@@ -377,11 +398,13 @@ def _resolve_chain(
 ) -> list[tuple[str, str]]:
     """The (vdir, format) segments of the snapshot defined by the LAST
     entry: that entry plus, walking backwards, every append under it
-    until (and including) the first replace. Oldest segment first."""
+    until (and including) the first replace. Oldest segment first;
+    multi-dir (COW) entries expand to one element per directory, in
+    the order the committer listed them."""
     chain: list[tuple[str, str]] = []
     for _, mpath in reversed(entries):
-        vdir, fmt, mode = _parse_entry(_read_small_file(spark, mpath))
-        chain.append((vdir, fmt))
+        vdirs, fmt, mode = _parse_entry(_read_small_file(spark, mpath))
+        chain.extend((vdir, fmt) for vdir in reversed(vdirs))
         if mode == "replace":
             break
     return list(reversed(chain))
@@ -548,6 +571,250 @@ def compact_published(
     )
 
 
+def _commit_dirs(
+    spark: SparkSession,
+    root: str,
+    dirs: list[str],
+    fmt: str,
+    mode: str,
+    expected_version: int,
+    own_dirs: list[str],
+) -> int:
+    """CAS-install a multi-dir (COW) manifest entry as exactly version
+    ``expected_version``. On any failure — the snapshot moved, or the
+    commit race was lost — delete ``own_dirs`` (the dirs THIS caller
+    wrote; never the re-referenced immutable ones) and raise
+    ``ConcurrentPublishError`` so the caller re-resolves and redoes
+    its derived rewrite against the new snapshot."""
+    fs, jvm = _fs(spark, root)
+    entries = _manifest_entries(spark, root)
+    n = entries[-1][0] + 1 if entries else 1
+    payload = f"{','.join(dirs)}\t{fmt}\t{mode}"
+    if n == expected_version and _try_commit(spark, root, n, payload):
+        return n
+    for d in own_dirs:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{d}"), True)
+    raise ConcurrentPublishError(
+        f"snapshot at {root!r} moved while committing version "
+        f"{expected_version}"
+    )
+
+
+def _chain_format(chain: list[tuple[str, str]], op: str) -> str:
+    fmts = {fmt for _, fmt in chain}
+    if len(fmts) > 1:
+        raise ValueError(
+            f"{op}: chain mixes formats {sorted(fmts)}; a COW entry "
+            "carries one format for all its directories — run "
+            "compact_published first"
+        )
+    return next(iter(fmts))
+
+
+def delete_published(
+    spark: SparkSession,
+    root: str,
+    predicate,
+    *,
+    cluster_by: list[str] | None = None,
+) -> dict[str, int]:
+    """Row-level DELETE from a published table, copy-on-write: rows
+    where ``predicate`` (a Column or SQL string) is TRUE leave the
+    live snapshot; rows where it is FALSE or NULL stay (the SQL DELETE
+    contract). Cost is O(matching segments), NOT O(table): each
+    segment of the live chain is probed with the predicate (a
+    pushed-down scan — on range-clustered/Z-ordered layouts file stats
+    prune it to the key range), untouched segments are RE-REFERENCED
+    in the new manifest entry as-is, and only segments containing
+    matches are rewritten without their matching rows. One atomic
+    multi-dir replace commit flips the table; concurrent appends CAS
+    the commit and the delete re-resolves (same contract as
+    ``compact_published``).
+
+    Physical removal semantics (the right-to-be-forgotten case):
+    this removes rows from the LIVE snapshot; prior versions still
+    reference the old segment directories until ``vacuum_published``
+    drops them — run it (with ``keep`` small enough) to make deletion
+    physical, exactly as Delta's DELETE + VACUUM pair.
+
+    Schema drift: the predicate is evaluated under the union schema —
+    a segment missing a predicate column sees NULL there (matching
+    what ``read_published`` returns for its rows), so e.g.
+    ``lang IS NULL`` deletes pre-evolution rows.
+
+    Returns ``{"version", "deleted", "rewritten_segments",
+    "kept_segments"}``; a no-match delete commits nothing and returns
+    the current version."""
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    keep_cond = ~F.coalesce(pred.cast("boolean"), F.lit(False))
+    for _ in range(10):
+        entries = _manifest_entries(spark, root)
+        if not entries:
+            raise FileNotFoundError(f"no published version under {root!r}")
+        expected = entries[-1][0] + 1
+        chain = _resolve_chain(spark, entries)
+        fmt = _chain_format(chain, "delete_published")
+        segs = [
+            read_source(spark, f"{root}/{vdir}", format=f)
+            for vdir, f in chain
+        ]
+        union_cols: list[str] = []
+        for seg in segs:
+            union_cols.extend(c for c in seg.columns if c not in union_cols)
+        new_dirs: list[str] = []
+        own: list[str] = []
+        deleted = 0
+        rewritten = 0
+        for (vdir, f), seg in zip(chain, segs):
+            ev = seg
+            for c in union_cols:
+                if c not in seg.columns:
+                    ev = ev.withColumn(c, F.lit(None))
+            n_match = ev.where(pred).count()
+            if n_match == 0:
+                new_dirs.append(vdir)
+                continue
+            deleted += n_match
+            rewritten += 1
+            survivors = ev.where(keep_cond).select(*seg.columns)
+            if survivors.isEmpty():
+                continue  # the whole segment vanishes from the entry
+            if cluster_by:
+                survivors = _range_cluster(survivors, cluster_by)
+            nd = f"v_{expected:011d}_{_uuid_hex()}"
+            write_sink(survivors, f"{root}/{nd}", format=f)
+            new_dirs.append(nd)
+            own.append(nd)
+        if rewritten == 0:
+            return {
+                "version": entries[-1][0],
+                "deleted": 0,
+                "rewritten_segments": 0,
+                "kept_segments": len(chain),
+            }
+        if not new_dirs:
+            # everything deleted: one empty segment keeps the table
+            # readable with its union schema
+            nd = f"v_{expected:011d}_{_uuid_hex()}"
+            write_sink(
+                read_published(spark, root).where(F.lit(False)),
+                f"{root}/{nd}",
+                format=fmt,
+            )
+            new_dirs, own = [nd], own + [nd]
+        try:
+            v = _commit_dirs(
+                spark, root, new_dirs, fmt, "replace", expected, own
+            )
+        except ConcurrentPublishError:
+            continue
+        return {
+            "version": v,
+            "deleted": deleted,
+            "rewritten_segments": rewritten,
+            "kept_segments": len(chain) - rewritten,
+        }
+    raise RuntimeError(
+        f"delete_published: snapshot at {root!r} kept moving; "
+        "retry when ingest pressure drops"
+    )
+
+
+def upsert_published(
+    df: DataFrame,
+    root: str,
+    key_cols: list[str],
+    *,
+    cluster_by: list[str] | None = None,
+) -> dict[str, int]:
+    """MERGE a batch into a published table by key, copy-on-write:
+    existing rows whose ``key_cols`` match a batch row are replaced by
+    it; batch rows with unseen keys are inserted (the re-crawl /
+    updated-record shape). Like ``delete_published``, cost is
+    O(matching segments + batch): segments with no key hits are
+    re-referenced untouched, hit segments are rewritten without the
+    matched rows (one anti-join each — Spark broadcasts the key side
+    when small), and the batch lands as one new clustered segment in
+    the SAME atomic multi-dir commit, so readers never see the
+    delete-without-insert intermediate state.
+
+    Contract notes: batch rows are written verbatim — two batch rows
+    sharing a key both land (dedupe upstream if that's not intended);
+    NULL keys never match existing rows (SQL join semantics), so they
+    always insert; a segment missing some key column can't match and
+    is kept as-is; batch columns absent from old segments surface as
+    NULL on old rows (``read_published`` schema drift).
+
+    Returns ``{"version", "updated", "inserted", "rewritten_segments",
+    "kept_segments"}``."""
+    spark = df.sparkSession
+    keys = df.select(*key_cols).dropDuplicates().persist()
+    try:
+        keys.count()  # materialize once; reused per segment probe
+        n_batch = df.count()
+        for _ in range(10):
+            entries = _manifest_entries(spark, root)
+            if not entries:
+                raise FileNotFoundError(
+                    f"no published version under {root!r}"
+                )
+            expected = entries[-1][0] + 1
+            chain = _resolve_chain(spark, entries)
+            fmt = _chain_format(chain, "upsert_published")
+            new_dirs: list[str] = []
+            own: list[str] = []
+            updated = 0
+            rewritten = 0
+            for vdir, f in chain:
+                seg = read_source(spark, f"{root}/{vdir}", format=f)
+                if not all(k in seg.columns for k in key_cols):
+                    new_dirs.append(vdir)
+                    continue
+                n_hit = seg.join(keys, key_cols, "left_semi").count()
+                if n_hit == 0:
+                    new_dirs.append(vdir)
+                    continue
+                updated += n_hit
+                rewritten += 1
+                survivors = seg.join(keys, key_cols, "left_anti")
+                if survivors.isEmpty():
+                    continue
+                nd = f"v_{expected:011d}_{_uuid_hex()}"
+                write_sink(survivors, f"{root}/{nd}", format=f)
+                new_dirs.append(nd)
+                own.append(nd)
+            batch = _range_cluster(df, cluster_by) if cluster_by else df
+            bd = f"v_{expected:011d}_{_uuid_hex()}"
+            write_sink(batch, f"{root}/{bd}", format=fmt)
+            new_dirs.append(bd)
+            own.append(bd)
+            try:
+                v = _commit_dirs(
+                    spark, root, new_dirs, fmt, "replace", expected, own
+                )
+            except ConcurrentPublishError:
+                continue
+            return {
+                "version": v,
+                "updated": updated,
+                "inserted": n_batch - updated,
+                "rewritten_segments": rewritten,
+                "kept_segments": len(chain) - rewritten,
+            }
+        raise RuntimeError(
+            f"upsert_published: snapshot at {root!r} kept moving; "
+            "retry when ingest pressure drops"
+        )
+    finally:
+        keys.unpersist()
+
+
+def _uuid_hex() -> str:
+    import uuid as _uuid
+
+    return _uuid.uuid4().hex[:8]
+
+
 def vacuum_published(
     spark: SparkSession, root: str, *, keep: int = 2, grace_s: int = 3600
 ) -> int:
@@ -575,17 +842,23 @@ def vacuum_published(
     live_dirs: set[str] = set()
     live_versions: set[int] = set()
     referenced: set[str] = set()
+    # live = the entries (and their dirs) on some KEPT snapshot's
+    # chain — the entry-version walk, not a dirs-are-live test: a COW
+    # (delete/upsert) commit re-references its predecessors' untouched
+    # dirs, so "this entry's dirs all survive" no longer implies "this
+    # entry resolves" (its own BASE entry may be vacuumed away, and a
+    # kept-but-unresolvable pin would fail mid-chain, exactly what
+    # _entries_at promises never happens).
     for i in range(len(entries) - len(kept_entries), len(entries)):
-        for vdir, _ in _resolve_chain(spark, entries[: i + 1]):
-            live_dirs.add(vdir)
-    # manifest entries to keep: every entry whose directory is live
-    # (chain members below a kept snapshot included — resolving a kept
-    # snapshot later must still find its appends' entries)
+        for j in range(i, -1, -1):
+            nj, mpath = entries[j]
+            vdirs, _fmt, mode = _parse_entry(_read_small_file(spark, mpath))
+            live_dirs.update(vdirs)
+            live_versions.add(nj)
+            if mode == "replace":
+                break
     for n, mpath in entries:
-        vdir = _parse_entry(_read_small_file(spark, mpath))[0]
-        referenced.add(vdir)
-        if vdir in live_dirs:
-            live_versions.add(n)
+        referenced.update(_parse_entry(_read_small_file(spark, mpath))[0])
     removed = 0
     now_ms = _time.time() * 1000
     rootp = jvm.org.apache.hadoop.fs.Path(root)

@@ -1947,3 +1947,126 @@ def docs_published_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_DELETE_PUBLISHED_SQL = """
+    WITH half AS (SELECT (MAX(doc_id) + 1) // 2 AS h FROM documents)
+    SELECT doc_id, text FROM documents
+    WHERE NOT (doc_id % 7 = 0 AND doc_id >= (SELECT h FROM half))
+"""
+
+
+@workload("docs_delete_published", _DELETE_PUBLISHED_SQL)
+def docs_delete_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write row-level DELETE on a published table
+    (sources/io.py:delete_published): the documents table lands as two
+    clustered segments, the delete predicate hits only the second —
+    the first segment's directory must be RE-REFERENCED in the new
+    snapshot (the O(matching segments) contract, asserted on the
+    manifest), and the live read equals the filtered table."""
+    import shutil
+    import tempfile
+
+    from prefixtree_spark.sources.io import (
+        append_published,
+        delete_published,
+        publish_version,
+        published_segments,
+        read_published,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    root = tempfile.mkdtemp(prefix="delete_published_workload_")
+    try:
+        publish_version(
+            docs.where(F.col("doc_id") < half), root, cluster_by=["doc_id"]
+        )
+        append_published(
+            docs.where(F.col("doc_id") >= half), root, cluster_by=["doc_id"]
+        )
+        before = published_segments(spark, root)
+        res = delete_published(
+            spark,
+            root,
+            f"doc_id % 7 = 0 AND doc_id >= {half}",
+            cluster_by=["doc_id"],
+        )
+        after = published_segments(spark, root)
+        assert after[0] == before[0], "COW must re-reference the untouched segment"
+        assert res["rewritten_segments"] == 1 and res["kept_segments"] == 1, res
+        out = read_published(spark, root).select("doc_id", "text")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_UPSERT_PUBLISHED_SQL = """
+    WITH half AS (SELECT (MAX(doc_id) + 1) // 2 AS h FROM documents),
+    batch AS (
+        SELECT doc_id, 'UPDATED:' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents
+        WHERE doc_id % 10 = 0 AND doc_id >= (SELECT h FROM half)
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 3
+    )
+    SELECT doc_id, text FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM batch)
+    UNION ALL
+    SELECT doc_id, text FROM batch
+"""
+
+
+@workload("docs_upsert_published", _UPSERT_PUBLISHED_SQL)
+def docs_upsert_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE (sources/io.py:upsert_published): a batch of
+    updated re-crawls (every 10th doc in the table's second half, text
+    rewritten) plus brand-new docs (ids shifted by 1e6) merges into a
+    two-segment published table by doc_id. The first segment has no
+    key hits and must keep its directory; updated rows are replaced,
+    new rows inserted, all in one atomic commit."""
+    import shutil
+    import tempfile
+
+    from prefixtree_spark.sources.io import (
+        append_published,
+        publish_version,
+        published_segments,
+        read_published,
+        upsert_published,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    root = tempfile.mkdtemp(prefix="upsert_published_workload_")
+    try:
+        publish_version(
+            docs.where(F.col("doc_id") < half), root, cluster_by=["doc_id"]
+        )
+        append_published(
+            docs.where(F.col("doc_id") >= half), root, cluster_by=["doc_id"]
+        )
+        before = published_segments(spark, root)
+        updates = docs.where(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") >= half)
+        ).select(
+            "doc_id",
+            F.concat(F.lit("UPDATED:"), F.col("doc_id").cast("string")).alias(
+                "text"
+            ),
+        )
+        inserts = docs.where(F.col("doc_id") % 10 == 3).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        res = upsert_published(
+            updates.unionByName(inserts), root, ["doc_id"],
+            cluster_by=["doc_id"],
+        )
+        after = published_segments(spark, root)
+        assert before[0] in after, "no-hit segment dir must be re-referenced"
+        assert res["rewritten_segments"] == 1, res
+        out = read_published(spark, root).select("doc_id", "text")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

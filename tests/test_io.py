@@ -609,3 +609,274 @@ def test_cluster_by_layout_properties(spark, tmp_path):
     assert len(ranges) > 1, "compaction collapsed to one file"
     for (_, prev_hi), (lo, _) in zip(ranges, ranges[1:]):
         assert prev_hi < lo, f"overlap after clustered compaction: {ranges}"
+
+
+# ---------------------------------------------------------------------------
+# copy-on-write row-level operations (delete_published / upsert_published)
+# ---------------------------------------------------------------------------
+
+
+def test_delete_published_cow_rewrites_only_matching_segments(spark, tmp_path):
+    """DELETE is O(matching segments): the untouched segment's
+    directory is RE-REFERENCED byte-identically in the new snapshot,
+    only the hit segment is rewritten, and the result equals the
+    filtered table."""
+    from prefixtree_spark.sources.io import (
+        append_published,
+        delete_published,
+        publish_version,
+        published_segments,
+        read_published,
+    )
+
+    root = str(tmp_path / "cow_del")
+    publish_version(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "name"]),
+        root,
+    )
+    append_published(
+        spark.createDataFrame([(4, "d"), (5, "e"), (6, "f")], ["id", "name"]),
+        root,
+    )
+    before = published_segments(spark, root)
+    out = delete_published(spark, root, "id >= 5")
+    assert out == {
+        "version": 3, "deleted": 2,
+        "rewritten_segments": 1, "kept_segments": 1,
+    }
+    after = published_segments(spark, root)
+    assert after[0] == before[0], "untouched segment dir must be re-referenced"
+    assert after[1] != before[1]
+    assert _pub_rows(read_published(spark, root)) == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+    ]
+
+
+def test_delete_published_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate is NULL stay."""
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.sources.io import (
+        delete_published,
+        publish_version,
+        read_published,
+    )
+
+    root = str(tmp_path / "cow_del_null")
+    publish_version(
+        spark.createDataFrame(
+            [(1, "keepme"), (2, None), (3, "dropme")], ["id", "name"]
+        ),
+        root,
+    )
+    out = delete_published(spark, root, F.col("name") == "dropme")
+    assert out["deleted"] == 1
+    assert sorted(
+        (r.id, r.name) for r in read_published(spark, root).collect()
+    ) == [(1, "keepme"), (2, None)]
+
+
+def test_delete_published_no_match_is_a_noop_commit(spark, tmp_path):
+    from prefixtree_spark.sources.io import (
+        delete_published,
+        publish_version,
+        published_version,
+        read_published,
+    )
+
+    root = str(tmp_path / "cow_del_noop")
+    publish_version(spark.createDataFrame([(1, "a")], ["id", "name"]), root)
+    out = delete_published(spark, root, "id > 100")
+    assert out == {
+        "version": 1, "deleted": 0,
+        "rewritten_segments": 0, "kept_segments": 1,
+    }
+    assert published_version(spark, root) == 1
+    assert _pub_rows(read_published(spark, root)) == [(1, "a")]
+
+
+def test_delete_published_everything_leaves_readable_empty_table(
+    spark, tmp_path
+):
+    from prefixtree_spark.sources.io import (
+        delete_published,
+        publish_version,
+        read_published,
+    )
+
+    root = str(tmp_path / "cow_del_all")
+    publish_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"]), root
+    )
+    out = delete_published(spark, root, "id >= 0")
+    assert out["deleted"] == 2
+    live = read_published(spark, root)
+    assert live.columns == ["id", "name"]
+    assert live.count() == 0
+
+
+def test_delete_published_schema_drift_predicate_sees_union_nulls(
+    spark, tmp_path
+):
+    """A predicate on an evolved column treats pre-evolution segments
+    as NULL there (what read_published returns for their rows), so
+    'lang IS NULL' deletes exactly the pre-evolution rows — and a
+    segment whose every row matches vanishes from the new snapshot."""
+    from prefixtree_spark.sources.io import (
+        append_published,
+        delete_published,
+        publish_version,
+        published_segments,
+        read_published,
+    )
+
+    root = str(tmp_path / "cow_del_drift")
+    publish_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"]), root
+    )
+    append_published(
+        spark.createDataFrame(
+            [(3, "c", "en"), (4, "d", "fr")], ["id", "name", "lang"]
+        ),
+        root,
+    )
+    out = delete_published(spark, root, "lang IS NULL")
+    assert out["deleted"] == 2 and out["rewritten_segments"] == 1
+    assert len(published_segments(spark, root)) == 1
+    assert sorted(
+        (r.id, r.name, r.lang) for r in read_published(spark, root).collect()
+    ) == [(3, "c", "en"), (4, "d", "fr")]
+
+
+def test_upsert_published_merge_semantics_and_cow(spark, tmp_path):
+    """Matching keys are replaced, unseen keys insert, and a segment
+    with no key hits keeps its directory."""
+    from prefixtree_spark.sources.io import (
+        append_published,
+        publish_version,
+        published_segments,
+        read_published,
+        upsert_published,
+    )
+
+    root = str(tmp_path / "cow_up")
+    publish_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"]), root
+    )
+    append_published(
+        spark.createDataFrame([(3, "c"), (4, "d")], ["id", "name"]), root
+    )
+    before = published_segments(spark, root)
+    out = upsert_published(
+        spark.createDataFrame([(2, "B"), (5, "E")], ["id", "name"]),
+        root,
+        ["id"],
+    )
+    assert out == {
+        "version": 3, "updated": 1, "inserted": 1,
+        "rewritten_segments": 1, "kept_segments": 1,
+    }
+    after = published_segments(spark, root)
+    assert before[1] in after, "no-hit segment dir must be re-referenced"
+    assert _pub_rows(read_published(spark, root)) == [
+        (1, "a"), (2, "B"), (3, "c"), (4, "d"), (5, "E"),
+    ]
+
+
+def test_cow_delete_time_travel_and_vacuum_make_removal_physical(
+    spark, tmp_path
+):
+    """The GDPR pair: delete removes rows from the live snapshot while
+    a pinned pre-delete version still reads them; vacuum then drops
+    the pre-delete snapshot's entry AND its rewritten-away directory,
+    while the COW-shared untouched directory survives (it's referenced
+    by the live snapshot)."""
+    import os
+
+    from prefixtree_spark.sources.io import (
+        append_published,
+        delete_published,
+        publish_version,
+        published_segments,
+        published_versions,
+        read_published,
+        vacuum_published,
+    )
+
+    root = str(tmp_path / "cow_gdpr")
+    publish_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"]), root
+    )
+    append_published(
+        spark.createDataFrame([(3, "forgetme"), (4, "d")], ["id", "name"]),
+        root,
+    )
+    shared_dir, hit_dir = [d for d, _ in published_segments(spark, root)]
+    v_pre = 2
+    delete_published(spark, root, "name = 'forgetme'")
+    assert _pub_rows(read_published(spark, root, version=v_pre)) == [
+        (1, "a"), (2, "b"), (3, "forgetme"), (4, "d"),
+    ]
+    vacuum_published(spark, root, keep=1, grace_s=0)
+    assert published_versions(spark, root) == [3]
+    assert os.path.isdir(os.path.join(root, shared_dir)), "shared dir is live"
+    assert not os.path.isdir(os.path.join(root, hit_dir)), (
+        "pre-delete data must be physically gone after vacuum"
+    )
+    assert _pub_rows(read_published(spark, root)) == [
+        (1, "a"), (2, "b"), (4, "d"),
+    ]
+    with pytest.raises(ValueError, match="not resolvable"):
+        read_published(spark, root, version=v_pre)
+
+
+def test_vacuum_keeps_chain_entries_structurally_not_by_dir_liveness(
+    spark, tmp_path
+):
+    """keep=2 after a COW delete: the kept snapshots are v3 (the
+    delete) and v2 (append) — and v2's chain NEEDS v1's entry, so
+    vacuum must keep all three entries even though v3 alone covers
+    every live directory."""
+    from prefixtree_spark.sources.io import (
+        append_published,
+        delete_published,
+        publish_version,
+        published_versions,
+        read_published,
+        vacuum_published,
+    )
+
+    root = str(tmp_path / "cow_vac_chain")
+    publish_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"]), root
+    )
+    append_published(spark.createDataFrame([(3, "c")], ["id", "name"]), root)
+    delete_published(spark, root, "id = 3")
+    vacuum_published(spark, root, keep=2, grace_s=0)
+    assert published_versions(spark, root) == [1, 2, 3]
+    assert _pub_rows(read_published(spark, root, version=2)) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    assert _pub_rows(read_published(spark, root)) == [(1, "a"), (2, "b")]
+
+
+def test_commit_dirs_stale_expected_version_cleans_own_dirs(spark, tmp_path):
+    import os
+
+    from prefixtree_spark.sources import io as pio
+
+    root = str(tmp_path / "cow_stale")
+    pio.publish_version(
+        spark.createDataFrame([(1, "a")], ["id", "name"]), root
+    )
+    own = "v_00000000099_deadbeef"
+    pio.write_sink(
+        spark.createDataFrame([(9, "z")], ["id", "name"]), f"{root}/{own}"
+    )
+    with pytest.raises(pio.ConcurrentPublishError):
+        pio._commit_dirs(
+            spark, root, [own], "parquet", "replace",
+            expected_version=99, own_dirs=[own],
+        )
+    assert not os.path.isdir(os.path.join(root, own))
+    assert _pub_rows(pio.read_published(spark, root)) == [(1, "a")]
