@@ -841,6 +841,33 @@ def int8_scales(corpus: DataFrame, cvec: str) -> np.ndarray:
     return scales
 
 
+def _check_stored_coverage(stored: DataFrame, c: DataFrame, what: str) -> None:
+    """Fail fast when a caller-supplied stored prefilter table (SQ8
+    ``quantized`` / PQ ``codes``) does not cover the corpus 1:1. Both
+    directions are recall hazards, not just inefficiencies: corpus
+    vectors MISSING from the stored table are never candidates (they
+    silently vanish from every top-k — the appended-but-not-re-encoded
+    case), and EXTRA stored rows outside the corpus let phantom
+    vectors win prefilter slots and tie-close the boundary above true
+    corpus neighbors. A row-count comparison catches both real-world
+    shapes (forgotten re-encode after append; stale superset after a
+    delete) for the price of two count jobs — parquet counts are
+    footer metadata, ~free next to the scan itself. Same-count
+    different-ids remains undetected (an id anti-join would cost a
+    real shuffle per query call; run one offline when in doubt).
+    Disable with ``verify_coverage=False`` after such an offline
+    check."""
+    n_stored, n_corpus = stored.count(), c.count()
+    if n_stored != n_corpus:
+        raise ValueError(
+            f"{what} has {n_stored} rows but the corpus has {n_corpus}: "
+            "the stored prefilter table must cover the corpus exactly "
+            "(re-encode after appends/deletes, or filter both sides "
+            "the same way); pass verify_coverage=False only after an "
+            "offline id-level check"
+        )
+
+
 def quantize_embeddings(
     df: DataFrame, id_col: str, vec_col: str, scales: np.ndarray,
     out_col: str = "qv8",
@@ -965,6 +992,7 @@ def cosine_topk_int8(
     quantized: "DataFrame | None" = None,
     exclude_self: bool = True,
     query_chunk_rows: int = 65536,
+    verify_coverage: bool = True,
 ) -> DataFrame:
     """Top-k cosine via an int8-quantized prefilter + exact float
     rerank (the faiss-SQ8 shape, re-expressed for Spark):
@@ -1006,11 +1034,12 @@ def cosine_topk_int8(
     )
     if scales.size == 0:  # empty corpus
         return empty
-    c8 = (
-        quantized.select("vec_id", "qv8")
-        if quantized is not None
-        else quantize_embeddings(corpus, cid, cvec, scales)
-    )
+    if quantized is not None:
+        if verify_coverage:
+            _check_stored_coverage(quantized, c, "quantized")
+        c8 = quantized.select("vec_id", "qv8")
+    else:
+        c8 = quantize_embeddings(corpus, cid, cvec, scales)
     pad = max(pad_factor * k, k + 1)
     n_q = q.count()
     if n_q == 0:
@@ -1396,6 +1425,7 @@ def cosine_topk_pq(
     m: int = 16,
     exclude_self: bool = True,
     query_chunk_rows: int = 65536,
+    verify_coverage: bool = True,
 ) -> DataFrame:
     """Top-k cosine via a product-quantized prefilter + exact float
     rerank — the 16× scan-bytes step beyond ``cosine_topk_int8``'s 4×
@@ -1428,11 +1458,12 @@ def cosine_topk_pq(
         "vec_id",
         F.lit(0).cast("long").alias("rank"),
     )
-    cq = (
-        codes.select("vec_id", "pq")
-        if codes is not None
-        else pq_encode(corpus, cid, cvec, codebooks)
-    )
+    if codes is not None:
+        if verify_coverage:
+            _check_stored_coverage(codes, c, "codes")
+        cq = codes.select("vec_id", "pq")
+    else:
+        cq = pq_encode(corpus, cid, cvec, codebooks)
     pad = max(pad_factor * k, k + 1)
     n_q = q.count()
     if n_q == 0:

@@ -703,3 +703,36 @@ def test_pq_prestored_codes_equal_per_call(spark, clustered):
         ).collect()
     }
     assert a == b and a
+
+
+def test_stored_prefilter_coverage_guard(spark, clustered):
+    """A stored quantized/codes table that doesn't cover the corpus 1:1
+    is a silent recall hole (appended-but-not-re-encoded vectors never
+    become candidates; phantom extra rows steal prefilter slots) — both
+    paths must fail fast, and verify_coverage=False must opt out."""
+    import pytest
+
+    df, _ = clustered
+    q = df.where(df.vec_id.isin([0]))
+    scales = ann.int8_scales(df, "embedding")
+    stored = ann.quantize_embeddings(df, "vec_id", "embedding", scales)
+    missing = stored.where("vec_id % 7 != 0")
+    with pytest.raises(ValueError, match="cover the corpus exactly"):
+        ann.cosine_topk_int8(
+            q, "vec_id", "embedding", df, "vec_id", "embedding",
+            k=5, scales=scales, quantized=missing,
+        )
+    books = ann.pq_fit(df, "embedding", m=4, sample_size=200)
+    codes = ann.pq_encode(df, "vec_id", "embedding", books)
+    extra = codes.unionByName(codes.limit(3))
+    with pytest.raises(ValueError, match="cover the corpus exactly"):
+        ann.cosine_topk_pq(
+            q, "vec_id", "embedding", df, "vec_id", "embedding",
+            k=5, codebooks=books, codes=extra,
+        )
+    # opt-out still runs (subset recall loss is then the caller's call)
+    out = ann.cosine_topk_int8(
+        q, "vec_id", "embedding", df, "vec_id", "embedding",
+        k=5, scales=scales, quantized=missing, verify_coverage=False,
+    )
+    assert out.count() == 5
