@@ -510,3 +510,45 @@ def test_vacuum_card_cache_deletes_only_orphans(spark, tmp_path):
     got2 = {r.metric: r.value
             for r in T.corpus_report_published(spark, root, "text").collect()}
     assert got == got2 == full and got["n_docs"] == 70.0
+
+
+def test_corpus_report_published_after_cow_delete(spark, tmp_path):
+    """COW delete composes with the incremental card: the rewritten
+    segment gets a fresh partial, the UNTOUCHED segment's stored
+    partial is reused byte-identically (same mtime), and the refreshed
+    card equals a full recompute of the post-delete table."""
+    import os
+
+    from prefixtree_spark.operators import text as T
+    from prefixtree_spark.sources import io as pio
+
+    root = str(tmp_path / "docs_cow_card")
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"the doc number {i} is here") for i in range(lo, hi)],
+            "doc_id long, text string",
+        )
+
+    pio.publish_version(batch(0, 40), root)
+    pio.append_published(batch(40, 70), root)
+
+    def card(df):
+        return {r.metric: r.value for r in df.collect()}
+
+    assert card(T.corpus_report_published(spark, root, "text"))["n_docs"] == 70.0
+    cache = str(tmp_path / "docs_cow_card_card")
+    lq_dir = os.path.join(cache, os.listdir(cache)[0])
+    untouched_vdir = pio.published_segments(spark, root)[0][0]
+    mtime_before = os.path.getmtime(os.path.join(lq_dir, untouched_vdir))
+
+    res = pio.delete_published(spark, root, "doc_id >= 60")
+    assert res["rewritten_segments"] == 1 and res["kept_segments"] == 1
+    got = card(T.corpus_report_published(spark, root, "text"))
+    full = card(
+        T.corpus_report(pio.read_published(spark, root), "doc_id", "text")
+    )
+    assert got == full and got["n_docs"] == 60.0
+    assert (
+        os.path.getmtime(os.path.join(lq_dir, untouched_vdir)) == mtime_before
+    ), "untouched segment's partial must be reused, not recomputed"
