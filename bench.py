@@ -1035,6 +1035,72 @@ def main() -> None:
             extras[f"zorder_ts_scan_{tag}_{run}"] = round(time.time() - t0, 3)
     shutil.rmtree(z_dir, ignore_errors=True)
 
+    # Copy-on-write DELETE economics (sources/io.py:delete_published):
+    # an 8-segment id-clustered events table, a delete whose predicate
+    # hits ONE segment's id range. COW probes every segment (stats-
+    # prunable scans) but rewrites only the hit one; the naive
+    # alternative rewrites the whole table. The gap is the rewritten-
+    # bytes ratio and widens linearly with segment count at fixed
+    # segment size — 100 TB ≈ thousands of segments, same one rewritten.
+    from prefixtree_spark.sources.io import (
+        delete_published as _cow_del,
+        publish_version as _cow_pub,
+        read_published as _cow_read,
+    )
+
+    cow_dir = tempfile.mkdtemp(prefix="bench_cow_")
+    cow_root = f"{cow_dir}/events"
+    ev_cow = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    e_hi = ev_cow.agg(F.max("event_id")).first()[0] + 1
+    step = e_hi // 8 + 1
+    _cow_pub(
+        ev_cow.where(F.col("event_id") < step), cow_root,
+        cluster_by=["event_id"],
+    )
+    for i in range(1, 8):
+        _append_pub(
+            ev_cow.where(
+                (F.col("event_id") >= i * step)
+                & (F.col("event_id") < (i + 1) * step)
+            ),
+            cow_root,
+            cluster_by=["event_id"],
+        )
+    pred = f"event_id >= {6 * step} AND event_id < {6 * step + step // 2}"
+    from prefixtree_spark.sources.io import (
+        published_segments as _cow_segs,
+    )
+
+    segs_before = {d for d, _ in _cow_segs(spark, cow_root)}
+    t0 = time.time()
+    res_cow = _cow_del(spark, cow_root, pred, cluster_by=["event_id"])
+    extras["cow_delete_one_segment_sec"] = round(time.time() - t0, 3)
+    extras["cow_delete_rewritten_segments"] = res_cow["rewritten_segments"]
+    extras["cow_delete_kept_segments"] = res_cow["kept_segments"]
+    extras["cow_delete_rows"] = res_cow["deleted"]
+    # the term that scales: bytes rewritten vs table bytes (wall clock
+    # at this size is fixed-job-overhead-bound; at 100 TB the rewrite
+    # bytes are the whole cost)
+    after_segs = _cow_segs(spark, cow_root)
+    extras["cow_delete_bytes_rewritten"] = sum(
+        _dir_bytes(f"{cow_root}/{d}")
+        for d, _ in after_segs
+        if d not in segs_before
+    )
+    extras["cow_delete_bytes_table"] = sum(
+        _dir_bytes(f"{cow_root}/{d}") for d, _ in after_segs
+    )
+    t0 = time.time()
+    _cow_pub(
+        _cow_read(spark, cow_root).where(f"NOT ({pred})"),
+        cow_root,
+        cluster_by=["event_id"],
+    )
+    extras["cow_fullrewrite_delete_sec"] = round(time.time() - t0, 3)
+    shutil.rmtree(cow_dir, ignore_errors=True)
+
     total = round(sum(times.values()), 3)
     # Spread audit (round-5 verdict #5): a median whose spread exceeds
     # 50% of it is not a regression-grade number — name the contention

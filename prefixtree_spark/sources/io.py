@@ -611,6 +611,51 @@ def _chain_format(chain: list[tuple[str, str]], op: str) -> str:
     return next(iter(fmts))
 
 
+def _probe_chain(
+    spark: SparkSession,
+    root: str,
+    chain: list[tuple[str, str]],
+    filter_fn,
+    tag_first: bool = False,
+) -> tuple[dict[str, int], list[str]]:
+    """Per-segment row counts of ``filter_fn(union of the chain)`` in
+    ONE reader and ONE job, plus the union-schema column list. One
+    reader matters: per-segment ``spark.read`` calls each pay a
+    driver-side footer/schema round trip, which at typical chain
+    lengths costs more wall clock than the probe job itself.
+    ``mergeSchema`` presents drifted segments exactly as
+    ``read_published`` does (missing columns NULL); the owning segment
+    of each surviving row is recovered from ``input_file_name`` — the
+    uuid'd ``v_<n>_<hex>`` dir-name pattern is unique per segment and
+    survives hive partition subdirs."""
+    fmt = chain[0][1]
+    reader = spark.read.format(fmt)
+    if fmt in ("parquet", "orc"):
+        reader = reader.option("mergeSchema", "true")
+    elif fmt == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    df = reader.load([f"{root}/{vdir}" for vdir, _ in chain])
+    vd = F.regexp_extract(
+        F.input_file_name(), "(v_[0-9]{11}_[0-9a-f]{8})", 1
+    ).alias("_vd")
+    if tag_first:
+        # joins can't evaluate input_file_name above two sources, so
+        # the tag is projected scan-side BEFORE filter_fn joins
+        tagged = filter_fn(df.select(*df.columns, vd)).select("_vd")
+    else:
+        # predicate filters go FIRST: a filter cannot be pushed through
+        # a projection containing the nondeterministic file-name tag,
+        # and the probe's whole point is the pushed-down pruned scan
+        tagged = filter_fn(df).select(vd)
+    counts = {
+        r["_vd"]: r["cnt"]
+        for r in tagged.groupBy("_vd")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    return counts, df.columns
+
+
 def delete_published(
     spark: SparkSession,
     root: str,
@@ -654,31 +699,38 @@ def delete_published(
         expected = entries[-1][0] + 1
         chain = _resolve_chain(spark, entries)
         fmt = _chain_format(chain, "delete_published")
-        segs = [
-            read_source(spark, f"{root}/{vdir}", format=f)
-            for vdir, f in chain
-        ]
-        union_cols: list[str] = []
-        for seg in segs:
-            union_cols.extend(c for c in seg.columns if c not in union_cols)
+        # ONE probe — one reader (one schema-inference round trip, not
+        # one per segment: at 8 segments those footers cost more
+        # driver time than the job itself) and one job. mergeSchema
+        # surfaces the union schema, so drifted segments evaluate the
+        # predicate with NULLs exactly as read_published presents
+        # them; the segment a match belongs to is recovered from
+        # input_file_name (segment dir names are uuid'd and unique).
+        match_counts, union_cols = _probe_chain(
+            spark, root, chain, lambda df: df.where(pred)
+        )
         new_dirs: list[str] = []
         own: list[str] = []
         deleted = 0
         rewritten = 0
-        for (vdir, f), seg in zip(chain, segs):
-            ev = seg
-            for c in union_cols:
-                if c not in seg.columns:
-                    ev = ev.withColumn(c, F.lit(None))
-            n_match = ev.where(pred).count()
+        for vdir, f in chain:
+            n_match = match_counts.get(vdir, 0)
             if n_match == 0:
                 new_dirs.append(vdir)
                 continue
             deleted += n_match
             rewritten += 1
-            survivors = ev.where(keep_cond).select(*seg.columns)
-            if survivors.isEmpty():
+            seg = read_source(spark, f"{root}/{vdir}", format=f)
+            # keep_cond is the exact complement of pred (TRUE goes,
+            # FALSE/NULL stays), so emptiness is arithmetic on the
+            # footer-metadata row count — no survivor rescan job
+            if seg.count() == n_match:
                 continue  # the whole segment vanishes from the entry
+            ev = seg
+            for c in union_cols:
+                if c not in seg.columns:
+                    ev = ev.withColumn(c, F.lit(None))
+            survivors = ev.where(keep_cond).select(*seg.columns)
             if cluster_by:
                 survivors = _range_cluster(survivors, cluster_by)
             nd = f"v_{expected:011d}_{_uuid_hex()}"
@@ -761,24 +813,34 @@ def upsert_published(
             expected = entries[-1][0] + 1
             chain = _resolve_chain(spark, entries)
             fmt = _chain_format(chain, "upsert_published")
+            # one reader + one semi-join probe across the chain (see
+            # _probe_chain); a segment missing a key column reads it
+            # as NULL under the merged schema, matches nothing, and is
+            # kept as-is — the same contract, no per-segment scan
+            hit_counts, _cols = _probe_chain(
+                spark,
+                root,
+                chain,
+                lambda df: df.join(keys, key_cols, "left_semi"),
+                tag_first=True,
+            )
             new_dirs: list[str] = []
             own: list[str] = []
             updated = 0
             rewritten = 0
             for vdir, f in chain:
-                seg = read_source(spark, f"{root}/{vdir}", format=f)
-                if not all(k in seg.columns for k in key_cols):
-                    new_dirs.append(vdir)
-                    continue
-                n_hit = seg.join(keys, key_cols, "left_semi").count()
+                n_hit = hit_counts.get(vdir, 0)
                 if n_hit == 0:
                     new_dirs.append(vdir)
                     continue
+                seg = read_source(spark, f"{root}/{vdir}", format=f)
                 updated += n_hit
                 rewritten += 1
-                survivors = seg.join(keys, key_cols, "left_anti")
-                if survivors.isEmpty():
+                # anti = total − semi, so emptiness is footer-count
+                # arithmetic, not a rescan job
+                if seg.count() == n_hit:
                     continue
+                survivors = seg.join(keys, key_cols, "left_anti")
                 nd = f"v_{expected:011d}_{_uuid_hex()}"
                 write_sink(survivors, f"{root}/{nd}", format=f)
                 new_dirs.append(nd)
