@@ -772,6 +772,103 @@ def delete_published(
     )
 
 
+def update_published(
+    spark: SparkSession,
+    root: str,
+    predicate,
+    assignments: dict,
+    *,
+    cluster_by: list[str] | None = None,
+) -> dict[str, int]:
+    """Row-level UPDATE on a published table, copy-on-write (the
+    third of the DML triad with ``delete_published`` /
+    ``upsert_published``): rows where ``predicate`` is TRUE get each
+    ``assignments`` column set to its expression (a Column or SQL
+    string); FALSE/NULL rows are byte-identical. Untouched segments
+    are re-referenced; only segments containing matches are rewritten,
+    in one atomic multi-dir commit.
+
+    An assignment to a column a hit segment doesn't have yet ADDS it
+    there (non-matching rows read NULL) — the same schema-drift
+    contract appends already follow; segments without matches are not
+    widened. Predicates see drifted columns as NULL, as in
+    ``delete_published``.
+
+    Returns ``{"version", "updated", "rewritten_segments",
+    "kept_segments"}``; no matches commits nothing."""
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    hit = F.coalesce(pred.cast("boolean"), F.lit(False))
+    assigns = {
+        c: (F.expr(e) if isinstance(e, str) else e)
+        for c, e in assignments.items()
+    }
+    for _ in range(10):
+        entries = _manifest_entries(spark, root)
+        if not entries:
+            raise FileNotFoundError(f"no published version under {root!r}")
+        expected = entries[-1][0] + 1
+        chain = _resolve_chain(spark, entries)
+        fmt = _chain_format(chain, "update_published")
+        match_counts, union_cols = _probe_chain(
+            spark, root, chain, lambda df: df.where(pred)
+        )
+        new_dirs: list[str] = []
+        own: list[str] = []
+        updated = 0
+        rewritten = 0
+        for vdir, f in chain:
+            n_match = match_counts.get(vdir, 0)
+            if n_match == 0:
+                new_dirs.append(vdir)
+                continue
+            updated += n_match
+            rewritten += 1
+            seg = read_source(spark, f"{root}/{vdir}", format=f)
+            ev = seg
+            for c in union_cols:
+                if c not in seg.columns:
+                    ev = ev.withColumn(c, F.lit(None))
+            out_cols = list(seg.columns) + [
+                c for c in assigns if c not in seg.columns
+            ]
+            def _out(c):
+                old = F.col(c) if c in ev.columns else F.lit(None)
+                if c in assigns:
+                    return F.when(hit, assigns[c]).otherwise(old).alias(c)
+                return old.alias(c)
+
+            rewritten_seg = ev.select(*(_out(c) for c in out_cols))
+            if cluster_by:
+                rewritten_seg = _range_cluster(rewritten_seg, cluster_by)
+            nd = f"v_{expected:011d}_{_uuid_hex()}"
+            write_sink(rewritten_seg, f"{root}/{nd}", format=f)
+            new_dirs.append(nd)
+            own.append(nd)
+        if rewritten == 0:
+            return {
+                "version": entries[-1][0],
+                "updated": 0,
+                "rewritten_segments": 0,
+                "kept_segments": len(chain),
+            }
+        try:
+            v = _commit_dirs(
+                spark, root, new_dirs, fmt, "replace", expected, own
+            )
+        except ConcurrentPublishError:
+            continue
+        return {
+            "version": v,
+            "updated": updated,
+            "rewritten_segments": rewritten,
+            "kept_segments": len(chain) - rewritten,
+        }
+    raise RuntimeError(
+        f"update_published: snapshot at {root!r} kept moving; "
+        "retry when ingest pressure drops"
+    )
+
+
 def upsert_published(
     df: DataFrame,
     root: str,

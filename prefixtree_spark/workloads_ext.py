@@ -2070,3 +2070,57 @@ def docs_upsert_published(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_UPDATE_PUBLISHED_SQL = """
+    WITH half AS (SELECT (MAX(doc_id) + 1) // 2 AS h FROM documents)
+    SELECT doc_id,
+           CASE WHEN doc_id % 9 = 0 AND doc_id >= (SELECT h FROM half)
+                THEN 'REDACTED' ELSE text END AS text
+    FROM documents
+"""
+
+
+@workload("docs_update_published", _UPDATE_PUBLISHED_SQL)
+def docs_update_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write row-level UPDATE (sources/io.py:update_published,
+    completing the DML triad): redact the text of every 9th doc in the
+    second half of a two-segment published table. The first segment
+    has no matches and must keep its directory; non-matching rows in
+    the hit segment are byte-identical after the rewrite."""
+    import shutil
+    import tempfile
+
+    from prefixtree_spark.sources.io import (
+        append_published,
+        publish_version,
+        published_segments,
+        read_published,
+        update_published,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    root = tempfile.mkdtemp(prefix="update_published_workload_")
+    try:
+        publish_version(
+            docs.where(F.col("doc_id") < half), root, cluster_by=["doc_id"]
+        )
+        append_published(
+            docs.where(F.col("doc_id") >= half), root, cluster_by=["doc_id"]
+        )
+        before = published_segments(spark, root)
+        res = update_published(
+            spark,
+            root,
+            f"doc_id % 9 = 0 AND doc_id >= {half}",
+            {"text": F.lit("REDACTED")},
+            cluster_by=["doc_id"],
+        )
+        after = published_segments(spark, root)
+        assert after[0] == before[0], "COW must re-reference the untouched segment"
+        assert res["rewritten_segments"] == 1 and res["kept_segments"] == 1, res
+        out = read_published(spark, root).select("doc_id", "text")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

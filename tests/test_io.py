@@ -880,3 +880,66 @@ def test_commit_dirs_stale_expected_version_cleans_own_dirs(spark, tmp_path):
         )
     assert not os.path.isdir(os.path.join(root, own))
     assert _pub_rows(pio.read_published(spark, root)) == [(1, "a")]
+
+
+def test_update_published_cow_semantics(spark, tmp_path):
+    """UPDATE rewrites only matching segments; non-matching rows are
+    unchanged; a no-hit segment keeps its directory; NULL-predicate
+    rows are untouched (SQL UPDATE contract)."""
+    from prefixtree_spark.sources.io import (
+        append_published,
+        publish_version,
+        published_segments,
+        read_published,
+        update_published,
+    )
+
+    root = str(tmp_path / "cow_upd")
+    publish_version(
+        spark.createDataFrame([(1, "a"), (2, None)], ["id", "name"]), root
+    )
+    append_published(
+        spark.createDataFrame([(3, "c"), (4, "d")], ["id", "name"]), root
+    )
+    before = published_segments(spark, root)
+    out = update_published(
+        spark, root, "name = 'c'", {"name": "upper(name)"}
+    )
+    assert out == {
+        "version": 3, "updated": 1,
+        "rewritten_segments": 1, "kept_segments": 1,
+    }
+    after = published_segments(spark, root)
+    assert after[0] == before[0]
+    assert sorted(
+        (r.id, r.name) for r in read_published(spark, root).collect()
+    ) == [(1, "a"), (2, None), (3, "C"), (4, "d")]
+    # no-match update commits nothing
+    out2 = update_published(spark, root, "id > 99", {"name": "'x'"})
+    assert out2["rewritten_segments"] == 0 and out2["version"] == 3
+
+
+def test_update_published_can_add_a_column(spark, tmp_path):
+    """An assignment to a new column widens only the HIT segment; the
+    union read surfaces it with NULL on all other rows."""
+    from prefixtree_spark.sources.io import (
+        append_published,
+        publish_version,
+        read_published,
+        update_published,
+    )
+
+    root = str(tmp_path / "cow_upd_add")
+    publish_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"]), root
+    )
+    append_published(spark.createDataFrame([(3, "c")], ["id", "name"]), root)
+    out = update_published(
+        spark, root, "id = 3", {"flag": "CAST(1 AS INT)"}
+    )
+    assert out["updated"] == 1 and out["rewritten_segments"] == 1
+    live = read_published(spark, root)
+    assert set(live.columns) == {"id", "name", "flag"}
+    assert sorted(
+        (r.id, r.name, r.flag) for r in live.collect()
+    ) == [(1, "a", None), (2, "b", None), (3, "c", 1)]
