@@ -943,3 +943,64 @@ def test_update_published_can_add_a_column(spark, tmp_path):
     assert sorted(
         (r.id, r.name, r.flag) for r in live.collect()
     ) == [(1, "a", None), (2, "b", None), (3, "c", 1)]
+
+
+def test_delete_published_concurrent_append_is_never_dropped(
+    spark, tmp_path, monkeypatch
+):
+    """An append that lands between a delete's snapshot resolution and
+    its commit must NOT be dropped: the CAS commit fails, the delete
+    re-resolves, and the final snapshot has the appended rows minus
+    the deleted ones."""
+    from prefixtree_spark.sources import io as pio
+
+    root = str(tmp_path / "cow_race")
+    pio.publish_version(
+        spark.createDataFrame([(1, "a"), (2, "dropme")], ["id", "name"]), root
+    )
+    real_probe = pio._probe_chain
+    fired = {"done": False}
+
+    def probe_with_interleaved_append(*args, **kwargs):
+        out = real_probe(*args, **kwargs)
+        if not fired["done"]:
+            fired["done"] = True
+            pio.append_published(
+                spark.createDataFrame([(3, "late")], ["id", "name"]), root
+            )
+        return out
+
+    monkeypatch.setattr(pio, "_probe_chain", probe_with_interleaved_append)
+    res = pio.delete_published(spark, root, "name = 'dropme'")
+    assert res["deleted"] == 1
+    assert _pub_rows(pio.read_published(spark, root)) == [
+        (1, "a"), (3, "late"),
+    ]
+
+
+def test_compact_folds_cow_multi_dir_entry(spark, tmp_path):
+    """compact_published after a COW delete folds the multi-dir entry
+    back into one directory with identical content."""
+    from prefixtree_spark.sources.io import (
+        append_published,
+        compact_published,
+        delete_published,
+        publish_version,
+        published_segments,
+        read_published,
+    )
+
+    root = str(tmp_path / "cow_compact")
+    publish_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"]), root
+    )
+    append_published(
+        spark.createDataFrame([(3, "c"), (4, "d")], ["id", "name"]), root
+    )
+    delete_published(spark, root, "id = 4")
+    assert len(published_segments(spark, root)) == 2
+    compact_published(spark, root)
+    assert len(published_segments(spark, root)) == 1
+    assert _pub_rows(read_published(spark, root)) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
