@@ -634,26 +634,81 @@ def _probe_chain(
         reader = reader.option("mergeSchema", "true")
     elif fmt == "csv":
         reader = reader.option("header", "true").option("inferSchema", "true")
-    df = reader.load([f"{root}/{vdir}" for vdir, _ in chain])
+    try:
+        df = reader.load([f"{root}/{vdir}" for vdir, _ in chain])
+    except Exception:
+        # hive-partitioned segments: partition discovery rejects the
+        # non-key=value vdir components between the paths and their
+        # partition dirs (CONFLICTING_DIRECTORY_STRUCTURES; basePath
+        # doesn't help) — fall back to one reader per segment with
+        # deterministic lit() tags, which filters still push through
+        return _probe_chain_per_segment(spark, root, chain, filter_fn)
+    # greedy .* takes the LAST matching component: segment dirs are
+    # the only engine-minted names of this shape, but a root that
+    # itself lives under such a path must not win the extraction
+    vd_name = "_vd"
+    while vd_name in df.columns:
+        vd_name += "_"
     vd = F.regexp_extract(
-        F.input_file_name(), "(v_[0-9]{11}_[0-9a-f]{8})", 1
-    ).alias("_vd")
+        F.input_file_name(), ".*(v_[0-9]{11}_[0-9a-f]{8})", 1
+    ).alias(vd_name)
     if tag_first:
         # joins can't evaluate input_file_name above two sources, so
         # the tag is projected scan-side BEFORE filter_fn joins
-        tagged = filter_fn(df.select(*df.columns, vd)).select("_vd")
+        tagged = filter_fn(df.select(*df.columns, vd)).select(vd_name)
     else:
         # predicate filters go FIRST: a filter cannot be pushed through
         # a projection containing the nondeterministic file-name tag,
         # and the probe's whole point is the pushed-down pruned scan
         tagged = filter_fn(df).select(vd)
     counts = {
-        r["_vd"]: r["cnt"]
-        for r in tagged.groupBy("_vd")
+        r[vd_name]: r["cnt"]
+        for r in tagged.groupBy(vd_name)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
     return counts, df.columns
+
+
+def _probe_chain_per_segment(
+    spark: SparkSession,
+    root: str,
+    chain: list[tuple[str, str]],
+    filter_fn,
+) -> tuple[dict[str, int], list[str]]:
+    """Per-segment-reader probe for chains the multi-path reader can't
+    load (hive-partitioned segments). Each branch is tagged with a
+    deterministic ``lit(vdir)`` — filters push through those — and
+    widened to the union schema with NULLs before one union +
+    ``filter_fn`` + tiny aggregate. Costs one driver schema round trip
+    per segment, which is exactly what ``_probe_chain`` avoids on the
+    common unpartitioned path."""
+    segs = [
+        (vdir, read_source(spark, f"{root}/{vdir}", format=f))
+        for vdir, f in chain
+    ]
+    union_cols: list[str] = []
+    for _, seg in segs:
+        union_cols.extend(c for c in seg.columns if c not in union_cols)
+    vd_name = "_vd"
+    while vd_name in union_cols:
+        vd_name += "_"
+    tagged: DataFrame | None = None
+    for vdir, seg in segs:
+        ev = seg
+        for c in union_cols:
+            if c not in seg.columns:
+                ev = ev.withColumn(c, F.lit(None))
+        t = ev.select(*union_cols, F.lit(vdir).alias(vd_name))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    counts = {
+        r[vd_name]: r["cnt"]
+        for r in filter_fn(tagged)
+        .groupBy(vd_name)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    return counts, union_cols
 
 
 def delete_published(

@@ -1004,3 +1004,40 @@ def test_compact_folds_cow_multi_dir_entry(spark, tmp_path):
     assert _pub_rows(read_published(spark, root)) == [
         (1, "a"), (2, "b"), (3, "c"),
     ]
+
+
+def test_delete_published_on_hive_partitioned_segments(spark, tmp_path):
+    """Hive-partitioned segments defeat the multi-path probe reader
+    (partition discovery rejects the vdir components), so the probe
+    must fall back to per-segment readers and still delete correctly;
+    like compaction, the rewritten segment is unpartitioned."""
+    from prefixtree_spark.sources.io import (
+        append_published,
+        delete_published,
+        publish_version,
+        published_segments,
+        read_published,
+    )
+
+    root = str(tmp_path / "cow_hive")
+    publish_version(
+        spark.createDataFrame(
+            [(1, "a", "train"), (2, "b", "val")], ["id", "name", "split"]
+        ),
+        root,
+        partition_by=["split"],
+    )
+    append_published(
+        spark.createDataFrame(
+            [(3, "c", "train"), (4, "d", "val")], ["id", "name", "split"]
+        ),
+        root,
+        partition_by=["split"],
+    )
+    before = published_segments(spark, root)
+    out = delete_published(spark, root, "id = 4")
+    assert out["deleted"] == 1 and out["rewritten_segments"] == 1
+    assert published_segments(spark, root)[0] == before[0]
+    assert sorted(
+        (r.id, r.name, r.split) for r in read_published(spark, root).collect()
+    ) == [(1, "a", "train"), (2, "b", "val"), (3, "c", "train")]
