@@ -18,6 +18,12 @@ from prefixtree_spark.operators.build import create, load_index, save_index
 from prefixtree_spark.operators.incremental import add_words, remove_words
 from prefixtree_spark.operators.prefix import prefix_search
 from prefixtree_spark.operators.ranking import bm25_rank, rrf_fuse
+from prefixtree_spark.operators.classifier import (
+    load_quality_classifier,
+    save_quality_classifier,
+    score_quality,
+    train_quality_classifier,
+)
 from prefixtree_spark.operators.ann import (
     append_ivf_index,
     cosine_topk_int8,
@@ -130,6 +136,10 @@ __all__ = [
     "pq_fit",
     "pq_encode",
     "cosine_topk_pq",
+    "train_quality_classifier",
+    "score_quality",
+    "save_quality_classifier",
+    "load_quality_classifier",
 ]
 
 __version__ = "0.1.0"

@@ -2124,3 +2124,33 @@ def docs_update_published(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@workload("docs_quality_classifier", None)
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (operators/classifier.py) distilled from
+    the heuristic: label the documents table by quality_score >= its
+    median, train the hashed-BoW logistic regression on the labels,
+    score every doc map-only (no Exchange in the scoring plan — pinned
+    in tests). No SQL oracle (a trained model isn't SQL-expressible);
+    the gate's rows-only check holds because every doc scores exactly
+    one row. Accuracy/threshold properties live in
+    tests/test_classifier.py."""
+    from prefixtree_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+    from prefixtree_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scores = quality_score(docs, "doc_id", "text")
+    med = scores.agg(
+        F.expr("percentile_approx(quality, 0.5, 10000)")
+    ).first()[0]
+    labeled = docs.join(scores, "doc_id").select(
+        "doc_id", "text", (F.col("quality") >= med).cast("int").alias("label")
+    )
+    model = train_quality_classifier(labeled, "text", "label")
+    return score_quality(model, docs, "text").select(
+        "doc_id", (F.col("quality_prob") >= 0.5).cast("int").alias("kept")
+    )
