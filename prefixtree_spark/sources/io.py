@@ -151,6 +151,11 @@ def convert_to_parquet(
 
 _MANIFEST_DIR = "_manifest"
 
+import re as _re
+
+# txn ids live inside the tab-separated manifest payload
+_TXN_OK = _re.compile(r"[A-Za-z0-9._:\-]{1,200}")
+
 # manifest entry payload: "vdirs\tformat[\tmode]" where mode is
 # "replace" (default; the entry's directories ARE the table) or
 # "append" (the entry adds segments on top of the previous live
@@ -260,6 +265,7 @@ def append_published(
     format: str = "parquet",
     partition_by: list[str] | None = None,
     cluster_by: list[str] | None = None,
+    txn: str | None = None,
 ) -> int:
     """Atomically ADD ``df`` as a new segment of the table at ``root``
     (readers see old-snapshot-or-new, never partial) and return the
@@ -274,10 +280,27 @@ def append_published(
     ``cluster_by`` range-clusters THIS batch's files; ranges across
     different append segments still overlap (each batch spans the key
     space), so compaction — which re-clusters globally when given the
-    same ``cluster_by`` — is what restores whole-table pruning."""
+    same ``cluster_by`` — is what restores whole-table pruning.
+
+    ``txn`` makes the append EXACTLY-ONCE under retries (the Delta
+    txnAppId/txnVersion idea on the manifest): the id is recorded in
+    the committed entry, and a later append carrying the same id
+    returns that entry's version without writing anything — so a
+    crashed-and-retried streaming micro-batch (see
+    ``streaming.sink.stream_append_published``) can never land twice.
+    The replay check re-scans manifest payloads inside the commit
+    retry loop, so two racers with the same id resolve to one commit:
+    the loser's number-taken retry re-reads the winner's entry. Scan
+    cost is one small-file read per still-retained manifest entry —
+    ``vacuum_published`` is what keeps that bounded."""
+    if txn is not None and not _TXN_OK.fullmatch(txn):
+        raise ValueError(
+            f"txn id {txn!r} must match {_TXN_OK.pattern} (it is stored "
+            "inside the tab-separated manifest payload)"
+        )
     if cluster_by:
         df = _range_cluster(df, cluster_by)
-    return _publish_entry(df, root, "append", format, partition_by)
+    return _publish_entry(df, root, "append", format, partition_by, txn=txn)
 
 
 class ConcurrentPublishError(RuntimeError):
@@ -295,6 +318,7 @@ def _publish_entry(
     format: str,
     partition_by: list[str] | None,
     expected_version: int | None = None,
+    txn: str | None = None,
 ) -> int:
     import uuid as _uuid
 
@@ -302,6 +326,14 @@ def _publish_entry(
     attempts = 0
     while True:
         entries = _manifest_entries(spark, root)
+        if txn is not None:
+            # exactly-once replay check, INSIDE the retry loop: a racer
+            # that loses the version number re-lists and finds the
+            # winner's txn tag here before trying again
+            tag = f"txn={txn}"
+            for vn, mpath in entries:
+                if _read_small_file(spark, mpath).split("\t")[3:] == [tag]:
+                    return vn
         n = entries[-1][0] + 1 if entries else 1
         if expected_version is not None and n != expected_version:
             raise ConcurrentPublishError(
@@ -312,7 +344,10 @@ def _publish_entry(
         write_sink(
             df, f"{root}/{vdir}", format=format, partition_by=partition_by
         )
-        if _try_commit(spark, root, n, f"{vdir}\t{format}\t{mode}"):
+        payload = f"{vdir}\t{format}\t{mode}"
+        if txn is not None:
+            payload += f"\ttxn={txn}"
+        if _try_commit(spark, root, n, payload):
             return n
         # lost the race: clean our orphan data dir, retry
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{vdir}"), True)

@@ -13,6 +13,10 @@ from prefixtree_spark.streaming.ingest import (
     streaming_ingest_corpus,
 )
 from prefixtree_spark.streaming.sessionize import streaming_sessionize
+from prefixtree_spark.streaming.sink import (
+    published_txn_sink,
+    stream_append_published,
+)
 from prefixtree_spark.streaming.topk import latest_topk, streaming_topk
 
 __all__ = [
@@ -27,4 +31,6 @@ __all__ = [
     "ingest_sequential",
     "maintain_ingest",
     "streaming_ingest_corpus",
+    "stream_append_published",
+    "published_txn_sink",
 ]
