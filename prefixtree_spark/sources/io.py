@@ -332,7 +332,9 @@ def _publish_entry(
             # winner's txn tag here before trying again
             tag = f"txn={txn}"
             for vn, mpath in entries:
-                if _read_small_file(spark, mpath).split("\t")[3:] == [tag]:
+                # membership, not equality: future payload fields must
+                # not blind the replay check into duplicating a batch
+                if tag in _read_small_file(spark, mpath).split("\t")[3:]:
                     return vn
         n = entries[-1][0] + 1 if entries else 1
         if expected_version is not None and n != expected_version:
@@ -985,7 +987,11 @@ def upsert_published(
     NULL on old rows (``read_published`` schema drift).
 
     Returns ``{"version", "updated", "inserted", "rewritten_segments",
-    "kept_segments"}``."""
+    "kept_segments"}``. ``updated`` counts REPLACED existing rows — if
+    plain appends left duplicate keys in the table, one batch row
+    replaces all of them, so ``updated`` can exceed the batch's matched
+    keys and ``inserted`` (= batch rows − replaced rows) can go
+    negative; upsert-by-key is also how such duplicates get healed."""
     spark = df.sparkSession
     keys = df.select(*key_cols).dropDuplicates().persist()
     try:
