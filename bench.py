@@ -552,6 +552,52 @@ def main() -> None:
     extras["ivf_scale_warm_recall"] = round(
         len(got_w & exact_scale) / max(1, len(exact_scale)), 4
     )
+    # IVF-PQ at the same 64k scale: codes stored inside the probed
+    # postings replace the full-vector join for every probed candidate
+    # with an m-byte scan + bounded exact rerank — measure search time
+    # and recall against the SAME exact set, plus build and postings
+    # bytes vs the plain layout (the scan-bytes claim on disk).
+    t0 = time.time()
+    ann_ops.save_ivf_index(
+        big_c, "vec_id", "embedding", f"{scale_dir}/index_pq",
+        n_cells=32, n_replicas=4, pq_m=16,
+    )
+    extras["ivf_scale_pq_build_sec"] = round(time.time() - t0, 3)
+    idx_pq = ann_ops.load_ivf_index(spark, f"{scale_dir}/index_pq")
+    pq_runs = []
+    got_pq = set()
+    for _ in range(3):
+        t0 = time.time()
+        got_pq = {
+            (r.query_id, r.vec_id)
+            for r in ann_ops.cosine_topk_ivf_pq(
+                q_scale, "vec_id", "embedding", idx_pq, k=10, nprobe=8
+            ).collect()
+        }
+        pq_runs.append(time.time() - t0)
+    extras["ivf_scale_pq_sec"] = round(statistics.median(pq_runs[1:]), 3)
+    extras["ivf_scale_pq_cold"] = round(pq_runs[0], 3)
+    extras["ivf_scale_pq_recall"] = round(
+        len(got_pq & exact_scale) / max(1, len(exact_scale)), 4
+    )
+
+    def _ivf_post_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    extras["ivf_scale_postings_bytes_plain"] = _ivf_post_bytes(
+        f"{scale_dir}/index/postings"
+    )
+    extras["ivf_scale_postings_bytes_pq"] = _ivf_post_bytes(
+        f"{scale_dir}/index_pq/postings"
+    )
+    extras["ivf_scale_vectors_bytes"] = _ivf_post_bytes(
+        f"{scale_dir}/index/vectors"
+    )
     _sh.rmtree(scale_dir, ignore_errors=True)
 
     # SQ8 storage economics: the int8 claim is an IO claim, so measure

@@ -26,6 +26,9 @@ from prefixtree_spark.operators.classifier import (
 )
 from prefixtree_spark.operators.ann import (
     append_ivf_index,
+    cosine_topk_ivf_pq,
+    load_ivf_index,
+    save_ivf_index,
     cosine_topk_int8,
     cosine_topk_pq,
     int8_scales,
@@ -140,6 +143,9 @@ __all__ = [
     "score_quality",
     "save_quality_classifier",
     "load_quality_classifier",
+    "cosine_topk_ivf_pq",
+    "save_ivf_index",
+    "load_ivf_index",
 ]
 
 __version__ = "0.1.0"

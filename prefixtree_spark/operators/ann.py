@@ -617,11 +617,16 @@ class IVFIndex:
     def __init__(
         self, centroids: np.ndarray, postings: DataFrame,
         vectors: DataFrame, n_replicas: int,
+        codebooks: "np.ndarray | None" = None,
     ):
         self.centroids = centroids
         self.postings = postings
         self.vectors = vectors
         self.n_replicas = int(n_replicas)
+        # PQ codebooks when the index was saved with pq_m: postings
+        # then carry an m-byte code per vector and support the IVF-PQ
+        # search path (cosine_topk_ivf_pq); None on plain layouts
+        self.codebooks = codebooks
 
 
 def save_ivf_index(
@@ -635,6 +640,7 @@ def save_ivf_index(
     sample_size: int = 20_000,
     seed: int = 42,
     centroids: "np.ndarray | None" = None,
+    pq_m: int | None = None,
 ) -> None:
     """Train (or take pretrained) centroids, assign every corpus vector
     to its ``n_replicas`` nearest cells, and persist the whole trained
@@ -647,7 +653,14 @@ def save_ivf_index(
 
     ``centroids``: pass ``kmeans_fit`` output to persist the
     full-corpus-trained quantizer; default trains on a seeded sample
-    exactly like ``cosine_topk_ivf``."""
+    exactly like ``cosine_topk_ivf``.
+
+    ``pq_m``: ALSO train PQ codebooks (``pq_fit``) and store an m-byte
+    code per vector inside the cell-partitioned postings — the faiss
+    IVF-PQ layout. A probe then scans m bytes/vector instead of joining
+    full float vectors for every probed candidate, and
+    ``cosine_topk_ivf_pq`` reranks only the padded top exactly. Codes
+    are encoded inline while cells are assigned (one pass, no join)."""
     spark = corpus.sparkSession
     cvec_only = corpus.select(F.col(cvec).alias("v"))
     if centroids is not None:
@@ -668,9 +681,18 @@ def save_ivf_index(
     c_assign = _cell_assign_udf(cent, n_replicas)
     cbase = corpus.select(F.col(cid).alias("vec_id"), F.col(cvec).alias("cv"))
     cbase.write.mode("overwrite").parquet(f"{path}/vectors")
+    books = None
+    posting_cols = ["vec_id"]
+    celled = cbase.withColumn("cell", F.explode(c_assign(F.col("cv"))))
+    if pq_m is not None:
+        books = pq_fit(corpus, cvec, m=pq_m, sample_size=sample_size,
+                       seed=seed)
+        celled = celled.withColumn(
+            "pq", _pq_encode_udf(books)(F.col("cv"))
+        )
+        posting_cols.append("pq")
     (
-        cbase.withColumn("cell", F.explode(c_assign(F.col("cv"))))
-        .select("vec_id", "cell")
+        celled.select(*posting_cols, "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path}/postings")
@@ -679,9 +701,19 @@ def save_ivf_index(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(cent)],
         "cell int, c array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    if books is not None:
+        spark.createDataFrame(
+            [
+                (int(j), int(i), [float(x) for x in books[j, i]])
+                for j in range(books.shape[0])
+                for i in range(books.shape[1])
+            ],
+            "j int, i int, c array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_books")
     spark.createDataFrame(
-        [(int(len(cent)), int(n_replicas), int(cent.shape[1]))],
-        "n_cells int, n_replicas int, dim int",
+        [(int(len(cent)), int(n_replicas), int(cent.shape[1]),
+          int(pq_m or 0))],
+        "n_cells int, n_replicas int, dim int, pq_m int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -694,11 +726,21 @@ def load_ivf_index(spark, path: str) -> IVFIndex:
     cent = np.zeros((meta.n_cells, meta.dim), dtype=np.float64)
     for r in cent_rows:
         cent[r.cell] = np.asarray(r.c, dtype=np.float64)
+    pq_m = meta.asDict().get("pq_m", 0)  # pre-PQ layouts have no field
+    books = None
+    if pq_m:
+        book_rows = spark.read.parquet(f"{path}/pq_books").collect()
+        n_cent = max(r.i for r in book_rows) + 1
+        dsub = len(book_rows[0].c)
+        books = np.zeros((pq_m, n_cent, dsub), dtype=np.float64)
+        for r in book_rows:
+            books[r.j, r.i] = np.asarray(r.c, dtype=np.float64)
     return IVFIndex(
         cent,
         spark.read.parquet(f"{path}/postings"),
         spark.read.parquet(f"{path}/vectors"),
         meta.n_replicas,
+        codebooks=books,
     )
 
 
@@ -740,9 +782,18 @@ def append_ivf_index(
         if n == 0:
             return 0
         delta.write.mode("append").parquet(f"{path}/vectors")
+        celled = delta.withColumn("cell", F.explode(c_assign(F.col("cv"))))
+        posting_cols = ["vec_id"]
+        if idx.codebooks is not None:
+            # PQ layout: codes come from the FROZEN codebooks, same as
+            # the frozen coarse quantizer — appended vectors stay
+            # searchable through the byte-scan path
+            celled = celled.withColumn(
+                "pq", _pq_encode_udf(idx.codebooks)(F.col("cv"))
+            )
+            posting_cols.append("pq")
         (
-            delta.withColumn("cell", F.explode(c_assign(F.col("cv"))))
-            .select("vec_id", "cell")
+            celled.select(*posting_cols, "cell")
             .write.mode("append")
             .partitionBy("cell")
             .parquet(f"{path}/postings")
@@ -812,6 +863,89 @@ def cosine_topk_ivf_index(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def cosine_topk_ivf_pq(
+    queries: DataFrame,
+    qid: str,
+    qvec: str,
+    index: IVFIndex,
+    k: int = 10,
+    *,
+    nprobe: int = 8,
+    pad_factor: int = 8,
+    exclude_self: bool = True,
+    query_chunk_rows: int = 65536,
+) -> DataFrame:
+    """IVF-PQ search (the faiss billion-scale composition, re-expressed
+    for Spark): coarse-quantizer routing prunes the postings scan to
+    the probed cells' directories (literal-IN partition filters, as in
+    ``cosine_topk_ivf_index``), the PQ codes STORED in those postings
+    score the probed candidates at m bytes/vector, and only the padded
+    per-query top is exactly reranked against the float vectors. Where
+    ``cosine_topk_ivf_index`` exact-scores (and joins full vectors
+    for) EVERY probed candidate, this path touches float vectors for
+    pad·k candidates per query — at cells of millions of vectors that
+    is the difference between the probe reading gigabytes and reading
+    megabytes.
+
+    Candidate scoring is PQ-over-the-probed-union: every query is
+    scored against all probed cells' codes (not only its own cells) —
+    recall can only improve, and the scan is one pruned pass either
+    way. Requires an index saved with ``pq_m``; coverage of the
+    pruned-codes-vs-vectors pair is structural (postings ⊆ vectors),
+    so the stored-table coverage guard is bypassed deliberately."""
+    if index.codebooks is None:
+        raise ValueError(
+            "cosine_topk_ivf_pq needs an index saved with pq_m "
+            "(save_ivf_index(..., pq_m=16)); this layout has no codes"
+        )
+    q_assign = _cell_assign_udf(index.centroids, nprobe)
+    qbase = queries.select(
+        F.col(qid).alias("query_id"), F.col(qvec).alias("qv")
+    )
+    probed = sorted(
+        {
+            r.cell
+            for r in qbase.withColumn(
+                "cell", F.explode(q_assign(F.col("qv")))
+            )
+            .select("cell")
+            .distinct()
+            .collect()
+        }
+    )
+    vectors = index.vectors.select("vec_id", "cv")
+    if not probed:
+        qt = queries.schema[qid].dataType.simpleString()
+        return vectors.limit(0).select(
+            F.col("vec_id").cast(qt).alias("query_id"),
+            "vec_id",
+            F.lit(0).cast("long").alias("rank"),
+        )
+    pruned = index.postings.where(F.col("cell").isin(probed)).select(
+        "vec_id", "pq"
+    )
+    if index.n_replicas > 1:
+        # replicated postings: the same (vec_id, pq) row appears in
+        # several probed cells — dedup before scoring, or the rank
+        # window would emit the duplicate as two top-k rows
+        pruned = pruned.dropDuplicates(["vec_id"])
+    return cosine_topk_pq(
+        queries,
+        qid,
+        qvec,
+        vectors,
+        "vec_id",
+        "cv",
+        k=k,
+        codebooks=index.codebooks,
+        codes=pruned,
+        pad_factor=pad_factor,
+        exclude_self=exclude_self,
+        query_chunk_rows=query_chunk_rows,
+        verify_coverage=False,
     )
 
 
@@ -1269,17 +1403,37 @@ def pq_fit(
     rng = np.random.default_rng(seed)
     n_cent = min(256, len(sample))
     books = np.zeros((m, n_cent, dsub), dtype=np.float64)
+    # Lloyd economics, measured at the 64k-scale index build: the
+    # original difference-tensor step cost ~90 s; the matmul identity
+    # (argmin_c ||x−c||² = argmin_c ||c||² − 2·x·c) still paid ~11 s of
+    # pure memory traffic materializing sample × 256 float64 distance
+    # matrices 240× over. Two standard cuts close it: train each
+    # subquantizer on ≤40 points per centroid (the faiss heuristic —
+    # beyond that, extra points barely move 4-dim cells) and run the
+    # distance step in float32 (assignment ties are harmless: any
+    # near-tie centroid is a near-equal reconstruction).
+    cap = n_cent * 40
     for j in range(m):
         x = sample[:, j * dsub : (j + 1) * dsub]
-        cent = x[rng.choice(len(x), size=n_cent, replace=False)]
+        xt = x if len(x) <= cap else x[
+            rng.choice(len(x), size=cap, replace=False)
+        ]
+        x32 = xt.astype(np.float32)
+        cent = xt[rng.choice(len(xt), size=n_cent, replace=False)]
         for _ in range(iters):
-            # plain L2 Lloyd step per subspace
-            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
-            for c in range(n_cent):
-                members = x[assign == c]
-                if len(members):
-                    cent[c] = members.mean(axis=0)
+            c32 = cent.astype(np.float32)
+            cn = (c32 ** 2).sum(axis=1)
+            assign = np.argmin(cn[None, :] - 2.0 * (x32 @ c32.T), axis=1)
+            counts = np.bincount(assign, minlength=n_cent)
+            sums = np.stack(
+                [
+                    np.bincount(assign, weights=xt[:, t], minlength=n_cent)
+                    for t in range(dsub)
+                ],
+                axis=1,
+            )
+            nz = counts > 0  # empty cells keep their old centroid
+            cent[nz] = sums[nz] / counts[nz, None]
         books[j] = cent
     return books
 
@@ -1298,6 +1452,16 @@ def pq_encode(
     division raises on them too), so no flag column is stored; the
     search path's zero guard is about RECONSTRUCTED-zero codes (see
     ``_pq_chunk_pairs``), which it detects from the codes alone."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        _pq_encode_udf(codebooks)(F.col(vec_col)).alias(out_col),
+    )
+
+
+def _pq_encode_udf(codebooks: np.ndarray):
+    """The Arrow-batched float-vector → m-byte-code encoder behind
+    ``pq_encode``, exposed as a reusable column function so the IVF-PQ
+    index can encode inline while assigning cells (no extra join)."""
     m, n_cent, dsub = codebooks.shape
     books = codebooks.astype(np.float32)
     cnorm2 = (books ** 2).sum(axis=2)  # (m, n_cent)
@@ -1315,10 +1479,7 @@ def pq_encode(
             codes[:, j] = np.argmin(d, axis=1).astype(np.uint8)
         return pd.Series([row.tobytes() for row in codes])
 
-    return df.select(
-        F.col(id_col).alias("vec_id"),
-        encode(F.col(vec_col)).alias(out_col),
-    )
+    return encode
 
 
 def _pq_chunk_pairs(

@@ -2154,3 +2154,30 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality(model, docs, "text").select(
         "doc_id", (F.col("quality_prob") >= 0.5).cast("int").alias("kept")
     )
+
+
+@workload("ann_topk_ivf_pq", None)
+def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (the faiss billion-scale layout): coarse
+    cells prune the postings scan, STORED m-byte PQ codes score the
+    probed candidates, exact rerank orders the padded top. Rows-only
+    (probing misses cells by design); lossless-composition and recall
+    properties are pinned in tests/test_ann.py."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id % 50 = 0")
+    path = tempfile.mkdtemp(prefix="ivfpq_workload_")
+    try:
+        ann.save_ivf_index(
+            emb, "vec_id", "embedding", path,
+            n_cells=32, n_replicas=4, pq_m=16,
+        )
+        idx = ann.load_ivf_index(spark, path)
+        out = ann.cosine_topk_ivf_pq(
+            q, "vec_id", "embedding", idx, k=10, nprobe=8
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -736,3 +736,89 @@ def test_stored_prefilter_coverage_guard(spark, clustered):
         k=5, scales=scales, quantized=missing, verify_coverage=False,
     )
     assert out.count() == 5
+
+
+def test_ivf_pq_index_save_load_and_lossless_composition(spark, clustered, tmp_path):
+    """save_ivf_index(pq_m=) persists codebooks + per-vector codes in
+    the cell-partitioned postings; with every cell probed and a
+    generous pad the IVF-PQ search equals the exact-rerank IVF-index
+    path (the prefilter is lossless at that setting)."""
+    df, rows = clustered
+    path = str(tmp_path / "ivfpq")
+    ann.save_ivf_index(
+        df, "vec_id", "embedding", path, n_cells=8, pq_m=4, seed=7
+    )
+    idx = ann.load_ivf_index(spark, path)
+    assert idx.codebooks is not None and idx.codebooks.shape[0] == 4
+    assert "pq" in idx.postings.columns
+    q = df.where(df.vec_id.isin([0, 50]))
+    a = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_ivf_pq(
+            q, "vec_id", "embedding", idx, k=5, nprobe=8, pad_factor=50
+        ).collect()
+    }
+    b = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_ivf_index(
+            q, "vec_id", "embedding", idx, k=5, nprobe=8
+        ).collect()
+    }
+    assert a == b and a
+
+
+def test_ivf_pq_selective_probe_recall(spark, clustered, tmp_path):
+    """Selective probing (nprobe=2 of 8 cells) on well-separated
+    clusters keeps high recall against the exact brute-force oracle."""
+    df, rows = clustered
+    path = str(tmp_path / "ivfpq_sel")
+    ann.save_ivf_index(
+        df, "vec_id", "embedding", path, n_cells=8, pq_m=4, seed=7
+    )
+    idx = ann.load_ivf_index(spark, path)
+    qids = [0, 25, 50, 75]
+    q = df.where(df.vec_id.isin(qids))
+    exact = _numpy_topk(rows, qids, 5)
+    got = {}
+    for r in ann.cosine_topk_ivf_pq(
+        q, "vec_id", "embedding", idx, k=5, nprobe=2
+    ).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(got.get(qid, set()) & set(exact[qid])) for qid in qids)
+    assert hits / (5 * len(qids)) >= 0.8
+
+
+def test_ivf_pq_append_keeps_codes_searchable(spark, clustered, tmp_path):
+    """append_ivf_index on a PQ layout encodes the delta with the
+    FROZEN codebooks; an appended exact twin of a query vector must
+    surface at rank 1."""
+    import numpy as np
+
+    df, rows = clustered
+    path = str(tmp_path / "ivfpq_app")
+    ann.save_ivf_index(
+        df, "vec_id", "embedding", path, n_cells=8, pq_m=4, seed=7
+    )
+    twin = spark.createDataFrame(
+        [(9000, rows[0][1])], df.schema
+    )
+    assert ann.append_ivf_index(spark, path, twin, "vec_id", "embedding") == 1
+    idx = ann.load_ivf_index(spark, path)
+    q = df.where(df.vec_id == 0)
+    top = ann.cosine_topk_ivf_pq(
+        q, "vec_id", "embedding", idx, k=3, nprobe=3
+    ).collect()
+    assert (0, 9000, 1) in {(r.query_id, r.vec_id, r.rank) for r in top}
+
+
+def test_ivf_pq_requires_pq_layout(spark, clustered, tmp_path):
+    import pytest
+
+    df, _ = clustered
+    path = str(tmp_path / "ivf_plain")
+    ann.save_ivf_index(df, "vec_id", "embedding", path, n_cells=4, seed=7)
+    idx = ann.load_ivf_index(spark, path)
+    assert idx.codebooks is None
+    q = df.where(df.vec_id == 0)
+    with pytest.raises(ValueError, match="pq_m"):
+        ann.cosine_topk_ivf_pq(q, "vec_id", "embedding", idx, k=3)
