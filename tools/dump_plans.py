@@ -195,18 +195,185 @@ def main() -> None:
         "range join (oracled: events_resampled_hourly).",
     )
 
+    # prose audits: sections whose plan property is stated (and pinned
+    # by a named test or bench extra) without a full explain dump —
+    # carried here so regeneration can never clobber them
+    def prose(title: str, commentary: str) -> None:
+        sections.append((title, commentary, None))
+
+    prose(
+        "Exact-substring dedup — duplicate_spans / remove_duplicate_spans",
+        "Duplication is never a pairwise join: one HashAggregate on the window's\n"
+        "md5 (`wh`) with a count≥2 filter (plus, for removal, `min(struct(\n"
+        "doc_id, i))` in the SAME aggregate — the keep-first choice costs no\n"
+        "extra pass), then a LeftSemi (detection) / inner+filter (removal) of\n"
+        "occurrences against that key set. Verified shape (sf0.001, simple\n"
+        "explain): the window branch reads ONLY `text` (column pruning), the\n"
+        "per-doc joins come back LeftOuter on `doc_id`, `n_windows` is computed\n"
+        "arithmetically from the token count (no aggregation), and coverage\n"
+        "positions re-explode only duplicated occurrences. No UDFs — every\n"
+        "stage is split/sequence/slice/md5/hash-agg inside codegen. At scale\n"
+        "the small broadcast sides (dup-window keys) grow past the threshold\n"
+        "and AQE swaps the semi-join to shuffle — same linearity, viral spans\n"
+        "still cost occurrences, not occurrences².",
+    )
+    prose(
+        "Semantic dedup — semantic_dedup",
+        "Plan after the round-5 fix (dropDuplicates guard removed — it cost\n"
+        "three corpus shuffles of SortAggregate+Exchange for a can't-fire\n"
+        "condition): 3 Exchanges total — the cluster-key self-join (corpus side\n"
+        "shuffles once on `cl`; at fixture size the other side broadcasts, at\n"
+        "scale both shuffle), the dropped-id distinct, and the LeftAnti join\n"
+        "back on `vid`. Cosine is the JVM `aggregate`/`zip_with` fold inside\n"
+        "the join condition — candidate pairs stream through the join, never\n"
+        "materialize. `max_cluster` fail-fasts degenerate clusterings instead\n"
+        "of silently going quadratic.",
+    )
+    prose(
+        "Temperature mixing — mixture_resample",
+        "One hash-agg to per-group masses (#domains rows), exact-integer rate\n"
+        "computation driver-side (arbitrary-precision ints), broadcast\n"
+        "map-join back, narrow md5-ppm filter: the corpus is scanned once and\n"
+        "never shuffled. Single Exchange in the plan (the tiny mass agg);\n"
+        "selection is a pure function of (id, seed, masses).",
+    )
+    prose(
+        "Streaming ingest — stored-bucket rejection (ingest_batch)",
+        "Verified shape (sf0.001, formatted explain of the candidate join): the\n"
+        "CORPUS side is a bare `Scan parquet` of `<root>_bands/v_*` — three\n"
+        "columns (doc, band, bucket), `PushedFilters` on the join keys, no\n"
+        "shingle split, no xxhash64-per-shingle, no ArrowEvalPython anywhere on\n"
+        "that side — the per-batch corpus recompute the side table exists to\n"
+        "remove (measured 0.2s scan vs ~1s recompute at a 2.4k-doc corpus;\n"
+        "ratio grows with corpus size). The BATCH side runs the full pipeline\n"
+        "(shingle explode → per-shingle xxhash64 → collect_list → one Arrow\n"
+        "signature UDF → band posexplode) but is O(|batch|), and it is the\n"
+        "BROADCAST side of the BroadcastHashJoin on (band, bucket) — the delta\n"
+        "broadcasts, the corpus bands table streams through its scan without an\n"
+        "Exchange. One Exchange total in the candidate plan (the (new_id,\n"
+        "corpus_id) distinct). Exact verification then semi-joins the corpus on\n"
+        "candidate ids before re-shingling, so corpus text is parsed only for\n"
+        "docs that share a bucket with the batch. The remaining O(corpus)\n"
+        "stage is the single-column exact-text anti-join guard.",
+    )
+    prose(
+        "SQ8 search — `cosine_topk_int8`",
+        "Required shape (verified via formatted explain at sf0.01): the\n"
+        "quantize step is a single `Project` of one `zip_with` expression over\n"
+        "the embedding scan — whole-stage codegen, no UDF, no Exchange; it\n"
+        "feeds the `MapInPandas` prefilter directly, so the quantized corpus is\n"
+        "never materialized through a shuffle. The rerank joins the\n"
+        "(|Q|·pad)-bounded candidate ids back to the float vectors (the only\n"
+        "time the float column is read) with the query side broadcast. The one\n"
+        "corpus-wide shuffle-free scan + bounded joins is the property that\n"
+        "makes the 4× IO claim real at scale; `int8_scales` adds a\n"
+        "(partitions × dim)-row map-side-combined posexplode max, constant in\n"
+        "corpus size.",
+    )
+    prose(
+        "Corpus data card — `corpus_report`",
+        "Verified shape (sf0.01 executed plan): the narrow per-doc projection\n"
+        "(token count + integer-scaled quality) folds into ONE map-side-\n"
+        "combined ≤10-key hash aggregate, eagerly pinned at 10 rows; the card\n"
+        "and histogram branches then read those 10 rows — the final plan shows\n"
+        "0 parquet scans and 2 partial-row Exchanges. The corpus is scanned\n"
+        "exactly once (in the pinning job) and never shuffled. The naive\n"
+        "union-of-two-aggregates form re-scanned the corpus 4× — that is the\n"
+        "regression this section exists to block. Oracled as\n"
+        "`docs_corpus_report`.",
+    )
+    prose(
+        "LM perplexity — `lm_nll`",
+        "Corpus scans: one bigram explode (narrow). Aggregates C(a,b) and\n"
+        "C(a) are map-side-combined on the bigram/token key — stats tables are\n"
+        "vocabulary²-bounded, not corpus-bounded. The scoring join is an\n"
+        "equi-join of doc-bigram occurrences against the stats table on (a, b)\n"
+        "— at 100 TB the stats side is orders smaller than the corpus and AQE\n"
+        "broadcast-converts it when it fits; the per-doc aggregate is again\n"
+        "map-side combined. The only driver value is the vocabulary count\n"
+        "scalar. Oracled as `docs_lm_nll`.",
+    )
+    prose(
+        "Shard export — `export_shards`",
+        "`shard_assign` is a pure narrow md5 projection (oracled as\n"
+        "`docs_shard_manifest`); the write pays exactly ONE Exchange\n"
+        "(`repartition(n_shards, shard)` — one-file-per-shard is a co-location\n"
+        "requirement, the shuffle is the feature) with a sort-within-partition\n"
+        "for deterministic file bytes. The manifest aggregates the WRITTEN\n"
+        "files (one read-back scan of the columnar output, map-side-combined on\n"
+        "≤n_shards keys) rather than re-running the input DAG — counts are\n"
+        "checksum-consistent with the exported bytes by construction, and an\n"
+        "expensive pipeline tail is computed once, not three times.",
+    )
+    prose(
+        "IVF persisted index — cosine_topk_ivf_index",
+        "The warm vector path (round-6): the probed-cell set is collected from\n"
+        "the (broadcast-bound) query batch — at most min(|queries|·nprobe,\n"
+        "n_cells) ints — and pushed into the postings scan as a literal IN, so\n"
+        "the FileScan carries `PartitionFilters: [cell IN (...)]` STATICALLY\n"
+        "(verified: unprobed `cell=` directories are never listed, on any\n"
+        "dynamic-pruning config; dynamicpruningexpression still appears on top\n"
+        "as belt-and-braces). Pinned by\n"
+        "`test_ivf_index_probed_scan_partition_pruned`. The rest of the plan:\n"
+        "broadcast (query_id, cell) → pruned id-only postings join → distinct\n"
+        "on replicated postings → vectors join for the exact rerank → per-query\n"
+        "row_number window. No kmeans, no corpus assignment pass — the two\n"
+        "costs `save_ivf_index` paid once; the warm-vs-per-call economics at\n"
+        "64k vectors are recorded in BENCH_EXTRAS (`ivf_scale_*`).",
+    )
+    prose(
+        "IVF-PQ — cosine_topk_ivf_pq",
+        "Same probed-cell literal-IN pruning as the persisted-index path, but\n"
+        "the pruned postings scan carries the STORED m-byte PQ codes, the\n"
+        "MapInPandas prefilter scores candidates from reconstructions (one\n"
+        "fancy-index + GEMM per Arrow batch), and the float `vectors/` table\n"
+        "is joined only for the padded per-query top — where the plain index\n"
+        "path joins full vectors for EVERY probed candidate. Measured at 64k\n"
+        "(BENCH_EXTRAS `ivf_scale_pq_*`): 2.3 s warm vs 6.4 s exact-rerank\n"
+        "probing at recall 1.0; postings bytes 3.4 MB (with codes) vs\n"
+        "1.0 MB (ids) vs 33 MB of float vectors the plain path's candidate\n"
+        "join reads against. Pinned by the lossless-composition and\n"
+        "frozen-codebook append tests in tests/test_ann.py.",
+    )
+    prose(
+        "COW DML probe — delete_published / update_published / upsert_published",
+        "One multi-path mergeSchema reader and ONE job probe the whole segment\n"
+        "chain (per-segment `spark.read` calls cost a driver footer round trip\n"
+        "each — 1.9 s of a 3.1 s delete at 8 segments before this): the delete\n"
+        "probe keeps the predicate BELOW the nondeterministic\n"
+        "`input_file_name()` tag so pushdown still prunes the scan (file stats\n"
+        "prune key-range predicates on clustered layouts); the upsert probe\n"
+        "tags scan-side because joins cannot evaluate input_file_name above\n"
+        "two sources. Hive-partitioned chains fall back to per-segment readers\n"
+        "with deterministic lit() tags (filters push through those). Rewrites\n"
+        "touch only matching segments; segment-vanishes emptiness is footer\n"
+        "arithmetic, not a rescan. Measured (BENCH_EXTRAS `cow_*`): 0.73 s vs\n"
+        "1.09 s full rewrite at 1M rows, 76 KB of 1.03 MB rewritten.",
+    )
+    prose(
+        "Quality classifier scoring — score_quality",
+        "Map-only by construction: RegexTokenizer + HashingTF + the logistic\n"
+        "model are per-row JVM transforms with broadcast coefficients — the\n"
+        "scored plan contains NO Exchange (pinned by\n"
+        "`test_scoring_plan_is_map_only`), so the filter pipelines into\n"
+        "whatever corpus scan feeds it. Training is bounded (labeled sample),\n"
+        "never the scale problem.",
+    )
+
     out = ["# PLANS — physical-plan audit of headline operators", ""]
     out.append(
         "Generated by `tools/dump_plans.py` (re-run after plan-affecting "
         "changes). Each section states the property the plan must keep "
-        "and which test pins it.\n"
+        "and which test pins it. Sections without a plan block are prose "
+        "audits of shapes verified by named tests/bench extras.\n"
     )
     for title, commentary, plan in sections:
         out.append(f"## {title}\n")
         out.append(commentary + "\n")
-        out.append("```")
-        out.append(plan.strip())
-        out.append("```\n")
+        if plan is not None:
+            out.append("```")
+            out.append(plan.strip())
+            out.append("```\n")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
