@@ -520,6 +520,29 @@ def published_segments(
     return _resolve_chain(spark, _entries_at(spark, root, version))
 
 
+def describe_published(spark: SparkSession, root: str) -> list[dict]:
+    """Operational health of a published table, one dict per LIVE
+    segment (oldest first): ``{"vdir", "format", "bytes", "n_files"}``
+    from listing metadata only — no data scan. The maintenance signal
+    in one call: many segments → run ``compact_published``; many small
+    files inside one → lower its writer parallelism or compact; big
+    rewritten-bytes deltas after DML → check predicate clustering."""
+    fs, jvm = _fs(spark, root)
+    out = []
+    for vdir, fmt in published_segments(spark, root):
+        p = jvm.org.apache.hadoop.fs.Path(f"{root}/{vdir}")
+        summary = fs.getContentSummary(p)
+        out.append(
+            {
+                "vdir": vdir,
+                "format": fmt,
+                "bytes": int(summary.getLength()),
+                "n_files": int(summary.getFileCount()),
+            }
+        )
+    return out
+
+
 def published_versions(spark: SparkSession, root: str) -> list[int]:
     """Version numbers still resolvable at ``root`` (oldest first):
     the valid inputs to ``read_published(version=)``. Shrinks only

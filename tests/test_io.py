@@ -1041,3 +1041,26 @@ def test_delete_published_on_hive_partitioned_segments(spark, tmp_path):
     assert sorted(
         (r.id, r.name, r.split) for r in read_published(spark, root).collect()
     ) == [(1, "a", "train"), (2, "b", "val"), (3, "c", "train")]
+
+
+def test_describe_published_reports_live_segments(spark, tmp_path):
+    from prefixtree_spark.sources.io import (
+        append_published,
+        delete_published,
+        describe_published,
+        publish_version,
+    )
+
+    root = str(tmp_path / "describe")
+    publish_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"]), root
+    )
+    append_published(spark.createDataFrame([(3, "c")], ["id", "name"]), root)
+    d = describe_published(spark, root)
+    assert [x["format"] for x in d] == ["parquet", "parquet"]
+    assert all(x["bytes"] > 0 and x["n_files"] >= 1 for x in d)
+    assert len(d) == 2
+    # after a COW delete the untouched segment's entry is unchanged
+    delete_published(spark, root, "id = 3")
+    d2 = describe_published(spark, root)
+    assert len(d2) == 1 and d2[0] == d[0]
