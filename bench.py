@@ -827,10 +827,10 @@ def main() -> None:
     # round-6 stored-evidence economics at the scale where they exist:
     # the sf-level ingest above runs on a corpus far below the pruning
     # threshold, so the two stored-evidence guard paths are measured in
-    # stage isolation on a tiled staged corpus (ingest-shaped: _pt_md5
+    # stage isolation on a tiled staged corpus (ingest-shaped: _pt_sha
     # stored with the rows; each tile's ids contiguous, so parquet
     # files carry tight id ranges exactly like append segments).
-    # Guard: the narrow hash-column join vs recomputing md5 over the
+    # Guard: the narrow hash-column join vs recomputing sha-256 over the
     # full text column. Verify fetch: the literal-IN pruned scan vs the
     # broadcast semi-join — once with CLUSTERED candidate ids (one
     # tile: range stats prune files) and once fully SPREAD (the honest
@@ -853,7 +853,7 @@ def main() -> None:
                 F.col("text"),
             ).alias("text"),
         )
-        .withColumn("_pt_md5", F.md5(F.col("text")))
+        .withColumn("_pt_sha", F.sha2(F.col("text"), 256))
     )
     t0 = time.time()
     _pub_v(big_src, f"{scale_dir}/c")
@@ -862,18 +862,18 @@ def main() -> None:
     extras["ingest_scale_docs"] = big_c.count()
     batch_sc = (
         docs_ing.where("doc_id % 5 = 0")
-        .select(F.md5(F.concat(F.lit("t3 "), F.col("text"))).alias("_h"))
+        .select(F.sha2(F.concat(F.lit("t3 "), F.col("text")), 256).alias("_h"))
         .cache()
     )
     batch_sc.count()
     for tag in ("cold", "warm"):
         t0 = time.time()
-        big_c.select(F.col("_pt_md5").alias("_ch"), "doc_id").join(
+        big_c.select(F.col("_pt_sha").alias("_ch"), "doc_id").join(
             batch_sc, F.col("_ch") == F.col("_h"), "left_semi"
         ).count()
         extras[f"ingest_scale_guard_hash_{tag}"] = round(time.time() - t0, 3)
         t0 = time.time()
-        big_c.select(F.md5(F.col("text")).alias("_ch"), "doc_id").join(
+        big_c.select(F.sha2(F.col("text"), 256).alias("_ch"), "doc_id").join(
             batch_sc, F.col("_ch") == F.col("_h"), "left_semi"
         ).count()
         extras[f"ingest_scale_guard_text_{tag}"] = round(time.time() - t0, 3)

@@ -835,10 +835,13 @@ def cosine_topk_ivf_index(
     # a guaranteed-pruned corpus scan — the right trade at any scale
     probed = sorted({r.cell for r in q_ids.select("cell").distinct().collect()})
     if not probed:
+        # empty query batch: derive the frame from the postings schema
+        # so vec_id keeps its STORED type (string ids stay string) and
+        # downstream unions/joins see the same schema as the live path
         return (
-            q_ids.select("query_id", F.col("cell").cast("long").alias("vec_id"))
-            .withColumn("rank", F.lit(0).cast("long"))
-            .limit(0)
+            q_ids.limit(0)
+            .join(index.postings.limit(0), "cell")
+            .select("query_id", "vec_id", F.lit(0).cast("long").alias("rank"))
         )
     postings = index.postings.where(F.col("cell").isin(probed))
     pairs = F.broadcast(q_ids).join(postings, "cell").select(

@@ -13,7 +13,9 @@ across clients, not just across calls.
 
     GET /search?q=<word>&k=<max_distance>   → [[word, distance], ...]
         (&metric=damerau for transposition-aware distance; the trie
-        is probed at 2k — still bounded by the max_k clamp — and the
+        is probed at 2k, so damerau requests are clamped to
+        k ≤ max_k // 2 — the traversal budget max_k bounds is the
+        PROBED radius, whichever metric asked for it — and the
         exact DL kernel reranks the pruned candidates)
     GET /prefix?p=<prefix>                  → [word, ...]
     GET /health                             → {"nodes": N}
@@ -119,6 +121,18 @@ class PrefixTreeServer:
                         if metric not in ("levenshtein", "damerau"):
                             self.send_error(
                                 400, "metric must be levenshtein or damerau"
+                            )
+                            return
+                        if metric == "damerau" and k > max_k // 2:
+                            # damerau probes the trie at 2k; max_k
+                            # bounds the PROBED radius, so the
+                            # request clamp halves
+                            self.send_error(
+                                400,
+                                f"k must be in [0, {max_k // 2}] for "
+                                f"metric=damerau (the trie is probed "
+                                f"at 2k and max_k={max_k} bounds the "
+                                f"probed radius)",
                             )
                             return
                         if metric == "damerau":

@@ -156,6 +156,54 @@ import re as _re
 # txn ids live inside the tab-separated manifest payload
 _TXN_OK = _re.compile(r"[A-Za-z0-9._:\-]{1,200}")
 
+# Retired-txn markers (Delta's setTransaction-retention idea): vacuum
+# deletes manifest entries of superseded versions, which would erase
+# the txn= tags append_published's exactly-once replay check scans — a
+# foreachBatch replay landing after an aggressive vacuum would then
+# re-append its batch. So BEFORE deleting a txn-tagged entry, vacuum
+# drops a tiny marker file under root/_txns recording (txn id,
+# committed version); the replay check consults markers after the
+# manifest scan. Markers are one small file per retired txn,
+# independent of snapshot retention (keep=1 stays safe), and are named
+# by a hash of the id because txn ids admit ':' which Hadoop Path
+# rejects in a filename component.
+_TXN_DIR = "_txns"
+
+
+def _txn_marker_path(root: str, txn: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256(txn.encode("utf-8")).hexdigest()[:40]
+    return f"{root}/{_TXN_DIR}/t_{h}"
+
+
+def _retire_txn(spark: SparkSession, root: str, txn: str, version: int) -> None:
+    """Record (txn, version) create-if-absent; losing a race to another
+    vacuum is fine — both write the same committed version."""
+    fs, jvm = _fs(spark, root)
+    p = jvm.org.apache.hadoop.fs.Path(_txn_marker_path(root, txn))
+    try:
+        out = fs.create(p, False)
+        try:
+            out.write(bytearray(f"{txn}\t{version}".encode("utf-8")))
+        finally:
+            out.close()
+    except Exception:
+        pass  # marker already present (or racer won) — same content
+
+
+def _retired_txn_version(spark: SparkSession, root: str, txn: str) -> int | None:
+    fs, jvm = _fs(spark, root)
+    p = jvm.org.apache.hadoop.fs.Path(_txn_marker_path(root, txn))
+    if not fs.exists(p):
+        return None
+    body = _read_small_file(spark, _txn_marker_path(root, txn)).split("\t")
+    # the full id is stored in the body: a (vanishingly unlikely)
+    # truncated-hash collision must not replay the WRONG txn
+    if len(body) == 2 and body[0] == txn:
+        return int(body[1])
+    return None
+
 # manifest entry payload: "vdirs\tformat[\tmode]" where mode is
 # "replace" (default; the entry's directories ARE the table) or
 # "append" (the entry adds segments on top of the previous live
@@ -292,7 +340,11 @@ def append_published(
     retry loop, so two racers with the same id resolve to one commit:
     the loser's number-taken retry re-reads the winner's entry. Scan
     cost is one small-file read per still-retained manifest entry —
-    ``vacuum_published`` is what keeps that bounded."""
+    ``vacuum_published`` is what keeps that bounded, and it retires the
+    txn tags of the entries it deletes into ``_txns`` markers the
+    replay check also consults, so exactly-once survives ANY vacuum
+    ``keep`` (no minimum-retention coupling between snapshot cleanup
+    and stream replay windows)."""
     if txn is not None and not _TXN_OK.fullmatch(txn):
         raise ValueError(
             f"txn id {txn!r} must match {_TXN_OK.pattern} (it is stored "
@@ -336,6 +388,11 @@ def _publish_entry(
                 # not blind the replay check into duplicating a batch
                 if tag in _read_small_file(spark, mpath).split("\t")[3:]:
                     return vn
+            # the entry may have been vacuumed away — its txn survives
+            # as a retired-txn marker (see _retire_txn)
+            rv = _retired_txn_version(spark, root, txn)
+            if rv is not None:
+                return rv
         n = entries[-1][0] + 1 if entries else 1
         if expected_version is not None and n != expected_version:
             raise ConcurrentPublishError(
@@ -1153,5 +1210,10 @@ def vacuum_published(
             removed += 1
     for n, mpath in entries:
         if n not in live_versions:
+            # preserve exactly-once: retire any txn tag to a marker
+            # BEFORE the entry (the tag's only other home) disappears
+            for fld in _read_small_file(spark, mpath).split("\t")[3:]:
+                if fld.startswith("txn="):
+                    _retire_txn(spark, root, fld[4:], n)
             fs.delete(jvm.org.apache.hadoop.fs.Path(mpath), False)
     return removed

@@ -57,9 +57,20 @@ def zorder_key(
     name = "_pt_z"
     while name in df.columns:
         name += "_"
-    # one scan for all bounds (numeric space; dates/timestamps via
-    # epoch cast so subtraction is well-defined)
-    nums = {c: F.col(c).cast("double") for c in cols}
+    # one scan for all bounds. Temporal types can't CAST to double in
+    # Spark 4 (DATATYPE_MISMATCH) — route them through epoch numerics:
+    # DATE → unix_date (days), TIMESTAMP[_NTZ] → unix_micros. Only
+    # monotonicity matters here (values feed width_bucket), so the
+    # session-tz shift in the NTZ→TIMESTAMP hop is harmless.
+    def _as_num(c: str):
+        t = base.get(c, "").split("(")[0]
+        if t == "date":
+            return F.unix_date(F.col(c)).cast("double")
+        if t in ("timestamp", "timestamp_ntz"):
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        return F.col(c).cast("double")
+
+    nums = {c: _as_num(c) for c in cols}
     bounds = df.agg(
         *[F.min(nums[c]).alias(f"lo_{i}") for i, c in enumerate(cols)],
         *[F.max(nums[c]).alias(f"hi_{i}") for i, c in enumerate(cols)],

@@ -33,14 +33,18 @@ candidate join reads stored buckets instead of re-shingling and
 re-hashing the whole corpus. Exact verification then re-shingles only
 the CANDIDATE corpus docs (semi-join on candidate ids — at 100 TB,
 thousands of docs, not the corpus). The exact-text guard is stored
-evidence too: survivors carry a ``_pt_md5`` column (md5 of the text)
-INSIDE the corpus segments — atomic with the corpus commit by
-construction, no cross-table crash ordering — so the guard scans a
-16-byte column plus the id, never the text column. Legacy segments
-published before this column exist as NULL rows after the
-schema-drift union; the guard computes their hashes from text on the
-fly, and parquet null-count stats prune that branch to zero files on
-a pure-ingest corpus. On corpora past a size threshold the near-dup
+evidence too: survivors carry a ``_pt_sha`` column (sha-256 of the
+text — collision-resistant, so no crafted pair of distinct documents
+can make one be rejected as an "exact duplicate" of the other, which
+md5's broken collision resistance allowed) INSIDE the corpus
+segments — atomic with the corpus commit by construction, no
+cross-table crash ordering — so the guard scans a fixed-width hash
+column plus the id, never the text column. Legacy segments published
+before this column (including old ``_pt_md5``-era segments, whose
+md5 evidence is deliberately NOT trusted) exist as NULL rows after
+the schema-drift union; the guard computes their hashes from text on
+the fly, and parquet null-count stats prune that branch to zero
+files on a pure-ingest corpus. On corpora past a size threshold the near-dup
 verify's corpus re-shingle pushes its bounded candidate-id set into
 the scan as a literal IN: the filter reaches the scan (no join, so no
 corpus shuffle), and parquet's id-range stats additionally prune
@@ -262,8 +266,8 @@ def ingest_batch(
     LSH — but the exact-text guard still rejects verbatim boilerplate
     copies regardless.
 
-    ``_pt_md5`` is a reserved column name: survivors are appended with
-    md5(text) under it (the stored exact-text evidence — see the
+    ``_pt_sha`` is a reserved column name: survivors are appended with
+    sha-256(text) under it (the stored exact-text evidence — see the
     module docstring), overwriting any same-named input column (so
     re-ingesting a published corpus recomputes rather than trusts
     it)."""
@@ -297,7 +301,7 @@ def ingest_batch(
     # the stored exact-text evidence rides every survivor row from here
     # on (NULL text hashes NULL — joins miss it, matching the historic
     # text-equality join's NULL semantics)
-    surv = surv.withColumn("_pt_md5", F.md5(F.col(text_col)))
+    surv = surv.withColumn("_pt_sha", F.sha2(F.col(text_col), 256))
     # 2. near-dup within-batch: LSH pairs -> components -> min-id keep
     # (dedup.dedup_corpus inlined so the component labels are available
     # for audit attribution). The pair set is eagerly pinned inside
@@ -330,43 +334,43 @@ def ingest_batch(
         victims_cc.select(F.col("node").alias(id_col)), id_col, "left_anti"
     )
     # 3. reject duplicates of the already-accepted corpus: exact text
-    # first via the STORED ``_pt_md5`` column (catches docs shorter
+    # first via the STORED ``_pt_sha`` column (catches docs shorter
     # than one shingle, which carry no LSH evidence — and is the guard
     # that makes replayed batches no-ops), then near-dup via the STORED
     # corpus buckets + exact verify over candidate corpus docs only
     bands_of_surv = None
     if published_version(spark, root) > 0:
         corpus = read_published(spark, root)
-        if "_pt_md5" in corpus.columns and _all_segments_fully_hashed(
-            spark, root, "_pt_md5"
+        if "_pt_sha" in corpus.columns and _all_segments_fully_hashed(
+            spark, root, "_pt_sha"
         ):
             # pure-ingest fast path: ONE two-column scan, no dedup
             # shuffle — ingest stores each accepted text exactly once
             # (this very guard), so stored hashes are unique and the
             # min-id-per-hash aggregate would be a pass-through
-            cor_hash = corpus.where(F.col("_pt_md5").isNotNull()).select(
-                F.col("_pt_md5").alias("_ch"), F.col(id_col).alias("_cm")
+            cor_hash = corpus.where(F.col("_pt_sha").isNotNull()).select(
+                F.col("_pt_sha").alias("_ch"), F.col(id_col).alias("_cm")
             )
         else:
-            if "_pt_md5" in corpus.columns:
+            if "_pt_sha" in corpus.columns:
                 # mixed chain: stored rows scan two narrow columns;
                 # legacy segments (published before the column) surface
                 # as NULLs after the schema-drift union and hash their
                 # text on the fly — parquet null-count stats prune that
                 # branch's files where the column is fully populated
-                cor_hash = corpus.where(F.col("_pt_md5").isNotNull()).select(
-                    F.col(id_col).alias("_cid"), F.col("_pt_md5").alias("_ch")
+                cor_hash = corpus.where(F.col("_pt_sha").isNotNull()).select(
+                    F.col(id_col).alias("_cid"), F.col("_pt_sha").alias("_ch")
                 ).unionByName(
-                    corpus.where(F.col("_pt_md5").isNull()).select(
+                    corpus.where(F.col("_pt_sha").isNull()).select(
                         F.col(id_col).alias("_cid"),
-                        F.md5(F.col(text_col)).alias("_ch"),
+                        F.sha2(F.col(text_col), 256).alias("_ch"),
                     )
                 )
             else:
                 # corpus predates the hash column entirely
                 cor_hash = corpus.select(
                     F.col(id_col).alias("_cid"),
-                    F.md5(F.col(text_col)).alias("_ch"),
+                    F.sha2(F.col(text_col), 256).alias("_ch"),
                 )
             # min id per hash: a legacy corpus may hold duplicate
             # texts; attribute to its first survivor, as the historic
@@ -383,13 +387,13 @@ def ingest_batch(
         # applies (idempotent replay) — only the lineage row is skipped.
         _note(
             surv.join(
-                cor_hash, F.col("_pt_md5") == F.col("_ch")
+                cor_hash, F.col("_pt_sha") == F.col("_ch")
             ).where(F.col(id_col) != F.col("_cm")),
             "exact_corpus",
             F.col("_cm"),
         )
         surv = surv.join(
-            cor_hash, F.col("_pt_md5") == F.col("_ch"), "left_anti"
+            cor_hash, F.col("_pt_sha") == F.col("_ch"), "left_anti"
         )
         if published_version(spark, broot) > 0:
             b_cor = read_published(spark, broot)

@@ -822,3 +822,31 @@ def test_ivf_pq_requires_pq_layout(spark, clustered, tmp_path):
     q = df.where(df.vec_id == 0)
     with pytest.raises(ValueError, match="pq_m"):
         ann.cosine_topk_ivf_pq(q, "vec_id", "embedding", idx, k=3)
+
+
+def test_ivf_index_empty_query_batch_keeps_stored_id_type(spark, tmp_path):
+    """String vec_ids: the empty-probed early return must carry vec_id
+    in the postings' STORED type (not a cast of the cell column), so an
+    empty batch's frame unions cleanly with a live batch's."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    rows = [(f"doc-{i}", [float(x) for x in rng.normal(size=8)])
+            for i in range(80)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    path = str(tmp_path / "ivf_strid")
+    ann.save_ivf_index(df, "vec_id", "embedding", path, n_cells=4,
+                       sample_size=80)
+    idx = ann.load_ivf_index(spark, path)
+    empty = ann.cosine_topk_ivf_index(
+        df.where(F.lit(False)), "vec_id", "embedding", idx, k=3, nprobe=2
+    )
+    live = ann.cosine_topk_ivf_index(
+        df.limit(2), "vec_id", "embedding", idx, k=3, nprobe=2
+    )
+    assert [f.dataType for f in empty.schema.fields] == [
+        f.dataType for f in live.schema.fields
+    ]
+    assert empty.count() == 0
+    assert live.unionByName(empty).count() == live.count()

@@ -1064,3 +1064,42 @@ def test_describe_published_reports_live_segments(spark, tmp_path):
     delete_published(spark, root, "id = 3")
     d2 = describe_published(spark, root)
     assert len(d2) == 1 and d2[0] == d[0]
+
+
+def test_vacuum_retains_txn_replay_guard(spark, tmp_path):
+    """Exactly-once must survive ANY vacuum ``keep``: vacuum retires
+    the txn tags of manifest entries it deletes into ``_txns`` markers,
+    so a foreachBatch replay landing after an aggressive vacuum returns
+    the original committed version instead of re-appending the batch
+    (the Delta setTransaction-retention analog)."""
+    from prefixtree_spark.sources.io import (
+        append_published,
+        publish_version,
+        published_version,
+        read_published,
+        vacuum_published,
+    )
+
+    root = str(tmp_path / "pub_txn_vacuum")
+    publish_version(spark.createDataFrame([(1, "a")], ["id", "name"]), root)
+    v_b1 = append_published(
+        spark.createDataFrame([(2, "b")], ["id", "name"]), root, txn="b1"
+    )
+    append_published(
+        spark.createDataFrame([(3, "c")], ["id", "name"]), root, txn="b2"
+    )
+    # replace supersedes the whole append chain, then vacuum keep=1
+    # deletes the txn-tagged entries' manifests
+    publish_version(spark.createDataFrame([(9, "z")], ["id", "name"]), root)
+    assert vacuum_published(spark, root, keep=1) > 0
+    before = published_version(spark, root)
+    # replayed batch b1: must be a no-op answering the ORIGINAL version
+    assert append_published(
+        spark.createDataFrame([(2, "b")], ["id", "name"]), root, txn="b1"
+    ) == v_b1
+    assert published_version(spark, root) == before
+    assert sorted(r.id for r in read_published(spark, root).collect()) == [9]
+    # a genuinely new txn still commits
+    assert append_published(
+        spark.createDataFrame([(4, "d")], ["id", "name"]), root, txn="b3"
+    ) == before + 1

@@ -150,3 +150,37 @@ def test_compact_published_zorder_roundtrip(spark, tmp_path):
     if len(zr) > 1:  # with several files, no file may span the whole grid
         assert any(r["y"][1] - r["y"][0] < n - 1 for r in zr)
         assert any(r["x"][1] - r["x"][0] < n - 1 for r in zr)
+
+
+def test_zorder_key_date_and_timestamp_columns(spark, tmp_path):
+    """Temporal columns are advertised (docstring: numeric / date /
+    timestamp) but DATE and TIMESTAMP_NTZ cannot CAST to double in
+    Spark 4 — the key must route them through epoch numerics, and the
+    resulting buckets must still order by time."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    rows = [
+        (i, datetime.date(2020, 1, 1) + datetime.timedelta(days=i * 30),
+         datetime.datetime(2020, 1, 1) + datetime.timedelta(hours=i))
+        for i in range(16)
+    ]
+    df = spark.createDataFrame(rows, ["x", "d", "ts"])
+    # date × int
+    keyed, name = zorder_key(df, ["x", "d"], bits=4)
+    got = {r.x: r[name] for r in keyed.collect()}
+    # x and d increase together → the Morton code must too
+    xs = sorted(got)
+    assert [got[x] for x in xs] == sorted(got.values())
+    # timestamp × int and timestamp_ntz × int both key fine
+    keyed2, n2 = zorder_key(df, ["x", "ts"], bits=4)
+    assert keyed2.where(F.col(n2).isNull()).count() == 0
+    ntz = df.withColumn("tsn", F.col("ts").cast("timestamp_ntz"))
+    keyed3, n3 = zorder_key(ntz, ["x", "tsn"], bits=4)
+    assert keyed3.where(F.col(n3).isNull()).count() == 0
+    # and the cluster path (what compact_published(zorder=...) calls)
+    # writes without AnalysisException
+    out = str(tmp_path / "zdate")
+    zorder_cluster(df, ["x", "d"], bits=4, num_partitions=2).write.parquet(out)
+    assert spark.read.parquet(out).count() == 16

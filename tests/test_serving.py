@@ -164,3 +164,23 @@ def test_watch_published_index_hot_reload(spark, tmp_path):
             assert _get(srv.url("/search?q=CAT&k=0")) == []
         finally:
             stop.set()
+
+
+def test_search_damerau_k_clamped_to_half_max_k(spark):
+    """metric=damerau probes the trie at 2k, so the traversal budget
+    max_k bounds the PROBED radius: requests above max_k // 2 must be
+    rejected, at or below it must serve."""
+    import urllib.error
+
+    pt = create(_words_df(spark, SPARSE_WORDS), "word")
+    with PrefixTreeServer(build_local_index(pt), max_k=4) as srv:
+        try:
+            _get(srv.url("/search?q=CAT&k=3&metric=damerau"))
+            raise AssertionError("damerau k=3 > max_k//2 should be rejected")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        assert isinstance(
+            _get(srv.url("/search?q=CAT&k=2&metric=damerau")), list
+        )
+        # the levenshtein path keeps the full budget
+        assert isinstance(_get(srv.url("/search?q=CAT&k=4")), list)

@@ -282,7 +282,7 @@ def test_replay_writes_no_false_audit_lineage(spark, tmp_path):
 
 
 def test_stored_text_hash_column_and_legacy_guard(spark, tmp_path):
-    """Survivors carry md5(text) under the reserved ``_pt_md5`` column
+    """Survivors carry sha-256(text) under the reserved ``_pt_sha`` column
     INSIDE the corpus segments (the stored exact-text evidence: the
     guard scans two narrow columns, never corpus text). A corpus
     published BEFORE the column existed reads back as NULL rows; the
@@ -296,7 +296,7 @@ def test_stored_text_hash_column_and_legacy_guard(spark, tmp_path):
     publish_version(
         spark.createDataFrame([(1, "hi"), (2, long2)], ["doc_id", "text"]),
         root,
-    )  # legacy segment: no _pt_md5 column at all
+    )  # legacy segment: no _pt_sha column at all
     fresh4 = " ".join(f"new{i}" for i in range(20))
     # "hi" is shorter than one shingle: only the exact guard can reject
     # it, and the legacy corpus carries no stored hash for it
@@ -305,12 +305,12 @@ def test_stored_text_hash_column_and_legacy_guard(spark, tmp_path):
         root, "doc_id", "text",
     ) == 1
     corpus = read_published(spark, root)
-    assert "_pt_md5" in corpus.columns
+    assert "_pt_sha" in corpus.columns
     assert _ids(corpus) == [1, 2, 4]
     # mixed chain: stored hashes only for the ingested segment
-    assert corpus.where("_pt_md5 is not null").count() == 1
+    assert corpus.where("_pt_sha is not null").count() == 1
     assert corpus.where(
-        "_pt_md5 is not null and doc_id = 4"
+        "_pt_sha is not null and doc_id = 4"
     ).count() == 1
     # batch 2 against the mixed chain: (5) dups the STORED-hash doc 4,
     # (6) dups the legacy NULL-hash doc 2, (7) is novel
@@ -329,7 +329,7 @@ def test_stored_text_hash_column_and_legacy_guard(spark, tmp_path):
 
 def test_hash_fast_path_not_fooled_by_compacted_mixed_chain(spark, tmp_path):
     """Compacting a mixed chain (legacy segment + ingest appends) folds
-    everything into ONE segment whose schema HAS ``_pt_md5`` but whose
+    everything into ONE segment whose schema HAS ``_pt_sha`` but whose
     legacy rows are NULL. A fast path keyed on schema presence alone
     would drop those rows from the exact guard and re-admit legacy
     short docs — the null-count footer check must reject the fast path
@@ -346,8 +346,8 @@ def test_hash_fast_path_not_fooled_by_compacted_mixed_chain(spark, tmp_path):
         spark.createDataFrame([(2, fresh)], ["doc_id", "text"]),
         root, "doc_id", "text",
     ) == 1
-    compact_published(spark, root)  # one segment, schema has _pt_md5,
-    assert not _all_segments_fully_hashed(spark, root, "_pt_md5")
+    compact_published(spark, root)  # one segment, schema has _pt_sha,
+    assert not _all_segments_fully_hashed(spark, root, "_pt_sha")
     # "hi" is below one shingle: only the exact guard can reject it —
     # if the fast path engaged on the compacted chain, (3) would slip in
     assert ingest_batch(
@@ -364,7 +364,7 @@ def test_hash_fast_path_not_fooled_by_compacted_mixed_chain(spark, tmp_path):
         spark.createDataFrame([(1, fresh)], ["doc_id", "text"]),
         pure, "doc_id", "text",
     )
-    assert _all_segments_fully_hashed(spark, pure, "_pt_md5")
+    assert _all_segments_fully_hashed(spark, pure, "_pt_sha")
 
 
 def test_static_pruned_verify_twin(spark, tmp_path, monkeypatch):
