@@ -83,6 +83,7 @@ from prefixtree_spark.operators.query import (
     clear_local_index_cache,
     query,
     query_one,
+    reshard,
 )
 from prefixtree_spark.functions.damerau import damerau_levenshtein
 from prefixtree_spark.operators.similarity_join import (
@@ -95,6 +96,7 @@ __all__ = [
     "create",
     "query",
     "query_one",
+    "reshard",
     "LocalIndex",
     "build_local_index",
     "PrefixTreeServer",

@@ -331,24 +331,60 @@ def _query_broadcast_queries_chunked(
     return out
 
 
-def _reshard_tree(pt: DataFrame, n_nodes: int) -> DataFrame:
-    """Rebuild ``pt`` distributed from its end-cap words at a partition
-    count targeting ``_RESHARD_TARGET_PARTITION_NODES`` nodes per
-    forest — the distributed-rebuild trick ``_merged_local_index``
-    uses (create on end-cap words), generalized from "one partition
-    per first char" to whole-word hash at an explicit partition count
-    (skew-proof at any scale; each word lives in exactly one partition,
-    so query results cannot duplicate). Returns a PERSISTED colocated
-    tree; the caller unpersists. ``n_copies`` multiplicity is not
-    carried — the traversal never reads it, and the resharded tree is
-    internal to one query() call."""
+def reshard(pt: DataFrame, *, num_partitions: int | None = None) -> DataFrame:
+    """Rebuild ``pt``'s forest layout from its end-cap words at a
+    partition count whose per-partition forests fit a traversal task's
+    budget (``_RESHARD_TARGET_PARTITION_NODES`` nodes per forest when
+    ``num_partitions`` is not given) — the distributed-rebuild trick
+    ``_merged_local_index`` uses (create on end-cap words), generalized
+    from "one partition per first char" to whole-word hash at an
+    explicit partition count (skew-proof at any scale; each word lives
+    in exactly one partition, so query results cannot duplicate).
+
+    ``auto`` mode re-shards internally when it meets a tree whose
+    forests exceed the budget — and throws the result away when the
+    call returns, so REPEATED query batches against the same oversized
+    tree pay the rebuild every time. Pre-shard once instead::
+
+        pt2 = reshard(pt).persist()      # or save_index(reshard(pt))
+        query(pt2, batch1, "q", k, colocated=True)
+        query(pt2, batch2, "q", k, colocated=True)   # no rebuild
+
+    The result is a plain ``create`` output: colocated (safe for
+    ``colocated=True``), persistable, and ``save_index``-able like any
+    built tree. The word set is preserved verbatim (``trim="right"``
+    is identity on end-cap words; the length cap is lifted), so query
+    results are identical. ``n_copies`` multiplicity
+    (``keep_duplicates=True`` trees) is carried by re-expanding each
+    end-cap to its input count before the rebuild."""
     from prefixtree_spark.operators.build import create
 
+    if num_partitions is None:
+        n_nodes = pt.count()
+        num_partitions = max(1, -(-n_nodes // _RESHARD_TARGET_PARTITION_NODES))
+    caps = pt.where("is_word")
+    if "n_copies" in pt.columns:
+        words = caps.select(
+            F.explode(
+                F.array_repeat(F.col("node"), F.col("n_copies"))
+            ).alias("w")
+        )
+        return create(
+            words, "w", num_partitions=num_partitions, max_word_len=None,
+            trim="right", keep_duplicates=True,
+        )
+    return create(
+        caps.select(F.col("node").alias("w")), "w",
+        num_partitions=num_partitions, max_word_len=None, trim="right",
+    )
+
+
+def _reshard_tree(pt: DataFrame, n_nodes: int) -> DataFrame:
+    """auto mode's internal per-call reshard: delegate to ``reshard``
+    at the budget-derived partition count; returns a PERSISTED
+    colocated tree the caller unpersists."""
     target = max(1, -(-n_nodes // _RESHARD_TARGET_PARTITION_NODES))
-    words = pt.where("is_word").select(F.col("node").alias("w"))
-    re_pt = create(
-        words, "w", num_partitions=target, max_word_len=None, trim="right"
-    ).persist()
+    re_pt = reshard(pt, num_partitions=target).persist()
     re_pt.count()
     return re_pt
 

@@ -1217,3 +1217,68 @@ def vacuum_published(
                     _retire_txn(spark, root, fld[4:], n)
             fs.delete(jvm.org.apache.hadoop.fs.Path(mpath), False)
     return removed
+
+
+def maintain_published(
+    spark: SparkSession,
+    root: str,
+    *,
+    max_chain: int = 8,
+    small_file_mb: int = 32,
+    max_small_files: int = 64,
+    target_file_mb: int = 256,
+    cluster_by: list[str] | None = None,
+    zorder: bool = False,
+    vacuum: bool = True,
+    keep: int = 2,
+    grace_s: int = 3600,
+) -> dict:
+    """The maintenance policy loop for a published table: read the
+    health listing (``describe_published`` — listing metadata only, no
+    data scan), compact when the append chain or the small-file count
+    crosses a threshold, then vacuum superseded snapshots. Call it out
+    of band on a schedule (or after every N ingest batches); repeated
+    append/DML + ``maintain_published`` converges to a bounded chain
+    and bounded file count, with time travel over the ``keep`` newest
+    snapshots and txn replay (retired-txn markers) intact.
+
+    Triggers:
+    - chain length > ``max_chain`` — every reader unions that many
+      directories; compaction folds them into one replace segment;
+    - > ``max_small_files`` files in segments whose MEAN file size is
+      under ``small_file_mb`` (per-file sizes would need a deep
+      listing; the mean is the same signal at listing cost) — the
+      many-small-parquet-footers tax on scan open/planning.
+
+    Returns a report dict: ``{"chain_length", "small_files",
+    "compacted", "version", "vacuum_removed"}`` — ``version`` is the
+    new live version when compaction ran, else the current one."""
+    entries = _manifest_entries(spark, root)
+    if not entries:
+        return {
+            "chain_length": 0, "small_files": 0, "compacted": False,
+            "version": 0, "vacuum_removed": 0,
+        }
+    desc = describe_published(spark, root)
+    small = sum(
+        d["n_files"]
+        for d in desc
+        if d["n_files"] and d["bytes"] / d["n_files"] < small_file_mb * 1024 * 1024
+    )
+    need = len(desc) > max_chain or small > max_small_files
+    version = entries[-1][0]
+    if need:
+        version = compact_published(
+            spark, root, target_file_mb=target_file_mb,
+            cluster_by=cluster_by, zorder=zorder,
+        )
+    removed = (
+        vacuum_published(spark, root, keep=keep, grace_s=grace_s) if vacuum else 0
+    )
+    return {
+        "chain_length": len(desc),
+        "small_files": small,
+        "compacted": need,
+        "version": version,
+        "vacuum_removed": removed,
+    }

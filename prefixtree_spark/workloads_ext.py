@@ -873,17 +873,23 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("ann_topk_ivf", None)
+@workload("ann_topk_ivf", _ANN_ORACLE)
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via IVF (k-means coarse quantizer + probed
-    cells + exact rerank) — recall < 1 by design, so rows-only check;
-    recall vs the exact path asserted in tests/test_ann.py."""
+    """IVF in its EXACTNESS mode (round-6 verdict #3): ``nprobe =
+    n_cells`` probes every cell, so the candidate set is the whole
+    corpus (each vector lives in exactly one cell) and the exact
+    cosine rerank makes the output identical to brute-force top-k —
+    the full IVF machinery (centroid training, cell assignment,
+    cell-equi join, window rerank) now runs under the same SQL oracle
+    as ``ann_topk_cosine``. The PRUNED configuration (nprobe <
+    n_cells, recall < 1 by design) keeps its recall assertions in
+    tests/test_ann.py and its speed/recall curve in bench extras."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where("vec_id % 50 = 0")
     return ann.cosine_topk_ivf(
         q, "vec_id", "embedding", emb, "vec_id", "embedding",
-        k=10, n_cells=32, nprobe=8,
-    )
+        k=10, n_cells=32, nprobe=32,
+    ).select("query_id", "vec_id")
 
 
 @workload("ann_topk_int8", _ANN_ORACLE)
@@ -1208,15 +1214,62 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("bpe_encode_tokens", None)
+# Reference merge list for the oracle twin below: four char-pair
+# merges in fixed rank order. For CHAR-pair merges, BPE's
+# lowest-rank-first/leftmost loop is exactly rank-ordered global
+# leftmost non-overlapping replacement (merged symbols are opaque
+# 2-char units that can never participate in a later char pair), so
+# the token count is SQL-expressible as nested regexp_replace with
+# single-char sentinels: each replace collapses 2 chars -> 1, and the
+# final char count IS the token count. Patterns contain no whitespace,
+# so they can't span word boundaries; whitespace is stripped AFTER.
+_BPE_REF = [("t", "h"), ("e", "r"), ("a", "n"), ("o", "n")]
+
+
+@workload(
+    "bpe_encode_tokens",
+    r"""
+    SELECT doc_id,
+           coalesce(regexp_replace(text, '\s', '', 'g'), '') AS decoded,
+           length(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(coalesce(text, ''), 'th', chr(1), 'g'),
+                   'er', chr(2), 'g'),
+                 'an', chr(3), 'g'),
+               'on', chr(4), 'g'),
+             '\s', '', 'g')) AS n_tokens_ref
+    FROM documents
+    """,
+)
 def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer end-to-end: train 100 merges on the corpus, then the
-    distributed encode pass (the 100 TB-shaped map stage). Rows-only
-    check (encoding is the iterative lowest-rank merge loop); encode
-    semantics are pinned against stepwise merging in tests."""
+    """Tokenizer end-to-end, now hash-gated (round-6 verdict #3) by two
+    SQL-expressible invariants that together pin the distributed encode
+    pass (the 100 TB-shaped map stage):
+
+    - ``decoded``: corpus-trained 100-merge encode must ROUND-TRIP —
+      concatenating every emitted token reproduces the document minus
+      whitespace (any dropped/duplicated/reordered token breaks the
+      hash);
+    - ``n_tokens_ref``: encoding with the fixed ``_BPE_REF`` char-pair
+      merge list must emit exactly the token count the oracle computes
+      by rank-ordered sentinel replacement — this pins the merge LOOP
+      itself (rank order, leftmost tie-break, per-word application),
+      not just token integrity.
+
+    Equivalence of corpus-trained encode to stepwise merging stays
+    pinned in tests/test_text.py (arbitrary multi-char merges are not
+    SQL-expressible)."""
     docs = load_table(spark, sf_dir, "documents")
     merges = text.bpe_train(docs, "text", 100)
-    return text.bpe_encode(docs, "doc_id", "text", merges).select("doc_id", "n_tokens")
+    enc = text.bpe_encode(docs, "doc_id", "text", merges).select(
+        "doc_id", F.concat_ws("", F.col("tokens")).alias("decoded")
+    )
+    ref = text.bpe_encode(docs, "doc_id", "text", _BPE_REF).select(
+        "doc_id", F.col("n_tokens").alias("n_tokens_ref")
+    )
+    return enc.join(ref, "doc_id")
 
 
 @workload(
@@ -2156,13 +2209,19 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("ann_topk_ivf_pq", None)
+@workload("ann_topk_ivf_pq", _ANN_ORACLE)
 def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ composition (the faiss billion-scale layout): coarse
-    cells prune the postings scan, STORED m-byte PQ codes score the
-    probed candidates, exact rerank orders the padded top. Rows-only
-    (probing misses cells by design); lossless-composition and recall
-    properties are pinned in tests/test_ann.py."""
+    """IVF-PQ in its EXACTNESS mode (round-6 verdict #3): the full
+    stored-index composition runs — save_ivf_index persists centroids
+    + codebooks + PQ codes inside cell-partitioned postings,
+    cosine_topk_ivf_pq routes through the coarse quantizer, scores
+    stored codes, exact-reranks the padded top — but ``nprobe =
+    n_cells`` probes every cell and ``pad_factor=200`` (pad·k = 2000 ≥
+    the corpus at every fixture SF) makes the exact rerank cover ALL
+    candidates, so the output equals brute-force top-k by construction
+    and hashes against the same SQL oracle as ``ann_topk_cosine``.
+    The PRUNED configuration keeps its recall assertions in
+    tests/test_ann.py and bench extras."""
     import shutil
     import tempfile
 
@@ -2176,8 +2235,8 @@ def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         idx = ann.load_ivf_index(spark, path)
         out = ann.cosine_topk_ivf_pq(
-            q, "vec_id", "embedding", idx, k=10, nprobe=8
-        )
+            q, "vec_id", "embedding", idx, k=10, nprobe=32, pad_factor=200
+        ).select("query_id", "vec_id")
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)

@@ -1103,3 +1103,57 @@ def test_vacuum_retains_txn_replay_guard(spark, tmp_path):
     assert append_published(
         spark.createDataFrame([(4, "d")], ["id", "name"]), root, txn="b3"
     ) == before + 1
+
+
+def test_maintain_published_policy_converges(spark, tmp_path):
+    """The maintenance loop closed: repeated append/DML cycles with
+    ``maintain_published`` in between keep the chain and file count
+    bounded, while time travel over kept snapshots and exactly-once
+    txn replay (through the retired-txn markers) stay intact."""
+    from prefixtree_spark.sources.io import (
+        append_published,
+        delete_published,
+        describe_published,
+        maintain_published,
+        published_chain_length,
+        publish_version,
+        read_published,
+    )
+
+    root = str(tmp_path / "pub_maintain")
+    publish_version(
+        spark.createDataFrame([(0, "seed")], ["id", "name"]), root
+    )
+    seen_versions = {}
+    nxt = 100
+    for cycle in range(3):
+        for _ in range(4):
+            v = append_published(
+                spark.createDataFrame([(nxt, f"n{nxt}")], ["id", "name"]),
+                root, txn=f"t{nxt}",
+            )
+            seen_versions[f"t{nxt}"] = v
+            nxt += 1
+        delete_published(spark, root, f"id = {nxt - 4}")
+        rep = maintain_published(
+            spark, root, max_chain=3, keep=2, grace_s=0
+        )
+        # the chain folds back to ONE segment whenever it crossed the
+        # threshold — bounded regardless of how many cycles ran
+        assert published_chain_length(spark, root) <= 3
+        assert rep["compacted"] or rep["chain_length"] <= 3
+    d = describe_published(spark, root)
+    assert len(d) <= 3 and sum(s["n_files"] for s in d) <= 6
+    # survivors: every appended id except the per-cycle deletions
+    ids = sorted(r.id for r in read_published(spark, root).collect())
+    assert 0 in ids and len(ids) == 1 + 4 * 3 - 3
+    # txn replay of a long-vacuumed batch: no re-append, original version
+    before = sorted(ids)
+    assert append_published(
+        spark.createDataFrame([(100, "n100")], ["id", "name"]),
+        root, txn="t100",
+    ) == seen_versions["t100"]
+    assert sorted(r.id for r in read_published(spark, root).collect()) == before
+    # a fresh maintenance pass on a healthy table is a no-op
+    rep2 = maintain_published(spark, root, max_chain=3, keep=2, grace_s=0)
+    assert not rep2["compacted"]

@@ -348,3 +348,54 @@ def test_distributed_merge_handle_serves_and_preserves_right_trim(spark, monkeyp
     assert sorted(idx.labels[idx.is_word]) == ["  cat", "cart", "cat"]
     assert idx.search("cat", 0) == [("cat", 0)]
     assert ("  cat", 1) not in idx.search("cat", 1)
+
+
+def test_public_reshard_reusable_across_queries(spark, monkeypatch):
+    """reshard(pt) (round-6 verdict #5): pre-shard ONCE, then repeated
+    query() calls against the resharded tree skip the per-call rebuild
+    auto mode would otherwise pay — and return identical results."""
+    import prefixtree_spark.operators.query as qmod
+    from prefixtree_spark import reshard
+
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=1)
+    pt2 = reshard(pt, num_partitions=4).persist()
+    try:
+        assert pt2.rdd.getNumPartitions() == 4
+        # same word set, a plain create output
+        assert {r.node for r in pt2.where("is_word").collect()} == set(
+            SPARSE_WORDS
+        )
+        # force the oversized-forest regime: with the PRE-resharded
+        # tree, auto must NOT rebuild again (forests already fit)
+        monkeypatch.setattr(qmod, "_AUTO_BROADCAST_NODES", 0)
+        monkeypatch.setattr(qmod, "_AUTO_BROADCAST_QUERIES", 2)
+        monkeypatch.setattr(
+            qmod,
+            "_reshard_tree",
+            lambda *a: pytest.fail("auto re-resharded a pre-sharded tree"),
+        )
+        qdf = spark.createDataFrame([(q,) for q in QUERIES], ["q"])
+        for _ in range(2):  # repeated batches, no rebuild either time
+            res = qmod.query(pt2, qdf, "q", 1, mode="auto", colocated=True)
+            got = {
+                (r.query_string, r.node, r.final_distance)
+                for r in res.collect()
+            }
+            assert got == _expected(SPARSE_WORDS, QUERIES, 1)
+    finally:
+        pt2.unpersist()
+
+
+def test_public_reshard_carries_n_copies(spark):
+    """A keep_duplicates tree reshards with multiplicity intact."""
+    from prefixtree_spark import reshard
+
+    df = spark.createDataFrame(
+        [("cat",), ("cat",), ("dog",)], ["word"]
+    )
+    pt = create(df, "word", num_partitions=1, keep_duplicates=True)
+    pt2 = reshard(pt, num_partitions=2)
+    got = {
+        (r.node, r.n_copies) for r in pt2.where("is_word").collect()
+    }
+    assert got == {("cat", 2), ("dog", 1)}
