@@ -616,6 +616,10 @@ def main() -> None:
             if f.endswith(".parquet")
         )
 
+    # NB since the IVF-FLAT layout landed (r7), postings embed the full
+    # vector, so these on-disk totals are ~corpus-sized by design; the
+    # column-level PQ-codes-vs-vectors bytes claim lives in the
+    # ivf_xover_* block below (parquet column-chunk metadata)
     extras["ivf_scale_postings_bytes_plain"] = _ivf_post_bytes(
         f"{scale_dir}/index/postings"
     )
@@ -626,6 +630,156 @@ def main() -> None:
         f"{scale_dir}/index/vectors"
     )
     _sh.rmtree(scale_dir, ignore_errors=True)
+
+    # IVF-FLAT crossover (round-6 verdict #1: "no measurement yet shows
+    # the ANN index beating an exact scan"). 512k vectors (256-rep
+    # deterministic tiling at sf0.1), one stored IVF-Flat+PQ index
+    # (c256/r1/pq16), and the exact chunked matmul as the bar. Two
+    # query shapes: a 4-point serving batch (probes ~60/256 cells) and
+    # the 40-query bulk batch. The flat probe scores the cell-pruned
+    # postings scan with the SAME numpy kernel as the exact path, so
+    # pruned fraction converts directly to time. Probe-bytes evidence
+    # is DETERMINISTIC (probed cell dirs + column-chunk bytes), per the
+    # measured rule that sub-GB timings don't pin layout claims.
+    reps_xo = 256
+    xo_dir = _tf.mkdtemp(prefix="bench_ivf_xover_")
+    xo_vec = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(spark.range(reps_xo).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("vec_id") * reps_xo + F.col("rep")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + (F.col("rep").cast("double") / reps_xo)
+                * F.lit(0.05)
+                * F.sin(
+                    (F.col("vec_id") * reps_xo + F.col("rep")).cast("double")
+                    * 0.013
+                    + i.cast("double") * 1.7
+                ),
+            ).alias("embedding"),
+        )
+    )
+    # 32 files: the realistic many-file corpus layout (a 1-file write
+    # gave the exact scan 3 tasks and 2x-worse numbers — unfair bar)
+    xo_vec.repartition(32).write.mode("overwrite").parquet(f"{xo_dir}/corpus")
+    xo_c = spark.read.parquet(f"{xo_dir}/corpus")
+    extras["ivf_xover_n"] = xo_c.count()
+    q_xo = {
+        "q4": xo_c.where(f"vec_id % {reps_xo * 500} = 0"),
+        "q40": xo_c.where(f"vec_id % {reps_xo * 50} = 0"),
+    }
+
+    def _xo_med(fn):
+        runs, out = [], None
+        for _ in range(3):
+            t0 = time.time()
+            out = fn()
+            runs.append(time.time() - t0)
+        return out, round(statistics.median(runs[1:]), 3), round(runs[0], 3)
+
+    xo_exact = {}
+    for tag, qdf in q_xo.items():
+        xo_exact[tag], med, cold = _xo_med(
+            lambda qdf=qdf: {
+                (r.query_id, r.vec_id)
+                for r in ann_ops.cosine_topk(
+                    qdf, "vec_id", "embedding", xo_c, "vec_id", "embedding",
+                    k=10,
+                ).collect()
+            }
+        )
+        extras[f"ivf_xover_exact_{tag}_sec"] = med
+        extras[f"ivf_xover_exact_{tag}_cold"] = cold
+    t0 = time.time()
+    ann_ops.save_ivf_index(
+        xo_c, "vec_id", "embedding", f"{xo_dir}/index",
+        n_cells=256, n_replicas=1, pq_m=16,
+    )
+    extras["ivf_xover_build_sec"] = round(time.time() - t0, 3)
+    idx_xo = ann_ops.load_ivf_index(spark, f"{xo_dir}/index")
+    for tag, qdf in q_xo.items():
+        got, med, cold = _xo_med(
+            lambda qdf=qdf: {
+                (r.query_id, r.vec_id)
+                for r in ann_ops.cosine_topk_ivf_index(
+                    qdf, "vec_id", "embedding", idx_xo, k=10, nprobe=16
+                ).collect()
+            }
+        )
+        extras[f"ivf_xover_flat_{tag}_sec"] = med
+        extras[f"ivf_xover_flat_{tag}_cold"] = cold
+        extras[f"ivf_xover_flat_{tag}_recall"] = round(
+            len(got & xo_exact[tag]) / max(1, len(xo_exact[tag])), 4
+        )
+        gpq, med, cold = _xo_med(
+            lambda qdf=qdf: {
+                (r.query_id, r.vec_id)
+                for r in ann_ops.cosine_topk_ivf_pq(
+                    qdf, "vec_id", "embedding", idx_xo, k=10, nprobe=16
+                ).collect()
+            }
+        )
+        extras[f"ivf_xover_pq_{tag}_sec"] = med
+        extras[f"ivf_xover_pq_{tag}_cold"] = cold
+        extras[f"ivf_xover_pq_{tag}_recall"] = round(
+            len(gpq & xo_exact[tag]) / max(1, len(xo_exact[tag])), 4
+        )
+    # deterministic probe evidence for the serving batch: which cell
+    # dirs the q4 probe lists (driver assignment = the probe's own
+    # routine), their bytes/files, and the column-chunk bytes a PQ
+    # probe (vec_id+pq) vs a flat probe (vec_id+cv) actually reads
+    import numpy as _np
+    import pyarrow.parquet as _papq
+
+    q4_pdf = (
+        q_xo["q4"].select("vec_id", "embedding").toPandas()
+    )
+    probed_xo = sorted(
+        {
+            int(c)
+            for row in ann_ops._assign_cells_np(
+                _np.array(q4_pdf["embedding"].tolist(), dtype=_np.float64),
+                idx_xo.centroids,
+                16,
+            )
+            for c in row
+        }
+    )
+    probed_files = [
+        os.path.join(r, f)
+        for cell in probed_xo
+        for r, _, fs in os.walk(f"{xo_dir}/index/postings/cell={cell}")
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+
+    def _col_bytes(files, cols):
+        tot = 0
+        for fp in files:
+            md = _papq.ParquetFile(fp).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema.split(".")[0] in cols:
+                        tot += col.total_compressed_size
+        return tot
+
+    extras["ivf_xover_probed_cells_q4"] = len(probed_xo)
+    extras["ivf_xover_cells_total"] = 256
+    extras["ivf_xover_probed_files_q4"] = len(probed_files)
+    extras["ivf_xover_probed_bytes_q4"] = sum(
+        os.path.getsize(f) for f in probed_files
+    )
+    extras["ivf_xover_corpus_bytes"] = _ivf_post_bytes(f"{xo_dir}/corpus")
+    extras["ivf_xover_flat_col_bytes_q4"] = _col_bytes(
+        probed_files, {"vec_id", "cv"}
+    )
+    extras["ivf_xover_pq_col_bytes_q4"] = _col_bytes(
+        probed_files, {"vec_id", "pq"}
+    )
+    _sh.rmtree(xo_dir, ignore_errors=True)
 
     # SQ8 storage economics: the int8 claim is an IO claim, so measure
     # it as bytes on disk — the stored quantized column vs the float

@@ -327,6 +327,18 @@ def _kmeans_centroids(
     return cent
 
 
+def _assign_cells_np(m: np.ndarray, cent: np.ndarray, nprobe: int) -> np.ndarray:
+    """(rows × dim) → (rows × nprobe) nearest-centroid ids — the ONE
+    assignment routine, shared by the distributed UDF and the flat
+    probe's driver-side path so the probed-cell sets cannot drift
+    (row-wise argpartition: batching cannot change per-row results)."""
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    sims = m @ cent.T
+    return np.argpartition(
+        -sims, min(nprobe, sims.shape[1] - 1), axis=1
+    )[:, :nprobe]
+
+
 def _cell_assign_udf(cent: np.ndarray, nprobe: int):
     """Vector → its ``nprobe`` nearest centroid ids (one matmul/batch)."""
 
@@ -335,9 +347,7 @@ def _cell_assign_udf(cent: np.ndarray, nprobe: int):
         m = np.array(vecs.tolist(), dtype=np.float64)
         if m.size == 0:
             return pd.Series([], dtype=object)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = m @ cent.T
-        top = np.argpartition(-sims, min(nprobe, sims.shape[1] - 1), axis=1)[:, :nprobe]
+        top = _assign_cells_np(m, cent, nprobe)
         return pd.Series([row.astype(np.int32) for row in top])
 
     return assign
@@ -645,8 +655,16 @@ def save_ivf_index(
     """Train (or take pretrained) centroids, assign every corpus vector
     to its ``n_replicas`` nearest cells, and persist the whole trained
     index under ``path``: ``centroids/`` (cell, c), ``vectors/``
-    (vec_id, cv), ``postings/`` (vec_id) partitioned by ``cell``, and
-    ``meta/``. The corpus-side work that ``cosine_topk_ivf`` re-pays
+    (vec_id, cv), ``postings/`` (vec_id, cv) partitioned by ``cell``,
+    and ``meta/``. Postings are IVF-FLAT inverted lists (the faiss
+    IVFFlat layout): each list row carries the FULL vector, so a probe
+    is one cell-pruned columnar scan scored by the same Arrow/numpy
+    kernel as the exact path — no corpus-sized join. The storage trade
+    (vectors live in both ``vectors/`` and the lists, ×``n_replicas``)
+    buys probe reads proportional to the probed fraction; the PQ probe
+    still reads only the (vec_id, pq) column chunks of those files
+    (parquet columnar pruning), so adding ``cv`` costs it nothing.
+    The corpus-side work that ``cosine_topk_ivf`` re-pays
     per call (train + assign) is paid ONCE here; ``load_ivf_index`` +
     ``cosine_topk_ivf_index`` then serve queries from the saved layout
     (round-4 verdict: the missing vector ``save_index_bucketed``).
@@ -682,7 +700,7 @@ def save_ivf_index(
     cbase = corpus.select(F.col(cid).alias("vec_id"), F.col(cvec).alias("cv"))
     cbase.write.mode("overwrite").parquet(f"{path}/vectors")
     books = None
-    posting_cols = ["vec_id"]
+    posting_cols = ["vec_id", "cv"]
     celled = cbase.withColumn("cell", F.explode(c_assign(F.col("cv"))))
     if pq_m is not None:
         books = pq_fit(corpus, cvec, m=pq_m, sample_size=sample_size,
@@ -692,7 +710,14 @@ def save_ivf_index(
         )
         posting_cols.append("pq")
     (
+        # repartition ON cell before the partitioned write: without it
+        # every writer task opens a file in every cell directory —
+        # writers × cells tiny files whose footer/scheduling tax
+        # dominated the probe (measured 7.9 s full-probe scan vs 2.7 s
+        # over the same bytes in 32 files). One shuffle at build time
+        # buys ~one file per cell.
         celled.select(*posting_cols, "cell")
+        .repartition(n_cells, "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path}/postings")
@@ -783,7 +808,13 @@ def append_ivf_index(
             return 0
         delta.write.mode("append").parquet(f"{path}/vectors")
         celled = delta.withColumn("cell", F.explode(c_assign(F.col("cv"))))
-        posting_cols = ["vec_id"]
+        # match the live layout: pre-flat indexes (postings without cv)
+        # keep appending id-only rows so one index never mixes shapes
+        posting_cols = (
+            ["vec_id", "cv"]
+            if "cv" in idx.postings.columns
+            else ["vec_id"]
+        )
         if idx.codebooks is not None:
             # PQ layout: codes come from the FROZEN codebooks, same as
             # the frozen coarse quantizer — appended vectors stay
@@ -793,7 +824,10 @@ def append_ivf_index(
             )
             posting_cols.append("pq")
         (
+            # same one-file-per-touched-cell discipline as the initial
+            # build (delta-sized shuffle, not corpus-sized)
             celled.select(*posting_cols, "cell")
+            .repartition(len(idx.centroids), "cell")
             .write.mode("append")
             .partitionBy("cell")
             .parquet(f"{path}/postings")
@@ -801,6 +835,89 @@ def append_ivf_index(
     finally:
         delta.unpersist()
     return n
+
+
+def _flat_ivf_candidates(
+    scan: DataFrame,
+    q_pdf: pd.DataFrame,
+    q_cell_pairs: list,
+    k: int,
+    qt: str,
+    ct: str,
+    n_replicas: int = 1,
+):
+    """Numpy partial top-k over an IVF-FLAT pruned postings scan,
+    masked so each query sees only rows from ITS OWN probed cells —
+    the candidate set is therefore IDENTICAL to the per-(query,cell)
+    join the legacy id-only path builds, at the exact path's compute
+    cost (one matmul per Arrow batch) instead of an interpreted
+    JVM cosine per pair (measured 26.7 s vs 4.4 s exact at 512k
+    vectors — the join path's rerank evaluated 5M candidate pairs
+    through interpreted higher-order functions).
+
+    Same tie-aware boundary closure as ``_chunk_scored_pairs`` (global
+    top-k ⊆ union of per-partition boundary-closed sets; NaN/zero-norm
+    rows map to +inf and survive to the exact rerank). Returns
+    (candidate id-pairs DataFrame, python broadcast)."""
+    spark = scan.sparkSession
+    qmat = np.array(q_pdf["qv"].tolist(), dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    q_arr = q_pdf["query_id"].to_numpy()
+    qidx = {q: i for i, q in enumerate(q_arr)}
+    n_q = len(q_arr)
+    cell_allow: dict[int, np.ndarray] = {}
+    for query_id, cell in q_cell_pairs:
+        cell_allow.setdefault(int(cell), np.zeros(n_q, dtype=bool))[
+            qidx[query_id]
+        ] = True
+    # the closure counts ROWS, and a replicated list holds the same
+    # vector in up to n_replicas probed cells: pad must scale with
+    # replicas or the top-2k ROW boundary closes over only ~2k/r
+    # DISTINCT vectors (caught by the r=2 roundtrip test: a query's
+    # true rank-5 fell outside a boundary fed by duplicate rows)
+    pad = 2 * k * max(1, n_replicas)
+    bq = spark.sparkContext.broadcast((q_arr, qmat, qnorm, cell_allow))
+
+    def part_topk(batches):
+        ids, qm, qn, allow = bq.value
+        nq = len(ids)
+        none = np.zeros(nq, dtype=bool)
+        out_v, out_q = [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf["cv"].tolist(), dtype=np.float64)
+            cn = np.linalg.norm(m, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (m @ qm.T) / (cn[:, None] * qn[None, :])
+            cos = np.nan_to_num(cos, nan=np.inf)
+            # factorize cells first: dict lookups per DISTINCT cell in
+            # the batch (≤ n_cells), not per row
+            codes, uniq = pd.factorize(pdf["cell"])
+            allow_mat = np.stack([allow.get(int(c_), none) for c_ in uniq])
+            mask = allow_mat[codes]
+            cosm = np.where(mask, cos, -np.inf)
+            take = min(pad, len(m))
+            top = np.argpartition(-cosm, take - 1, axis=0)[:take]
+            boundary = cosm[top, np.arange(nq)[None, :]].min(axis=0)
+            # a query with < pad allowed rows in this batch has a -inf
+            # boundary; '& mask' keeps the closure from admitting rows
+            # of cells that query never probed
+            rows, qcols = np.nonzero((cosm >= boundary[None, :]) & mask)
+            vec_ids = pdf["vec_id"].to_numpy()
+            out_v.append(vec_ids[rows])
+            out_q.append(qcols)
+        if not out_v:
+            return
+        yield pd.DataFrame(
+            {
+                "query_id": ids[np.concatenate(out_q)],
+                "vec_id": np.concatenate(out_v),
+            }
+        ).drop_duplicates()
+
+    cand = scan.mapInPandas(part_topk, schema=f"query_id {qt}, vec_id {ct}")
+    return cand, bq
 
 
 def cosine_topk_ivf_index(
@@ -816,44 +933,102 @@ def cosine_topk_ivf_index(
     """IVF top-k against a PRETRAINED, PERSISTED index: identical
     semantics to ``cosine_topk_ivf`` with the same (centroids,
     n_replicas) — asserted by test — but the per-call plan touches only
-    (a) the query batch, (b) the id-only postings of PROBED cells
-    (partition-pruned scan), and (c) the candidate vectors for rerank.
-    No kmeans, no corpus assignment pass.
+    (a) the query batch and (b) the postings of PROBED cells
+    (partition-pruned scan). No kmeans, no corpus assignment pass.
 
     Pruning is STATIC, not left to dynamic partition pruning: the
     distinct probed-cell set is collected (bounded by
     min(|queries|·nprobe, n_cells) ints — never corpus-sized) and
     pushed into the postings scan as a literal IN, so the physical
     plan carries ``PartitionFilters: [cell IN (...)]`` and unprobed
-    cell directories are never listed, on any Spark config."""
-    q_assign = _cell_assign_udf(index.centroids, nprobe)
+    cell directories are never listed, on any Spark config.
+
+    On IVF-FLAT layouts (postings carry ``cv``; every index saved
+    since the flat layout landed) the probe never touches anything
+    corpus-sized outside the pruned scan: candidates come from the
+    numpy kernel over the probed lists, and the exact (JVM-fold,
+    oracle-bit-identical) rerank joins those bounded candidates back
+    to the SAME pruned scan. The query batch is collected for the
+    kernel broadcast — probe batches are serving-shaped and bounded
+    (for bulk exact scoring use ``cosine_topk``). Pre-flat id-only
+    layouts keep the legacy join plan (postings ⋈ vectors)."""
     qbase = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("qv"))
-    q_ids = qbase.withColumn("cell", F.explode(q_assign(F.col("qv")))).select(
-        "query_id", "cell"
-    )
-    # one extra pass over the (small, broadcast-bound) query batch buys
-    # a guaranteed-pruned corpus scan — the right trade at any scale
-    probed = sorted({r.cell for r in q_ids.select("cell").distinct().collect()})
+    use_flat = "cv" in index.postings.columns
+    if use_flat:
+        # the probe batch is collected anyway (kernel broadcast), so
+        # assign its cells DRIVER-SIDE with the same shared routine the
+        # UDF uses — one fewer Spark job per probe (measured: the
+        # ArrowEvalPython round trip was ~0.5 s of a 3 s probe)
+        q_pdf = qbase.toPandas()
+        if len(q_pdf):
+            cells_mat = _assign_cells_np(
+                np.array(q_pdf["qv"].tolist(), dtype=np.float64),
+                index.centroids,
+                nprobe,
+            )
+            pair_list = [
+                (q_pdf["query_id"].iloc[i], int(c_))
+                for i in range(len(q_pdf))
+                for c_ in cells_mat[i]
+            ]
+        else:
+            pair_list = []
+        probed = sorted({c_ for _, c_ in pair_list})
+    else:
+        # one extra pass over the (small, broadcast-bound) query batch
+        # buys a guaranteed-pruned corpus scan — the right trade at any
+        # scale
+        q_assign = _cell_assign_udf(index.centroids, nprobe)
+        q_ids = qbase.withColumn(
+            "cell", F.explode(q_assign(F.col("qv")))
+        ).select("query_id", "cell")
+        probed = sorted(
+            {r.cell for r in q_ids.select("cell").distinct().collect()}
+        )
     if not probed:
         # empty query batch: derive the frame from the postings schema
         # so vec_id keeps its STORED type (string ids stay string) and
         # downstream unions/joins see the same schema as the live path
         return (
-            q_ids.limit(0)
-            .join(index.postings.limit(0), "cell")
+            qbase.limit(0)
+            .crossJoin(index.postings.select("vec_id").limit(0))
             .select("query_id", "vec_id", F.lit(0).cast("long").alias("rank"))
         )
     postings = index.postings.where(F.col("cell").isin(probed))
-    pairs = F.broadcast(q_ids).join(postings, "cell").select(
-        "query_id", "vec_id"
-    )
-    if index.n_replicas > 1:
-        # replicated postings: a (query, vector) pair can meet in
-        # several probed cells — dedup id-pairs before scoring
-        pairs = pairs.distinct()
-    cand = pairs.join(F.broadcast(qbase), "query_id").join(
-        index.vectors, "vec_id"
-    )
+    if use_flat:
+        qt = queries.schema[qid].dataType.simpleString()
+        ct = index.postings.schema["vec_id"].dataType.simpleString()
+        cand_ids, _bq = _flat_ivf_candidates(
+            postings.select("vec_id", "cv", "cell"), q_pdf, pair_list,
+            k, qt, ct, n_replicas=index.n_replicas,
+        )
+        rerank_src = postings.select("vec_id", "cv")
+        if index.n_replicas > 1:
+            # replicated lists: the same (query, vector) pair can
+            # surface from several probed cells/partitions — and the
+            # rerank source can hold the same vector under several
+            # cells; dedup both (bounded candidates; pruned-subset-only
+            # shuffle). At n_replicas == 1 a vector lives in EXACTLY
+            # one cell, so neither dedup is needed.
+            cand_ids = cand_ids.distinct()
+            rerank_src = rerank_src.dropDuplicates(["vec_id"])
+        # broadcast the bounded candidate set: the rerank is then one
+        # more JVM-only pass over the SAME pruned scan (broadcast-hash,
+        # no corpus-sized join, no shuffle of the probed subset)
+        cand = F.broadcast(cand_ids).join(rerank_src, "vec_id").join(
+            F.broadcast(qbase), "query_id"
+        )
+    else:
+        pairs = F.broadcast(q_ids).join(postings, "cell").select(
+            "query_id", "vec_id"
+        )
+        if index.n_replicas > 1:
+            # replicated postings: a (query, vector) pair can meet in
+            # several probed cells — dedup id-pairs before scoring
+            pairs = pairs.distinct()
+        cand = pairs.join(F.broadcast(qbase), "query_id").join(
+            index.vectors, "vec_id"
+        )
     if exclude_self:
         cand = cand.where(F.col("query_id") != F.col("vec_id"))
     scored = cand.select(

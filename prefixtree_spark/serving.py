@@ -18,6 +18,9 @@ across clients, not just across calls.
         PROBED radius, whichever metric asked for it — and the
         exact DL kernel reranks the pruned candidates)
     GET /prefix?p=<prefix>                  → [word, ...]
+        (sorted; responses cap at ``max_hits`` words — a truncated
+        response carries ``X-Truncated: true``, so p='' can't
+        serialize the whole dictionary on any client's say-so)
     GET /health                             → {"nodes": N}
 
 Operationally (documented, not sandbox-testable beyond localhost):
@@ -63,10 +66,16 @@ class PrefixTreeServer:
 
     def __init__(
         self, index: LocalIndex, *, host: str = "127.0.0.1", port: int = 0,
-        max_k: int = 8,
+        max_k: int = 8, max_hits: int = 10_000,
     ):
         self.index = index
         self.max_k = int(max_k)
+        # response-size bound for /prefix: without it, p='' (or any
+        # high-fanout prefix) serializes the whole dictionary into one
+        # response on any client's say-so — the same abuse class the
+        # /search k-clamp blocks. Sorted truncation + X-Truncated
+        # header keeps short prefixes useful and the bound explicit.
+        self.max_hits = int(max_hits)
         self._host = host
         self._port = port
         self._httpd: ThreadingHTTPServer | None = None
@@ -147,7 +156,9 @@ class PrefixTreeServer:
                             hits = index.search(q["q"], k)
                         body = [[w, int(d)] for w, d in hits]
                     elif url.path == "/prefix":
-                        body = index.search_prefix(q["p"])
+                        hits = index.search_prefix(q["p"])
+                        truncated = len(hits) > srv.max_hits
+                        body = hits[: srv.max_hits]
                     else:
                         self.send_error(404)
                         return
@@ -158,6 +169,11 @@ class PrefixTreeServer:
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(payload)))
+                if url.path == "/prefix" and truncated:
+                    # search_prefix returns sorted words, so the cut is
+                    # deterministic; the header tells the client the
+                    # prefix needs narrowing
+                    self.send_header("X-Truncated", "true")
                 self.end_headers()
                 self.wfile.write(payload)
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -96,6 +97,87 @@ def _fold_event(
     return start, end, n, pre
 
 
+def _fold_batch_fast(
+    user_id: int,
+    ts_arr: "np.ndarray",
+    gap_us: int,
+    start: int | None,
+    end: int | None,
+    n: int | None,
+    out: list[tuple],
+) -> tuple[int, int, int]:
+    """Vectorized fold of one sorted, NO-LATE-EVENT chunk (every ts ≥
+    open-session start − gap, so the pre-session buffer can never
+    form): session breaks, group bounds and counts come from numpy
+    instead of a per-event Python loop. Emission order and results are
+    identical to folding the chunk through ``_fold_event`` — pinned by
+    the stream==batch equality tests and a direct fast-vs-slow
+    property test. This is the r6→r7 claw-back of the late-event
+    buffering cost: the ordinary all-forward chunk (the overwhelming
+    majority at any scale) no longer pays the Python loop.
+
+    Running previous-end for sorted ts is ``max(end_seed, ts[i-1])``:
+    before any break the prefix max IS ts[i-1] (sorted); after a break
+    at j, ts[j] > end_seed + gap ≥ end_seed, so the seed never
+    re-enters the max. Returns the new open (start, end, n)."""
+    if start is None:
+        prev = np.concatenate((ts_arr[:1], ts_arr[:-1]))
+    else:
+        prev = np.maximum(np.concatenate(([end], ts_arr[:-1])), end)
+    brk = (ts_arr - prev) > gap_us
+    gid = np.cumsum(brk)
+    uniq = np.unique(gid)
+    firsts = np.searchsorted(gid, uniq, side="left")
+    lasts = np.searchsorted(gid, uniq, side="right") - 1
+    if start is not None and brk[0]:
+        # first event is beyond the gap AFTER the open session: the
+        # seed closes on its own, exactly as the per-event fold does
+        out.append((user_id, start, end, n, True))
+    merged = start is not None and not brk[0]
+    g_start = g_end = g_n = 0
+    for j in range(len(uniq)):
+        f, l = int(firsts[j]), int(lasts[j])
+        g_start, g_end, g_n = int(ts_arr[f]), int(ts_arr[l]), l - f + 1
+        if j == 0 and merged:
+            # a leading within-gap (possibly slightly-early) run merges
+            # into the open session, regressing start if needed
+            g_start = min(start, g_start)
+            g_end = max(end, g_end)
+            g_n += n
+        if j < len(uniq) - 1:
+            out.append((user_id, g_start, g_end, g_n, True))
+    return g_start, g_end, g_n
+
+
+def _fold_pdf(
+    user_id: int,
+    pdf: pd.DataFrame,
+    gap_us: int,
+    start: int | None,
+    end: int | None,
+    n: int | None,
+    pre: tuple[int, int, int] | None,
+    out: list[tuple],
+) -> tuple[int, int, int, tuple[int, int, int] | None]:
+    """Fold one iterator chunk: the vectorized fast path when no event
+    is gap-before the open session (and no pre-buffer is pending from
+    an earlier chunk), the per-event ``_fold_event`` loop otherwise.
+    Shared by both sessionize variants."""
+    pdf = pdf.sort_values(["ts_us", "event_id"])
+    ts_arr = pdf["ts_us"].to_numpy(dtype=np.int64)
+    if pre is None and (start is None or int(ts_arr[0]) >= start - gap_us):
+        start, end, n = _fold_batch_fast(
+            user_id, ts_arr, gap_us, start, end, n, out
+        )
+        return start, end, n, None
+    for ts in ts_arr:
+        ts = int(ts)
+        start, end, n, pre = _fold_event(
+            user_id, ts, gap_us, start, end, n, pre, out
+        )
+    return start, end, n, pre
+
+
 def streaming_sessionize(
     stream: DataFrame, *, gap_minutes: int = 30
 ) -> DataFrame:
@@ -129,12 +211,9 @@ def streaming_sessionize(
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            pdf = pdf.sort_values(["ts_us", "event_id"])
-            for ts in pdf["ts_us"]:
-                ts = int(ts)
-                start, end, n, pre = _fold_event(
-                    user_id, ts, gap_us, start, end, n, pre, out
-                )
+            start, end, n, pre = _fold_pdf(
+                user_id, pdf, gap_us, start, end, n, pre, out
+            )
         if pre is not None:
             # the pre-session buffer closes at batch end: gap-adjacent
             # late events merged into ONE closed session, not one
@@ -206,15 +285,12 @@ def streaming_sessionize_timeout(
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            pdf = pdf.sort_values(["ts_us", "event_id"])
-            for ts in pdf["ts_us"]:
-                ts = int(ts)
-                # watermark-admitted late events gap-before the open
-                # session buffer/merge exactly as in the NoTimeout
-                # variant (shared fold)
-                start, end, n, pre = _fold_event(
-                    user_id, ts, gap_us, start, end, n, pre, out
-                )
+            # watermark-admitted late events gap-before the open
+            # session buffer/merge exactly as in the NoTimeout variant
+            # (shared fold, shared vectorized fast path)
+            start, end, n, pre = _fold_pdf(
+                user_id, pdf, gap_us, start, end, n, pre, out
+            )
         if pre is not None:
             out.append((user_id, pre[0], pre[1], pre[2], True))
         if start is not None:

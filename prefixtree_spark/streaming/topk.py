@@ -67,6 +67,22 @@ def streaming_topk(stream: DataFrame, k: int = 10) -> DataFrame:
         for pdf in pdfs:
             if not len(pdf):
                 continue
+            if len(pairs) >= k:
+                # vectorized claw-back of the replay-dedup cost (r6
+                # +31%): with a full board, only rows ordering at or
+                # above the worst seat under (value DESC, id ASC) can
+                # change it — filter the chunk in pandas before any
+                # per-row Python. A replayed below-threshold event is
+                # dropped here with the same no-op outcome the dedup
+                # pass would give it; a replayed on-board event passes,
+                # dedups below, and still bumps nothing.
+                tv, ti = pairs[k - 1][1], pairs[k - 1][0]
+                pdf = pdf[
+                    (pdf["value"] > tv)
+                    | ((pdf["value"] == tv) & (pdf["event_id"] < ti))
+                ]
+                if not len(pdf):
+                    continue
             pairs.extend(
                 zip((int(i) for i in pdf["event_id"]), (float(v) for v in pdf["value"]))
             )

@@ -343,8 +343,9 @@ def test_ivf_index_postings_partitioned_by_cell(spark, clustered, tmp_path):
     subdirs = [d for d in os.listdir(f"{path}/postings") if d.startswith("cell=")]
     assert len(subdirs) >= 2
     idx = ann.load_ivf_index(spark, path)
-    # id-only postings: no vector payload in the inverted lists
-    assert set(idx.postings.columns) == {"vec_id", "cell"}
+    # IVF-FLAT inverted lists: each posting row carries the full
+    # vector, so a probe is one cell-pruned scan with no corpus join
+    assert set(idx.postings.columns) == {"vec_id", "cv", "cell"}
     assert set(idx.vectors.columns) == {"vec_id", "cv"}
 
 

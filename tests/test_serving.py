@@ -184,3 +184,21 @@ def test_search_damerau_k_clamped_to_half_max_k(spark):
         )
         # the levenshtein path keeps the full budget
         assert isinstance(_get(srv.url("/search?q=CAT&k=4")), list)
+
+
+def test_prefix_response_bounded_by_max_hits(spark):
+    """/prefix responses cap at max_hits (sorted, deterministic cut,
+    X-Truncated header) — p='' must not serialize the dictionary."""
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=2)
+    idx = build_local_index(pt)
+    with PrefixTreeServer(idx, max_hits=2) as srv:
+        # high-fanout prefix (every K* name): capped + flagged
+        with urllib.request.urlopen(srv.url("/prefix?p=KA"), timeout=10) as r:
+            body = json.loads(r.read())
+            assert r.headers.get("X-Truncated") == "true"
+        assert body == idx.search_prefix("KA")[:2] and len(body) == 2
+        # under the cap: full answer, no truncation header
+        with urllib.request.urlopen(srv.url("/prefix?p=DO"), timeout=10) as r:
+            body = json.loads(r.read())
+            assert r.headers.get("X-Truncated") is None
+        assert body == idx.search_prefix("DO")

@@ -295,3 +295,40 @@ def test_late_event_bridges_buffer_into_open_session(spark, tmp_path):
     # nothing emitted CLOSED: it is all one still-open session
     assert not any(r.closed for r in got.collect())
     shutil.rmtree(sdir, ignore_errors=True)
+
+
+def test_fold_fast_path_equals_per_event_fold():
+    """The vectorized no-late-event fold must emit EXACTLY what the
+    per-event ``_fold_event`` loop emits — closed sessions, order, and
+    the open-session state — across random forward-only chunks folded
+    through random seed states (the fast path's admission condition)."""
+    import random
+
+    import pandas as pd
+
+    from prefixtree_spark.streaming.sessionize import _fold_event, _fold_pdf
+
+    rng = random.Random(7)
+    gap_us = 1000
+    for trial in range(300):
+        if rng.random() < 0.3:
+            start = end = n = None
+        else:
+            start = rng.randrange(0, 5000)
+            end = start + rng.randrange(0, 3000)
+            n = rng.randrange(1, 5)
+        base = (start - gap_us) if start is not None else 0
+        ts = sorted(
+            base + rng.randrange(0, 20000) for _ in range(rng.randrange(1, 40))
+        )
+        pdf = pd.DataFrame({"ts_us": ts, "event_id": range(len(ts))})
+        out_fast: list[tuple] = []
+        fast = _fold_pdf(1, pdf, gap_us, start, end, n, None, out_fast)
+        assert fast[3] is None  # forward-only chunk: no pre-buffer
+        out_slow: list[tuple] = []
+        s, e, c, pre = start, end, n, None
+        for t in ts:
+            s, e, c, pre = _fold_event(1, t, gap_us, s, e, c, pre, out_slow)
+        assert pre is None
+        assert out_fast == out_slow, (trial, out_fast, out_slow)
+        assert fast[:3] == (s, e, c), (trial, fast, (s, e, c))
