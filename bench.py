@@ -233,6 +233,16 @@ def main() -> None:
             pt_holder["pt"], cust.where("c_custkey % 10 = 0"), "c_name"
         ).count(),
     )
+    # sparse-delta plans (r7): a 3-word delete under the pruned plan
+    # (touched forests only reach Python) vs the one-shot cogroup that
+    # pushes the whole node table through Arrow. At fixture scale the
+    # gap is modest (the structural claim is pinned by plan tests);
+    # recorded so regressions in either branch are visible.
+    three = cust.limit(3).select("c_name")
+    for label, forced in (("pruned", True), ("bulkplan", False)):
+        t0 = time.time()
+        remove_words(pt_holder["pt"], three, "c_name", pruned=forced).count()
+        extras[f"sparse_remove_{label}_sec"] = round(time.time() - t0, 3)
     pt90.unpersist()
     pt_holder["pt"].unpersist()
 

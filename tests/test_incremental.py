@@ -205,3 +205,25 @@ def test_add_words_on_emptied_table(spark):
         ).collect()
     }
     assert got == {("THREE", "THREE")}
+
+
+def test_sparse_pruned_plan_bypasses_python_and_matches_bulk(spark):
+    """pruned=True routes ONLY touched forests through the Python
+    cogroup — the untouched majority rides a JVM-only filter branch of
+    a Union — and returns the same word set as the one-shot plan."""
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=4)
+    rem = _words_df(spark, ["CAT"])
+    out = remove_words(pt, rem, "word", pruned=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapCoGroupsInPandas") == 1
+    assert "Union" in plan
+    bulk = remove_words(pt, rem, "word", pruned=False)
+    assert "Union" not in bulk._jdf.queryExecution().executedPlan().toString()
+    key = lambda df: sorted(r.node for r in df.where("is_word").collect())
+    assert key(out) == key(bulk) and "CAT" not in key(out)
+    # add side: same plan contract
+    delta = _words_df(spark, ["ZEBRA"])
+    grown = add_words(pt, delta, "word", pruned=True)
+    gplan = grown._jdf.queryExecution().executedPlan().toString()
+    assert gplan.count("FlatMapCoGroupsInPandas") == 1 and "Union" in gplan
+    assert key(grown) == key(add_words(pt, delta, "word", pruned=False))
