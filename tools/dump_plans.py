@@ -306,20 +306,26 @@ def main() -> None:
         "expensive pipeline tail is computed once, not three times.",
     )
     prose(
-        "IVF persisted index — cosine_topk_ivf_index",
-        "The warm vector path (round-6): the probed-cell set is collected from\n"
-        "the (broadcast-bound) query batch — at most min(|queries|·nprobe,\n"
-        "n_cells) ints — and pushed into the postings scan as a literal IN, so\n"
-        "the FileScan carries `PartitionFilters: [cell IN (...)]` STATICALLY\n"
-        "(verified: unprobed `cell=` directories are never listed, on any\n"
-        "dynamic-pruning config; dynamicpruningexpression still appears on top\n"
-        "as belt-and-braces). Pinned by\n"
-        "`test_ivf_index_probed_scan_partition_pruned`. The rest of the plan:\n"
-        "broadcast (query_id, cell) → pruned id-only postings join → distinct\n"
-        "on replicated postings → vectors join for the exact rerank → per-query\n"
-        "row_number window. No kmeans, no corpus assignment pass — the two\n"
-        "costs `save_ivf_index` paid once; the warm-vs-per-call economics at\n"
-        "64k vectors are recorded in BENCH_EXTRAS (`ivf_scale_*`).",
+        "IVF persisted index — cosine_topk_ivf_index (IVF-FLAT, r7)",
+        "The warm vector path: query cells are assigned DRIVER-SIDE with the\n"
+        "same `_assign_cells_np` routine the distributed UDF wraps (the batch\n"
+        "is collected for the kernel broadcast anyway — one fewer Spark job),\n"
+        "and the probed-cell set is pushed into the postings scan as a literal\n"
+        "IN, so the FileScan carries `PartitionFilters: [cell IN (...)]`\n"
+        "STATICALLY — unprobed `cell=` directories are never listed, on any\n"
+        "dynamic-pruning config. Pinned by\n"
+        "`test_ivf_index_probed_scan_partition_pruned`. Since r7 the postings\n"
+        "are IVF-FLAT lists (full vector per row, written `repartition(n_cells,\n"
+        "cell)` → one file per cell): candidates come from a masked numpy\n"
+        "partial-top-k kernel over the pruned scan (per-query own-cell mask\n"
+        "keeps results identical to the per-call path; pad scales with\n"
+        "n_replicas so replica rows can't eat boundary-closure slots), and the\n"
+        "broadcast candidate ids are exact-reranked against the SAME pruned\n"
+        "scan — nothing corpus-sized outside the probed directories. The\n"
+        "crossover this buys is recorded in BENCH_EXTRAS (`ivf_xover_*`):\n"
+        "flat probe 0.90 s vs exact chunked matmul 2.27 s at 512k vectors,\n"
+        "recall 1.0, 59/256 cells probed. Pre-flat id-only layouts keep the\n"
+        "legacy broadcast-join plan.",
     )
     prose(
         "IVF-PQ — cosine_topk_ivf_pq",
@@ -327,13 +333,29 @@ def main() -> None:
         "the pruned postings scan carries the STORED m-byte PQ codes, the\n"
         "MapInPandas prefilter scores candidates from reconstructions (one\n"
         "fancy-index + GEMM per Arrow batch), and the float `vectors/` table\n"
-        "is joined only for the padded per-query top — where the plain index\n"
-        "path joins full vectors for EVERY probed candidate. Measured at 64k\n"
-        "(BENCH_EXTRAS `ivf_scale_pq_*`): 2.3 s warm vs 6.4 s exact-rerank\n"
-        "probing at recall 1.0; postings bytes 3.4 MB (with codes) vs\n"
-        "1.0 MB (ids) vs 33 MB of float vectors the plain path's candidate\n"
-        "join reads against. Pinned by the lossless-composition and\n"
-        "frozen-codebook append tests in tests/test_ann.py.",
+        "is joined only for the padded per-query top. Since the r7 IVF-FLAT\n"
+        "layout the same posting files also carry the full vector, so the\n"
+        "bytes claim is COLUMN-level: parquet columnar pruning keeps the PQ\n"
+        "probe on the (vec_id, pq) column chunks — recorded deterministically\n"
+        "from footer metadata in BENCH_EXTRAS (`ivf_xover_pq_col_bytes_q4` vs\n"
+        "`ivf_xover_flat_col_bytes_q4`). Pinned by the lossless-composition\n"
+        "and frozen-codebook append tests in tests/test_ann.py.",
+    )
+    prose(
+        "Sparse delta maintenance — add_words / remove_words (pruned plan)",
+        "A delta batch smaller than half the forest count provably touches a\n"
+        "minority of forests (|touched| ≤ |words|), so the pruned plan routes\n"
+        "ONLY touched forests through the Python cogroup — the untouched\n"
+        "majority rides a JVM-only literal-IN filter branch of a Union and\n"
+        "never crosses Arrow. Bulk deltas (a 10% vocabulary refresh hash-\n"
+        "scatters across every forest) keep the one-shot cogroup with no\n"
+        "extra jobs; the gate reads only delta-side counts plus one metadata\n"
+        "agg, never the corpus. add_words routing is a pmod(hash) COLUMN\n"
+        "(any deterministic pid is correct for anti-joined new words), which\n"
+        "dropped the old repartition + TaskContext-tagging pass. Pinned by\n"
+        "`test_sparse_pruned_plan_bypasses_python_and_matches_bulk` (exactly\n"
+        "one FlatMapCoGroupsInPandas under a Union; word sets equal across\n"
+        "plans).",
     )
     prose(
         "COW DML probe — delete_published / update_published / upsert_published",
