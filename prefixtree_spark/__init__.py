@@ -26,6 +26,7 @@ from prefixtree_spark.operators.classifier import (
 )
 from prefixtree_spark.operators.ann import (
     append_ivf_index,
+    maintain_ivf_index,
     cosine_topk_ivf_pq,
     load_ivf_index,
     save_ivf_index,
@@ -76,7 +77,12 @@ from prefixtree_spark.operators.relational import (
     resample_carry_forward,
 )
 from prefixtree_spark.pipeline import prepare_corpus
-from prefixtree_spark.serving import PrefixTreeServer
+from prefixtree_spark.serving import (
+    LocalVectorIndex,
+    PrefixTreeServer,
+    load_local_index_published,
+    load_local_ivf_index,
+)
 from prefixtree_spark.operators.query import (
     LocalIndex,
     build_local_index,
@@ -100,6 +106,9 @@ __all__ = [
     "LocalIndex",
     "build_local_index",
     "PrefixTreeServer",
+    "LocalVectorIndex",
+    "load_local_index_published",
+    "load_local_ivf_index",
     "clear_local_index_cache",
     "add_words",
     "remove_words",
@@ -147,6 +156,7 @@ __all__ = [
     "load_quality_classifier",
     "cosine_topk_ivf_pq",
     "save_ivf_index",
+    "maintain_ivf_index",
     "load_ivf_index",
 ]
 

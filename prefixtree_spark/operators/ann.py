@@ -735,10 +735,15 @@ def save_ivf_index(
             ],
             "j int, i int, c array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_books")
+    # n_vectors = the TRAINED corpus size (footer-only count of the
+    # just-written vectors/): maintain_ivf_index reads appended drift
+    # as total − n_vectors, so the quantizer-staleness trigger needs
+    # the base recorded at train time
+    n_trained = spark.read.parquet(f"{path}/vectors").count()
     spark.createDataFrame(
         [(int(len(cent)), int(n_replicas), int(cent.shape[1]),
-          int(pq_m or 0))],
-        "n_cells int, n_replicas int, dim int, pq_m int",
+          int(pq_m or 0), int(n_trained))],
+        "n_cells int, n_replicas int, dim int, pq_m int, n_vectors long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -835,6 +840,104 @@ def append_ivf_index(
     finally:
         delta.unpersist()
     return n
+
+
+def maintain_ivf_index(
+    spark,
+    path: str,
+    *,
+    retrain_frac: float = 0.3,
+    max_files_per_cell: float = 4.0,
+    sample_size: int = 20_000,
+    seed: int = 42,
+) -> dict:
+    """The maintenance policy loop for a persisted IVF index — the ANN
+    analog of ``maintain_published``. Call it out of band (it rewrites
+    layout directories in place; don't serve probes from the same
+    process mid-rebuild):
+
+    - **retrain** when the appended fraction passes ``retrain_frac``
+      (appended = footer-only row count of ``vectors/`` minus the
+      trained-base ``n_vectors`` recorded in ``meta/``): a frozen
+      coarse quantizer drifts as the data distribution does — exactly
+      the rebuild-vs-delta economics the tree's add_words chain
+      documents. A retrain is a full ``save_ivf_index`` over the
+      accumulated vectors with the SAME layout parameters (cells,
+      replicas, pq).
+    - **compact** when appends have fragmented the cell lists (every
+      ``append_ivf_index`` adds up to one file per touched cell, so a
+      daily-append index accretes a chain of small files whose footer
+      tax the r7 layout work measured at 3x probe cost): rewrite the
+      postings back to ~one file per cell. Listing metadata only —
+      no data scan decides anything.
+
+    Pre-``n_vectors`` layouts (saved before r7) have no trained-base
+    record; they never trigger retrain (compact still applies) until
+    the first retrain/re-save stamps one. Returns ``{"n_vectors",
+    "appended_frac", "retrained", "compacted", "files_per_cell"}``."""
+    import os
+
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    post_dir = f"{path}/postings"
+    cell_dirs = [d for d in os.listdir(post_dir) if d.startswith("cell=")]
+    n_files = sum(
+        1
+        for d in cell_dirs
+        for f in os.listdir(os.path.join(post_dir, d))
+        if f.endswith(".parquet")
+    )
+    files_per_cell = n_files / max(1, len(cell_dirs))
+    total = spark.read.parquet(f"{path}/vectors").count()
+    base = meta.get("n_vectors")
+    appended_frac = (
+        (total - base) / total if base is not None and total else 0.0
+    )
+    retrained = appended_frac > retrain_frac
+    compacted = False
+    if retrained:
+        import shutil
+
+        vectors = spark.read.parquet(f"{path}/vectors")
+        # STAGE the rebuild next to the live layout, then swap: writing
+        # over path/vectors while lazily reading it would delete the
+        # input's own files mid-scan. The write re-stamps n_vectors =
+        # the new trained base.
+        staged = f"{path}/_rebuild"
+        save_ivf_index(
+            vectors, "vec_id", "cv", staged,
+            n_cells=int(meta["n_cells"]),
+            n_replicas=int(meta["n_replicas"]),
+            sample_size=sample_size, seed=seed,
+            pq_m=int(meta["pq_m"]) or None,
+        )
+        for sub in ("vectors", "postings", "centroids", "pq_books", "meta"):
+            if os.path.isdir(os.path.join(staged, sub)):
+                shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
+                os.rename(os.path.join(staged, sub), os.path.join(path, sub))
+        shutil.rmtree(staged, ignore_errors=True)
+    elif files_per_cell > max_files_per_cell:
+        compacted = True
+        post = spark.read.parquet(post_dir)
+        cols = [c for c in post.columns if c != "cell"]
+        staged = f"{path}/postings_compact"
+        (
+            post.select(*cols, "cell")
+            .repartition(int(meta["n_cells"]), "cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(staged)
+        )
+        import shutil
+
+        shutil.rmtree(post_dir)
+        os.rename(staged, post_dir)
+    return {
+        "n_vectors": int(total),
+        "appended_frac": round(float(appended_frac), 4),
+        "retrained": retrained,
+        "compacted": compacted,
+        "files_per_cell": round(files_per_cell, 2),
+    }
 
 
 def _flat_ivf_candidates(

@@ -21,6 +21,10 @@ across clients, not just across calls.
         (sorted; responses cap at ``max_hits`` words — a truncated
         response carries ``X-Truncated: true``, so p='' can't
         serialize the whole dictionary on any client's say-so)
+    GET /ann?v=<csv floats>&k=10&nprobe=8   → [[vec_id, cosine], ...]
+        (when constructed with ``ann_index=``, a ``LocalVectorIndex``
+        over a save_ivf_index IVF-FLAT layout — vector point lookups
+        from the same keep-alive replica; k clamps at ``max_ann_k``)
     GET /health                             → {"nodes": N}
 
 Operationally (documented, not sandbox-testable beyond localhost):
@@ -67,8 +71,14 @@ class PrefixTreeServer:
     def __init__(
         self, index: LocalIndex, *, host: str = "127.0.0.1", port: int = 0,
         max_k: int = 8, max_hits: int = 10_000,
+        ann_index: "LocalVectorIndex | None" = None, max_ann_k: int = 100,
     ):
         self.index = index
+        # optional vector sidecar: GET /ann?v=<csv floats>&k=&nprobe=
+        # serves top-k cosine neighbors from a LocalVectorIndex (the
+        # IVF-FLAT serving handle); swap-able like the word index
+        self.ann_index = ann_index
+        self.max_ann_k = int(max_ann_k)
         self.max_k = int(max_k)
         # response-size bound for /prefix: without it, p='' (or any
         # high-fanout prefix) serializes the whole dictionary into one
@@ -155,6 +165,35 @@ class PrefixTreeServer:
                         else:
                             hits = index.search(q["q"], k)
                         body = [[w, int(d)] for w, d in hits]
+                    elif url.path == "/ann":
+                        ann = srv.ann_index
+                        if ann is None:
+                            self.send_error(404, "no vector index loaded")
+                            return
+                        k = int(q.get("k", "10"))
+                        if not 1 <= k <= srv.max_ann_k:
+                            self.send_error(
+                                400, f"k must be in [1, {srv.max_ann_k}]"
+                            )
+                            return
+                        nprobe = int(q.get("nprobe", "8"))
+                        if not 1 <= nprobe <= len(ann.centroids):
+                            self.send_error(
+                                400,
+                                f"nprobe must be in [1, {len(ann.centroids)}]",
+                            )
+                            return
+                        vec = [float(x) for x in q["v"].split(",")]
+                        if len(vec) != ann.centroids.shape[1]:
+                            self.send_error(
+                                400,
+                                f"v must have dim {ann.centroids.shape[1]}",
+                            )
+                            return
+                        body = [
+                            [v if isinstance(v, str) else int(v), s]
+                            for v, s in ann.search(vec, k, nprobe=nprobe)
+                        ]
                     elif url.path == "/prefix":
                         hits = index.search_prefix(q["p"])
                         truncated = len(hits) > srv.max_hits
@@ -211,6 +250,125 @@ class PrefixTreeServer:
 
     def __exit__(self, *exc) -> None:
         self.stop()
+
+
+class LocalVectorIndex:
+    """Serving-side ANN handle over a ``save_ivf_index`` IVF-FLAT
+    layout, no SparkSession in the process (the vector analog of
+    ``LocalIndex``): centroids load once, probed cell directories load
+    lazily through pyarrow and stay cached as (ids, matrix, norms)
+    numpy triples — memory is bounded by the cells actually probed,
+    and a replica that serves a hot query region holds only that
+    region's lists. Scoring is one numpy matmul over the probed
+    union, ordered (cosine desc, vec_id asc) like the cluster paths
+    (numpy pairwise summation may differ from the JVM fold in the
+    last ulp on manufactured near-ties; serving does not promise
+    oracle-bit-exactness — the cluster paths do)."""
+
+    def __init__(self, path: str):
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        meta = pq.read_table(os.path.join(path, "meta")).to_pylist()[0]
+        cent_rows = pq.read_table(os.path.join(path, "centroids")).to_pylist()
+        self.centroids = np.zeros(
+            (meta["n_cells"], meta["dim"]), dtype=np.float64
+        )
+        for r in cent_rows:
+            self.centroids[r["cell"]] = np.asarray(r["c"], dtype=np.float64)
+        self.n_replicas = int(meta["n_replicas"])
+        self._postings_dir = os.path.join(path, "postings")
+        cell_dirs = [
+            d
+            for d in os.listdir(self._postings_dir)
+            if d.startswith("cell=")
+        ]
+        if not cell_dirs:
+            raise FileNotFoundError(f"no cell lists under {path!r}")
+        probe = pq.read_schema(
+            self._first_file(os.path.join(self._postings_dir, cell_dirs[0]))
+        )
+        if "cv" not in probe.names:
+            # id-only pre-flat layouts carry no vectors in the lists
+            raise ValueError(
+                "LocalVectorIndex needs an IVF-FLAT layout "
+                "(postings carry no vector column)"
+            )
+        self._cells: dict[int, tuple] = {}
+
+    @staticmethod
+    def _first_file(d: str):
+        import os
+
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                return os.path.join(d, f)
+        raise FileNotFoundError(d)
+
+    def _cell(self, c: int):
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        got = self._cells.get(c)
+        if got is not None:
+            return got
+        d = os.path.join(self._postings_dir, f"cell={c}")
+        if not os.path.isdir(d):
+            got = (np.array([], dtype=object), np.zeros((0, self.centroids.shape[1])), np.array([]))
+        else:
+            tbl = pq.read_table(d, columns=["vec_id", "cv"])
+            ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+            m = np.array(tbl.column("cv").to_pylist(), dtype=np.float64)
+            if m.size == 0:
+                m = np.zeros((0, self.centroids.shape[1]))
+            got = (ids, m, np.linalg.norm(m, axis=1))
+        self._cells[c] = got
+        return got
+
+    def search(self, vec, k: int = 10, *, nprobe: int = 8) -> list[tuple]:
+        """Top-``k`` (vec_id, cosine) for one query vector."""
+        import numpy as np
+
+        from prefixtree_spark.operators.ann import _assign_cells_np
+
+        q = np.asarray(vec, dtype=np.float64)
+        cells = _assign_cells_np(q[None, :], self.centroids, nprobe)[0]
+        ids_parts, cos_parts = [], []
+        qn = np.linalg.norm(q)
+        for c in cells:
+            ids, m, cn = self._cell(int(c))
+            if not len(ids):
+                continue
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (m @ q) / (cn * qn)
+            ids_parts.append(ids)
+            cos_parts.append(np.nan_to_num(cos, nan=-np.inf))
+        if not ids_parts:
+            return []
+        ids = np.concatenate(ids_parts)
+        cos = np.concatenate(cos_parts)
+        order = np.lexsort((ids, -cos))
+        out, seen = [], set()
+        for i in order:
+            v = ids[i]
+            if v in seen:  # replicated lists: one row per vec_id
+                continue
+            seen.add(v)
+            out.append((v, float(cos[i])))
+            if len(out) == k:
+                break
+        return out
+
+
+def load_local_ivf_index(path: str) -> LocalVectorIndex:
+    """Open a ``save_ivf_index`` IVF-FLAT layout as a serving-side
+    handle (no SparkSession; pyarrow + numpy only — the ANN analog of
+    ``load_local_index_published``)."""
+    return LocalVectorIndex(path)
 
 
 def load_local_index_published(root: str) -> tuple[LocalIndex, int]:

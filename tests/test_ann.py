@@ -851,3 +851,74 @@ def test_ivf_index_empty_query_batch_keeps_stored_id_type(spark, tmp_path):
     ]
     assert empty.count() == 0
     assert live.unionByName(empty).count() == live.count()
+
+
+def test_maintain_ivf_index_compacts_and_retrains(spark, clustered, tmp_path):
+    """The ANN maintenance loop: repeated appends fragment the cell
+    lists → compaction folds them back to ~one file per cell (probes
+    unchanged); once the appended fraction passes the threshold a
+    retrain re-stamps the trained base and answers stay correct."""
+    import os
+
+    df, rows = clustered
+    base = df.where("vec_id < 80")
+    path = str(tmp_path / "ivf_maint")
+    ann.save_ivf_index(base, "vec_id", "embedding", path, n_cells=5,
+                       sample_size=200)
+    # small appends: fragment the lists without crossing retrain_frac
+    for lo in (80, 85, 90):
+        ann.append_ivf_index(
+            spark, path,
+            df.where(f"vec_id >= {lo} and vec_id < {lo + 5}"),
+            "vec_id", "embedding",
+        )
+    rep = ann.maintain_ivf_index(spark, path, retrain_frac=0.5,
+                                 max_files_per_cell=1.5)
+    assert rep["compacted"] and not rep["retrained"]
+    post_dir = f"{path}/postings"
+    n_files = sum(
+        1 for d in os.listdir(post_dir) if d.startswith("cell=")
+        for f in os.listdir(os.path.join(post_dir, d))
+        if f.endswith(".parquet")
+    )
+    cells = sum(1 for d in os.listdir(post_dir) if d.startswith("cell="))
+    assert n_files <= cells  # ~one file per cell again
+    idx = ann.load_ivf_index(spark, path)
+    q = df.where(df.vec_id.isin([0, 90]))
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_ivf_index(
+            q, "vec_id", "embedding", idx, k=5, nprobe=5
+        ).collect()
+    }
+    exact = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk(
+            q, "vec_id", "embedding", df.where("vec_id < 95"),
+            "vec_id", "embedding", k=5,
+        ).collect()
+    }
+    assert got == exact  # full probe == exact over the appended corpus
+    # push past the retrain threshold
+    ann.append_ivf_index(spark, path, df.where("vec_id >= 95"),
+                         "vec_id", "embedding")
+    rep2 = ann.maintain_ivf_index(spark, path, retrain_frac=0.02)
+    assert rep2["retrained"]
+    # the retrain re-stamped the base: a fresh pass is a no-op
+    rep3 = ann.maintain_ivf_index(spark, path, retrain_frac=0.02,
+                                  max_files_per_cell=1.5)
+    assert not rep3["retrained"] and not rep3["compacted"]
+    idx2 = ann.load_ivf_index(spark, path)
+    got2 = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_ivf_index(
+            q, "vec_id", "embedding", idx2, k=5, nprobe=5
+        ).collect()
+    }
+    exact2 = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk(
+            q, "vec_id", "embedding", df, "vec_id", "embedding", k=5
+        ).collect()
+    }
+    assert got2 == exact2

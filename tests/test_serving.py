@@ -202,3 +202,87 @@ def test_prefix_response_bounded_by_max_hits(spark):
             body = json.loads(r.read())
             assert r.headers.get("X-Truncated") is None
         assert body == idx.search_prefix("DO")
+
+
+def test_local_vector_index_matches_cluster_probe(spark, tmp_path):
+    """LocalVectorIndex (Spark-session-free pyarrow/numpy handle over
+    the IVF-FLAT layout) must return the same neighbor ids, in rank
+    order, as the cluster probe at the same nprobe — for both plain
+    and replicated lists (replica rows dedup to one seat)."""
+    import numpy as np
+
+    from prefixtree_spark.operators import ann
+    from prefixtree_spark.serving import load_local_ivf_index
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 8)) * 5
+    rows = [
+        (int(c_i * 25 + j), [float(x) for x in c + rng.standard_normal(8) * 0.3])
+        for c_i, c in enumerate(centers)
+        for j in range(25)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for n_replicas in (1, 2):
+        path = str(tmp_path / f"ivf_local_r{n_replicas}")
+        ann.save_ivf_index(
+            df, "vec_id", "embedding", path, n_cells=6,
+            n_replicas=n_replicas, sample_size=200,
+        )
+        local = load_local_ivf_index(path)
+        idx = ann.load_ivf_index(spark, path)
+        q = df.where(df.vec_id.isin([0, 30, 77]))
+        cluster = {}
+        for r in ann.cosine_topk_ivf_index(
+            q, "vec_id", "embedding", idx, k=5, nprobe=2
+        ).collect():
+            cluster.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+        for qid, emb in [(r[0], r[1]) for r in rows if r[0] in (0, 30, 77)]:
+            got = [
+                int(v)
+                for v, _ in local.search(emb, 6, nprobe=2)
+                if int(v) != qid  # cluster path excludes self
+            ][:5]
+            want = [v for _, v in sorted(cluster[qid])]
+            assert got == want, (n_replicas, qid, got, want)
+
+
+def test_ann_endpoint_serves_and_clamps(spark, tmp_path):
+    import urllib.error
+
+    import numpy as np
+
+    from prefixtree_spark.operators import ann
+    from prefixtree_spark.serving import load_local_ivf_index
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(4)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf_http")
+    ann.save_ivf_index(df, "vec_id", "embedding", path, n_cells=4, sample_size=100)
+    local = load_local_ivf_index(path)
+    pt = create(_words_df(spark, ["CAT"]), "word")
+    with PrefixTreeServer(
+        build_local_index(pt), ann_index=local, max_ann_k=5
+    ) as srv:
+        v = ",".join(str(x) for x in rows[7][1])
+        got = _get(srv.url(f"/ann?v={v}&k=3&nprobe=4"))
+        want = local.search(rows[7][1], 3, nprobe=4)
+        assert [(x[0], round(x[1], 9)) for x in got] == [
+            (int(a), round(b, 9)) for a, b in want
+        ]
+        assert got[0][0] == 7  # the vector itself tops its own lookup
+        for bad in ("k=6", "k=0", "nprobe=99", "v=1.0&k=3"):
+            try:
+                _get(srv.url(f"/ann?{bad if 'v=' in bad else f'v={v}&' + bad}"))
+                raise AssertionError(f"{bad} should have been rejected")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, bad
+        # no vector index loaded → 404
+    with PrefixTreeServer(build_local_index(pt)) as srv2:
+        try:
+            _get(srv2.url("/ann?v=1,2,3,4"))
+            raise AssertionError("should 404 without ann_index")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
