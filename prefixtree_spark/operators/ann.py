@@ -530,29 +530,52 @@ def cosine_topk_ivf(
             sample = np.array(sample_pdf["v"].tolist(), dtype=np.float64)
         cent = _kmeans_centroids(sample, n_cells, seed=seed)
     c_assign = _cell_assign_udf(cent, n_replicas)
-    q_assign = _cell_assign_udf(cent, nprobe)
     cbase = corpus.select(F.col(cid).alias("vec_id"), F.col(cvec).alias("cv"))
     qbase = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("qv"))
-    if n_replicas <= 1:
-        c = cbase.withColumn("cell", c_assign(F.col("cv")).getItem(0))
-        q = qbase.withColumn("cell", F.explode(q_assign(F.col("qv"))))
-        cand = F.broadcast(q).join(c, "cell").select("query_id", "qv", "vec_id", "cv")
-    else:
-        # replicated postings: dedup id-pairs first (no payloads through
-        # the distinct), then rejoin both vector sides
-        c_ids = cbase.withColumn("cell", F.explode(c_assign(F.col("cv")))).select(
-            "vec_id", "cell"
+    # scoring goes through the SAME masked numpy kernel as the flat
+    # index probe (r7): query cells assign driver-side (the batch is
+    # collected for the kernel broadcast anyway), the per-call corpus
+    # assignment pass feeds the kernel directly, and only the bounded
+    # boundary-closed candidates reach the JVM-fold rerank. The old
+    # plan exact-scored EVERY probed pair through interpreted
+    # higher-order functions — 800k pairs ≈ 2.5 s at sf0.1's
+    # exactness-mode workload; results are identical (kernel closure
+    # preserves top-k; the rerank fold is the same expression).
+    q_pdf = qbase.toPandas()
+    if len(q_pdf) == 0:
+        return (
+            qbase.limit(0)
+            .crossJoin(cbase.select("vec_id").limit(0))
+            .select("query_id", "vec_id", F.lit(0).cast("long").alias("rank"))
         )
-        q_ids = qbase.withColumn("cell", F.explode(q_assign(F.col("qv")))).select(
-            "query_id", "cell"
-        )
-        pairs = (
-            F.broadcast(q_ids)
-            .join(c_ids, "cell")
-            .select("query_id", "vec_id")
-            .distinct()
-        )
-        cand = pairs.join(F.broadcast(qbase), "query_id").join(cbase, "vec_id")
+    cells_mat = _assign_cells_np(
+        np.array(q_pdf["qv"].tolist(), dtype=np.float64), cent, nprobe
+    )
+    pair_list = [
+        (q_pdf["query_id"].iloc[i], int(c_))
+        for i in range(len(q_pdf))
+        for c_ in cells_mat[i]
+    ]
+    probed = sorted({c_ for _, c_ in pair_list})
+    qt = queries.schema[qid].dataType.simpleString()
+    ct = corpus.schema[cid].dataType.simpleString()
+    celled = (
+        cbase.withColumn("cell", F.explode(c_assign(F.col("cv"))))
+        .where(F.col("cell").isin(probed))
+    )
+    cand_ids, _bq = _flat_ivf_candidates(
+        celled.select("vec_id", "cv", "cell"), q_pdf, pair_list,
+        k, qt, ct, n_replicas=n_replicas,
+    )
+    if n_replicas > 1:
+        # replicated assignment: the same (query, vector) pair can
+        # surface from several probed cells/partitions
+        cand_ids = cand_ids.distinct()
+    # rerank against the corpus itself (one row per vec_id — no
+    # replica dedup needed on this side)
+    cand = F.broadcast(cand_ids).join(cbase, "vec_id").join(
+        F.broadcast(qbase), "query_id"
+    )
     if exclude_self:
         cand = cand.where(F.col("query_id") != F.col("vec_id"))
     scored = cand.select(
