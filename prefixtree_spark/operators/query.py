@@ -93,6 +93,10 @@ RESULT_SCHEMA = T.StructType(
 # Collected trees up to this many nodes use the broadcast_tree path in
 # mode="auto"; beyond it the tree stays distributed.
 _AUTO_BROADCAST_NODES = 2_000_000
+# below this, auto collects+merges the tree per call (driver handle);
+# above it (but still collectable) the distributed traversal wins —
+# measured r7 crossover: ~tie at 3.7k nodes, 3x at 36k (see SCALING)
+_AUTO_DRIVER_TREE_NODES = 8_192
 
 # bfs tree sides up to this many nodes are broadcast into the per-level
 # join (zero per-level shuffles); beyond it the tree is hash-partitioned
@@ -426,6 +430,12 @@ def _query_broadcast_tree(
             if qs:
                 yield _traverse_index(idx, QueryBatch(qs), k)
 
+    # NOT repartitioned before the mapInPandas (measured, r7): the
+    # batch DP amortizes each node visit across every active query, so
+    # splitting a 1024-query batch over 32 tasks makes each task walk
+    # the whole tree anyway — 2.1 s either way at 36k nodes, k=2, and
+    # the shuffle only hurts point batches. Large batches belong on
+    # the distributed traversal (auto routes them there).
     return queries.select(F.col(qcol)).mapInPandas(run, schema=RESULT_SCHEMA)
 
 
@@ -669,10 +679,40 @@ def query(
         pt, owned = _own_persist(pt)
         try:
             n_nodes = pt.count()
-            if n_nodes <= _AUTO_BROADCAST_NODES:
+            # min() so forcing _AUTO_BROADCAST_NODES down (tests, the
+            # giant-forest bench) forces the distributed regimes past
+            # the tiny-tree shortcut too
+            if n_nodes <= min(_AUTO_DRIVER_TREE_NODES, _AUTO_BROADCAST_NODES):
+                # tiny tree: collect + merge is ~free and the driver
+                # handle serves any query side (queries stream through
+                # mapInPandas, never collected)
                 return _query_broadcast_tree(
                     qdf, col, _merged_local_index(pt, n_nodes), k
                 )
+            if n_nodes <= _AUTO_BROADCAST_NODES:
+                # mid-size collectable tree: the distributed traversal
+                # wins from ~10k nodes up (measured r7: 0.60 vs 2.13 s
+                # at 736 queries × 36k nodes, k=2 — the per-call
+                # collect+merge plus the one-task batch DP lose to
+                # per-partition traversals that amortize node visits
+                # across the whole broadcast batch). Queries must be
+                # collectable for that route; a huge query side streams
+                # through the broadcast-tree handle instead (the tree
+                # is still the small side).
+                qdf = qdf.persist()
+                try:
+                    if qdf.count() <= _AUTO_BROADCAST_QUERIES:
+                        return _query_broadcast_queries(
+                            pt,
+                            [r[0] for r in qdf.collect()],
+                            k,
+                            colocated=colocated,
+                        ).localCheckpoint(eager=True)
+                    return _query_broadcast_tree(
+                        qdf, col, _merged_local_index(pt, n_nodes), k
+                    )
+                finally:
+                    qdf.unpersist()
             # tree too big to collect: stays distributed. Probe the query
             # side BEFORE collecting it — with both sides large the
             # query side must stream through in chunks, never collect

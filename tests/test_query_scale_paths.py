@@ -399,3 +399,36 @@ def test_public_reshard_carries_n_copies(spark):
         (r.node, r.n_copies) for r in pt2.where("is_word").collect()
     }
     assert got == {("cat", 2), ("dog", 1)}
+
+
+def test_auto_routes_midsize_tree_to_distributed_traversal(spark, monkeypatch):
+    """Between the tiny-tree driver handle and the too-big-to-collect
+    regime, auto must pick the distributed traversal (collect+merge per
+    call plus the one-task batch DP lose to per-partition traversals
+    from ~10k nodes up — r7 measurement), falling back to the streamed
+    broadcast-tree handle only when the query side itself exceeds the
+    collect bound."""
+    import prefixtree_spark.operators.query as qmod
+
+    routed = []
+    real_bq = qmod._query_broadcast_queries
+    monkeypatch.setattr(qmod, "_AUTO_DRIVER_TREE_NODES", 0)
+    monkeypatch.setattr(
+        qmod,
+        "_query_broadcast_queries",
+        lambda pt, qs, k, **kw: routed.append(len(qs)) or real_bq(pt, qs, k, **kw),
+    )
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3)
+    qdf = spark.createDataFrame([(q,) for q in QUERIES], ["q"])
+    res = qmod.query(pt, qdf, "q", 1, mode="auto", colocated=True)
+    got = {(r.query_string, r.node, r.final_distance) for r in res.collect()}
+    assert routed == [len(set(QUERIES))]
+    assert got == _expected(SPARSE_WORDS, QUERIES, 1)
+    # huge query side (forced): streams through the broadcast-tree
+    # handle, never collected
+    monkeypatch.setattr(qmod, "_AUTO_BROADCAST_QUERIES", 1)
+    routed.clear()
+    res2 = qmod.query(pt, qdf, "q", 1, mode="auto")
+    got2 = {(r.query_string, r.node, r.final_distance) for r in res2.collect()}
+    assert not routed  # broadcast_queries not used
+    assert got2 == _expected(SPARSE_WORDS, QUERIES, 1)
