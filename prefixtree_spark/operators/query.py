@@ -256,21 +256,32 @@ def _query_broadcast_queries(
     spark = pt.sparkSession
     bq = spark.sparkContext.broadcast(query_strings)
 
+    def run_partition(batches):
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        yield _traverse_pdf(pdf, QueryBatch(bq.value), k)
+
     if colocated:
-
-        def run_partition(batches):
-            frames = [pdf for pdf in batches if len(pdf)]
-            if not frames:
-                return
-            pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-            yield _traverse_pdf(pdf, QueryBatch(bq.value), k)
-
         return pt.mapInPandas(run_partition, schema=RESULT_SCHEMA)
-
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _traverse_pdf(pdf, QueryBatch(bq.value), k)
-
-    return pt.groupBy("compute_node").applyInPandas(run, schema=RESULT_SCHEMA)
+    # restore colocation with an EXPLICIT-count repartition + the same
+    # per-partition traversal — NOT groupBy().applyInPandas: AQE
+    # coalesces the group exchange's small byte size to ~1 partition
+    # and applyInPandas then runs one QueryBatch build + DP PER GROUP
+    # sequentially inside it (measured: 14.5 s vs 1.4 s colocated at
+    # 14k queries × 32 forests — QueryBatch init is ~0.5 s at that
+    # batch size). A partition holding several complete forests
+    # traverses correctly: node ids are globally unique and every
+    # forest root hangs off the virtual root, so the CSR index is the
+    # forests' union (same argument as _merged_local_index's
+    # merge=False route).
+    n_part = max(
+        pt.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism
+    )
+    return pt.repartition(n_part, "compute_node").mapInPandas(
+        run_partition, schema=RESULT_SCHEMA
+    )
 
 
 def _query_broadcast_queries_chunked(
@@ -698,21 +709,21 @@ def query(
                 # across the whole broadcast batch). Queries must be
                 # collectable for that route; a huge query side streams
                 # through the broadcast-tree handle instead (the tree
-                # is still the small side).
-                qdf = qdf.persist()
-                try:
-                    if qdf.count() <= _AUTO_BROADCAST_QUERIES:
-                        return _query_broadcast_queries(
-                            pt,
-                            [r[0] for r in qdf.collect()],
-                            k,
-                            colocated=colocated,
-                        ).localCheckpoint(eager=True)
-                    return _query_broadcast_tree(
-                        qdf, col, _merged_local_index(pt, n_nodes), k
-                    )
-                finally:
-                    qdf.unpersist()
+                # is still the small side). ONE bounded job probes and
+                # collects the query side together (limit N+1 collect):
+                # the persist + count + collect trio cost two extra
+                # jobs per call, and the collect is what the chosen
+                # route needs anyway. The over-bound case wastes that
+                # one bounded collect and streams instead — the rare
+                # regime pays, not the common one.
+                rows = qdf.limit(_AUTO_BROADCAST_QUERIES + 1).collect()
+                if len(rows) <= _AUTO_BROADCAST_QUERIES:
+                    return _query_broadcast_queries(
+                        pt, [r[0] for r in rows], k, colocated=colocated
+                    ).localCheckpoint(eager=True)
+                return _query_broadcast_tree(
+                    qdf, col, _merged_local_index(pt, n_nodes), k
+                )
             # tree too big to collect: stays distributed. Probe the query
             # side BEFORE collecting it — with both sides large the
             # query side must stream through in chunks, never collect
