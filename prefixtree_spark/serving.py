@@ -51,6 +51,7 @@ need no locks.
 from __future__ import annotations
 
 import json
+import math
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -184,6 +185,15 @@ class PrefixTreeServer:
                             )
                             return
                         vec = [float(x) for x in q["v"].split(",")]
+                        if not all(math.isfinite(x) for x in vec):
+                            # inf/nan parse fine as floats but poison
+                            # the cosine scores, and json.dumps would
+                            # emit Infinity/NaN tokens — invalid JSON
+                            # that strict clients reject
+                            self.send_error(
+                                400, "v components must be finite"
+                            )
+                            return
                         if len(vec) != ann.centroids.shape[1]:
                             self.send_error(
                                 400,
@@ -272,12 +282,14 @@ class LocalVectorIndex:
         import pyarrow.parquet as pq
 
         meta = pq.read_table(os.path.join(path, "meta")).to_pylist()[0]
-        cent_rows = pq.read_table(os.path.join(path, "centroids")).to_pylist()
+        cent_tbl = pq.read_table(os.path.join(path, "centroids"))
         self.centroids = np.zeros(
             (meta["n_cells"], meta["dim"]), dtype=np.float64
         )
-        for r in cent_rows:
-            self.centroids[r["cell"]] = np.asarray(r["c"], dtype=np.float64)
+        cent_cells = cent_tbl.column("cell").to_numpy(zero_copy_only=False)
+        self.centroids[cent_cells] = self._list_column_matrix(
+            cent_tbl.column("c"), int(meta["dim"])
+        )
         self.n_replicas = int(meta["n_replicas"])
         self._postings_dir = os.path.join(path, "postings")
         cell_dirs = [
@@ -297,6 +309,25 @@ class LocalVectorIndex:
                 "(postings carry no vector column)"
             )
         self._cells: dict[int, tuple] = {}
+
+    @staticmethod
+    def _list_column_matrix(col, dim: int):
+        """(n, dim) float64 matrix from an Arrow list<float> column via
+        the flat values buffer — one reshape instead of a per-row
+        Python list (``to_pylist`` on a 100 MB cell paid seconds of
+        pure-Python list building on the serving cold path). The
+        save_ivf_index layout guarantees non-null fixed-``dim`` lists;
+        anything else falls back to the row-at-a-time path."""
+        import numpy as np
+
+        ca = col.combine_chunks()
+        n = len(ca)
+        if n == 0:
+            return np.zeros((0, dim))
+        flat = ca.values.to_numpy(zero_copy_only=False)
+        if ca.null_count == 0 and flat.size == n * dim:
+            return flat.reshape(n, dim).astype(np.float64, copy=False)
+        return np.array(ca.to_pylist(), dtype=np.float64)
 
     @staticmethod
     def _first_file(d: str):
@@ -322,9 +353,9 @@ class LocalVectorIndex:
         else:
             tbl = pq.read_table(d, columns=["vec_id", "cv"])
             ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
-            m = np.array(tbl.column("cv").to_pylist(), dtype=np.float64)
-            if m.size == 0:
-                m = np.zeros((0, self.centroids.shape[1]))
+            m = self._list_column_matrix(
+                tbl.column("cv"), self.centroids.shape[1]
+            )
             got = (ids, m, np.linalg.norm(m, axis=1))
         self._cells[c] = got
         return got

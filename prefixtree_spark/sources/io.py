@@ -177,19 +177,39 @@ def _txn_marker_path(root: str, txn: str) -> str:
     return f"{root}/{_TXN_DIR}/t_{h}"
 
 
-def _retire_txn(spark: SparkSession, root: str, txn: str, version: int) -> None:
-    """Record (txn, version) create-if-absent; losing a race to another
-    vacuum is fine — both write the same committed version."""
+def _retire_txn(spark: SparkSession, root: str, txn: str, version: int) -> bool:
+    """Record (txn, version) create-if-absent. Returns True iff the
+    marker is CONFIRMED on the filesystem with the expected body —
+    losing a create race to another vacuum is fine (both write the
+    same committed version, and the exists+body check confirms it),
+    but a genuine write failure (permissions, transient FS error)
+    returns False so the caller keeps the txn-tagged manifest entry:
+    deleting it anyway would erase the txn's only record and let a
+    foreachBatch replay re-append the batch."""
     fs, jvm = _fs(spark, root)
-    p = jvm.org.apache.hadoop.fs.Path(_txn_marker_path(root, txn))
+    mp = _txn_marker_path(root, txn)
+    p = jvm.org.apache.hadoop.fs.Path(mp)
     try:
         out = fs.create(p, False)
         try:
             out.write(bytearray(f"{txn}\t{version}".encode("utf-8")))
         finally:
             out.close()
+        return True
     except Exception:
-        pass  # marker already present (or racer won) — same content
+        # create-if-absent failed: either the marker already exists
+        # (racer / earlier vacuum — same content) or the write itself
+        # failed. Only filesystem evidence distinguishes them; a body
+        # mismatch (partial write, or a truncated-hash collision with
+        # a DIFFERENT txn) also counts as unconfirmed — never
+        # overwrite, the colliding txn's marker is load-bearing.
+        try:
+            if not fs.exists(p):
+                return False
+            body = _read_small_file(spark, mp).split("\t")
+            return len(body) == 2 and body[0] == txn and body[1] == str(version)
+        except Exception:
+            return False
 
 
 def _retired_txn_version(spark: SparkSession, root: str, txn: str) -> int | None:
@@ -1211,11 +1231,15 @@ def vacuum_published(
     for n, mpath in entries:
         if n not in live_versions:
             # preserve exactly-once: retire any txn tag to a marker
-            # BEFORE the entry (the tag's only other home) disappears
+            # BEFORE the entry (the tag's only other home) disappears;
+            # an UNCONFIRMED marker keeps the entry alive (its tag is
+            # the txn's only record) — the next vacuum retries
+            confirmed = True
             for fld in _read_small_file(spark, mpath).split("\t")[3:]:
                 if fld.startswith("txn="):
-                    _retire_txn(spark, root, fld[4:], n)
-            fs.delete(jvm.org.apache.hadoop.fs.Path(mpath), False)
+                    confirmed = _retire_txn(spark, root, fld[4:], n) and confirmed
+            if confirmed:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(mpath), False)
     return removed
 
 

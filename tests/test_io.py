@@ -1105,6 +1105,56 @@ def test_vacuum_retains_txn_replay_guard(spark, tmp_path):
     ) == before + 1
 
 
+def test_vacuum_keeps_entry_when_txn_marker_unconfirmed(spark, tmp_path):
+    """A failed/corrupt retired-txn marker write must NOT let vacuum
+    delete the txn-tagged manifest entry — the tag is the txn's only
+    remaining record, and deleting it would break exactly-once (a
+    replay would re-append the batch). An unconfirmable marker keeps
+    the entry; a confirmed pre-existing marker (lost create race)
+    counts as success."""
+    import os
+
+    from prefixtree_spark.sources.io import (
+        _retire_txn,
+        _txn_marker_path,
+        append_published,
+        publish_version,
+        published_version,
+        read_published,
+        vacuum_published,
+    )
+
+    root = str(tmp_path / "pub_txn_unconfirmed")
+    publish_version(spark.createDataFrame([(1, "a")], ["id", "name"]), root)
+    v_b1 = append_published(
+        spark.createDataFrame([(2, "b")], ["id", "name"]), root, txn="b1"
+    )
+    publish_version(spark.createDataFrame([(9, "z")], ["id", "name"]), root)
+    # corrupt pre-existing marker: create-if-absent fails AND the body
+    # check fails → unconfirmed → vacuum must keep b1's manifest entry
+    mp = _txn_marker_path(root, "b1")
+    os.makedirs(os.path.dirname(mp), exist_ok=True)
+    with open(mp, "w") as f:
+        f.write("garbage")
+    assert _retire_txn(spark, root, "b1", v_b1) is False
+    vacuum_published(spark, root, keep=1)
+    before = published_version(spark, root)
+    # replay still answers the original version via the SURVIVING entry
+    assert append_published(
+        spark.createDataFrame([(2, "b")], ["id", "name"]), root, txn="b1"
+    ) == v_b1
+    assert published_version(spark, root) == before
+    assert sorted(r.id for r in read_published(spark, root).collect()) == [9]
+    # fix the marker → confirmed (lost-race path) → next vacuum retires
+    with open(mp, "w") as f:
+        f.write(f"b1\t{v_b1}")
+    assert _retire_txn(spark, root, "b1", v_b1) is True
+    vacuum_published(spark, root, keep=1)
+    assert append_published(
+        spark.createDataFrame([(2, "b")], ["id", "name"]), root, txn="b1"
+    ) == v_b1
+
+
 def test_maintain_published_policy_converges(spark, tmp_path):
     """The maintenance loop closed: repeated append/DML cycles with
     ``maintain_published`` in between keep the chain and file count

@@ -246,6 +246,41 @@ def test_local_vector_index_matches_cluster_probe(spark, tmp_path):
             assert got == want, (n_replicas, qid, got, want)
 
 
+def test_list_column_matrix_zero_copy_matches_pylist():
+    # the serving cold path loads cell vectors through the Arrow flat
+    # values buffer (one reshape) — must equal the old per-row
+    # to_pylist materialization exactly, chunked or not
+    import numpy as np
+    import pyarrow as pa
+
+    from prefixtree_spark.serving import LocalVectorIndex
+
+    rng = np.random.default_rng(5)
+    data = [[float(x) for x in rng.standard_normal(4)] for _ in range(100)]
+    col = pa.chunked_array(
+        [
+            pa.array(data[:60], pa.list_(pa.float32())),
+            pa.array(data[60:], pa.list_(pa.float32())),
+        ]
+    )
+    got = LocalVectorIndex._list_column_matrix(col, 4)
+    want = np.array(col.combine_chunks().to_pylist(), dtype=np.float64)
+    assert got.shape == (100, 4) and got.dtype == np.float64
+    assert np.array_equal(got, want)
+    empty = pa.chunked_array([pa.array([], pa.list_(pa.float64()))])
+    assert LocalVectorIndex._list_column_matrix(empty, 4).shape == (0, 4)
+    # a null row can't reshape through the flat buffer → fallback path
+    with_null = pa.chunked_array(
+        [pa.array([[1.0, 2.0], None], pa.list_(pa.float64()))]
+    )
+    try:
+        LocalVectorIndex._list_column_matrix(with_null, 2)
+        raised = False
+    except (ValueError, TypeError):
+        raised = True
+    assert raised  # layout guarantees non-null; fallback surfaces it
+
+
 def test_ann_endpoint_serves_and_clamps(spark, tmp_path):
     import urllib.error
 
@@ -273,7 +308,12 @@ def test_ann_endpoint_serves_and_clamps(spark, tmp_path):
             (int(a), round(b, 9)) for a, b in want
         ]
         assert got[0][0] == 7  # the vector itself tops its own lookup
-        for bad in ("k=6", "k=0", "nprobe=99", "v=1.0&k=3"):
+        # inf/nan parse as floats but would poison cosine scores and
+        # make json.dumps emit invalid-JSON Infinity/NaN tokens → 400
+        for bad in (
+            "k=6", "k=0", "nprobe=99", "v=1.0&k=3",
+            "v=inf,0,0,0&k=3", "v=0,nan,0,0&k=3", "v=-inf,0,0,0&k=3",
+        ):
             try:
                 _get(srv.url(f"/ann?{bad if 'v=' in bad else f'v={v}&' + bad}"))
                 raise AssertionError(f"{bad} should have been rejected")
