@@ -44,6 +44,8 @@ from prefixtree_spark.plans.tree import (
     PT_COLUMNS_DUP,
     PT_SCHEMA,
     PT_SCHEMA_DUP,
+    n_forests_hint,
+    set_n_forests_hint,
 )
 
 # Sentinel child key for end-cap leaves: a unique object, so it cannot
@@ -374,15 +376,26 @@ def create(
     schema = PT_SCHEMA_DUP if keep_duplicates else PT_SCHEMA
     if builder == "streaming":
         words = words.sortWithinPartitions("word")
-        return words.mapInPandas(
-            lambda it: _build_partition_streaming(it, keep_duplicates=keep_duplicates),
-            schema=schema,
+        return set_n_forests_hint(
+            words.mapInPandas(
+                lambda it: _build_partition_streaming(
+                    it, keep_duplicates=keep_duplicates
+                ),
+                schema=schema,
+            ),
+            n,
         )
     if builder != "memory":
         raise ValueError(f"unknown builder {builder!r}")
-    return words.mapInPandas(
-        lambda it: _build_partition(it, keep_duplicates=keep_duplicates),
-        schema=schema,
+    # the build KNOWS its forest count (the repartition N) — hint it so
+    # the delta paths (add_words/remove_words plan gates + routing)
+    # skip their per-call max(compute_node) probe job
+    return set_n_forests_hint(
+        words.mapInPandas(
+            lambda it: _build_partition(it, keep_duplicates=keep_duplicates),
+            schema=schema,
+        ),
+        n,
     )
 
 
@@ -392,8 +405,55 @@ def save_index(pt: DataFrame, path: str) -> None:
     Written partitioned as built (one file per build partition ≈ one
     forest per file); parquet column pruning subsumes the reference's
     covering-index payload (PrefixTree.ecl:612, SURVEY.md §2.1 S4).
+
+    Alongside the data, a tiny ``_pt_meta`` sidecar stores the forest
+    count (underscore-prefixed → invisible to the parquet reader), so
+    every future ``add_words``/``remove_words`` on the loaded table
+    skips its per-call max(compute_node) probe job — the count is paid
+    ONCE here (from the build hint when the frame carries it, else one
+    cheap single-column scan of the just-written files), not per delta.
     """
     pt.write.mode("overwrite").parquet(path)
+    spark = pt.sparkSession
+    n = n_forests_hint(pt)
+    if n is None:
+        mx = spark.read.parquet(path).agg(F.max("compute_node")).first()[0]
+        n = (
+            int(mx) + 1
+            if mx is not None
+            else spark.sparkContext.defaultParallelism
+        )
+    _write_index_meta(spark, path, int(n))
+
+
+def _write_index_meta(spark: SparkSession, path: str, n_forests: int) -> None:
+    import json
+
+    from prefixtree_spark.sources.io import _fs
+
+    fs, jvm = _fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_pt_meta")
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps({"n_forests": n_forests}).encode()))
+    finally:
+        out.close()
+
+
+def _read_index_meta(spark: SparkSession, path: str) -> int | None:
+    import json
+
+    from prefixtree_spark.sources.io import _fs, _read_small_file
+
+    try:
+        fs, jvm = _fs(spark, path)
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/_pt_meta")):
+            return None
+        return int(
+            json.loads(_read_small_file(spark, f"{path}/_pt_meta"))["n_forests"]
+        )
+    except Exception:
+        return None  # pre-meta saves / foreign files: probe instead
 
 
 def load_index(spark: SparkSession, path: str, *, colocated: bool = False) -> DataFrame:
@@ -405,6 +465,9 @@ def load_index(spark: SparkSession, path: str, *, colocated: bool = False) -> Da
     df = spark.read.parquet(path)
     if colocated:
         df = df.repartition("compute_node")
+    n = _read_index_meta(spark, path)
+    if n is not None:
+        set_n_forests_hint(df, n)
     return df
 
 

@@ -33,7 +33,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from prefixtree_spark.plans.tree import ID_BLOCK, PT_COLUMNS, PT_SCHEMA
+from prefixtree_spark.plans.tree import (
+    ID_BLOCK,
+    PT_COLUMNS,
+    PT_SCHEMA,
+    n_forests_hint,
+    set_n_forests_hint,
+)
 
 # node = [label, children dict (first char / _END -> node), min, max, id]
 # id is None for nodes created by this delta insert.
@@ -210,14 +216,22 @@ def remove_words(
     jobs."""
     if "n_copies" in pt.columns:
         raise ValueError("remove_words does not support keep_duplicates tables")
+    # no .distinct() anywhere on the delta: end-caps are globally
+    # unique (create dedups; add_words anti-joins), so the join emits
+    # at most one (pid, word) row per DISTINCT delta word anyway, and
+    # ``_remove`` is idempotent (second removal of a word no-ops) — a
+    # duplicated delta row costs one wasted Python call, never a wrong
+    # answer. Each dropped distinct was a full exchange + two
+    # hash-aggregates of fixed scheduling cost on every delta call
+    # (r7's remove_words_delta drift was exactly this class of
+    # per-call fixed cost).
     words = df.select(
         _trim_fn(trim)(F.col(col) if isinstance(col, str) else col).alias("word")
-    ).where(F.col("word") != "").distinct()
+    ).where(F.col("word") != "")
     hits = (
         pt.where("is_word")
         .join(words, pt["node"] == words["word"])
         .select(F.col("compute_node").alias("pid"), F.col("word"))
-        .distinct()
     )
 
     def merge(key: tuple, old: pd.DataFrame, rem: pd.DataFrame) -> pd.DataFrame:
@@ -242,15 +256,30 @@ def remove_words(
     # second table pass buys nothing there (measured at sf0.1: pruned
     # plumbing cost +0.4 s on the bulk shape). The gate reads only
     # delta-side and metadata aggregates, never the corpus.
+    out_hint = n_forests_hint(pt)  # removal never adds forests
     if pruned is None:
+        # raw (non-distinct) count: one stage over the delta, no
+        # exchange; duplicates inflate it, which only biases the gate
+        # toward the bulk plan — the conservative direction
         n_words = words.count()
         if n_words == 0:
             return pt
-        max_cn = pt.agg(F.max("compute_node")).first()[0]
-        n_forests = (int(max_cn) if max_cn is not None else 0) + 1
+        # forest count: the build/load hint when the frame carries one
+        # (create attaches it; load_index reads the _pt_meta sidecar),
+        # else ONE max(compute_node) probe — r7's bench showed that
+        # probe job drifting remove_words_delta up round over round
+        n_forests = out_hint
+        if n_forests is None:
+            max_cn = pt.agg(F.max("compute_node")).first()[0]
+            n_forests = (int(max_cn) if max_cn is not None else 0) + 1
         pruned = 2 * n_words < n_forests
+        out_hint = n_forests
+
+    def _out(df: DataFrame) -> DataFrame:
+        return df if out_hint is None else set_n_forests_hint(df, out_hint)
+
     if not pruned:
-        return (
+        return _out(
             pt.groupBy("compute_node")
             .cogroup(hits.groupBy("pid"))
             .applyInPandas(merge, schema=PT_SCHEMA)
@@ -267,7 +296,9 @@ def remove_words(
         .cogroup(hits.groupBy("pid"))
         .applyInPandas(merge, schema=PT_SCHEMA)
     )
-    return pt.where(~F.col("compute_node").isin(touched)).unionByName(merged)
+    return _out(
+        pt.where(~F.col("compute_node").isin(touched)).unionByName(merged)
+    )
 
 
 def add_words(
@@ -307,7 +338,10 @@ def add_words(
     # False skips the gate jobs outright
     n_raw = None
     if pruned is None:
-        n_raw = words.distinct().count()
+        # raw count — no distinct exchange; duplicates and existing
+        # words both inflate it, so the error is conservative (toward
+        # the bulk plan)
+        n_raw = words.count()
         if n_raw == 0:
             return pt
 
@@ -328,12 +362,14 @@ def add_words(
         "word",
         "left_anti",
     )
-    max_cn = pt.agg(F.max("compute_node")).first()[0]
-    n = (
-        int(max_cn) + 1
-        if max_cn is not None  # empty table (e.g. remove_words drained
-        else pt.sparkSession.sparkContext.defaultParallelism  # it) restarts fresh
-    )
+    n = n_forests_hint(pt)  # create/load_index hint: skips the probe job
+    if n is None:
+        max_cn = pt.agg(F.max("compute_node")).first()[0]
+        n = (
+            int(max_cn) + 1
+            if max_cn is not None  # empty table (e.g. remove_words drained
+            else pt.sparkSession.sparkContext.defaultParallelism  # it) restarts fresh
+        )
     key = F.col("word") if prefix_len is None else F.substring("word", 1, prefix_len)
     # route as a COLUMN (pmod of the same Murmur3 hash HashPartitioning
     # uses) instead of repartition + TaskContext tagging: the pid set
@@ -378,12 +414,14 @@ def add_words(
         return pd.DataFrame(list(_emit(root, pid, next_id)), columns=PT_COLUMNS)
 
     # sparse deltas prune; bulk deltas keep the one-shot cogroup with
-    # no extra jobs (same gate and rationale as remove_words)
+    # no extra jobs (same gate and rationale as remove_words). The
+    # output keeps forest count n (delta pids are pmod(·, n) ∈ [0, n)).
     if not sparse:
-        return (
+        return set_n_forests_hint(
             pt.groupBy("compute_node")
             .cogroup(delta.groupBy("pid"))
-            .applyInPandas(merge, schema=PT_SCHEMA)
+            .applyInPandas(merge, schema=PT_SCHEMA),
+            n,
         )
     merged = (
         pt.where(F.col("compute_node").isin(touched))
@@ -391,4 +429,6 @@ def add_words(
         .cogroup(delta.groupBy("pid"))
         .applyInPandas(merge, schema=PT_SCHEMA)
     )
-    return pt.where(~F.col("compute_node").isin(touched)).unionByName(merged)
+    return set_n_forests_hint(
+        pt.where(~F.col("compute_node").isin(touched)).unionByName(merged), n
+    )

@@ -42,3 +42,35 @@ PT_SCHEMA_DUP = T.StructType(
 )
 
 PT_COLUMNS_DUP = [f.name for f in PT_SCHEMA_DUP.fields]
+
+# ---------------------------------------------------------------------------
+# forest-count hint: the one piece of build metadata the delta paths need
+# ---------------------------------------------------------------------------
+#
+# add_words/remove_words gate their sparse-vs-bulk plan on the forest
+# count, and add_words routes new words with pmod(hash, n_forests). A
+# raw frame has to probe it (max(compute_node) — a per-call job over
+# the node table); but ``create`` KNOWS it (its repartition N), and a
+# saved index can store it once. The hint rides as a plain Python
+# attribute on the DataFrame object — best-effort by design: any
+# transformation returns a new object without it, and every consumer
+# falls back to the probe. Correctness never depends on the value
+# (SURVEY.md §0: partition-independent answers); it only picks plans
+# and routing, so a stale-but-plausible count is safe.
+
+_N_FORESTS_ATTR = "_pt_n_forests"
+
+
+def set_n_forests_hint(df, n: int):
+    """Attach the forest count to ``df`` (returns ``df``)."""
+    try:
+        setattr(df, _N_FORESTS_ATTR, int(n))
+    except Exception:
+        pass  # exotic DataFrame impls without __dict__: hint is optional
+    return df
+
+
+def n_forests_hint(df) -> int | None:
+    """The attached forest count, or None (caller probes)."""
+    n = getattr(df, _N_FORESTS_ATTR, None)
+    return int(n) if n is not None else None

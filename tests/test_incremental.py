@@ -227,3 +227,56 @@ def test_sparse_pruned_plan_bypasses_python_and_matches_bulk(spark):
     gplan = grown._jdf.queryExecution().executedPlan().toString()
     assert gplan.count("FlatMapCoGroupsInPandas") == 1 and "Union" in gplan
     assert key(grown) == key(add_words(pt, delta, "word", pruned=False))
+
+
+def test_n_forests_hint_skips_probe_and_rides_saves(spark, tmp_path):
+    """create/load_index attach the forest count; the delta paths
+    consume it for their sparse gate (no per-call max(compute_node)
+    probe) and propagate it on their outputs. Correctness never
+    depends on the value — only the plan choice does."""
+    import os
+
+    from prefixtree_spark.operators.build import load_index, save_index
+    from prefixtree_spark.plans.tree import n_forests_hint, set_n_forests_hint
+
+    words = _words_df(spark, ["CAT", "DOG", "CART", "DART"])
+    pt = create(words, "word", num_partitions=4)
+    assert n_forests_hint(pt) == 4
+    path = str(tmp_path / "idx_meta")
+    save_index(pt, path)
+    assert os.path.exists(os.path.join(path, "_pt_meta"))
+    loaded = load_index(spark, path)
+    assert n_forests_hint(loaded) == 4
+
+    # the gate consumes the HINT, not a probe: an absurdly large count
+    # forces the pruned plan (untouched ∪ merged) for a 1-word removal
+    pt2 = load_index(spark, path)
+    set_n_forests_hint(pt2, 10_000)
+    out = remove_words(pt2, _words_df(spark, ["CAT"]), "word")
+    assert "Union" in out._jdf.queryExecution().optimizedPlan().toString()
+    assert {r.node for r in out.where("is_word").collect()} == {
+        "DOG", "CART", "DART",
+    }
+    assert n_forests_hint(out) == 10_000  # removal never adds forests
+
+    # add_words routes with the hint and re-attaches it on the output;
+    # query equivalence holds under ANY routing (new words only)
+    grown = add_words(out, _words_df(spark, ["DARN"]), "word")
+    assert n_forests_hint(grown) == 10_000
+    qdf = spark.createDataFrame([("DARN",), ("DART",)], ["q"])
+    assert {
+        (r.query_string, r.node, r.final_distance)
+        for r in query(grown, qdf, "q", 1).collect()
+    } == {
+        ("DARN", "DARN", 0), ("DARN", "DART", 1), ("DARN", "DARN", 0),
+        ("DART", "DART", 0), ("DART", "DARN", 1), ("DART", "CART", 1),
+    }
+
+    # legacy saves (no _pt_meta) still load — hint absent, probe path
+    os.remove(os.path.join(path, "_pt_meta"))
+    legacy = load_index(spark, path)
+    assert n_forests_hint(legacy) is None
+    out2 = remove_words(legacy, _words_df(spark, ["CAT"]), "word")
+    assert {r.node for r in out2.where("is_word").collect()} == {
+        "DOG", "CART", "DART",
+    }
