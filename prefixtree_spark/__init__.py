@@ -30,6 +30,7 @@ from prefixtree_spark.operators.ann import (
     cosine_topk_ivf_pq,
     load_ivf_index,
     save_ivf_index,
+    sync_ivf_from_published,
     cosine_topk_int8,
     cosine_topk_pq,
     int8_scales,
@@ -156,6 +157,7 @@ __all__ = [
     "load_quality_classifier",
     "cosine_topk_ivf_pq",
     "save_ivf_index",
+    "sync_ivf_from_published",
     "maintain_ivf_index",
     "load_ivf_index",
 ]

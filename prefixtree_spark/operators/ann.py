@@ -797,12 +797,46 @@ def load_ivf_index(spark, path: str) -> IVFIndex:
     )
 
 
+# Presence-guard plan gate: a delta whose distinct id set fits under
+# this cap checks membership with a literal-IN pruned scan (the filter
+# runs in the scan stage, id-range file stats prune — the same measured
+# trade as streaming/ingest's candidate verify); larger deltas fall
+# back to the join plan.
+_APPEND_GUARD_STATIC_MAX = 100_000
+
+
+def _ivf_ids_present(spark, parquet_dir: str, ids: "list | None",
+                     delta: DataFrame) -> "set | DataFrame":
+    """vec_ids of ``delta`` already present under ``parquet_dir``.
+    Returns a set when ``ids`` (the collected delta ids) is given, else
+    a DataFrame of present ids (the join plan for uncollectable
+    deltas). A missing/empty directory answers 'none present'."""
+    try:
+        existing = spark.read.parquet(parquet_dir).select("vec_id")
+    except Exception:
+        return set() if ids is not None else delta.select("vec_id").limit(0)
+    if ids is not None:
+        return {
+            r[0]
+            for r in existing.where(F.col("vec_id").isin(ids))
+            .distinct()
+            .collect()
+        }
+    return (
+        delta.select("vec_id")
+        .distinct()
+        .join(existing, "vec_id", "left_semi")
+    )
+
+
 def append_ivf_index(
     spark,
     path: str,
     new_corpus: DataFrame,
     cid: str,
     cvec: str,
+    *,
+    txn: str | None = None,
 ) -> int:
     """Incrementally add vectors to a persisted IVF index — the vector
     analog of ``pt_add_words`` over the saved tree
@@ -817,10 +851,35 @@ def append_ivf_index(
     start from postings); duplicate vec_ids are the caller's contract,
     as in ``save_ivf_index``. Returns the number of vectors appended.
 
+    ``txn`` makes the append EXACTLY-ONCE under retries (the vector
+    analog of ``append_published(txn=...)``, riding the same marker
+    machinery — ``sources.io`` retired-txn files under
+    ``path/_txns``): a replayed call with a recorded txn returns the
+    original count without reading anything else, and an UNRECORDED
+    replay (crash before the marker landed) is made idempotent by
+    per-table presence guards — vectors absent from ``vectors/`` are
+    appended there, vectors absent from ``postings/`` are posted
+    there, so any crash point replays to the same complete state with
+    no duplicate rows in either table. Guard cost is one narrow
+    vec_id-column scan per table per call (literal-IN pruned for
+    collectable deltas, semi-join past ``_APPEND_GUARD_STATIC_MAX``);
+    the marker fast path skips both scans on clean replays. Caveat at
+    the margins: a crash INSIDE a postings job commit can leave a
+    replayed multi-replica vector with fewer than ``n_replicas`` list
+    rows (the guard is per vec_id) — search stays correct, that
+    vector just loses probe redundancy until the next retrain.
+
     The frozen quantizer drifts if the new data's distribution does:
     callers should re-run ``save_ivf_index`` (full retrain) when the
     appended fraction grows past ~30% — the same rebuild-vs-delta
-    economics as the tree's ``add_words`` chain (SCALING.md)."""
+    economics as the tree's ``add_words`` chain (SCALING.md); the
+    ``maintain_ivf_index`` policy loop automates exactly that."""
+    from prefixtree_spark.sources.io import _retire_txn, _retired_txn_version
+
+    if txn is not None:
+        rv = _retired_txn_version(spark, path, txn)
+        if rv is not None:
+            return rv  # recorded replay: the original appended count
     idx = load_ivf_index(spark, path)
     c_assign = _cell_assign_udf(idx.centroids, idx.n_replicas)
     # persist (not localCheckpoint): the two writes must see one
@@ -834,8 +893,37 @@ def append_ivf_index(
         n = delta.count()
         if n == 0:
             return 0
-        delta.write.mode("append").parquet(f"{path}/vectors")
-        celled = delta.withColumn("cell", F.explode(c_assign(F.col("cv"))))
+        vec_delta = delta
+        post_delta = delta
+        if txn is not None:
+            # per-table idempotence guards (see docstring): collectable
+            # deltas check membership via a literal-IN pruned scan
+            ids = None
+            if n <= _APPEND_GUARD_STATIC_MAX:
+                ids = [
+                    r[0] for r in delta.select("vec_id").distinct().collect()
+                ]
+            in_vec = _ivf_ids_present(spark, f"{path}/vectors", ids, delta)
+            in_post = _ivf_ids_present(spark, f"{path}/postings", ids, delta)
+            if isinstance(in_vec, set):
+                if in_vec:
+                    vec_delta = delta.where(
+                        ~F.col("vec_id").isin(list(in_vec))
+                    )
+                if in_post:
+                    post_delta = delta.where(
+                        ~F.col("vec_id").isin(list(in_post))
+                    )
+                if len(in_post) >= n and len(in_vec) >= n:
+                    _retire_txn(spark, path, txn, 0)
+                    return 0  # full unrecorded replay: record + no-op
+            else:
+                vec_delta = delta.join(in_vec, "vec_id", "left_anti")
+                post_delta = delta.join(in_post, "vec_id", "left_anti")
+        vec_delta.write.mode("append").parquet(f"{path}/vectors")
+        celled = post_delta.withColumn(
+            "cell", F.explode(c_assign(F.col("cv")))
+        )
         # match the live layout: pre-flat indexes (postings without cv)
         # keep appending id-only rows so one index never mixes shapes
         posting_cols = (
@@ -860,9 +948,155 @@ def append_ivf_index(
             .partitionBy("cell")
             .parquet(f"{path}/postings")
         )
+        if txn is not None:
+            # the marker is a fast path, not the correctness mechanism:
+            # an unconfirmed write just means the next replay pays the
+            # guards again
+            _retire_txn(spark, path, txn, n)
     finally:
         delta.unpersist()
     return n
+
+
+def _read_sync_watermark(spark, index_path: str) -> int:
+    """Last corpus version synced into the index (0 = never). Any read
+    problem (missing file, torn overwrite) answers 0 — the caller then
+    re-candidates older segments and the presence guards no-op them,
+    so a bad watermark only costs work, never correctness."""
+    from prefixtree_spark.sources.io import _fs, _read_small_file
+
+    try:
+        fs, jvm = _fs(spark, index_path)
+        p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/_synced")
+        if not fs.exists(p):
+            return 0
+        return int(_read_small_file(spark, f"{index_path}/_synced").strip())
+    except Exception:
+        return 0
+
+
+def _write_sync_watermark(spark, index_path: str, version: int) -> None:
+    from prefixtree_spark.sources.io import _fs
+
+    fs, jvm = _fs(spark, index_path)
+    p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/_synced")
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(str(int(version)).encode()))
+    finally:
+        out.close()
+
+
+def sync_ivf_from_published(
+    spark,
+    root: str,
+    index_path: str,
+    cid: str,
+    cvec: str,
+    *,
+    n_cells: int = 64,
+    n_replicas: int = 1,
+    sample_size: int = 20_000,
+    seed: int = 42,
+    pq_m: int | None = None,
+) -> int:
+    """Make the IVF index at ``index_path`` contain the ``cvec`` column
+    of the LIVE published corpus at ``root`` — the idempotent bridge
+    between the exactly-once document pipeline and the vector index.
+    Returns the number of vectors appended (0 when already in sync).
+
+    Why sync-from-corpus instead of append-from-batch: a streaming
+    ingest batch that crashed AFTER its corpus commit but BEFORE its
+    index append replays with zero survivors (the corpus dedup guards
+    reject everything), so batch-driven appends would lose those
+    vectors forever. Syncing from the corpus closes that window — the
+    corpus commit is the single source of truth, and this call catches
+    the index up to whatever version is live, from any crash point:
+
+      - a ``_synced`` watermark records the last corpus version
+        ingested; only manifest entries past it are candidates
+        (append-mode entries contribute just their own segment
+        directories — O(|new segments|) per call, the streaming
+        shape); a replace/compact/DML entry in range falls back to the
+        full live snapshot as candidates;
+      - the append itself runs under ``append_ivf_index``'s txn
+        arbitration (txn = corpus version), whose per-table presence
+        guards absorb overlapping candidates and half-applied earlier
+        attempts — duplicates cannot land;
+      - the watermark advances only after the append returns; a crash
+        before that re-syncs the same range into the guards (no-op).
+
+    First call (no index yet) trains and saves a fresh index over the
+    live corpus with the given layout parameters; later calls ignore
+    those parameters (the saved layout governs, including retrains by
+    ``maintain_ivf_index``). Rows whose ``cvec`` is NULL are skipped.
+    Append-only by design: rows DELETED from the corpus (COW DML) stay
+    probe-able until the next ``maintain_ivf_index`` retrain rebuilds
+    from ``vectors/`` — which also retains them; full removal is a
+    fresh ``save_ivf_index`` over the corpus (documented trade: the
+    index is a superset that lags deletions, exactly like a secondary
+    index between rebuilds)."""
+    import hashlib
+
+    from prefixtree_spark.sources.io import (
+        _fs,
+        _manifest_entries,
+        _parse_entry,
+        _read_small_file,
+        published_version,
+        read_published,
+    )
+
+    live = published_version(spark, root)
+    if live == 0:
+        return 0
+    w = _read_sync_watermark(spark, index_path)
+    if w >= live:
+        return 0
+    fs, jvm = _fs(spark, index_path)
+    has_index = fs.exists(jvm.org.apache.hadoop.fs.Path(f"{index_path}/meta"))
+    if not has_index:
+        corpus = read_published(spark, root).where(F.col(cvec).isNotNull())
+        save_ivf_index(
+            corpus, cid, cvec, index_path,
+            n_cells=n_cells, n_replicas=n_replicas,
+            sample_size=sample_size, seed=seed, pq_m=pq_m,
+        )
+        _write_sync_watermark(spark, index_path, live)
+        return int(
+            spark.read.parquet(f"{index_path}/meta").collect()[0].n_vectors
+        )
+    # candidates: the new segments since the watermark (append entries
+    # only); any replace-mode entry in range (compaction, DML, manual
+    # publish) re-references history, so the whole live snapshot
+    # becomes the candidate set and the guards absorb the overlap
+    new_entries = [
+        (n, mpath)
+        for n, mpath in _manifest_entries(spark, root)
+        if w < n <= live
+    ]
+    seg_dirs: list[str] = []
+    all_appends = True
+    for n, mpath in new_entries:
+        vdirs, fmt, mode = _parse_entry(_read_small_file(spark, mpath))
+        if mode != "append" or fmt != "parquet":
+            all_appends = False
+            break
+        seg_dirs.extend(vdirs)
+    if all_appends and seg_dirs:
+        parts = [spark.read.parquet(f"{root}/{d}") for d in seg_dirs]
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p, allowMissingColumns=True)
+    else:
+        cand = read_published(spark, root)
+    cand = cand.where(F.col(cvec).isNotNull())
+    tag = hashlib.sha256(root.encode()).hexdigest()[:12]
+    appended = append_ivf_index(
+        spark, index_path, cand, cid, cvec, txn=f"sync.{tag}.v{live}"
+    )
+    _write_sync_watermark(spark, index_path, live)
+    return appended
 
 
 def maintain_ivf_index(
@@ -897,19 +1131,81 @@ def maintain_ivf_index(
     Pre-``n_vectors`` layouts (saved before r7) have no trained-base
     record; they never trigger retrain (compact still applies) until
     the first retrain/re-save stamps one. Returns ``{"n_vectors",
-    "appended_frac", "retrained", "compacted", "files_per_cell"}``."""
-    import os
+    "appended_frac", "retrained", "compacted", "files_per_cell",
+    "recovered"}``.
+
+    All filesystem work goes through the Hadoop FS API (as
+    ``sources.io`` does), so hdfs://, s3a:// and local paths all work.
+    The retrain swap is CRASH-RECOVERABLE, not atomic: the staged
+    rebuild's ``meta`` subdirectory moves LAST, so a complete staged
+    rebuild is detectable (``_rebuild/meta`` exists) and the next call
+    RESUMES the swap before doing anything else, while an incomplete
+    one (save crashed mid-write, no ``meta``) is deleted as garbage.
+    Mid-swap the live layout is inconsistent — the standing contract
+    (don't serve probes from the same layout mid-rebuild) covers that
+    window; what the recovery adds is that a crash can no longer
+    strand the index there."""
+    from prefixtree_spark.sources.io import _fs
+
+    fs, jvm = _fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    _SWAP_ORDER = ("vectors", "postings", "centroids", "pq_books", "meta")
+
+    def _swap_in(staged: str) -> None:
+        # meta LAST: its presence under staged is the completeness
+        # marker, so the swap is resumable from any crash point
+        for sub in _SWAP_ORDER:
+            src = P(f"{staged}/{sub}")
+            if fs.exists(src):
+                dst = P(f"{path}/{sub}")
+                if fs.exists(dst):
+                    fs.delete(dst, True)
+                if not fs.rename(src, dst):
+                    raise IOError(f"rename {src} -> {dst} failed")
+        fs.delete(P(staged), True)
+
+    recovered = False
+    staged_root = f"{path}/_rebuild"
+    if fs.exists(P(staged_root)):
+        if fs.exists(P(f"{staged_root}/meta")):
+            # a previous retrain finished its staged build but crashed
+            # mid-swap: finish the swap first — the staged layout is
+            # complete and newer than whatever mix is live
+            _swap_in(staged_root)
+            recovered = True
+        else:
+            # save crashed mid-write: the partial stage is garbage
+            fs.delete(P(staged_root), True)
+
+    post_dir = f"{path}/postings"
+    staged_compact = f"{path}/postings_compact"
+    if fs.exists(P(staged_compact)):
+        if not fs.exists(P(post_dir)):
+            # crashed between delete(postings) and rename: the stage is
+            # complete by construction (the delete only runs after the
+            # write job committed) — finish the swap
+            if not fs.rename(P(staged_compact), P(post_dir)):
+                raise IOError(f"rename {staged_compact} -> {post_dir} failed")
+            recovered = True
+        elif fs.exists(P(f"{staged_compact}/_SUCCESS")):
+            # crashed between the committed write and the delete
+            fs.delete(P(post_dir), True)
+            if not fs.rename(P(staged_compact), P(post_dir)):
+                raise IOError(f"rename {staged_compact} -> {post_dir} failed")
+            recovered = True
+        else:
+            fs.delete(P(staged_compact), True)  # mid-write garbage
 
     meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
-    post_dir = f"{path}/postings"
-    cell_dirs = [d for d in os.listdir(post_dir) if d.startswith("cell=")]
-    n_files = sum(
-        1
-        for d in cell_dirs
-        for f in os.listdir(os.path.join(post_dir, d))
-        if f.endswith(".parquet")
-    )
-    files_per_cell = n_files / max(1, len(cell_dirs))
+    n_files, n_cell_dirs = 0, 0
+    for st in fs.listStatus(P(post_dir)):
+        if not (st.isDirectory() and st.getPath().getName().startswith("cell=")):
+            continue
+        n_cell_dirs += 1
+        for f in fs.listStatus(st.getPath()):
+            if f.getPath().getName().endswith(".parquet"):
+                n_files += 1
+    files_per_cell = n_files / max(1, n_cell_dirs)
     total = spark.read.parquet(f"{path}/vectors").count()
     base = meta.get("n_vectors")
     appended_frac = (
@@ -918,26 +1214,19 @@ def maintain_ivf_index(
     retrained = appended_frac > retrain_frac
     compacted = False
     if retrained:
-        import shutil
-
         vectors = spark.read.parquet(f"{path}/vectors")
         # STAGE the rebuild next to the live layout, then swap: writing
         # over path/vectors while lazily reading it would delete the
         # input's own files mid-scan. The write re-stamps n_vectors =
         # the new trained base.
-        staged = f"{path}/_rebuild"
         save_ivf_index(
-            vectors, "vec_id", "cv", staged,
+            vectors, "vec_id", "cv", staged_root,
             n_cells=int(meta["n_cells"]),
             n_replicas=int(meta["n_replicas"]),
             sample_size=sample_size, seed=seed,
             pq_m=int(meta["pq_m"]) or None,
         )
-        for sub in ("vectors", "postings", "centroids", "pq_books", "meta"):
-            if os.path.isdir(os.path.join(staged, sub)):
-                shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
-                os.rename(os.path.join(staged, sub), os.path.join(path, sub))
-        shutil.rmtree(staged, ignore_errors=True)
+        _swap_in(staged_root)
     elif files_per_cell > max_files_per_cell:
         compacted = True
         post = spark.read.parquet(post_dir)
@@ -950,16 +1239,16 @@ def maintain_ivf_index(
             .partitionBy("cell")
             .parquet(staged)
         )
-        import shutil
-
-        shutil.rmtree(post_dir)
-        os.rename(staged, post_dir)
+        fs.delete(P(post_dir), True)
+        if not fs.rename(P(staged), P(post_dir)):
+            raise IOError(f"rename {staged} -> {post_dir} failed")
     return {
         "n_vectors": int(total),
         "appended_frac": round(float(appended_frac), 4),
         "retrained": retrained,
         "compacted": compacted,
         "files_per_cell": round(files_per_cell, 2),
+        "recovered": recovered,
     }
 
 

@@ -232,6 +232,9 @@ def ingest_batch(
     bands: int = 32,
     audit: bool = False,
     max_df: int | None = None,
+    vec_col: str | None = None,
+    ann_index_path: str | None = None,
+    ann_opts: dict | None = None,
 ) -> int:
     """Run one ingest step (the batch twin of the streaming sink):
     dedup ``batch`` within itself and against the published corpus at
@@ -270,7 +273,21 @@ def ingest_batch(
     sha-256(text) under it (the stored exact-text evidence — see the
     module docstring), overwriting any same-named input column (so
     re-ingesting a published corpus recomputes rather than trusts
-    it)."""
+    it).
+
+    ``vec_col`` + ``ann_index_path`` wire the batch into a vector
+    index: after the corpus commit, ``ann.sync_ivf_from_published``
+    catches the IVF index at ``ann_index_path`` up to the live corpus
+    version — survivors' embeddings become probe-able under the same
+    exactly-once discipline as the documents (the sync reads committed
+    corpus segments, never this batch directly, so a crash between
+    the corpus commit and the index append is healed by the NEXT
+    batch's sync instead of losing vectors; replays land nothing —
+    txn markers + per-table presence guards, see ``append_ivf_index``).
+    ``ann_opts`` forwards first-build layout parameters (``n_cells``,
+    ``n_replicas``, ``pq_m``, ...); an existing index ignores them.
+    Retrain/compaction run out of band via ``maintain_ingest(...,
+    ann_index_path=...)``, policy-gated on the appended fraction."""
     assert num_perm % bands == 0
     spark = batch.sparkSession
     broot = _bands_root(root)
@@ -525,6 +542,19 @@ def ingest_batch(
             pins.append(rejected)
             if rejected.count():
                 append_published(rejected, root.rstrip("/") + "_audit")
+        if ann_index_path is not None:
+            # AFTER the corpus commit, and unconditionally (even when
+            # this batch appended nothing): the sync also heals any
+            # earlier batch that committed documents but crashed before
+            # its index append. In-sync calls cost one manifest read.
+            if vec_col is None:
+                raise ValueError("ann_index_path needs vec_col")
+            from prefixtree_spark.operators.ann import sync_ivf_from_published
+
+            sync_ivf_from_published(
+                spark, root, ann_index_path, id_col, vec_col,
+                **(ann_opts or {}),
+            )
         return n_out
     finally:
         for p in pins:
@@ -543,6 +573,9 @@ def streaming_ingest_corpus(
     bands: int = 32,
     audit: bool = False,
     max_df: int | None = None,
+    vec_col: str | None = None,
+    ann_index_path: str | None = None,
+    ann_opts: dict | None = None,
     checkpoint_dir: str,
     available_now: bool = True,
 ):
@@ -558,7 +591,12 @@ def streaming_ingest_corpus(
     shingles, so it also covers docs shorter than one shingle), and
     independently by the bipartite LSH pass (self-jaccard 1.0 ≥ any
     threshold ≤ 1). The sink is idempotent by construction; the
-    replay test pins it."""
+    replay test pins it.
+
+    ``vec_col`` + ``ann_index_path`` additionally keep an IVF vector
+    index in sync with the corpus, batch by batch, under the same
+    replay discipline (see ``ingest_batch``) — the one exactly-once
+    pipeline from crawl boundary to probe-able embeddings."""
 
     def _sink(batch: DataFrame, _batch_id: int) -> None:
         ingest_batch(
@@ -572,6 +610,9 @@ def streaming_ingest_corpus(
             bands=bands,
             audit=audit,
             max_df=max_df,
+            vec_col=vec_col,
+            ann_index_path=ann_index_path,
+            ann_opts=ann_opts,
         )
 
     writer = (
@@ -591,6 +632,9 @@ def maintain_ingest(
     keep: int = 2,
     target_file_mb: int = 256,
     cluster_ids: str | None = None,
+    ann_index_path: str | None = None,
+    ann_retrain_frac: float = 0.3,
+    ann_max_files_per_cell: float = 4.0,
 ) -> dict[str, int]:
     """Out-of-band maintenance for an ingest pair (corpus + bands):
     when either table's live chain exceeds ``max_segments``, fold it
@@ -628,6 +672,21 @@ def maintain_ingest(
     # the incremental data-card cache rides the corpus's segment churn:
     # clear partials for segments no kept snapshot references (r5 #4)
     out[f"{root}_card_deleted"] = vacuum_card_cache(spark, root)
+    if ann_index_path is not None:
+        # the vector side of the same pipeline: retrain when the
+        # appended fraction passes the threshold (frozen-quantizer
+        # drift), compact fragmented cell lists — policy and evidence
+        # live in ann.maintain_ivf_index; this just schedules it with
+        # the rest of the ingest maintenance
+        from prefixtree_spark.operators.ann import maintain_ivf_index
+
+        rep = maintain_ivf_index(
+            spark, ann_index_path,
+            retrain_frac=ann_retrain_frac,
+            max_files_per_cell=ann_max_files_per_cell,
+        )
+        out[f"{ann_index_path}_retrained"] = int(rep["retrained"])
+        out[f"{ann_index_path}_compacted"] = int(rep["compacted"])
     return out
 
 

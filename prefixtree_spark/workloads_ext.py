@@ -1941,6 +1941,80 @@ def docs_ingest_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# the composed ingest→ANN oracle: the greedy-survivor CTE chain (the
+# docs_ingest_survivors oracle, verbatim) extended with exact top-5
+# cosine over the SURVIVORS' embeddings for every 50th query vector —
+# what a full-probe search over the synced index must return
+_INGEST_ANN_SQL = _INGEST_GREEDY_SQL.replace(
+    "SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2",
+    """, surv AS (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id IN (SELECT doc_id FROM surv)),
+    qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS q
+           FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT qv.qid, ev.vec_id AS vid,
+             list_dot_product(qv.q, ev.v)
+               / (sqrt(list_dot_product(qv.q, qv.q))
+                  * sqrt(list_dot_product(ev.v, ev.v))) AS cos
+      FROM qv, ev WHERE ev.vec_id <> qv.qid
+    )
+    SELECT qid AS query_id, vid AS vec_id
+    FROM (SELECT qid, vid,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+          FROM scored)
+    WHERE rn <= 5""",
+)
+
+
+@workload("docs_ingest_ann_sync", _INGEST_ANN_SQL)
+def docs_ingest_ann_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed exactly-once pipeline end-to-end (round-8 verdict
+    #1): documents+embeddings arrive in two batches; each batch is
+    greedy-deduped and committed (``ingest_batch``), and
+    ``sync_ivf_from_published`` catches the IVF index up to each
+    committed corpus version (txn markers + presence guards — see
+    tests/test_ingest_ann_pipeline.py for the replay/crash pins). The
+    result is a FULL-PROBE (nprobe = n_cells) top-5 search over the
+    synced index for every 50th vector — which must equal exact
+    brute-force cosine over the greedy survivors, so the oracle is the
+    ``docs_ingest_survivors`` CTE chain extended with the same exact
+    top-k SQL the ``ann_topk_*`` family hashes against."""
+    import shutil
+    import tempfile
+
+    from prefixtree_spark.operators import ann as _ann
+    from prefixtree_spark.streaming.ingest import ingest_batch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    both = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    half = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    base = tempfile.mkdtemp(prefix="ingest_ann_workload_")
+    root, ipath = f"{base}/corpus", f"{base}/ivf"
+    try:
+        for b in (
+            both.where(F.col("doc_id") < half),
+            both.where(F.col("doc_id") >= half),
+        ):
+            ingest_batch(
+                b, root, "doc_id", "text", threshold=0.8, n=3,
+                vec_col="embedding", ann_index_path=ipath,
+                ann_opts={"n_cells": 16},
+            )
+        idx = _ann.load_ivf_index(spark, ipath)
+        q = emb.where("vec_id % 50 = 0")
+        out = _ann.cosine_topk_ivf_index(
+            q, "vec_id", "embedding", idx, k=5, nprobe=len(idx.centroids)
+        ).select("query_id", "vec_id")
+        # the index lives in a tempdir: materialize before cleanup
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 _TIME_TRAVEL_SQL = """
     WITH half AS (SELECT (MAX(doc_id) + 1) // 2 AS h FROM documents)
     SELECT doc_id, 'pinned' AS src FROM documents

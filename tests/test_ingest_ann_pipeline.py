@@ -1,0 +1,292 @@
+"""The composed exactly-once pipeline: streaming document ingest
+(dedup + atomic appends) feeding an IVF vector index through
+``sync_ivf_from_published``. Pins the round-8 integration contract:
+
+  - re-delivered batches append NOTHING to the index (txn markers +
+    per-table presence guards);
+  - a crash between the corpus commit and the index append is healed
+    by the next batch's sync (catch-up from committed segments);
+  - full-probe search over the synced index == exact brute force over
+    the streamed corpus, at every stage;
+  - the maintenance policy retrains at the appended-fraction threshold
+    and is a no-op right after;
+  - the retrain swap is crash-recoverable (a complete staged rebuild
+    left by a dead process is swapped in on the next maintain call).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from prefixtree_spark.operators import ann
+from prefixtree_spark.sources.io import read_published
+from prefixtree_spark.streaming.ingest import ingest_batch, maintain_ingest
+
+DIM = 8
+
+
+def _mk_batch(spark, rows):
+    """rows: [(doc_id, text, seed)] — embedding is a deterministic
+    function of the seed so replays and twins agree bit-for-bit."""
+    data = []
+    for doc_id, text, seed in rows:
+        rng = np.random.default_rng(seed)
+        data.append(
+            (doc_id, text, [float(x) for x in rng.standard_normal(DIM)])
+        )
+    return spark.createDataFrame(
+        data, "doc_id long, text string, embedding array<double>"
+    )
+
+
+def _index_ids(spark, ipath):
+    vec = sorted(
+        r.vec_id for r in spark.read.parquet(f"{ipath}/vectors").collect()
+    )
+    post = sorted(
+        r.vec_id
+        for r in spark.read.parquet(f"{ipath}/postings")
+        .select("vec_id")
+        .distinct()
+        .collect()
+    )
+    return vec, post
+
+
+def _probe_equals_exact(spark, root, ipath, k=3):
+    """Full-probe (nprobe = n_cells) search over the index must equal
+    exact brute-force cosine over the published corpus."""
+    corpus = read_published(spark, root).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    q = corpus
+    idx = ann.load_ivf_index(spark, ipath)
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_ivf_index(
+            q, "vec_id", "embedding", idx, k=k, nprobe=len(idx.centroids)
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk(
+            q, "vec_id", "embedding", corpus, "vec_id", "embedding", k=k
+        ).collect()
+    }
+    assert got == want and got
+
+
+ANN_OPTS = {"n_cells": 4, "sample_size": 500}
+
+
+def test_ingest_feeds_index_replay_appends_nothing(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    ipath = str(tmp_path / "ivf")
+    toks = [f"t{i}" for i in range(40)]
+    b1 = _mk_batch(
+        spark,
+        [
+            (1, " ".join(toks[0:10]), 1),
+            (2, " ".join(toks[0:10]), 2),   # exact dup of 1 → rejected
+            (3, " ".join(toks[10:20]), 3),
+            (4, " ".join(toks[20:30]), 4),
+        ],
+    )
+    n1 = ingest_batch(
+        b1, root, "doc_id", "text", threshold=0.5,
+        vec_col="embedding", ann_index_path=ipath, ann_opts=ANN_OPTS,
+    )
+    assert n1 == 3
+    vec, post = _index_ids(spark, ipath)
+    assert vec == [1, 3, 4] and post == [1, 3, 4]
+    _probe_equals_exact(spark, root, ipath)
+
+    # replay batch 1 verbatim: corpus dedup rejects every row, and the
+    # index sync finds nothing new — NO duplicate rows land anywhere
+    n1r = ingest_batch(
+        b1, root, "doc_id", "text", threshold=0.5,
+        vec_col="embedding", ann_index_path=ipath, ann_opts=ANN_OPTS,
+    )
+    assert n1r == 0
+    assert _index_ids(spark, ipath) == (vec, post)
+
+    # batch 2 extends both tables; near-dup of doc 3 is rejected and
+    # its vector therefore never becomes probe-able
+    b2 = _mk_batch(
+        spark,
+        [
+            (5, " ".join(toks[10:20]), 5),  # exact dup of corpus 3
+            (6, " ".join(toks[30:40]), 6),
+        ],
+    )
+    n2 = ingest_batch(
+        b2, root, "doc_id", "text", threshold=0.5,
+        vec_col="embedding", ann_index_path=ipath, ann_opts=ANN_OPTS,
+    )
+    assert n2 == 1
+    vec, post = _index_ids(spark, ipath)
+    assert vec == [1, 3, 4, 6] and post == [1, 3, 4, 6]
+    _probe_equals_exact(spark, root, ipath)
+
+
+def test_crash_between_corpus_commit_and_index_heals(spark, tmp_path):
+    """Simulate the crash window the sync design exists for: batch 1
+    commits documents but dies before the index append (modeled by
+    ingesting WITHOUT the ann wiring). The NEXT batch's sync must
+    catch the index up to the full corpus, not just its own rows."""
+    root = str(tmp_path / "corpus")
+    ipath = str(tmp_path / "ivf")
+    toks = [f"t{i}" for i in range(30)]
+    b1 = _mk_batch(spark, [(1, " ".join(toks[0:10]), 1),
+                           (2, " ".join(toks[10:20]), 2)])
+    ingest_batch(b1, root, "doc_id", "text", threshold=0.5)  # no ann: "crash"
+    b2 = _mk_batch(spark, [(3, " ".join(toks[20:30]), 3)])
+    ingest_batch(
+        b2, root, "doc_id", "text", threshold=0.5,
+        vec_col="embedding", ann_index_path=ipath, ann_opts=ANN_OPTS,
+    )
+    vec, post = _index_ids(spark, ipath)
+    assert vec == [1, 2, 3] and post == [1, 2, 3]
+    _probe_equals_exact(spark, root, ipath)
+
+
+def test_append_guards_heal_half_applied_and_skip_recorded(spark, tmp_path):
+    """append_ivf_index(txn=...) unit contract: a recorded txn replays
+    as a no-op via the marker; an UNRECORDED replay (marker lost) is
+    absorbed by the per-table guards; a half-applied crash (vectors
+    landed, postings did not) is healed table-by-table."""
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(DIM)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf_txn")
+    ann.save_ivf_index(
+        df.where("vec_id < 20"), "vec_id", "embedding", path,
+        n_cells=4, sample_size=100,
+    )
+    delta = df.where("vec_id >= 20")
+    assert ann.append_ivf_index(
+        spark, path, delta, "vec_id", "embedding", txn="b1") == 10
+    vec, post = _index_ids(spark, path)
+    assert vec == list(range(30)) and post == list(range(30))
+    # recorded replay: marker fast path, same answer, nothing written
+    assert ann.append_ivf_index(
+        spark, path, delta, "vec_id", "embedding", txn="b1") == 10
+    assert _index_ids(spark, path) == (vec, post)
+    # unrecorded replay: delete the marker; guards must land nothing
+    import os
+
+    from prefixtree_spark.sources.io import _txn_marker_path
+
+    os.remove(_txn_marker_path(path, "b1"))
+    assert ann.append_ivf_index(
+        spark, path, delta, "vec_id", "embedding", txn="b1") == 0
+    assert _index_ids(spark, path) == (vec, post)
+    # half-applied crash: new rows present in vectors/ only (as if the
+    # process died between the two writes) — the replay must post the
+    # missing lists WITHOUT duplicating the vector rows
+    d2 = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(DIM)]) for i in range(30, 35)],
+        "vec_id long, embedding array<double>",
+    )
+    d2.select(F.col("vec_id"), F.col("embedding").alias("cv")).write.mode(
+        "append"
+    ).parquet(f"{path}/vectors")
+    assert ann.append_ivf_index(
+        spark, path, d2, "vec_id", "embedding", txn="b2") == 5
+    vec, post = _index_ids(spark, path)
+    assert vec == list(range(35)) and post == list(range(35))
+    # every vector appears EXACTLY once in vectors/ (no dup rows)
+    counts = (
+        spark.read.parquet(f"{path}/vectors")
+        .groupBy("vec_id").count().where("count > 1").count()
+    )
+    assert counts == 0
+
+
+def test_maintain_retrains_at_threshold_then_noop(spark, tmp_path):
+    """The policy loop on the composed pipeline: appends past the
+    fraction threshold trigger ONE retrain (stamping the new trained
+    base), after which the same call is a no-op; search stays exact
+    throughout."""
+    root = str(tmp_path / "corpus")
+    ipath = str(tmp_path / "ivf")
+    toks = [f"t{i}" for i in range(200)]
+    b1 = _mk_batch(
+        spark,
+        [(i, " ".join(toks[10 * i : 10 * i + 10]), i) for i in range(4)],
+    )
+    ingest_batch(
+        b1, root, "doc_id", "text", threshold=0.5,
+        vec_col="embedding", ann_index_path=ipath, ann_opts=ANN_OPTS,
+    )
+    # appended fraction after this batch: 6/10 > 0.3 → retrain fires
+    b2 = _mk_batch(
+        spark,
+        [(i, " ".join(toks[10 * i : 10 * i + 10]), i) for i in range(4, 10)],
+    )
+    ingest_batch(
+        b2, root, "doc_id", "text", threshold=0.5,
+        vec_col="embedding", ann_index_path=ipath, ann_opts=ANN_OPTS,
+    )
+    rep = maintain_ingest(spark, root, ann_index_path=ipath)
+    assert rep[f"{ipath}_retrained"] == 1
+    _probe_equals_exact(spark, root, ipath)
+    # the retrain re-stamped n_vectors: the same policy is now a no-op
+    rep2 = maintain_ingest(spark, root, ann_index_path=ipath)
+    assert rep2[f"{ipath}_retrained"] == 0
+    _probe_equals_exact(spark, root, ipath)
+    # and the watermark survived the retrain: a replayed batch still
+    # appends nothing
+    vec, post = _index_ids(spark, ipath)
+    ingest_batch(
+        b2, root, "doc_id", "text", threshold=0.5,
+        vec_col="embedding", ann_index_path=ipath, ann_opts=ANN_OPTS,
+    )
+    assert _index_ids(spark, ipath) == (vec, post)
+
+
+def test_maintain_recovers_crashed_swap(spark, tmp_path):
+    """A complete staged rebuild whose process died mid-swap is
+    detected (staged meta present) and swapped in by the next
+    maintain call — the index cannot be stranded inconsistent."""
+    rng = np.random.default_rng(9)
+    rows = [(i, [float(x) for x in rng.standard_normal(DIM)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf_swap")
+    ann.save_ivf_index(df, "vec_id", "embedding", path, n_cells=4,
+                       sample_size=100)
+    # stage a complete rebuild (different seed → different centroids),
+    # as a retrain that crashed right before its swap would leave it
+    ann.save_ivf_index(
+        spark.read.parquet(f"{path}/vectors"), "vec_id", "cv",
+        f"{path}/_rebuild", n_cells=4, sample_size=100, seed=7,
+    )
+    staged_meta = spark.read.parquet(f"{path}/_rebuild/meta").collect()[0]
+    rep = ann.maintain_ivf_index(spark, path)
+    assert rep["recovered"] is True
+    import os
+
+    assert not os.path.exists(f"{path}/_rebuild")
+    # the staged layout is now live and searches exactly
+    idx = ann.load_ivf_index(spark, path)
+    assert len(idx.centroids) == staged_meta.n_cells
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_ivf_index(
+            df, "vec_id", "embedding", idx, k=3, nprobe=4
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk(
+            df, "vec_id", "embedding", df, "vec_id", "embedding", k=3
+        ).collect()
+    }
+    assert got == want
+    # an INCOMPLETE stage (no meta) is garbage-collected, not swapped
+    os.makedirs(f"{path}/_rebuild/vectors", exist_ok=True)
+    rep2 = ann.maintain_ivf_index(spark, path)
+    assert rep2["recovered"] is False
+    assert not os.path.exists(f"{path}/_rebuild")
