@@ -789,6 +789,62 @@ def main() -> None:
     extras["ivf_xover_pq_col_bytes_q4"] = _col_bytes(
         probed_files, {"vec_id", "pq"}
     )
+
+    # Serving-side handles over the same stored layout (r8):
+    # (a) the vectorized cell load — before = the retired per-row
+    #     to_pylist materialization, after = the Arrow flat-values
+    #     reshape — over the q4 probe's cells (~60 MB of float lists,
+    #     the ≥50 MB cold-path evidence the r7 verdict asked for);
+    # (b) the ADC serving path (search_pq), whose probe reads the pq
+    #     column bytes recorded in ivf_xover_pq_col_bytes_q4 instead
+    #     of the flat column, with exact rerank bounded to candidates.
+    from prefixtree_spark.serving import load_local_ivf_index as _llvi
+
+    q4_ids = [int(x) for x in q4_pdf["vec_id"]]
+    q4_vecs = q4_pdf["embedding"].tolist()
+    # warm the page cache first so the before/after compares the CPU
+    # path (list building vs buffer reshape), not IO ordering
+    for fp in probed_files:
+        with open(fp, "rb") as fh:
+            fh.read()
+    t0 = time.time()
+    for cell in probed_xo:
+        tbl = _papq.read_table(
+            f"{xo_dir}/index/postings/cell={cell}", columns=["vec_id", "cv"]
+        )
+        _np.array(tbl.column("cv").to_pylist(), dtype=_np.float64)
+    extras["serving_cell_load_pylist_sec"] = round(time.time() - t0, 3)
+    local_xo = _llvi(f"{xo_dir}/index")
+    t0 = time.time()
+    for cell in probed_xo:
+        local_xo._cell(cell)
+    extras["serving_cell_load_vectorized_sec"] = round(time.time() - t0, 3)
+    extras["serving_cell_load_bytes"] = extras["ivf_xover_flat_col_bytes_q4"]
+    exact_q4_sets = {}
+    for qq, vv in xo_exact["q4"]:
+        exact_q4_sets.setdefault(int(qq), set()).add(int(vv))
+
+    def _srv_probe(handle, fn_name):
+        got = {}
+        t0 = time.time()
+        for qid_val, v in zip(q4_ids, q4_vecs):
+            hits = getattr(handle, fn_name)(v, 11, nprobe=16)
+            got[qid_val] = [int(x) for x, _ in hits if int(x) != qid_val][:10]
+        sec = round(time.time() - t0, 3)
+        rec = sum(
+            len(set(got[q]) & exact_q4_sets.get(q, set())) for q in got
+        ) / max(1, sum(len(exact_q4_sets.get(q, set())) for q in got))
+        return sec, round(rec, 4)
+
+    # flat serving probe on the already-warm handle (cells cached above)
+    extras["serving_flat_q4_warm_sec"], extras["serving_flat_q4_recall"] = (
+        _srv_probe(local_xo, "search")
+    )
+    local_pq = _llvi(f"{xo_dir}/index")  # fresh handle: cold code cells
+    extras["serving_pq_q4_cold_sec"], extras["serving_pq_q4_recall"] = (
+        _srv_probe(local_pq, "search_pq")
+    )
+    extras["serving_pq_q4_warm_sec"], _ = _srv_probe(local_pq, "search_pq")
     _sh.rmtree(xo_dir, ignore_errors=True)
 
     # SQ8 storage economics: the int8 claim is an IO claim, so measure

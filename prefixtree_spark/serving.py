@@ -24,7 +24,11 @@ across clients, not just across calls.
     GET /ann?v=<csv floats>&k=10&nprobe=8   → [[vec_id, cosine], ...]
         (when constructed with ``ann_index=``, a ``LocalVectorIndex``
         over a save_ivf_index IVF-FLAT layout — vector point lookups
-        from the same keep-alive replica; k clamps at ``max_ann_k``)
+        from the same keep-alive replica; k clamps at ``max_ann_k``;
+        ``&mode=pq`` on a pq_m layout serves through the ADC code
+        path — probed cells load m bytes/vector instead of the float
+        column, the object-storage-replica economics — with an exact
+        rerank bounded to the padded candidates)
     GET /health                             → {"nodes": N}
 
 Operationally (documented, not sandbox-testable beyond localhost):
@@ -200,9 +204,24 @@ class PrefixTreeServer:
                                 f"v must have dim {ann.centroids.shape[1]}",
                             )
                             return
+                        mode = q.get("mode", "flat")
+                        if mode not in ("flat", "pq"):
+                            self.send_error(400, "mode must be flat or pq")
+                            return
+                        if mode == "pq" and ann.codebooks is None:
+                            self.send_error(
+                                400,
+                                "mode=pq needs an index saved with pq_m",
+                            )
+                            return
+                        hits_ann = (
+                            ann.search_pq(vec, k, nprobe=nprobe)
+                            if mode == "pq"
+                            else ann.search(vec, k, nprobe=nprobe)
+                        )
                         body = [
                             [v if isinstance(v, str) else int(v), s]
-                            for v, s in ann.search(vec, k, nprobe=nprobe)
+                            for v, s in hits_ann
                         ]
                     elif url.path == "/prefix":
                         hits = index.search_prefix(q["p"])
@@ -309,6 +328,24 @@ class LocalVectorIndex:
                 "(postings carry no vector column)"
             )
         self._cells: dict[int, tuple] = {}
+        # PQ sidecar (save_ivf_index(..., pq_m=m)): codebooks load once,
+        # probed cells' CODE columns load lazily — the ADC serving path
+        # (search_pq) reads m bytes/vector instead of 4·dim, the byte
+        # economics the ivf_xover_pq_col_bytes extras recorded
+        self.codebooks = None
+        self._code_cells: dict[int, tuple] = {}
+        pq_m = int(meta.get("pq_m") or 0)
+        if pq_m and os.path.isdir(os.path.join(path, "pq_books")):
+            rows = pq.read_table(os.path.join(path, "pq_books")).to_pylist()
+            n_cent = max(r["i"] for r in rows) + 1
+            dsub = len(rows[0]["c"])
+            books = np.zeros((pq_m, n_cent, dsub), dtype=np.float64)
+            for r in rows:
+                books[r["j"], r["i"]] = np.asarray(r["c"], dtype=np.float64)
+            self.codebooks = books
+            # per-codeword squared norms: reconstruction norms become
+            # m table lookups per row instead of a dim-wide reduction
+            self._book_norms2 = (books**2).sum(axis=2)
 
     @staticmethod
     def _list_column_matrix(col, dim: int):
@@ -359,6 +396,153 @@ class LocalVectorIndex:
             got = (ids, m, np.linalg.norm(m, axis=1))
         self._cells[c] = got
         return got
+
+    def _cell_codes(self, c: int):
+        """Lazy (ids, codes uint8 [n, m], recon_norms) for one cell —
+        reads ONLY the (vec_id, pq) column chunks (parquet columnar
+        pruning), never the float vectors: a replica serving from
+        object storage fetches m bytes per vector here, the ~30× cut
+        the PQ layout exists for."""
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        got = self._code_cells.get(c)
+        if got is not None:
+            return got
+        m = self.codebooks.shape[0]
+        d = os.path.join(self._postings_dir, f"cell={c}")
+        if not os.path.isdir(d):
+            got = (
+                np.array([], dtype=object),
+                np.zeros((0, m), dtype=np.uint8),
+                np.array([]),
+            )
+        else:
+            tbl = pq.read_table(d, columns=["vec_id", "pq"])
+            ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+            n = len(ids)
+            codes = np.frombuffer(
+                b"".join(tbl.column("pq").to_pylist()), dtype=np.uint8
+            ).reshape(n, m) if n else np.zeros((0, m), dtype=np.uint8)
+            # ||x̂||² = Σ_j ||books[j][code_j]||² — m lookups per row
+            n2 = self._book_norms2[np.arange(m)[None, :], codes].sum(axis=1)
+            got = (ids, codes, np.sqrt(n2))
+        self._code_cells[c] = got
+        return got
+
+    def search_pq(
+        self, vec, k: int = 10, *, nprobe: int = 8, pad_factor: int = 8
+    ) -> list[tuple]:
+        """Top-``k`` (vec_id, cosine) via the ADC (asymmetric distance)
+        path: probed cells are scored from their STORED PQ codes with
+        per-query lookup tables (LUT[j][c] = q_j · books[j][c], so a
+        row scores in m table hits), the padded approximate top is
+        exactly reranked against the float vectors of the CANDIDATES
+        only (a bounded, stats-prunable fetch), and the returned
+        scores are exact cosines — the serving twin of
+        ``cosine_topk_ivf_pq``, including its zero-reconstruction
+        candidate preservation. Requires a ``pq_m`` layout."""
+        import numpy as np
+
+        from prefixtree_spark.operators.ann import _assign_cells_np
+
+        if self.codebooks is None:
+            raise ValueError(
+                "search_pq needs an index saved with pq_m "
+                "(save_ivf_index(..., pq_m=...)); this layout has no codes"
+            )
+        q = np.asarray(vec, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        m, _, dsub = self.codebooks.shape
+        lut = np.einsum("jcd,jd->jc", self.codebooks, q.reshape(m, dsub))
+        cells = _assign_cells_np(q[None, :], self.centroids, nprobe)[0]
+        ids_parts, approx_parts, zero_parts = [], [], []
+        for c in cells:
+            ids, codes, cn = self._cell_codes(int(c))
+            if not len(ids):
+                continue
+            dots = lut[np.arange(m)[None, :], codes].sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                approx = dots / (cn * qn)
+            zero = cn == 0
+            if zero.any():
+                # all-zero reconstructions score NaN and would silently
+                # lose every boundary comparison; keep them for the
+                # exact rerank (the kernel's rule, serving form)
+                zero_parts.append(ids[zero])
+            approx = np.nan_to_num(approx, nan=-np.inf)
+            approx[zero] = -np.inf
+            ids_parts.append(ids)
+            approx_parts.append(approx)
+        if not ids_parts:
+            return []
+        ids = np.concatenate(ids_parts)
+        approx = np.concatenate(approx_parts)
+        # replicated lists: one slot per DISTINCT vec_id (replicas carry
+        # identical codes, so keeping the first occurrence is exact)
+        _, first = np.unique(ids, return_index=True)
+        ids, approx = ids[first], approx[first]
+        pad = max(pad_factor * k, k + 1)
+        take = min(pad, len(ids))
+        top = np.argpartition(-approx, take - 1)[:take]
+        cand = set(ids[top].tolist())
+        for z in zero_parts:
+            cand.update(z.tolist())
+        # exact rerank of the bounded candidate set: fetch ONLY those
+        # rows' float vectors from the probed cells
+        rids, rvecs = self._fetch_vectors(cells, cand)
+        if not len(rids):
+            return []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (rvecs @ q) / (np.linalg.norm(rvecs, axis=1) * qn)
+        cos = np.nan_to_num(cos, nan=-np.inf)
+        order = np.lexsort((rids, -cos))
+        out, seen = [], set()
+        for i in order:
+            v = rids[i]
+            if v in seen:
+                continue
+            seen.add(v)
+            out.append((v, float(cos[i])))
+            if len(out) == k:
+                break
+        return out
+
+    def _fetch_vectors(self, cells, cand: set):
+        """(ids, matrix) of the candidate vectors, read from the probed
+        cells' files with a vec_id filter — row-group stats prune, and
+        only matching row groups' ``cv`` pages materialize."""
+        import os
+
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        files = []
+        for c in cells:
+            d = os.path.join(self._postings_dir, f"cell={int(c)}")
+            if os.path.isdir(d):
+                files.extend(
+                    os.path.join(d, f)
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                )
+        if not files:
+            return np.array([], dtype=object), np.zeros(
+                (0, self.centroids.shape[1])
+            )
+        dset = pads.dataset(files, format="parquet")
+        tbl = dset.to_table(
+            columns=["vec_id", "cv"],
+            filter=pc.field("vec_id").isin(list(cand)),
+        )
+        ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = self._list_column_matrix(
+            tbl.column("cv"), self.centroids.shape[1]
+        )
+        return ids, mat
 
     def search(self, vec, k: int = 10, *, nprobe: int = 8) -> list[tuple]:
         """Top-``k`` (vec_id, cosine) for one query vector."""

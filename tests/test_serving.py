@@ -281,6 +281,106 @@ def test_list_column_matrix_zero_copy_matches_pylist():
     assert raised  # layout guarantees non-null; fallback surfaces it
 
 
+def _pq_fixture(spark, tmp_path, name):
+    import numpy as np
+
+    from prefixtree_spark.operators import ann
+
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((5, 16)) * 5
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(20):
+            v = c + rng.standard_normal(16) * 0.3
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / name)
+    ann.save_ivf_index(
+        df, "vec_id", "embedding", path, n_cells=5, sample_size=200, pq_m=4
+    )
+    return rows, path
+
+
+def test_local_vector_index_pq_mode(spark, tmp_path):
+    """The ADC serving path: probed cells score from stored PQ codes
+    (never loading the float column wholesale), the padded top is
+    exactly reranked — recall ≥ 0.95 vs the flat path at equal nprobe
+    on clustered data, and EXACT equality under full probe with a
+    generous pad (the rerank is exact, so a lossless prefilter makes
+    the two paths identical)."""
+    from prefixtree_spark.serving import load_local_ivf_index
+
+    rows, path = _pq_fixture(spark, tmp_path, "ivf_pq_serving")
+    local = load_local_ivf_index(path)
+    assert local.codebooks is not None
+    hits = total = 0
+    for qid in range(0, 100, 7):
+        flat = [v for v, _ in local.search(rows[qid][1], 6, nprobe=2)]
+        pqr = [v for v, _ in local.search_pq(rows[qid][1], 6, nprobe=2)]
+        total += len(flat)
+        hits += len(set(flat) & set(pqr))
+    assert hits / total >= 0.95, (hits, total)
+    for qid in (0, 33, 77):
+        flat = local.search(rows[qid][1], 5, nprobe=5)
+        pqr = local.search_pq(rows[qid][1], 5, nprobe=5, pad_factor=50)
+        assert [(int(a), round(b, 9)) for a, b in flat] == [
+            (int(a), round(b, 9)) for a, b in pqr
+        ]
+    # structural byte pin: search_pq loaded code cells only — the flat
+    # float-column cache must still be EMPTY on a fresh handle
+    fresh = load_local_ivf_index(path)
+    fresh.search_pq(rows[3][1], 5, nprobe=3)
+    assert fresh._code_cells and not fresh._cells
+
+
+def test_ann_endpoint_pq_mode(spark, tmp_path):
+    import urllib.error
+
+    rows, path = _pq_fixture(spark, tmp_path, "ivf_pq_http")
+    from prefixtree_spark.serving import load_local_ivf_index
+
+    local = load_local_ivf_index(path)
+    pt = create(_words_df(spark, ["CAT"]), "word")
+    with PrefixTreeServer(
+        build_local_index(pt), ann_index=local, max_ann_k=5
+    ) as srv:
+        v = ",".join(str(x) for x in rows[7][1])
+        got = _get(srv.url(f"/ann?v={v}&k=3&nprobe=5&mode=pq"))
+        want = local.search_pq(rows[7][1], 3, nprobe=5)
+        assert [(x[0], round(x[1], 9)) for x in got] == [
+            (int(a), round(b, 9)) for a, b in want
+        ]
+        try:
+            _get(srv.url(f"/ann?v={v}&k=3&mode=bogus"))
+            raise AssertionError("bad mode should 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    # mode=pq on a codeless (flat-only) layout → 400
+    import numpy as np
+
+    from prefixtree_spark.operators import ann
+
+    rng = np.random.default_rng(3)
+    flat_rows = [
+        (i, [float(x) for x in rng.standard_normal(4)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(flat_rows, "vec_id long, embedding array<double>")
+    fpath = str(tmp_path / "ivf_flat_only")
+    ann.save_ivf_index(df, "vec_id", "embedding", fpath, n_cells=4,
+                       sample_size=100)
+    with PrefixTreeServer(
+        build_local_index(pt), ann_index=load_local_ivf_index(fpath)
+    ) as srv2:
+        v4 = "1,2,3,4"
+        try:
+            _get(srv2.url(f"/ann?v={v4}&k=3&mode=pq"))
+            raise AssertionError("pq mode without codes should 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+
 def test_ann_endpoint_serves_and_clamps(spark, tmp_path):
     import urllib.error
 
