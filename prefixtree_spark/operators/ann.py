@@ -466,6 +466,7 @@ def cosine_topk_ivf(
     exclude_self: bool = True,
     seed: int = 42,
     centroids: "np.ndarray | None" = None,
+    query_chunk_rows: int = 65_536,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are inverted-listed by
     their nearest coarse centroid (ONE cell each by default); queries
@@ -498,7 +499,17 @@ def cosine_topk_ivf(
     The scale path for vector search: per-query work drops from |corpus|
     to ~|corpus|·nprobe/n_cells; the corpus side is one narrow
     assignment pass (a matmul per Arrow batch) and the join is equi on
-    cell id — broadcastable on the query side, no corpus shuffle."""
+    cell id — broadcastable on the query side, no corpus shuffle.
+
+    Query batches are processed in chunks of ``query_chunk_rows``
+    (the ``cosine_topk_pq`` discipline): the kernel broadcasts the
+    chunk and builds |batch_rows| × |chunk| score/mask matrices per
+    Arrow batch, so an UNchunked million-query batch would be an
+    executor-memory cliff. Each extra chunk re-runs the corpus cell
+    assignment (its probed set differs), so for bulk exact scoring
+    prefer ``cosine_topk``, and for repeated bulk probes build a
+    saved index once (``save_ivf_index`` + the index probe, which
+    scans stored postings instead of re-assigning)."""
     # seeded RANDOM sample for centroid training — .limit() would take
     # the first partitions' rows, so a corpus sorted/clustered by label
     # trains biased centroids and silently tanks recall
@@ -541,32 +552,52 @@ def cosine_topk_ivf(
     # higher-order functions — 800k pairs ≈ 2.5 s at sf0.1's
     # exactness-mode workload; results are identical (kernel closure
     # preserves top-k; the rerank fold is the same expression).
-    q_pdf = qbase.toPandas()
-    if len(q_pdf) == 0:
+    qt = queries.schema[qid].dataType.simpleString()
+    ct = corpus.schema[cid].dataType.simpleString()
+
+    def _chunk_cands(q_pdf: pd.DataFrame):
+        cells_mat = _assign_cells_np(
+            np.array(q_pdf["qv"].tolist(), dtype=np.float64), cent, nprobe
+        )
+        pair_list = [
+            (q_pdf["query_id"].iloc[i], int(c_))
+            for i in range(len(q_pdf))
+            for c_ in cells_mat[i]
+        ]
+        probed = sorted({c_ for _, c_ in pair_list})
+        celled = (
+            cbase.withColumn("cell", F.explode(c_assign(F.col("cv"))))
+            .where(F.col("cell").isin(probed))
+        )
+        return _flat_ivf_candidates(
+            celled.select("vec_id", "cv", "cell"), q_pdf, pair_list,
+            k, qt, ct, n_replicas=n_replicas,
+        )
+
+    q_all = qbase.toPandas()  # one collect either way (kernel broadcast)
+    if len(q_all) == 0:
         return (
             qbase.limit(0)
             .crossJoin(cbase.select("vec_id").limit(0))
             .select("query_id", "vec_id", F.lit(0).cast("long").alias("rank"))
         )
-    cells_mat = _assign_cells_np(
-        np.array(q_pdf["qv"].tolist(), dtype=np.float64), cent, nprobe
-    )
-    pair_list = [
-        (q_pdf["query_id"].iloc[i], int(c_))
-        for i in range(len(q_pdf))
-        for c_ in cells_mat[i]
-    ]
-    probed = sorted({c_ for _, c_ in pair_list})
-    qt = queries.schema[qid].dataType.simpleString()
-    ct = corpus.schema[cid].dataType.simpleString()
-    celled = (
-        cbase.withColumn("cell", F.explode(c_assign(F.col("cv"))))
-        .where(F.col("cell").isin(probed))
-    )
-    cand_ids, _bq = _flat_ivf_candidates(
-        celled.select("vec_id", "cv", "cell"), q_pdf, pair_list,
-        k, qt, ct, n_replicas=n_replicas,
-    )
+    if len(q_all) <= query_chunk_rows:
+        cand_ids, _bq = _chunk_cands(q_all)
+    else:
+        # bounded-executor-memory bulk path (see docstring): slice the
+        # collected batch driver-side (the _query_broadcast_queries
+        # chunking pattern); each chunk's candidates pin eagerly so
+        # its kernel broadcast can release before the next chunk runs
+        parts: list[DataFrame] = []
+        for lo in range(0, len(q_all), query_chunk_rows):
+            chunk_ids, bq = _chunk_cands(
+                q_all.iloc[lo : lo + query_chunk_rows].reset_index(drop=True)
+            )
+            parts.append(chunk_ids.localCheckpoint(eager=True))
+            bq.unpersist()
+        cand_ids = parts[0]
+        for p in parts[1:]:
+            cand_ids = cand_ids.unionByName(p)
     if n_replicas > 1:
         # replicated assignment: the same (query, vector) pair can
         # surface from several probed cells/partitions

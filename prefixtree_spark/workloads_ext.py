@@ -16,6 +16,33 @@ from prefixtree_spark.operators import ann, dedup, text
 from prefixtree_spark.sources.tables import load_table
 from prefixtree_spark.workloads import workload
 
+
+def _workload_cache_dir(sf_dir: str, table: str, key: str) -> str:
+    """Per-fixture cache directory for expensive DETERMINISTIC workload
+    artifacts (trained models, saved indexes): a correctness sweep
+    re-runs every workload, so an artifact rebuilt per run from the
+    same seeded build multiplies sweep wall for zero information —
+    the gated RESULT is identical by construction (seeded kmeans/LR on
+    an immutable fixture). Keyed by the fixture file's identity
+    (path + size + mtime), so a regenerated fixture invalidates the
+    cache; entries live in the OS tempdir and die with it. Callers
+    must build-to-temp-then-rename so a crashed build never leaves a
+    half-written artifact under the final name."""
+    import hashlib
+    import os
+    import tempfile
+
+    fp = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(fp)
+        ident = f"{fp}:{st.st_size}:{int(st.st_mtime)}"
+    except OSError:
+        ident = fp
+    h = hashlib.sha256(ident.encode()).hexdigest()[:16]
+    return os.path.join(
+        tempfile.gettempdir(), f"ptspark_wl_{key}_{h}"
+    )
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -2262,22 +2289,53 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests). No SQL oracle (a trained model isn't SQL-expressible);
     the gate's rows-only check holds because every doc scores exactly
     one row. Accuracy/threshold properties live in
-    tests/test_classifier.py."""
+    tests/test_classifier.py.
+
+    The fitted model is CACHED per fixture (``_workload_cache_dir``):
+    training (30 LBFGS iterations over the hashed BoW) is a
+    deterministic function of the documents table and dominated the
+    workload's sweep wall (r7 verdict #6); the scoring pass — the
+    thing this workload gates — runs fresh every time."""
+    import os
+    import shutil
+    import uuid
+
     from prefixtree_spark.operators.classifier import (
+        load_quality_classifier,
+        save_quality_classifier,
         score_quality,
         train_quality_classifier,
     )
     from prefixtree_spark.operators.text import quality_score
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    scores = quality_score(docs, "doc_id", "text")
-    med = scores.agg(
-        F.expr("percentile_approx(quality, 0.5, 10000)")
-    ).first()[0]
-    labeled = docs.join(scores, "doc_id").select(
-        "doc_id", "text", (F.col("quality") >= med).cast("int").alias("label")
-    )
-    model = train_quality_classifier(labeled, "text", "label")
+    # feature space sized to the fixture: LBFGS cost (and model
+    # load time) is linear in the dense coefficient vector, and 2^18
+    # hash buckets against a few-hundred-doc fixture vocabulary buys
+    # nothing but sweep wall (measured 8.7 s -> 2.4 s train at sf0.01);
+    # larger corpora keep the full space
+    n_feat = 1 << (15 if docs.count() <= 2000 else 18)
+    mpath = _workload_cache_dir(sf_dir, "documents", f"qualclf_f{n_feat}")
+    if os.path.isdir(mpath):
+        model = load_quality_classifier(spark, mpath)
+    else:
+        scores = quality_score(docs, "doc_id", "text")
+        med = scores.agg(
+            F.expr("percentile_approx(quality, 0.5, 10000)")
+        ).first()[0]
+        labeled = docs.join(scores, "doc_id").select(
+            "doc_id", "text",
+            (F.col("quality") >= med).cast("int").alias("label"),
+        )
+        model = train_quality_classifier(
+            labeled, "text", "label", n_features=n_feat
+        )
+        staging = f"{mpath}.tmp-{uuid.uuid4().hex[:8]}"
+        save_quality_classifier(model, staging)
+        try:
+            os.rename(staging, mpath)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)  # racer won
     return score_quality(model, docs, "text").select(
         "doc_id", (F.col("quality_prob") >= 0.5).cast("int").alias("kept")
     )
@@ -2295,22 +2353,35 @@ def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, so the output equals brute-force top-k by construction
     and hashes against the same SQL oracle as ``ann_topk_cosine``.
     The PRUNED configuration keeps its recall assertions in
-    tests/test_ann.py and bench extras."""
+    tests/test_ann.py and bench extras.
+
+    The saved index is CACHED per fixture (``_workload_cache_dir``):
+    the build (kmeans + pq_fit + 4-replica assignment write) is a
+    seeded deterministic function of the embeddings table, and
+    rebuilding it every sweep run dominated this workload's 15 s
+    sweep wall (r7 verdict #6)."""
+    import os
     import shutil
-    import tempfile
+    import uuid
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where("vec_id % 50 = 0")
-    path = tempfile.mkdtemp(prefix="ivfpq_workload_")
-    try:
-        ann.save_ivf_index(
-            emb, "vec_id", "embedding", path,
-            n_cells=32, n_replicas=4, pq_m=16,
-        )
-        idx = ann.load_ivf_index(spark, path)
-        out = ann.cosine_topk_ivf_pq(
-            q, "vec_id", "embedding", idx, k=10, nprobe=32, pad_factor=200
-        ).select("query_id", "vec_id")
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(path, ignore_errors=True)
+    path = _workload_cache_dir(sf_dir, "embeddings", "ivfpq_c32r4m16")
+    if not os.path.isdir(os.path.join(path, "meta")):
+        staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        try:
+            ann.save_ivf_index(
+                emb, "vec_id", "embedding", staging,
+                n_cells=32, n_replicas=4, pq_m=16,
+            )
+            try:
+                os.rename(staging, path)
+            except OSError:
+                pass  # racer won: its artifact is byte-identical
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+    idx = ann.load_ivf_index(spark, path)
+    out = ann.cosine_topk_ivf_pq(
+        q, "vec_id", "embedding", idx, k=10, nprobe=32, pad_factor=200
+    ).select("query_id", "vec_id")
+    return spark.createDataFrame(out.collect(), out.schema)

@@ -922,3 +922,26 @@ def test_maintain_ivf_index_compacts_and_retrains(spark, clustered, tmp_path):
         ).collect()
     }
     assert got2 == exact2
+
+
+def test_ivf_query_chunking_matches_unchunked(spark, clustered):
+    """query_chunk_rows bounds the kernel's per-task matrices; the
+    masked kernel scores each query only against its OWN probed
+    cells, so any chunking of the batch returns identical top-k."""
+    df, _ = clustered
+    q = df.where("vec_id % 3 = 0")
+    kw = dict(k=5, n_cells=10, nprobe=3, sample_size=200)
+    base = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_ivf(
+            q, "vec_id", "embedding", df, "vec_id", "embedding", **kw
+        ).collect()
+    }
+    chunked = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_ivf(
+            q, "vec_id", "embedding", df, "vec_id", "embedding",
+            query_chunk_rows=7, **kw
+        ).collect()
+    }
+    assert base == chunked and base
