@@ -1414,6 +1414,49 @@ def main() -> None:
                 }
                 note += f"; isolated stage medians: {stages}"
             extras[f"{name}_contention_note"] = note
+    # Sub-second drift audit (round-7 verdict #7): entries under 1 s
+    # trivially satisfy the 50%-of-median spread rule, so drifts like
+    # r7's build_index +26% passed unremarked while larger entries got
+    # attribution paragraphs. Compare against the newest recorded
+    # round bench at the SAME sf and note any sub-second entry whose
+    # median moved more than 20% either way — the note is the record
+    # the round writeup must either explain or carry as a watch item.
+    try:
+        import glob as _glob
+
+        prev, prev_name = None, None
+        for p in sorted(
+            _glob.glob(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_r*.json",
+                )
+            ),
+            reverse=True,
+        ):
+            with open(p) as f:
+                d = json.load(f)
+            # driver records wrap the headline under "parsed"
+            d = d.get("parsed") or d
+            if abs(float(d.get("sf", -1)) - float(sf)) < 1e-9:
+                prev, prev_name = d, os.path.basename(p)
+                break
+        if prev:
+            for name, med in times.items():
+                old = prev.get("queries", {}).get(name)
+                if (
+                    old
+                    and min(old, med) < 1.0
+                    and abs(med - old) > 0.2 * old
+                ):
+                    extras[f"{name}_drift_note"] = (
+                        f"sub-second drift vs {prev_name}: {old}s -> "
+                        f"{med}s ({(med - old) / old:+.0%}); under the "
+                        "spread rule's radar, flagged by the 20% "
+                        "absolute-delta rule"
+                    )
+    except Exception:
+        pass  # a malformed historical record must not fail the bench
     # The driver captures only the last ~2KB of stdout and parses the
     # final JSON line; round 4's single line grew past that (extras) and
     # recorded parsed:null. So: extras go to a side file AND their own
