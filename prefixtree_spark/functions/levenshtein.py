@@ -109,6 +109,111 @@ def extend_rows(
     return cur if cur is not rows else rows.copy()
 
 
+# ---------------------------------------------------------------------------
+# banded (Ukkonen) variant — the max-distance-k traversal kernel
+# ---------------------------------------------------------------------------
+#
+# With a distance cap k, every DP cell with |j - p| > k (p = path chars
+# consumed) is provably > k: reaching q[:j] from a p-char path needs at
+# least |j - p| edits. The traversal only ever asks three questions —
+# "is any cell ≤ k" (branch-and-bound), "is the final cell ≤ k"
+# (end-cap hit), and the cell values that are ≤ k — so carrying the
+# full max_len+1 row computes ~max_len/(2k+1) × more arithmetic than
+# the answers need (at k=2 over ~38-char names: 39 cells vs 5). The
+# banded row stores exactly the window j ∈ [p-k, p+k]; it shifts right
+# one cell per path char, so window index w maps to j = p - k + w.
+# Out-of-window influence is impossible: the full recurrence reads
+# (j-1, prev), (j, prev), (j-1, cur) — all within the shifted window —
+# and any outside cell is > k, which the min() flow can never carry
+# into a ≤ k answer. Values INSIDE the band can exceed k transiently
+# (they're exact, not clamped); correctness equals the full kernel's,
+# pinned by the banded-vs-full property test.
+
+
+def banded_initial_rows(batch: QueryBatch, k: int, n: int) -> np.ndarray:
+    """Window at p=0: j ∈ [-k, k]; cell j holds distance(ε, q[:j]) = j;
+    j < 0 cells are padding (BIG)."""
+    js = np.arange(-k, k + 1, dtype=np.int32)
+    row = np.where(js >= 0, js, BIG).astype(np.int32)
+    return np.broadcast_to(row, (n, 2 * k + 1)).copy()
+
+
+def banded_row_mins(
+    batch: QueryBatch, rows: np.ndarray, idx: np.ndarray, p: int, k: int
+) -> np.ndarray:
+    """Branch-and-bound lower bound over the valid window cells
+    (0 ≤ j ≤ len(q)). Cells outside the window are > k by the band
+    argument, so this min equals the full row's min whenever either
+    is ≤ k — the only regime the pruning decision reads."""
+    js = (p - k) + np.arange(2 * k + 1, dtype=np.int32)
+    valid = (js[None, :] >= 0) & (js[None, :] <= batch.lens[idx][:, None])
+    return np.where(valid, rows, BIG).min(axis=1)
+
+
+def banded_final_distances(
+    batch: QueryBatch, rows: np.ndarray, idx: np.ndarray, p: int, k: int
+) -> np.ndarray:
+    """Exact distance = cell j = len(q). Callers guarantee
+    |len(q) - p| ≤ k (the end-cap length band), so the cell is in
+    window."""
+    w = batch.lens[idx] - (p - k)
+    return rows[np.arange(len(idx)), w]
+
+
+def extend_rows_banded(
+    batch: QueryBatch,
+    rows: np.ndarray,
+    idx: np.ndarray,
+    label: str,
+    p: int,
+    k: int,
+) -> np.ndarray:
+    """Banded twin of ``extend_rows``: advance the (len(idx), 2k+1)
+    window rows by ``label``'s characters, where ``p`` is the path
+    length BEFORE this edge. Cost O(len(label) · len(idx) · (2k+1)) —
+    independent of the batch's max query length."""
+    W = 2 * k + 1
+    L = len(label)
+    # query codepoints the whole edge needs: columns j-1 for
+    # j ∈ [p+1-k, p+L+k] → [p-k, p+L+k-1]; gather once per edge
+    cols = np.arange(p - k, p + L + k, dtype=np.int64)
+    col_ok = (cols >= 0) & (cols < batch.max_len)
+    clipped = np.clip(cols, 0, max(0, batch.max_len - 1))
+    if batch.max_len:
+        sub_codes = batch.codes[idx][:, clipped]
+    else:
+        sub_codes = np.zeros((len(idx), len(cols)), dtype=np.int32)
+    js_w = np.arange(W, dtype=np.int32)
+    buf_a, buf_b = np.empty_like(rows), np.empty_like(rows)
+    cur = rows
+    for t, ch in enumerate(label):
+        c = ord(ch)
+        out = buf_a if cur is not buf_a else buf_b
+        # cell w at the new window is j = (p+t+1-k) + w; its query
+        # char column j-1 sits at offset t + w into the gathered slice
+        csl = sub_codes[:, t : t + W]
+        neq = (csl != c) | ~col_ok[t : t + W][None, :]
+        # diag (j-1, prev) = cur[w]; up (j, prev) = cur[w+1] (BIG pad)
+        up = np.empty_like(cur)
+        up[:, :-1] = cur[:, 1:]
+        up[:, -1] = BIG
+        np.minimum(cur + neq, up + 1, out=out)
+        # j == 0 has no diag/left: distance(path, ε) = p+t+1; cells
+        # j < 0 are padding
+        w0 = k - (p + t + 1)
+        if w0 >= 0:
+            if w0 < W:
+                out[:, w0] = p + t + 1
+            out[:, : min(w0, W)] = BIG
+        # insertion chain out[j] = min(out[j-1]+1, out[j]): running
+        # min in (value - w) space (window js are unit-spaced)
+        out -= js_w
+        np.minimum.accumulate(out, axis=1, out=out)
+        out += js_w
+        cur = out
+    return cur if cur is not rows else rows.copy()
+
+
 def extend_rows_multi(
     batch: QueryBatch, rows: np.ndarray, idx: np.ndarray, labels: list[str]
 ) -> np.ndarray:

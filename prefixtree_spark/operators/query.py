@@ -222,6 +222,81 @@ def _traverse(
     return out_q, out_w, out_d
 
 
+def _traverse_banded(
+    batch: QueryBatch, k: int, index: "LocalIndex"
+) -> tuple[list[str], list[str], list[int]]:
+    """``_traverse`` on the Ukkonen-banded kernel: DP windows of 2k+1
+    cells instead of max_len+1 full rows (functions/levenshtein.py
+    banded block — profile showed 86% of traversal time inside the
+    full-width ``extend_rows`` at k=2 over ~38-char rows, most of it
+    arithmetic on cells the band proves are > k). Stack entries carry
+    the parent path length ``p``; the end-cap read relies on the same
+    invariant the full path does — an end-cap's parent path spells the
+    whole word, and the length band has already enforced
+    |len(q) - p| ≤ k, so the final cell is in window."""
+    from prefixtree_spark.functions.levenshtein import (
+        banded_final_distances,
+        banded_initial_rows,
+        banded_row_mins,
+        extend_rows_banded,
+    )
+
+    out_q: list[str] = []
+    out_w: list[str] = []
+    out_d: list[int] = []
+    roots = index.kids(VIRTUAL_ROOT_ID)
+    if not len(batch) or roots is None:
+        return out_q, out_w, out_d
+    ids, labels = index.ids, index.labels
+    is_word, mins, maxs = index.is_word, index.mins, index.maxs
+
+    all_idx = np.arange(len(batch))
+    init_rows = banded_initial_rows(batch, k, len(batch))
+    qlens = batch.lens
+
+    stack: list[tuple[np.ndarray, np.ndarray, np.ndarray, int]] = [
+        (roots, all_idx, init_rows, 0)
+    ]
+    while stack:
+        kid_positions, idx, rows, p = stack.pop()
+        for pos in kid_positions:
+            lo, hi = int(mins[pos]), int(maxs[pos])
+            band = (qlens[idx] >= lo - k) & (qlens[idx] <= hi + k)
+            if not band.any():
+                continue
+            sub_idx = idx[band]
+            sub_rows = rows[band]
+            if is_word[pos]:
+                finals = banded_final_distances(batch, sub_rows, sub_idx, p, k)
+                hit = finals <= k
+                if hit.any():
+                    word = labels[pos]
+                    for qi, d in zip(sub_idx[hit], finals[hit]):
+                        out_q.append(batch.queries[qi])
+                        out_w.append(word)
+                        out_d.append(int(d))
+                continue
+            label = labels[pos]
+            new_rows = extend_rows_banded(batch, sub_rows, sub_idx, label, p, k)
+            new_p = p + len(label)
+            alive = banded_row_mins(batch, new_rows, sub_idx, new_p, k) <= k
+            if alive.any():
+                kids = index.kids(int(ids[pos]))
+                if kids is not None:
+                    stack.append((kids, sub_idx[alive], new_rows[alive], new_p))
+    return out_q, out_w, out_d
+
+
+def _traverse_auto(
+    batch: QueryBatch, k: int, index: "LocalIndex"
+) -> tuple[list[str], list[str], list[int]]:
+    """Banded kernel whenever the window is actually narrower than the
+    full row; the two are result-identical (property-pinned)."""
+    if 2 * k + 1 < batch.max_len + 1:
+        return _traverse_banded(batch, k, index)
+    return _traverse(batch, k, index)
+
+
 def _traverse_pdf(
     pt_pdf: pd.DataFrame, batch: QueryBatch, k: int
 ) -> pd.DataFrame:
@@ -229,7 +304,7 @@ def _traverse_pdf(
 
 
 def _traverse_index(idx: "LocalIndex", batch: QueryBatch, k: int) -> pd.DataFrame:
-    q, w, d = _traverse(batch, k, idx)
+    q, w, d = _traverse_auto(batch, k, idx)
     return pd.DataFrame(
         {"query_string": q, "node": w, "final_distance": pd.array(d, dtype="int32")}
     )
@@ -315,8 +390,18 @@ def _query_broadcast_queries_chunked(
         # colocate ONCE for all chunks (the per-call strategy would
         # re-shuffle the tree per chunk through its groupBy); hashing
         # by compute_node keeps whole forests together, which is all
-        # the colocated traversal needs
-        owned = pt = pt.repartition("compute_node").persist()
+        # the colocated traversal needs. EXPLICIT N: a column-only
+        # repartition is an AQE-coalesce trap — the node table's small
+        # byte size (~100 B/node) coalesces to ~1 partition and every
+        # chunk's traversal then runs single-task (the r7
+        # groupBy().applyInPandas lesson, re-found here in r8: the
+        # both-big bench ran 44 s where the same traversal presharded
+        # ran 19 s)
+        n_part = max(
+            pt.rdd.getNumPartitions(),
+            spark.sparkContext.defaultParallelism,
+        )
+        owned = pt = pt.repartition(n_part, "compute_node").persist()
         pt.count()
     chunks: list[DataFrame] = []
     buf: list[str] = []
@@ -754,7 +839,15 @@ def query(
                     # whole run — in exactly the regime defined by the
                     # tree being too big to collect. Overlap now lasts
                     # one repartition pass (caller-owned caches stay).
-                    pt2 = pt.repartition("compute_node").persist()
+                    # EXPLICIT N (r8): without it AQE coalesced this
+                    # exchange to ~1 partition and the whole chunk loop
+                    # traversed single-task — both_big_auto_k2 44 s vs
+                    # 19 s for the identical presharded traversal.
+                    n_part = max(
+                        pt.rdd.getNumPartitions(),
+                        pt.sparkSession.sparkContext.defaultParallelism,
+                    )
+                    pt2 = pt.repartition(n_part, "compute_node").persist()
                     try:
                         pt2.count()
                         if owned:
@@ -867,7 +960,7 @@ class LocalIndex:
 
     def search(self, s: str, max_distance: int) -> list[tuple[str, int]]:
         batch = QueryBatch([s])
-        _, words, dists = _traverse(batch, int(max_distance), self)
+        _, words, dists = _traverse_auto(batch, int(max_distance), self)
         return sorted(zip(words, dists))
 
     def search_prefix(self, p: str) -> list[str]:
@@ -886,7 +979,7 @@ class LocalIndex:
         the batch exactly as in the distributed strategies. Returns
         (query, word, distance) tuples (unordered)."""
         batch = QueryBatch(list(queries))
-        q, w, d = _traverse(batch, int(max_distance), self)
+        q, w, d = _traverse_auto(batch, int(max_distance), self)
         return list(zip(q, w, d))
 
 
