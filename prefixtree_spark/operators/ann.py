@@ -945,7 +945,10 @@ def append_ivf_index(
                     post_delta = delta.where(
                         ~F.col("vec_id").isin(list(in_post))
                     )
-                if len(in_post) >= n and len(in_vec) >= n:
+                # compare against the DISTINCT id count, not the row
+                # count: a dup-id delta (caller's contract) would
+                # otherwise never trigger the full-replay early-out
+                if len(in_post) >= len(ids) and len(in_vec) >= len(ids):
                     _retire_txn(spark, path, txn, 0)
                     return 0  # full unrecorded replay: record + no-op
             else:
@@ -1066,7 +1069,13 @@ def sync_ivf_from_published(
     from ``vectors/`` — which also retains them; full removal is a
     fresh ``save_ivf_index`` over the corpus (documented trade: the
     index is a superset that lags deletions, exactly like a secondary
-    index between rebuilds)."""
+    index between rebuilds).
+
+    Single-writer, like ``maintain_ivf_index``: the guards make
+    CRASH-replay safe, but two live processes syncing the same
+    ``index_path`` concurrently can interleave the first build's
+    overwrite writes — run the sync from one place (the streaming
+    sink already serializes its batches)."""
     import hashlib
 
     from prefixtree_spark.sources.io import (
