@@ -175,29 +175,37 @@ def extend_rows_banded(
     W = 2 * k + 1
     L = len(label)
     # query codepoints the whole edge needs: columns j-1 for
-    # j ∈ [p+1-k, p+L+k] → [p-k, p+L+k-1]; gather once per edge
+    # j ∈ [p+1-k, p+L+k] → [p-k, p+L+k-1]; ONE fancy-index gather per
+    # edge, with out-of-range columns pre-poisoned to -1 (no codepoint
+    # is negative, so they can never match — replaces a per-char mask)
     cols = np.arange(p - k, p + L + k, dtype=np.int64)
     col_ok = (cols >= 0) & (cols < batch.max_len)
-    clipped = np.clip(cols, 0, max(0, batch.max_len - 1))
     if batch.max_len:
-        sub_codes = batch.codes[idx][:, clipped]
+        sub_codes = batch.codes[
+            idx[:, None], np.clip(cols, 0, batch.max_len - 1)[None, :]
+        ]
+        if not col_ok.all():
+            sub_codes = sub_codes.copy() if sub_codes.base is not None else sub_codes
+            sub_codes[:, ~col_ok] = -1
     else:
-        sub_codes = np.zeros((len(idx), len(cols)), dtype=np.int32)
+        sub_codes = np.full((len(idx), len(cols)), -1, dtype=np.int32)
     js_w = np.arange(W, dtype=np.int32)
     buf_a, buf_b = np.empty_like(rows), np.empty_like(rows)
+    up = np.empty_like(rows)  # scratch, reused across chars
+    diag = np.empty_like(rows)
     cur = rows
     for t, ch in enumerate(label):
         c = ord(ch)
         out = buf_a if cur is not buf_a else buf_b
         # cell w at the new window is j = (p+t+1-k) + w; its query
         # char column j-1 sits at offset t + w into the gathered slice
-        csl = sub_codes[:, t : t + W]
-        neq = (csl != c) | ~col_ok[t : t + W][None, :]
+        neq = sub_codes[:, t : t + W] != c
         # diag (j-1, prev) = cur[w]; up (j, prev) = cur[w+1] (BIG pad)
-        up = np.empty_like(cur)
         up[:, :-1] = cur[:, 1:]
         up[:, -1] = BIG
-        np.minimum(cur + neq, up + 1, out=out)
+        up += 1
+        np.add(cur, neq, out=diag)
+        np.minimum(diag, up, out=out)
         # j == 0 has no diag/left: distance(path, ε) = p+t+1; cells
         # j < 0 are padding
         w0 = k - (p + t + 1)

@@ -287,12 +287,32 @@ def _traverse_banded(
     return out_q, out_w, out_d
 
 
+# Banded-kernel dispatch: the band wins where DP element count
+# dominates (large still-active sets over many edges) and loses where
+# per-edge numpy fixed costs dominate (small batches, or k=1 where
+# branch-and-bound collapses the active set within a few edges and the
+# window is only 3 cells). Measured on the r8 fixtures (36k-node
+# merged tree / 4.4k-node hash forests, ~38-char names):
+#   k=1, any batch ≤ 4k:        full wins (0.68 vs 1.12 s at 1.5k q)
+#   k=2, 750 q merged tree:     full wins (1.15 vs 1.36 s)
+#   k=2, 2.5k-4k q merged tree: ~tie (1.80/1.73, 2.29/2.15 s)
+#   k=2, 5k q per hash forest:  banded 2.1x (5.19 -> 2.48 s); the
+#     distributed chunk 21-30 -> 7.4 s, both-big auto 58.5 -> 25.9 s
+# So: banded iff k >= 2 AND the batch is big enough to keep active
+# sets array-sized through the walk.
+_BANDED_MIN_QUERIES = 1024
+
+
 def _traverse_auto(
     batch: QueryBatch, k: int, index: "LocalIndex"
 ) -> tuple[list[str], list[str], list[int]]:
-    """Banded kernel whenever the window is actually narrower than the
-    full row; the two are result-identical (property-pinned)."""
-    if 2 * k + 1 < batch.max_len + 1:
+    """Kernel dispatch (see the measured regime table above); the two
+    kernels are result-identical (property-pinned)."""
+    if (
+        k >= 2
+        and len(batch) >= _BANDED_MIN_QUERIES
+        and 2 * k + 1 < batch.max_len + 1
+    ):
         return _traverse_banded(batch, k, index)
     return _traverse(batch, k, index)
 

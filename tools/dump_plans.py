@@ -349,13 +349,62 @@ def main() -> None:
         "majority rides a JVM-only literal-IN filter branch of a Union and\n"
         "never crosses Arrow. Bulk deltas (a 10% vocabulary refresh hash-\n"
         "scatters across every forest) keep the one-shot cogroup with no\n"
-        "extra jobs; the gate reads only delta-side counts plus one metadata\n"
-        "agg, never the corpus. add_words routing is a pmod(hash) COLUMN\n"
+        "extra jobs; the gate reads only a RAW delta-side count (r8: the\n"
+        "distinct exchanges were dead weight — end-caps are globally unique\n"
+        "and _remove is idempotent) plus the forest count, which create/\n"
+        "save_index/load_index now carry as a hint (_pt_meta sidecar), so a\n"
+        "hinted frame runs ZERO index-side metadata jobs per delta call (the\n"
+        "r7 remove_words_delta drift). add_words routing is a pmod(hash) COLUMN\n"
         "(any deterministic pid is correct for anti-joined new words), which\n"
         "dropped the old repartition + TaskContext-tagging pass. Pinned by\n"
         "`test_sparse_pruned_plan_bypasses_python_and_matches_bulk` (exactly\n"
         "one FlatMapCoGroupsInPandas under a Union; word sets equal across\n"
         "plans).",
+    )
+    prose(
+        "Fuzzy traversal kernel — Ukkonen band (r8)",
+        "All trie-traversal strategies (driver handle, broadcast_queries,\n"
+        "chunked both-big) advance DP state through the BANDED kernel when\n"
+        "2k+1 < max_len+1: a (active × 2k+1) window per edge instead of\n"
+        "(active × max_len+1) full rows — cProfile put 86% of traversal wall\n"
+        "time in full-width extend_rows arithmetic on cells the band proves\n"
+        "are > k. Banded values are ≥ true and equal wherever ≤ k, so\n"
+        "pruning and hits are exact (30-trial randomized banded==full==brute\n"
+        "property test, k ∈ {0,1,2,3,20}). Measured: both-big auto k=2\n"
+        "58.5 → 25.9 s same-session, identical 1.8M output rows. The chunk\n"
+        "loop's colocate-once repartitions carry an EXPLICIT partition count\n"
+        "(AQE-coalesce house rule; two column-only sites fixed in r8).",
+    )
+    prose(
+        "Ingest→ANN sync — sync_ivf_from_published / append_ivf_index(txn=)",
+        "The vector index is a catch-up FOLLOWER of the published corpus:\n"
+        "a _synced watermark bounds candidates to manifest entries past it\n"
+        "(append entries contribute only their own segment dirs — per-batch\n"
+        "work is O(new segments); replace/compact entries fall back to the\n"
+        "live snapshot), and the append runs under the same retired-txn\n"
+        "marker machinery as append_published, with per-table vec_id\n"
+        "presence guards (literal-IN pruned scans for collectable deltas)\n"
+        "absorbing unrecorded replays and half-applied crashes. Any crash\n"
+        "point — corpus committed but index missed, vectors written but\n"
+        "postings not, marker lost — replays to the same complete state\n"
+        "with no duplicate rows. Pinned by tests/test_ingest_ann_pipeline\n"
+        "and gated end-to-end by docs_ingest_ann_sync (full-probe == the\n"
+        "greedy-survivor CTE + exact top-k SQL).",
+    )
+    prose(
+        "ADC serving — LocalVectorIndex.search_pq (r8)",
+        "The serving replica's PQ path reads ONLY the (vec_id, pq) column\n"
+        "chunks of probed cells (pyarrow columnar pruning — the byte\n"
+        "economics ivf_xover_pq_col_bytes_q4 records, now actual serving\n"
+        "behavior), scores via per-query LUTs (m byte-lookups per row,\n"
+        "reconstruction norms from per-codeword norm tables), and exactly\n"
+        "reranks the padded top by a vec_id-FILTERED dataset read of just\n"
+        "the candidates' float vectors. Zero-reconstruction rows stay\n"
+        "candidates (the cluster kernel's rule). Cell loads (flat and code)\n"
+        "go through the Arrow flat-values reshape, not to_pylist (measured\n"
+        "3.12 → 0.34 s over a 61 MB probe, page-cache warm). Pinned by\n"
+        "recall/exactness tests plus a structural never-loads-a-float-cell\n"
+        "pin; /ann?mode=pq serves it.",
     )
     prose(
         "COW DML probe — delete_published / update_published / upsert_published",
