@@ -776,17 +776,32 @@ def save_ivf_index(
         .partitionBy("cell")
         .parquet(f"{path}/postings")
     )
-    spark.createDataFrame(
-        [(int(i), [float(x) for x in row]) for i, row in enumerate(cent)],
+    # tiny sidecar frames go through pandas (the Arrow local-relation
+    # path): a LIST-based createDataFrame is RDD-backed and re-verifies
+    # types per action, and with coalesce(1) each of these three writes
+    # measured 4-9 s for 16 rows — ~12 s of pure overhead per index
+    # build/retrain (found profiling the sweep's composed-ingest entry)
+    def _tiny(pdf_dict, schema: str):
+        return spark.createDataFrame(pd.DataFrame(pdf_dict), schema=schema)
+
+    _tiny(
+        {
+            "cell": [int(i) for i in range(len(cent))],
+            "c": [[float(x) for x in row] for row in cent],
+        },
         "cell int, c array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     if books is not None:
-        spark.createDataFrame(
-            [
-                (int(j), int(i), [float(x) for x in books[j, i]])
-                for j in range(books.shape[0])
-                for i in range(books.shape[1])
-            ],
+        _tiny(
+            {
+                "j": [int(j) for j in range(books.shape[0])
+                      for _ in range(books.shape[1])],
+                "i": [int(i) for _ in range(books.shape[0])
+                      for i in range(books.shape[1])],
+                "c": [[float(x) for x in books[j, i]]
+                      for j in range(books.shape[0])
+                      for i in range(books.shape[1])],
+            },
             "j int, i int, c array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_books")
     # n_vectors = the TRAINED corpus size (footer-only count of the
@@ -794,9 +809,14 @@ def save_ivf_index(
     # as total − n_vectors, so the quantizer-staleness trigger needs
     # the base recorded at train time
     n_trained = spark.read.parquet(f"{path}/vectors").count()
-    spark.createDataFrame(
-        [(int(len(cent)), int(n_replicas), int(cent.shape[1]),
-          int(pq_m or 0), int(n_trained))],
+    _tiny(
+        {
+            "n_cells": [int(len(cent))],
+            "n_replicas": [int(n_replicas)],
+            "dim": [int(cent.shape[1])],
+            "pq_m": [int(pq_m or 0)],
+            "n_vectors": [int(n_trained)],
+        },
         "n_cells int, n_replicas int, dim int, pq_m int, n_vectors long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
