@@ -17,6 +17,17 @@ from prefixtree_spark.sources.tables import load_table
 from prefixtree_spark.workloads import workload
 
 
+def _pin_rows(spark, out):
+    """Materialize a tempdir-backed result BEFORE the tempdir dies,
+    pinned: the gate runs several actions against the returned frame
+    (count, value collect, schema), and an unpinned list-backed local
+    relation re-verifies its rows per action (~1 s each, measured) —
+    persist + one eager count makes every later action read the cache."""
+    df = spark.createDataFrame(out.collect(), out.schema).persist()
+    df.count()
+    return df
+
+
 def _workload_cache_dir(sf_dir: str, table: str, key: str) -> str:
     """Per-fixture cache directory for expensive DETERMINISTIC workload
     artifacts (trained models, saved indexes): a correctness sweep
@@ -1963,7 +1974,7 @@ def docs_ingest_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("doc_id")
         # the published table lives in a tempdir: materialize before
         # cleanup so the returned frame outlives the directory
-        return spark.createDataFrame(out.collect(), out.schema)
+        return _pin_rows(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2037,7 +2048,7 @@ def docs_ingest_ann_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             q, "vec_id", "embedding", idx, k=5, nprobe=len(idx.centroids)
         ).select("query_id", "vec_id")
         # the index lives in a tempdir: materialize before cleanup
-        return spark.createDataFrame(out.collect(), out.schema)
+        return _pin_rows(spark, out)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -2098,7 +2109,7 @@ def docs_published_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id", F.lit("appended").alias("src")
             )
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return _pin_rows(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2150,7 +2161,7 @@ def docs_delete_published(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert after[0] == before[0], "COW must re-reference the untouched segment"
         assert res["rewritten_segments"] == 1 and res["kept_segments"] == 1, res
         out = read_published(spark, root).select("doc_id", "text")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return _pin_rows(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2221,7 +2232,7 @@ def docs_upsert_published(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert before[0] in after, "no-hit segment dir must be re-referenced"
         assert res["rewritten_segments"] == 1, res
         out = read_published(spark, root).select("doc_id", "text")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return _pin_rows(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2275,7 +2286,7 @@ def docs_update_published(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert after[0] == before[0], "COW must re-reference the untouched segment"
         assert res["rewritten_segments"] == 1 and res["kept_segments"] == 1, res
         out = read_published(spark, root).select("doc_id", "text")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return _pin_rows(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2384,4 +2395,4 @@ def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ann.cosine_topk_ivf_pq(
         q, "vec_id", "embedding", idx, k=10, nprobe=32, pad_factor=200
     ).select("query_id", "vec_id")
-    return spark.createDataFrame(out.collect(), out.schema)
+    return _pin_rows(spark, out)
