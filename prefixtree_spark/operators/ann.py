@@ -1167,6 +1167,7 @@ def maintain_ivf_index(
     max_files_per_cell: float = 4.0,
     sample_size: int = 20_000,
     seed: int = 42,
+    reconcile_ids: "DataFrame | None" = None,
 ) -> dict:
     """The maintenance policy loop for a persisted IVF index — the ANN
     analog of ``maintain_published``. Call it out of band (it rewrites
@@ -1192,7 +1193,21 @@ def maintain_ivf_index(
     record; they never trigger retrain (compact still applies) until
     the first retrain/re-save stamps one. Returns ``{"n_vectors",
     "appended_frac", "retrained", "compacted", "files_per_cell",
-    "recovered"}``.
+    "recovered", "reconciled"}``.
+
+    ``reconcile_ids``: a one-column DataFrame of the ids that SHOULD
+    be in the index (normally the live corpus id column — pass
+    ``read_published(root).select(F.col(id).alias("vec_id"))``).
+    Index vectors NOT in that set (rows deleted from the corpus since
+    they were synced) are dropped by a staged rebuild over the
+    filtered ``vectors/`` — the same crash-recoverable swap as
+    retrain, re-stamping ``n_vectors`` to the post-delete base. The
+    check itself is one narrow id anti-join; the rebuild runs only
+    when stale ids exist. Merge-on-read tombstones (O(1) deletes at a
+    per-probe filter cost) are the escalation if deletion RATES ever
+    demand them; at maintenance cadence the rebuild shares retrain's
+    economics. ``sync_ivf_from_published`` handles additions; this
+    closes the deletion half of "the index converges to the corpus".
 
     All filesystem work goes through the Hadoop FS API (as
     ``sources.io`` does), so hdfs://, s3a:// and local paths all work.
@@ -1267,10 +1282,42 @@ def maintain_ivf_index(
                 n_files += 1
     files_per_cell = n_files / max(1, n_cell_dirs)
     total = spark.read.parquet(f"{path}/vectors").count()
+    reconciled = 0
+    if reconcile_ids is not None:
+        keep = reconcile_ids.toDF("vec_id")
+        stale = (
+            spark.read.parquet(f"{path}/vectors")
+            .select("vec_id")
+            .join(keep, "vec_id", "left_anti")
+            .count()
+        )
+        if stale:
+            reconciled = int(stale)
+            survivors = spark.read.parquet(f"{path}/vectors").join(
+                keep, "vec_id", "left_semi"
+            )
+            # the retrain machinery IS the deletion machinery: staged
+            # save over the filtered vectors + the recoverable swap;
+            # n_vectors re-stamps to the post-delete base so the drift
+            # trigger measures future APPENDS, not this shrink
+            save_ivf_index(
+                survivors, "vec_id", "cv", staged_root,
+                n_cells=int(meta["n_cells"]),
+                n_replicas=int(meta["n_replicas"]),
+                sample_size=sample_size, seed=seed,
+                pq_m=int(meta["pq_m"]) or None,
+            )
+            _swap_in(staged_root)
+            total -= stale
     base = meta.get("n_vectors")
-    appended_frac = (
-        (total - base) / total if base is not None and total else 0.0
-    )
+    if reconciled:
+        # the reconcile rebuild re-stamped the trained base and wrote
+        # fresh one-file-per-cell postings — no further action needed
+        appended_frac = 0.0
+    else:
+        appended_frac = (
+            (total - base) / total if base is not None and total else 0.0
+        )
     retrained = appended_frac > retrain_frac
     compacted = False
     if retrained:
@@ -1287,7 +1334,7 @@ def maintain_ivf_index(
             pq_m=int(meta["pq_m"]) or None,
         )
         _swap_in(staged_root)
-    elif files_per_cell > max_files_per_cell:
+    elif files_per_cell > max_files_per_cell and not reconciled:
         compacted = True
         post = spark.read.parquet(post_dir)
         cols = [c for c in post.columns if c != "cell"]
@@ -1309,6 +1356,7 @@ def maintain_ivf_index(
         "compacted": compacted,
         "files_per_cell": round(files_per_cell, 2),
         "recovered": recovered,
+        "reconciled": reconciled,
     }
 
 

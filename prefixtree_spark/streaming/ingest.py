@@ -635,6 +635,7 @@ def maintain_ingest(
     ann_index_path: str | None = None,
     ann_retrain_frac: float = 0.3,
     ann_max_files_per_cell: float = 4.0,
+    ann_reconcile_ids: str | None = None,
 ) -> dict[str, int]:
     """Out-of-band maintenance for an ingest pair (corpus + bands):
     when either table's live chain exceeds ``max_segments``, fold it
@@ -675,18 +676,29 @@ def maintain_ingest(
     if ann_index_path is not None:
         # the vector side of the same pipeline: retrain when the
         # appended fraction passes the threshold (frozen-quantizer
-        # drift), compact fragmented cell lists — policy and evidence
-        # live in ann.maintain_ivf_index; this just schedules it with
-        # the rest of the ingest maintenance
+        # drift), compact fragmented cell lists, and — when
+        # ``ann_reconcile_ids`` names the corpus id column — drop
+        # index rows whose documents were COW-deleted from the corpus
+        # (the deletion half of index==corpus; additions are the
+        # per-batch sync's job). Policy and evidence live in
+        # ann.maintain_ivf_index; this just schedules it with the
+        # rest of the ingest maintenance.
         from prefixtree_spark.operators.ann import maintain_ivf_index
 
+        reconcile = None
+        if ann_reconcile_ids is not None:
+            reconcile = read_published(spark, root).select(
+                F.col(ann_reconcile_ids).alias("vec_id")
+            )
         rep = maintain_ivf_index(
             spark, ann_index_path,
             retrain_frac=ann_retrain_frac,
             max_files_per_cell=ann_max_files_per_cell,
+            reconcile_ids=reconcile,
         )
         out[f"{ann_index_path}_retrained"] = int(rep["retrained"])
         out[f"{ann_index_path}_compacted"] = int(rep["compacted"])
+        out[f"{ann_index_path}_reconciled"] = int(rep["reconciled"])
     return out
 
 

@@ -290,3 +290,52 @@ def test_maintain_recovers_crashed_swap(spark, tmp_path):
     rep2 = ann.maintain_ivf_index(spark, path)
     assert rep2["recovered"] is False
     assert not os.path.exists(f"{path}/_rebuild")
+
+
+def test_reconcile_drops_corpus_deleted_vectors(spark, tmp_path):
+    """The deletion half of index == corpus: COW-deleting documents
+    from the published corpus leaves their vectors probe-able until
+    maintenance reconciles — after which full-probe equals exact over
+    the POST-delete corpus, the drift base is re-stamped, and a second
+    reconcile is a no-op."""
+    from prefixtree_spark.sources.io import delete_published
+
+    root = str(tmp_path / "corpus")
+    ipath = str(tmp_path / "ivf")
+    toks = [f"t{i}" for i in range(80)]
+    b1 = _mk_batch(
+        spark,
+        [(i, " ".join(toks[10 * i : 10 * i + 10]), i) for i in range(6)],
+    )
+    ingest_batch(
+        b1, root, "doc_id", "text", threshold=0.5,
+        vec_col="embedding", ann_index_path=ipath, ann_opts=ANN_OPTS,
+    )
+    _probe_equals_exact(spark, root, ipath)
+    delete_published(spark, root, "doc_id IN (1, 4)")
+    # deleted docs still probe-able (documented lag) until maintenance
+    vec, _ = _index_ids(spark, ipath)
+    assert vec == [0, 1, 2, 3, 4, 5]
+    rep = maintain_ingest(
+        spark, root, ann_index_path=ipath, ann_reconcile_ids="doc_id"
+    )
+    assert rep[f"{ipath}_reconciled"] == 2
+    vec, post = _index_ids(spark, ipath)
+    assert vec == [0, 2, 3, 5] and post == [0, 2, 3, 5]
+    _probe_equals_exact(spark, root, ipath)
+    # idempotent: nothing left to reconcile; drift base re-stamped so
+    # the shrink never reads as appended drift
+    rep2 = maintain_ingest(
+        spark, root, ann_index_path=ipath, ann_reconcile_ids="doc_id"
+    )
+    assert rep2[f"{ipath}_reconciled"] == 0
+    assert rep2[f"{ipath}_retrained"] == 0
+    # and the pipeline keeps working: a later batch syncs new vectors
+    b2 = _mk_batch(spark, [(7, " ".join(toks[60:70]), 7)])
+    ingest_batch(
+        b2, root, "doc_id", "text", threshold=0.5,
+        vec_col="embedding", ann_index_path=ipath, ann_opts=ANN_OPTS,
+    )
+    vec, _ = _index_ids(spark, ipath)
+    assert vec == [0, 2, 3, 5, 7]
+    _probe_equals_exact(spark, root, ipath)
