@@ -1162,6 +1162,112 @@ def hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "hybrid_dense_sparse_rrf",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
+    ),
+    posts AS (
+      SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM d
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+      FROM posts GROUP BY doc_id, dl, term
+    ),
+    stats AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(len(ts))::BIGINT AS total_len FROM d
+    ),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    qids AS (SELECT doc_id FROM d WHERE doc_id % 41 = 0 AND len(ts) >= 3),
+    qt AS (
+      SELECT DISTINCT d.doc_id AS query_id, unnest(d.ts[1:3]) AS term
+      FROM d JOIN qids ON d.doc_id = qids.doc_id
+    ),
+    bscored AS (
+      SELECT qt.query_id, tf.doc_id,
+             sum(CAST(
+               (((s.n_docs - f.df + 0.5e0) / (f.df + 0.5e0)) * (tf.tf * 2.25e0))
+               / (tf.tf + 1.25e0 * (0.25e0 + 0.75e0
+                    * (tf.dl / ((s.total_len * 1.0e0) / s.n_docs))))
+             AS DECIMAL(28,9))) AS score
+      FROM qt JOIN dfreq f ON qt.term = f.term
+              JOIN tf ON qt.term = tf.term, stats s
+      GROUP BY qt.query_id, tf.doc_id
+    ),
+    bm AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id ASC) AS rank
+        FROM bscored)
+      WHERE rank <= 10
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qv AS (SELECT e.vec_id AS qid, e.v AS q
+           FROM e JOIN qids ON e.vec_id = qids.doc_id),
+    dense AS (
+      SELECT qid AS query_id, vid AS doc_id, rank FROM (
+        SELECT qv.qid, e.vec_id AS vid,
+               row_number() OVER (PARTITION BY qv.qid ORDER BY
+                 list_dot_product(qv.q, e.v)
+                   / (sqrt(list_dot_product(qv.q, qv.q))
+                      * sqrt(list_dot_product(e.v, e.v))) DESC,
+                 e.vec_id ASC) AS rank
+        FROM qv, e WHERE e.vec_id <> qv.qid)
+      WHERE rank <= 10
+    ),
+    uni AS (
+      SELECT query_id, doc_id,
+             CAST(1.0e0 / (60 + rank) AS DECIMAL(28,18)) AS contrib FROM bm
+      UNION ALL
+      SELECT query_id, doc_id,
+             CAST(1.0e0 / (60 + rank) AS DECIMAL(28,18)) AS contrib FROM dense
+    ),
+    fused AS (
+      SELECT query_id, doc_id, sum(contrib) AS s
+      FROM uni GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_rank FROM (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, doc_id ASC) AS INT) AS rrf_rank
+      FROM fused)
+    WHERE rrf_rank <= 5
+    """,
+)
+def hybrid_dense_sparse_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE modern retrieval pattern, end-to-end and oracle-exact:
+    sparse BM25 (inverted-index lexical match, ``idf="ratio"`` for
+    cross-engine bit-stable ranks) fused with DENSE top-10 cosine over
+    the query document's embedding (exact brute force — the same
+    oracle family as ``ann_topk_cosine``; swap in the IVF index probe
+    at scale, identical ranks at the exactness config) by
+    reciprocal-rank fusion. RRF consumes only rank positions, so the
+    fusion is exact decimal arithmetic in both engines. Queries:
+    every 41st document — its first three tokens play the lexical
+    query, its embedding the dense query."""
+    from prefixtree_spark.operators import ranking
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = docs.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit(r"\S+"), 0).alias("ts"),
+    ).where("doc_id % 41 = 0 AND size(ts) >= 3")
+    q = qids.select(
+        F.col("doc_id").alias("qid"), F.slice("ts", 1, 3).alias("terms")
+    )
+    bm = ranking.bm25_rank(docs, "doc_id", "text", q, "qid", "terms", idf="ratio")
+    q_emb = emb.join(
+        qids.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    dense = ann.cosine_topk(
+        q_emb, "vec_id", "embedding", emb, "vec_id", "embedding", k=10
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    return ranking.rrf_fuse([bm, dense], "query_id", "doc_id", k=5)
+
+
+@workload(
     "docs_lm_nll",
     r"""
     WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents),
