@@ -705,6 +705,7 @@ def save_ivf_index(
     seed: int = 42,
     centroids: "np.ndarray | None" = None,
     pq_m: int | None = None,
+    payload_cols: "list[str] | None" = None,
 ) -> None:
     """Train (or take pretrained) centroids, assign every corpus vector
     to its ``n_replicas`` nearest cells, and persist the whole trained
@@ -732,7 +733,19 @@ def save_ivf_index(
     IVF-PQ layout. A probe then scans m bytes/vector instead of joining
     full float vectors for every probed candidate, and
     ``cosine_topk_ivf_pq`` reranks only the padded top exactly. Codes
-    are encoded inline while cells are assigned (one pass, no join)."""
+    are encoded inline while cells are assigned (one pass, no join).
+
+    ``payload_cols``: metadata columns (label, lang, source, ...)
+    stored ALONGSIDE the vectors in both ``vectors/`` and the
+    cell-partitioned postings — the filtered-search layout. A
+    metadata predicate then pushes INTO the pruned postings scan
+    (``cosine_topk_ivf_index(where=...)``: JVM filter + parquet
+    stats, evaluated before the scoring kernel ever sees a row), so
+    "top-k among rows WHERE lang='en'" is exact over the filtered
+    set instead of a recall-lossy post-filter of unfiltered top-k —
+    the shape filtered vector search needs at 100 TB. Payloads
+    survive appends and maintenance rebuilds (both derive them from
+    the stored schema)."""
     spark = corpus.sparkSession
     cvec_only = corpus.select(F.col(cvec).alias("v"))
     if centroids is not None:
@@ -751,10 +764,13 @@ def save_ivf_index(
             sample = np.array(sample_pdf["v"].tolist(), dtype=np.float64)
         cent = _kmeans_centroids(sample, n_cells, seed=seed)
     c_assign = _cell_assign_udf(cent, n_replicas)
-    cbase = corpus.select(F.col(cid).alias("vec_id"), F.col(cvec).alias("cv"))
+    pay = list(payload_cols or [])
+    cbase = corpus.select(
+        F.col(cid).alias("vec_id"), F.col(cvec).alias("cv"), *pay
+    )
     cbase.write.mode("overwrite").parquet(f"{path}/vectors")
     books = None
-    posting_cols = ["vec_id", "cv"]
+    posting_cols = ["vec_id", "cv", *pay]
     celled = cbase.withColumn("cell", F.explode(c_assign(F.col("cv"))))
     if pq_m is not None:
         books = pq_fit(corpus, cvec, m=pq_m, sample_size=sample_size,
@@ -933,12 +949,21 @@ def append_ivf_index(
             return rv  # recorded replay: the original appended count
     idx = load_ivf_index(spark, path)
     c_assign = _cell_assign_udf(idx.centroids, idx.n_replicas)
+    # payload columns ride the live layout's schema: an index saved
+    # with payload_cols keeps them through every append (the delta
+    # must carry same-named columns), so filtered search never meets
+    # a NULL-payload stripe
+    pay = [
+        c
+        for c in idx.postings.columns
+        if c not in ("vec_id", "cv", "pq", "cell")
+    ]
     # persist (not localCheckpoint): the two writes must see one
     # consistent evaluation of the delta, and the pin must be RELEASED
     # before returning — repeated daily appends in one session would
     # otherwise accumulate a delta-sized block per call
     delta = new_corpus.select(
-        F.col(cid).alias("vec_id"), F.col(cvec).alias("cv")
+        F.col(cid).alias("vec_id"), F.col(cvec).alias("cv"), *pay
     ).persist()
     try:
         n = delta.count()
@@ -981,7 +1006,7 @@ def append_ivf_index(
         # match the live layout: pre-flat indexes (postings without cv)
         # keep appending id-only rows so one index never mixes shapes
         posting_cols = (
-            ["vec_id", "cv"]
+            ["vec_id", "cv", *pay]
             if "cv" in idx.postings.columns
             else ["vec_id"]
         )
@@ -1306,6 +1331,10 @@ def maintain_ivf_index(
                 n_replicas=int(meta["n_replicas"]),
                 sample_size=sample_size, seed=seed,
                 pq_m=int(meta["pq_m"]) or None,
+                payload_cols=[
+                    c for c in survivors.columns
+                    if c not in ("vec_id", "cv")
+                ] or None,
             )
             _swap_in(staged_root)
             total -= stale
@@ -1332,6 +1361,9 @@ def maintain_ivf_index(
             n_replicas=int(meta["n_replicas"]),
             sample_size=sample_size, seed=seed,
             pq_m=int(meta["pq_m"]) or None,
+            payload_cols=[
+                c for c in vectors.columns if c not in ("vec_id", "cv")
+            ] or None,
         )
         _swap_in(staged_root)
     elif files_per_cell > max_files_per_cell and not reconciled:
@@ -1452,6 +1484,7 @@ def cosine_topk_ivf_index(
     *,
     nprobe: int = 8,
     exclude_self: bool = True,
+    where: "Column | str | None" = None,
 ) -> DataFrame:
     """IVF top-k against a PRETRAINED, PERSISTED index: identical
     semantics to ``cosine_topk_ivf`` with the same (centroids,
@@ -1518,6 +1551,16 @@ def cosine_topk_ivf_index(
             .select("query_id", "vec_id", F.lit(0).cast("long").alias("rank"))
         )
     postings = index.postings.where(F.col("cell").isin(probed))
+    if where is not None:
+        # filtered search over stored payload columns (save_ivf_index
+        # payload_cols=): the predicate lands in the SAME pruned scan
+        # that feeds the kernel AND the rerank — a plain JVM filter
+        # with parquet stats, evaluated before any scoring, so the
+        # result is the exact top-k OF THE FILTERED SET (a post-filter
+        # of unfiltered top-k would silently lose recall instead)
+        postings = postings.where(
+            where if isinstance(where, Column) else F.expr(where)
+        )
     if use_flat:
         qt = queries.schema[qid].dataType.simpleString()
         ct = index.postings.schema["vec_id"].dataType.simpleString()
@@ -1578,6 +1621,7 @@ def cosine_topk_ivf_pq(
     pad_factor: int = 8,
     exclude_self: bool = True,
     query_chunk_rows: int = 65536,
+    where: "Column | str | None" = None,
 ) -> DataFrame:
     """IVF-PQ search (the faiss billion-scale composition, re-expressed
     for Spark): coarse-quantizer routing prunes the postings scan to
@@ -1625,9 +1669,15 @@ def cosine_topk_ivf_pq(
             "vec_id",
             F.lit(0).cast("long").alias("rank"),
         )
-    pruned = index.postings.where(F.col("cell").isin(probed)).select(
-        "vec_id", "pq"
-    )
+    pruned = index.postings.where(F.col("cell").isin(probed))
+    if where is not None:
+        # filtered search (payload_cols layouts): the predicate runs in
+        # the pruned code scan; candidates — and therefore the exact
+        # rerank — see only passing rows (see cosine_topk_ivf_index)
+        pruned = pruned.where(
+            where if isinstance(where, Column) else F.expr(where)
+        )
+    pruned = pruned.select("vec_id", "pq")
     if index.n_replicas > 1:
         # replicated postings: the same (vec_id, pq) row appears in
         # several probed cells — dedup before scoring, or the rank

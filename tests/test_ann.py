@@ -3,6 +3,7 @@ clustered data, near-dup detection of planted duplicates."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from prefixtree_spark.operators import ann
@@ -945,3 +946,105 @@ def test_ivf_query_chunking_matches_unchunked(spark, clustered):
         ).collect()
     }
     assert base == chunked and base
+
+
+def test_ivf_filtered_search_exact_and_pushed(spark, clustered, tmp_path):
+    """Filtered vector search (payload_cols layout): at full probe the
+    result equals exact brute force over the FILTERED corpus; the
+    payload predicate reaches the pruned postings scan as a pushed
+    filter (never a post-filter of unfiltered top-k); payloads survive
+    appends and maintenance rebuilds."""
+    df, rows = clustered
+    lab = df.withColumn("label", (F.col("vec_id") % 3).cast("int"))
+    path = str(tmp_path / "ivf_payload")
+    ann.save_ivf_index(
+        lab.where("vec_id < 80"), "vec_id", "embedding", path,
+        n_cells=5, sample_size=200, payload_cols=["label"],
+    )
+    n = ann.append_ivf_index(
+        spark, path, lab.where("vec_id >= 80"), "vec_id", "embedding"
+    )
+    assert n == lab.where("vec_id >= 80").count()
+    idx = ann.load_ivf_index(spark, path)
+    assert "label" in idx.postings.columns
+    got_df = ann.cosine_topk_ivf_index(
+        lab, "vec_id", "embedding", idx, k=5, nprobe=5, where="label = 1"
+    )
+    got = {(r.query_id, r.vec_id, r.rank) for r in got_df.collect()}
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk(
+            lab, "vec_id", "embedding", lab.where("label = 1"),
+            "vec_id", "embedding", k=5,
+        ).collect()
+    }
+    assert got == want and got
+    # plan pin at a PARTIAL probe (full probe may fold the cell IN):
+    # partition pruning intact AND the payload predicate reaches the
+    # postings scan as a pushed filter
+    plan = (
+        ann.cosine_topk_ivf_index(
+            lab.where("vec_id < 2"), "vec_id", "embedding", idx,
+            k=5, nprobe=2, where="label = 1",
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters: [cell" in ln
+    ]
+    assert scan_lines and any(" IN (" in ln for ln in scan_lines)
+    pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters" in ln and "label" in ln
+    ]
+    assert pushed, plan[:2000]
+    # maintenance rebuild (reconcile path) keeps the payload column
+    keep = lab.where("vec_id <> 0").select("vec_id")
+    rep = ann.maintain_ivf_index(spark, path, reconcile_ids=keep)
+    assert rep["reconciled"] == 1
+    idx2 = ann.load_ivf_index(spark, path)
+    assert "label" in idx2.postings.columns
+    got2 = {
+        (r.query_id, r.vec_id)
+        for r in ann.cosine_topk_ivf_index(
+            lab, "vec_id", "embedding", idx2, k=5, nprobe=5,
+            where="label = 1",
+        ).collect()
+    }
+    want2 = {
+        (r.query_id, r.vec_id)
+        for r in ann.cosine_topk(
+            lab, "vec_id", "embedding",
+            lab.where("label = 1 AND vec_id <> 0"),
+            "vec_id", "embedding", k=5,
+        ).collect()
+    }
+    assert got2 == want2
+
+
+def test_ivf_pq_filtered_search(spark, clustered, tmp_path):
+    """The PQ probe honors the same payload predicate: codes of
+    non-passing rows never become candidates, and with a generous pad
+    at full probe the output equals exact over the filtered set."""
+    df, _ = clustered
+    lab = df.withColumn("label", (F.col("vec_id") % 2).cast("int"))
+    path = str(tmp_path / "ivf_pq_payload")
+    ann.save_ivf_index(
+        lab, "vec_id", "embedding", path, n_cells=5, sample_size=200,
+        pq_m=4, payload_cols=["label"],
+    )
+    idx = ann.load_ivf_index(spark, path)
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_ivf_pq(
+            lab.where("vec_id < 10"), "vec_id", "embedding", idx,
+            k=5, nprobe=5, pad_factor=50, where="label = 0",
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk(
+            lab.where("vec_id < 10"), "vec_id", "embedding",
+            lab.where("label = 0"), "vec_id", "embedding", k=5,
+        ).collect()
+    }
+    assert got == want and got
