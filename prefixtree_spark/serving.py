@@ -328,6 +328,7 @@ class LocalVectorIndex:
                 "(postings carry no vector column)"
             )
         self._cells: dict[int, tuple] = {}
+        self._payloads: dict[tuple, object] = {}
         # PQ sidecar (save_ivf_index(..., pq_m=m)): codebooks load once,
         # probed cells' CODE columns load lazily — the ADC serving path
         # (search_pq) reads m bytes/vector instead of 4·dim, the byte
@@ -544,8 +545,42 @@ class LocalVectorIndex:
         )
         return ids, mat
 
-    def search(self, vec, k: int = 10, *, nprobe: int = 8) -> list[tuple]:
-        """Top-``k`` (vec_id, cosine) for one query vector."""
+    def _cell_payload(self, c: int, name: str):
+        """Lazy per-cell payload column (save_ivf_index payload_cols
+        layouts) — cached beside the vectors, loaded only when a
+        filtered search asks for it."""
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        key = (c, name)
+        got = self._payloads.get(key)
+        if got is not None:
+            return got
+        d = os.path.join(self._postings_dir, f"cell={c}")
+        if not os.path.isdir(d):
+            got = np.array([], dtype=object)
+        else:
+            got = (
+                pq.read_table(d, columns=[name])
+                .column(name)
+                .to_numpy(zero_copy_only=False)
+            )
+        self._payloads[key] = got
+        return got
+
+    def search(
+        self, vec, k: int = 10, *, nprobe: int = 8,
+        where: "tuple | None" = None,
+    ) -> list[tuple]:
+        """Top-``k`` (vec_id, cosine) for one query vector.
+
+        ``where=(payload_col, allowed_values)`` restricts the search
+        to rows whose stored payload value is in ``allowed_values``
+        (the serving twin of the cluster paths' ``where=`` pushdown):
+        the mask applies BEFORE scoring, so the answer is the exact
+        top-k of the filtered lists, never a recall-lossy post-filter."""
         import numpy as np
 
         from prefixtree_spark.operators.ann import _assign_cells_np
@@ -554,10 +589,19 @@ class LocalVectorIndex:
         cells = _assign_cells_np(q[None, :], self.centroids, nprobe)[0]
         ids_parts, cos_parts = [], []
         qn = np.linalg.norm(q)
+        allowed = None
+        if where is not None:
+            pay_col, allowed_vals = where
+            allowed = np.asarray(list(allowed_vals))
         for c in cells:
             ids, m, cn = self._cell(int(c))
             if not len(ids):
                 continue
+            if allowed is not None:
+                mask = np.isin(self._cell_payload(int(c), pay_col), allowed)
+                if not mask.any():
+                    continue
+                ids, m, cn = ids[mask], m[mask], cn[mask]
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = (m @ q) / (cn * qn)
             ids_parts.append(ids)

@@ -426,3 +426,49 @@ def test_ann_endpoint_serves_and_clamps(spark, tmp_path):
             raise AssertionError("should 404 without ann_index")
         except urllib.error.HTTPError as e:
             assert e.code == 404
+
+
+def test_local_vector_index_filtered_search(spark, tmp_path):
+    """Serving-side filtered search: where=(payload, allowed) masks
+    rows BEFORE scoring, so the answer equals the cluster path's
+    filtered full-probe exactly."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.operators import ann
+    from prefixtree_spark.serving import load_local_ivf_index
+
+    rng = np.random.default_rng(23)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lab = df.withColumn("label", (F.col("vec_id") % 3).cast("int"))
+    path = str(tmp_path / "ivf_srv_filter")
+    ann.save_ivf_index(
+        lab, "vec_id", "embedding", path, n_cells=4, sample_size=100,
+        payload_cols=["label"],
+    )
+    local = load_local_ivf_index(path)
+    idx = ann.load_ivf_index(spark, path)
+    for qid in (0, 7, 31):
+        got = [
+            (int(v), round(s, 9))
+            for v, s in local.search(
+                rows[qid][1], 6, nprobe=4, where=("label", {1})
+            )
+            if int(v) != qid
+        ][:5]
+        want = [
+            (r.vec_id, round(r.cosine, 9)) if hasattr(r, "cosine")
+            else (r.vec_id, None)
+            for r in ann.cosine_topk_ivf_index(
+                lab.where(f"vec_id = {qid}"), "vec_id", "embedding", idx,
+                k=5, nprobe=4, where="label = 1",
+            ).orderBy("rank").collect()
+        ]
+        assert [g[0] for g in got] == [w[0] for w in want], (qid, got, want)
+        # every hit really carries the allowed label
+        assert all(v % 3 == 1 for v, _ in got)
+    # unfiltered search unchanged by the payload layout
+    plain = [int(v) for v, _ in local.search(rows[0][1], 5, nprobe=4)]
+    assert plain[0] == 0
