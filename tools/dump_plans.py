@@ -407,6 +407,19 @@ def main() -> None:
         "pin; /ann?mode=pq serves it.",
     )
     prose(
+        "Filtered vector search — where= over payload_cols (r8)",
+        "save_ivf_index(payload_cols=...) stores metadata beside the vectors\n"
+        "in the cell-partitioned postings, so a where= predicate on the flat\n"
+        "or PQ probe runs INSIDE the pruned scan: the executed plan carries\n"
+        "BOTH the probed-cell PartitionFilters (literal IN) and the payload\n"
+        "PushedFilters on one FileScan, the kernel scores only passing rows,\n"
+        "and the result is the exact top-k OF THE FILTERED SET — a\n"
+        "post-filter of unfiltered top-k silently loses recall instead.\n"
+        "Payloads survive appends (live-schema derivation) and maintenance\n"
+        "rebuilds. Pinned by test_ivf_filtered_search_exact_and_pushed;\n"
+        "oracled as ann_topk_ivf_filtered.",
+    )
+    prose(
         "COW DML probe — delete_published / update_published / upsert_published",
         "One multi-path mergeSchema reader and ONE job probe the whole segment\n"
         "chain (per-segment `spark.read` calls cost a driver footer round trip\n"
