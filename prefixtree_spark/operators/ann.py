@@ -574,30 +574,48 @@ def cosine_topk_ivf(
             k, qt, ct, n_replicas=n_replicas,
         )
 
-    q_all = qbase.toPandas()  # one collect either way (kernel broadcast)
-    if len(q_all) == 0:
+    n_q = qbase.count()
+    if n_q == 0:
         return (
             qbase.limit(0)
             .crossJoin(cbase.select("vec_id").limit(0))
             .select("query_id", "vec_id", F.lit(0).cast("long").alias("rank"))
         )
-    if len(q_all) <= query_chunk_rows:
-        cand_ids, _bq = _chunk_cands(q_all)
+    if n_q <= query_chunk_rows:
+        # small batch: one collect IS the bound (kernel broadcast needs it)
+        cand_ids, _bq = _chunk_cands(qbase.toPandas())
     else:
-        # bounded-executor-memory bulk path (see docstring): slice the
-        # collected batch driver-side (the _query_broadcast_queries
-        # chunking pattern); each chunk's candidates pin eagerly so
-        # its kernel broadcast can release before the next chunk runs
-        parts: list[DataFrame] = []
-        for lo in range(0, len(q_all), query_chunk_rows):
-            chunk_ids, bq = _chunk_cands(
-                q_all.iloc[lo : lo + query_chunk_rows].reset_index(drop=True)
-            )
-            parts.append(chunk_ids.localCheckpoint(eager=True))
-            bq.unpersist()
-        cand_ids = parts[0]
-        for p in parts[1:]:
-            cand_ids = cand_ids.unionByName(p)
+        # bounded-DRIVER-memory bulk path (r8 verdict #1): the old code
+        # collected the FULL query side up front and sliced driver-side
+        # — bounded executors, O(|Q|·dim) driver. Hash-chunk the query
+        # side and collect ONE chunk at a time (the cosine_topk pattern
+        # above): driver holds one chunk's pandas frame + one kernel
+        # broadcast at a time; each chunk's candidates pin eagerly so
+        # the broadcast releases before the next chunk's collect.
+        n_chunks = -(-n_q // query_chunk_rows)
+        chunked = qbase.withColumn(
+            "_chunk",
+            F.pmod(F.xxhash64(F.col("query_id").cast("string")), F.lit(n_chunks)),
+        ).persist()
+        try:
+            parts: list[DataFrame] = []
+            for i in range(n_chunks):
+                q_pdf = (
+                    chunked.where(F.col("_chunk") == i)
+                    .drop("_chunk")
+                    .toPandas()
+                    .reset_index(drop=True)
+                )
+                if len(q_pdf) == 0:
+                    continue
+                chunk_ids, bq = _chunk_cands(q_pdf)
+                parts.append(chunk_ids.localCheckpoint(eager=True))
+                bq.unpersist()
+            cand_ids = parts[0]
+            for p in parts[1:]:
+                cand_ids = cand_ids.unionByName(p)
+        finally:
+            chunked.unpersist()
     if n_replicas > 1:
         # replicated assignment: the same (query, vector) pair can
         # surface from several probed cells/partitions
@@ -962,9 +980,14 @@ def append_ivf_index(
     # consistent evaluation of the delta, and the pin must be RELEASED
     # before returning — repeated daily appends in one session would
     # otherwise accumulate a delta-sized block per call
+    # NULL ids are dropped up front: the presence guards can never see
+    # them (isin and semi/anti joins both skip NULLs), so a NULL-id row
+    # would be re-appended on EVERY unrecorded replay — unbounded
+    # duplicate growth in vectors/ and postings/. A NULL id is also
+    # unservable (search returns vec_ids), so dropping loses nothing.
     delta = new_corpus.select(
         F.col(cid).alias("vec_id"), F.col(cvec).alias("cv"), *pay
-    ).persist()
+    ).where(F.col("vec_id").isNotNull()).persist()
     try:
         n = delta.count()
         if n == 0:
@@ -1318,26 +1341,71 @@ def maintain_ivf_index(
         )
         if stale:
             reconciled = int(stale)
-            survivors = spark.read.parquet(f"{path}/vectors").join(
-                keep, "vec_id", "left_semi"
-            )
-            # the retrain machinery IS the deletion machinery: staged
-            # save over the filtered vectors + the recoverable swap;
-            # n_vectors re-stamps to the post-delete base so the drift
-            # trigger measures future APPENDS, not this shrink
-            save_ivf_index(
-                survivors, "vec_id", "cv", staged_root,
-                n_cells=int(meta["n_cells"]),
-                n_replicas=int(meta["n_replicas"]),
-                sample_size=sample_size, seed=seed,
-                pq_m=int(meta["pq_m"]) or None,
-                payload_cols=[
-                    c for c in survivors.columns
-                    if c not in ("vec_id", "cv")
-                ] or None,
-            )
-            _swap_in(staged_root)
-            total -= stale
+            if stale >= total:
+                # index drained (every row stale — e.g. the corpus was
+                # fully deleted): save_ivf_index would raise on an
+                # empty corpus, and training a quantizer over nothing
+                # is meaningless. Truncate the DATA tables through the
+                # same staged swap (meta last = completeness marker),
+                # keep the trained centroids/codebooks (future appends
+                # reuse them), and re-stamp n_vectors=0 so the drift
+                # trigger starts from the empty base. The truncated
+                # postings are ONE schema-bearing empty file, because a
+                # zero-row partitionBy write creates no files at all —
+                # an unreadable directory for every later probe. It
+                # lands INSIDE a cell=0 partition directory (not at the
+                # postings root) so partition discovery keeps working
+                # and later partitionBy appends don't create a mixed
+                # flat/partitioned dir (CONFLICTING_DIRECTORY_STRUCTURES).
+                vecs = spark.read.parquet(f"{path}/vectors").limit(0)
+                posts = spark.read.parquet(post_dir).drop("cell").limit(0)
+                vecs.coalesce(1).write.mode("overwrite").parquet(
+                    f"{staged_root}/vectors"
+                )
+                posts.coalesce(1).write.mode("overwrite").parquet(
+                    f"{staged_root}/postings/cell=0"
+                )
+                spark.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "n_cells": [int(meta["n_cells"])],
+                            "n_replicas": [int(meta["n_replicas"])],
+                            "dim": [int(meta["dim"])],
+                            "pq_m": [int(meta.get("pq_m") or 0)],
+                            "n_vectors": [0],
+                        }
+                    ),
+                    schema=(
+                        "n_cells int, n_replicas int, dim int, "
+                        "pq_m int, n_vectors long"
+                    ),
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    f"{staged_root}/meta"
+                )
+                _swap_in(staged_root)
+                total = 0
+            else:
+                survivors = spark.read.parquet(f"{path}/vectors").join(
+                    keep, "vec_id", "left_semi"
+                )
+                # the retrain machinery IS the deletion machinery:
+                # staged save over the filtered vectors + the
+                # recoverable swap; n_vectors re-stamps to the
+                # post-delete base so the drift trigger measures
+                # future APPENDS, not this shrink
+                save_ivf_index(
+                    survivors, "vec_id", "cv", staged_root,
+                    n_cells=int(meta["n_cells"]),
+                    n_replicas=int(meta["n_replicas"]),
+                    sample_size=sample_size, seed=seed,
+                    pq_m=int(meta["pq_m"]) or None,
+                    payload_cols=[
+                        c for c in survivors.columns
+                        if c not in ("vec_id", "cv")
+                    ] or None,
+                )
+                _swap_in(staged_root)
+                total -= stale
     base = meta.get("n_vectors")
     if reconciled:
         # the reconcile rebuild re-stamped the trained base and wrote

@@ -289,6 +289,12 @@ def ingest_batch(
     Retrain/compaction run out of band via ``maintain_ingest(...,
     ann_index_path=...)``, policy-gated on the appended fraction."""
     assert num_perm % bands == 0
+    if ann_index_path is not None and vec_col is None:
+        # validate BEFORE any write: raising after the corpus commit
+        # would make a pure config error look like a partial success
+        # (documents published, vectors never synced until someone
+        # re-runs with the right arguments)
+        raise ValueError("ann_index_path needs vec_col")
     spark = batch.sparkSession
     broot = _bands_root(root)
     _pin_band_params(spark, broot, n, num_perm, bands)
@@ -547,8 +553,8 @@ def ingest_batch(
             # this batch appended nothing): the sync also heals any
             # earlier batch that committed documents but crashed before
             # its index append. In-sync calls cost one manifest read.
-            if vec_col is None:
-                raise ValueError("ann_index_path needs vec_col")
+            # (vec_col consistency was validated at the top of the call,
+            # before any write.)
             from prefixtree_spark.operators.ann import sync_ivf_from_published
 
             sync_ivf_from_published(

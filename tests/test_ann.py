@@ -1048,3 +1048,111 @@ def test_ivf_pq_filtered_search(spark, clustered, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_ivf_bulk_query_collects_are_chunk_bounded(spark, clustered):
+    """r8 verdict #1: no bulk ANN path may materialize the full query
+    side on the driver in one collect. cosine_topk_ivf past
+    query_chunk_rows must collect the query side one hash-chunk at a
+    time — pinned by intercepting toPandas and recording each
+    collect's row count."""
+    df, _ = clustered
+    q = df  # 101 queries
+    sizes: list[int] = []
+    cls = type(df)  # the CONCRETE DataFrame class (pyspark.sql.DataFrame
+    # is an abstract base in Spark 4; patching it intercepts nothing)
+    orig = cls.toPandas
+
+    def spy(self):
+        pdf = orig(self)
+        if "qv" in pdf.columns:  # query-side collects only
+            sizes.append(len(pdf))
+        return pdf
+
+    cls.toPandas = spy
+    try:
+        got = ann.cosine_topk_ivf(
+            q, "vec_id", "embedding", df, "vec_id", "embedding",
+            k=3, n_cells=10, nprobe=10, sample_size=200,
+            query_chunk_rows=16,
+        ).count()
+    finally:
+        cls.toPandas = orig
+    assert got > 0
+    # hash chunking: sizes CONCENTRATE around query_chunk_rows (not a
+    # hard cap) — the invariant is that no collect materialized the
+    # whole 101-query batch, and several chunk-sized collects ran
+    assert sizes and len(sizes) >= 4, sizes
+    assert max(sizes) <= 3 * 16, sizes
+
+
+def test_ivf_append_drops_null_vec_ids(spark, clustered, tmp_path):
+    """NULL ids can never satisfy the presence guards (isin / semi
+    joins skip NULLs), so they'd re-append on every unrecorded replay
+    — append_ivf_index drops them up front and replays stay no-ops."""
+    df, _ = clustered
+    path = str(tmp_path / "ivf_nullid")
+    ann.save_ivf_index(df.where("vec_id < 90"), "vec_id", "embedding",
+                       path, n_cells=5, sample_size=200)
+    delta = df.where("vec_id >= 90").withColumn(
+        "vec_id",
+        F.when(F.col("vec_id") % 2 == 0, F.col("vec_id")),  # odd → NULL
+    )
+    n_valid = delta.where("vec_id IS NOT NULL").count()
+    assert ann.append_ivf_index(
+        spark, path, delta, "vec_id", "embedding", txn="t1"
+    ) == n_valid
+    # unrecorded replay (fresh txn name, same rows): guards reject the
+    # non-null ids; the NULL rows must not accumulate either
+    assert ann.append_ivf_index(
+        spark, path, delta, "vec_id", "embedding", txn="t2"
+    ) == 0
+    vec = spark.read.parquet(f"{path}/vectors")
+    assert vec.where("vec_id IS NULL").count() == 0
+    assert vec.count() == 90 + n_valid
+    post = spark.read.parquet(f"{path}/postings")
+    assert post.where("vec_id IS NULL").count() == 0
+    assert post.count() == 90 + n_valid
+
+
+def test_maintain_ivf_reconcile_drains_empty_index(spark, clustered, tmp_path):
+    """Full corpus deletion: reconcile with an empty keep-set must
+    drain the index (not raise), keep the layout loadable and
+    probe-able (empty results), stamp n_vectors=0, and accept appends
+    afterwards (the quantizer survives the drain)."""
+    df, _ = clustered
+    path = str(tmp_path / "ivf_drain")
+    ann.save_ivf_index(df.where("vec_id < 50"), "vec_id", "embedding",
+                       path, n_cells=5, sample_size=200)
+    keep = df.where("vec_id < 0").select("vec_id")  # empty keep-set
+    rep = ann.maintain_ivf_index(spark, path, reconcile_ids=keep)
+    assert rep["reconciled"] == 50 and rep["n_vectors"] == 0
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert meta.n_vectors == 0
+    idx = ann.load_ivf_index(spark, path)
+    q = df.where("vec_id = 0")
+    assert ann.cosine_topk_ivf_index(
+        q, "vec_id", "embedding", idx, k=3, nprobe=5
+    ).count() == 0
+    # the drained layout accepts appends and serves them
+    assert ann.append_ivf_index(
+        spark, path, df.where("vec_id >= 50 and vec_id < 60"),
+        "vec_id", "embedding",
+    ) == 10
+    idx2 = ann.load_ivf_index(spark, path)
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_ivf_index(
+            df.where("vec_id = 55"), "vec_id", "embedding", idx2,
+            k=3, nprobe=5,
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk(
+            df.where("vec_id = 55"), "vec_id", "embedding",
+            df.where("vec_id >= 50 and vec_id < 60"),
+            "vec_id", "embedding", k=3,
+        ).collect()
+    }
+    assert got == want and got

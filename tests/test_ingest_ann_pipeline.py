@@ -339,3 +339,21 @@ def test_reconcile_drops_corpus_deleted_vectors(spark, tmp_path):
     vec, _ = _index_ids(spark, ipath)
     assert vec == [0, 2, 3, 5, 7]
     _probe_equals_exact(spark, root, ipath)
+
+
+def test_misconfigured_ann_sync_rejected_before_any_write(spark, tmp_path):
+    """ann_index_path without vec_col must fail BEFORE the corpus
+    commit: the old ordering published the documents and then raised,
+    leaving a partial success whose replay is dedup-rejected — the
+    batch's vectors stayed unsynced until someone noticed."""
+    import os
+
+    root = str(tmp_path / "corpus_cfg")
+    b = _mk_batch(spark, [(1, "alpha beta gamma delta", 1)])
+    with pytest.raises(ValueError, match="vec_col"):
+        ingest_batch(
+            b, root, "doc_id", "text", threshold=0.5,
+            ann_index_path=str(tmp_path / "ivf_cfg"),
+        )
+    # nothing was published — the failed call left no corpus state
+    assert not os.path.exists(root)
