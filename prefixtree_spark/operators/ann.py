@@ -1055,9 +1055,37 @@ def append_ivf_index(
             # an unconfirmed write just means the next replay pays the
             # guards again
             _retire_txn(spark, path, txn, n)
+        # both tables written: signal serving replicas to reload
+        _bump_ivf_generation(spark, path)
     finally:
         delta.unpersist()
     return n
+
+
+def _bump_ivf_generation(spark, path: str) -> int:
+    """Advance the layout's ``_generation`` marker — the serving-side
+    reload signal (``serving.watch_ivf_index``). Writers call it AFTER
+    their writes/swaps complete, so any readable value names a
+    consistent layout; a crash before the bump leaves replicas on the
+    previous generation (stale but never mixed) until the next
+    maintenance call bumps. Read-modify-write is safe under the
+    standing single-writer contract. Returns the new generation."""
+    from prefixtree_spark.sources.io import _fs, _read_small_file
+
+    fs, jvm = _fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_generation")
+    cur = 0
+    try:
+        if fs.exists(p):
+            cur = int(_read_small_file(spark, f"{path}/_generation").strip())
+    except Exception:
+        cur = 0
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(str(cur + 1).encode()))
+    finally:
+        out.close()
+    return cur + 1
 
 
 def _read_sync_watermark(spark, index_path: str) -> int:
@@ -1449,6 +1477,10 @@ def maintain_ivf_index(
         fs.delete(P(post_dir), True)
         if not fs.rename(P(staged), P(post_dir)):
             raise IOError(f"rename {staged} -> {post_dir} failed")
+    if recovered or reconciled or retrained or compacted:
+        # the layout changed under serving replicas — bump AFTER the
+        # swap so the marker always names a consistent layout
+        _bump_ivf_generation(spark, path)
     return {
         "n_vectors": int(total),
         "appended_frac": round(float(appended_frac), 4),

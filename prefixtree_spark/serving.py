@@ -107,6 +107,14 @@ class PrefixTreeServer:
         is garbage-collected when its last in-flight request ends."""
         self.index = index
 
+    def swap_ann(self, ann_index: "LocalVectorIndex | None") -> None:
+        """The vector-side twin of ``swap``: one attribute store flips
+        the served ``/ann`` handle; each request reads ``srv.ann_index``
+        once on entry, so it finishes entirely on old or entirely on
+        new. Pair with ``preload=True`` handles so the outgoing index
+        keeps serving from memory while the replacement loads."""
+        self.ann_index = ann_index
+
     def start(self) -> "PrefixTreeServer":
         if self._httpd is not None:
             # a second start() would abandon a live server with no
@@ -292,15 +300,31 @@ class LocalVectorIndex:
     union, ordered (cosine desc, vec_id asc) like the cluster paths
     (numpy pairwise summation may differ from the JVM fold in the
     last ulp on manufactured near-ties; serving does not promise
-    oracle-bit-exactness — the cluster paths do)."""
+    oracle-bit-exactness — the cluster paths do).
 
-    def __init__(self, path: str):
+    **Generations and swap safety.** The handle pins the layout's
+    ``_generation`` marker at open (``maintain_ivf_index`` /
+    ``append_ivf_index`` bump it AFTER their writes/swaps complete).
+    Lazy mode rides the standing single-writer contract: a retrain
+    swap under a live lazy replica could mix old cached cells with
+    newly-swapped files within one search. ``preload=True`` closes
+    that window with the tree index's load-then-flip discipline:
+    EVERY cell (and code table, on pq layouts) loads at open, so the
+    handle never touches disk again — searches are snapshot-consistent
+    against the generation that was live at open, through any
+    concurrent swap, and ``watch_ivf_index`` flips a freshly preloaded
+    handle in when the generation moves. The trade is eager memory
+    (the whole index, floats included — a pq replica that wants the
+    m-bytes-per-vector economics stays lazy and swaps offline)."""
+
+    def __init__(self, path: str, *, preload: bool = False):
         import os
 
         import numpy as np
         import pyarrow.parquet as pq
 
         meta = pq.read_table(os.path.join(path, "meta")).to_pylist()[0]
+        self.generation = _read_ivf_generation(path)
         cent_tbl = pq.read_table(os.path.join(path, "centroids"))
         self.centroids = np.zeros(
             (meta["n_cells"], meta["dim"]), dtype=np.float64
@@ -327,6 +351,13 @@ class LocalVectorIndex:
                 "LocalVectorIndex needs an IVF-FLAT layout "
                 "(postings carry no vector column)"
             )
+        # payload columns (save_ivf_index payload_cols=) are read in
+        # the SAME read_table call as the vectors (_cell) — a second
+        # read of the cell dir could see a file landed between the two
+        # reads and silently misalign the filter mask row-for-row
+        self._payload_names = [
+            n for n in probe.names if n not in ("vec_id", "cv", "pq")
+        ]
         self._cells: dict[int, tuple] = {}
         self._payloads: dict[tuple, object] = {}
         # PQ sidecar (save_ivf_index(..., pq_m=m)): codebooks load once,
@@ -347,6 +378,17 @@ class LocalVectorIndex:
             # per-codeword squared norms: reconstruction norms become
             # m table lookups per row instead of a dim-wide reduction
             self._book_norms2 = (books**2).sum(axis=2)
+        self._preloaded = False
+        if preload:
+            # load-then-flip discipline (see class docstring): after
+            # this loop no search path touches disk, so a concurrent
+            # retrain swap can never mix generations inside a handle
+            for dname in cell_dirs:
+                c = int(dname.split("=", 1)[1])
+                self._cell(c)
+                if self.codebooks is not None:
+                    self._cell_codes(c)
+            self._preloaded = True
 
     @staticmethod
     def _list_column_matrix(col, dim: int):
@@ -388,12 +430,25 @@ class LocalVectorIndex:
         d = os.path.join(self._postings_dir, f"cell={c}")
         if not os.path.isdir(d):
             got = (np.array([], dtype=object), np.zeros((0, self.centroids.shape[1])), np.array([]))
+            for name in self._payload_names:
+                self._payloads[(c, name)] = np.array([], dtype=object)
         else:
-            tbl = pq.read_table(d, columns=["vec_id", "cv"])
+            # payloads ride the SAME read as the vectors: filtered
+            # search masks payload rows against vector rows by
+            # position, and two reads of a cell dir can disagree on
+            # row order if a file lands between them (append under a
+            # live lazy replica)
+            tbl = pq.read_table(
+                d, columns=["vec_id", "cv", *self._payload_names]
+            )
             ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
             m = self._list_column_matrix(
                 tbl.column("cv"), self.centroids.shape[1]
             )
+            for name in self._payload_names:
+                self._payloads[(c, name)] = tbl.column(name).to_numpy(
+                    zero_copy_only=False
+                )
             got = (ids, m, np.linalg.norm(m, axis=1))
         self._cells[c] = got
         return got
@@ -514,12 +569,31 @@ class LocalVectorIndex:
     def _fetch_vectors(self, cells, cand: set):
         """(ids, matrix) of the candidate vectors, read from the probed
         cells' files with a vec_id filter — row-group stats prune, and
-        only matching row groups' ``cv`` pages materialize."""
+        only matching row groups' ``cv`` pages materialize. A preloaded
+        handle answers from its in-memory cells instead: touching disk
+        here would reopen the swap-mixing window preload exists to
+        close."""
         import os
 
         import numpy as np
         import pyarrow.compute as pc
         import pyarrow.dataset as pads
+
+        if self._preloaded:
+            ids_parts, mat_parts = [], []
+            for c in cells:
+                ids, m, _ = self._cell(int(c))
+                if not len(ids):
+                    continue
+                mask = np.isin(ids, list(cand))
+                if mask.any():
+                    ids_parts.append(ids[mask])
+                    mat_parts.append(m[mask])
+            if not ids_parts:
+                return np.array([], dtype=object), np.zeros(
+                    (0, self.centroids.shape[1])
+                )
+            return np.concatenate(ids_parts), np.vstack(mat_parts)
 
         files = []
         for c in cells:
@@ -546,28 +620,21 @@ class LocalVectorIndex:
         return ids, mat
 
     def _cell_payload(self, c: int, name: str):
-        """Lazy per-cell payload column (save_ivf_index payload_cols
-        layouts) — cached beside the vectors, loaded only when a
-        filtered search asks for it."""
-        import os
-
-        import numpy as np
-        import pyarrow.parquet as pq
-
+        """Per-cell payload column (save_ivf_index payload_cols
+        layouts). Populated by ``_cell``'s single read — never a
+        second read_table of the same directory, whose row order
+        could diverge from the vectors' if a file landed between the
+        two reads (the silent-misalignment hazard)."""
         key = (c, name)
         got = self._payloads.get(key)
-        if got is not None:
-            return got
-        d = os.path.join(self._postings_dir, f"cell={c}")
-        if not os.path.isdir(d):
-            got = np.array([], dtype=object)
-        else:
-            got = (
-                pq.read_table(d, columns=[name])
-                .column(name)
-                .to_numpy(zero_copy_only=False)
-            )
-        self._payloads[key] = got
+        if got is None:
+            self._cell(c)  # one read caches vectors AND payloads
+            got = self._payloads.get(key)
+            if got is None:
+                raise KeyError(
+                    f"no stored payload column {name!r} in this layout "
+                    f"(have {self._payload_names!r})"
+                )
         return got
 
     def search(
@@ -623,11 +690,25 @@ class LocalVectorIndex:
         return out
 
 
-def load_local_ivf_index(path: str) -> LocalVectorIndex:
+def _read_ivf_generation(path: str) -> int:
+    """The layout's ``_generation`` marker (0 when absent or torn —
+    the writers bump it only after a swap/append completes, so any
+    readable value names a consistent layout)."""
+    import os
+
+    try:
+        with open(os.path.join(path, "_generation")) as f:
+            return int(f.read().strip())
+    except Exception:
+        return 0
+
+
+def load_local_ivf_index(path: str, *, preload: bool = False) -> LocalVectorIndex:
     """Open a ``save_ivf_index`` IVF-FLAT layout as a serving-side
     handle (no SparkSession; pyarrow + numpy only — the ANN analog of
-    ``load_local_index_published``)."""
-    return LocalVectorIndex(path)
+    ``load_local_index_published``). ``preload=True`` loads every cell
+    at open for swap-safe serving (see ``LocalVectorIndex``)."""
+    return LocalVectorIndex(path, preload=preload)
 
 
 def load_local_index_published(root: str) -> tuple[LocalIndex, int]:
@@ -721,5 +802,69 @@ def watch_published_index(
 
     threading.Thread(
         target=run, name="prefixtree-index-watcher", daemon=True
+    ).start()
+    return stop
+
+
+def watch_ivf_index(
+    server: PrefixTreeServer,
+    path: str,
+    *,
+    poll_seconds: float = 5.0,
+    preload: bool = True,
+    current_generation: int | None = None,
+) -> threading.Event:
+    """Hot refresh for the ``/ann`` side of a serving replica — the
+    vector twin of ``watch_published_index``, closing the r8 verdict's
+    replica-swap consistency gap: poll the layout's ``_generation``
+    marker (bumped by ``maintain_ivf_index`` retrain/reconcile/compact
+    swaps and by ``append_ivf_index``, always AFTER their writes
+    complete) and flip a freshly loaded ``LocalVectorIndex`` into
+    ``server`` via ``swap_ann`` when it moves. With the default
+    ``preload=True`` the discipline is load-then-flip on both sides of
+    the swap: the OUTGOING handle serves entirely from memory (never
+    reads a half-swapped directory), the INCOMING handle loads fully
+    from post-swap files before any request sees it — a search is
+    answered entirely by one generation, never a mix. A load that
+    fails (e.g. a maintenance swap mid-flight) leaves the current
+    handle serving and retries next poll.
+
+    Defaults ``current_generation`` to the generation of the handle
+    the server already holds, so the first poll doesn't reload a
+    freshly opened index. Returns a stop event."""
+    stop = threading.Event()
+    state = {
+        "gen": (
+            current_generation
+            if current_generation is not None
+            else getattr(server.ann_index, "generation", 0)
+        )
+    }
+
+    def run() -> None:
+        while not stop.wait(poll_seconds):
+            try:
+                g = _read_ivf_generation(path)
+                if g <= state["gen"]:
+                    continue
+                new = LocalVectorIndex(path, preload=preload)
+                if _read_ivf_generation(path) != new.generation:
+                    # a swap COMPLETED while we were loading — the
+                    # handle may hold a mix of the two layouts.
+                    # Discard; next poll reloads at the new marker.
+                    # (Residual window, documented: a swap that starts
+                    # mid-load and is still unfinished at this check
+                    # isn't caught here — it flips in briefly and is
+                    # replaced when its own bump lands next poll.
+                    # Single-writer maintenance makes that a
+                    # back-to-back-swaps race, not a steady state.)
+                    continue
+            except Exception:
+                continue  # serve the current handle; retry next poll
+            server.swap_ann(new)
+            state["gen"] = max(g, new.generation)
+
+    threading.Thread(
+        target=run, name="prefixtree-ivf-watcher", daemon=True
     ).start()
     return stop

@@ -472,3 +472,191 @@ def test_local_vector_index_filtered_search(spark, tmp_path):
     # unfiltered search unchanged by the payload layout
     plain = [int(v) for v, _ in local.search(rows[0][1], 5, nprobe=4)]
     assert plain[0] == 0
+
+
+def _ivf_corpus(spark):
+    """Three strata with KNOWN cosine order against the fixed query
+    e0: cluster A (ids 0-39, cos ≈ 0.45), hot B (100-102, cos ≈ 1),
+    cold B (103-119, cos ≈ 0) — so every generation's top-5 id set is
+    distinct and a cross-generation mix is detectable."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    dim = 8
+    vq = [0.0] * dim
+    vq[0] = 1.0
+    rows = []
+    cA = np.zeros(dim); cA[0] = 0.5; cA[1] = 1.0
+    for i in range(40):
+        v = cA + rng.standard_normal(dim) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    for i in range(100, 103):  # hot B: nearly parallel to vq
+        v = np.asarray(vq) + rng.standard_normal(dim) * 0.01
+        rows.append((i, [float(x) for x in v]))
+    cC = np.zeros(dim); cC[2] = 1.0
+    for i in range(103, 120):  # cold B: orthogonal-ish to vq
+        v = cC + rng.standard_normal(dim) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, rows, vq
+
+
+def _exact_top_ids(rows, ids, vq, k=5):
+    import numpy as np
+
+    sub = [(i, v) for i, v in rows if i in ids]
+    m = np.array([v for _, v in sub])
+    q = np.array(vq)
+    cos = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    order = sorted(range(len(sub)), key=lambda j: (-cos[j], sub[j][0]))
+    return tuple(sub[j][0] for j in order[:k])
+
+
+def test_ivf_generation_pins_and_writers_bump(spark, tmp_path):
+    """The layout's _generation marker: absent on a fresh save (gen 0),
+    bumped by append_ivf_index and by every maintain_ivf_index swap —
+    always AFTER the writes — and pinned by LocalVectorIndex at open."""
+    from prefixtree_spark.operators import ann
+    from prefixtree_spark.serving import (
+        _read_ivf_generation,
+        load_local_ivf_index,
+    )
+
+    df, rows, _ = _ivf_corpus(spark)
+    path = str(tmp_path / "ivf_gen")
+    ann.save_ivf_index(df.where("vec_id < 40"), "vec_id", "embedding",
+                       path, n_cells=4, sample_size=200)
+    assert _read_ivf_generation(path) == 0
+    h0 = load_local_ivf_index(path)
+    assert h0.generation == 0
+    ann.append_ivf_index(spark, path, df.where("vec_id >= 100"),
+                         "vec_id", "embedding")
+    assert _read_ivf_generation(path) == 1
+    rep = ann.maintain_ivf_index(spark, path, retrain_frac=0.02)
+    assert rep["retrained"]
+    assert _read_ivf_generation(path) == 2
+    h2 = load_local_ivf_index(path, preload=True)
+    assert h2.generation == 2 and h2._preloaded
+    # no-op maintenance must NOT bump (replicas shouldn't reload)
+    rep2 = ann.maintain_ivf_index(spark, path, retrain_frac=0.9,
+                                  max_files_per_cell=99)
+    assert not rep2["retrained"] and not rep2["compacted"]
+    assert _read_ivf_generation(path) == 2
+
+
+def test_watch_ivf_index_hot_reload(spark, tmp_path):
+    """The /ann twin of test_watch_published_index_hot_reload: a
+    watcher on the layout's generation marker flips a freshly
+    preloaded LocalVectorIndex into the live server when maintenance
+    swaps the layout — same keep-alive server, new answers."""
+    import time
+
+    from prefixtree_spark import build_local_index
+    from prefixtree_spark.operators import ann
+    from prefixtree_spark.serving import (
+        load_local_ivf_index,
+        watch_ivf_index,
+    )
+    from tests.test_build import _words_df
+
+    df, rows, vq = _ivf_corpus(spark)
+    path = str(tmp_path / "ivf_watch")
+    ann.save_ivf_index(df.where("vec_id < 40"), "vec_id", "embedding",
+                       path, n_cells=4, sample_size=200)
+    e1 = _exact_top_ids(rows, set(range(40)), vq)
+    e2 = _exact_top_ids(rows, set(range(40)) | set(range(100, 120)), vq)
+    assert e1 != e2
+    pt = create(_words_df(spark, ["CAT"]), "word")
+    vurl = f"/ann?v={','.join(str(x) for x in vq)}&k=5&nprobe=4"
+    with PrefixTreeServer(
+        build_local_index(pt),
+        ann_index=load_local_ivf_index(path, preload=True),
+    ) as srv:
+        stop = watch_ivf_index(srv, path, poll_seconds=0.2)
+        try:
+            assert tuple(v for v, _ in _get(srv.url(vurl))) == e1
+            ann.append_ivf_index(
+                spark, path, df.where("vec_id >= 100"),
+                "vec_id", "embedding",
+            )
+            deadline = time.time() + 15
+            while time.time() < deadline:
+                if tuple(v for v, _ in _get(srv.url(vurl))) == e2:
+                    break
+                time.sleep(0.1)
+            else:
+                raise AssertionError("watcher never swapped the /ann handle")
+            assert srv.ann_index.generation == 1
+        finally:
+            stop.set()
+
+
+def test_ivf_retrain_swap_under_load_entirely_old_or_new(spark, tmp_path):
+    """r8 verdict #2 'Done =': clients hammering /ann while the index
+    is appended to AND retrain-swapped by maintain_ivf_index see
+    answers that are ENTIRELY one generation's — never an error,
+    never a cross-generation mix — and converge on the final one."""
+    import time
+
+    from prefixtree_spark import build_local_index
+    from prefixtree_spark.operators import ann
+    from prefixtree_spark.serving import (
+        load_local_ivf_index,
+        watch_ivf_index,
+    )
+    from tests.test_build import _words_df
+
+    df, rows, vq = _ivf_corpus(spark)
+    a_ids = set(range(40))
+    b_ids = set(range(100, 120))
+    e1 = _exact_top_ids(rows, a_ids, vq)          # gen: A only
+    e2 = _exact_top_ids(rows, a_ids | b_ids, vq)  # gen: A ∪ B (append)
+    e3 = _exact_top_ids(rows, b_ids, vq)          # gen: B only (reconcile)
+    assert len({e1, e2, e3}) == 3
+    path = str(tmp_path / "ivf_hammer")
+    ann.save_ivf_index(df.where("vec_id < 40"), "vec_id", "embedding",
+                       path, n_cells=4, sample_size=200)
+    pt = create(_words_df(spark, ["CAT"]), "word")
+    vurl = f"/ann?v={','.join(str(x) for x in vq)}&k=5&nprobe=4"
+    with PrefixTreeServer(
+        build_local_index(pt),
+        ann_index=load_local_ivf_index(path, preload=True),
+    ) as srv:
+        watcher = watch_ivf_index(srv, path, poll_seconds=0.2)
+        halt = threading.Event()
+        seen: list = []
+        errors: list = []
+
+        def client():
+            while not halt.is_set():
+                try:
+                    seen.append(tuple(v for v, _ in _get(srv.url(vurl))))
+                except Exception as exc:  # any failure = contract broken
+                    errors.append(exc)
+                    return
+
+        threads = [threading.Thread(target=client) for _ in range(3)]
+        for t in threads:
+            t.start()
+        try:
+            time.sleep(0.3)
+            ann.append_ivf_index(spark, path, df.where("vec_id >= 100"),
+                                 "vec_id", "embedding")
+            deadline = time.time() + 15
+            while time.time() < deadline and (not seen or seen[-1] != e2):
+                time.sleep(0.1)
+            keep = df.where("vec_id >= 100").select("vec_id")
+            rep = ann.maintain_ivf_index(spark, path, reconcile_ids=keep)
+            assert rep["reconciled"] == 40
+            deadline = time.time() + 15
+            while time.time() < deadline and (not seen or seen[-1] != e3):
+                time.sleep(0.1)
+        finally:
+            halt.set()
+            for t in threads:
+                t.join(timeout=10)
+            watcher.set()
+        assert not errors, errors[:3]
+        assert seen and seen[-1] == e3, seen[-5:]
+        disallowed = [s for s in seen if s not in (e1, e2, e3)]
+        assert not disallowed, disallowed[:5]
