@@ -847,6 +847,78 @@ def main() -> None:
     extras["serving_pq_q4_warm_sec"], _ = _srv_probe(local_pq, "search_pq")
     _sh.rmtree(xo_dir, ignore_errors=True)
 
+    # Filtered-ANN selectivity sweep (r9 verdict #3): recall, result
+    # count, and escalation work vs filter selectivity at a PRUNED
+    # nprobe, with the probe-escalation ladder (the shipped behavior).
+    # `pre_escalation_shortfall` counts the result rows the pre-r9
+    # code would silently have been short (passing rows inside each
+    # query's initially probed cells vs k) — the starvation the ladder
+    # exists to repair; `rows` is the shipped (escalated) result count,
+    # which must equal Q × min(k, |filtered|) by construction.
+    fsel_dir = _tf.mkdtemp(prefix="bench_ivf_fsel_")
+    femb = emb.withColumn(
+        "sel_bucket",
+        F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(1000)).cast("int"),
+    )
+    ann_ops.save_ivf_index(
+        femb, "vec_id", "embedding", f"{fsel_dir}/index",
+        n_cells=16, sample_size=20000, payload_cols=["sel_bucket"],
+    )
+    fidx = ann_ops.load_ivf_index(spark, f"{fsel_dir}/index")
+    fq = femb.where("vec_id % 100 = 0")  # 20 queries
+    fq_pdf = fq.select("vec_id", "embedding").toPandas()
+    fk, fnprobe = 10, 2
+    fcells = ann_ops._assign_cells_np(
+        _np.array(fq_pdf["embedding"].tolist(), dtype=_np.float64),
+        fidx.centroids, fnprobe,
+    )
+    for lab, thr in [("50pct", 500), ("10pct", 100), ("2pct", 20),
+                     ("05pct", 5)]:
+        fwhere = f"sel_bucket < {thr}"
+        fcorp = femb.where(fwhere)
+        n_pass = fcorp.count()
+        want_f = {
+            (r.query_id, r.vec_id)
+            for r in ann_ops.cosine_topk(
+                fq, "vec_id", "embedding", fcorp, "vec_id", "embedding",
+                k=fk,
+            ).collect()
+        }
+        t0 = time.time()
+        got_f = {
+            (r.query_id, r.vec_id)
+            for r in ann_ops.cosine_topk_ivf_index(
+                fq, "vec_id", "embedding", fidx, k=fk, nprobe=fnprobe,
+                where=fwhere,
+            ).collect()
+        }
+        extras[f"ivf_filtered_{lab}_sec"] = round(time.time() - t0, 3)
+        extras[f"ivf_filtered_{lab}_rows"] = len(got_f)
+        extras[f"ivf_filtered_{lab}_rows_exact"] = len(want_f)
+        extras[f"ivf_filtered_{lab}_recall"] = round(
+            len(got_f & want_f) / max(1, len(want_f)), 4
+        )
+        extras[f"ivf_filtered_{lab}_passing"] = n_pass
+        # pre-escalation shortfall: per query, passing rows within its
+        # initially probed cells vs what exclude_self-adjusted k needs
+        cellcnt = {
+            r.cell: r.n
+            for r in fidx.postings.where(fwhere)
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        from collections import Counter as _Counter
+
+        shipped_per_q = _Counter(qv for qv, _ in got_f)
+        short = 0
+        for i, qid_v in enumerate(fq_pdf["vec_id"]):
+            in_probed = sum(int(cellcnt.get(int(c), 0)) for c in fcells[i])
+            # conservative (the query's own passing row isn't
+            # discounted from in_probed): rows the shipped result has
+            # that the initially probed cells could not have supplied
+            short += max(0, shipped_per_q.get(int(qid_v), 0) - in_probed)
+        extras[f"ivf_filtered_{lab}_pre_escalation_shortfall"] = short
+    _sh.rmtree(fsel_dir, ignore_errors=True)
+
     # SQ8 storage economics: the int8 claim is an IO claim, so measure
     # it as bytes on disk — the stored quantized column vs the float
     # column, same corpus, same codec defaults — plus the query path

@@ -1650,33 +1650,121 @@ def cosine_topk_ivf_index(
             .crossJoin(index.postings.select("vec_id").limit(0))
             .select("query_id", "vec_id", F.lit(0).cast("long").alias("rank"))
         )
-    postings = index.postings.where(F.col("cell").isin(probed))
-    if where is not None:
-        # filtered search over stored payload columns (save_ivf_index
-        # payload_cols=): the predicate lands in the SAME pruned scan
-        # that feeds the kernel AND the rerank — a plain JVM filter
-        # with parquet stats, evaluated before any scoring, so the
-        # result is the exact top-k OF THE FILTERED SET (a post-filter
-        # of unfiltered top-k would silently lose recall instead)
-        postings = postings.where(
-            where if isinstance(where, Column) else F.expr(where)
-        )
+    # filtered search over stored payload columns (save_ivf_index
+    # payload_cols=): the predicate lands in the SAME pruned scan
+    # that feeds the kernel AND the rerank — a plain JVM filter
+    # with parquet stats, evaluated before any scoring, so the
+    # result is the exact top-k OF THE FILTERED SET (a post-filter
+    # of unfiltered top-k would silently lose recall instead)
+    where_col = (
+        None
+        if where is None
+        else (where if isinstance(where, Column) else F.expr(where))
+    )
+
+    def _pruned(cells_list):
+        p = index.postings.where(F.col("cell").isin(cells_list))
+        if where_col is not None:
+            p = p.where(where_col)
+        return p
+
+    postings = _pruned(probed)
     if use_flat:
         qt = queries.schema[qid].dataType.simpleString()
         ct = index.postings.schema["vec_id"].dataType.simpleString()
-        cand_ids, _bq = _flat_ivf_candidates(
-            postings.select("vec_id", "cv", "cell"), q_pdf, pair_list,
-            k, qt, ct, n_replicas=index.n_replicas,
-        )
-        rerank_src = postings.select("vec_id", "cv")
+        n_cells_total = len(index.centroids)
+        rerank_postings = postings
+        if where_col is not None and nprobe < n_cells_total and len(q_pdf):
+            # PROBE ESCALATION under selective filters (r8 verdict #3):
+            # a highly selective predicate can starve a query's probed
+            # cells of passing rows — the result silently falls below k
+            # while unprobed cells hold matches. Queries whose filtered
+            # candidate count lands under k(+1 for exclude_self)
+            # re-probe at doubled nprobe until satisfied or at full
+            # probe; full probe of the filtered set IS the exact
+            # filtered top-k, so the bound is: every returned result is
+            # either (a) k-deep at some probe width, or (b) exact over
+            # the whole filtered corpus. Cost bound: ≤ log2(n_cells /
+            # nprobe)+1 passes, each touching only the still-starved
+            # queries (the common unstarved batch pays one bounded
+            # count-aggregation extra, nothing else; unfiltered probes
+            # skip this path entirely). The candidate count is a
+            # faithful starvation signal: the kernel's boundary closure
+            # returns at least min(passing rows, 2k·replicas) rows per
+            # query, so count < k+1 ⟺ the probed cells really hold
+            # fewer than k+1 passing rows.
+            need = k + (1 if exclude_self else 0)
+            parts: list[DataFrame] = []
+            active = q_pdf
+            act_pairs, act_probed = pair_list, probed
+            cur = nprobe
+            all_probed = set(probed)
+            while True:
+                cand_a, bq = _flat_ivf_candidates(
+                    _pruned(act_probed).select("vec_id", "cv", "cell"),
+                    active, act_pairs, k, qt, ct,
+                    n_replicas=index.n_replicas,
+                )
+                if index.n_replicas > 1:
+                    cand_a = cand_a.distinct()
+                # pin: the next iteration's kernel broadcast must not
+                # force this one to recompute (bounded: ≤ closure-pad
+                # rows per active query)
+                cand_a = cand_a.localCheckpoint(eager=True)
+                bq.unpersist()
+                if cur >= n_cells_total:
+                    parts.append(cand_a)
+                    break
+                cnt = {
+                    r["query_id"]: r["n"]
+                    for r in cand_a.groupBy("query_id")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                short = [
+                    q_ for q_ in active["query_id"].tolist()
+                    if cnt.get(q_, 0) < need
+                ]
+                if not short:
+                    parts.append(cand_a)
+                    break
+                parts.append(cand_a.where(~F.col("query_id").isin(short)))
+                active = active[
+                    active["query_id"].isin(set(short))
+                ].reset_index(drop=True)
+                cur = min(cur * 2, n_cells_total)
+                cells_mat = _assign_cells_np(
+                    np.array(active["qv"].tolist(), dtype=np.float64),
+                    index.centroids, cur,
+                )
+                act_pairs = [
+                    (active["query_id"].iloc[i], int(c_))
+                    for i in range(len(active))
+                    for c_ in cells_mat[i]
+                ]
+                act_probed = sorted({c_ for _, c_ in act_pairs})
+                all_probed.update(act_probed)
+            cand_ids = parts[0]
+            for p in parts[1:]:
+                cand_ids = cand_ids.unionByName(p)
+            # the rerank source must cover every cell ANY iteration
+            # probed — escalated candidates live outside the initial
+            # probed set
+            rerank_postings = _pruned(sorted(all_probed))
+        else:
+            cand_ids, _bq = _flat_ivf_candidates(
+                postings.select("vec_id", "cv", "cell"), q_pdf, pair_list,
+                k, qt, ct, n_replicas=index.n_replicas,
+            )
+            if index.n_replicas > 1:
+                # replicated lists: the same (query, vector) pair can
+                # surface from several probed cells/partitions
+                cand_ids = cand_ids.distinct()
+        rerank_src = rerank_postings.select("vec_id", "cv")
         if index.n_replicas > 1:
-            # replicated lists: the same (query, vector) pair can
-            # surface from several probed cells/partitions — and the
-            # rerank source can hold the same vector under several
-            # cells; dedup both (bounded candidates; pruned-subset-only
-            # shuffle). At n_replicas == 1 a vector lives in EXACTLY
-            # one cell, so neither dedup is needed.
-            cand_ids = cand_ids.distinct()
+            # the rerank source can hold the same vector under several
+            # cells; dedup (pruned-subset-only shuffle). At
+            # n_replicas == 1 a vector lives in EXACTLY one cell.
             rerank_src = rerank_src.dropDuplicates(["vec_id"])
         # broadcast the bounded candidate set: the rerank is then one
         # more JVM-only pass over the SAME pruned scan (broadcast-hash,
@@ -1769,20 +1857,44 @@ def cosine_topk_ivf_pq(
             "vec_id",
             F.lit(0).cast("long").alias("rank"),
         )
-    pruned = index.postings.where(F.col("cell").isin(probed))
-    if where is not None:
-        # filtered search (payload_cols layouts): the predicate runs in
-        # the pruned code scan; candidates — and therefore the exact
-        # rerank — see only passing rows (see cosine_topk_ivf_index)
-        pruned = pruned.where(
-            where if isinstance(where, Column) else F.expr(where)
-        )
-    pruned = pruned.select("vec_id", "pq")
-    if index.n_replicas > 1:
-        # replicated postings: the same (vec_id, pq) row appears in
-        # several probed cells — dedup before scoring, or the rank
-        # window would emit the duplicate as two top-k rows
-        pruned = pruned.dropDuplicates(["vec_id"])
+    where_col = (
+        None
+        if where is None
+        else (where if isinstance(where, Column) else F.expr(where))
+    )
+
+    def _pruned_codes(cells_list):
+        p = index.postings.where(F.col("cell").isin(cells_list))
+        if where_col is not None:
+            # filtered search (payload_cols layouts): the predicate
+            # runs in the pruned code scan; candidates — and therefore
+            # the exact rerank — see only passing rows (see
+            # cosine_topk_ivf_index)
+            p = p.where(where_col)
+        p = p.select("vec_id", "pq")
+        if index.n_replicas > 1:
+            # replicated postings: the same (vec_id, pq) row appears
+            # in several probed cells — dedup before scoring, or the
+            # rank window would emit the duplicate as two top-k rows
+            p = p.dropDuplicates(["vec_id"])
+        return p
+
+    pruned = _pruned_codes(probed)
+    if where_col is not None and len(probed) < len(index.centroids):
+        # starvation repair under selective filters (r8 verdict #3):
+        # PQ scores every query against the probed UNION, so
+        # starvation is a single global condition — fewer passing
+        # vectors in the probed cells than any query needs. One
+        # narrow count of the pruned code scan detects it; the repair
+        # is one full-probe widen, after which the filtered scan IS
+        # the whole filtered corpus (exact, can't be improved by more
+        # probing). Per-query escalation (the flat path's ladder)
+        # buys nothing here because the scan is shared.
+        need = k + (1 if exclude_self else 0)
+        if pruned.limit(need).count() < need:
+            pruned = _pruned_codes(
+                sorted(range(len(index.centroids)))
+            )
     return cosine_topk_pq(
         queries,
         qid,

@@ -647,12 +647,18 @@ class LocalVectorIndex:
         to rows whose stored payload value is in ``allowed_values``
         (the serving twin of the cluster paths' ``where=`` pushdown):
         the mask applies BEFORE scoring, so the answer is the exact
-        top-k of the filtered lists, never a recall-lossy post-filter."""
+        top-k of the filtered lists, never a recall-lossy post-filter.
+        A selective filter that starves the probed cells below ``k``
+        passing rows escalates nprobe ×2 until filled or at full
+        probe (the cluster path's ladder, serving form) — the answer
+        is k-deep at some probe width or exact over the whole
+        filtered index, never a silently short list."""
         import numpy as np
 
         from prefixtree_spark.operators.ann import _assign_cells_np
 
         q = np.asarray(vec, dtype=np.float64)
+        n_cells = len(self.centroids)
         cells = _assign_cells_np(q[None, :], self.centroids, nprobe)[0]
         ids_parts, cos_parts = [], []
         qn = np.linalg.norm(q)
@@ -673,20 +679,25 @@ class LocalVectorIndex:
                 cos = (m @ q) / (cn * qn)
             ids_parts.append(ids)
             cos_parts.append(np.nan_to_num(cos, nan=-np.inf))
-        if not ids_parts:
-            return []
-        ids = np.concatenate(ids_parts)
-        cos = np.concatenate(cos_parts)
-        order = np.lexsort((ids, -cos))
         out, seen = [], set()
-        for i in order:
-            v = ids[i]
-            if v in seen:  # replicated lists: one row per vec_id
-                continue
-            seen.add(v)
-            out.append((v, float(cos[i])))
-            if len(out) == k:
-                break
+        if ids_parts:
+            ids = np.concatenate(ids_parts)
+            cos = np.concatenate(cos_parts)
+            order = np.lexsort((ids, -cos))
+            for i in order:
+                v = ids[i]
+                if v in seen:  # replicated lists: one row per vec_id
+                    continue
+                seen.add(v)
+                out.append((v, float(cos[i])))
+                if len(out) == k:
+                    break
+        if where is not None and len(out) < k and nprobe < n_cells:
+            # starved filtered probe: widen (cached cells make the
+            # retry incremental in IO — only newly probed cells load)
+            return self.search(
+                vec, k, nprobe=min(2 * nprobe, n_cells), where=where
+            )
         return out
 
 

@@ -1156,3 +1156,101 @@ def test_maintain_ivf_reconcile_drains_empty_index(spark, clustered, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_filtered_probe_escalation_returns_true_filtered_topk(spark, clustered, tmp_path):
+    """r8 verdict #3: a selective predicate whose passing rows live
+    outside a query's probed cells must NOT silently return a short
+    list — the probe escalates (nprobe ×2 → full) and the answer is
+    the exact top-k of the filtered corpus."""
+    df, rows = clustered
+    # label 7 exists ONLY in the last cluster (ids 80-84): a query from
+    # cluster 0 probing 1 cell is guaranteed starved at nprobe=1
+    lab = df.withColumn(
+        "label",
+        F.when((F.col("vec_id") >= 80) & (F.col("vec_id") < 85), 7)
+        .otherwise(0)
+        .cast("int"),
+    )
+    path = str(tmp_path / "ivf_starved")
+    ann.save_ivf_index(lab, "vec_id", "embedding", path, n_cells=5,
+                       sample_size=300, payload_cols=["label"])
+    idx = ann.load_ivf_index(spark, path)
+    q = lab.where("vec_id IN (0, 25)")
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_ivf_index(
+            q, "vec_id", "embedding", idx, k=3, nprobe=1, where="label = 7"
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk(
+            q, "vec_id", "embedding", lab.where("label = 7"),
+            "vec_id", "embedding", k=3,
+        ).collect()
+    }
+    assert got == want and len(got) == 6  # 2 queries × full k=3
+
+
+def test_filtered_fewer_passing_rows_than_k_returns_all_ranked(spark, clustered, tmp_path):
+    """When the WHOLE filtered corpus holds fewer than k rows, the
+    escalated probe must return all of them ranked (full probe of the
+    filtered set == exact), never error or over-return."""
+    df, rows = clustered
+    lab = df.withColumn(
+        "label",
+        F.when(F.col("vec_id").isin(40, 61), 7).otherwise(0).cast("int"),
+    )
+    path = str(tmp_path / "ivf_sparse_label")
+    ann.save_ivf_index(lab, "vec_id", "embedding", path, n_cells=5,
+                       sample_size=300, payload_cols=["label"])
+    idx = ann.load_ivf_index(spark, path)
+    q = lab.where("vec_id = 0")
+    got = sorted(
+        (r.vec_id, r.rank)
+        for r in ann.cosine_topk_ivf_index(
+            q, "vec_id", "embedding", idx, k=5, nprobe=1, where="label = 7"
+        ).collect()
+    )
+    want = sorted(
+        (r.vec_id, r.rank)
+        for r in ann.cosine_topk(
+            q, "vec_id", "embedding", lab.where("label = 7"),
+            "vec_id", "embedding", k=5,
+        ).collect()
+    )
+    assert got == want and len(got) == 2
+
+
+def test_pq_filtered_starved_probe_widens_to_exact(spark, clustered, tmp_path):
+    """The PQ path's starvation repair: a selective filter leaving the
+    probed union under k passing codes triggers one full-probe widen —
+    the result equals exact over the filtered corpus."""
+    df, _ = clustered
+    lab = df.withColumn(
+        "label",
+        F.when((F.col("vec_id") >= 80) & (F.col("vec_id") < 85), 7)
+        .otherwise(0)
+        .cast("int"),
+    )
+    path = str(tmp_path / "ivf_pq_starved")
+    ann.save_ivf_index(lab, "vec_id", "embedding", path, n_cells=5,
+                       sample_size=300, pq_m=4, payload_cols=["label"])
+    idx = ann.load_ivf_index(spark, path)
+    q = lab.where("vec_id IN (0, 25)")
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_ivf_pq(
+            q, "vec_id", "embedding", idx, k=3, nprobe=1,
+            pad_factor=50, where="label = 7",
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk(
+            q, "vec_id", "embedding", lab.where("label = 7"),
+            "vec_id", "embedding", k=3,
+        ).collect()
+    }
+    assert got == want and len(got) == 6
