@@ -700,6 +700,7 @@ class IVFIndex:
         self, centroids: np.ndarray, postings: DataFrame,
         vectors: DataFrame, n_replicas: int,
         codebooks: "np.ndarray | None" = None,
+        tombstones: "frozenset | None" = None,
     ):
         self.centroids = centroids
         self.postings = postings
@@ -709,6 +710,12 @@ class IVFIndex:
         # then carry an m-byte code per vector and support the IVF-PQ
         # search path (cosine_topk_ivf_pq); None on plain layouts
         self.codebooks = codebooks
+        # merge-on-read deletes (delete_ivf_ids): ids every probe must
+        # treat as absent until maintenance compacts them away. Held
+        # as a driver-side set — bounded by contract (tombstones
+        # accumulate only between maintenance passes; the maintenance
+        # loop folds them into its next rebuild)
+        self.tombstones = frozenset(tombstones or ())
 
 
 def save_ivf_index(
@@ -855,10 +862,64 @@ def save_ivf_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def _load_tombstones(spark, path: str) -> frozenset:
+    """vec_ids deleted merge-on-read (``delete_ivf_ids``) and not yet
+    compacted. Missing/empty sidecar answers the empty set."""
+    try:
+        return frozenset(
+            r[0]
+            for r in spark.read.parquet(f"{path}/_tombstones")
+            .select("vec_id").distinct().collect()
+        )
+    except Exception:
+        return frozenset()
+
+
+def delete_ivf_ids(spark, path: str, ids) -> int:
+    """Merge-on-read deletion for a persisted IVF index: append the
+    ids to a ``_tombstones`` sidecar (one tiny parquet write — O(1) in
+    corpus size) and bump the serving generation. Every probe —
+    cluster flat/PQ and ``LocalVectorIndex`` — treats tombstoned ids
+    as absent immediately; the bytes are reclaimed later when
+    ``maintain_ivf_index`` folds the tombstones into its next staged
+    rebuild (retrain/reconcile) and clears the sidecar.
+
+    This is the escalation the r8 deletion-reconcile design named for
+    deletion RATES that can't pay a staged retrain per batch: deletes
+    cost one sidecar append now and one ``~isin`` filter per probe
+    (bounded by tombstone count, which maintenance keeps small).
+
+    ``ids``: a one-column DataFrame or an iterable of ids; NULLs are
+    dropped (unservable, and invisible to every guard). Returns the
+    number of NEW tombstones written (already-tombstoned ids skip).
+    Re-appending a tombstoned id is rejected by ``append_ivf_index``
+    until maintenance compacts — the old rows are still physical, so
+    a clear-and-append would resurrect the stale vector instead."""
+    if isinstance(ids, DataFrame):
+        id_list = [r[0] for r in ids.distinct().collect()]
+    else:
+        id_list = list(dict.fromkeys(ids))
+    id_list = [i for i in id_list if i is not None]
+    have = _load_tombstones(spark, path)
+    id_list = [i for i in id_list if i not in have]
+    if not id_list:
+        return 0
+    vt = (
+        spark.read.parquet(f"{path}/vectors")
+        .schema["vec_id"].dataType.simpleString()
+    )
+    spark.createDataFrame(
+        pd.DataFrame({"vec_id": id_list}), schema=f"vec_id {vt}"
+    ).coalesce(1).write.mode("append").parquet(f"{path}/_tombstones")
+    _bump_ivf_generation(spark, path)
+    return len(id_list)
+
+
 def load_ivf_index(spark, path: str) -> IVFIndex:
     """Open a ``save_ivf_index`` layout. Centroids (tiny: n_cells × dim
     doubles) load to the driver; postings/vectors stay as lazy scans —
-    nothing corpus-sized moves until a query runs."""
+    nothing corpus-sized moves until a query runs. Tombstones (merge-
+    on-read deletes) load as a driver-side set the probes filter by."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     cent_rows = spark.read.parquet(f"{path}/centroids").collect()
     cent = np.zeros((meta.n_cells, meta.dim), dtype=np.float64)
@@ -879,6 +940,7 @@ def load_ivf_index(spark, path: str) -> IVFIndex:
         spark.read.parquet(f"{path}/vectors"),
         meta.n_replicas,
         codebooks=books,
+        tombstones=_load_tombstones(spark, path),
     )
 
 
@@ -992,6 +1054,21 @@ def append_ivf_index(
         n = delta.count()
         if n == 0:
             return 0
+        ts = _load_tombstones(spark, path)
+        if ts and delta.where(
+            F.col("vec_id").isin(list(ts))
+        ).limit(1).count():
+            # the tombstoned id's OLD rows are still physical in
+            # vectors/ and postings/: the presence guards would skip
+            # the new rows and clearing the tombstone would resurrect
+            # the STALE vector — reject until maintenance compacts
+            # (maintain_ivf_index folds tombstones into its rebuild),
+            # or use maintain_ivf_index(reconcile_with=...) for
+            # in-place updates
+            raise ValueError(
+                "append_ivf_index: delta contains tombstoned vec_ids; "
+                "run maintain_ivf_index to compact deletions first"
+            )
         vec_delta = delta
         post_delta = delta
         if txn is not None:
@@ -1160,12 +1237,18 @@ def sync_ivf_from_published(
     live corpus with the given layout parameters; later calls ignore
     those parameters (the saved layout governs, including retrains by
     ``maintain_ivf_index``). Rows whose ``cvec`` is NULL are skipped.
-    Append-only by design: rows DELETED from the corpus (COW DML) stay
-    probe-able until the next ``maintain_ivf_index`` retrain rebuilds
-    from ``vectors/`` — which also retains them; full removal is a
-    fresh ``save_ivf_index`` over the corpus (documented trade: the
-    index is a superset that lags deletions, exactly like a secondary
-    index between rebuilds).
+    APPEND-ONLY by design — the sync propagates ADDITIONS only:
+
+    - rows DELETED from the corpus (COW DML) stay probe-able until
+      ``maintain_ivf_index(reconcile_ids=...)`` drops them (or
+      ``delete_ivf_ids`` tombstones them immediately);
+    - rows whose embedding was UPDATED in place (``update_published``
+      rewriting ``cvec``) keep serving the OLD vector: the presence
+      guards are vec_id-only, so the new value never lands here. Run
+      ``maintain_ivf_index(reconcile_with=<corpus projection>)`` to
+      detect changed vectors (equality join) and replace them — that
+      call closes both the delete and the update halves of "the index
+      converges to the corpus"; this sync closes the add half.
 
     Single-writer, like ``maintain_ivf_index``: the guards make
     CRASH-replay safe, but two live processes syncing the same
@@ -1227,6 +1310,13 @@ def sync_ivf_from_published(
     else:
         cand = read_published(spark, root)
     cand = cand.where(F.col(cvec).isNotNull())
+    ts = _load_tombstones(spark, index_path)
+    if ts:
+        # explicit index-level deletes (delete_ivf_ids) win over corpus
+        # presence until maintenance compacts: append_ivf_index rejects
+        # tombstoned ids outright (resurrection hazard), so the sync
+        # must not hand them back as candidates
+        cand = cand.where(~F.col(cid).isin(list(ts)))
     tag = hashlib.sha256(root.encode()).hexdigest()[:12]
     appended = append_ivf_index(
         spark, index_path, cand, cid, cvec, txn=f"sync.{tag}.v{live}"
@@ -1244,6 +1334,7 @@ def maintain_ivf_index(
     sample_size: int = 20_000,
     seed: int = 42,
     reconcile_ids: "DataFrame | None" = None,
+    reconcile_with: "DataFrame | None" = None,
 ) -> dict:
     """The maintenance policy loop for a persisted IVF index — the ANN
     analog of ``maintain_published``. Call it out of band (it rewrites
@@ -1269,7 +1360,8 @@ def maintain_ivf_index(
     record; they never trigger retrain (compact still applies) until
     the first retrain/re-save stamps one. Returns ``{"n_vectors",
     "appended_frac", "retrained", "compacted", "files_per_cell",
-    "recovered", "reconciled"}``.
+    "recovered", "reconciled", "updated", "tombstones",
+    "tombstones_compacted"}``.
 
     ``reconcile_ids``: a one-column DataFrame of the ids that SHOULD
     be in the index (normally the live corpus id column — pass
@@ -1278,12 +1370,28 @@ def maintain_ivf_index(
     they were synced) are dropped by a staged rebuild over the
     filtered ``vectors/`` — the same crash-recoverable swap as
     retrain, re-stamping ``n_vectors`` to the post-delete base. The
-    check itself is one narrow id anti-join; the rebuild runs only
-    when stale ids exist. Merge-on-read tombstones (O(1) deletes at a
-    per-probe filter cost) are the escalation if deletion RATES ever
-    demand them; at maintenance cadence the rebuild shares retrain's
-    economics. ``sync_ivf_from_published`` handles additions; this
+    check itself is one narrow pass; the rebuild runs only when stale
+    ids exist. ``sync_ivf_from_published`` handles additions; this
     closes the deletion half of "the index converges to the corpus".
+
+    ``reconcile_with``: the UPDATE-aware form — pass the live corpus
+    PROJECTION (``vec_id``, ``cv`` and the layout's payload columns).
+    Beyond deletions, rows whose stored vector DIFFERS from the
+    corpus (an ``update_published`` that rewrote an embedding) are
+    detected by a vector-equality join and replaced with the corpus
+    version in the same staged rebuild, so "the index converges to
+    the corpus" now covers updates too, not just adds and deletes.
+    Report keys: ``reconciled`` counts deleted+changed, ``updated``
+    the changed subset.
+
+    **Merge-on-read tombstones** (``delete_ivf_ids``) are the O(1)
+    delete path between maintenance passes: probes filter them out at
+    query time, and EVERY staged rebuild here (retrain, reconcile,
+    drain) folds pending tombstones into its source and clears the
+    sidecar — deletes cost one sidecar append when issued and are
+    physically reclaimed at maintenance cadence. Tombstones also
+    count toward the retrain trigger (they are drift, and compacting
+    them needs the same rebuild).
 
     All filesystem work goes through the Hadoop FS API (as
     ``sources.io`` does), so hdfs://, s3a:// and local paths all work.
@@ -1358,110 +1466,202 @@ def maintain_ivf_index(
                 n_files += 1
     files_per_cell = n_files / max(1, n_cell_dirs)
     total = spark.read.parquet(f"{path}/vectors").count()
+    ts = _load_tombstones(spark, path)
+    n_ts0 = len(ts)
+
+    def _clear_tombstones() -> None:
+        fs.delete(P(f"{path}/_tombstones"), True)
+
+    def _staged_rebuild(src: DataFrame) -> None:
+        # STAGE the rebuild next to the live layout, then swap: writing
+        # over path/vectors while lazily reading it would delete the
+        # input's own files mid-scan. The save re-stamps n_vectors =
+        # the new trained base; callers fold pending tombstones into
+        # ``src``, so the sidecar clears with the swap (a crash before
+        # the clear leaves tombstones that no-op against the already-
+        # filtered layout — harmless).
+        save_ivf_index(
+            src, "vec_id", "cv", staged_root,
+            n_cells=int(meta["n_cells"]),
+            n_replicas=int(meta["n_replicas"]),
+            sample_size=sample_size, seed=seed,
+            pq_m=int(meta["pq_m"]) or None,
+            payload_cols=[
+                c for c in src.columns if c not in ("vec_id", "cv")
+            ] or None,
+        )
+        _swap_in(staged_root)
+        _clear_tombstones()
+
+    def _drain() -> None:
+        # index drained (every row stale — e.g. the corpus was fully
+        # deleted): save_ivf_index would raise on an empty corpus, and
+        # training a quantizer over nothing is meaningless. Truncate
+        # the DATA tables through the same staged swap (meta last =
+        # completeness marker), keep the trained centroids/codebooks
+        # (future appends reuse them), and re-stamp n_vectors=0 so the
+        # drift trigger starts from the empty base. The truncated
+        # postings are ONE schema-bearing empty file, because a
+        # zero-row partitionBy write creates no files at all — an
+        # unreadable directory for every later probe. It lands INSIDE
+        # a cell=0 partition directory (not at the postings root) so
+        # partition discovery keeps working and later partitionBy
+        # appends don't create a mixed flat/partitioned dir
+        # (CONFLICTING_DIRECTORY_STRUCTURES).
+        vecs = spark.read.parquet(f"{path}/vectors").limit(0)
+        posts = spark.read.parquet(post_dir).drop("cell").limit(0)
+        vecs.coalesce(1).write.mode("overwrite").parquet(
+            f"{staged_root}/vectors"
+        )
+        posts.coalesce(1).write.mode("overwrite").parquet(
+            f"{staged_root}/postings/cell=0"
+        )
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "n_cells": [int(meta["n_cells"])],
+                    "n_replicas": [int(meta["n_replicas"])],
+                    "dim": [int(meta["dim"])],
+                    "pq_m": [int(meta.get("pq_m") or 0)],
+                    "n_vectors": [0],
+                }
+            ),
+            schema=(
+                "n_cells int, n_replicas int, dim int, "
+                "pq_m int, n_vectors long"
+            ),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{staged_root}/meta"
+        )
+        _swap_in(staged_root)
+        _clear_tombstones()
+
     reconciled = 0
-    if reconcile_ids is not None:
-        keep = reconcile_ids.toDF("vec_id")
-        stale = (
-            spark.read.parquet(f"{path}/vectors")
-            .select("vec_id")
-            .join(keep, "vec_id", "left_anti")
+    updated = 0
+    if reconcile_ids is not None and reconcile_with is not None:
+        raise ValueError(
+            "maintain_ivf_index: pass reconcile_ids OR reconcile_with, "
+            "not both"
+        )
+    if reconcile_with is not None:
+        # corpus-driven reconcile, UPDATE-aware (the sync path's
+        # documented gap: an update_published that rewrites a
+        # document's embedding left the old vector served forever).
+        # Detection is two narrow passes — deleted (id anti-join) and
+        # changed (vector-equality join, cast to array<double> so
+        # float/double layouts compare faithfully); the rebuild source
+        # is simply the CORPUS rows for every id the index holds:
+        # deleted ids drop out, changed ids take the corpus version,
+        # unchanged ids are byte-identical from either side. Additions
+        # stay sync_ivf_from_published's job.
+        vec = spark.read.parquet(f"{path}/vectors")
+        pay = [c for c in vec.columns if c not in ("vec_id", "cv")]
+        missing = [
+            c for c in ("vec_id", "cv", *pay)
+            if c not in reconcile_with.columns
+        ]
+        if missing:
+            raise ValueError(
+                "maintain_ivf_index: reconcile_with must carry the "
+                f"layout's columns; missing {missing}"
+            )
+        corp = reconcile_with.select("vec_id", "cv", *pay).where(
+            F.col("vec_id").isNotNull()
+        )
+        deleted = (
+            vec.select("vec_id")
+            .join(corp.select("vec_id"), "vec_id", "left_anti")
             .count()
         )
-        if stale:
+        changed = (
+            vec.select(
+                "vec_id", F.col("cv").cast("array<double>").alias("_icv")
+            )
+            .join(
+                corp.select(
+                    "vec_id",
+                    F.col("cv").cast("array<double>").alias("_ccv"),
+                ),
+                "vec_id",
+            )
+            .where(F.col("_icv") != F.col("_ccv"))
+            .count()
+        )
+        stale = int(deleted) + int(changed)
+        if stale or ts:
+            src = corp.join(
+                vec.select("vec_id").distinct(), "vec_id", "left_semi"
+            )
+            if ts:
+                # explicit deletes win over corpus presence: a
+                # tombstoned id still in the corpus stays out until
+                # re-appended through the normal add path
+                src = src.where(~F.col("vec_id").isin(list(ts)))
+            n_surv = src.count()
             reconciled = int(stale)
-            if stale >= total:
-                # index drained (every row stale — e.g. the corpus was
-                # fully deleted): save_ivf_index would raise on an
-                # empty corpus, and training a quantizer over nothing
-                # is meaningless. Truncate the DATA tables through the
-                # same staged swap (meta last = completeness marker),
-                # keep the trained centroids/codebooks (future appends
-                # reuse them), and re-stamp n_vectors=0 so the drift
-                # trigger starts from the empty base. The truncated
-                # postings are ONE schema-bearing empty file, because a
-                # zero-row partitionBy write creates no files at all —
-                # an unreadable directory for every later probe. It
-                # lands INSIDE a cell=0 partition directory (not at the
-                # postings root) so partition discovery keeps working
-                # and later partitionBy appends don't create a mixed
-                # flat/partitioned dir (CONFLICTING_DIRECTORY_STRUCTURES).
-                vecs = spark.read.parquet(f"{path}/vectors").limit(0)
-                posts = spark.read.parquet(post_dir).drop("cell").limit(0)
-                vecs.coalesce(1).write.mode("overwrite").parquet(
-                    f"{staged_root}/vectors"
-                )
-                posts.coalesce(1).write.mode("overwrite").parquet(
-                    f"{staged_root}/postings/cell=0"
-                )
-                spark.createDataFrame(
-                    pd.DataFrame(
-                        {
-                            "n_cells": [int(meta["n_cells"])],
-                            "n_replicas": [int(meta["n_replicas"])],
-                            "dim": [int(meta["dim"])],
-                            "pq_m": [int(meta.get("pq_m") or 0)],
-                            "n_vectors": [0],
-                        }
-                    ),
-                    schema=(
-                        "n_cells int, n_replicas int, dim int, "
-                        "pq_m int, n_vectors long"
-                    ),
-                ).coalesce(1).write.mode("overwrite").parquet(
-                    f"{staged_root}/meta"
-                )
-                _swap_in(staged_root)
+            updated = int(changed)
+            if n_surv == 0:
+                _drain()
                 total = 0
             else:
-                survivors = spark.read.parquet(f"{path}/vectors").join(
-                    keep, "vec_id", "left_semi"
-                )
-                # the retrain machinery IS the deletion machinery:
-                # staged save over the filtered vectors + the
-                # recoverable swap; n_vectors re-stamps to the
-                # post-delete base so the drift trigger measures
-                # future APPENDS, not this shrink
-                save_ivf_index(
-                    survivors, "vec_id", "cv", staged_root,
-                    n_cells=int(meta["n_cells"]),
-                    n_replicas=int(meta["n_replicas"]),
-                    sample_size=sample_size, seed=seed,
-                    pq_m=int(meta["pq_m"]) or None,
-                    payload_cols=[
-                        c for c in survivors.columns
-                        if c not in ("vec_id", "cv")
-                    ] or None,
-                )
-                _swap_in(staged_root)
-                total -= stale
+                _staged_rebuild(src)
+                total = n_surv
+            ts = frozenset()
+    elif reconcile_ids is not None:
+        keep = reconcile_ids.toDF("vec_id")
+        vec = spark.read.parquet(f"{path}/vectors")
+        survivors = vec.join(keep, "vec_id", "left_semi")
+        if ts:
+            # fold pending merge-on-read deletes into the same rebuild
+            survivors = survivors.where(
+                ~F.col("vec_id").isin(list(ts))
+            )
+        n_surv = survivors.count()
+        stale = total - n_surv
+        if stale:
+            # the retrain machinery IS the deletion machinery: staged
+            # save over the filtered vectors + the recoverable swap;
+            # n_vectors re-stamps to the post-delete base so the drift
+            # trigger measures future APPENDS, not this shrink
+            reconciled = int(stale)
+            if n_surv == 0:
+                _drain()
+                total = 0
+            else:
+                _staged_rebuild(survivors)
+                total = n_surv
+            ts = frozenset()
     base = meta.get("n_vectors")
     if reconciled:
         # the reconcile rebuild re-stamped the trained base and wrote
         # fresh one-file-per-cell postings — no further action needed
         appended_frac = 0.0
     else:
+        # tombstones count as drift alongside appends: deleted rows
+        # both skew the trained distribution and pay a per-probe
+        # filter, so they ride the same rebuild trigger (and the
+        # rebuild compacts them away)
         appended_frac = (
-            (total - base) / total if base is not None and total else 0.0
+            ((total - base) + len(ts)) / total
+            if base is not None and total
+            else 0.0
         )
     retrained = appended_frac > retrain_frac
     compacted = False
     if retrained:
         vectors = spark.read.parquet(f"{path}/vectors")
-        # STAGE the rebuild next to the live layout, then swap: writing
-        # over path/vectors while lazily reading it would delete the
-        # input's own files mid-scan. The write re-stamps n_vectors =
-        # the new trained base.
-        save_ivf_index(
-            vectors, "vec_id", "cv", staged_root,
-            n_cells=int(meta["n_cells"]),
-            n_replicas=int(meta["n_replicas"]),
-            sample_size=sample_size, seed=seed,
-            pq_m=int(meta["pq_m"]) or None,
-            payload_cols=[
-                c for c in vectors.columns if c not in ("vec_id", "cv")
-            ] or None,
-        )
-        _swap_in(staged_root)
+        if ts:
+            vectors = vectors.where(~F.col("vec_id").isin(list(ts)))
+            n_left = vectors.count()
+        else:
+            n_left = total
+        if n_left == 0:
+            _drain()
+            total = 0
+        else:
+            _staged_rebuild(vectors)
+            total = n_left
+        ts = frozenset()
     elif files_per_cell > max_files_per_cell and not reconciled:
         compacted = True
         post = spark.read.parquet(post_dir)
@@ -1489,6 +1689,9 @@ def maintain_ivf_index(
         "files_per_cell": round(files_per_cell, 2),
         "recovered": recovered,
         "reconciled": reconciled,
+        "updated": updated,
+        "tombstones": len(ts),
+        "tombstones_compacted": n_ts0 - len(ts),
     }
 
 
@@ -1664,6 +1867,11 @@ def cosine_topk_ivf_index(
 
     def _pruned(cells_list):
         p = index.postings.where(F.col("cell").isin(cells_list))
+        if index.tombstones:
+            # merge-on-read deletes: a literal NOT-IN inside the pruned
+            # scan (bounded by tombstone count, which maintenance
+            # compaction keeps small)
+            p = p.where(~F.col("vec_id").isin(list(index.tombstones)))
         if where_col is not None:
             p = p.where(where_col)
         return p
@@ -1865,6 +2073,9 @@ def cosine_topk_ivf_pq(
 
     def _pruned_codes(cells_list):
         p = index.postings.where(F.col("cell").isin(cells_list))
+        if index.tombstones:
+            # merge-on-read deletes, filtered in the pruned code scan
+            p = p.where(~F.col("vec_id").isin(list(index.tombstones)))
         if where_col is not None:
             # filtered search (payload_cols layouts): the predicate
             # runs in the pruned code scan; candidates — and therefore

@@ -325,6 +325,21 @@ class LocalVectorIndex:
 
         meta = pq.read_table(os.path.join(path, "meta")).to_pylist()[0]
         self.generation = _read_ivf_generation(path)
+        # merge-on-read deletes (ann.delete_ivf_ids): rows masked out
+        # at cell-load time, so query-time cost is zero and memory
+        # never holds a deleted vector; maintenance compaction clears
+        # the sidecar (and bumps the generation → replicas reload)
+        ts_dir = os.path.join(path, "_tombstones")
+        self._tombstones: frozenset = frozenset()
+        if os.path.isdir(ts_dir):
+            try:
+                self._tombstones = frozenset(
+                    pq.read_table(ts_dir, columns=["vec_id"])
+                    .column("vec_id")
+                    .to_pylist()
+                )
+            except Exception:
+                self._tombstones = frozenset()
         cent_tbl = pq.read_table(os.path.join(path, "centroids"))
         self.centroids = np.zeros(
             (meta["n_cells"], meta["dim"]), dtype=np.float64
@@ -445,10 +460,16 @@ class LocalVectorIndex:
             m = self._list_column_matrix(
                 tbl.column("cv"), self.centroids.shape[1]
             )
-            for name in self._payload_names:
-                self._payloads[(c, name)] = tbl.column(name).to_numpy(
-                    zero_copy_only=False
-                )
+            pay_arrs = {
+                name: tbl.column(name).to_numpy(zero_copy_only=False)
+                for name in self._payload_names
+            }
+            if self._tombstones:
+                live = ~np.isin(ids, list(self._tombstones))
+                ids, m = ids[live], m[live]
+                pay_arrs = {n_: a[live] for n_, a in pay_arrs.items()}
+            for name, arr in pay_arrs.items():
+                self._payloads[(c, name)] = arr
             got = (ids, m, np.linalg.norm(m, axis=1))
         self._cells[c] = got
         return got
@@ -482,6 +503,9 @@ class LocalVectorIndex:
             codes = np.frombuffer(
                 b"".join(tbl.column("pq").to_pylist()), dtype=np.uint8
             ).reshape(n, m) if n else np.zeros((0, m), dtype=np.uint8)
+            if self._tombstones and n:
+                live = ~np.isin(ids, list(self._tombstones))
+                ids, codes = ids[live], codes[live]
             # ||x̂||² = Σ_j ||books[j][code_j]||² — m lookups per row
             n2 = self._book_norms2[np.arange(m)[None, :], codes].sum(axis=1)
             got = (ids, codes, np.sqrt(n2))

@@ -1254,3 +1254,136 @@ def test_pq_filtered_starved_probe_widens_to_exact(spark, clustered, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 6
+
+
+def test_delete_ivf_ids_merge_on_read(spark, clustered, tmp_path):
+    """r8 verdict-named escalation, delivered: delete_ivf_ids is an
+    O(1) sidecar append; flat AND PQ full probes immediately equal
+    exact over the post-delete corpus WITHOUT a retrain; maintenance
+    folds the tombstones into its next rebuild and clears the sidecar;
+    re-appending a tombstoned id is rejected until then."""
+    import os
+
+    df, _ = clustered
+    path = str(tmp_path / "ivf_tomb")
+    ann.save_ivf_index(df, "vec_id", "embedding", path, n_cells=5,
+                       sample_size=300, pq_m=4)
+    assert ann.delete_ivf_ids(spark, path, [0, 55, 100]) == 3
+    assert ann.delete_ivf_ids(spark, path, [55]) == 0  # already tombstoned
+    live = df.where("vec_id NOT IN (0, 55, 100)")
+    q = df.where("vec_id IN (1, 25, 50)")
+    idx = ann.load_ivf_index(spark, path)
+    assert idx.tombstones == {0, 55, 100}
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_ivf_index(
+            q, "vec_id", "embedding", idx, k=5, nprobe=5
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk(
+            q, "vec_id", "embedding", live, "vec_id", "embedding", k=5
+        ).collect()
+    }
+    assert got == want and got
+    got_pq = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_ivf_pq(
+            q, "vec_id", "embedding", idx, k=5, nprobe=5, pad_factor=50
+        ).collect()
+    }
+    assert got_pq == want
+    # re-append of a tombstoned id: rejected (old rows still physical)
+    with pytest.raises(ValueError, match="tombstoned"):
+        ann.append_ivf_index(
+            spark, path, df.where("vec_id = 0"), "vec_id", "embedding"
+        )
+    # tombstones ride the retrain trigger (3/101 appended-equivalent
+    # drift) and the rebuild compacts them away
+    rep = ann.maintain_ivf_index(spark, path, retrain_frac=0.01)
+    assert rep["retrained"] and rep["tombstones_compacted"] == 3
+    assert rep["tombstones"] == 0 and rep["n_vectors"] == 98
+    assert not os.path.isdir(f"{path}/_tombstones")
+    vec_ids = {
+        r.vec_id for r in spark.read.parquet(f"{path}/vectors").collect()
+    }
+    assert not vec_ids & {0, 55, 100} and len(vec_ids) == 98
+    idx2 = ann.load_ivf_index(spark, path)
+    got2 = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_ivf_index(
+            q, "vec_id", "embedding", idx2, k=5, nprobe=5
+        ).collect()
+    }
+    assert got2 == want
+    # compacted: the id can come back through the normal add path
+    assert ann.append_ivf_index(
+        spark, path, df.where("vec_id = 0"), "vec_id", "embedding"
+    ) == 1
+
+
+def test_maintain_reconcile_with_propagates_updates(spark, clustered, tmp_path):
+    """ADVICE r9 (medium): an update_published that rewrites an
+    embedding must not leave the old vector served forever.
+    reconcile_with detects changed vectors by equality join and
+    replaces them in the staged rebuild; deletions drop; additions
+    stay sync's job; a second call is a no-op."""
+    df, _ = clustered
+    lab = df.withColumn("label", (F.col("vec_id") % 3).cast("int"))
+    path = str(tmp_path / "ivf_recwith")
+    ann.save_ivf_index(lab, "vec_id", "embedding", path, n_cells=5,
+                       sample_size=300, payload_cols=["label"])
+    # corpus evolves: id 5's embedding rewritten (now ~= id 90's
+    # cluster), id 7 deleted, id 500 added
+    moved = lab.where("vec_id = 90").select(
+        F.lit(5).cast("long").alias("vec_id"),
+        F.col("embedding"),
+        F.lit(2).cast("int").alias("label"),
+    )
+    corpus2 = (
+        lab.where("vec_id NOT IN (5, 7)")
+        .unionByName(moved)
+        .unionByName(
+            lab.where("vec_id = 1").select(
+                F.lit(500).cast("long").alias("vec_id"),
+                "embedding",
+                F.lit(0).cast("int").alias("label"),
+            )
+        )
+    )
+    rep = ann.maintain_ivf_index(
+        spark, path,
+        reconcile_with=corpus2.select("vec_id", F.col("embedding").alias("cv"), "label"),
+    )
+    assert rep["updated"] == 1 and rep["reconciled"] == 2  # 1 changed + 1 deleted
+    vec = spark.read.parquet(f"{path}/vectors")
+    ids = {r.vec_id for r in vec.select("vec_id").collect()}
+    assert 7 not in ids and 500 not in ids and 5 in ids  # adds are sync's job
+    assert "label" in vec.columns
+    # the index's id-5 row now carries the corpus version
+    q = lab.where("vec_id = 90").select(
+        F.lit(9000).cast("long").alias("vec_id"), "embedding"
+    )
+    idx = ann.load_ivf_index(spark, path)
+    got = {
+        r.vec_id
+        for r in ann.cosine_topk_ivf_index(
+            q, "vec_id", "embedding", idx, k=3, nprobe=5
+        ).collect()
+    }
+    index_corpus = corpus2.where("vec_id <> 500")
+    want = {
+        r.vec_id
+        for r in ann.cosine_topk(
+            q, "vec_id", "embedding", index_corpus, "vec_id", "embedding",
+            k=3,
+        ).collect()
+    }
+    assert got == want and 5 in got  # the moved vector ranks by its NEW value
+    # convergence: nothing left to reconcile
+    rep2 = ann.maintain_ivf_index(
+        spark, path,
+        reconcile_with=corpus2.select("vec_id", F.col("embedding").alias("cv"), "label"),
+    )
+    assert rep2["reconciled"] == 0 and rep2["updated"] == 0

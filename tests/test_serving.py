@@ -660,3 +660,30 @@ def test_ivf_retrain_swap_under_load_entirely_old_or_new(spark, tmp_path):
         assert seen and seen[-1] == e3, seen[-5:]
         disallowed = [s for s in seen if s not in (e1, e2, e3)]
         assert not disallowed, disallowed[:5]
+
+
+def test_local_vector_index_respects_tombstones(spark, tmp_path):
+    """delete_ivf_ids tombstones must mask rows in the serving handle
+    too — lazy and preloaded, flat and PQ paths — and the delete bumps
+    the generation so watched replicas reload."""
+    from prefixtree_spark.operators import ann
+    from prefixtree_spark.serving import load_local_ivf_index
+
+    df, rows, vq = _ivf_corpus(spark)
+    path = str(tmp_path / "ivf_srv_tomb")
+    ann.save_ivf_index(df, "vec_id", "embedding", path, n_cells=4,
+                       sample_size=300, pq_m=4)
+    g0 = ann.load_ivf_index(spark, path)  # noqa: F841 (sanity open)
+    assert ann.delete_ivf_ids(spark, path, [100]) == 1  # the top hit
+    from prefixtree_spark.serving import _read_ivf_generation
+
+    assert _read_ivf_generation(path) == 1
+    want = list(
+        _exact_top_ids(rows, {i for i, _ in rows if i != 100}, vq, k=5)
+    )
+    for preload in (False, True):
+        h = load_local_ivf_index(path, preload=preload)
+        got = [int(v) for v, _ in h.search(vq, 5, nprobe=4)]
+        assert got == want, (preload, got, want)
+        got_pq = [int(v) for v, _ in h.search_pq(vq, 5, nprobe=4)]
+        assert got_pq == want, (preload, got_pq, want)
