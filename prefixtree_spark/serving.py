@@ -29,6 +29,16 @@ across clients, not just across calls.
         path — probed cells load m bytes/vector instead of the float
         column, the object-storage-replica economics — with an exact
         rerank bounded to the padded candidates)
+    GET /sparse?terms=<csv>&k=10            → [[doc_id, bm25], ...]
+        (when constructed with ``sparse_index=``, a
+        ``LocalSparseIndex`` over a save_bm25_index layout — lexical
+        retrieval from the same keep-alive replica; term count caps
+        at ``max_terms``)
+    GET /hybrid?terms=<csv>&v=<csv floats>&k=5&k_each=10&nprobe=8
+        → [[doc_id, rrf_rank], ...]  — BM25 ⊕ dense cosine fused by
+        exact-decimal RRF (the served form of the gated
+        hybrid_dense_sparse_rrf workload; ``&mode=pq`` routes the
+        dense side through ADC, ``&c=`` sets the RRF constant)
     GET /health                             → {"nodes": N}
 
 Operationally (documented, not sandbox-testable beyond localhost):
@@ -77,6 +87,8 @@ class PrefixTreeServer:
         self, index: LocalIndex, *, host: str = "127.0.0.1", port: int = 0,
         max_k: int = 8, max_hits: int = 10_000,
         ann_index: "LocalVectorIndex | None" = None, max_ann_k: int = 100,
+        sparse_index: "LocalSparseIndex | None" = None,
+        max_terms: int = 64,
     ):
         self.index = index
         # optional vector sidecar: GET /ann?v=<csv floats>&k=&nprobe=
@@ -84,6 +96,14 @@ class PrefixTreeServer:
         # IVF-FLAT serving handle); swap-able like the word index
         self.ann_index = ann_index
         self.max_ann_k = int(max_ann_k)
+        # optional sparse sidecar: GET /sparse?terms=a,b&k= serves BM25
+        # from a LocalSparseIndex; GET /hybrid fuses it with /ann's
+        # dense ranking by RRF — the served form of the gated
+        # hybrid_dense_sparse_rrf workload. max_terms bounds the
+        # per-request term count (each term costs a bucket probe — the
+        # sparse analog of the /search k-clamp abuse bound).
+        self.sparse_index = sparse_index
+        self.max_terms = int(max_terms)
         self.max_k = int(max_k)
         # response-size bound for /prefix: without it, p='' (or any
         # high-fanout prefix) serializes the whole dictionary into one
@@ -114,6 +134,12 @@ class PrefixTreeServer:
         new. Pair with ``preload=True`` handles so the outgoing index
         keeps serving from memory while the replacement loads."""
         self.ann_index = ann_index
+
+    def swap_sparse(self, sparse_index: "LocalSparseIndex | None") -> None:
+        """The sparse-side twin of ``swap``/``swap_ann`` for the
+        ``/sparse`` and ``/hybrid`` BM25 handle — same one-attribute-
+        store atomicity, same read-once-on-entry request contract."""
+        self.sparse_index = sparse_index
 
     def start(self) -> "PrefixTreeServer":
         if self._httpd is not None:
@@ -230,6 +256,108 @@ class PrefixTreeServer:
                         body = [
                             [v if isinstance(v, str) else int(v), s]
                             for v, s in hits_ann
+                        ]
+                    elif url.path == "/sparse":
+                        sp = srv.sparse_index
+                        if sp is None:
+                            self.send_error(404, "no sparse index loaded")
+                            return
+                        k = int(q.get("k", "10"))
+                        if not 1 <= k <= srv.max_ann_k:
+                            self.send_error(
+                                400, f"k must be in [1, {srv.max_ann_k}]"
+                            )
+                            return
+                        terms = [t for t in q["terms"].split(",") if t]
+                        if not terms or len(terms) > srv.max_terms:
+                            self.send_error(
+                                400,
+                                f"terms must have 1..{srv.max_terms} entries",
+                            )
+                            return
+                        body = [
+                            [d if isinstance(d, str) else int(d), s]
+                            for d, s in sp.search(terms, k)
+                        ]
+                    elif url.path == "/hybrid":
+                        # the served form of the gated
+                        # hybrid_dense_sparse_rrf workload: BM25 over
+                        # the sparse handle ⊕ dense cosine over the
+                        # vector handle, fused by exact-decimal RRF
+                        # (rrf_fuse_local matches ranking.rrf_fuse's
+                        # arithmetic bit-for-bit). Handles read ONCE on
+                        # entry — a concurrent swap of either side
+                        # can't split one request across generations.
+                        sp = srv.sparse_index
+                        ann = srv.ann_index
+                        if sp is None or ann is None:
+                            self.send_error(
+                                404, "hybrid needs sparse AND vector indexes"
+                            )
+                            return
+                        k = int(q.get("k", "10"))
+                        if not 1 <= k <= srv.max_ann_k:
+                            self.send_error(
+                                400, f"k must be in [1, {srv.max_ann_k}]"
+                            )
+                            return
+                        k_each = int(q.get("k_each", "10"))
+                        if not 1 <= k_each <= srv.max_ann_k:
+                            self.send_error(
+                                400, f"k_each must be in [1, {srv.max_ann_k}]"
+                            )
+                            return
+                        terms = [t for t in q["terms"].split(",") if t]
+                        if not terms or len(terms) > srv.max_terms:
+                            self.send_error(
+                                400,
+                                f"terms must have 1..{srv.max_terms} entries",
+                            )
+                            return
+                        nprobe = int(q.get("nprobe", "8"))
+                        if not 1 <= nprobe <= len(ann.centroids):
+                            self.send_error(
+                                400,
+                                f"nprobe must be in [1, {len(ann.centroids)}]",
+                            )
+                            return
+                        vec = [float(x) for x in q["v"].split(",")]
+                        if not all(math.isfinite(x) for x in vec):
+                            self.send_error(
+                                400, "v components must be finite"
+                            )
+                            return
+                        if len(vec) != ann.centroids.shape[1]:
+                            self.send_error(
+                                400,
+                                f"v must have dim {ann.centroids.shape[1]}",
+                            )
+                            return
+                        mode = q.get("mode", "flat")
+                        if mode not in ("flat", "pq"):
+                            self.send_error(400, "mode must be flat or pq")
+                            return
+                        if mode == "pq" and ann.codebooks is None:
+                            self.send_error(
+                                400, "mode=pq needs an index saved with pq_m"
+                            )
+                            return
+                        sparse_ids = [
+                            d for d, _ in sp.search(terms, k_each)
+                        ]
+                        dense_hits = (
+                            ann.search_pq(vec, k_each, nprobe=nprobe)
+                            if mode == "pq"
+                            else ann.search(vec, k_each, nprobe=nprobe)
+                        )
+                        dense_ids = [v for v, _ in dense_hits]
+                        fused = rrf_fuse_local(
+                            [sparse_ids, dense_ids], k,
+                            c=int(q.get("c", "60")),
+                        )
+                        body = [
+                            [d if isinstance(d, str) else int(d), int(r)]
+                            for d, r in fused
                         ]
                     elif url.path == "/prefix":
                         hits = index.search_prefix(q["p"])
@@ -901,5 +1029,215 @@ def watch_ivf_index(
 
     threading.Thread(
         target=run, name="prefixtree-ivf-watcher", daemon=True
+    ).start()
+    return stop
+
+
+class LocalSparseIndex:
+    """Serving-side BM25 handle over a ``ranking.save_bm25_index``
+    layout, no SparkSession in the process — the sparse twin of
+    ``LocalVectorIndex``. Meta (scoring params) and corpus stats load
+    once; postings and df load LAZILY per term-hash bucket through
+    pyarrow and stay cached, so memory is bounded by the buckets the
+    served query terms actually hash into — a replica serving a hot
+    vocabulary region holds only that region's postings.
+
+    Scoring replicates ``ranking._bm25_contrib`` term-for-term in
+    float64 (idf mode, k1, b from the layout's frozen meta); the
+    cluster paths cast contributions to DECIMAL before summing, so
+    serving scores can differ in the last ulp on manufactured
+    near-ties — same caveat, same contract as ``LocalVectorIndex``
+    (serving promises rank fidelity on real data, the cluster paths
+    promise oracle-bit-exactness).
+
+    Generations: the handle pins ``_generation`` at open;
+    ``preload=True`` loads every bucket at open (load-then-flip — the
+    handle never touches disk again, so a concurrent append/compact
+    swap can't mix generations inside one search), and
+    ``watch_bm25_index`` flips a fresh preloaded handle in when the
+    marker moves."""
+
+    def __init__(self, path: str, *, preload: bool = False):
+        import os
+
+        import pyarrow.parquet as pq
+
+        self._path = path
+        meta = pq.read_table(os.path.join(path, "meta")).to_pylist()[0]
+        self.n_buckets = int(meta["n_buckets"])
+        self.k1 = float(meta["k1"])
+        self.b = float(meta["b"])
+        self.idf = str(meta["idf"])
+        self.generation = _read_ivf_generation(path)
+        stats = pq.read_table(os.path.join(path, "stats")).to_pydict()
+        # merge-on-read increments (append_bm25_index): sum the rows
+        self.n_docs = int(sum(stats["n_docs"]))
+        self.total_len = int(sum(stats["total_len"]))
+        self.avgdl = self.total_len / self.n_docs if self.n_docs else 0.0
+        self._post_dir = os.path.join(path, "postings")
+        self._df_dir = os.path.join(path, "dfreq")
+        # bucket -> {term: (doc_ids, tf, dl) numpy triples}
+        self._buckets: dict[int, dict] = {}
+        # bucket -> {term: df}
+        self._dfs: dict[int, dict] = {}
+        self._preloaded = False
+        if preload:
+            for b in range(self.n_buckets):
+                self._bucket_postings(b)
+                self._bucket_df(b)
+            self._preloaded = True
+
+    def _bucket_postings(self, b: int) -> dict:
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        got = self._buckets.get(b)
+        if got is not None:
+            return got
+        d = os.path.join(self._post_dir, f"bucket={b}")
+        out: dict = {}
+        if os.path.isdir(d):
+            tbl = pq.read_table(d, columns=["term", "doc_id", "tf", "dl"])
+            terms = np.asarray(tbl.column("term").to_pylist(), dtype=object)
+            ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            tf = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+            dl = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+            order = np.argsort(terms, kind="stable")
+            terms, ids, tf, dl = terms[order], ids[order], tf[order], dl[order]
+            # one pass groups the sorted rows by term — no per-term scan
+            uniq, starts = np.unique(terms, return_index=True)
+            bounds = list(starts) + [len(terms)]
+            for i, t in enumerate(uniq):
+                s, e = bounds[i], bounds[i + 1]
+                out[t] = (ids[s:e], tf[s:e], dl[s:e])
+        self._buckets[b] = out
+        return out
+
+    def _bucket_df(self, b: int) -> dict:
+        import os
+
+        import pyarrow.parquet as pq
+
+        got = self._dfs.get(b)
+        if got is not None:
+            return got
+        d = os.path.join(self._df_dir, f"bucket={b}")
+        out: dict = {}
+        if os.path.isdir(d):
+            tbl = pq.read_table(d, columns=["term", "df"]).to_pydict()
+            for t, df in zip(tbl["term"], tbl["df"]):
+                out[t] = out.get(t, 0) + int(df)  # merge-on-read rows
+        self._dfs[b] = out
+        return out
+
+    def search(self, terms, k: int = 10) -> list[tuple]:
+        """Top-``k`` (doc_id, score) for one query (an iterable of
+        terms, deduplicated — BM25's sum is over distinct query terms,
+        as in ``bm25_rank``). Ties break doc_id ascending. Terms absent
+        from the corpus contribute nothing. Bytes read are bounded by
+        the query terms' buckets — never the corpus."""
+        import math as _math
+
+        from prefixtree_spark.operators.ranking import term_bucket
+
+        scores: dict = {}
+        for t in dict.fromkeys(terms):
+            b = term_bucket(t, self.n_buckets)
+            df = self._bucket_df(b).get(t)
+            post = self._bucket_postings(b).get(t)
+            if not df or post is None:
+                continue
+            if self.idf == "log":
+                w = _math.log(
+                    (self.n_docs - df + 0.5) / (df + 0.5) + 1.0
+                )
+            else:
+                w = (self.n_docs - df + 0.5) / (df + 0.5)
+            ids, tf, dl = post
+            contrib = (w * tf * (self.k1 + 1.0)) / (
+                tf + self.k1 * (1.0 - self.b + self.b * (dl / self.avgdl))
+            )
+            for i, c in zip(ids.tolist(), contrib.tolist()):
+                scores[i] = scores.get(i, 0.0) + c
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [(i, float(s)) for i, s in ranked[:k]]
+
+
+def load_local_bm25_index(path: str, *, preload: bool = False) -> LocalSparseIndex:
+    """Open a ``save_bm25_index`` layout as a serving-side handle (no
+    SparkSession; pyarrow + numpy only — the sparse analog of
+    ``load_local_ivf_index``)."""
+    return LocalSparseIndex(path, preload=preload)
+
+
+def rrf_fuse_local(
+    rankings: list[list],
+    k: int = 10,
+    *,
+    c: int = 60,
+) -> list[tuple]:
+    """Serving-side reciprocal-rank fusion — the replica twin of
+    ``ranking.rrf_fuse``, replicating its arithmetic EXACTLY: each
+    ranking is an ordered id list (position = rank, 1-based); the
+    contribution 1/(c+rank) is one IEEE double division rounded to 18
+    decimal places HALF_UP (what Spark's double→DECIMAL(28,18) cast
+    does), summed in exact Decimal — so fused ranks match the cluster
+    workload bit-for-bit, not just approximately. Ties break on id
+    ascending. Returns [(id, rrf_rank), ...] for the top k."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q18 = Decimal("1e-18")
+    scores: dict = {}
+    for ranking in rankings:
+        for pos, doc in enumerate(ranking, start=1):
+            contrib = Decimal(1.0 / (c + pos)).quantize(q18, ROUND_HALF_UP)
+            scores[doc] = scores.get(doc, Decimal(0)) + contrib
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [(doc, i + 1) for i, (doc, _) in enumerate(ranked[:k])]
+
+
+def watch_bm25_index(
+    server: PrefixTreeServer,
+    path: str,
+    *,
+    poll_seconds: float = 5.0,
+    preload: bool = True,
+    current_generation: int | None = None,
+) -> threading.Event:
+    """Hot refresh for the sparse side of a serving replica — the BM25
+    twin of ``watch_ivf_index``, same discipline: poll the layout's
+    ``_generation`` marker (bumped by ``save/append/maintain_bm25_index``
+    AFTER their writes complete) and flip a freshly loaded
+    ``LocalSparseIndex`` in via ``swap_sparse`` when it moves, with the
+    same load-then-flip / discard-on-concurrent-bump handling. A load
+    that fails leaves the current handle serving and retries next
+    poll. Returns a stop event."""
+    stop = threading.Event()
+    state = {
+        "gen": (
+            current_generation
+            if current_generation is not None
+            else getattr(server.sparse_index, "generation", 0)
+        )
+    }
+
+    def run() -> None:
+        while not stop.wait(poll_seconds):
+            try:
+                g = _read_ivf_generation(path)
+                if g <= state["gen"]:
+                    continue
+                new = LocalSparseIndex(path, preload=preload)
+                if _read_ivf_generation(path) != new.generation:
+                    continue  # a swap completed mid-load: reload next poll
+            except Exception:
+                continue
+            server.swap_sparse(new)
+            state["gen"] = max(g, new.generation)
+
+    threading.Thread(
+        target=run, name="prefixtree-bm25-watcher", daemon=True
     ).start()
     return stop

@@ -1051,6 +1051,48 @@ def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking.bm25_rank(docs, "doc_id", "text", q, "qid", "terms", idf="ratio")
 
 
+from prefixtree_spark.workloads import ORACLES as _ORACLES
+_BM25_STORED_ORACLE = _ORACLES["bm25_rank_docs"]
+
+
+@workload("bm25_rank_stored", _BM25_STORED_ORACLE)
+def bm25_rank_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME ranking as ``bm25_rank_docs``, probed against a
+    PERSISTED ``save_bm25_index`` layout instead of a per-session
+    postings rebuild (round-9: sparse retrieval as a first-class
+    stored index with the IVF side's lifecycle). The probe reads only
+    the query terms' hash-bucket partitions (static literal-IN
+    pruning; plan-pinned in tests/test_ranking.py) and scores with
+    the layout's frozen params — so it hashes against the identical
+    DuckDB statement. Index cached per fixture like
+    ``ann_topk_ivf_pq``."""
+    import os
+    import shutil
+    import uuid
+
+    from prefixtree_spark.operators import ranking
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        F.col("doc_id").alias("qid"),
+        F.slice(F.regexp_extract_all("text", F.lit(r"\S+"), 0), 1, 3).alias("terms"),
+    ).where("doc_id % 41 = 0 AND size(terms) >= 3")
+    path = _workload_cache_dir(sf_dir, "documents", "bm25_b32_ratio")
+    if not os.path.isdir(os.path.join(path, "meta")):
+        staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        try:
+            ranking.save_bm25_index(
+                docs, "doc_id", "text", staging, n_buckets=32, idf="ratio"
+            )
+            try:
+                os.rename(staging, path)
+            except OSError:
+                pass  # racer won: byte-identical artifact
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+    return ranking.bm25_rank_indexed(spark, path, q, "qid", "terms")
+
+
 @workload(
     "hybrid_rrf_docs",
     r"""

@@ -146,3 +146,189 @@ def test_hybrid_rrf_workload_matches_oracle(spark, duck):
     odf = duck.execute(workloads.ORACLES["hybrid_rrf_docs"]).fetchdf()
     want = sorted(map(tuple, odf[sorted(odf.columns)].values.tolist()))
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# persisted BM25 layout (save/append/maintain + indexed probe)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sf_docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def _doc_queries(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return docs.select(
+        F.col("doc_id").alias("qid"),
+        F.slice(
+            F.regexp_extract_all("text", F.lit(r"\S+"), 0), 1, 3
+        ).alias("terms"),
+    ).where("doc_id % 41 = 0 AND size(terms) >= 3")
+
+
+@pytest.mark.parametrize("idf_mode", ["log", "ratio"])
+def test_bm25_indexed_matches_in_session(spark, sf_docs, idf_mode, tmp_path):
+    """bm25_rank_indexed over a saved layout == bm25_rank over the
+    same corpus, both idf modes — the stored index changes WHERE the
+    postings live, never what they score."""
+    from prefixtree_spark.operators import ranking
+
+    q = _doc_queries(spark)
+    want = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank(
+            sf_docs, "doc_id", "text", q, "qid", "terms", idf=idf_mode
+        ).collect()
+    }
+    path = str(tmp_path / "bm25")
+    ranking.save_bm25_index(
+        sf_docs, "doc_id", "text", path, n_buckets=8, idf=idf_mode
+    )
+    got = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(
+            spark, path, q, "qid", "terms"
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_bm25_indexed_prunes_buckets(spark, sf_docs, tmp_path):
+    """The probe's postings scan must carry the term-bucket literals as
+    PartitionFilters — the static-pruning rule: a probe reads its query
+    terms' buckets, never the corpus."""
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.operators import ranking
+
+    path = str(tmp_path / "bm25_prune")
+    ranking.save_bm25_index(sf_docs, "doc_id", "text", path, n_buckets=16)
+    q = spark.createDataFrame([(1, ["data"])], "qid long, terms array<string>")
+    out = ranking.bm25_rank_indexed(spark, path, q, "qid", "terms")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    b = ranking.term_bucket("data", 16)
+    import re
+
+    assert re.search(
+        rf"PartitionFilters: \[[^\]]*bucket#\d+ (= {b}|IN \({b}\))", plan
+    ), plan[:2000]
+    assert "EqualTo(term,data)" in plan  # term predicate reaches parquet
+    # and the python/Spark bucket twins agree on real vocabulary
+    terms = [
+        r.term
+        for r in ranking._tokenize_postings(sf_docs.limit(50), "doc_id", "text")
+        .select("term").distinct().limit(200).collect()
+    ]
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    spark_b = {
+        r.term: r.b
+        for r in tdf.select(
+            "term", ranking._term_bucket_col(F.col("term"), 16).alias("b")
+        ).collect()
+    }
+    for t in terms:
+        assert ranking.term_bucket(t, 16) == spark_b[t], t
+
+
+def test_bm25_append_exactly_once(spark, sf_docs, tmp_path):
+    """The sparse append contract, mirroring append_ivf_index: build on
+    half the corpus, append the rest — equals the full build; a
+    recorded replay no-ops via the marker; an UNRECORDED replay (marker
+    deleted to simulate the crash) is healed by the per-table guards
+    (doc_id presence for postings, txn tags for dfreq/stats) with no
+    double counting; generation bumps signal replicas."""
+    from prefixtree_spark.operators import ranking
+    from prefixtree_spark.serving import _read_ivf_generation
+
+    half1 = sf_docs.where("doc_id % 2 = 0")
+    half2 = sf_docs.where("doc_id % 2 = 1")
+    q = _doc_queries(spark)
+    want = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank(
+            sf_docs, "doc_id", "text", q, "qid", "terms", idf="ratio"
+        ).collect()
+    }
+    path = str(tmp_path / "bm25_app")
+    ranking.save_bm25_index(
+        half1, "doc_id", "text", path, n_buckets=8, idf="ratio"
+    )
+    g0 = _read_ivf_generation(path)
+    n = ranking.append_bm25_index(
+        spark, path, half2, "doc_id", "text", txn="batch1"
+    )
+    assert n == half2.count()
+    assert _read_ivf_generation(path) == g0 + 1
+    # recorded replay: marker fast path returns the original count
+    assert ranking.append_bm25_index(
+        spark, path, half2, "doc_id", "text", txn="batch1"
+    ) == n
+    got = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(
+            spark, path, q, "qid", "terms"
+        ).collect()
+    }
+    assert got == want
+    # unrecorded replay: delete the marker — the guards must detect
+    # every table already has the batch and change NOTHING
+    import os
+    import shutil
+
+    for f in os.listdir(f"{path}/_txns"):
+        os.remove(os.path.join(f"{path}/_txns", f))
+    ranking.append_bm25_index(
+        spark, path, half2, "doc_id", "text", txn="batch1"
+    )
+    got2 = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(
+            spark, path, q, "qid", "terms"
+        ).collect()
+    }
+    assert got2 == want
+    stats = spark.read.parquet(f"{path}/stats")
+    assert stats.count() == 2  # base + ONE increment, not two
+    shutil.rmtree(f"{path}/_txns", ignore_errors=True)
+
+
+def test_bm25_maintain_compacts(spark, sf_docs, tmp_path):
+    """Compaction rolls merge-on-read increments (dfreq rows, stats
+    rows, postings files) down to one-per-bucket/one-row without
+    changing any rank, through the staged recoverable swap."""
+    from prefixtree_spark.operators import ranking
+
+    path = str(tmp_path / "bm25_cmp")
+    thirds = [sf_docs.where(f"doc_id % 3 = {i}") for i in range(3)]
+    ranking.save_bm25_index(
+        thirds[0], "doc_id", "text", path, n_buckets=4, idf="ratio"
+    )
+    for i, t in enumerate(thirds[1:], 1):
+        ranking.append_bm25_index(spark, path, t, "doc_id", "text", txn=f"t{i}")
+    q = _doc_queries(spark)
+    want = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(spark, path, q, "qid", "terms").collect()
+    }
+    rep = ranking.maintain_bm25_index(spark, path, max_files_per_bucket=1.0)
+    assert rep["compacted"] and rep["files_per_bucket"] > 1.0
+    got = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(spark, path, q, "qid", "terms").collect()
+    }
+    assert got == want
+    assert spark.read.parquet(f"{path}/stats").count() == 1
+    dfreq = spark.read.parquet(f"{path}/dfreq")
+    from pyspark.sql import functions as F
+
+    assert (
+        dfreq.groupBy("term").count().where(F.col("count") > 1).limit(1).count()
+        == 0
+    )
+    # idempotent second call: already compact
+    rep2 = ranking.maintain_bm25_index(spark, path, max_files_per_bucket=1.0)
+    assert not rep2["compacted"]
