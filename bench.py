@@ -1005,6 +1005,69 @@ def main() -> None:
     ivf_point("clustered_c32_p8_r1", q_clus, clus, clus_exact, n_cells=32, nprobe=8)
     clus.unpersist()
 
+    # Sparse (BM25) storage economics — round 9: the persisted
+    # inverted index vs the per-call postings rebuild. bm25_rank pays
+    # the corpus tokenize+shuffle EVERY call; bm25_rank_indexed reads
+    # only the query terms' hash-bucket partitions of bytes at rest.
+    # The bytes extra records the layout size (what a replica must
+    # host); the build extra is the one-time cost the stored probe
+    # amortizes away.
+    import shutil as _bm_sh
+    import tempfile as _bm_tf
+
+    from prefixtree_spark.operators import ranking as rank_ops
+
+    bm_dir = _bm_tf.mkdtemp(prefix="bench_bm25_")
+    docs_bm = load_table(spark, sf_dir, "documents")
+    q_bm = docs_bm.select(
+        F.col("doc_id").alias("qid"),
+        F.slice(
+            F.regexp_extract_all("text", F.lit(r"\S+"), 0), 1, 3
+        ).alias("terms"),
+    ).where("doc_id % 41 = 0 AND size(terms) >= 3")
+    t0 = time.time()
+    rank_ops.save_bm25_index(
+        docs_bm, "doc_id", "text", f"{bm_dir}/idx", n_buckets=32, idf="ratio"
+    )
+    extras["bm25_build_sec"] = round(time.time() - t0, 3)
+    extras["bm25_index_bytes"] = _dir_bytes(f"{bm_dir}/idx")
+    bench(
+        "bm25_rank_docs",
+        lambda: rank_ops.bm25_rank(
+            docs_bm, "doc_id", "text", q_bm, "qid", "terms", idf="ratio"
+        ).count(),
+    )
+    bench(
+        "bm25_rank_stored",
+        lambda: rank_ops.bm25_rank_indexed(
+            spark, f"{bm_dir}/idx", q_bm, "qid", "terms"
+        ).count(),
+    )
+    # replica-side latency (untimed extras): one LocalSparseIndex
+    # lookup and one fused /hybrid-equivalent (sparse + dense + RRF,
+    # in-process — HTTP adds only transport) — the keep-alive serving
+    # economics for the hybrid endpoint
+    from prefixtree_spark.serving import (
+        load_local_bm25_index as _load_sp,
+        rrf_fuse_local as _rrf_local,
+    )
+
+    sp_handle = _load_sp(f"{bm_dir}/idx")
+    terms_bm = [r.terms for r in q_bm.limit(1).collect()][0]
+    t0 = time.time()
+    sp_handle.search(terms_bm, 10)
+    extras["serving_sparse_cold_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    for _ in range(20):
+        sp_handle.search(terms_bm, 10)
+    extras["serving_sparse_warm_ms"] = round((time.time() - t0) * 50, 3)
+    sparse_ids = [d for d, _ in sp_handle.search(terms_bm, 10)]
+    t0 = time.time()
+    for _ in range(20):
+        _rrf_local([sparse_ids, sparse_ids[::-1]], 5)
+    extras["serving_rrf_fuse_ms"] = round((time.time() - t0) * 50, 3)
+    _bm_sh.rmtree(bm_dir, ignore_errors=True)
+
     # skewed-corpus stress: a pure boilerplate-heavy corpus (every doc
     # = one shared 40-token boilerplate + a unique tail) makes the
     # hot-shingle df² hazard measurable — uncapped, every doc pair is a
