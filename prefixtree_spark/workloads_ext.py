@@ -2558,6 +2558,64 @@ def ann_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_ANN_DELETED_ORACLE = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id % 97 <> 0),
+    q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id % 50 = 0),
+    p AS (
+      SELECT q.qid, e.vec_id AS vid,
+             list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))) AS cos
+      FROM q, e WHERE e.vec_id <> q.qid
+    )
+    SELECT qid AS query_id, vid AS vec_id
+    FROM (SELECT qid, vid,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+          FROM p)
+    WHERE rn <= 10
+"""
+
+
+@workload("ann_topk_ivf_deleted", _ANN_DELETED_ORACLE)
+def ann_topk_ivf_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ deletion served end-to-end (round-9): every 97th
+    vector is tombstoned via ``delete_ivf_ids`` (an O(1) sidecar
+    append — NO retrain, the old rows stay physical) and the full
+    probe at the exactness config must equal exact top-k over the
+    POST-DELETE corpus — the tombstone filter inside the pruned
+    postings scan is what the oracle checks. Idempotent across sweep
+    runs: re-deleting tombstoned ids is a no-op, and probes always
+    filter the sidecar. Index cached per fixture; maintenance
+    compaction (which would also pass this oracle) is exercised in
+    tests/test_ann.py instead so the cache stays stable."""
+    import os
+    import shutil
+    import uuid
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id % 50 = 0")
+    path = _workload_cache_dir(sf_dir, "embeddings", "ivfflat_tomb_c32")
+    if not os.path.isdir(os.path.join(path, "meta")):
+        staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        try:
+            ann.save_ivf_index(emb, "vec_id", "embedding", staging, n_cells=32)
+            try:
+                os.rename(staging, path)
+            except OSError:
+                pass  # racer won: byte-identical artifact
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+    ann.delete_ivf_ids(
+        spark, path, emb.where("vec_id % 97 = 0").select("vec_id")
+    )
+    idx = ann.load_ivf_index(spark, path)
+    return ann.cosine_topk_ivf_index(
+        q, "vec_id", "embedding", idx, k=10, nprobe=32
+    ).select("query_id", "vec_id")
+
+
 @workload("ann_topk_ivf_pq", _ANN_ORACLE)
 def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ in its EXACTNESS mode (round-6 verdict #3): the full
