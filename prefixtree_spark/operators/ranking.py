@@ -349,21 +349,31 @@ def append_bm25_index(
 
     - ``txn`` recorded → return the original count (marker fast path,
       ``sources.io`` retired-txn files under ``path/_txns``);
+    - with ``txn``, docs ALREADY in the index are dropped up front
+      (doc_id presence: literal-IN pruned scan for collectable deltas,
+      anti-join past the static cap), so overlapping candidate sets —
+      a sync replaying a compacted corpus snapshot — append only the
+      genuinely-new documents and count df/stats from exactly them;
     - unrecorded replay (crash before the marker) → per-table guards:
-      postings are guarded by doc_id presence (literal-IN pruned scan
-      for collectable deltas, semi-join past the static cap), dfreq
-      and stats increments carry the txn tag and are guarded by a
-      tag-presence probe — any crash point replays to the same
-      complete state, no double counting.
+      dfreq and stats increments carry the txn tag (a narrow probe
+      answers "did this txn's increments land?"), postings by the same
+      presence filter. Write order is increments FIRST, postings LAST:
+      the presence filter that sizes the increments only moves when
+      postings land, so any replay recomputes the SAME increments —
+      any crash point replays to the same complete state, no double
+      counting. (Per-write atomicity rides Spark's job commit, the
+      standing caveat from ``append_ivf_index``.)
 
     df and corpus stats are MERGE-ON-READ increments (readers sum;
     ``maintain_bm25_index`` compacts), which is what makes the append
     one delta-sized job instead of a corpus-wide dfreq rewrite — the
     deletion-tombstone trade, applied to additive statistics.
 
-    Contract (as the IVF side): delta doc_ids are NEW — re-appending a
-    live doc_id double-counts its terms' df. NULL ids are dropped
-    (invisible to the guards, unservable). Single-writer."""
+    Without ``txn`` the presence scan is skipped: delta doc_ids must
+    be NEW (re-appending a live doc_id double-counts its terms' df —
+    the raw caller contract, as the IVF side). NULL ids are dropped
+    (invisible to the guards, unservable). Single-writer. Returns the
+    number of documents actually appended."""
     from prefixtree_spark.operators.ann import _bump_ivf_generation
     from prefixtree_spark.sources.io import _retire_txn, _retired_txn_version
 
@@ -376,98 +386,96 @@ def append_bm25_index(
     docs = new_docs.where(F.col(id_col).isNotNull())
     postings = _tokenize_postings(docs, id_col, text_col).withColumn(
         "bucket", _term_bucket_col(F.col("term"), n_buckets)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if txn is not None:
+        # presence filter BEFORE anything is counted: increments and
+        # postings both derive from the genuinely-new rows, and the
+        # filter's outcome is stable across unrecorded replays because
+        # postings (the table it reads) land last
+        dids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+        n_ids = dids.count()
+        if n_ids <= _BM25_GUARD_STATIC_MAX:
+            ids = [r[0] for r in dids.collect()]
+            present = {
+                r[0]
+                for r in spark.read.parquet(f"{path}/postings")
+                .select("doc_id")
+                .where(F.col("doc_id").isin(ids))
+                .distinct()
+                .collect()
+            }
+            if present:
+                postings = postings.where(
+                    ~F.col("doc_id").isin(list(present))
+                )
+                docs = docs.where(~F.col(id_col).isin(list(present)))
+        else:
+            existing = spark.read.parquet(f"{path}/postings").select("doc_id")
+            postings = postings.join(existing, "doc_id", "left_anti")
+            docs = docs.join(
+                existing.withColumnRenamed("doc_id", id_col).distinct(),
+                id_col,
+                "left_anti",
+            )
+    postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        n_docs_delta = docs.count()
-        if n_docs_delta == 0:
+        n_new = docs.count()
+        if n_new == 0:
+            if txn is not None:
+                _retire_txn(spark, path, txn, 0)
             return 0
         total_len_delta = postings.agg(
             F.coalesce(F.sum("tf"), F.lit(0)).cast("long")
         ).collect()[0][0]
-        post_delta = postings
-        write_posts, write_incr = True, True
+        write_df, write_stats = True, True
         if txn is not None:
-            # per-table replay guards (docstring): which halves of the
-            # crashed append already landed?
-            ids = None
-            dids = postings.select("doc_id").distinct()
-            n_ids = dids.count()
-            if n_ids <= _BM25_GUARD_STATIC_MAX:
-                ids = [r[0] for r in dids.collect()]
-                present = {
-                    r[0]
-                    for r in spark.read.parquet(f"{path}/postings")
-                    .select("doc_id")
-                    .where(F.col("doc_id").isin(ids))
-                    .distinct()
-                    .collect()
-                }
-                if present:
-                    post_delta = postings.where(
-                        ~F.col("doc_id").isin(list(present))
-                    )
-                    if len(present) >= n_ids:
-                        write_posts = False
-            else:
-                existing = spark.read.parquet(f"{path}/postings").select(
-                    "doc_id"
-                )
-                post_delta = postings.join(existing, "doc_id", "left_anti")
-                write_posts = post_delta.limit(1).count() > 0
-            # dfreq/stats increments are tag-keyed: one narrow probe
-            # answers "did this txn's increments land?" for both tables
-            # (they are written back-to-back, stats last)
-            tagged = (
-                spark.read.parquet(f"{path}/stats")
-                .where(F.col("txn") == txn)
-                .limit(1)
-                .count()
-            )
-            if tagged:
-                write_incr = False
-            elif (
+            if (
                 spark.read.parquet(f"{path}/dfreq")
                 .where(F.col("txn") == txn)
                 .limit(1)
                 .count()
             ):
-                # dfreq landed, stats didn't (crash between the two):
-                # replay only the stats half
-                write_incr = "stats_only"
-        if write_posts:
+                write_df = False
+            if (
+                spark.read.parquet(f"{path}/stats")
+                .where(F.col("txn") == txn)
+                .limit(1)
+                .count()
+            ):
+                write_stats = False
+        if write_df:
             (
-                post_delta.repartition(n_buckets, "bucket")
+                postings.groupBy("bucket", "term")
+                .agg(F.count(F.lit(1)).cast("long").alias("df"))
+                .withColumn("txn", F.lit(txn).cast("string"))
+                .repartition(n_buckets, "bucket")
                 .write.mode("append")
                 .partitionBy("bucket")
-                .parquet(f"{path}/postings")
+                .parquet(f"{path}/dfreq")
             )
-        if write_incr:
-            if write_incr is True:  # "stats_only" skips the dfreq half
-                (
-                    postings.groupBy("bucket", "term")
-                    .agg(F.count(F.lit(1)).cast("long").alias("df"))
-                    .withColumn("txn", F.lit(txn).cast("string"))
-                    .repartition(n_buckets, "bucket")
-                    .write.mode("append")
-                    .partitionBy("bucket")
-                    .parquet(f"{path}/dfreq")
-                )
+        if write_stats:
             import pandas as _pd
 
             spark.createDataFrame(
                 _pd.DataFrame(
-                    {"n_docs": [int(n_docs_delta)],
+                    {"n_docs": [int(n_new)],
                      "total_len": [int(total_len_delta)],
                      "txn": _pd.array([txn], dtype="object")}
                 ),
                 schema="n_docs long, total_len long, txn string",
             ).coalesce(1).write.mode("append").parquet(f"{path}/stats")
+        (
+            postings.repartition(n_buckets, "bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(f"{path}/postings")
+        )
         if txn is not None:
-            _retire_txn(spark, path, txn, n_docs_delta)
+            _retire_txn(spark, path, txn, n_new)
         _bump_ivf_generation(spark, path)
     finally:
         postings.unpersist()
-    return int(n_docs_delta)
+    return int(n_new)
 
 
 def maintain_bm25_index(
@@ -475,6 +483,9 @@ def maintain_bm25_index(
     path: str,
     *,
     max_files_per_bucket: float = 4.0,
+    rebuild_from: "DataFrame | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> dict:
     """Maintenance for a persisted BM25 layout — the sparse twin of
     ``ann.maintain_ivf_index``'s compaction half (there is no trained
@@ -487,7 +498,20 @@ def maintain_bm25_index(
     finds a complete stage finishes the swap first, an incomplete one
     is deleted as garbage. Bumps the generation so replicas reload.
 
-    Returns ``{"compacted", "files_per_bucket", "recovered"}``."""
+    ``rebuild_from``: the converge-to-corpus form (the IVF side's
+    ``reconcile_with`` analog, simpler here because there is no trained
+    state to preserve) — pass the live corpus (``id_col``,
+    ``text_col``) and the index rebuilds from it wholesale through the
+    same staged swap: deleted documents drop, rewritten text
+    re-postings, df/stats recompute exactly. BM25's rebuild is one
+    tokenize pass (no quantizer training), so corpus-driven rebuilds
+    ARE the reconcile path; ``sync_bm25_from_published`` keeps handling
+    the cheap add half between rebuilds. Layout params carry over from
+    the live meta. Returns ``rebuilt: True`` and skips the compaction
+    check (the rebuild is already one-file-per-bucket).
+
+    Returns ``{"compacted", "files_per_bucket", "recovered",
+    "rebuilt"}``."""
     import pandas as _pd
 
     from prefixtree_spark.operators.ann import _bump_ivf_generation
@@ -517,6 +541,26 @@ def maintain_bm25_index(
             _bump_ivf_generation(spark, path)
         else:
             fs.delete(P(staged_root), True)  # mid-write garbage
+
+    if rebuild_from is not None:
+        # corpus-driven rebuild (docstring): one tokenize pass into the
+        # staged root with the LIVE layout's params, then the same
+        # recoverable swap. save_bm25_index writes stats before meta,
+        # so the staged/stats completeness marker holds here too.
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        save_bm25_index(
+            rebuild_from, id_col, text_col, staged_root,
+            n_buckets=int(meta.n_buckets), k1=float(meta.k1),
+            b=float(meta.b), idf=str(meta.idf),
+        )
+        _swap_in()
+        _bump_ivf_generation(spark, path)
+        return {
+            "compacted": False,
+            "files_per_bucket": 1.0,
+            "recovered": recovered,
+            "rebuilt": True,
+        }
 
     n_files, n_dirs = 0, 0
     for st in fs.listStatus(P(f"{path}/postings")):
@@ -571,6 +615,7 @@ def maintain_bm25_index(
         "compacted": compacted,
         "files_per_bucket": round(files_per_bucket, 2),
         "recovered": recovered,
+        "rebuilt": False,
     }
 
 
@@ -646,3 +691,96 @@ def bm25_rank_indexed(
         .where(F.col("rank") <= topk)
         .select("query_id", "doc_id", "rank")
     )
+
+
+def sync_bm25_from_published(
+    spark,
+    root: str,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    *,
+    n_buckets: int = 32,
+    k1: float = 1.25,
+    b: float = 0.75,
+    idf: str = "log",
+) -> int:
+    """Catch a persisted BM25 index up to a ``publish_index`` corpus —
+    the sparse twin of ``ann.sync_ivf_from_published``, same contract:
+    the corpus commit is the single source of truth, the index is a
+    follower. Reads the corpus ``_manifest`` version, compares against
+    the index's ``_synced`` watermark, and appends the delta (new
+    append-mode segments only; any replace-mode entry in range falls
+    back to the whole live snapshot — safe here because
+    ``append_bm25_index(txn=)`` presence-filters candidates, so
+    overlapping snapshots append nothing twice and df/stats count only
+    the genuinely-new documents). First call bootstraps the layout
+    with the given parameters; later calls ignore them (the saved meta
+    governs). Returns documents appended (or the bootstrap count).
+
+    APPEND-ONLY: documents DELETED from the corpus keep ranking, and
+    documents whose TEXT was rewritten in place keep their old
+    postings (presence guards are doc_id-only) — run
+    ``maintain_bm25_index(rebuild_from=read_published(...))`` to
+    converge deletes and updates; this sync closes the add half.
+    Single-writer, crash-replay safe via the txn machinery."""
+    import hashlib
+
+    from prefixtree_spark.operators.ann import (
+        _read_sync_watermark,
+        _write_sync_watermark,
+    )
+    from prefixtree_spark.sources.io import (
+        _fs,
+        _manifest_entries,
+        _parse_entry,
+        _read_small_file,
+        published_version,
+        read_published,
+    )
+
+    live = published_version(spark, root)
+    if live == 0:
+        return 0
+    w = _read_sync_watermark(spark, index_path)
+    if w >= live:
+        return 0
+    fs, jvm = _fs(spark, index_path)
+    has_index = fs.exists(jvm.org.apache.hadoop.fs.Path(f"{index_path}/meta"))
+    if not has_index:
+        corpus = read_published(spark, root)
+        save_bm25_index(
+            corpus, id_col, text_col, index_path,
+            n_buckets=n_buckets, k1=k1, b=b, idf=idf,
+        )
+        _write_sync_watermark(spark, index_path, live)
+        return int(
+            spark.read.parquet(f"{index_path}/stats")
+            .agg(F.sum("n_docs")).collect()[0][0]
+        )
+    new_entries = [
+        (n, mpath)
+        for n, mpath in _manifest_entries(spark, root)
+        if w < n <= live
+    ]
+    seg_dirs: list[str] = []
+    all_appends = True
+    for n, mpath in new_entries:
+        vdirs, fmt, mode = _parse_entry(_read_small_file(spark, mpath))
+        if mode != "append" or fmt != "parquet":
+            all_appends = False
+            break
+        seg_dirs.extend(vdirs)
+    if all_appends and seg_dirs:
+        parts = [spark.read.parquet(f"{root}/{d}") for d in seg_dirs]
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p, allowMissingColumns=True)
+    else:
+        cand = read_published(spark, root)
+    tag = hashlib.sha256(root.encode()).hexdigest()[:12]
+    appended = append_bm25_index(
+        spark, index_path, cand, id_col, text_col, txn=f"sync.{tag}.v{live}"
+    )
+    _write_sync_watermark(spark, index_path, live)
+    return appended

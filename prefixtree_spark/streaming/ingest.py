@@ -235,6 +235,8 @@ def ingest_batch(
     vec_col: str | None = None,
     ann_index_path: str | None = None,
     ann_opts: dict | None = None,
+    bm25_index_path: str | None = None,
+    bm25_opts: dict | None = None,
 ) -> int:
     """Run one ingest step (the batch twin of the streaming sink):
     dedup ``batch`` within itself and against the published corpus at
@@ -287,7 +289,18 @@ def ingest_batch(
     ``ann_opts`` forwards first-build layout parameters (``n_cells``,
     ``n_replicas``, ``pq_m``, ...); an existing index ignores them.
     Retrain/compaction run out of band via ``maintain_ingest(...,
-    ann_index_path=...)``, policy-gated on the appended fraction."""
+    ann_index_path=...)``, policy-gated on the appended fraction.
+
+    ``bm25_index_path`` is the sparse twin: after the corpus commit,
+    ``ranking.sync_bm25_from_published`` catches a persisted BM25
+    index up to the live corpus under the same follower discipline
+    (watermark + txn markers + doc_id presence filters — see
+    ``append_bm25_index``), so survivors become lexically retrievable
+    alongside their vectors: one ingest call feeds the corpus, the
+    vector index, AND the sparse index, exactly once each.
+    ``bm25_opts`` forwards first-build layout parameters
+    (``n_buckets``, ``k1``, ``b``, ``idf``); compaction runs out of
+    band via ``maintain_ingest(..., bm25_index_path=...)``."""
     assert num_perm % bands == 0
     if ann_index_path is not None and vec_col is None:
         # validate BEFORE any write: raising after the corpus commit
@@ -561,6 +574,18 @@ def ingest_batch(
                 spark, root, ann_index_path, id_col, vec_col,
                 **(ann_opts or {}),
             )
+        if bm25_index_path is not None:
+            # same placement and rationale as the ANN sync above:
+            # committed-corpus follower, heals earlier crashed batches,
+            # no-ops when in sync
+            from prefixtree_spark.operators.ranking import (
+                sync_bm25_from_published,
+            )
+
+            sync_bm25_from_published(
+                spark, root, bm25_index_path, id_col, text_col,
+                **(bm25_opts or {}),
+            )
         return n_out
     finally:
         for p in pins:
@@ -642,6 +667,9 @@ def maintain_ingest(
     ann_retrain_frac: float = 0.3,
     ann_max_files_per_cell: float = 4.0,
     ann_reconcile_ids: str | None = None,
+    bm25_index_path: str | None = None,
+    bm25_max_files_per_bucket: float = 4.0,
+    bm25_rebuild: "bool | tuple[str, str]" = False,
 ) -> dict[str, int]:
     """Out-of-band maintenance for an ingest pair (corpus + bands):
     when either table's live chain exceeds ``max_segments``, fold it
@@ -705,6 +733,28 @@ def maintain_ingest(
         out[f"{ann_index_path}_retrained"] = int(rep["retrained"])
         out[f"{ann_index_path}_compacted"] = int(rep["compacted"])
         out[f"{ann_index_path}_reconciled"] = int(rep["reconciled"])
+    if bm25_index_path is not None:
+        # the sparse side: compact merge-on-read increments when
+        # appends fragment the buckets; ``bm25_rebuild=True``
+        # rebuilds wholesale from the live corpus (the converge path
+        # for COW deletes/updates — BM25's rebuild is one tokenize
+        # pass, so it rides maintenance cadence, not a batch).
+        from prefixtree_spark.operators.ranking import maintain_bm25_index
+
+        rb_id, rb_text = (
+            bm25_rebuild if isinstance(bm25_rebuild, tuple)
+            else ("doc_id", "text")
+        )
+        srep = maintain_bm25_index(
+            spark, bm25_index_path,
+            max_files_per_bucket=bm25_max_files_per_bucket,
+            rebuild_from=(
+                read_published(spark, root) if bm25_rebuild else None
+            ),
+            id_col=rb_id, text_col=rb_text,
+        )
+        out[f"{bm25_index_path}_compacted"] = int(srep["compacted"])
+        out[f"{bm25_index_path}_rebuilt"] = int(srep["rebuilt"])
     return out
 
 

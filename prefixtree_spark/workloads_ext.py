@@ -2201,6 +2201,87 @@ def docs_ingest_ann_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+# the composed ingest→BM25 oracle: the greedy-survivor CTE chain
+# extended with ratio-idf BM25 over the SURVIVORS' text for the
+# standard every-41st-doc queries — what a probe over the synced
+# sparse index must return
+_INGEST_BM25_SQL = _INGEST_GREEDY_SQL.replace(
+    "SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2",
+    r""", surv AS (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2),
+    d2 AS (SELECT t.doc_id, t.ts FROM toks t JOIN surv ON t.doc_id = surv.doc_id),
+    posts2 AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM d2),
+    tf2 AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+            FROM posts2 GROUP BY doc_id, dl, term),
+    stats2 AS (SELECT count(*)::BIGINT AS n_docs, sum(len(ts))::BIGINT AS total_len
+               FROM d2),
+    dfreq2 AS (SELECT term, count(*)::BIGINT AS df FROM tf2 GROUP BY term),
+    qt2 AS (SELECT DISTINCT doc_id AS query_id, unnest(ts[1:3]) AS term
+            FROM toks WHERE doc_id % 41 = 0 AND len(ts) >= 3),
+    bscored2 AS (
+      SELECT qt2.query_id, tf2.doc_id,
+             sum(CAST(
+               (((s.n_docs - f.df + 0.5e0) / (f.df + 0.5e0)) * (tf2.tf * 2.25e0))
+               / (tf2.tf + 1.25e0 * (0.25e0 + 0.75e0
+                    * (tf2.dl / ((s.total_len * 1.0e0) / s.n_docs))))
+             AS DECIMAL(28,9))) AS score
+      FROM qt2 JOIN dfreq2 f ON qt2.term = f.term
+               JOIN tf2 ON qt2.term = tf2.term, stats2 s
+      GROUP BY qt2.query_id, tf2.doc_id
+    )
+    SELECT query_id, doc_id, rank FROM (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+      FROM bscored2)
+    WHERE rank <= 10""",
+)
+
+
+@workload("docs_ingest_bm25_sync", _INGEST_BM25_SQL)
+def docs_ingest_bm25_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sparse twin of ``docs_ingest_ann_sync`` (round-9): two
+    greedy-deduped ingest batches commit to the corpus, and
+    ``sync_bm25_from_published`` (wired through
+    ``ingest_batch(bm25_index_path=...)``) catches the persisted BM25
+    index up to each corpus version — txn markers + doc_id presence
+    filters make replays land nothing and df/stats count each survivor
+    exactly once. The probe (``bm25_rank_indexed``, standard
+    every-41st-doc queries) must equal ratio-idf BM25 over the greedy
+    survivors — the ``docs_ingest_survivors`` CTE chain extended with
+    the ``bm25_rank_docs`` scoring SQL."""
+    import shutil
+    import tempfile
+
+    from prefixtree_spark.operators import ranking as _ranking
+    from prefixtree_spark.streaming.ingest import ingest_batch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    base = tempfile.mkdtemp(prefix="ingest_bm25_workload_")
+    root, ipath = f"{base}/corpus", f"{base}/bm25"
+    try:
+        for b in (
+            docs.where(F.col("doc_id") < half),
+            docs.where(F.col("doc_id") >= half),
+        ):
+            ingest_batch(
+                b, root, "doc_id", "text", threshold=0.8, n=3,
+                bm25_index_path=ipath,
+                bm25_opts={"n_buckets": 16, "idf": "ratio"},
+            )
+        q = docs.select(
+            F.col("doc_id").alias("qid"),
+            F.slice(
+                F.regexp_extract_all("text", F.lit(r"\S+"), 0), 1, 3
+            ).alias("terms"),
+        ).where("doc_id % 41 = 0 AND size(terms) >= 3")
+        out = _ranking.bm25_rank_indexed(spark, ipath, q, "qid", "terms")
+        # the index lives in a tempdir: materialize before cleanup
+        return _pin_rows(spark, out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 _TIME_TRAVEL_SQL = """
     WITH half AS (SELECT (MAX(doc_id) + 1) // 2 AS h FROM documents)
     SELECT doc_id, 'pinned' AS src FROM documents

@@ -332,3 +332,148 @@ def test_bm25_maintain_compacts(spark, sf_docs, tmp_path):
     # idempotent second call: already compact
     rep2 = ranking.maintain_bm25_index(spark, path, max_files_per_bucket=1.0)
     assert not rep2["compacted"]
+
+
+def test_bm25_append_overlap_counts_only_new(spark, sf_docs, tmp_path):
+    """The per-batch df/stats hazard, pinned: a txn append whose delta
+    OVERLAPS the live index (a sync replaying a compacted snapshot)
+    must append — and count — only the genuinely-new documents, so the
+    final index is indistinguishable from a clean full build."""
+    from prefixtree_spark.operators import ranking
+
+    half1 = sf_docs.where("doc_id % 2 = 0")
+    path = str(tmp_path / "bm25_ovl")
+    ranking.save_bm25_index(half1, "doc_id", "text", path, n_buckets=8, idf="ratio")
+    # delta = the WHOLE corpus (50% overlap with the live index)
+    n = ranking.append_bm25_index(
+        spark, path, sf_docs, "doc_id", "text", txn="overlap1"
+    )
+    assert n == sf_docs.count() - half1.count()  # only the odd half
+    q = _doc_queries(spark)
+    want = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank(
+            sf_docs, "doc_id", "text", q, "qid", "terms", idf="ratio"
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(spark, path, q, "qid", "terms").collect()
+    }
+    assert got == want
+    # df/stats exactness (ranks could mask a uniform bias): totals
+    # match a clean full build exactly
+    ref = str(tmp_path / "bm25_ref")
+    ranking.save_bm25_index(sf_docs, "doc_id", "text", ref, n_buckets=8, idf="ratio")
+    from pyspark.sql import functions as F
+
+    for sub, key in (("stats", None), ("dfreq", "term")):
+        a = spark.read.parquet(f"{path}/{sub}")
+        b = spark.read.parquet(f"{ref}/{sub}")
+        if key:
+            at = {(r.term, r.df) for r in a.groupBy("term").agg(F.sum("df").alias("df")).collect()}
+            bt = {(r.term, r.df) for r in b.groupBy("term").agg(F.sum("df").alias("df")).collect()}
+            assert at == bt
+        else:
+            asum = a.agg(F.sum("n_docs"), F.sum("total_len")).collect()[0]
+            bsum = b.agg(F.sum("n_docs"), F.sum("total_len")).collect()[0]
+            assert tuple(asum) == tuple(bsum)
+
+
+def test_sync_bm25_from_published(spark, sf_docs, tmp_path):
+    """The corpus-follower contract, sparse form: bootstrap on first
+    sync, O(new segments) catch-up on appends, watermark no-op when in
+    sync, replay-rewind lands nothing (presence filters), replace-mode
+    entries fall back to the full snapshot without double counting."""
+    from prefixtree_spark.operators import ann, ranking
+    from prefixtree_spark.sources.io import (
+        append_published,
+        compact_published,
+        publish_version,
+    )
+
+    half1 = sf_docs.where("doc_id % 2 = 0")
+    half2 = sf_docs.where("doc_id % 2 = 1")
+    root = str(tmp_path / "corpus")
+    ipath = str(tmp_path / "bm25_sync")
+    publish_version(half1.select("doc_id", "text"), root)
+    n1 = ranking.sync_bm25_from_published(
+        spark, root, ipath, "doc_id", "text", n_buckets=8, idf="ratio"
+    )
+    assert n1 == half1.count()  # bootstrap
+    assert ranking.sync_bm25_from_published(
+        spark, root, ipath, "doc_id", "text"
+    ) == 0  # watermark: in sync
+    append_published(half2.select("doc_id", "text"), root)
+    n2 = ranking.sync_bm25_from_published(spark, root, ipath, "doc_id", "text")
+    assert n2 == half2.count()
+    q = _doc_queries(spark)
+    want = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank(
+            sf_docs, "doc_id", "text", q, "qid", "terms", idf="ratio"
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(spark, ipath, q, "qid", "terms").collect()
+    }
+    assert got == want
+    # crash-rewind replay: watermark lost → re-sync re-candidates the
+    # last segments; the RECORDED txn fast path answers the original
+    # count (the exactly-once contract) while landing NOTHING — pin
+    # that by state, not by return value
+    n_stats = spark.read.parquet(f"{ipath}/stats").count()
+    ann._write_sync_watermark(spark, ipath, 1)
+    assert ranking.sync_bm25_from_published(
+        spark, root, ipath, "doc_id", "text"
+    ) == n2  # recorded replay reports the original count
+    assert spark.read.parquet(f"{ipath}/stats").count() == n_stats
+    # replace-mode entry (compaction) → full-snapshot fallback, still 0
+    compact_published(spark, root)
+    assert ranking.sync_bm25_from_published(
+        spark, root, ipath, "doc_id", "text"
+    ) == 0
+    got2 = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(spark, ipath, q, "qid", "terms").collect()
+    }
+    assert got2 == want
+
+
+def test_maintain_bm25_rebuild_from_converges(spark, sf_docs, tmp_path):
+    """rebuild_from closes the delete AND update halves of 'the index
+    converges to the corpus' (the sync handles adds): docs deleted and
+    rewritten in the corpus stop ranking by their old text after one
+    corpus-driven rebuild."""
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.operators import ranking
+
+    path = str(tmp_path / "bm25_reb")
+    ranking.save_bm25_index(sf_docs, "doc_id", "text", path, n_buckets=8, idf="ratio")
+    # corpus evolves: every 7th doc deleted, every 11th doc's text
+    # rewritten to a sentinel token
+    corpus2 = sf_docs.where("doc_id % 7 <> 0").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0, F.lit("zzsentinel zzsentinel"))
+        .otherwise(F.col("text")),
+    )
+    rep = ranking.maintain_bm25_index(spark, path, rebuild_from=corpus2)
+    assert rep["rebuilt"]
+    q = _doc_queries(spark)
+    want = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank(
+            corpus2, "doc_id", "text", q, "qid", "terms", idf="ratio"
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(spark, path, q, "qid", "terms").collect()
+    }
+    assert got == want and got
+    # the sentinel is retrievable, deleted docs are not
+    qs = spark.createDataFrame([(1, ["zzsentinel"])], "qid long, terms array<string>")
+    hits = {r.doc_id for r in ranking.bm25_rank_indexed(spark, path, qs, "qid", "terms").collect()}
+    assert hits and all(d % 11 == 0 for d in hits)
