@@ -1181,18 +1181,24 @@ def rrf_fuse_local(
     """Serving-side reciprocal-rank fusion — the replica twin of
     ``ranking.rrf_fuse``, replicating its arithmetic EXACTLY: each
     ranking is an ordered id list (position = rank, 1-based); the
-    contribution 1/(c+rank) is one IEEE double division rounded to 18
-    decimal places HALF_UP (what Spark's double→DECIMAL(28,18) cast
-    does), summed in exact Decimal — so fused ranks match the cluster
-    workload bit-for-bit, not just approximately. Ties break on id
-    ascending. Returns [(id, rrf_rank), ...] for the top k."""
+    contribution 1/(c+rank) is one IEEE double division, decimalized
+    through the double's SHORTEST round-trip representation (repr —
+    what the JVM's Double.toString/BigDecimal.valueOf does inside
+    Spark's double→DECIMAL(28,18) cast; Decimal(float) would expand
+    the exact binary value instead and diverge at the 18th digit),
+    rounded HALF_UP to 18 places and summed in exact Decimal — so
+    fused ranks match the cluster workload bit-for-bit, not just
+    approximately. Ties break on id ascending. Returns
+    [(id, rrf_rank), ...] for the top k."""
     from decimal import ROUND_HALF_UP, Decimal
 
     q18 = Decimal("1e-18")
     scores: dict = {}
     for ranking in rankings:
         for pos, doc in enumerate(ranking, start=1):
-            contrib = Decimal(1.0 / (c + pos)).quantize(q18, ROUND_HALF_UP)
+            contrib = Decimal(repr(1.0 / (c + pos))).quantize(
+                q18, ROUND_HALF_UP
+            )
             scores[doc] = scores.get(doc, Decimal(0)) + contrib
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     return [(doc, i + 1) for i, (doc, _) in enumerate(ranked[:k])]

@@ -159,6 +159,25 @@ def main() -> None:
         "the sum (order-independent, cross-engine exact — oracled).",
     )
 
+    import tempfile as _tf
+
+    bm_path = _tf.mkdtemp(prefix="plans_bm25_") + "/idx"
+    ranking.save_bm25_index(docs, "doc_id", "text", bm_path, n_buckets=16, idf="ratio")
+    bms = ranking.bm25_rank_indexed(spark, bm_path, bm_q, "qid", "terms")
+    grab(
+        "BM25 retrieval — stored index probe (bm25_rank_indexed)",
+        bms,
+        "The round-9 stored layout: postings and dfreq scans carry the "
+        "query terms' hash buckets as PartitionFilters (static literal-IN "
+        "pruning — the measured rule) AND the term predicate as "
+        "PushedFilters, so the probe reads only the queried terms' rows "
+        "of bytes at rest — no corpus tokenize, no corpus shuffle; "
+        "df increments merge in a term-grouped aggregate over the pruned "
+        "rows. Pinned by test_bm25_indexed_prunes_buckets; identical "
+        "scoring to bm25_rank via the shared _bm25_contrib expression "
+        "(oracled: bm25_rank_stored, docs_ingest_bm25_sync).",
+    )
+
     quota = sampling.top_n_per_group(docs, ["source"], 20, id_col="doc_id", seed="q3")
     grab(
         "Per-group quota — top_n_per_group",
@@ -433,6 +452,22 @@ def main() -> None:
         "touch only matching segments; segment-vanishes emptiness is footer\n"
         "arithmetic, not a rescan. Measured (BENCH_EXTRAS `cow_*`): 0.73 s vs\n"
         "1.09 s full rewrite at 1M rows, 76 KB of 1.03 MB rewritten.",
+    )
+    prose(
+        "Sparse + hybrid serving — LocalSparseIndex / /sparse / /hybrid (r9)",
+        "The Spark-free replica reads the SAME bucket economics the cluster\n"
+        "probe plans for: each query term hashes (60-bit md5 prefix — the\n"
+        "Python twin of the layout's Spark-side bucket expression, pinned\n"
+        "equal on real vocabulary) to one postings/dfreq bucket directory,\n"
+        "loaded lazily via pyarrow and cached — bytes and memory bound by the\n"
+        "served vocabulary region, never the corpus. /hybrid fuses the sparse\n"
+        "ranks with a dense /ann probe by rrf_fuse_local, which decimalizes\n"
+        "1/(c+rank) through the double's SHORTEST repr (what the JVM cast\n"
+        "does; Decimal(float) diverges at the 18th digit on ~5% of ranks) —\n"
+        "HTTP fusion == the gated hybrid_dense_sparse_rrf workload to the\n"
+        "rank (pinned by test_sparse_and_hybrid_endpoints). Generation-pinned\n"
+        "handles + watch_bm25_index give the sparse side the same\n"
+        "load-then-flip hot reload as the tree and vector indexes.",
     )
     prose(
         "Quality classifier scoring — score_quality",
