@@ -342,6 +342,14 @@ class PrefixTreeServer:
                                 400, "mode=pq needs an index saved with pq_m"
                             )
                             return
+                        c_rrf = int(q.get("c", "60"))
+                        if not 0 <= c_rrf <= 10_000:
+                            # c + rank must stay positive (c=-1 → a
+                            # 1/0 at rank 1 → an unhandled 500)
+                            self.send_error(
+                                400, "c must be in [0, 10000]"
+                            )
+                            return
                         sparse_ids = [
                             d for d, _ in sp.search(terms, k_each)
                         ]
@@ -352,8 +360,7 @@ class PrefixTreeServer:
                         )
                         dense_ids = [v for v, _ in dense_hits]
                         fused = rrf_fuse_local(
-                            [sparse_ids, dense_ids], k,
-                            c=int(q.get("c", "60")),
+                            [sparse_ids, dense_ids], k, c=c_rrf
                         )
                         body = [
                             [d if isinstance(d, str) else int(d), int(r)]

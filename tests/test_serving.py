@@ -810,6 +810,7 @@ def test_sparse_and_hybrid_endpoints(spark, tmp_path):
             f"/hybrid?terms=a&v={vcsv}&k=0",
             f"/hybrid?terms=a&v=1,inf&k=5",
             f"/hybrid?terms=a&v={vcsv}&k=5&mode=bogus",
+            f"/hybrid?terms=a&v={vcsv}&k=5&c=-1",
         ):
             with pytest.raises(urllib.error.HTTPError) as e:
                 _get(srv.url(bad))
