@@ -28,7 +28,10 @@ across clients, not just across calls.
         ``&mode=pq`` on a pq_m layout serves through the ADC code
         path — probed cells load m bytes/vector instead of the float
         column, the object-storage-replica economics — with an exact
-        rerank bounded to the padded candidates)
+        rerank bounded to the padded candidates;
+        ``&filter_col=<payload>&filter_vals=<csv>`` runs filtered
+        search on payload_cols layouts: the mask applies BEFORE
+        scoring with the starvation ladder, flat and pq modes)
     GET /sparse?terms=<csv>&k=10            → [[doc_id, bm25], ...]
         (when constructed with ``sparse_index=``, a
         ``LocalSparseIndex`` over a save_bm25_index layout — lexical
@@ -248,11 +251,42 @@ class PrefixTreeServer:
                                 "mode=pq needs an index saved with pq_m",
                             )
                             return
-                        hits_ann = (
-                            ann.search_pq(vec, k, nprobe=nprobe)
-                            if mode == "pq"
-                            else ann.search(vec, k, nprobe=nprobe)
-                        )
+                        where_ann = None
+                        if "filter_col" in q or "filter_vals" in q:
+                            # filtered vector search over HTTP: the
+                            # stored-payload mask applies BEFORE
+                            # scoring (LocalVectorIndex.search/_pq
+                            # where=), with the starvation ladder —
+                            # never a recall-lossy post-filter here
+                            if not ("filter_col" in q and "filter_vals" in q):
+                                self.send_error(
+                                    400,
+                                    "filter_col and filter_vals "
+                                    "must be passed together",
+                                )
+                                return
+                            where_ann = (
+                                q["filter_col"],
+                                [
+                                    _parse_payload_value(x)
+                                    for x in q["filter_vals"].split(",")
+                                    if x
+                                ],
+                            )
+                        try:
+                            hits_ann = (
+                                ann.search_pq(
+                                    vec, k, nprobe=nprobe, where=where_ann
+                                )
+                                if mode == "pq"
+                                else ann.search(
+                                    vec, k, nprobe=nprobe, where=where_ann
+                                )
+                            )
+                        except KeyError as exc:
+                            # unknown payload column on this layout
+                            self.send_error(400, str(exc))
+                            return
                         body = [
                             [v if isinstance(v, str) else int(v), s]
                             for v, s in hits_ann
@@ -424,6 +458,19 @@ class PrefixTreeServer:
         self.stop()
 
 
+def _parse_payload_value(x: str):
+    """Type a filter value the way parquet stored the payload: ints,
+    then floats, then strings — np.isin against a numeric payload
+    column silently matches NOTHING for string-typed values, so the
+    URL's text form must recover the native type."""
+    for conv in (int, float):
+        try:
+            return conv(x)
+        except ValueError:
+            continue
+    return x
+
+
 class LocalVectorIndex:
     """Serving-side ANN handle over a ``save_ivf_index`` IVF-FLAT
     layout, no SparkSession in the process (the vector analog of
@@ -516,6 +563,7 @@ class LocalVectorIndex:
         # economics the ivf_xover_pq_col_bytes extras recorded
         self.codebooks = None
         self._code_cells: dict[int, tuple] = {}
+        self._code_payloads: dict[tuple, object] = {}
         pq_m = int(meta.get("pq_m") or 0)
         if pq_m and os.path.isdir(os.path.join(path, "pq_books")):
             rows = pq.read_table(os.path.join(path, "pq_books")).to_pylist()
@@ -614,7 +662,10 @@ class LocalVectorIndex:
         reads ONLY the (vec_id, pq) column chunks (parquet columnar
         pruning), never the float vectors: a replica serving from
         object storage fetches m bytes per vector here, the ~30× cut
-        the PQ layout exists for."""
+        the PQ layout exists for. On payload_cols layouts the (small,
+        scalar) payload columns ride the SAME read — filtered
+        ``search_pq(where=)`` masks by position, and a second read of
+        the cell dir could misalign rows (the `_cell` hazard)."""
         import os
 
         import numpy as np
@@ -631,16 +682,27 @@ class LocalVectorIndex:
                 np.zeros((0, m), dtype=np.uint8),
                 np.array([]),
             )
+            for name in self._payload_names:
+                self._code_payloads[(c, name)] = np.array([], dtype=object)
         else:
-            tbl = pq.read_table(d, columns=["vec_id", "pq"])
+            tbl = pq.read_table(
+                d, columns=["vec_id", "pq", *self._payload_names]
+            )
             ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
             n = len(ids)
             codes = np.frombuffer(
                 b"".join(tbl.column("pq").to_pylist()), dtype=np.uint8
             ).reshape(n, m) if n else np.zeros((0, m), dtype=np.uint8)
+            pay_arrs = {
+                name: tbl.column(name).to_numpy(zero_copy_only=False)
+                for name in self._payload_names
+            }
             if self._tombstones and n:
                 live = ~np.isin(ids, list(self._tombstones))
                 ids, codes = ids[live], codes[live]
+                pay_arrs = {n_: a[live] for n_, a in pay_arrs.items()}
+            for name, arr in pay_arrs.items():
+                self._code_payloads[(c, name)] = arr
             # ||x̂||² = Σ_j ||books[j][code_j]||² — m lookups per row
             n2 = self._book_norms2[np.arange(m)[None, :], codes].sum(axis=1)
             got = (ids, codes, np.sqrt(n2))
@@ -648,7 +710,8 @@ class LocalVectorIndex:
         return got
 
     def search_pq(
-        self, vec, k: int = 10, *, nprobe: int = 8, pad_factor: int = 8
+        self, vec, k: int = 10, *, nprobe: int = 8, pad_factor: int = 8,
+        where: "tuple | None" = None,
     ) -> list[tuple]:
         """Top-``k`` (vec_id, cosine) via the ADC (asymmetric distance)
         path: probed cells are scored from their STORED PQ codes with
@@ -658,7 +721,14 @@ class LocalVectorIndex:
         only (a bounded, stats-prunable fetch), and the returned
         scores are exact cosines — the serving twin of
         ``cosine_topk_ivf_pq``, including its zero-reconstruction
-        candidate preservation. Requires a ``pq_m`` layout."""
+        candidate preservation. Requires a ``pq_m`` layout.
+
+        ``where=(payload_col, allowed_values)``: the filtered form
+        (payload_cols layouts; the PQ twin of ``search(where=)``) —
+        the mask applies BEFORE the ADC scoring, candidates and the
+        exact rerank see only passing rows, and a probe starved below
+        ``k`` results widens nprobe ×2 up to full probe (cached code
+        cells make the retry incremental in IO)."""
         import numpy as np
 
         from prefixtree_spark.operators.ann import _assign_cells_np
@@ -672,10 +742,25 @@ class LocalVectorIndex:
         qn = np.linalg.norm(q)
         m, _, dsub = self.codebooks.shape
         lut = np.einsum("jcd,jd->jc", self.codebooks, q.reshape(m, dsub))
+        n_cells = len(self.centroids)
         cells = _assign_cells_np(q[None, :], self.centroids, nprobe)[0]
+        allowed = None
+        if where is not None:
+            pay_col, allowed_vals = where
+            allowed = np.asarray(list(allowed_vals))
         ids_parts, approx_parts, zero_parts = [], [], []
         for c in cells:
             ids, codes, cn = self._cell_codes(int(c))
+            if allowed is not None and len(ids):
+                # payloads were cached by the _cell_codes read above
+                pay = self._code_payloads.get((int(c), where[0]))
+                if pay is None:
+                    raise KeyError(
+                        f"no stored payload column {where[0]!r} in this "
+                        f"layout (have {self._payload_names!r})"
+                    )
+                mask = np.isin(pay, allowed)
+                ids, codes, cn = ids[mask], codes[mask], cn[mask]
             if not len(ids):
                 continue
             dots = lut[np.arange(m)[None, :], codes].sum(axis=1)
@@ -692,6 +777,11 @@ class LocalVectorIndex:
             ids_parts.append(ids)
             approx_parts.append(approx)
         if not ids_parts:
+            if where is not None and nprobe < n_cells:
+                return self.search_pq(
+                    vec, k, nprobe=min(2 * nprobe, n_cells),
+                    pad_factor=pad_factor, where=where,
+                )
             return []
         ids = np.concatenate(ids_parts)
         approx = np.concatenate(approx_parts)
@@ -723,6 +813,12 @@ class LocalVectorIndex:
             out.append((v, float(cos[i])))
             if len(out) == k:
                 break
+        if where is not None and len(out) < k and nprobe < n_cells:
+            # starved filtered probe: widen (the search(where=) ladder)
+            return self.search_pq(
+                vec, k, nprobe=min(2 * nprobe, n_cells),
+                pad_factor=pad_factor, where=where,
+            )
         return out
 
     def _fetch_vectors(self, cells, cand: set):

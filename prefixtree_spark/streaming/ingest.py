@@ -667,6 +667,7 @@ def maintain_ingest(
     ann_retrain_frac: float = 0.3,
     ann_max_files_per_cell: float = 4.0,
     ann_reconcile_ids: str | None = None,
+    ann_reconcile_with: "tuple[str, str] | None" = None,
     bm25_index_path: str | None = None,
     bm25_max_files_per_bucket: float = 4.0,
     bm25_rebuild: "bool | tuple[str, str]" = False,
@@ -724,11 +725,23 @@ def maintain_ingest(
             reconcile = read_published(spark, root).select(
                 F.col(ann_reconcile_ids).alias("vec_id")
             )
+        rec_with = None
+        if ann_reconcile_with is not None:
+            # the UPDATE-aware form — (id_col, vec_col) of the corpus:
+            # documents whose embeddings were rewritten in place
+            # (update_published) get their index vectors replaced, not
+            # just deletions dropped (ann.maintain_ivf_index
+            # reconcile_with semantics)
+            rid, rvec = ann_reconcile_with
+            rec_with = read_published(spark, root).select(
+                F.col(rid).alias("vec_id"), F.col(rvec).alias("cv")
+            ).where(F.col("cv").isNotNull())
         rep = maintain_ivf_index(
             spark, ann_index_path,
             retrain_frac=ann_retrain_frac,
             max_files_per_cell=ann_max_files_per_cell,
             reconcile_ids=reconcile,
+            reconcile_with=rec_with,
         )
         out[f"{ann_index_path}_retrained"] = int(rep["retrained"])
         out[f"{ann_index_path}_compacted"] = int(rep["compacted"])

@@ -357,3 +357,55 @@ def test_misconfigured_ann_sync_rejected_before_any_write(spark, tmp_path):
         )
     # nothing was published — the failed call left no corpus state
     assert not os.path.exists(root)
+
+
+def test_maintain_ingest_update_aware_reconcile(spark, tmp_path):
+    """maintain_ingest(ann_reconcile_with=(id, vec)) propagates
+    UPDATED embeddings: an update_published that rewrites a document's
+    vector gets the index row replaced at maintenance cadence — the
+    full converge story from the pipeline entry point."""
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.operators import ann
+    from prefixtree_spark.sources.io import read_published, update_published
+    from prefixtree_spark.streaming.ingest import ingest_batch, maintain_ingest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    both = docs.select("doc_id", "text").join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    base = str(tmp_path / "ing")
+    root, ipath = f"{base}/corpus", f"{base}/ivf"
+    ingest_batch(
+        both, root, "doc_id", "text", threshold=0.8, n=3,
+        vec_col="embedding", ann_index_path=ipath,
+        ann_opts={"n_cells": 8},
+    )
+    # rewrite one surviving doc's embedding in place (COW update)
+    survivors = {r.doc_id for r in read_published(spark, root).select("doc_id").collect()}
+    target = min(survivors)
+    donor = max(survivors)
+    donor_vec = [
+        r.embedding for r in read_published(spark, root)
+        .where(F.col("doc_id") == donor).select("embedding").collect()
+    ][0]
+    update_published(
+        spark, root, f"doc_id = {target}",
+        {"embedding": F.lit(donor_vec).cast("array<float>")},
+    )
+    rep = maintain_ingest(
+        spark, root, ann_index_path=ipath,
+        ann_reconcile_with=("doc_id", "embedding"),
+    )
+    assert rep[f"{ipath}_reconciled"] >= 1
+    # the index now serves the corpus's value for the target id
+    idx = ann.load_ivf_index(spark, ipath)
+    stored = {
+        r.vec_id: r.cv
+        for r in spark.read.parquet(f"{ipath}/vectors")
+        .where(F.col("vec_id") == target).collect()
+    }
+    assert [round(float(x), 5) for x in stored[target]] == [
+        round(float(x), 5) for x in donor_vec
+    ]

@@ -882,3 +882,58 @@ def test_watch_bm25_index_hot_reload(spark, tmp_path):
             assert got == want_new
         finally:
             stop.set()
+
+
+def test_search_pq_filtered_and_http_filter_params(spark, tmp_path):
+    """Filtered vector search completes the serving story: search_pq
+    masks by stored payload BEFORE ADC scoring (payloads ride the SAME
+    read as the codes) and widens a starved probe; /ann exposes the
+    filter for both modes and 400s on unknown columns or a half-passed
+    pair."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.operators import ann
+    from prefixtree_spark.serving import load_local_ivf_index
+
+    df, rows, vq = _ivf_corpus(spark)
+    lab = df.withColumn("label", (F.col("vec_id") % 2).cast("int"))
+    path = str(tmp_path / "ivf_pqf")
+    ann.save_ivf_index(lab, "vec_id", "embedding", path, n_cells=4,
+                       sample_size=300, pq_m=4, payload_cols=["label"])
+    h = load_local_ivf_index(path)
+    want_even = list(
+        _exact_top_ids(rows, {i for i, _ in rows if i % 2 == 0}, vq, k=5)
+    )
+    # full probe: exact filtered top-k through the ADC path
+    got = [int(v) for v, _ in h.search_pq(vq, 5, nprobe=4,
+                                          where=("label", [0]))]
+    assert got == want_even
+    # starved narrow probe widens: same answer from nprobe=1
+    got1 = [int(v) for v, _ in h.search_pq(vq, 5, nprobe=1, pad_factor=50,
+                                           where=("label", [0]))]
+    assert set(got1) <= {i for i, _ in rows if i % 2 == 0}
+    assert len(got1) == 5  # never a silently short list
+    with pytest.raises(KeyError, match="nope"):
+        h.search_pq(vq, 5, nprobe=4, where=("nope", [0]))
+
+    pt = create(_words_df(spark, SPARSE_WORDS), "word")
+    with PrefixTreeServer(build_local_index(pt), ann_index=h) as srv:
+        vcsv = ",".join(str(x) for x in vq)
+        for mode in ("flat", "pq"):
+            hits = _get(srv.url(
+                f"/ann?v={vcsv}&k=5&nprobe=4&mode={mode}"
+                "&filter_col=label&filter_vals=0"
+            ))
+            assert [int(v) for v, _ in hits] == want_even, mode
+        for bad in (
+            f"/ann?v={vcsv}&k=5&filter_col=label",           # half a pair
+            f"/ann?v={vcsv}&k=5&filter_col=nope&filter_vals=0",  # no column
+        ):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _get(srv.url(bad))
+            assert e.value.code == 400, bad
