@@ -1309,6 +1309,68 @@ def hybrid_dense_sparse_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking.rrf_fuse([bm, dense], "query_id", "doc_id", k=5)
 
 
+@workload("hybrid_stored_rrf", _ORACLES["hybrid_dense_sparse_rrf"])
+def hybrid_stored_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``hybrid_dense_sparse_rrf`` re-run through the STORED stack —
+    the serving composition, cluster-side and oracle-exact: the sparse
+    ranking probes a persisted ``save_bm25_index`` layout
+    (``bm25_rank_indexed``, bucket-pruned bytes at rest) and the dense
+    ranking probes a persisted IVF-FLAT layout at the exactness config
+    (``cosine_topk_ivf_index``, nprobe = n_cells ⇒ identical to brute
+    force), fused by the same decimal-exact RRF. Same oracle statement
+    as the in-session twin — the stored layouts must change WHERE the
+    data lives, never a single fused rank. Indexes cached per fixture
+    like ``ann_topk_ivf_pq``."""
+    import os
+    import shutil
+    import uuid
+
+    from prefixtree_spark.operators import ranking
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = docs.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit(r"\S+"), 0).alias("ts"),
+    ).where("doc_id % 41 = 0 AND size(ts) >= 3")
+    q = qids.select(
+        F.col("doc_id").alias("qid"), F.slice("ts", 1, 3).alias("terms")
+    )
+    bm_path = _workload_cache_dir(sf_dir, "documents", "bm25_b32_ratio")
+    if not os.path.isdir(os.path.join(bm_path, "meta")):
+        staging = f"{bm_path}.tmp-{uuid.uuid4().hex[:8]}"
+        try:
+            ranking.save_bm25_index(
+                docs, "doc_id", "text", staging, n_buckets=32, idf="ratio"
+            )
+            try:
+                os.rename(staging, bm_path)
+            except OSError:
+                pass
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+    ivf_path = _workload_cache_dir(sf_dir, "embeddings", "ivfflat_c32")
+    if not os.path.isdir(os.path.join(ivf_path, "meta")):
+        staging = f"{ivf_path}.tmp-{uuid.uuid4().hex[:8]}"
+        try:
+            ann.save_ivf_index(emb, "vec_id", "embedding", staging, n_cells=32)
+            try:
+                os.rename(staging, ivf_path)
+            except OSError:
+                pass
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+    bm = ranking.bm25_rank_indexed(spark, bm_path, q, "qid", "terms")
+    q_emb = emb.join(
+        qids.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    idx = ann.load_ivf_index(spark, ivf_path)
+    dense = ann.cosine_topk_ivf_index(
+        q_emb, "vec_id", "embedding", idx, k=10, nprobe=len(idx.centroids)
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    return ranking.rrf_fuse([bm, dense], "query_id", "doc_id", k=5)
+
+
 @workload(
     "docs_lm_nll",
     r"""
