@@ -486,6 +486,7 @@ def maintain_bm25_index(
     rebuild_from: "DataFrame | None" = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_buckets: "int | None" = None,
 ) -> dict:
     """Maintenance for a persisted BM25 layout — the sparse twin of
     ``ann.maintain_ivf_index``'s compaction half (there is no trained
@@ -507,8 +508,13 @@ def maintain_bm25_index(
     tokenize pass (no quantizer training), so corpus-driven rebuilds
     ARE the reconcile path; ``sync_bm25_from_published`` keeps handling
     the cheap add half between rebuilds. Layout params carry over from
-    the live meta. Returns ``rebuilt: True`` and skips the compaction
-    check (the rebuild is already one-file-per-bucket).
+    the live meta, EXCEPT ``n_buckets=`` which may override: the
+    bucket count freezes at save, so a corpus that grows 100× would
+    otherwise serve from 100×-fat buckets — re-bucketing rides the
+    rebuild (the IVF side's retrain analog; size buckets so a bucket's
+    postings stay read-able in one replica fetch, e.g. corpus tokens /
+    target-bucket-bytes). Returns ``rebuilt: True`` and skips the
+    compaction check (the rebuild is already one-file-per-bucket).
 
     Returns ``{"compacted", "files_per_bucket", "recovered",
     "rebuilt"}``."""
@@ -519,7 +525,11 @@ def maintain_bm25_index(
 
     fs, jvm = _fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
-    _SWAP_ORDER = ("postings", "dfreq", "stats")
+    # meta moves with the swap when staged (a re-bucketing rebuild
+    # changes n_buckets — stale meta against new-bucketed tables would
+    # hash probes to the wrong buckets); stats stays LAST as the
+    # completeness marker. Compaction doesn't stage meta (no-op).
+    _SWAP_ORDER = ("postings", "dfreq", "meta", "stats")
     staged_root = f"{path}/_compact"
 
     def _swap_in() -> None:
@@ -550,7 +560,7 @@ def maintain_bm25_index(
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
         save_bm25_index(
             rebuild_from, id_col, text_col, staged_root,
-            n_buckets=int(meta.n_buckets), k1=float(meta.k1),
+            n_buckets=int(n_buckets or meta.n_buckets), k1=float(meta.k1),
             b=float(meta.b), idf=str(meta.idf),
         )
         _swap_in()

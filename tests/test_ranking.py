@@ -477,3 +477,51 @@ def test_maintain_bm25_rebuild_from_converges(spark, sf_docs, tmp_path):
     qs = spark.createDataFrame([(1, ["zzsentinel"])], "qid long, terms array<string>")
     hits = {r.doc_id for r in ranking.bm25_rank_indexed(spark, path, qs, "qid", "terms").collect()}
     assert hits and all(d % 11 == 0 for d in hits)
+
+
+def test_maintain_bm25_rebuild_rebuckets(spark, sf_docs, tmp_path):
+    """n_buckets freezes at save (a 100x-grown corpus would serve from
+    100x-fat buckets): the corpus-driven rebuild can override it, the
+    staged swap moves meta WITH the data tables (stale meta against
+    re-bucketed tables would hash probes into the wrong directories),
+    and every rank is unchanged."""
+    import os
+
+    from prefixtree_spark.operators import ranking
+
+    path = str(tmp_path / "bm25_rbk")
+    ranking.save_bm25_index(sf_docs, "doc_id", "text", path, n_buckets=4,
+                            idf="ratio")
+    q = _doc_queries(spark)
+    want = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(spark, path, q, "qid", "terms").collect()
+    }
+    rep = ranking.maintain_bm25_index(
+        spark, path, rebuild_from=sf_docs, n_buckets=16
+    )
+    assert rep["rebuilt"]
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert meta.n_buckets == 16
+    dirs = {
+        d for d in os.listdir(f"{path}/postings") if d.startswith("bucket=")
+    }
+    assert len(dirs) > 4  # physically re-bucketed
+    got = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(spark, path, q, "qid", "terms").collect()
+    }
+    assert got == want and got
+    # the Spark-free handle follows the new bucket count too
+    from prefixtree_spark.serving import load_local_bm25_index
+
+    h = load_local_bm25_index(path)
+    assert h.n_buckets == 16
+    case = [(r.qid, r.terms) for r in q.limit(1).collect()][0]
+    got_srv = [int(i) for i, _ in h.search(case[1], 10)]
+    want_srv = [i for _, i in sorted(
+        (r.rank, r.doc_id) for r in ranking.bm25_rank_indexed(
+            spark, path, q.where(f"qid = {case[0]}"), "qid", "terms"
+        ).collect()
+    )]
+    assert got_srv == want_srv
