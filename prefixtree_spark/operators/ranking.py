@@ -297,6 +297,7 @@ def save_bm25_index(
         n_docs = docs.count()  # empty docs count toward n_docs (oracle rule)
         (
             postings.repartition(n_buckets, "bucket")
+            .sortWithinPartitions("bucket", "term")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(f"{path}/postings")
@@ -306,6 +307,7 @@ def save_bm25_index(
             .agg(F.count(F.lit(1)).cast("long").alias("df"))
             .withColumn("txn", F.lit(None).cast("string"))
             .repartition(n_buckets, "bucket")
+            .sortWithinPartitions("bucket", "term")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(f"{path}/dfreq")
@@ -449,6 +451,7 @@ def append_bm25_index(
                 .agg(F.count(F.lit(1)).cast("long").alias("df"))
                 .withColumn("txn", F.lit(txn).cast("string"))
                 .repartition(n_buckets, "bucket")
+                .sortWithinPartitions("bucket", "term")
                 .write.mode("append")
                 .partitionBy("bucket")
                 .parquet(f"{path}/dfreq")
@@ -466,6 +469,7 @@ def append_bm25_index(
             ).coalesce(1).write.mode("append").parquet(f"{path}/stats")
         (
             postings.repartition(n_buckets, "bucket")
+            .sortWithinPartitions("bucket", "term")
             .write.mode("append")
             .partitionBy("bucket")
             .parquet(f"{path}/postings")
@@ -589,6 +593,7 @@ def maintain_bm25_index(
         (
             spark.read.parquet(f"{path}/postings")
             .repartition(n_buckets, "bucket")
+            .sortWithinPartitions("bucket", "term")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(f"{staged_root}/postings")
@@ -599,6 +604,7 @@ def maintain_bm25_index(
             .agg(F.sum("df").cast("long").alias("df"))
             .withColumn("txn", F.lit(None).cast("string"))
             .repartition(n_buckets, "bucket")
+            .sortWithinPartitions("bucket", "term")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(f"{staged_root}/dfreq")

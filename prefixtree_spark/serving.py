@@ -1140,10 +1140,14 @@ class LocalSparseIndex:
     """Serving-side BM25 handle over a ``ranking.save_bm25_index``
     layout, no SparkSession in the process — the sparse twin of
     ``LocalVectorIndex``. Meta (scoring params) and corpus stats load
-    once; postings and df load LAZILY per term-hash bucket through
-    pyarrow and stay cached, so memory is bounded by the buckets the
-    served query terms actually hash into — a replica serving a hot
-    vocabulary region holds only that region's postings.
+    once; postings and df load LAZILY per (bucket, TERM) through a
+    pyarrow dataset filter — the layout writes each bucket file sorted
+    by term, so parquet row-group statistics prune the fetch to the
+    queried term's row groups — and stay cached per term, so memory
+    and bytes are bounded by the terms actually served, never a whole
+    bucket (a bucket is corpus_tokens/n_buckets — corpus-proportional
+    at scale). ``preload=True`` switches to whole-bucket dict loads
+    (the swap-safe, never-touch-disk-again mode).
 
     Scoring replicates ``ranking._bm25_contrib`` term-for-term in
     float64 (idf mode, k1, b from the layout's frozen meta); the
@@ -1179,10 +1183,13 @@ class LocalSparseIndex:
         self.avgdl = self.total_len / self.n_docs if self.n_docs else 0.0
         self._post_dir = os.path.join(path, "postings")
         self._df_dir = os.path.join(path, "dfreq")
-        # bucket -> {term: (doc_ids, tf, dl) numpy triples}
+        # bucket -> {term: (doc_ids, tf, dl) numpy triples} (preload)
         self._buckets: dict[int, dict] = {}
-        # bucket -> {term: df}
+        # bucket -> {term: df} (preload)
         self._dfs: dict[int, dict] = {}
+        # (bucket, term) -> triple / df — the lazy per-term caches
+        self._term_posts: dict[tuple, tuple] = {}
+        self._term_dfs: dict[tuple, int] = {}
         self._preloaded = False
         if preload:
             for b in range(self.n_buckets):
@@ -1235,12 +1242,71 @@ class LocalSparseIndex:
         self._dfs[b] = out
         return out
 
+    def _term_postings(self, b: int, t: str):
+        """(doc_ids, tf, dl) for ONE term — preloaded handles answer
+        from the bucket dict; lazy handles read the bucket dir through
+        a pyarrow dataset with a term-equality filter, which the
+        term-sorted file layout turns into a row-group-pruned fetch
+        (bytes ∝ the term's postings, not the bucket)."""
+        import os
+
+        import numpy as np
+
+        if self._preloaded or b in self._buckets:
+            return self._bucket_postings(b).get(t)
+        key = (b, t)
+        if key in self._term_posts:
+            return self._term_posts[key]
+        d = os.path.join(self._post_dir, f"bucket={b}")
+        got = None
+        if os.path.isdir(d):
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pads
+
+            tbl = pads.dataset(d, format="parquet").to_table(
+                columns=["doc_id", "tf", "dl"],
+                filter=pc.field("term") == t,
+            )
+            if tbl.num_rows:
+                got = (
+                    tbl.column("doc_id").to_numpy(zero_copy_only=False),
+                    tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64),
+                    tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.float64),
+                )
+        self._term_posts[key] = got
+        return got
+
+    def _term_df(self, b: int, t: str):
+        """Merge-on-read df for ONE term (sum of increment rows) — the
+        per-term lazy twin of ``_bucket_df``."""
+        import os
+
+        if self._preloaded or b in self._dfs:
+            return self._bucket_df(b).get(t)
+        key = (b, t)
+        if key in self._term_dfs:
+            return self._term_dfs[key]
+        d = os.path.join(self._df_dir, f"bucket={b}")
+        got = None
+        if os.path.isdir(d):
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pads
+
+            tbl = pads.dataset(d, format="parquet").to_table(
+                columns=["df"], filter=pc.field("term") == t
+            )
+            if tbl.num_rows:
+                got = int(sum(tbl.column("df").to_pylist()))
+        self._term_dfs[key] = got
+        return got
+
     def search(self, terms, k: int = 10) -> list[tuple]:
         """Top-``k`` (doc_id, score) for one query (an iterable of
         terms, deduplicated — BM25's sum is over distinct query terms,
         as in ``bm25_rank``). Ties break doc_id ascending. Terms absent
         from the corpus contribute nothing. Bytes read are bounded by
-        the query terms' buckets — never the corpus."""
+        the query TERMS' row groups — never a bucket, never the
+        corpus."""
         import math as _math
 
         from prefixtree_spark.operators.ranking import term_bucket
@@ -1248,8 +1314,8 @@ class LocalSparseIndex:
         scores: dict = {}
         for t in dict.fromkeys(terms):
             b = term_bucket(t, self.n_buckets)
-            df = self._bucket_df(b).get(t)
-            post = self._bucket_postings(b).get(t)
+            df = self._term_df(b, t)
+            post = self._term_postings(b, t)
             if not df or post is None:
                 continue
             if self.idf == "log":

@@ -525,3 +525,47 @@ def test_maintain_bm25_rebuild_rebuckets(spark, sf_docs, tmp_path):
         ).collect()
     )]
     assert got_srv == want_srv
+
+
+def test_bm25_bucket_files_term_sorted_and_lazy_per_term(spark, sf_docs, tmp_path):
+    """The 100 TB serving contract: bucket files are written sorted by
+    term (row-group statistics prune a term-equality fetch — pinned by
+    within-file order, the deterministic footer-level fact at this
+    scale), and a lazy LocalSparseIndex probe caches per (bucket,
+    term), never a whole-bucket dict."""
+    import os
+
+    import pyarrow.parquet as pq_arrow
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.operators import ranking
+    from prefixtree_spark.serving import load_local_bm25_index
+
+    path = str(tmp_path / "bm25_sorted")
+    ranking.save_bm25_index(sf_docs, "doc_id", "text", path, n_buckets=4,
+                            idf="ratio")
+    # append keeps the per-file sort too
+    ranking.append_bm25_index(
+        spark, path,
+        sf_docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text"),
+        "doc_id", "text",
+    )
+    n_files = 0
+    for sub in ("postings", "dfreq"):
+        for bd in os.listdir(f"{path}/{sub}"):
+            if not bd.startswith("bucket="):
+                continue
+            for f in os.listdir(f"{path}/{sub}/{bd}"):
+                if not f.endswith(".parquet"):
+                    continue
+                n_files += 1
+                terms = pq_arrow.read_table(
+                    f"{path}/{sub}/{bd}/{f}", columns=["term"]
+                ).column("term").to_pylist()
+                assert terms == sorted(terms), (sub, bd, f)
+    assert n_files >= 8
+    h = load_local_bm25_index(path)
+    got = h.search(["the", "data"], 5)
+    assert got
+    assert not h._buckets and not h._dfs  # no whole-bucket dict loaded
+    assert any(k[1] in ("the", "data") for k in h._term_posts)
