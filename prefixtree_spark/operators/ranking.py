@@ -386,6 +386,16 @@ def append_bm25_index(
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     n_buckets = int(meta.n_buckets)
     docs = new_docs.where(F.col(id_col).isNotNull())
+    ts = _load_bm25_tombstones(spark, path)
+    if ts and docs.where(F.col(id_col).isin(list(ts))).limit(1).count():
+        # the tombstoned doc's OLD postings are still physical: the
+        # presence filter would skip the new rows and clearing the
+        # tombstone would resurrect the stale document — reject until
+        # maintenance compacts (same contract as append_ivf_index)
+        raise ValueError(
+            "append_bm25_index: delta contains tombstoned doc_ids; "
+            "run maintain_bm25_index to compact deletions first"
+        )
     postings = _tokenize_postings(docs, id_col, text_col).withColumn(
         "bucket", _term_bucket_col(F.col("term"), n_buckets)
     )
@@ -520,8 +530,14 @@ def maintain_bm25_index(
     target-bucket-bytes). Returns ``rebuilt: True`` and skips the
     compaction check (the rebuild is already one-file-per-bucket).
 
+    **Merge-on-read tombstones** (``delete_bm25_ids``) force a
+    compaction regardless of file counts: the rewrite physically drops
+    the deleted postings, recomputes df/stats EXACTLY from the
+    survivors (ending the documented soft-delete stale-idf interim),
+    and clears the sidecar.
+
     Returns ``{"compacted", "files_per_bucket", "recovered",
-    "rebuilt"}``."""
+    "rebuilt", "tombstones_compacted"}``."""
     import pandas as _pd
 
     from prefixtree_spark.operators.ann import _bump_ivf_generation
@@ -556,11 +572,21 @@ def maintain_bm25_index(
         else:
             fs.delete(P(staged_root), True)  # mid-write garbage
 
+    def _clear_tombstones() -> None:
+        fs.delete(P(f"{path}/_tombstones"), True)
+
+    ts = _load_bm25_tombstones(spark, path)
+    n_ts0 = len(ts)
+
     if rebuild_from is not None:
         # corpus-driven rebuild (docstring): one tokenize pass into the
         # staged root with the LIVE layout's params, then the same
         # recoverable swap. save_bm25_index writes stats before meta,
         # so the staged/stats completeness marker holds here too.
+        # Pending tombstones clear with the swap — the corpus is the
+        # source of truth here, so an id the corpus still carries
+        # comes BACK (a corpus-level delete is the caller's job before
+        # a rebuild; delete_bm25_ids is the index-level fast path).
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
         save_bm25_index(
             rebuild_from, id_col, text_col, staged_root,
@@ -568,12 +594,14 @@ def maintain_bm25_index(
             b=float(meta.b), idf=str(meta.idf),
         )
         _swap_in()
+        _clear_tombstones()
         _bump_ivf_generation(spark, path)
         return {
             "compacted": False,
             "files_per_bucket": 1.0,
             "recovered": recovered,
             "rebuilt": True,
+            "tombstones_compacted": n_ts0,
         }
 
     n_files, n_dirs = 0, 0
@@ -586,52 +614,101 @@ def maintain_bm25_index(
                 n_files += 1
     files_per_bucket = n_files / max(1, n_dirs)
     compacted = False
-    if files_per_bucket > max_files_per_bucket:
+    # tombstones force a compaction regardless of file counts: the
+    # rewrite is what physically drops the deleted postings and
+    # re-exacts df/stats (ending the soft-delete stale-idf interim)
+    if files_per_bucket > max_files_per_bucket or ts:
         compacted = True
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
         n_buckets = int(meta.n_buckets)
-        (
-            spark.read.parquet(f"{path}/postings")
-            .repartition(n_buckets, "bucket")
-            .sortWithinPartitions("bucket", "term")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(f"{staged_root}/postings")
-        )
-        (
-            spark.read.parquet(f"{path}/dfreq")
-            .groupBy("bucket", "term")
-            .agg(F.sum("df").cast("long").alias("df"))
-            .withColumn("txn", F.lit(None).cast("string"))
-            .repartition(n_buckets, "bucket")
-            .sortWithinPartitions("bucket", "term")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(f"{staged_root}/dfreq")
-        )
-        srow = (
-            spark.read.parquet(f"{path}/stats")
-            .agg(
-                F.sum("n_docs").cast("long").alias("n_docs"),
-                F.sum("total_len").cast("long").alias("total_len"),
+        posts = spark.read.parquet(f"{path}/postings")
+        if ts:
+            # n_docs correction BEFORE filtering: tombstoned docs that
+            # actually exist in the index (have postings). Tombstoned
+            # EMPTY docs (no postings rows) stay in n_docs until a
+            # corpus rebuild — they can never match a query, so the
+            # drift is idf-only and bounded.
+            n_deleted = (
+                posts.select("doc_id")
+                .where(F.col("doc_id").isin(list(ts)))
+                .distinct()
+                .count()
             )
-            .collect()[0]
-        )
-        spark.createDataFrame(
-            _pd.DataFrame(
-                {"n_docs": [int(srow.n_docs)],
-                 "total_len": [int(srow.total_len)],
-                 "txn": _pd.array([None], dtype="object")}
-            ),
-            schema="n_docs long, total_len long, txn string",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{staged_root}/stats")
+            posts = posts.where(~F.col("doc_id").isin(list(ts)))
+        else:
+            n_deleted = 0
+        posts = posts.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            (
+                posts.repartition(n_buckets, "bucket")
+                .sortWithinPartitions("bucket", "term")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{staged_root}/postings")
+            )
+            if ts:
+                # df can't roll up from the dfreq table any more (it
+                # counts deleted docs): recompute EXACTLY from the
+                # surviving postings — one row per (doc, term), so df
+                # is a plain per-term row count
+                (
+                    posts.groupBy("bucket", "term")
+                    .agg(F.count(F.lit(1)).cast("long").alias("df"))
+                    .withColumn("txn", F.lit(None).cast("string"))
+                    .repartition(n_buckets, "bucket")
+                    .sortWithinPartitions("bucket", "term")
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(f"{staged_root}/dfreq")
+                )
+                total_len = posts.agg(
+                    F.coalesce(F.sum("tf"), F.lit(0)).cast("long")
+                ).collect()[0][0]
+                n_docs = (
+                    spark.read.parquet(f"{path}/stats")
+                    .agg(F.sum("n_docs").cast("long"))
+                    .collect()[0][0]
+                ) - n_deleted
+            else:
+                (
+                    spark.read.parquet(f"{path}/dfreq")
+                    .groupBy("bucket", "term")
+                    .agg(F.sum("df").cast("long").alias("df"))
+                    .withColumn("txn", F.lit(None).cast("string"))
+                    .repartition(n_buckets, "bucket")
+                    .sortWithinPartitions("bucket", "term")
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(f"{staged_root}/dfreq")
+                )
+                srow = (
+                    spark.read.parquet(f"{path}/stats")
+                    .agg(
+                        F.sum("n_docs").cast("long").alias("n_docs"),
+                        F.sum("total_len").cast("long").alias("total_len"),
+                    )
+                    .collect()[0]
+                )
+                n_docs, total_len = int(srow.n_docs), int(srow.total_len)
+            spark.createDataFrame(
+                _pd.DataFrame(
+                    {"n_docs": [int(n_docs)],
+                     "total_len": [int(total_len)],
+                     "txn": _pd.array([None], dtype="object")}
+                ),
+                schema="n_docs long, total_len long, txn string",
+            ).coalesce(1).write.mode("overwrite").parquet(f"{staged_root}/stats")
+        finally:
+            posts.unpersist()
         _swap_in()
+        _clear_tombstones()
         _bump_ivf_generation(spark, path)
     return {
         "compacted": compacted,
         "files_per_bucket": round(files_per_bucket, 2),
         "recovered": recovered,
         "rebuilt": False,
+        "tombstones_compacted": n_ts0 if compacted else 0,
     }
 
 
@@ -694,6 +771,13 @@ def bm25_rank_indexed(
     posts = spark.read.parquet(f"{path}/postings").where(
         F.col("bucket").isin(buckets) & F.col("term").isin(terms)
     )
+    ts = _load_bm25_tombstones(spark, path)
+    if ts:
+        # merge-on-read deletes (delete_bm25_ids), soft-delete
+        # semantics: tombstoned docs drop out of RESULTS here, while
+        # df/stats above keep counting them until compaction — the
+        # Lucene contract, documented on delete_bm25_ids
+        posts = posts.where(~F.col("doc_id").isin(list(ts)))
     qenriched = qterms.join(dfreq, "term").crossJoin(F.broadcast(stats))
     scored = (
         F.broadcast(qenriched)
@@ -794,9 +878,70 @@ def sync_bm25_from_published(
             cand = cand.unionByName(p, allowMissingColumns=True)
     else:
         cand = read_published(spark, root)
+    ts = _load_bm25_tombstones(spark, index_path)
+    if ts:
+        # explicit index-level deletes win over corpus presence until
+        # maintenance compacts: append rejects tombstoned ids outright
+        # (resurrection hazard), so the sync must not hand them back
+        cand = cand.where(~F.col(id_col).isin(list(ts)))
     tag = hashlib.sha256(root.encode()).hexdigest()[:12]
     appended = append_bm25_index(
         spark, index_path, cand, id_col, text_col, txn=f"sync.{tag}.v{live}"
     )
     _write_sync_watermark(spark, index_path, live)
     return appended
+
+
+def _load_bm25_tombstones(spark, path: str) -> frozenset:
+    """doc_ids deleted merge-on-read (``delete_bm25_ids``) and not yet
+    compacted. Missing/empty sidecar answers the empty set."""
+    try:
+        return frozenset(
+            r[0]
+            for r in spark.read.parquet(f"{path}/_tombstones")
+            .select("doc_id").distinct().collect()
+        )
+    except Exception:
+        return frozenset()
+
+
+def delete_bm25_ids(spark, path: str, ids) -> int:
+    """Merge-on-read deletion for a persisted BM25 index — the sparse
+    twin of ``ann.delete_ivf_ids``, with Lucene's soft-delete
+    semantics: tombstoned documents stop appearing in results
+    IMMEDIATELY (every probe — cluster and ``LocalSparseIndex`` —
+    filters them), while df/corpus statistics keep counting them until
+    the next ``maintain_bm25_index`` compaction/rebuild recomputes
+    exactly — surviving ranks are computed with slightly stale idf in
+    the interim, exactly as a Lucene index between soft-delete and
+    segment merge. Cost: one tiny sidecar append now, a doc_id filter
+    per probe (bounded by tombstone count), physical reclaim at
+    maintenance cadence.
+
+    ``ids``: a one-column DataFrame or an iterable; NULLs dropped.
+    Returns the number of NEW tombstones. Re-appending a tombstoned
+    doc_id is rejected by ``append_bm25_index`` until compaction — the
+    old postings are still physical, so clearing the tombstone would
+    resurrect the stale document."""
+    import pandas as _pd
+
+    from prefixtree_spark.operators.ann import _bump_ivf_generation
+
+    if isinstance(ids, DataFrame):
+        id_list = [r[0] for r in ids.distinct().collect()]
+    else:
+        id_list = list(dict.fromkeys(ids))
+    id_list = [i for i in id_list if i is not None]
+    have = _load_bm25_tombstones(spark, path)
+    id_list = [i for i in id_list if i not in have]
+    if not id_list:
+        return 0
+    dt = (
+        spark.read.parquet(f"{path}/postings")
+        .schema["doc_id"].dataType.simpleString()
+    )
+    spark.createDataFrame(
+        _pd.DataFrame({"doc_id": id_list}), schema=f"doc_id {dt}"
+    ).coalesce(1).write.mode("append").parquet(f"{path}/_tombstones")
+    _bump_ivf_generation(spark, path)
+    return len(id_list)

@@ -1183,6 +1183,21 @@ class LocalSparseIndex:
         self.avgdl = self.total_len / self.n_docs if self.n_docs else 0.0
         self._post_dir = os.path.join(path, "postings")
         self._df_dir = os.path.join(path, "dfreq")
+        # merge-on-read deletes (ranking.delete_bm25_ids), soft-delete
+        # semantics: tombstoned docs masked from RESULTS at load time;
+        # df/stats keep counting them until compaction (stale-idf
+        # interim, the Lucene contract — see delete_bm25_ids)
+        ts_dir = os.path.join(path, "_tombstones")
+        self._tombstones: frozenset = frozenset()
+        if os.path.isdir(ts_dir):
+            try:
+                self._tombstones = frozenset(
+                    pq.read_table(ts_dir, columns=["doc_id"])
+                    .column("doc_id")
+                    .to_pylist()
+                )
+            except Exception:
+                self._tombstones = frozenset()
         # bucket -> {term: (doc_ids, tf, dl) numpy triples} (preload)
         self._buckets: dict[int, dict] = {}
         # bucket -> {term: df} (preload)
@@ -1214,6 +1229,9 @@ class LocalSparseIndex:
             ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
             tf = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
             dl = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+            if self._tombstones and len(ids):
+                live = ~np.isin(ids, list(self._tombstones))
+                terms, ids, tf, dl = terms[live], ids[live], tf[live], dl[live]
             order = np.argsort(terms, kind="stable")
             terms, ids, tf, dl = terms[order], ids[order], tf[order], dl[order]
             # one pass groups the sorted rows by term — no per-term scan
@@ -1263,9 +1281,11 @@ class LocalSparseIndex:
             import pyarrow.compute as pc
             import pyarrow.dataset as pads
 
+            flt = pc.field("term") == t
+            if self._tombstones:
+                flt = flt & ~pc.field("doc_id").isin(list(self._tombstones))
             tbl = pads.dataset(d, format="parquet").to_table(
-                columns=["doc_id", "tf", "dl"],
-                filter=pc.field("term") == t,
+                columns=["doc_id", "tf", "dl"], filter=flt
             )
             if tbl.num_rows:
                 got = (

@@ -1093,6 +1093,88 @@ def bm25_rank_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking.bm25_rank_indexed(spark, path, q, "qid", "terms")
 
 
+_BM25_DELETED_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
+    ),
+    posts AS (
+      SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM d
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+      FROM posts GROUP BY doc_id, dl, term
+    ),
+    stats AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(len(ts))::BIGINT AS total_len FROM d
+    ),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    qt AS (
+      SELECT DISTINCT doc_id AS query_id, unnest(ts[1:3]) AS term
+      FROM d WHERE doc_id % 41 = 0 AND len(ts) >= 3
+    ),
+    scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             sum(CAST(
+               (((s.n_docs - f.df + 0.5e0) / (f.df + 0.5e0)) * (tf.tf * 2.25e0))
+               / (tf.tf + 1.25e0 * (0.25e0 + 0.75e0
+                    * (tf.dl / ((s.total_len * 1.0e0) / s.n_docs))))
+             AS DECIMAL(28,9))) AS score
+      FROM qt JOIN dfreq f ON qt.term = f.term
+              JOIN tf ON qt.term = tf.term, stats s
+      WHERE tf.doc_id % 97 <> 0
+      GROUP BY qt.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, rank FROM (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= 10
+"""
+
+
+@workload("bm25_rank_deleted", _BM25_DELETED_ORACLE)
+def bm25_rank_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read BM25 deletion end-to-end, with its EXACT
+    soft-delete semantics in the oracle: every 97th document is
+    tombstoned via ``delete_bm25_ids`` (O(1) sidecar, NO rewrite) and
+    the indexed probe must return ranks where tombstoned docs are
+    EXCLUDED from results while df/corpus statistics still count them
+    (the Lucene soft-delete contract, until compaction re-exacts) —
+    the oracle computes df/stats over ALL documents and filters only
+    the scored candidates. Idempotent across runs (re-delete no-ops).
+    Index cached per fixture; compaction's exact-recompute half is
+    pinned in tests/test_ranking.py (it would change this oracle)."""
+    import os
+    import shutil
+    import uuid
+
+    from prefixtree_spark.operators import ranking
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        F.col("doc_id").alias("qid"),
+        F.slice(F.regexp_extract_all("text", F.lit(r"\S+"), 0), 1, 3).alias("terms"),
+    ).where("doc_id % 41 = 0 AND size(terms) >= 3")
+    path = _workload_cache_dir(sf_dir, "documents", "bm25_tomb_b32")
+    if not os.path.isdir(os.path.join(path, "meta")):
+        staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        try:
+            ranking.save_bm25_index(
+                docs, "doc_id", "text", staging, n_buckets=32, idf="ratio"
+            )
+            try:
+                os.rename(staging, path)
+            except OSError:
+                pass
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+    ranking.delete_bm25_ids(
+        spark, path, docs.where("doc_id % 97 = 0").select("doc_id")
+    )
+    return ranking.bm25_rank_indexed(spark, path, q, "qid", "terms")
+
+
 @workload(
     "hybrid_rrf_docs",
     r"""

@@ -569,3 +569,66 @@ def test_bm25_bucket_files_term_sorted_and_lazy_per_term(spark, sf_docs, tmp_pat
     assert got
     assert not h._buckets and not h._dfs  # no whole-bucket dict loaded
     assert any(k[1] in ("the", "data") for k in h._term_posts)
+
+
+def test_delete_bm25_ids_soft_delete_then_compact_exact(spark, sf_docs, tmp_path):
+    """The sparse merge-on-read deletion contract end-to-end: an O(1)
+    tombstone excludes the doc from cluster AND serving results
+    immediately (df stays stale — the Lucene soft-delete interim),
+    re-append is rejected, and the forced compaction physically drops
+    the postings, re-exacts df/stats (ranks == a fresh build over the
+    survivors), clears the sidecar, and re-opens the id for appends."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.operators import ranking
+    from prefixtree_spark.serving import load_local_bm25_index
+
+    path = str(tmp_path / "bm25_del")
+    ranking.save_bm25_index(sf_docs, "doc_id", "text", path, n_buckets=4,
+                            idf="ratio")
+    dead = [r.doc_id for r in sf_docs.where("doc_id % 97 = 0")
+            .select("doc_id").collect()]
+    assert ranking.delete_bm25_ids(spark, path, dead) == len(dead)
+    assert ranking.delete_bm25_ids(spark, path, dead[:2]) == 0  # no-op
+    q = _doc_queries(spark)
+    got = {
+        (r.query_id, r.doc_id)
+        for r in ranking.bm25_rank_indexed(spark, path, q, "qid", "terms").collect()
+    }
+    assert got and not {d for _, d in got} & set(dead)
+    # serving, lazy and preloaded: same exclusion
+    case = [(r.qid, list(r.terms)) for r in q.limit(3).collect()]
+    for preload in (False, True):
+        h = load_local_bm25_index(path, preload=preload)
+        for _, terms in case:
+            assert not {int(i) for i, _ in h.search(terms, 10)} & set(dead)
+    # re-append of a tombstoned id: rejected (old postings physical)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="tombstoned"):
+        ranking.append_bm25_index(
+            spark, path, sf_docs.where(f"doc_id = {dead[0]}"),
+            "doc_id", "text",
+        )
+    # compaction forced by tombstones: exact recompute == fresh build
+    rep = ranking.maintain_bm25_index(spark, path, max_files_per_bucket=99.0)
+    assert rep["compacted"] and rep["tombstones_compacted"] == len(dead)
+    assert not os.path.isdir(f"{path}/_tombstones")
+    survivors = sf_docs.where("doc_id % 97 <> 0")
+    want = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank(
+            survivors, "doc_id", "text", q, "qid", "terms", idf="ratio"
+        ).collect()
+    }
+    got2 = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(spark, path, q, "qid", "terms").collect()
+    }
+    assert got2 == want
+    # compacted: the id can come back through the normal add path
+    assert ranking.append_bm25_index(
+        spark, path, sf_docs.where(f"doc_id = {dead[0]}"), "doc_id", "text"
+    ) == 1
