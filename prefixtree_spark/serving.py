@@ -36,7 +36,8 @@ across clients, not just across calls.
         (when constructed with ``sparse_index=``, a
         ``LocalSparseIndex`` over a save_bm25_index layout — lexical
         retrieval from the same keep-alive replica; term count caps
-        at ``max_terms``)
+        at ``max_terms``; ``?text=<raw query>`` tokenizes server-side
+        with the same whitespace rule every BM25 path uses)
     GET /hybrid?terms=<csv>&v=<csv floats>&k=5&k_each=10&nprobe=8
         → [[doc_id, rrf_rank], ...]  — BM25 ⊕ dense cosine fused by
         exact-decimal RRF (the served form of the gated
@@ -302,7 +303,17 @@ class PrefixTreeServer:
                                 400, f"k must be in [1, {srv.max_ann_k}]"
                             )
                             return
-                        terms = [t for t in q["terms"].split(",") if t]
+                        if "text" in q and "terms" not in q:
+                            # server-side tokenization convenience:
+                            # str.split() == the \\S+ rule every BM25
+                            # path tokenizes with (ranking's
+                            # _nonspace_tokens), so /sparse?text= and
+                            # the indexed probes agree on terms
+                            terms = q["text"].split()
+                        else:
+                            terms = [
+                                t for t in q["terms"].split(",") if t
+                            ]
                         if not terms or len(terms) > srv.max_terms:
                             self.send_error(
                                 400,
@@ -341,7 +352,17 @@ class PrefixTreeServer:
                                 400, f"k_each must be in [1, {srv.max_ann_k}]"
                             )
                             return
-                        terms = [t for t in q["terms"].split(",") if t]
+                        if "text" in q and "terms" not in q:
+                            # server-side tokenization convenience:
+                            # str.split() == the \\S+ rule every BM25
+                            # path tokenizes with (ranking's
+                            # _nonspace_tokens), so /sparse?text= and
+                            # the indexed probes agree on terms
+                            terms = q["text"].split()
+                        else:
+                            terms = [
+                                t for t in q["terms"].split(",") if t
+                            ]
                         if not terms or len(terms) > srv.max_terms:
                             self.send_error(
                                 400,

@@ -937,3 +937,21 @@ def test_search_pq_filtered_and_http_filter_params(spark, tmp_path):
             with pytest.raises(urllib.error.HTTPError) as e:
                 _get(srv.url(bad))
             assert e.value.code == 400, bad
+
+
+def test_sparse_text_param_tokenizes_server_side(spark, tmp_path):
+    """?text= must tokenize with the same whitespace rule the indexed
+    probes use, so /sparse?text=q equals /sparse?terms=split(q)."""
+    from urllib.parse import quote
+
+    from prefixtree_spark.serving import load_local_bm25_index
+
+    _, path = _bm25_fixture(spark, tmp_path)
+    pt = create(_words_df(spark, SPARSE_WORDS), "word")
+    with PrefixTreeServer(
+        build_local_index(pt), sparse_index=load_local_bm25_index(path)
+    ) as srv:
+        raw = "the  data\tof"  # mixed whitespace, like real queries
+        a = _get(srv.url(f"/sparse?text={quote(raw)}&k=10"))
+        b = _get(srv.url("/sparse?terms=the,data,of&k=10"))
+        assert a == b and a
