@@ -405,14 +405,42 @@ class PrefixTreeServer:
                                 400, "c must be in [0, 10000]"
                             )
                             return
+                        where_h = None
+                        if "filter_col" in q or "filter_vals" in q:
+                            # the dense side honors the same payload
+                            # filter /ann does (sparse has no payload
+                            # concept — lexical candidates fuse as-is)
+                            if not ("filter_col" in q and "filter_vals" in q):
+                                self.send_error(
+                                    400,
+                                    "filter_col and filter_vals "
+                                    "must be passed together",
+                                )
+                                return
+                            where_h = (
+                                q["filter_col"],
+                                [
+                                    _parse_payload_value(x)
+                                    for x in q["filter_vals"].split(",")
+                                    if x
+                                ],
+                            )
                         sparse_ids = [
                             d for d, _ in sp.search(terms, k_each)
                         ]
-                        dense_hits = (
-                            ann.search_pq(vec, k_each, nprobe=nprobe)
-                            if mode == "pq"
-                            else ann.search(vec, k_each, nprobe=nprobe)
-                        )
+                        try:
+                            dense_hits = (
+                                ann.search_pq(
+                                    vec, k_each, nprobe=nprobe, where=where_h
+                                )
+                                if mode == "pq"
+                                else ann.search(
+                                    vec, k_each, nprobe=nprobe, where=where_h
+                                )
+                            )
+                        except KeyError as exc:
+                            self.send_error(400, str(exc))
+                            return
                         dense_ids = [v for v, _ in dense_hits]
                         fused = rrf_fuse_local(
                             [sparse_ids, dense_ids], k, c=c_rrf
