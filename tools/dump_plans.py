@@ -459,8 +459,17 @@ def main() -> None:
         "probe plans for: each query term hashes (60-bit md5 prefix — the\n"
         "Python twin of the layout's Spark-side bucket expression, pinned\n"
         "equal on real vocabulary) to one postings/dfreq bucket directory,\n"
-        "loaded lazily via pyarrow and cached — bytes and memory bound by the\n"
-        "served vocabulary region, never the corpus. /hybrid fuses the sparse\n"
+        "and the LAZY path reads per (bucket, TERM) through a pyarrow\n"
+        "dataset filter — bucket files are written sorted by term\n"
+        "(sortWithinPartitions(bucket, term); sorting by the partition\n"
+        "column too, or the writer's own partition-sort scrambles the term\n"
+        "order — within-file sort pinned over every file), so row-group\n"
+        "statistics prune the fetch: bytes and memory bound by the served\n"
+        "TERMS, never a bucket (corpus_tokens/n_buckets at scale).\n"
+        "delete_bm25_ids tombstones mask results on both cluster and\n"
+        "serving probes with Lucene soft-delete semantics (df stays stale\n"
+        "until compaction re-exacts — oracled as bm25_rank_deleted, whose\n"
+        "SQL encodes exactly that). /hybrid fuses the sparse\n"
         "ranks with a dense /ann probe by rrf_fuse_local, which decimalizes\n"
         "1/(c+rank) through the double's SHORTEST repr (what the JVM cast\n"
         "does; Decimal(float) diverges at the 18th digit on ~5% of ranks) —\n"
