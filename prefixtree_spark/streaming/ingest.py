@@ -607,6 +607,8 @@ def streaming_ingest_corpus(
     vec_col: str | None = None,
     ann_index_path: str | None = None,
     ann_opts: dict | None = None,
+    bm25_index_path: str | None = None,
+    bm25_opts: dict | None = None,
     checkpoint_dir: str,
     available_now: bool = True,
 ):
@@ -627,7 +629,10 @@ def streaming_ingest_corpus(
     ``vec_col`` + ``ann_index_path`` additionally keep an IVF vector
     index in sync with the corpus, batch by batch, under the same
     replay discipline (see ``ingest_batch``) — the one exactly-once
-    pipeline from crawl boundary to probe-able embeddings."""
+    pipeline from crawl boundary to probe-able embeddings.
+    ``bm25_index_path`` does the same for the sparse index: one
+    streaming sink feeds the corpus, the vector index, AND the BM25
+    index, exactly once each."""
 
     def _sink(batch: DataFrame, _batch_id: int) -> None:
         ingest_batch(
@@ -644,6 +649,8 @@ def streaming_ingest_corpus(
             vec_col=vec_col,
             ann_index_path=ann_index_path,
             ann_opts=ann_opts,
+            bm25_index_path=bm25_index_path,
+            bm25_opts=bm25_opts,
         )
 
     writer = (

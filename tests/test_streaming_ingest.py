@@ -507,3 +507,57 @@ def test_maintain_ingest_clusters_corpus_by_id(spark, tmp_path):
         root, "doc_id", "text",
     )
     assert _ids(read_published(spark, root)) == [0, 1, 2, 11]
+
+
+def test_streaming_sink_keeps_bm25_index_in_sync(spark, tmp_path):
+    """The streaming sink's sparse half: every micro-batch's corpus
+    commit is followed by a BM25 sync, so the stored index equals a
+    fresh build over the published survivors — from the stream
+    boundary, exactly once."""
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.operators import ranking
+    from prefixtree_spark.sources.io import read_published
+    from prefixtree_spark.streaming.ingest import streaming_ingest_corpus
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.parquet(src)
+    root = str(tmp_path / "corpus")
+    ipath = str(tmp_path / "bm25")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = streaming_ingest_corpus(
+        stream, root, "doc_id", "text",
+        bm25_index_path=ipath,
+        bm25_opts={"n_buckets": 4, "idf": "ratio"},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    corpus = read_published(spark, root)
+    qdf = corpus.select(
+        F.col("doc_id").alias("qid"),
+        F.slice(
+            F.regexp_extract_all("text", F.lit(r"\S+"), 0), 1, 3
+        ).alias("terms"),
+    ).where("doc_id % 7 = 0 AND size(terms) >= 3")
+    want = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank(
+            corpus, "doc_id", "text", qdf, "qid", "terms", idf="ratio"
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(
+            spark, ipath, qdf, "qid", "terms"
+        ).collect()
+    }
+    assert got == want and got
