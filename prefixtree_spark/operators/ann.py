@@ -542,7 +542,15 @@ def cosine_topk_ivf(
         cent = _kmeans_centroids(sample, n_cells, seed=seed)
     c_assign = _cell_assign_udf(cent, n_replicas)
     cbase = corpus.select(F.col(cid).alias("vec_id"), F.col(cvec).alias("cv"))
-    qbase = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("qv"))
+    # NULL query ids are dropped: they are unservable (results key on
+    # query_id), and on the bulk path xxhash64(NULL) is a constant —
+    # every NULL-id row would land in ONE chunk, re-opening the driver
+    # memory cliff the hash chunking bounds. Query ids are a KEY by
+    # contract across this family (a duplicated id would merge two
+    # queries' candidate sets under one window).
+    qbase = queries.select(
+        F.col(qid).alias("query_id"), F.col(qvec).alias("qv")
+    ).where(F.col(qid).isNotNull())
     # scoring goes through the SAME masked numpy kernel as the flat
     # index probe (r7): query cells assign driver-side (the batch is
     # collected for the kernel broadcast anyway), the per-call corpus
@@ -1538,6 +1546,7 @@ def maintain_ivf_index(
 
     reconciled = 0
     updated = 0
+    did_rebuild = False
     if reconcile_ids is not None and reconcile_with is not None:
         raise ValueError(
             "maintain_ivf_index: pass reconcile_ids OR reconcile_with, "
@@ -1600,6 +1609,13 @@ def maintain_ivf_index(
             n_surv = src.count()
             reconciled = int(stale)
             updated = int(changed)
+            # did_rebuild, not reconciled, is the swapped-a-layout
+            # signal: a TOMBSTONE-ONLY pass (stale == 0, ts nonempty)
+            # rebuilds here with reconciled = 0, and keying the
+            # generation bump / drift-base reset on reconciled left
+            # replicas on the old generation and computed
+            # appended_frac against the pre-rebuild base (r9 review)
+            did_rebuild = True
             if n_surv == 0:
                 _drain()
                 total = 0
@@ -1624,6 +1640,7 @@ def maintain_ivf_index(
             # n_vectors re-stamps to the post-delete base so the drift
             # trigger measures future APPENDS, not this shrink
             reconciled = int(stale)
+            did_rebuild = True
             if n_surv == 0:
                 _drain()
                 total = 0
@@ -1632,7 +1649,7 @@ def maintain_ivf_index(
                 total = n_surv
             ts = frozenset()
     base = meta.get("n_vectors")
-    if reconciled:
+    if reconciled or did_rebuild:
         # the reconcile rebuild re-stamped the trained base and wrote
         # fresh one-file-per-cell postings — no further action needed
         appended_frac = 0.0
@@ -1677,7 +1694,7 @@ def maintain_ivf_index(
         fs.delete(P(post_dir), True)
         if not fs.rename(P(staged), P(post_dir)):
             raise IOError(f"rename {staged} -> {post_dir} failed")
-    if recovered or reconciled or retrained or compacted:
+    if recovered or reconciled or retrained or compacted or did_rebuild:
         # the layout changed under serving replicas — bump AFTER the
         # swap so the marker always names a consistent layout
         _bump_ivf_generation(spark, path)

@@ -547,10 +547,23 @@ def maintain_bm25_index(
     P = jvm.org.apache.hadoop.fs.Path
     # meta moves with the swap when staged (a re-bucketing rebuild
     # changes n_buckets — stale meta against new-bucketed tables would
-    # hash probes to the wrong buckets); stats stays LAST as the
-    # completeness marker. Compaction doesn't stage meta (no-op).
+    # hash probes to the wrong buckets). Completeness is an EXPLICIT
+    # `_complete` marker written after a stage's last table, not the
+    # presence of any particular table: the compaction and rebuild
+    # paths write their tables in different orders (save_bm25_index
+    # ends with meta, compaction with stats), and inferring
+    # completeness from one table's presence recovered a re-bucketing
+    # rebuild that crashed between stats and meta into a layout whose
+    # live meta disagreed with its physical bucketing (r9 review).
     _SWAP_ORDER = ("postings", "dfreq", "meta", "stats")
     staged_root = f"{path}/_compact"
+
+    def _mark_complete() -> None:
+        out = fs.create(P(f"{staged_root}/_complete"), True)
+        try:
+            out.write(bytearray(b"1"))
+        finally:
+            out.close()
 
     def _swap_in() -> None:
         for sub in _SWAP_ORDER:
@@ -565,7 +578,7 @@ def maintain_bm25_index(
 
     recovered = False
     if fs.exists(P(staged_root)):
-        if fs.exists(P(f"{staged_root}/stats")):
+        if fs.exists(P(f"{staged_root}/_complete")):
             _swap_in()  # complete stage from a crashed swap: finish it
             recovered = True
             _bump_ivf_generation(spark, path)
@@ -580,9 +593,8 @@ def maintain_bm25_index(
 
     if rebuild_from is not None:
         # corpus-driven rebuild (docstring): one tokenize pass into the
-        # staged root with the LIVE layout's params, then the same
-        # recoverable swap. save_bm25_index writes stats before meta,
-        # so the staged/stats completeness marker holds here too.
+        # staged root with the LIVE layout's params, then the explicit
+        # _complete marker and the same recoverable swap.
         # Pending tombstones clear with the swap — the corpus is the
         # source of truth here, so an id the corpus still carries
         # comes BACK (a corpus-level delete is the caller's job before
@@ -593,6 +605,7 @@ def maintain_bm25_index(
             n_buckets=int(n_buckets or meta.n_buckets), k1=float(meta.k1),
             b=float(meta.b), idf=str(meta.idf),
         )
+        _mark_complete()
         _swap_in()
         _clear_tombstones()
         _bump_ivf_generation(spark, path)
@@ -700,6 +713,7 @@ def maintain_bm25_index(
             ).coalesce(1).write.mode("overwrite").parquet(f"{staged_root}/stats")
         finally:
             posts.unpersist()
+        _mark_complete()
         _swap_in()
         _clear_tombstones()
         _bump_ivf_generation(spark, path)
@@ -744,6 +758,11 @@ def bm25_rank_indexed(
         queries.select(
             F.col(qid_col).alias("query_id"), F.explode(qterms_col).alias("term")
         )
+        # NULL array elements survive explode; they can never match a
+        # posting (and sorted()/term_bucket() on None throws), so drop
+        # them here — matching bm25_rank, where they harmlessly fail
+        # the join
+        .where(F.col("term").isNotNull())
         .distinct()
     )
     terms = sorted({r.term for r in qterms.select("term").distinct().collect()})

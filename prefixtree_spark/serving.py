@@ -269,9 +269,10 @@ class PrefixTreeServer:
                             where_ann = (
                                 q["filter_col"],
                                 [
-                                    _parse_payload_value(x)
+                                    form
                                     for x in q["filter_vals"].split(",")
                                     if x
+                                    for form in _parse_payload_value(x)
                                 ],
                             )
                         try:
@@ -420,9 +421,10 @@ class PrefixTreeServer:
                             where_h = (
                                 q["filter_col"],
                                 [
-                                    _parse_payload_value(x)
+                                    form
                                     for x in q["filter_vals"].split(",")
                                     if x
+                                    for form in _parse_payload_value(x)
                                 ],
                             )
                         sparse_ids = [
@@ -507,17 +509,40 @@ class PrefixTreeServer:
         self.stop()
 
 
+def _payload_mask(pay, allowed_vals):
+    """Membership mask tolerant of MIXED-TYPE allowed values: one
+    np.isin over a mixed list silently promotes everything to strings
+    (np.asarray(['0', 0]) is a str array), so numeric payloads matched
+    nothing — group the values by type and OR the per-type masks."""
+    import numpy as np
+
+    mask = np.zeros(len(pay), dtype=bool)
+    groups: dict = {}
+    for v in allowed_vals:
+        groups.setdefault(type(v), []).append(v)
+    for vs in groups.values():
+        mask |= np.isin(pay, np.asarray(vs))
+    return mask
+
+
 def _parse_payload_value(x: str):
-    """Type a filter value the way parquet stored the payload: ints,
-    then floats, then strings — np.isin against a numeric payload
-    column silently matches NOTHING for string-typed values, so the
-    URL's text form must recover the native type."""
+    """Candidate typed forms of a URL filter value — ALL plausible
+    parquet storage types, not a single guess: np.isin matches only
+    same-typed elements, so '2021' against an int column needs the
+    int form, while '2021' against a STRING column needs the string
+    form kept too (coercing to int alone silently matched nothing on
+    digit-like string payloads and then paid the starvation ladder's
+    full-index escalation for an empty answer — r9 review). Returns a
+    list; callers splice every form into allowed_values."""
+    forms = [x]
     for conv in (int, float):
         try:
-            return conv(x)
+            v = conv(x)
         except ValueError:
             continue
-    return x
+        if v not in forms:
+            forms.append(v)
+    return forms
 
 
 class LocalVectorIndex:
@@ -796,7 +821,7 @@ class LocalVectorIndex:
         allowed = None
         if where is not None:
             pay_col, allowed_vals = where
-            allowed = np.asarray(list(allowed_vals))
+            allowed = list(allowed_vals)
         ids_parts, approx_parts, zero_parts = [], [], []
         for c in cells:
             ids, codes, cn = self._cell_codes(int(c))
@@ -808,7 +833,7 @@ class LocalVectorIndex:
                         f"no stored payload column {where[0]!r} in this "
                         f"layout (have {self._payload_names!r})"
                     )
-                mask = np.isin(pay, allowed)
+                mask = _payload_mask(pay, allowed)
                 ids, codes, cn = ids[mask], codes[mask], cn[mask]
             if not len(ids):
                 continue
@@ -969,13 +994,15 @@ class LocalVectorIndex:
         allowed = None
         if where is not None:
             pay_col, allowed_vals = where
-            allowed = np.asarray(list(allowed_vals))
+            allowed = list(allowed_vals)
         for c in cells:
             ids, m, cn = self._cell(int(c))
             if not len(ids):
                 continue
             if allowed is not None:
-                mask = np.isin(self._cell_payload(int(c), pay_col), allowed)
+                mask = _payload_mask(
+                    self._cell_payload(int(c), pay_col), allowed
+                )
                 if not mask.any():
                     continue
                 ids, m, cn = ids[mask], m[mask], cn[mask]
@@ -1382,6 +1409,8 @@ class LocalSparseIndex:
 
         scores: dict = {}
         for t in dict.fromkeys(terms):
+            if t is None:
+                continue  # NULL terms match nothing (bm25_rank's rule)
             b = term_bucket(t, self.n_buckets)
             df = self._term_df(b, t)
             post = self._term_postings(b, t)

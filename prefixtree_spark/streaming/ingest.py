@@ -738,10 +738,21 @@ def maintain_ingest(
             # documents whose embeddings were rewritten in place
             # (update_published) get their index vectors replaced, not
             # just deletions dropped (ann.maintain_ivf_index
-            # reconcile_with semantics)
+            # reconcile_with semantics). Payload columns (indexes
+            # saved with payload_cols=) are carried by NAME from the
+            # corpus — reconcile_with requires the layout's full
+            # column set, so an index whose payloads the corpus
+            # doesn't carry fails loudly there rather than silently
+            # dropping metadata.
             rid, rvec = ann_reconcile_with
-            rec_with = read_published(spark, root).select(
-                F.col(rid).alias("vec_id"), F.col(rvec).alias("cv")
+            pub = read_published(spark, root)
+            pay = [
+                c
+                for c in spark.read.parquet(f"{ann_index_path}/vectors").columns
+                if c not in ("vec_id", "cv") and c in pub.columns
+            ]
+            rec_with = pub.select(
+                F.col(rid).alias("vec_id"), F.col(rvec).alias("cv"), *pay
             ).where(F.col("cv").isNotNull())
         rep = maintain_ivf_index(
             spark, ann_index_path,

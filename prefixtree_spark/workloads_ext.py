@@ -54,6 +54,32 @@ def _workload_cache_dir(sf_dir: str, table: str, key: str) -> str:
         tempfile.gettempdir(), f"ptspark_wl_{key}_{h}"
     )
 
+
+def _ensure_cached_artifact(path: str, build) -> str:
+    """Build-to-staging-then-rename for the per-fixture index caches:
+    ``build(staging_dir)`` writes the artifact, the rename publishes it
+    atomically under the final name (a crashed build never leaves a
+    half-written artifact there; a concurrent racer's completed rename
+    wins and ours is discarded — byte-identical artifact either way).
+    One definition for every index-backed workload (the r9 review found
+    the same 12-line block pasted seven times)."""
+    import os
+    import shutil
+    import uuid
+
+    if not os.path.isdir(os.path.join(path, "meta")):
+        staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        try:
+            build(staging)
+            try:
+                os.rename(staging, path)
+            except OSError:
+                pass  # racer won: byte-identical artifact
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+    return path
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -1078,18 +1104,12 @@ def bm25_rank_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.regexp_extract_all("text", F.lit(r"\S+"), 0), 1, 3).alias("terms"),
     ).where("doc_id % 41 = 0 AND size(terms) >= 3")
     path = _workload_cache_dir(sf_dir, "documents", "bm25_b32_ratio")
-    if not os.path.isdir(os.path.join(path, "meta")):
-        staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        try:
-            ranking.save_bm25_index(
-                docs, "doc_id", "text", staging, n_buckets=32, idf="ratio"
-            )
-            try:
-                os.rename(staging, path)
-            except OSError:
-                pass  # racer won: byte-identical artifact
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+    def _build(_staging: str) -> None:
+        ranking.save_bm25_index(
+            docs, "doc_id", "text", _staging, n_buckets=32, idf="ratio"
+        )
+
+    _ensure_cached_artifact(path, _build)
     return ranking.bm25_rank_indexed(spark, path, q, "qid", "terms")
 
 
@@ -1157,18 +1177,12 @@ def bm25_rank_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.regexp_extract_all("text", F.lit(r"\S+"), 0), 1, 3).alias("terms"),
     ).where("doc_id % 41 = 0 AND size(terms) >= 3")
     path = _workload_cache_dir(sf_dir, "documents", "bm25_tomb_b32")
-    if not os.path.isdir(os.path.join(path, "meta")):
-        staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        try:
-            ranking.save_bm25_index(
-                docs, "doc_id", "text", staging, n_buckets=32, idf="ratio"
-            )
-            try:
-                os.rename(staging, path)
-            except OSError:
-                pass
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+    def _build(_staging: str) -> None:
+        ranking.save_bm25_index(
+            docs, "doc_id", "text", _staging, n_buckets=32, idf="ratio"
+        )
+
+    _ensure_cached_artifact(path, _build)
     ranking.delete_bm25_ids(
         spark, path, docs.where("doc_id % 97 = 0").select("doc_id")
     )
@@ -1419,29 +1433,17 @@ def hybrid_stored_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("qid"), F.slice("ts", 1, 3).alias("terms")
     )
     bm_path = _workload_cache_dir(sf_dir, "documents", "bm25_b32_ratio")
-    if not os.path.isdir(os.path.join(bm_path, "meta")):
-        staging = f"{bm_path}.tmp-{uuid.uuid4().hex[:8]}"
-        try:
-            ranking.save_bm25_index(
-                docs, "doc_id", "text", staging, n_buckets=32, idf="ratio"
-            )
-            try:
-                os.rename(staging, bm_path)
-            except OSError:
-                pass
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+    def _build(_staging: str) -> None:
+        ranking.save_bm25_index(
+            docs, "doc_id", "text", _staging, n_buckets=32, idf="ratio"
+        )
+
+    _ensure_cached_artifact(bm_path, _build)
     ivf_path = _workload_cache_dir(sf_dir, "embeddings", "ivfflat_c32")
-    if not os.path.isdir(os.path.join(ivf_path, "meta")):
-        staging = f"{ivf_path}.tmp-{uuid.uuid4().hex[:8]}"
-        try:
-            ann.save_ivf_index(emb, "vec_id", "embedding", staging, n_cells=32)
-            try:
-                os.rename(staging, ivf_path)
-            except OSError:
-                pass
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+    def _build(_staging: str) -> None:
+        ann.save_ivf_index(emb, "vec_id", "embedding", _staging, n_cells=32)
+
+    _ensure_cached_artifact(ivf_path, _build)
     bm = ranking.bm25_rank_indexed(spark, bm_path, q, "qid", "terms")
     q_emb = emb.join(
         qids.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
@@ -2763,19 +2765,13 @@ def ann_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where("vec_id % 50 = 0")
     path = _workload_cache_dir(sf_dir, "embeddings", "ivfflat_lbl_c32")
-    if not os.path.isdir(os.path.join(path, "meta")):
-        staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        try:
-            ann.save_ivf_index(
-                emb, "vec_id", "embedding", staging,
-                n_cells=32, payload_cols=["label"],
-            )
-            try:
-                os.rename(staging, path)
-            except OSError:
-                pass  # racer won: byte-identical artifact
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+    def _build(_staging: str) -> None:
+        ann.save_ivf_index(
+            emb, "vec_id", "embedding", _staging,
+            n_cells=32, payload_cols=["label"],
+        )
+
+    _ensure_cached_artifact(path, _build)
     idx = ann.load_ivf_index(spark, path)
     out = ann.cosine_topk_ivf_index(
         q, "vec_id", "embedding", idx, k=10, nprobe=32, where="label < 3"
@@ -2822,16 +2818,10 @@ def ann_topk_ivf_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where("vec_id % 50 = 0")
     path = _workload_cache_dir(sf_dir, "embeddings", "ivfflat_tomb_c32")
-    if not os.path.isdir(os.path.join(path, "meta")):
-        staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        try:
-            ann.save_ivf_index(emb, "vec_id", "embedding", staging, n_cells=32)
-            try:
-                os.rename(staging, path)
-            except OSError:
-                pass  # racer won: byte-identical artifact
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+    def _build(_staging: str) -> None:
+        ann.save_ivf_index(emb, "vec_id", "embedding", _staging, n_cells=32)
+
+    _ensure_cached_artifact(path, _build)
     ann.delete_ivf_ids(
         spark, path, emb.where("vec_id % 97 = 0").select("vec_id")
     )

@@ -1387,3 +1387,34 @@ def test_maintain_reconcile_with_propagates_updates(spark, clustered, tmp_path):
         reconcile_with=corpus2.select("vec_id", F.col("embedding").alias("cv"), "label"),
     )
     assert rep2["reconciled"] == 0 and rep2["updated"] == 0
+
+
+def test_maintain_reconcile_with_tombstone_only_bumps_generation(
+    spark, clustered, tmp_path
+):
+    """r9 review #3: a TOMBSTONE-ONLY reconcile_with pass (corpus
+    unchanged, delete_ivf_ids on ids the corpus still carries) swaps a
+    physical layout — it must bump the serving generation (replicas
+    reload), reset the drift base (no redundant immediate retrain),
+    and report the compaction, even though reconciled == 0."""
+    from prefixtree_spark.serving import _read_ivf_generation
+
+    df, _ = clustered
+    path = str(tmp_path / "ivf_tsonly")
+    ann.save_ivf_index(df, "vec_id", "embedding", path, n_cells=5,
+                       sample_size=300)
+    assert ann.delete_ivf_ids(spark, path, [3, 44]) == 2
+    g0 = _read_ivf_generation(path)
+    corp = df.select("vec_id", F.col("embedding").alias("cv"))
+    rep = ann.maintain_ivf_index(spark, path, reconcile_with=corp)
+    assert rep["reconciled"] == 0 and rep["updated"] == 0
+    assert rep["tombstones_compacted"] == 2 and rep["tombstones"] == 0
+    assert not rep["retrained"]  # drift base reset — no redundant rebuild
+    assert _read_ivf_generation(path) > g0  # replicas told to reload
+    ids = {r.vec_id for r in spark.read.parquet(f"{path}/vectors").collect()}
+    assert not ids & {3, 44} and len(ids) == 99
+    # convergence: a second pass is a clean no-op (no swap, no bump)
+    g1 = _read_ivf_generation(path)
+    rep2 = ann.maintain_ivf_index(spark, path, reconcile_with=corp)
+    assert rep2["reconciled"] == 0 and rep2["tombstones_compacted"] == 0
+    assert _read_ivf_generation(path) == g1

@@ -632,3 +632,79 @@ def test_delete_bm25_ids_soft_delete_then_compact_exact(spark, sf_docs, tmp_path
     assert ranking.append_bm25_index(
         spark, path, sf_docs.where(f"doc_id = {dead[0]}"), "doc_id", "text"
     ) == 1
+
+
+def test_bm25_staged_swap_requires_complete_marker(spark, sf_docs, tmp_path):
+    """r9 review #1: completeness is the explicit _complete marker, not
+    any table's presence — a re-bucketing rebuild that crashed between
+    its stats and meta writes must be treated as GARBAGE (recovering it
+    would install new-bucketed tables under the old meta, hashing every
+    probe into the wrong directories); a marked stage must recover."""
+    import os
+    import shutil
+
+    from prefixtree_spark.operators import ranking
+
+    path = str(tmp_path / "bm25_crash")
+    ranking.save_bm25_index(sf_docs, "doc_id", "text", path, n_buckets=4,
+                            idf="ratio")
+    q = _doc_queries(spark)
+    want = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(spark, path, q, "qid", "terms").collect()
+    }
+    # a crashed 16-bucket rebuild: full tables staged, NO _complete
+    # (the crash point between save's last table and the marker)
+    staged = f"{path}/_compact"
+    ranking.save_bm25_index(sf_docs, "doc_id", "text", staged, n_buckets=16,
+                            idf="ratio")
+    rep = ranking.maintain_bm25_index(spark, path, max_files_per_bucket=99.0)
+    assert not rep["recovered"] and not os.path.isdir(staged)
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert meta.n_buckets == 4  # untouched live layout
+    got = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(spark, path, q, "qid", "terms").collect()
+    }
+    assert got == want
+    # the same stage WITH the marker: recovery completes the swap and
+    # the live meta moves with it
+    ranking.save_bm25_index(sf_docs, "doc_id", "text", staged, n_buckets=16,
+                            idf="ratio")
+    open(f"{staged}/_complete", "w").write("1")
+    rep2 = ranking.maintain_bm25_index(spark, path, max_files_per_bucket=99.0)
+    assert rep2["recovered"]
+    meta2 = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert meta2.n_buckets == 16
+    got2 = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(spark, path, q, "qid", "terms").collect()
+    }
+    assert got2 == want
+    shutil.rmtree(staged, ignore_errors=True)
+
+
+def test_bm25_indexed_ignores_null_terms(spark, sf_docs, tmp_path):
+    """r9 review #5: NULL array elements survive explode — the probe
+    must ignore them (bm25_rank's behavior), not crash in sorted()."""
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.operators import ranking
+    from prefixtree_spark.serving import load_local_bm25_index
+
+    path = str(tmp_path / "bm25_null")
+    ranking.save_bm25_index(sf_docs, "doc_id", "text", path, n_buckets=4,
+                            idf="ratio")
+    q_null = spark.createDataFrame(
+        [(1, ["the", None, "data"])], "qid long, terms array<string>"
+    )
+    q_clean = spark.createDataFrame(
+        [(1, ["the", "data"])], "qid long, terms array<string>"
+    )
+    a = {(r.doc_id, r.rank) for r in ranking.bm25_rank_indexed(
+        spark, path, q_null, "qid", "terms").collect()}
+    b = {(r.doc_id, r.rank) for r in ranking.bm25_rank_indexed(
+        spark, path, q_clean, "qid", "terms").collect()}
+    assert a == b and a
+    h = load_local_bm25_index(path)
+    assert h.search(["the", None, "data"], 10) == h.search(["the", "data"], 10)

@@ -955,3 +955,36 @@ def test_sparse_text_param_tokenizes_server_side(spark, tmp_path):
         a = _get(srv.url(f"/sparse?text={quote(raw)}&k=10"))
         b = _get(srv.url("/sparse?terms=the,data,of&k=10"))
         assert a == b and a
+
+
+def test_ann_http_filter_matches_string_typed_payloads(spark, tmp_path):
+    """r9 review #2: digit-like filter values against a STRING-typed
+    payload column must still match over HTTP — the parser emits every
+    plausible typed form, not a single int guess (which matched
+    nothing and paid the starvation ladder's full escalation for an
+    empty answer)."""
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.operators import ann
+    from prefixtree_spark.serving import load_local_ivf_index
+
+    df, rows, vq = _ivf_corpus(spark)
+    lab = df.withColumn(
+        "year",
+        F.when(F.col("vec_id") % 2 == 0, F.lit("2021")).otherwise(F.lit("2022")),
+    )
+    path = str(tmp_path / "ivf_strpay")
+    ann.save_ivf_index(lab, "vec_id", "embedding", path, n_cells=4,
+                       sample_size=300, payload_cols=["year"])
+    want = list(
+        _exact_top_ids(rows, {i for i, _ in rows if i % 2 == 0}, vq, k=5)
+    )
+    pt = create(_words_df(spark, SPARSE_WORDS), "word")
+    with PrefixTreeServer(
+        build_local_index(pt), ann_index=load_local_ivf_index(path)
+    ) as srv:
+        vcsv = ",".join(str(x) for x in vq)
+        hits = _get(srv.url(
+            f"/ann?v={vcsv}&k=5&nprobe=4&filter_col=year&filter_vals=2021"
+        ))
+        assert [int(v) for v, _ in hits] == want
