@@ -213,82 +213,14 @@ class PrefixTreeServer:
                         if ann is None:
                             self.send_error(404, "no vector index loaded")
                             return
-                        k = int(q.get("k", "10"))
-                        if not 1 <= k <= srv.max_ann_k:
-                            self.send_error(
-                                400, f"k must be in [1, {srv.max_ann_k}]"
-                            )
-                            return
-                        nprobe = int(q.get("nprobe", "8"))
-                        if not 1 <= nprobe <= len(ann.centroids):
-                            self.send_error(
-                                400,
-                                f"nprobe must be in [1, {len(ann.centroids)}]",
-                            )
-                            return
-                        vec = [float(x) for x in q["v"].split(",")]
-                        if not all(math.isfinite(x) for x in vec):
-                            # inf/nan parse fine as floats but poison
-                            # the cosine scores, and json.dumps would
-                            # emit Infinity/NaN tokens — invalid JSON
-                            # that strict clients reject
-                            self.send_error(
-                                400, "v components must be finite"
-                            )
-                            return
-                        if len(vec) != ann.centroids.shape[1]:
-                            self.send_error(
-                                400,
-                                f"v must have dim {ann.centroids.shape[1]}",
-                            )
-                            return
-                        mode = q.get("mode", "flat")
-                        if mode not in ("flat", "pq"):
-                            self.send_error(400, "mode must be flat or pq")
-                            return
-                        if mode == "pq" and ann.codebooks is None:
-                            self.send_error(
-                                400,
-                                "mode=pq needs an index saved with pq_m",
-                            )
-                            return
-                        where_ann = None
-                        if "filter_col" in q or "filter_vals" in q:
-                            # filtered vector search over HTTP: the
-                            # stored-payload mask applies BEFORE
-                            # scoring (LocalVectorIndex.search/_pq
-                            # where=), with the starvation ladder —
-                            # never a recall-lossy post-filter here
-                            if not ("filter_col" in q and "filter_vals" in q):
-                                self.send_error(
-                                    400,
-                                    "filter_col and filter_vals "
-                                    "must be passed together",
-                                )
-                                return
-                            where_ann = (
-                                q["filter_col"],
-                                [
-                                    form
-                                    for x in q["filter_vals"].split(",")
-                                    if x
-                                    for form in _parse_payload_value(x)
-                                ],
-                            )
-                        try:
-                            hits_ann = (
-                                ann.search_pq(
-                                    vec, k, nprobe=nprobe, where=where_ann
-                                )
-                                if mode == "pq"
-                                else ann.search(
-                                    vec, k, nprobe=nprobe, where=where_ann
-                                )
-                            )
-                        except KeyError as exc:
-                            # unknown payload column on this layout
-                            self.send_error(400, str(exc))
-                            return
+                        hits_ann = _dense_search(
+                            ann,
+                            _req_vec(q, ann),
+                            _req_int(q, "k", 10, 1, srv.max_ann_k),
+                            _req_int(q, "nprobe", 8, 1, len(ann.centroids)),
+                            _req_mode(q, ann),
+                            _req_filter(q),
+                        )
                         body = [
                             [v if isinstance(v, str) else int(v), s]
                             for v, s in hits_ann
@@ -298,29 +230,8 @@ class PrefixTreeServer:
                         if sp is None:
                             self.send_error(404, "no sparse index loaded")
                             return
-                        k = int(q.get("k", "10"))
-                        if not 1 <= k <= srv.max_ann_k:
-                            self.send_error(
-                                400, f"k must be in [1, {srv.max_ann_k}]"
-                            )
-                            return
-                        if "text" in q and "terms" not in q:
-                            # server-side tokenization convenience:
-                            # str.split() == the \\S+ rule every BM25
-                            # path tokenizes with (ranking's
-                            # _nonspace_tokens), so /sparse?text= and
-                            # the indexed probes agree on terms
-                            terms = q["text"].split()
-                        else:
-                            terms = [
-                                t for t in q["terms"].split(",") if t
-                            ]
-                        if not terms or len(terms) > srv.max_terms:
-                            self.send_error(
-                                400,
-                                f"terms must have 1..{srv.max_terms} entries",
-                            )
-                            return
+                        k = _req_int(q, "k", 10, 1, srv.max_ann_k)
+                        terms = _req_terms(q, srv.max_terms)
                         body = [
                             [d if isinstance(d, str) else int(d), s]
                             for d, s in sp.search(terms, k)
@@ -334,6 +245,9 @@ class PrefixTreeServer:
                         # arithmetic bit-for-bit). Handles read ONCE on
                         # entry — a concurrent swap of either side
                         # can't split one request across generations.
+                        # All parameter parsing/validation is shared
+                        # with /ann and /sparse (the _req_* helpers),
+                        # so the three endpoints can never drift.
                         sp = srv.sparse_index
                         ann = srv.ann_index
                         if sp is None or ann is None:
@@ -341,108 +255,23 @@ class PrefixTreeServer:
                                 404, "hybrid needs sparse AND vector indexes"
                             )
                             return
-                        k = int(q.get("k", "10"))
-                        if not 1 <= k <= srv.max_ann_k:
-                            self.send_error(
-                                400, f"k must be in [1, {srv.max_ann_k}]"
-                            )
-                            return
-                        k_each = int(q.get("k_each", "10"))
-                        if not 1 <= k_each <= srv.max_ann_k:
-                            self.send_error(
-                                400, f"k_each must be in [1, {srv.max_ann_k}]"
-                            )
-                            return
-                        if "text" in q and "terms" not in q:
-                            # server-side tokenization convenience:
-                            # str.split() == the \\S+ rule every BM25
-                            # path tokenizes with (ranking's
-                            # _nonspace_tokens), so /sparse?text= and
-                            # the indexed probes agree on terms
-                            terms = q["text"].split()
-                        else:
-                            terms = [
-                                t for t in q["terms"].split(",") if t
-                            ]
-                        if not terms or len(terms) > srv.max_terms:
-                            self.send_error(
-                                400,
-                                f"terms must have 1..{srv.max_terms} entries",
-                            )
-                            return
-                        nprobe = int(q.get("nprobe", "8"))
-                        if not 1 <= nprobe <= len(ann.centroids):
-                            self.send_error(
-                                400,
-                                f"nprobe must be in [1, {len(ann.centroids)}]",
-                            )
-                            return
-                        vec = [float(x) for x in q["v"].split(",")]
-                        if not all(math.isfinite(x) for x in vec):
-                            self.send_error(
-                                400, "v components must be finite"
-                            )
-                            return
-                        if len(vec) != ann.centroids.shape[1]:
-                            self.send_error(
-                                400,
-                                f"v must have dim {ann.centroids.shape[1]}",
-                            )
-                            return
-                        mode = q.get("mode", "flat")
-                        if mode not in ("flat", "pq"):
-                            self.send_error(400, "mode must be flat or pq")
-                            return
-                        if mode == "pq" and ann.codebooks is None:
-                            self.send_error(
-                                400, "mode=pq needs an index saved with pq_m"
-                            )
-                            return
-                        c_rrf = int(q.get("c", "60"))
-                        if not 0 <= c_rrf <= 10_000:
-                            # c + rank must stay positive (c=-1 → a
-                            # 1/0 at rank 1 → an unhandled 500)
-                            self.send_error(
-                                400, "c must be in [0, 10000]"
-                            )
-                            return
-                        where_h = None
-                        if "filter_col" in q or "filter_vals" in q:
-                            # the dense side honors the same payload
-                            # filter /ann does (sparse has no payload
-                            # concept — lexical candidates fuse as-is)
-                            if not ("filter_col" in q and "filter_vals" in q):
-                                self.send_error(
-                                    400,
-                                    "filter_col and filter_vals "
-                                    "must be passed together",
-                                )
-                                return
-                            where_h = (
-                                q["filter_col"],
-                                [
-                                    form
-                                    for x in q["filter_vals"].split(",")
-                                    if x
-                                    for form in _parse_payload_value(x)
-                                ],
-                            )
+                        k = _req_int(q, "k", 10, 1, srv.max_ann_k)
+                        k_each = _req_int(q, "k_each", 10, 1, srv.max_ann_k)
+                        # c + rank must stay positive (c=-1 → a 1/0 at
+                        # rank 1 → an unhandled 500)
+                        c_rrf = _req_int(q, "c", 60, 0, 10_000)
+                        terms = _req_terms(q, srv.max_terms)
                         sparse_ids = [
                             d for d, _ in sp.search(terms, k_each)
                         ]
-                        try:
-                            dense_hits = (
-                                ann.search_pq(
-                                    vec, k_each, nprobe=nprobe, where=where_h
-                                )
-                                if mode == "pq"
-                                else ann.search(
-                                    vec, k_each, nprobe=nprobe, where=where_h
-                                )
-                            )
-                        except KeyError as exc:
-                            self.send_error(400, str(exc))
-                            return
+                        dense_hits = _dense_search(
+                            ann,
+                            _req_vec(q, ann),
+                            k_each,
+                            _req_int(q, "nprobe", 8, 1, len(ann.centroids)),
+                            _req_mode(q, ann),
+                            _req_filter(q),
+                        )
                         dense_ids = [v for v, _ in dense_hits]
                         fused = rrf_fuse_local(
                             [sparse_ids, dense_ids], k, c=c_rrf
@@ -507,6 +336,83 @@ class PrefixTreeServer:
 
     def __exit__(self, *exc) -> None:
         self.stop()
+
+
+def _req_int(q: dict, name: str, default: int, lo: int, hi: int) -> int:
+    """Bounded integer request parameter; out-of-range raises
+    ValueError, which the request handler answers with a 400."""
+    v = int(q.get(name, str(default)))
+    if not lo <= v <= hi:
+        raise ValueError(f"{name} must be in [{lo}, {hi}]")
+    return v
+
+
+def _req_terms(q: dict, max_terms: int) -> list:
+    """Query terms for the sparse endpoints: ``terms=<csv>`` or
+    ``text=<raw query>`` (server-side tokenization — str.split() ==
+    the \\S+ rule every BM25 path tokenizes with, so the HTTP form and
+    the indexed probes agree on terms). Bounded by ``max_terms`` (each
+    term costs a bucket probe — the sparse analog of the /search
+    k-clamp abuse bound)."""
+    if "text" in q and "terms" not in q:
+        terms = q["text"].split()
+    else:
+        terms = [t for t in q["terms"].split(",") if t]
+    if not terms or len(terms) > max_terms:
+        raise ValueError(f"terms must have 1..{max_terms} entries")
+    return terms
+
+
+def _req_vec(q: dict, ann) -> list:
+    """The query vector: finite components (inf/nan parse fine as
+    floats but poison the cosine scores, and json.dumps would emit
+    Infinity/NaN tokens — invalid JSON that strict clients reject) and
+    the index's dimensionality."""
+    vec = [float(x) for x in q["v"].split(",")]
+    if not all(math.isfinite(x) for x in vec):
+        raise ValueError("v components must be finite")
+    if len(vec) != ann.centroids.shape[1]:
+        raise ValueError(f"v must have dim {ann.centroids.shape[1]}")
+    return vec
+
+
+def _req_mode(q: dict, ann) -> str:
+    mode = q.get("mode", "flat")
+    if mode not in ("flat", "pq"):
+        raise ValueError("mode must be flat or pq")
+    if mode == "pq" and ann.codebooks is None:
+        raise ValueError("mode=pq needs an index saved with pq_m")
+    return mode
+
+
+def _req_filter(q: dict) -> "tuple | None":
+    """Filtered vector search over HTTP: the stored-payload mask
+    applies BEFORE scoring (LocalVectorIndex.search/_pq where=), with
+    the starvation ladder — never a recall-lossy post-filter."""
+    if "filter_col" not in q and "filter_vals" not in q:
+        return None
+    if not ("filter_col" in q and "filter_vals" in q):
+        raise ValueError("filter_col and filter_vals must be passed together")
+    return (
+        q["filter_col"],
+        [
+            form
+            for x in q["filter_vals"].split(",")
+            if x
+            for form in _parse_payload_value(x)
+        ],
+    )
+
+
+def _dense_search(ann, vec, k, nprobe, mode, where):
+    """One dense probe, flat or PQ-ADC; an unknown payload column
+    (KeyError from the handle) re-raises as ValueError → 400."""
+    try:
+        if mode == "pq":
+            return ann.search_pq(vec, k, nprobe=nprobe, where=where)
+        return ann.search(vec, k, nprobe=nprobe, where=where)
+    except KeyError as exc:
+        raise ValueError(str(exc)) from exc
 
 
 def _payload_mask(pay, allowed_vals):
