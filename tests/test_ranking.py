@@ -708,3 +708,59 @@ def test_bm25_indexed_ignores_null_terms(spark, sf_docs, tmp_path):
     assert a == b and a
     h = load_local_bm25_index(path)
     assert h.search(["the", None, "data"], 10) == h.search(["the", "data"], 10)
+
+
+def test_bm25_layout_property_random_corpora(spark, tmp_path):
+    """Property over randomized corpora (the build-twin test model):
+    for random vocabularies, doc lengths, duplicate-heavy term draws,
+    and any split into base+append batches, the PERSISTED layout
+    answers every query identically to the in-session ranker over the
+    same corpus — both idf modes, compaction interleaved."""
+    import random
+
+    from prefixtree_spark.operators import ranking
+
+    rng = random.Random(20260815)
+    vocab = [f"w{i}" for i in range(40)]
+    for trial in range(4):
+        n_docs = rng.randint(8, 40)
+        rows = []
+        for d in range(n_docs):
+            n_tok = rng.randint(0, 30)  # includes EMPTY docs
+            rows.append(
+                (d, " ".join(rng.choice(vocab) for _ in range(n_tok)))
+            )
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        split = rng.randint(0, n_docs)
+        idf = rng.choice(["log", "ratio"])
+        path = str(tmp_path / f"prop_{trial}")
+        ranking.save_bm25_index(
+            docs.where(f"doc_id < {split}"), "doc_id", "text", path,
+            n_buckets=rng.choice([2, 4, 8]), idf=idf,
+        )
+        ranking.append_bm25_index(
+            spark, path, docs.where(f"doc_id >= {split}"), "doc_id", "text",
+            txn=f"p{trial}",
+        )
+        if rng.random() < 0.5:
+            ranking.maintain_bm25_index(spark, path, max_files_per_bucket=1.0)
+        queries = spark.createDataFrame(
+            [
+                (qi, [rng.choice(vocab) for _ in range(rng.randint(1, 4))])
+                for qi in range(5)
+            ],
+            "qid long, terms array<string>",
+        )
+        want = {
+            (r.query_id, r.doc_id, r.rank)
+            for r in ranking.bm25_rank(
+                docs, "doc_id", "text", queries, "qid", "terms", idf=idf
+            ).collect()
+        }
+        got = {
+            (r.query_id, r.doc_id, r.rank)
+            for r in ranking.bm25_rank_indexed(
+                spark, path, queries, "qid", "terms"
+            ).collect()
+        }
+        assert got == want, (trial, idf, split)
