@@ -709,6 +709,7 @@ class IVFIndex:
         vectors: DataFrame, n_replicas: int,
         codebooks: "np.ndarray | None" = None,
         tombstones: "frozenset | None" = None,
+        tombstones_df: "DataFrame | None" = None,
     ):
         self.centroids = centroids
         self.postings = postings
@@ -722,8 +723,11 @@ class IVFIndex:
         # treat as absent until maintenance compacts them away. Held
         # as a driver-side set — bounded by contract (tombstones
         # accumulate only between maintenance passes; the maintenance
-        # loop folds them into its next rebuild)
+        # loop folds them into its next rebuild). tombstones_df is the
+        # same sidecar as a lazy distributed frame — the anti-join
+        # side of the probe filter's plan-size crossover (_without_ids)
         self.tombstones = frozenset(tombstones or ())
+        self.tombstones_df = tombstones_df
 
 
 def save_ivf_index(
@@ -868,6 +872,32 @@ def save_ivf_index(
         },
         "n_cells int, n_replicas int, dim int, pq_m int, n_vectors long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    _clear_stale_sidecars(spark, path)
+
+
+def _clear_stale_sidecars(spark, path: str, *, bump: bool = True) -> None:
+    """Drop lifecycle sidecars a FRESH save must not inherit from a
+    previous layout at the same path: a stale ``_tombstones`` would
+    silently mask brand-new rows from every probe AND block their
+    re-append (a resurrection guard aimed at physical rows that no
+    longer exist); stale ``_txns`` markers would no-op appends whose
+    data is NOT in the new layout; a stale ``_synced`` watermark would
+    skip corpus versions the new layout never saw. Called at the END
+    of save_ivf_index/save_bm25_index (the overwrite is already
+    non-atomic; clearing last keeps the old layout's guards intact
+    until the new tables are in place). If the old layout had served
+    (a ``_generation`` marker exists), bump it so watchers reload —
+    a fresh path keeps the documented absent==0 contract
+    (``bump=False`` for save_bm25_index, whose own unconditional bump
+    follows)."""
+    from prefixtree_spark.sources.io import _fs
+
+    fs, jvm = _fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    for side in ("_tombstones", "_txns", "_synced"):
+        fs.delete(P(f"{path}/{side}"), True)
+    if bump and fs.exists(P(f"{path}/_generation")):
+        _bump_ivf_generation(spark, path)
 
 
 def _load_tombstones(spark, path: str) -> frozenset:
@@ -881,6 +911,41 @@ def _load_tombstones(spark, path: str) -> frozenset:
         )
     except Exception:
         return frozenset()
+
+
+def _tombstones_frame(spark, path: str) -> "DataFrame | None":
+    """The sidecar as a distributed one-column frame — the anti-join
+    side of the tombstone-filter crossover. None when absent."""
+    try:
+        return (
+            spark.read.parquet(f"{path}/_tombstones")
+            .select("vec_id").distinct()
+        )
+    except Exception:
+        return None
+
+
+def _without_ids(df: DataFrame, col: str, ts: frozenset,
+                 ts_df: "DataFrame | None" = None) -> DataFrame:
+    """``col ∉ ts`` with the measured literal-IN ↔ anti-join crossover
+    (r9 verdict #2: the probe-side twin of the append presence guard's
+    ``_APPEND_GUARD_STATIC_MAX`` rule). Small tombstone sets inline as
+    a literal NOT-IN — it runs in the scan stage and file id-stats can
+    prune — but the literal's PLAN cost grows with the set, so past
+    the cap the filter becomes an anti-join against the (distributed)
+    sidecar frame instead. Maintenance force-compacts tombstones every
+    pass, so the anti-join regime only covers a high-deletion-rate
+    window between passes; it is a plan-size bound, not the steady
+    state."""
+    if not ts:
+        return df
+    if len(ts) <= _APPEND_GUARD_STATIC_MAX or ts_df is None:
+        return df.where(~F.col(col).isin(list(ts)))
+    # broadcast the sidecar: the scan side never shuffles (a
+    # shuffle-anti-join would move the whole pruned scan); a set past
+    # ~10^5 ids is still megabytes — policy-bounded by the forced
+    # per-maintenance compaction
+    return df.join(F.broadcast(ts_df.toDF(col)), col, "left_anti")
 
 
 def delete_ivf_ids(spark, path: str, ids) -> int:
@@ -949,6 +1014,7 @@ def load_ivf_index(spark, path: str) -> IVFIndex:
         meta.n_replicas,
         codebooks=books,
         tombstones=_load_tombstones(spark, path),
+        tombstones_df=_tombstones_frame(spark, path),
     )
 
 
@@ -1063,9 +1129,23 @@ def append_ivf_index(
         if n == 0:
             return 0
         ts = _load_tombstones(spark, path)
-        if ts and delta.where(
-            F.col("vec_id").isin(list(ts))
-        ).limit(1).count():
+        if ts and len(ts) > _APPEND_GUARD_STATIC_MAX:
+            # past the literal cap: semi-join the sidecar instead of
+            # inlining 10^5+ ids into the plan (the probe-side
+            # crossover, _without_ids)
+            tsf = _tombstones_frame(spark, path)
+            hit = (
+                delta.join(
+                    F.broadcast(tsf.toDF("vec_id")), "vec_id",
+                    "left_semi",
+                ).limit(1).count()
+                if tsf is not None else 0
+            )
+        else:
+            hit = ts and delta.where(
+                F.col("vec_id").isin(list(ts))
+            ).limit(1).count()
+        if hit:
             # the tombstoned id's OLD rows are still physical in
             # vectors/ and postings/: the presence guards would skip
             # the new rows and clearing the tombstone would resurrect
@@ -1665,6 +1745,7 @@ def maintain_ivf_index(
         )
     retrained = appended_frac > retrain_frac
     compacted = False
+    ts_folded = False
     if retrained:
         vectors = spark.read.parquet(f"{path}/vectors")
         if ts:
@@ -1679,6 +1760,69 @@ def maintain_ivf_index(
             _staged_rebuild(vectors)
             total = n_left
         ts = frozenset()
+    elif ts:
+        # tombstones force a fold even when no rebuild trigger fires
+        # (ADVICE r9 #2 — previously a small tombstone set persisted
+        # across maintenance passes forever, permanently blocking
+        # re-append of those ids, contrary to the 'reclaimed at
+        # maintenance cadence' contract): rewrite vectors+postings
+        # WITHOUT the tombstoned rows through the same staged swap,
+        # keeping the trained centroids/codebooks in place (no retrain
+        # — the quantizer's deletion drift was already priced into
+        # appended_frac above and didn't cross the threshold). The
+        # postings rewrite lands one-file-per-cell, so this subsumes
+        # any pending fragmentation compaction too. meta re-stamps
+        # n_vectors to (base − deleted), which preserves the APPEND
+        # drift exactly: (total' − newbase) == (total − base).
+        vec = spark.read.parquet(f"{path}/vectors")
+        d = (
+            vec.select("vec_id")
+            .where(F.col("vec_id").isin(list(ts)))
+            .distinct()
+            .count()
+        )
+        n_left = total - int(d)
+        if n_left == 0:
+            _drain()
+            total = 0
+        else:
+            survivors = vec.where(~F.col("vec_id").isin(list(ts)))
+            survivors.write.mode("overwrite").parquet(
+                f"{staged_root}/vectors"
+            )
+            post = spark.read.parquet(post_dir)
+            cols = [c for c in post.columns if c != "cell"]
+            (
+                post.where(~F.col("vec_id").isin(list(ts)))
+                .select(*cols, "cell")
+                .repartition(int(meta["n_cells"]), "cell")
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(f"{staged_root}/postings")
+            )
+            # meta LAST — the staged completeness marker. Field set
+            # mirrors the live meta (pre-pq/pre-n_vectors layouts keep
+            # their narrower schema).
+            meta2 = dict(meta)
+            if meta2.get("n_vectors") is not None:
+                meta2["n_vectors"] = max(0, int(meta2["n_vectors"]) - int(d))
+            _mtypes = {
+                "n_cells": "int", "n_replicas": "int", "dim": "int",
+                "pq_m": "int", "n_vectors": "long",
+            }
+            spark.createDataFrame(
+                pd.DataFrame({k: [v] for k, v in meta2.items()}),
+                schema=", ".join(
+                    f"{k} {_mtypes.get(k, 'long')}" for k in meta2
+                ),
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{staged_root}/meta"
+            )
+            _swap_in(staged_root)
+            _clear_tombstones()
+            total = n_left
+        ts = frozenset()
+        ts_folded = True
     elif files_per_cell > max_files_per_cell and not reconciled:
         compacted = True
         post = spark.read.parquet(post_dir)
@@ -1694,7 +1838,8 @@ def maintain_ivf_index(
         fs.delete(P(post_dir), True)
         if not fs.rename(P(staged), P(post_dir)):
             raise IOError(f"rename {staged} -> {post_dir} failed")
-    if recovered or reconciled or retrained or compacted or did_rebuild:
+    if (recovered or reconciled or retrained or compacted or did_rebuild
+            or ts_folded):
         # the layout changed under serving replicas — bump AFTER the
         # swap so the marker always names a consistent layout
         _bump_ivf_generation(spark, path)
@@ -1828,7 +1973,15 @@ def cosine_topk_ivf_index(
     kernel broadcast — probe batches are serving-shaped and bounded
     (for bulk exact scoring use ``cosine_topk``). Pre-flat id-only
     layouts keep the legacy join plan (postings ⋈ vectors)."""
-    qbase = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("qv"))
+    # NULL query ids are dropped up front — the same contract (and
+    # rationale) as cosine_topk_ivf: results key on query_id, so a
+    # NULL id is unservable; and inside the probe-escalation loop
+    # ``~isin(short)`` evaluates to NULL for NULL ids, which silently
+    # dropped a NULL-id query's candidates whenever any OTHER query
+    # escalated (ADVICE r9 #5)
+    qbase = queries.select(
+        F.col(qid).alias("query_id"), F.col(qvec).alias("qv")
+    ).where(F.col(qid).isNotNull())
     use_flat = "cv" in index.postings.columns
     if use_flat:
         # the probe batch is collected anyway (kernel broadcast), so
@@ -1884,11 +2037,11 @@ def cosine_topk_ivf_index(
 
     def _pruned(cells_list):
         p = index.postings.where(F.col("cell").isin(cells_list))
-        if index.tombstones:
-            # merge-on-read deletes: a literal NOT-IN inside the pruned
-            # scan (bounded by tombstone count, which maintenance
-            # compaction keeps small)
-            p = p.where(~F.col("vec_id").isin(list(index.tombstones)))
+        # merge-on-read deletes: literal NOT-IN inside the pruned scan
+        # up to the measured cap, broadcast anti-join past it
+        # (_without_ids — plan-size crossover, r9 verdict #2)
+        p = _without_ids(p, "vec_id", index.tombstones,
+                         index.tombstones_df)
         if where_col is not None:
             p = p.where(where_col)
         return p
@@ -2090,9 +2243,10 @@ def cosine_topk_ivf_pq(
 
     def _pruned_codes(cells_list):
         p = index.postings.where(F.col("cell").isin(cells_list))
-        if index.tombstones:
-            # merge-on-read deletes, filtered in the pruned code scan
-            p = p.where(~F.col("vec_id").isin(list(index.tombstones)))
+        # merge-on-read deletes, filtered in the pruned code scan —
+        # literal/anti-join crossover as the flat path (_without_ids)
+        p = _without_ids(p, "vec_id", index.tombstones,
+                         index.tombstones_df)
         if where_col is not None:
             # filtered search (payload_cols layouts): the predicate
             # runs in the pruned code scan; candidates — and therefore

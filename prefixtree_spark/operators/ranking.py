@@ -231,6 +231,15 @@ def _bm25_contrib(k1: float, b: float, idf: str):
 #                       appends add increment rows, readers sum per
 #                       term, maintenance compacts to one row
 #   path/stats/         (n_docs, total_len, txn) — same merge-on-read
+#   path/docs/          (doc_id, h, txn) — one row per live document
+#                       with h = xxhash64(text), the content
+#                       fingerprint update/delete reconcile diffs
+#                       against the corpus (r10; absent on pre-r10
+#                       layouts — reconcile then directs callers to
+#                       rebuild_from). Also the authoritative doc
+#                       list: n_docs corrections count from it, so
+#                       EMPTY documents (no postings rows) delete
+#                       exactly too.
 #   path/_txns/         retired-txn markers (sources.io machinery)
 #   path/_generation    serving reload signal, bumped after writes
 #
@@ -261,6 +270,20 @@ def _term_bucket_col(col, n_buckets: int):
         F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"),
         F.lit(n_buckets),
     ).cast("int")
+
+
+def _docs_fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(doc_id, h)`` with ``h = xxhash64(text)`` — ONE definition of
+    the content fingerprint, shared by save/append (writers) and
+    reconcile (the differ), so the change detector can never drift
+    from the stored hashes. xxhash64 is JVM-built-in (no Python twin
+    needed: reconcile runs on the cluster) and hashes NULL text to the
+    seed constant, so NULL==NULL compares equal — a doc whose text
+    stays NULL is correctly 'unchanged'."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.xxhash64(F.col(text_col)).alias("h"),
+    )
 
 
 def save_bm25_index(
@@ -312,6 +335,12 @@ def save_bm25_index(
             .partitionBy("bucket")
             .parquet(f"{path}/dfreq")
         )
+        # per-doc content fingerprints — the reconcile diff target.
+        # Derived from the DOCS frame (not postings) so empty
+        # documents get a row too.
+        _docs_fingerprints(docs, id_col, text_col).withColumn(
+            "txn", F.lit(None).cast("string")
+        ).write.mode("overwrite").parquet(f"{path}/docs")
     finally:
         postings.unpersist()
     # tiny sidecars through pandas/Arrow, never a list-backed local
@@ -330,8 +359,17 @@ def save_bm25_index(
         ),
         schema="n_buckets int, k1 double, b double, idf string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
-    from prefixtree_spark.operators.ann import _bump_ivf_generation
+    from prefixtree_spark.operators.ann import (
+        _bump_ivf_generation,
+        _clear_stale_sidecars,
+    )
 
+    # a fresh save over an existing layout must not inherit its
+    # lifecycle sidecars: stale tombstones would mask the new rows and
+    # block their re-append, stale txn markers would no-op appends the
+    # new layout never saw (ADVICE r9 #1); bump=False — the
+    # unconditional bump below covers the reload signal
+    _clear_stale_sidecars(spark, path, bump=False)
     _bump_ivf_generation(spark, path)
 
 
@@ -387,15 +425,29 @@ def append_bm25_index(
     n_buckets = int(meta.n_buckets)
     docs = new_docs.where(F.col(id_col).isNotNull())
     ts = _load_bm25_tombstones(spark, path)
-    if ts and docs.where(F.col(id_col).isin(list(ts))).limit(1).count():
-        # the tombstoned doc's OLD postings are still physical: the
-        # presence filter would skip the new rows and clearing the
-        # tombstone would resurrect the stale document — reject until
-        # maintenance compacts (same contract as append_ivf_index)
-        raise ValueError(
-            "append_bm25_index: delta contains tombstoned doc_ids; "
-            "run maintain_bm25_index to compact deletions first"
-        )
+    if ts:
+        if len(ts) <= _BM25_GUARD_STATIC_MAX:
+            hit = docs.where(F.col(id_col).isin(list(ts))).limit(1).count()
+        else:
+            # past the literal cap: semi-join the (broadcastable)
+            # sidecar instead of inlining 10^5+ ids into the plan
+            tsf = _bm25_tombstones_frame(spark, path)
+            hit = (
+                docs.join(
+                    F.broadcast(tsf.toDF(id_col)), id_col, "left_semi"
+                ).limit(1).count()
+                if tsf is not None else 0
+            )
+        if hit:
+            # the tombstoned doc's OLD postings are still physical: the
+            # presence filter would skip the new rows and clearing the
+            # tombstone would resurrect the stale document — reject
+            # until maintenance compacts (same contract as
+            # append_ivf_index)
+            raise ValueError(
+                "append_bm25_index: delta contains tombstoned doc_ids; "
+                "run maintain_bm25_index to compact deletions first"
+            )
     postings = _tokenize_postings(docs, id_col, text_col).withColumn(
         "bucket", _term_bucket_col(F.col("term"), n_buckets)
     )
@@ -434,12 +486,35 @@ def append_bm25_index(
         n_new = docs.count()
         if n_new == 0:
             if txn is not None:
-                _retire_txn(spark, path, txn, 0)
+                # distinguish "genuinely nothing new" from "unrecorded
+                # replay after a crash between the postings write and
+                # the marker" (ADVICE r9 #3): in the crash case the
+                # presence filter drops every doc (postings landed),
+                # but the txn-tagged stats increment ALSO landed
+                # (increments write first) and carries the original
+                # count — retire with it so the marker fast path and
+                # sync_bm25_from_published report the real number.
+                landed = (
+                    spark.read.parquet(f"{path}/stats")
+                    .where(F.col("txn") == txn)
+                    .agg(F.sum("n_docs").cast("long"))
+                    .collect()[0][0]
+                )
+                _retire_txn(spark, path, txn, int(landed or 0))
+                return int(landed or 0)
             return 0
         total_len_delta = postings.agg(
             F.coalesce(F.sum("tf"), F.lit(0)).cast("long")
         ).collect()[0][0]
-        write_df, write_stats = True, True
+        write_df, write_stats, write_docs = True, True, True
+        # pre-r10 layouts have no docs/ fingerprint table; appends
+        # keep working (reconcile is what requires it)
+        from prefixtree_spark.sources.io import _fs as _fs_
+
+        _dfs, _djvm = _fs_(spark, path)
+        has_docs = _dfs.exists(
+            _djvm.org.apache.hadoop.fs.Path(f"{path}/docs")
+        )
         if txn is not None:
             if (
                 spark.read.parquet(f"{path}/dfreq")
@@ -455,6 +530,13 @@ def append_bm25_index(
                 .count()
             ):
                 write_stats = False
+            if has_docs and (
+                spark.read.parquet(f"{path}/docs")
+                .where(F.col("txn") == txn)
+                .limit(1)
+                .count()
+            ):
+                write_docs = False
         if write_df:
             (
                 postings.groupBy("bucket", "term")
@@ -477,6 +559,14 @@ def append_bm25_index(
                 ),
                 schema="n_docs long, total_len long, txn string",
             ).coalesce(1).write.mode("append").parquet(f"{path}/stats")
+        if has_docs and write_docs:
+            # fingerprint rows ride the increments-first discipline:
+            # they land before postings, so a replay's presence filter
+            # (which keys on postings) recomputes the same delta and
+            # the txn guard above skips the duplicate write
+            _docs_fingerprints(docs, id_col, text_col).withColumn(
+                "txn", F.lit(txn).cast("string")
+            ).write.mode("append").parquet(f"{path}/docs")
         (
             postings.repartition(n_buckets, "bucket")
             .sortWithinPartitions("bucket", "term")
@@ -498,6 +588,7 @@ def maintain_bm25_index(
     *,
     max_files_per_bucket: float = 4.0,
     rebuild_from: "DataFrame | None" = None,
+    reconcile_with: "DataFrame | None" = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: "int | None" = None,
@@ -530,6 +621,27 @@ def maintain_bm25_index(
     target-bucket-bytes). Returns ``rebuilt: True`` and skips the
     compaction check (the rebuild is already one-file-per-bucket).
 
+    ``reconcile_with``: the UPDATE/DELETE-aware incremental form (the
+    sparse twin of ``ann.maintain_ivf_index(reconcile_with=)``, closing
+    r9's top next-round item) — pass the live corpus (``id_col``,
+    ``text_col``). Stored per-doc content fingerprints (``docs/``,
+    ``h = xxhash64(text)``) diff against the corpus in two narrow
+    passes: documents GONE from the corpus and documents whose text
+    CHANGED. If any exist (or tombstones are pending), ONE staged
+    rebuild replaces them: surviving postings are REUSED as-is (read,
+    not re-tokenized), only the changed documents re-tokenize, and
+    df/stats/docs recompute exactly from the merged result — cost is
+    O(corpus bytes + changed-docs tokenize), never a corpus-wide
+    re-tokenize like ``rebuild_from``. Unchanged corpora no-op
+    (convergence: a second call does nothing). Additions remain
+    ``sync_bm25_from_published``'s job, as on the dense side. Pending
+    tombstones fold into the same rebuild and WIN over corpus
+    presence (a tombstoned id still in the corpus stays out — the
+    documented delete-then-re-add contract). Requires a layout with
+    the ``docs/`` fingerprint table (any save/append since r10);
+    pre-r10 layouts must converge via ``rebuild_from`` once, which
+    stamps the fingerprints.
+
     **Merge-on-read tombstones** (``delete_bm25_ids``) force a
     compaction regardless of file counts: the rewrite physically drops
     the deleted postings, recomputes df/stats EXACTLY from the
@@ -537,7 +649,7 @@ def maintain_bm25_index(
     and clears the sidecar.
 
     Returns ``{"compacted", "files_per_bucket", "recovered",
-    "rebuilt", "tombstones_compacted"}``."""
+    "rebuilt", "reconciled", "updated", "tombstones_compacted"}``."""
     import pandas as _pd
 
     from prefixtree_spark.operators.ann import _bump_ivf_generation
@@ -555,7 +667,7 @@ def maintain_bm25_index(
     # completeness from one table's presence recovered a re-bucketing
     # rebuild that crashed between stats and meta into a layout whose
     # live meta disagreed with its physical bucketing (r9 review).
-    _SWAP_ORDER = ("postings", "dfreq", "meta", "stats")
+    _SWAP_ORDER = ("postings", "dfreq", "docs", "meta", "stats")
     staged_root = f"{path}/_compact"
 
     def _mark_complete() -> None:
@@ -591,6 +703,11 @@ def maintain_bm25_index(
     ts = _load_bm25_tombstones(spark, path)
     n_ts0 = len(ts)
 
+    if rebuild_from is not None and reconcile_with is not None:
+        raise ValueError(
+            "maintain_bm25_index: pass rebuild_from OR reconcile_with, "
+            "not both"
+        )
     if rebuild_from is not None:
         # corpus-driven rebuild (docstring): one tokenize pass into the
         # staged root with the LIVE layout's params, then the explicit
@@ -614,6 +731,154 @@ def maintain_bm25_index(
             "files_per_bucket": 1.0,
             "recovered": recovered,
             "rebuilt": True,
+            "reconciled": 0,
+            "updated": 0,
+            "tombstones_compacted": n_ts0,
+        }
+
+    if reconcile_with is not None:
+        if not fs.exists(P(f"{path}/docs")):
+            raise ValueError(
+                "maintain_bm25_index: reconcile_with needs the docs/ "
+                "fingerprint table, absent on layouts saved before it "
+                "existed — run maintain_bm25_index(rebuild_from=corpus) "
+                "once to converge and stamp fingerprints"
+            )
+        corp = reconcile_with.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("_rtext")
+        ).where(F.col("doc_id").isNotNull())
+        corp_h = _docs_fingerprints(corp, "doc_id", "_rtext")
+        stored = spark.read.parquet(f"{path}/docs").select("doc_id", "h")
+        # two narrow diff passes — no postings touched yet
+        deleted_df = (
+            stored.select("doc_id")
+            .join(corp_h.select("doc_id"), "doc_id", "left_anti")
+        )
+        changed_df = (
+            stored.withColumnRenamed("h", "_sh")
+            .join(corp_h, "doc_id")
+            .where(F.col("_sh") != F.col("h"))
+            .select("doc_id")
+        )
+        n_deleted, n_changed = deleted_df.count(), changed_df.count()
+        if n_deleted == 0 and n_changed == 0 and not ts:
+            # converged: clean no-op (no swap, no generation bump)
+            return {
+                "compacted": False,
+                "files_per_bucket": 0.0,
+                "recovered": recovered,
+                "rebuilt": False,
+                "reconciled": 0,
+                "updated": 0,
+                "tombstones_compacted": 0,
+            }
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        nb = int(meta.n_buckets)
+        posts = spark.read.parquet(f"{path}/postings")
+        docs_tbl = spark.read.parquet(f"{path}/docs").select("doc_id", "h")
+        # stale = deleted ∪ changed ∪ pending tombstones; tombstones
+        # WIN over corpus presence (a tombstoned id the corpus still
+        # carries stays out until re-added through the normal path).
+        # Small stale sets go as literal NOT-IN inside the scans
+        # (id-stats file pruning); past the measured cap the ids stay
+        # distributed and anti-join instead — the same crossover as
+        # the append presence guard.
+        if n_deleted + n_changed + len(ts) <= _BM25_GUARD_STATIC_MAX:
+            changed_set = frozenset(r[0] for r in changed_df.collect())
+            stale = (
+                frozenset(r[0] for r in deleted_df.collect())
+                | changed_set
+                | ts
+            )
+            surv_posts = posts.where(~F.col("doc_id").isin(list(stale)))
+            docs_surv = docs_tbl.where(~F.col("doc_id").isin(list(stale)))
+            changed_live = [i for i in changed_set if i not in ts]
+            changed_src = (
+                corp.where(F.col("doc_id").isin(changed_live))
+                if changed_live else None
+            )
+        else:
+            import pandas as _tspd
+
+            ts_df = spark.createDataFrame(
+                _tspd.DataFrame({"doc_id": list(ts)}),
+                schema=docs_tbl.select("doc_id").schema,
+            ) if ts else deleted_df.limit(0)
+            stale_df = (
+                deleted_df.unionByName(changed_df)
+                .unionByName(ts_df).distinct()
+            )
+            surv_posts = posts.join(stale_df, "doc_id", "left_anti")
+            docs_surv = docs_tbl.join(stale_df, "doc_id", "left_anti")
+            changed_src = corp.join(
+                changed_df.join(ts_df, "doc_id", "left_anti"),
+                "doc_id", "left_semi",
+            )
+        new_posts = surv_posts
+        if changed_src is not None:
+            new_posts = surv_posts.unionByName(
+                _tokenize_postings(
+                    changed_src, "doc_id", "_rtext"
+                ).withColumn("bucket", _term_bucket_col(F.col("term"), nb))
+            )
+        new_posts = new_posts.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            (
+                new_posts.repartition(nb, "bucket")
+                .sortWithinPartitions("bucket", "term")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{staged_root}/postings")
+            )
+            (
+                new_posts.groupBy("bucket", "term")
+                .agg(F.count(F.lit(1)).cast("long").alias("df"))
+                .withColumn("txn", F.lit(None).cast("string"))
+                .repartition(nb, "bucket")
+                .sortWithinPartitions("bucket", "term")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{staged_root}/dfreq")
+            )
+            new_docs = docs_surv
+            if changed_src is not None:
+                new_docs = new_docs.unionByName(
+                    _docs_fingerprints(changed_src, "doc_id", "_rtext")
+                )
+            new_docs = new_docs.withColumn(
+                "txn", F.lit(None).cast("string")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            # docs/ is the authoritative doc list, so n_docs counts
+            # empty documents exactly — no postings-presence drift
+            n_docs = new_docs.count()
+            new_docs.write.mode("overwrite").parquet(f"{staged_root}/docs")
+            new_docs.unpersist()
+            total_len = new_posts.agg(
+                F.coalesce(F.sum("tf"), F.lit(0)).cast("long")
+            ).collect()[0][0]
+            spark.createDataFrame(
+                _pd.DataFrame(
+                    {"n_docs": [int(n_docs)],
+                     "total_len": [int(total_len)],
+                     "txn": _pd.array([None], dtype="object")}
+                ),
+                schema="n_docs long, total_len long, txn string",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{staged_root}/stats"
+            )
+        finally:
+            new_posts.unpersist()
+        _mark_complete()
+        _swap_in()
+        _clear_tombstones()
+        _bump_ivf_generation(spark, path)
+        return {
+            "compacted": True,
+            "files_per_bucket": 1.0,
+            "recovered": recovered,
+            "rebuilt": False,
+            "reconciled": n_deleted + n_changed,
+            "updated": n_changed,
             "tombstones_compacted": n_ts0,
         }
 
@@ -635,18 +900,30 @@ def maintain_bm25_index(
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
         n_buckets = int(meta.n_buckets)
         posts = spark.read.parquet(f"{path}/postings")
+        has_docs_tbl = fs.exists(P(f"{path}/docs"))
         if ts:
-            # n_docs correction BEFORE filtering: tombstoned docs that
-            # actually exist in the index (have postings). Tombstoned
-            # EMPTY docs (no postings rows) stay in n_docs until a
-            # corpus rebuild — they can never match a query, so the
-            # drift is idf-only and bounded.
-            n_deleted = (
-                posts.select("doc_id")
-                .where(F.col("doc_id").isin(list(ts)))
-                .distinct()
-                .count()
-            )
+            # n_docs correction BEFORE filtering. With the docs/
+            # fingerprint table (r10+) the count comes from it — the
+            # authoritative doc list — so tombstoned EMPTY documents
+            # (no postings rows) delete exactly too. Pre-r10 layouts
+            # fall back to postings presence: their tombstoned empty
+            # docs stay in n_docs until a corpus rebuild (idf-only,
+            # bounded drift — they can never match a query).
+            if has_docs_tbl:
+                n_deleted = (
+                    spark.read.parquet(f"{path}/docs")
+                    .select("doc_id")
+                    .where(F.col("doc_id").isin(list(ts)))
+                    .distinct()
+                    .count()
+                )
+            else:
+                n_deleted = (
+                    posts.select("doc_id")
+                    .where(F.col("doc_id").isin(list(ts)))
+                    .distinct()
+                    .count()
+                )
             posts = posts.where(~F.col("doc_id").isin(list(ts)))
         else:
             n_deleted = 0
@@ -711,6 +988,19 @@ def maintain_bm25_index(
                 ),
                 schema="n_docs long, total_len long, txn string",
             ).coalesce(1).write.mode("overwrite").parquet(f"{staged_root}/stats")
+            if has_docs_tbl:
+                # roll the fingerprint table up too: drop tombstoned
+                # docs' rows, clear txn tags, coalesce append files
+                docs_tbl = spark.read.parquet(f"{path}/docs").select(
+                    "doc_id", "h"
+                )
+                if ts:
+                    docs_tbl = docs_tbl.where(
+                        ~F.col("doc_id").isin(list(ts))
+                    )
+                docs_tbl.withColumn(
+                    "txn", F.lit(None).cast("string")
+                ).write.mode("overwrite").parquet(f"{staged_root}/docs")
         finally:
             posts.unpersist()
         _mark_complete()
@@ -722,6 +1012,8 @@ def maintain_bm25_index(
         "files_per_bucket": round(files_per_bucket, 2),
         "recovered": recovered,
         "rebuilt": False,
+        "reconciled": 0,
+        "updated": 0,
         "tombstones_compacted": n_ts0 if compacted else 0,
     }
 
@@ -795,8 +1087,14 @@ def bm25_rank_indexed(
         # merge-on-read deletes (delete_bm25_ids), soft-delete
         # semantics: tombstoned docs drop out of RESULTS here, while
         # df/stats above keep counting them until compaction — the
-        # Lucene contract, documented on delete_bm25_ids
-        posts = posts.where(~F.col("doc_id").isin(list(ts)))
+        # Lucene contract, documented on delete_bm25_ids. Literal
+        # NOT-IN up to the measured cap, broadcast anti-join past it
+        # (ann._without_ids — the plan-size crossover, r9 verdict #2)
+        from prefixtree_spark.operators.ann import _without_ids
+
+        posts = _without_ids(
+            posts, "doc_id", ts, _bm25_tombstones_frame(spark, path)
+        )
     qenriched = qterms.join(dfreq, "term").crossJoin(F.broadcast(stats))
     scored = (
         F.broadcast(qenriched)
@@ -902,7 +1200,11 @@ def sync_bm25_from_published(
         # explicit index-level deletes win over corpus presence until
         # maintenance compacts: append rejects tombstoned ids outright
         # (resurrection hazard), so the sync must not hand them back
-        cand = cand.where(~F.col(id_col).isin(list(ts)))
+        from prefixtree_spark.operators.ann import _without_ids
+
+        cand = _without_ids(
+            cand, id_col, ts, _bm25_tombstones_frame(spark, index_path)
+        )
     tag = hashlib.sha256(root.encode()).hexdigest()[:12]
     appended = append_bm25_index(
         spark, index_path, cand, id_col, text_col, txn=f"sync.{tag}.v{live}"
@@ -922,6 +1224,18 @@ def _load_bm25_tombstones(spark, path: str) -> frozenset:
         )
     except Exception:
         return frozenset()
+
+
+def _bm25_tombstones_frame(spark, path: str) -> "DataFrame | None":
+    """The sidecar as a lazy distributed frame — the anti-join side of
+    the probe filter's plan-size crossover (``ann._without_ids``)."""
+    try:
+        return (
+            spark.read.parquet(f"{path}/_tombstones")
+            .select("doc_id").distinct()
+        )
+    except Exception:
+        return None
 
 
 def delete_bm25_ids(spark, path: str, ids) -> int:

@@ -678,6 +678,7 @@ def maintain_ingest(
     bm25_index_path: str | None = None,
     bm25_max_files_per_bucket: float = 4.0,
     bm25_rebuild: "bool | tuple[str, str]" = False,
+    bm25_reconcile: "bool | tuple[str, str]" = False,
 ) -> dict[str, int]:
     """Out-of-band maintenance for an ingest pair (corpus + bands):
     when either table's live chain exceeds ``max_segments``, fold it
@@ -766,15 +767,23 @@ def maintain_ingest(
         out[f"{ann_index_path}_reconciled"] = int(rep["reconciled"])
     if bm25_index_path is not None:
         # the sparse side: compact merge-on-read increments when
-        # appends fragment the buckets; ``bm25_rebuild=True``
-        # rebuilds wholesale from the live corpus (the converge path
-        # for COW deletes/updates — BM25's rebuild is one tokenize
-        # pass, so it rides maintenance cadence, not a batch).
+        # appends fragment the buckets; ``bm25_reconcile=True`` (or an
+        # (id_col, text_col) tuple) converges COW deletes/updates
+        # INCREMENTALLY — content-fingerprint diff, only changed docs
+        # re-tokenize (the dense side's reconcile_with twin, r10);
+        # ``bm25_rebuild=True`` remains the wholesale form (one full
+        # tokenize pass — the pre-r10 converge path, still the only
+        # one for layouts without the docs/ fingerprint table).
         from prefixtree_spark.operators.ranking import maintain_bm25_index
 
+        if bm25_rebuild and bm25_reconcile:
+            raise ValueError(
+                "maintain_ingest: pass bm25_rebuild OR bm25_reconcile, "
+                "not both"
+            )
+        spec = bm25_reconcile or bm25_rebuild
         rb_id, rb_text = (
-            bm25_rebuild if isinstance(bm25_rebuild, tuple)
-            else ("doc_id", "text")
+            spec if isinstance(spec, tuple) else ("doc_id", "text")
         )
         srep = maintain_bm25_index(
             spark, bm25_index_path,
@@ -782,10 +791,14 @@ def maintain_ingest(
             rebuild_from=(
                 read_published(spark, root) if bm25_rebuild else None
             ),
+            reconcile_with=(
+                read_published(spark, root) if bm25_reconcile else None
+            ),
             id_col=rb_id, text_col=rb_text,
         )
         out[f"{bm25_index_path}_compacted"] = int(srep["compacted"])
         out[f"{bm25_index_path}_rebuilt"] = int(srep["rebuilt"])
+        out[f"{bm25_index_path}_reconciled"] = int(srep["reconciled"])
     return out
 
 

@@ -1418,3 +1418,197 @@ def test_maintain_reconcile_with_tombstone_only_bumps_generation(
     rep2 = ann.maintain_ivf_index(spark, path, reconcile_with=corp)
     assert rep2["reconciled"] == 0 and rep2["tombstones_compacted"] == 0
     assert _read_ivf_generation(path) == g1
+
+
+def test_maintain_folds_tombstones_without_retrain(spark, clustered, tmp_path):
+    """ADVICE r9 #2: a tombstone set too small to fire the retrain
+    trigger must STILL be folded by the next maintenance pass — the
+    'reclaimed at maintenance cadence' contract in delete_ivf_ids.
+    The fold keeps the trained centroids (no retrain), physically
+    drops the rows from vectors AND postings, clears the sidecar,
+    re-enables re-append of the ids, preserves the append-drift base,
+    and bumps the serving generation."""
+    import os
+
+    from prefixtree_spark.serving import _read_ivf_generation
+
+    df, _ = clustered
+    path = str(tmp_path / "ivf_tsfold")
+    ann.save_ivf_index(df, "vec_id", "embedding", path, n_cells=5,
+                       sample_size=300, pq_m=4)
+    cent_before = sorted(
+        (r.cell, tuple(r.c))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    assert ann.delete_ivf_ids(spark, path, [0, 55, 100]) == 3
+    g0 = _read_ivf_generation(path)
+    # retrain_frac high enough that 3/101 drift does NOT fire
+    rep = ann.maintain_ivf_index(spark, path, retrain_frac=0.5)
+    assert not rep["retrained"]
+    assert rep["tombstones_compacted"] == 3 and rep["tombstones"] == 0
+    assert not os.path.isdir(f"{path}/_tombstones")
+    assert _read_ivf_generation(path) > g0
+    # physically gone from both tables
+    vec_ids = {r.vec_id for r in spark.read.parquet(f"{path}/vectors").collect()}
+    post_ids = {r.vec_id for r in spark.read.parquet(f"{path}/postings").collect()}
+    assert not vec_ids & {0, 55, 100} and len(vec_ids) == 98
+    assert not post_ids & {0, 55, 100}
+    # no retrain: centroids byte-identical
+    cent_after = sorted(
+        (r.cell, tuple(r.c))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    assert cent_after == cent_before
+    # append-drift base preserved: base re-stamps to 101-3
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert meta.n_vectors == 98
+    # probes == exact over the survivors, flat AND PQ
+    live = df.where("vec_id NOT IN (0, 55, 100)")
+    q = df.where("vec_id IN (1, 25, 50)")
+    idx = ann.load_ivf_index(spark, path)
+    assert idx.tombstones == frozenset()
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk(
+            q, "vec_id", "embedding", live, "vec_id", "embedding", k=5
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_ivf_index(
+            q, "vec_id", "embedding", idx, k=5, nprobe=5
+        ).collect()
+    }
+    assert got == want and got
+    # the ids are re-appendable now (the old physical rows are gone)
+    assert ann.append_ivf_index(
+        spark, path, df.where("vec_id = 0"), "vec_id", "embedding"
+    ) == 1
+    # second maintenance pass: clean no-op (no tombstones, no swap)
+    g1 = _read_ivf_generation(path)
+    rep2 = ann.maintain_ivf_index(spark, path, retrain_frac=0.5,
+                                  max_files_per_cell=99)
+    assert rep2["tombstones_compacted"] == 0 and not rep2["retrained"]
+    assert _read_ivf_generation(path) == g1
+
+
+def test_save_ivf_over_stale_layout_clears_sidecars(spark, clustered, tmp_path):
+    """ADVICE r9 #1: a fresh save_ivf_index over an existing layout
+    must not inherit its _tombstones/_txns/_synced sidecars — a stale
+    tombstone would silently mask the NEW rows from every probe and
+    block their re-append; stale txn markers would no-op appends the
+    new layout never saw. The overwrite also bumps the generation so
+    watchers reload."""
+    import os
+
+    from prefixtree_spark.serving import _read_ivf_generation
+
+    df, _ = clustered
+    path = str(tmp_path / "ivf_resave")
+    ann.save_ivf_index(df.where("vec_id < 60"), "vec_id", "embedding",
+                       path, n_cells=4, sample_size=200)
+    ann.delete_ivf_ids(spark, path, [5, 7])
+    ann.append_ivf_index(spark, path, df.where("vec_id >= 60"),
+                         "vec_id", "embedding", txn="old-batch")
+    from prefixtree_spark.operators.ann import _write_sync_watermark
+
+    _write_sync_watermark(spark, path, 9)
+    g0 = _read_ivf_generation(path)
+    # fresh save over the same path: new corpus, new life
+    ann.save_ivf_index(df, "vec_id", "embedding", path, n_cells=4,
+                       sample_size=200)
+    assert not os.path.isdir(f"{path}/_tombstones")
+    assert not os.path.isdir(f"{path}/_txns")
+    assert not os.path.exists(f"{path}/_synced")
+    assert _read_ivf_generation(path) > g0  # watchers must reload
+    idx = ann.load_ivf_index(spark, path)
+    assert idx.tombstones == frozenset()
+    # the previously-tombstoned ids serve again
+    q = df.where("vec_id = 5")
+    got = ann.cosine_topk_ivf_index(
+        q, "vec_id", "embedding", idx, k=3, nprobe=4, exclude_self=False
+    ).collect()
+    assert any(r.vec_id == 5 and r.rank == 1 for r in got)
+    # and the stale txn marker no longer swallows a same-named append
+    from prefixtree_spark.sources.io import _retired_txn_version
+
+    assert _retired_txn_version(spark, path, "old-batch") is None
+
+
+def test_ivf_index_probe_drops_null_query_ids(spark, clustered, tmp_path):
+    """ADVICE r9 #5: NULL query ids are unservable (results key on
+    query_id) and interacted badly with the escalation loop's
+    ~isin(short) NULL semantics — the stored-index probe drops them up
+    front, matching cosine_topk_ivf, and other queries are unaffected."""
+    df, _ = clustered
+    path = str(tmp_path / "ivf_nullq")
+    ann.save_ivf_index(df, "vec_id", "embedding", path, n_cells=5,
+                       sample_size=300)
+    idx = ann.load_ivf_index(spark, path)
+    q_ok = df.where("vec_id IN (1, 25)")
+    q_null = q_ok.unionByName(
+        q_ok.limit(1).select(
+            F.lit(None).cast("long").alias("vec_id"), "embedding"
+        )
+    )
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_ivf_index(
+            q_ok, "vec_id", "embedding", idx, k=5, nprobe=5
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_ivf_index(
+            q_null, "vec_id", "embedding", idx, k=5, nprobe=5
+        ).collect()
+    }
+    assert got == want and not any(r[0] is None for r in got)
+
+
+def test_tombstone_filter_anti_join_crossover(spark, clustered, tmp_path, monkeypatch):
+    """r9 verdict #2: past the literal-IN plan-size cap the probe-side
+    tombstone filter switches to a broadcast anti-join against the
+    sidecar — results must be IDENTICAL in both regimes, for the flat
+    and the PQ probe, and the append rejection guard must still fire."""
+    df, _ = clustered
+    path = str(tmp_path / "ivf_xover_ts")
+    ann.save_ivf_index(df, "vec_id", "embedding", path, n_cells=5,
+                       sample_size=300, pq_m=4)
+    assert ann.delete_ivf_ids(spark, path, [0, 55, 100]) == 3
+    q = df.where("vec_id IN (1, 25, 50)")
+
+    def _probe():
+        idx = ann.load_ivf_index(spark, path)
+        flat = {
+            (r.query_id, r.vec_id, r.rank)
+            for r in ann.cosine_topk_ivf_index(
+                q, "vec_id", "embedding", idx, k=5, nprobe=5
+            ).collect()
+        }
+        pq = {
+            (r.query_id, r.vec_id, r.rank)
+            for r in ann.cosine_topk_ivf_pq(
+                q, "vec_id", "embedding", idx, k=5, nprobe=5,
+                pad_factor=50,
+            ).collect()
+        }
+        return flat, pq
+
+    flat_lit, pq_lit = _probe()
+    monkeypatch.setattr(ann, "_APPEND_GUARD_STATIC_MAX", 0)
+    flat_aj, pq_aj = _probe()
+    assert flat_aj == flat_lit and pq_aj == pq_lit and flat_lit
+    live = df.where("vec_id NOT IN (0, 55, 100)")
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk(
+            q, "vec_id", "embedding", live, "vec_id", "embedding", k=5
+        ).collect()
+    }
+    assert flat_aj == want
+    # the append rejection guard fires in the anti-join regime too
+    with pytest.raises(ValueError, match="tombstoned"):
+        ann.append_ivf_index(
+            spark, path, df.where("vec_id = 0"), "vec_id", "embedding"
+        )

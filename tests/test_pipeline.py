@@ -117,3 +117,49 @@ def test_quota_does_not_starve_splits(spark):
     # both splits populated, neither hoarding > 75% of survivors
     assert set(by_split) == {"train", "test"}
     assert max(by_split.values()) <= 75, by_split
+
+
+def test_ensure_cached_artifact_reraises_real_rename_failures(tmp_path, monkeypatch):
+    """ADVICE r9 #4: only a lost RACE (artifact already published by
+    the winner) may swallow the rename OSError — an EXDEV/permission
+    failure that leaves nothing at the final path must re-raise, not
+    surface later as a confusing parquet error far from the cause."""
+    import os
+
+    import pytest as _pt
+
+    from prefixtree_spark.workloads_ext import _ensure_cached_artifact
+
+    # failure case: rename raises, nothing at path -> re-raise
+    path = str(tmp_path / "artifact")
+
+    def _build(staging):
+        os.makedirs(os.path.join(staging, "meta"))
+
+    real_rename = os.rename
+
+    def _bad_rename(src, dst):
+        raise OSError(18, "Invalid cross-device link")  # EXDEV
+
+    monkeypatch.setattr(os, "rename", _bad_rename)
+    with _pt.raises(OSError):
+        _ensure_cached_artifact(path, _build)
+
+    # race case: a concurrent winner published DURING our build — the
+    # rename failure is benign and must be swallowed
+    path2 = str(tmp_path / "artifact2")
+
+    def _racer_build(staging):
+        os.makedirs(os.path.join(staging, "meta"))
+        real_makedirs(os.path.join(path2, "meta"))  # the racer's publish
+
+    real_makedirs = os.makedirs
+    assert _ensure_cached_artifact(path2, _racer_build) == path2
+
+    # and a fresh build isn't even attempted when the artifact exists
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    def _boom(staging):
+        raise AssertionError("build must not run when artifact exists")
+
+    assert _ensure_cached_artifact(path2, _boom) == path2

@@ -764,3 +764,296 @@ def test_bm25_layout_property_random_corpora(spark, tmp_path):
             ).collect()
         }
         assert got == want, (trial, idf, split)
+
+
+def test_save_bm25_over_stale_layout_clears_sidecars(spark, sf_docs, tmp_path):
+    """ADVICE r9 #1 (sparse twin): a fresh save_bm25_index over an
+    existing layout drops its _tombstones/_txns/_synced — stale
+    tombstones would mask brand-new documents from every probe and
+    block their re-append; stale txn markers would no-op appends the
+    new layout never saw."""
+    import os
+
+    from prefixtree_spark.operators import ranking
+    from prefixtree_spark.sources.io import _retired_txn_version
+
+    half1 = sf_docs.where("doc_id % 2 = 0")
+    half2 = sf_docs.where("doc_id % 2 = 1")
+    path = str(tmp_path / "bm25_resave")
+    ranking.save_bm25_index(half1, "doc_id", "text", path, n_buckets=8,
+                            idf="ratio")
+    dead = [r.doc_id for r in half1.limit(2).collect()]
+    assert ranking.delete_bm25_ids(spark, path, dead) == 2
+    ranking.append_bm25_index(spark, path, half2, "doc_id", "text",
+                              txn="old-batch")
+    from prefixtree_spark.operators.ann import _write_sync_watermark
+
+    _write_sync_watermark(spark, path, 9)
+    # fresh save over the same path
+    ranking.save_bm25_index(sf_docs, "doc_id", "text", path, n_buckets=8,
+                            idf="ratio")
+    assert not os.path.isdir(f"{path}/_tombstones")
+    assert not os.path.isdir(f"{path}/_txns")
+    assert not os.path.exists(f"{path}/_synced")
+    assert _retired_txn_version(spark, path, "old-batch") is None
+    # previously-tombstoned docs rank again, and the layout equals the
+    # in-session ranker over the full corpus
+    q = _doc_queries(spark)
+    want = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank(
+            sf_docs, "doc_id", "text", q, "qid", "terms", idf="ratio"
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(
+            spark, path, q, "qid", "terms"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_bm25_unrecorded_replay_reports_original_count(spark, sf_docs, tmp_path):
+    """ADVICE r9 #3: a replay after a crash BETWEEN the postings write
+    and the txn marker sees the presence filter drop every doc — it
+    must recover the original count from the landed txn-tagged stats
+    increment, not retire the txn with 0 (sync_bm25_from_published
+    would otherwise report 0 appended for that version forever)."""
+    import os
+
+    from prefixtree_spark.operators import ranking
+
+    half1 = sf_docs.where("doc_id % 2 = 0")
+    half2 = sf_docs.where("doc_id % 2 = 1")
+    path = str(tmp_path / "bm25_replaycnt")
+    ranking.save_bm25_index(half1, "doc_id", "text", path, n_buckets=8,
+                            idf="ratio")
+    n = ranking.append_bm25_index(spark, path, half2, "doc_id", "text",
+                                  txn="b1")
+    assert n == half2.count() and n > 0
+    # simulate the crash: everything landed except the marker
+    for f in os.listdir(f"{path}/_txns"):
+        os.remove(os.path.join(f"{path}/_txns", f))
+    got = ranking.append_bm25_index(spark, path, half2, "doc_id", "text",
+                                    txn="b1")
+    assert got == n  # NOT 0
+    # and the re-recorded marker fast path reports the same
+    assert ranking.append_bm25_index(
+        spark, path, half2, "doc_id", "text", txn="b1"
+    ) == n
+    # a genuinely-empty overlap delta under a NEW txn still reports 0
+    assert ranking.append_bm25_index(
+        spark, path, half2, "doc_id", "text", txn="b2"
+    ) == 0
+
+
+def _transformed_corpus(sf_docs):
+    """COW-style corpus evolution: every 89th doc deleted, every 73rd
+    (surviving) doc's text rewritten in place."""
+    from pyspark.sql import functions as F
+
+    return sf_docs.where("doc_id % 89 != 0").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 73 == 0,
+            F.concat(F.lit("zzupd zzfresh "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+
+
+@pytest.mark.parametrize("force_anti_join", [False, True])
+def test_bm25_reconcile_updates_and_deletes(
+    spark, sf_docs, tmp_path, monkeypatch, force_anti_join
+):
+    """r9 top next-round item: maintain_bm25_index(reconcile_with=)
+    converges a persisted layout to a corpus whose documents were
+    REWRITTEN and DELETED in place — content-fingerprint diff, only
+    the changed docs re-tokenize, no corpus-wide rebuild — and a
+    second call is a clean no-op. Both filter regimes (literal NOT-IN
+    and the past-the-cap anti-join) must produce identical layouts."""
+    from prefixtree_spark.operators import ranking
+    from prefixtree_spark.serving import _read_ivf_generation
+
+    if force_anti_join:
+        monkeypatch.setattr(ranking, "_BM25_GUARD_STATIC_MAX", 0)
+    path = str(tmp_path / f"bm25_rec_{force_anti_join}")
+    ranking.save_bm25_index(sf_docs, "doc_id", "text", path,
+                            n_buckets=8, idf="ratio")
+    corpus2 = _transformed_corpus(sf_docs)
+    n_del = sf_docs.where("doc_id % 89 = 0").count()
+    n_upd = corpus2.where("doc_id % 73 = 0").count()
+    assert n_del > 0 and n_upd > 0
+    rep = ranking.maintain_bm25_index(
+        spark, path, reconcile_with=corpus2, id_col="doc_id",
+        text_col="text",
+    )
+    assert rep["reconciled"] == n_del + n_upd
+    assert rep["updated"] == n_upd and not rep["rebuilt"]
+    q = _doc_queries(spark)
+    want = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank(
+            corpus2, "doc_id", "text", q, "qid", "terms", idf="ratio"
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(
+            spark, path, q, "qid", "terms"
+        ).collect()
+    }
+    assert got == want and got
+    # rewritten text is actually SERVED: a query on the new marker
+    # terms hits every updated doc
+    qm = spark.createDataFrame([(999, ["zzupd"])], ["qid", "terms"])
+    hits = {
+        r.doc_id
+        for r in ranking.bm25_rank_indexed(
+            spark, path, qm, "qid", "terms", topk=10_000
+        ).collect()
+    }
+    assert hits == {
+        r.doc_id for r in corpus2.where("doc_id % 73 = 0").collect()
+    }
+    # convergence: second call is a clean no-op, no generation bump
+    g1 = _read_ivf_generation(path)
+    rep2 = ranking.maintain_bm25_index(
+        spark, path, reconcile_with=corpus2, id_col="doc_id",
+        text_col="text",
+    )
+    assert rep2["reconciled"] == 0 and rep2["updated"] == 0
+    assert _read_ivf_generation(path) == g1
+
+
+def test_bm25_reconcile_folds_pending_tombstones(spark, sf_docs, tmp_path):
+    """Pending delete_bm25_ids tombstones fold into the reconcile
+    rebuild and WIN over corpus presence: a tombstoned id the corpus
+    still carries stays out, the sidecar clears, and the id becomes
+    re-appendable (old postings physically gone)."""
+    import os
+
+    from prefixtree_spark.operators import ranking
+
+    path = str(tmp_path / "bm25_rec_ts")
+    ranking.save_bm25_index(sf_docs, "doc_id", "text", path,
+                            n_buckets=8, idf="ratio")
+    dead = [r.doc_id for r in sf_docs.limit(2).collect()]
+    assert ranking.delete_bm25_ids(spark, path, dead) == 2
+    # corpus unchanged — the only work is the tombstone fold
+    rep = ranking.maintain_bm25_index(
+        spark, path, reconcile_with=sf_docs, id_col="doc_id",
+        text_col="text",
+    )
+    assert rep["reconciled"] == 0 and rep["tombstones_compacted"] == 2
+    assert not os.path.isdir(f"{path}/_tombstones")
+    q = _doc_queries(spark)
+    want = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank(
+            sf_docs.where(~sf_docs.doc_id.isin(dead)), "doc_id", "text",
+            q, "qid", "terms", idf="ratio",
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(
+            spark, path, q, "qid", "terms"
+        ).collect()
+    }
+    assert got == want
+    # physically reclaimed -> re-append works again
+    n = ranking.append_bm25_index(
+        spark, path, sf_docs.where(sf_docs.doc_id.isin(dead)),
+        "doc_id", "text",
+    )
+    assert n == 2
+
+
+def test_bm25_reconcile_requires_fingerprints(spark, sf_docs, tmp_path):
+    """Pre-r10 layouts (no docs/ fingerprint table) fail loudly with
+    the rebuild_from escape hatch — and rebuild_from STAMPS the
+    fingerprints, after which reconcile works."""
+    import shutil
+
+    from prefixtree_spark.operators import ranking
+
+    path = str(tmp_path / "bm25_legacy")
+    ranking.save_bm25_index(sf_docs, "doc_id", "text", path,
+                            n_buckets=8, idf="ratio")
+    shutil.rmtree(f"{path}/docs")  # simulate a pre-r10 layout
+    with pytest.raises(ValueError, match="rebuild_from"):
+        ranking.maintain_bm25_index(
+            spark, path, reconcile_with=sf_docs, id_col="doc_id",
+            text_col="text",
+        )
+    rep = ranking.maintain_bm25_index(
+        spark, path, rebuild_from=sf_docs, id_col="doc_id",
+        text_col="text",
+    )
+    assert rep["rebuilt"]
+    rep2 = ranking.maintain_bm25_index(
+        spark, path, reconcile_with=sf_docs, id_col="doc_id",
+        text_col="text",
+    )
+    assert rep2["reconciled"] == 0  # converged, fingerprints live
+
+
+def test_bm25_updated_workload_matches_oracle(spark, duck):
+    """Gate-equivalent pin for bm25_rank_updated: the reconciled
+    stored layout's ranks hash-match DuckDB's BM25 over the EVOLVED
+    corpus (deletes gone, rewritten text served)."""
+    from prefixtree_spark import workloads
+    import prefixtree_spark.workloads_ext  # noqa: F401 — registers
+
+    sdf = workloads.QUERIES["bm25_rank_updated"](
+        spark, "/root/testdata/sf0.001"
+    )
+    got = sorted(map(tuple, sdf.toPandas()[sorted(sdf.columns)].values.tolist()))
+    odf = duck.execute(workloads.ORACLES["bm25_rank_updated"]).fetchdf()
+    want = sorted(map(tuple, odf[sorted(odf.columns)].values.tolist()))
+    assert got == want
+    assert len(got) > 0
+    # repeat call: the converged no-op path returns the same answer
+    sdf2 = workloads.QUERIES["bm25_rank_updated"](
+        spark, "/root/testdata/sf0.001"
+    )
+    got2 = sorted(map(tuple, sdf2.toPandas()[sorted(sdf2.columns)].values.tolist()))
+    assert got2 == got
+
+
+def test_bm25_tombstone_filter_anti_join_crossover(
+    spark, sf_docs, tmp_path, monkeypatch
+):
+    """The sparse twin of the ANN tombstone-filter crossover: past the
+    literal cap, bm25_rank_indexed filters deletes via broadcast
+    anti-join — identical ranks in both regimes, and the append guard
+    still rejects tombstoned ids."""
+    from prefixtree_spark.operators import ann as _ann
+    from prefixtree_spark.operators import ranking
+
+    path = str(tmp_path / "bm25_xover_ts")
+    ranking.save_bm25_index(sf_docs, "doc_id", "text", path,
+                            n_buckets=8, idf="ratio")
+    dead = [r.doc_id for r in sf_docs.limit(3).collect()]
+    assert ranking.delete_bm25_ids(spark, path, dead) == 3
+    q = _doc_queries(spark)
+
+    def _probe():
+        return {
+            (r.query_id, r.doc_id, r.rank)
+            for r in ranking.bm25_rank_indexed(
+                spark, path, q, "qid", "terms"
+            ).collect()
+        }
+
+    lit = _probe()
+    monkeypatch.setattr(_ann, "_APPEND_GUARD_STATIC_MAX", 0)
+    monkeypatch.setattr(ranking, "_BM25_GUARD_STATIC_MAX", 0)
+    aj = _probe()
+    assert aj == lit and lit
+    with pytest.raises(ValueError, match="tombstoned"):
+        ranking.append_bm25_index(
+            spark, path, sf_docs.where(sf_docs.doc_id.isin(dead)),
+            "doc_id", "text",
+        )
