@@ -14,6 +14,7 @@ Everything is DataFrame-in / DataFrame-out; kernels are Arrow-vectorized
 pandas functions; no RDD API, no Catalyst extensions.
 """
 
+from prefixtree_spark._generation import probe_consistent
 from prefixtree_spark.operators.build import create, load_index, save_index
 from prefixtree_spark.operators.incremental import add_words, remove_words
 from prefixtree_spark.operators.prefix import prefix_search
@@ -160,6 +161,7 @@ __all__ = [
     "sync_ivf_from_published",
     "maintain_ivf_index",
     "load_ivf_index",
+    "probe_consistent",
 ]
 
 __version__ = "0.1.0"

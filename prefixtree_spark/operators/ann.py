@@ -1227,30 +1227,12 @@ def append_ivf_index(
     return n
 
 
-def _bump_ivf_generation(spark, path: str) -> int:
-    """Advance the layout's ``_generation`` marker — the serving-side
-    reload signal (``serving.watch_ivf_index``). Writers call it AFTER
-    their writes/swaps complete, so any readable value names a
-    consistent layout; a crash before the bump leaves replicas on the
-    previous generation (stale but never mixed) until the next
-    maintenance call bumps. Read-modify-write is safe under the
-    standing single-writer contract. Returns the new generation."""
-    from prefixtree_spark.sources.io import _fs, _read_small_file
-
-    fs, jvm = _fs(spark, path)
-    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_generation")
-    cur = 0
-    try:
-        if fs.exists(p):
-            cur = int(_read_small_file(spark, f"{path}/_generation").strip())
-    except Exception:
-        cur = 0
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(str(cur + 1).encode()))
-    finally:
-        out.close()
-    return cur + 1
+# the shared generation protocol lives in prefixtree_spark._generation
+# (one implementation for IVF, BM25 and published layouts — r9 verdict
+# #6); this name survives as the historical import site
+from prefixtree_spark._generation import (  # noqa: E402
+    bump_generation as _bump_ivf_generation,
+)
 
 
 def _read_sync_watermark(spark, index_path: str) -> int:
@@ -1492,6 +1474,10 @@ def maintain_ivf_index(
     (don't serve probes from the same layout mid-rebuild) covers that
     window; what the recovery adds is that a crash can no longer
     strand the index there."""
+    from prefixtree_spark._generation import (
+        clear_swapping as _clear_swapping,
+        mark_swapping as _mark_swapping,
+    )
     from prefixtree_spark.sources.io import _fs
 
     fs, jvm = _fs(spark, path)
@@ -1500,7 +1486,11 @@ def maintain_ivf_index(
 
     def _swap_in(staged: str) -> None:
         # meta LAST: its presence under staged is the completeness
-        # marker, so the swap is resumable from any crash point
+        # marker, so the swap is resumable from any crash point. The
+        # _swapping intent marker brackets exactly the rename window —
+        # probe_consistent readers discard-and-retry while it is up
+        # (the stated reader-during-swap contract, r10)
+        _mark_swapping(spark, path)
         for sub in _SWAP_ORDER:
             src = P(f"{staged}/{sub}")
             if fs.exists(src):
@@ -1510,7 +1500,12 @@ def maintain_ivf_index(
                 if not fs.rename(src, dst):
                     raise IOError(f"rename {src} -> {dst} failed")
         fs.delete(P(staged), True)
+        _clear_swapping(spark, path)
 
+    # a stray marker with no writer alive = a crash inside a rename
+    # window; this call is the single writer now and recovers the
+    # stage below — the marker must not outlive that recovery
+    _clear_swapping(spark, path)
     recovered = False
     staged_root = f"{path}/_rebuild"
     if fs.exists(P(staged_root)):
@@ -1835,9 +1830,11 @@ def maintain_ivf_index(
             .partitionBy("cell")
             .parquet(staged)
         )
+        _mark_swapping(spark, path)
         fs.delete(P(post_dir), True)
         if not fs.rename(P(staged), P(post_dir)):
             raise IOError(f"rename {staged} -> {post_dir} failed")
+        _clear_swapping(spark, path)
     if (recovered or reconciled or retrained or compacted or did_rebuild
             or ts_folded):
         # the layout changed under serving replicas — bump AFTER the

@@ -652,6 +652,10 @@ def maintain_bm25_index(
     "rebuilt", "reconciled", "updated", "tombstones_compacted"}``."""
     import pandas as _pd
 
+    from prefixtree_spark._generation import (
+        clear_swapping as _clear_swapping,
+        mark_swapping as _mark_swapping,
+    )
     from prefixtree_spark.operators.ann import _bump_ivf_generation
     from prefixtree_spark.sources.io import _fs
 
@@ -678,6 +682,10 @@ def maintain_bm25_index(
             out.close()
 
     def _swap_in() -> None:
+        # the _swapping intent marker brackets exactly the rename
+        # window — probe_consistent readers discard-and-retry while
+        # it is up (the stated reader-during-swap contract, r10)
+        _mark_swapping(spark, path)
         for sub in _SWAP_ORDER:
             src = P(f"{staged_root}/{sub}")
             if fs.exists(src):
@@ -687,7 +695,13 @@ def maintain_bm25_index(
                 if not fs.rename(src, dst):
                     raise IOError(f"rename {src} -> {dst} failed")
         fs.delete(P(staged_root), True)
+        _clear_swapping(spark, path)
 
+    # a stray marker with no swap in flight = a writer crashed inside
+    # its rename window; this maintenance call is the single writer
+    # now, and it recovers/garbage-collects the stage below — the
+    # marker must not outlive that recovery
+    _clear_swapping(spark, path)
     recovered = False
     if fs.exists(P(staged_root)):
         if fs.exists(P(f"{staged_root}/_complete")):

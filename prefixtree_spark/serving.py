@@ -938,17 +938,12 @@ class LocalVectorIndex:
         return out
 
 
-def _read_ivf_generation(path: str) -> int:
-    """The layout's ``_generation`` marker (0 when absent or torn —
-    the writers bump it only after a swap/append completes, so any
-    readable value names a consistent layout)."""
-    import os
-
-    try:
-        with open(os.path.join(path, "_generation")) as f:
-            return int(f.read().strip())
-    except Exception:
-        return 0
+# the shared generation protocol lives in prefixtree_spark._generation
+# (r9 verdict #6); this name survives as the historical import site
+from prefixtree_spark._generation import (  # noqa: E402
+    read_generation as _read_ivf_generation,
+    watch_generation as _watch_generation,
+)
 
 
 def load_local_ivf_index(path: str, *, preload: bool = False) -> LocalVectorIndex:
@@ -1021,37 +1016,33 @@ def watch_published_index(
 
     Pass ``current_version`` (the version ``load_local_index_published``
     returned for the index the server is ALREADY holding) to skip the
-    otherwise-spurious first-poll reload; default 0 reloads once."""
-    stop = threading.Event()
-    state = {
-        "version": (
+    otherwise-spurious first-poll reload; default 0 reloads once.
+
+    One of three thin fronts over ``_generation.watch_generation`` —
+    the marker here is the manifest's max version instead of a
+    ``_generation`` file, and publishes are manifest-atomic so no
+    post-load verify is needed."""
+    import os
+
+    def _manifest_version() -> int:
+        mdir = os.path.join(root, "_manifest")
+        vers = [
+            int(f) for f in os.listdir(mdir) if f.isdigit()
+        ] if os.path.isdir(mdir) else []
+        return max(vers) if vers else 0
+
+    return _watch_generation(
+        read_marker=_manifest_version,
+        load=lambda: load_local_index_published(root),
+        swap=server.swap,
+        initial=(
             current_version
             if current_version is not None
             else getattr(server, "_published_version", 0)
-        )
-    }
-
-    def run() -> None:
-        while not stop.wait(poll_seconds):
-            try:
-                import os
-
-                mdir = os.path.join(root, "_manifest")
-                vers = [
-                    int(f) for f in os.listdir(mdir) if f.isdigit()
-                ] if os.path.isdir(mdir) else []
-                if not vers or max(vers) <= state["version"]:
-                    continue
-                idx, ver = load_local_index_published(root)
-            except Exception:
-                continue  # serve the current index; retry next poll
-            server.swap(idx)
-            state["version"] = ver
-
-    threading.Thread(
-        target=run, name="prefixtree-index-watcher", daemon=True
-    ).start()
-    return stop
+        ),
+        poll_seconds=poll_seconds,
+        name="prefixtree-index-watcher",
+    )
 
 
 def watch_ivf_index(
@@ -1079,43 +1070,28 @@ def watch_ivf_index(
 
     Defaults ``current_generation`` to the generation of the handle
     the server already holds, so the first poll doesn't reload a
-    freshly opened index. Returns a stop event."""
-    stop = threading.Event()
-    state = {
-        "gen": (
+    freshly opened index. Returns a stop event.
+
+    One of three thin fronts over ``_generation.watch_generation``;
+    the verify hook is the torn-swap discard (a swap that COMPLETED
+    mid-load produced a possibly-mixed handle — discard and reload at
+    the new marker next poll; the residual back-to-back-swaps window
+    is documented there)."""
+    return _watch_generation(
+        read_marker=lambda: _read_ivf_generation(path),
+        load=lambda: (
+            lambda h: (h, h.generation)
+        )(LocalVectorIndex(path, preload=preload)),
+        verify=lambda h: _read_ivf_generation(path) == h.generation,
+        swap=server.swap_ann,
+        initial=(
             current_generation
             if current_generation is not None
             else getattr(server.ann_index, "generation", 0)
-        )
-    }
-
-    def run() -> None:
-        while not stop.wait(poll_seconds):
-            try:
-                g = _read_ivf_generation(path)
-                if g <= state["gen"]:
-                    continue
-                new = LocalVectorIndex(path, preload=preload)
-                if _read_ivf_generation(path) != new.generation:
-                    # a swap COMPLETED while we were loading — the
-                    # handle may hold a mix of the two layouts.
-                    # Discard; next poll reloads at the new marker.
-                    # (Residual window, documented: a swap that starts
-                    # mid-load and is still unfinished at this check
-                    # isn't caught here — it flips in briefly and is
-                    # replaced when its own bump lands next poll.
-                    # Single-writer maintenance makes that a
-                    # back-to-back-swaps race, not a steady state.)
-                    continue
-            except Exception:
-                continue  # serve the current handle; retry next poll
-            server.swap_ann(new)
-            state["gen"] = max(g, new.generation)
-
-    threading.Thread(
-        target=run, name="prefixtree-ivf-watcher", daemon=True
-    ).start()
-    return stop
+        ),
+        poll_seconds=poll_seconds,
+        name="prefixtree-ivf-watcher",
+    )
 
 
 class LocalSparseIndex:
@@ -1392,31 +1368,20 @@ def watch_bm25_index(
     ``LocalSparseIndex`` in via ``swap_sparse`` when it moves, with the
     same load-then-flip / discard-on-concurrent-bump handling. A load
     that fails leaves the current handle serving and retries next
-    poll. Returns a stop event."""
-    stop = threading.Event()
-    state = {
-        "gen": (
+    poll. Returns a stop event. One of three thin fronts over
+    ``_generation.watch_generation``."""
+    return _watch_generation(
+        read_marker=lambda: _read_ivf_generation(path),
+        load=lambda: (
+            lambda h: (h, h.generation)
+        )(LocalSparseIndex(path, preload=preload)),
+        verify=lambda h: _read_ivf_generation(path) == h.generation,
+        swap=server.swap_sparse,
+        initial=(
             current_generation
             if current_generation is not None
             else getattr(server.sparse_index, "generation", 0)
-        )
-    }
-
-    def run() -> None:
-        while not stop.wait(poll_seconds):
-            try:
-                g = _read_ivf_generation(path)
-                if g <= state["gen"]:
-                    continue
-                new = LocalSparseIndex(path, preload=preload)
-                if _read_ivf_generation(path) != new.generation:
-                    continue  # a swap completed mid-load: reload next poll
-            except Exception:
-                continue
-            server.swap_sparse(new)
-            state["gen"] = max(g, new.generation)
-
-    threading.Thread(
-        target=run, name="prefixtree-bm25-watcher", daemon=True
-    ).start()
-    return stop
+        ),
+        poll_seconds=poll_seconds,
+        name="prefixtree-bm25-watcher",
+    )

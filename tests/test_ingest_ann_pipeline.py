@@ -409,3 +409,106 @@ def test_maintain_ingest_update_aware_reconcile(spark, tmp_path):
     assert [round(float(x), 5) for x in stored[target]] == [
         round(float(x), 5) for x in donor_vec
     ]
+
+
+@pytest.mark.parametrize("crash_point", ["before_ann", "between_ann_bm25"])
+def test_crash_between_followers_each_heals_independently(
+    spark, tmp_path, monkeypatch, crash_point
+):
+    """r9 verdict #7 — the crash-point matrix for the TRIPLE-follower
+    ingest (corpus + IVF + BM25, one batch feeding three stores
+    exactly-once each): kill the pipeline BETWEEN follower syncs, then
+    replay the same batch — every follower converges independently,
+    and the final three-store state is indistinguishable from the
+    never-crashed twin."""
+    from prefixtree_spark.operators import ranking
+    from prefixtree_spark.operators import ann as _annmod
+    from prefixtree_spark.streaming import ingest as ingest_mod
+
+    toks = [f"w{i}" for i in range(60)]
+    rows1 = [
+        (1, " ".join(toks[0:10]), 1),
+        (2, " ".join(toks[10:20]), 2),
+        (3, " ".join(toks[20:30]), 3),
+    ]
+    rows2 = [
+        (4, " ".join(toks[30:40]), 4),
+        (5, " ".join(toks[40:50]), 5),
+    ]
+    BM25_OPTS = {"n_buckets": 4, "idf": "ratio"}
+    kw = dict(
+        threshold=0.5, vec_col="embedding", ann_opts=ANN_OPTS,
+        bm25_opts=BM25_OPTS,
+    )
+
+    # ---- the never-crashed twin -------------------------------------
+    troot = str(tmp_path / "twin_corpus")
+    tivf, tbm = str(tmp_path / "twin_ivf"), str(tmp_path / "twin_bm25")
+    for rows in (rows1, rows2):
+        ingest_batch(
+            _mk_batch(spark, rows), troot, "doc_id", "text",
+            ann_index_path=tivf, bm25_index_path=tbm, **kw,
+        )
+
+    # ---- the crashing pipeline --------------------------------------
+    root = str(tmp_path / "corpus")
+    ivf, bm = str(tmp_path / "ivf"), str(tmp_path / "bm25")
+    ingest_batch(
+        _mk_batch(spark, rows1), root, "doc_id", "text",
+        ann_index_path=ivf, bm25_index_path=bm, **kw,
+    )
+    real_ann_sync = _annmod.sync_ivf_from_published
+    real_bm_sync = ranking.sync_bm25_from_published
+
+    def _boom(*a, **k):
+        raise RuntimeError("simulated crash")
+
+    if crash_point == "before_ann":
+        # corpus committed, NEITHER follower synced
+        monkeypatch.setattr(_annmod, "sync_ivf_from_published", _boom)
+    else:
+        # corpus committed, ANN synced, BM25 not
+        monkeypatch.setattr(ranking, "sync_bm25_from_published", _boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ingest_batch(
+            _mk_batch(spark, rows2), root, "doc_id", "text",
+            ann_index_path=ivf, bm25_index_path=bm, **kw,
+        )
+    monkeypatch.setattr(_annmod, "sync_ivf_from_published", real_ann_sync)
+    monkeypatch.setattr(ranking, "sync_bm25_from_published", real_bm_sync)
+
+    # replay the SAME batch: corpus appends nothing (dedup), each
+    # follower catches up from the committed segments
+    n_replay = ingest_batch(
+        _mk_batch(spark, rows2), root, "doc_id", "text",
+        ann_index_path=ivf, bm25_index_path=bm, **kw,
+    )
+    assert n_replay == 0  # every doc already committed
+
+    # ---- three-store equivalence with the twin ----------------------
+    got_corpus = sorted(
+        (r.doc_id, r.text) for r in read_published(spark, root).collect()
+    )
+    want_corpus = sorted(
+        (r.doc_id, r.text) for r in read_published(spark, troot).collect()
+    )
+    assert got_corpus == want_corpus and len(got_corpus) == 5
+    assert _index_ids(spark, ivf) == _index_ids(spark, tivf)
+    _probe_equals_exact(spark, root, ivf)
+    q = spark.createDataFrame(
+        [(100, toks[30:33]), (101, toks[0:3])], "qid long, terms array<string>"
+    )
+    got_rank = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(spark, bm, q, "qid", "terms").collect()
+    }
+    want_rank = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(spark, tbm, q, "qid", "terms").collect()
+    }
+    assert got_rank == want_rank and got_rank
+    # df/stats converged exactly (no double counting on the replay)
+    for p, tp in ((bm, tbm),):
+        g = spark.read.parquet(f"{p}/stats").groupBy().sum("n_docs", "total_len").collect()[0]
+        w = spark.read.parquet(f"{tp}/stats").groupBy().sum("n_docs", "total_len").collect()[0]
+        assert tuple(g) == tuple(w)

@@ -1,0 +1,150 @@
+"""The cluster-side reader-during-swap contract (r9 missing #3),
+pinned on both index families: a probe wrapped in ``probe_consistent``
+that races a ``maintain_*_index`` staged swap returns a result
+computed entirely against ONE layout — entirely-old or entirely-new —
+or cleanly retries; never a mixed or erroring read. The ``_swapping``
+intent marker brackets the rename window; a crashed writer's stray
+marker is recovered by the next maintenance call."""
+
+import numpy as np
+import pytest
+from pyspark.sql import types as T
+
+from prefixtree_spark import probe_consistent
+from prefixtree_spark.operators import ann, ranking
+
+DIM = 8
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, DIM)) * 5
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(15):
+            v = c + rng.standard_normal(DIM) * 0.3
+            rows.append((vid, [float(np.float32(x)) for x in v]))
+            vid += 1
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def _doc_queries(spark):
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return d.select(
+        F.col("doc_id").alias("qid"),
+        F.slice(
+            F.regexp_extract_all("text", F.lit(r"\S+"), 0), 1, 3
+        ).alias("terms"),
+    ).where("doc_id % 41 = 0 AND size(terms) >= 3")
+
+
+def test_bm25_probe_retries_across_concurrent_swap(spark, docs, tmp_path):
+    """A maintenance swap completing between the probe's generation
+    capture and its materialize must be detected (generation moved)
+    and retried — the retry returns the entirely-NEW answer."""
+    path = str(tmp_path / "bm25_swap")
+    ranking.save_bm25_index(docs, "doc_id", "text", path, n_buckets=8,
+                            idf="ratio")
+    dead = [r.doc_id for r in docs.limit(2).collect()]
+    ranking.delete_bm25_ids(spark, path, dead)
+    q = _doc_queries(spark)
+    calls = {"n": 0}
+
+    def fn():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # the swap races the read: it lands AFTER probe_consistent
+            # captured the generation, BEFORE the result materializes
+            rep = ranking.maintain_bm25_index(spark, path)
+            assert rep["tombstones_compacted"] == 2
+        return ranking.bm25_rank_indexed(spark, path, q, "qid", "terms")
+
+    out = probe_consistent(spark, path, fn)
+    assert calls["n"] == 2  # first attempt discarded, one retry
+    want = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank(
+            docs.where(~docs.doc_id.isin(dead)), "doc_id", "text",
+            q, "qid", "terms", idf="ratio",
+        ).collect()
+    }
+    got = {(r.query_id, r.doc_id, r.rank) for r in out.collect()}
+    assert got == want and got  # entirely-new, never mixed
+
+
+def test_ivf_probe_retries_across_concurrent_swap(spark, vec_df, tmp_path):
+    """The dense twin: a tombstone-fold swap mid-probe is detected and
+    the retry answers from the post-swap layout."""
+    path = str(tmp_path / "ivf_swap")
+    ann.save_ivf_index(vec_df, "vec_id", "embedding", path, n_cells=4,
+                       sample_size=100)
+    ann.delete_ivf_ids(spark, path, [0, 7])
+    q = vec_df.where("vec_id IN (1, 20)")
+    calls = {"n": 0}
+
+    def fn():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            rep = ann.maintain_ivf_index(spark, path, retrain_frac=0.9)
+            assert rep["tombstones_compacted"] == 2
+        idx = ann.load_ivf_index(spark, path)
+        return ann.cosine_topk_ivf_index(
+            q, "vec_id", "embedding", idx, k=5, nprobe=4
+        )
+
+    out = probe_consistent(spark, path, fn)
+    assert calls["n"] == 2
+    live = vec_df.where("vec_id NOT IN (0, 7)")
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk(
+            q, "vec_id", "embedding", live, "vec_id", "embedding", k=5
+        ).collect()
+    }
+    got = {(r.query_id, r.vec_id, r.rank) for r in out.collect()}
+    assert got == want and got
+
+
+def test_swapping_marker_blocks_then_releases(spark, docs, tmp_path):
+    """A probe attempted while the _swapping intent marker is up
+    discards and retries; a marker that never clears (writer crashed
+    mid-rename-window) raises the documented error instead of
+    returning a possibly-mixed read — and the next maintenance call
+    recovers the stray marker."""
+    import os
+
+    path = str(tmp_path / "bm25_marker")
+    ranking.save_bm25_index(docs, "doc_id", "text", path, n_buckets=8,
+                            idf="ratio")
+    q = _doc_queries(spark)
+    with open(os.path.join(path, "_swapping"), "w") as f:
+        f.write("1")
+    with pytest.raises(RuntimeError, match="swap"):
+        probe_consistent(
+            spark, path,
+            lambda: ranking.bm25_rank_indexed(spark, path, q, "qid", "terms"),
+            retries=1, wait_seconds=0.01,
+        )
+    # the next maintenance call (the single writer) clears the stray
+    # marker even when it otherwise has nothing to do
+    rep = ranking.maintain_bm25_index(spark, path)
+    assert not rep["compacted"]
+    assert not os.path.exists(os.path.join(path, "_swapping"))
+    out = probe_consistent(
+        spark, path,
+        lambda: ranking.bm25_rank_indexed(spark, path, q, "qid", "terms"),
+    )
+    assert out.count() > 0
