@@ -847,6 +847,116 @@ def main() -> None:
     extras["serving_pq_q4_warm_sec"], _ = _srv_probe(local_pq, "search_pq")
     _sh.rmtree(xo_dir, ignore_errors=True)
 
+    # Stored-BM25 wall-clock crossover (r9 verdict #3: at sf0.1 the
+    # stored probe only TIED the in-session ranker — 130 query docs hit
+    # most buckets and JVM fixed costs dominate). Mirror the ivf_xover
+    # method: corpus sizes 25k/100k/400k docs, built by replicating the
+    # 5k-doc fixture with REP-SUFFIXED tokens so the VOCABULARY scales
+    # with the corpus while each term's postings stay constant — the
+    # realistic big-corpus shape (plain replication would grow every
+    # queried term's postings linearly and measure nothing). Queries
+    # live in replica 0's vocabulary, so the stored probe reads the
+    # SAME bucket-pruned, term-pushed bytes at every size; the
+    # in-session ranker re-tokenizes the whole corpus per call. The
+    # claim is the slope: in-session grows with corpus, stored ~flat.
+    xb_dir = _tf.mkdtemp(prefix="bench_bm25_xover_")
+    from prefixtree_spark.operators import ranking as _rank_ops
+
+    docs_xb = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q_xb = (
+        docs_xb.select(
+            F.col("doc_id").alias("qid"),
+            F.slice(
+                F.transform(
+                    F.regexp_extract_all("text", F.lit(r"\S+"), 0),
+                    lambda t: F.concat(t, F.lit("x0")),
+                ),
+                1, 3,
+            ).alias("terms"),
+        )
+        .where("doc_id % 251 = 0 AND size(terms) >= 3")
+    )
+    xb_insession_small = None
+    for tag, reps in (("25k", 5), ("100k", 20), ("400k", 80)):
+        corp = (
+            docs_xb.crossJoin(
+                spark.range(reps).select(F.col("id").alias("rep"))
+            )
+            .select(
+                (F.col("doc_id") * reps + F.col("rep")).alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.regexp_extract_all("text", F.lit(r"\S+"), 0),
+                        lambda t: F.concat(
+                            t, F.lit("x"), F.col("rep").cast("string")
+                        ),
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+        )
+        corp.repartition(32).write.mode("overwrite").parquet(
+            f"{xb_dir}/c{tag}"
+        )
+        corp_t = spark.read.parquet(f"{xb_dir}/c{tag}")
+        extras[f"bm25_xover_{tag}_n"] = corp_t.count()
+        got_i, med, cold = _xo_med(
+            lambda corp_t=corp_t: {
+                (r.query_id, r.doc_id, r.rank)
+                for r in _rank_ops.bm25_rank(
+                    corp_t, "doc_id", "text", q_xb, "qid", "terms",
+                    idf="ratio",
+                ).collect()
+            }
+        )
+        extras[f"bm25_xover_insession_{tag}_sec"] = med
+        extras[f"bm25_xover_insession_{tag}_cold"] = cold
+        if tag == "25k":
+            xb_insession_small = got_i
+        t0 = time.time()
+        _rank_ops.save_bm25_index(
+            corp_t, "doc_id", "text", f"{xb_dir}/i{tag}",
+            n_buckets=32, idf="ratio",
+        )
+        extras[f"bm25_xover_build_{tag}_sec"] = round(time.time() - t0, 3)
+        got_s, med, cold = _xo_med(
+            lambda tag=tag: {
+                (r.query_id, r.doc_id, r.rank)
+                for r in _rank_ops.bm25_rank_indexed(
+                    spark, f"{xb_dir}/i{tag}", q_xb, "qid", "terms"
+                ).collect()
+            }
+        )
+        extras[f"bm25_xover_stored_{tag}_sec"] = med
+        extras[f"bm25_xover_stored_{tag}_cold"] = cold
+        if tag == "25k":
+            # cheap correctness tether: stored probe == in-session at
+            # the smallest size (both paths share the scoring column)
+            assert got_s == xb_insession_small, "bm25_xover mismatch"
+    # deterministic probe-bytes evidence at the largest size: the
+    # stored probe's pruned input vs the whole postings layout
+    xb_terms = sorted(
+        {t for r in q_xb.select("terms").collect() for t in r.terms}
+    )
+    xb_buckets = sorted(
+        {_rank_ops.term_bucket(t, 32) for t in xb_terms}
+    )
+    extras["bm25_xover_probed_buckets_400k"] = len(xb_buckets)
+    extras["bm25_xover_probed_bytes_400k"] = sum(
+        os.path.getsize(os.path.join(r, f_))
+        for b in xb_buckets
+        for r, _, fs_ in os.walk(f"{xb_dir}/i400k/postings/bucket={b}")
+        for f_ in fs_
+        if f_.endswith(".parquet")
+    )
+    extras["bm25_xover_postings_bytes_400k"] = sum(
+        os.path.getsize(os.path.join(r, f_))
+        for r, _, fs_ in os.walk(f"{xb_dir}/i400k/postings")
+        for f_ in fs_
+        if f_.endswith(".parquet")
+    )
+    _sh.rmtree(xb_dir, ignore_errors=True)
+
     # Filtered-ANN selectivity sweep (r9 verdict #3): recall, result
     # count, and escalation work vs filter selectivity at a PRUNED
     # nprobe, with the probe-escalation ladder (the shipped behavior).
@@ -1549,13 +1659,15 @@ def main() -> None:
                 }
                 note += f"; isolated stage medians: {stages}"
             extras[f"{name}_contention_note"] = note
-    # Sub-second drift audit (round-7 verdict #7): entries under 1 s
-    # trivially satisfy the 50%-of-median spread rule, so drifts like
-    # r7's build_index +26% passed unremarked while larger entries got
-    # attribution paragraphs. Compare against the newest recorded
-    # round bench at the SAME sf and note any sub-second entry whose
-    # median moved more than 20% either way — the note is the record
-    # the round writeup must either explain or carry as a watch item.
+    # Small-entry drift audit (round-7 verdict #7, band widened per
+    # round-9 verdict #5): entries under the 50%-of-median spread
+    # rule's radar — sub-second ones trivially satisfy it, and the
+    # 1-3 s band (r9's events_topk_stream +21% went unnoted there)
+    # sits between both automated rules. Compare against the newest
+    # recorded round bench at the SAME sf and note any entry under 3 s
+    # whose median moved more than 20% either way — the note is the
+    # record the round writeup must either explain or carry as a
+    # watch item.
     try:
         import glob as _glob
 
@@ -1581,14 +1693,14 @@ def main() -> None:
                 old = prev.get("queries", {}).get(name)
                 if (
                     old
-                    and min(old, med) < 1.0
+                    and min(old, med) < 3.0
                     and abs(med - old) > 0.2 * old
                 ):
                     extras[f"{name}_drift_note"] = (
-                        f"sub-second drift vs {prev_name}: {old}s -> "
+                        f"small-entry drift vs {prev_name}: {old}s -> "
                         f"{med}s ({(med - old) / old:+.0%}); under the "
                         "spread rule's radar, flagged by the 20% "
-                        "absolute-delta rule"
+                        "absolute-delta rule (band <3s)"
                     )
     except Exception:
         pass  # a malformed historical record must not fail the bench

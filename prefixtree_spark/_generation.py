@@ -122,6 +122,8 @@ def probe_consistent(spark, path: str, fn, *, retries: int = 2,
     for schedulers that cannot guarantee that exclusion."""
     import time
 
+    from prefixtree_spark.plans.lifecycle import release_checkpoint
+
     last_err: "Exception | None" = None
     for attempt in range(retries + 1):
         if attempt:
@@ -138,6 +140,10 @@ def probe_consistent(spark, path: str, fn, *, retries: int = 2,
         if (not is_swapping(spark, path)
                 and read_generation_cluster(spark, path) == g0):
             return out
+        # discarded attempt: free its pinned blocks now — a plain
+        # unpersist() is a no-op on checkpoints (plans/lifecycle), and
+        # waiting for GC would accumulate one result set per retry
+        release_checkpoint(out)
         last_err = None
     if last_err is not None:
         raise last_err

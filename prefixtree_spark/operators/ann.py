@@ -894,7 +894,11 @@ def _clear_stale_sidecars(spark, path: str, *, bump: bool = True) -> None:
 
     fs, jvm = _fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
-    for side in ("_tombstones", "_txns", "_synced"):
+    for side in ("_tombstones", "_txns", "_txn_intents", "_synced",
+                 "_swapping"):
+        # _swapping: a crashed maintenance's stray intent marker would
+        # make probe_consistent reject the brand-new (fully
+        # consistent) layout forever (r10 review)
         fs.delete(P(f"{path}/{side}"), True)
     if bump and fs.exists(P(f"{path}/_generation")):
         _bump_ivf_generation(spark, path)
@@ -1013,8 +1017,13 @@ def load_ivf_index(spark, path: str) -> IVFIndex:
         spark.read.parquet(f"{path}/vectors"),
         meta.n_replicas,
         codebooks=books,
-        tombstones=_load_tombstones(spark, path),
-        tombstones_df=_tombstones_frame(spark, path),
+        tombstones=(_ts := _load_tombstones(spark, path)),
+        # sidecar frame only built past the literal cap (r10 review:
+        # probes in the literal regime must not pay the listing)
+        tombstones_df=(
+            _tombstones_frame(spark, path)
+            if len(_ts) > _APPEND_GUARD_STATIC_MAX else None
+        ),
     )
 
 
@@ -1180,13 +1189,31 @@ def append_ivf_index(
                     )
                 # compare against the DISTINCT id count, not the row
                 # count: a dup-id delta (caller's contract) would
-                # otherwise never trigger the full-replay early-out
+                # otherwise never trigger the full-replay early-out.
+                # Count discrimination (r10 review, the dense twin of
+                # ADVICE r9 #3): full presence means EITHER an
+                # unrecorded replay of a crashed append (original
+                # count = this delta's n, recorded in the intent file
+                # written before the first table write) OR a fresh txn
+                # whose delta happens to be fully present (sync
+                # replaying a compacted snapshot — genuinely 0
+                # appended, and no intent exists for it).
                 if len(in_post) >= len(ids) and len(in_vec) >= len(ids):
-                    _retire_txn(spark, path, txn, 0)
-                    return 0  # full unrecorded replay: record + no-op
+                    landed = _read_txn_intent(spark, path, txn)
+                    _retire_txn(spark, path, txn, landed or 0)
+                    if landed:
+                        _clear_txn_intent(spark, path, txn)
+                        _bump_ivf_generation(spark, path)
+                    return landed or 0
             else:
                 vec_delta = delta.join(in_vec, "vec_id", "left_anti")
                 post_delta = delta.join(in_post, "vec_id", "left_anti")
+        if txn is not None:
+            # intent BEFORE the first table write, AFTER the presence
+            # guards: a replay that finds everything landed recovers
+            # the original count from it (see the early-out above); a
+            # fresh overlapping txn never writes one, so its 0 stays 0
+            _write_txn_intent(spark, path, txn, n)
         vec_delta.write.mode("append").parquet(f"{path}/vectors")
         celled = post_delta.withColumn(
             "cell", F.explode(c_assign(F.col("cv")))
@@ -1220,11 +1247,62 @@ def append_ivf_index(
             # an unconfirmed write just means the next replay pays the
             # guards again
             _retire_txn(spark, path, txn, n)
+            _clear_txn_intent(spark, path, txn)  # marker supersedes it
         # both tables written: signal serving replicas to reload
         _bump_ivf_generation(spark, path)
     finally:
         delta.unpersist()
     return n
+
+
+def _txn_intent_path(path: str, txn: str) -> str:
+    import hashlib
+
+    return (
+        f"{path}/_txn_intents/"
+        + hashlib.sha256(txn.encode("utf-8")).hexdigest()[:24]
+    )
+
+
+def _write_txn_intent(spark, path: str, txn: str, n: int) -> None:
+    """Record the count an in-flight txn append WILL report, before
+    its first table write — the recovery record the full-replay
+    early-out reads when the crash landed everything but the retired
+    marker (r10 review; the dense twin of the BM25 side's txn-tagged
+    stats increment). Overwrite-safe: a replay recomputes the same n."""
+    from prefixtree_spark.sources.io import _fs
+
+    fs, jvm = _fs(spark, path)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(_txn_intent_path(path, txn)), True)
+    try:
+        out.write(bytearray(f"{txn}\t{int(n)}".encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_txn_intent(spark, path: str, txn: str) -> "int | None":
+    from prefixtree_spark.sources.io import _fs, _read_small_file
+
+    try:
+        fs, jvm = _fs(spark, path)
+        p = jvm.org.apache.hadoop.fs.Path(_txn_intent_path(path, txn))
+        if not fs.exists(p):
+            return None
+        body = _read_small_file(spark, _txn_intent_path(path, txn)).split("\t")
+        # full id in the body: a truncated-hash collision must not
+        # recover the WRONG txn's count (same rule as _retire_txn)
+        if len(body) == 2 and body[0] == txn:
+            return int(body[1])
+        return None
+    except Exception:
+        return None
+
+
+def _clear_txn_intent(spark, path: str, txn: str) -> None:
+    from prefixtree_spark.sources.io import _fs
+
+    fs, jvm = _fs(spark, path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(_txn_intent_path(path, txn)), False)
 
 
 # the shared generation protocol lives in prefixtree_spark._generation
@@ -1385,8 +1463,13 @@ def sync_ivf_from_published(
         # explicit index-level deletes (delete_ivf_ids) win over corpus
         # presence until maintenance compacts: append_ivf_index rejects
         # tombstoned ids outright (resurrection hazard), so the sync
-        # must not hand them back as candidates
-        cand = cand.where(~F.col(cid).isin(list(ts)))
+        # must not hand them back as candidates (literal/anti-join
+        # crossover as everywhere)
+        cand = _without_ids(
+            cand, cid, ts,
+            _tombstones_frame(spark, index_path)
+            if len(ts) > _APPEND_GUARD_STATIC_MAX else None,
+        )
     tag = hashlib.sha256(root.encode()).hexdigest()[:12]
     appended = append_ivf_index(
         spark, index_path, cand, cid, cvec, txn=f"sync.{tag}.v{live}"
@@ -1487,9 +1570,14 @@ def maintain_ivf_index(
     def _swap_in(staged: str) -> None:
         # meta LAST: its presence under staged is the completeness
         # marker, so the swap is resumable from any crash point. The
-        # _swapping intent marker brackets exactly the rename window —
-        # probe_consistent readers discard-and-retry while it is up
-        # (the stated reader-during-swap contract, r10)
+        # _swapping intent marker opens here and is cleared ONLY at
+        # the end of this maintenance call, AFTER the generation bump
+        # (r10 review: clearing at rename-end with the bump still
+        # pending let a probe that overlapped the renames pass both
+        # probe_consistent checks — no marker, unmoved generation —
+        # and return a mixed read; with bump-before-clear, any read
+        # overlapping the window sees the marker or the new
+        # generation, never neither)
         _mark_swapping(spark, path)
         for sub in _SWAP_ORDER:
             src = P(f"{staged}/{sub}")
@@ -1500,7 +1588,6 @@ def maintain_ivf_index(
                 if not fs.rename(src, dst):
                     raise IOError(f"rename {src} -> {dst} failed")
         fs.delete(P(staged), True)
-        _clear_swapping(spark, path)
 
     # a stray marker with no writer alive = a crash inside a rename
     # window; this call is the single writer now and recovers the
@@ -1551,6 +1638,13 @@ def maintain_ivf_index(
     total = spark.read.parquet(f"{path}/vectors").count()
     ts = _load_tombstones(spark, path)
     n_ts0 = len(ts)
+    # the maintenance filters below ride the same literal/anti-join
+    # crossover as the probes (_without_ids): sidecar frame only
+    # built past the plan-size cap
+    tsf = (
+        _tombstones_frame(spark, path)
+        if len(ts) > _APPEND_GUARD_STATIC_MAX else None
+    )
 
     def _clear_tombstones() -> None:
         fs.delete(P(f"{path}/_tombstones"), True)
@@ -1680,7 +1774,7 @@ def maintain_ivf_index(
                 # explicit deletes win over corpus presence: a
                 # tombstoned id still in the corpus stays out until
                 # re-appended through the normal add path
-                src = src.where(~F.col("vec_id").isin(list(ts)))
+                src = _without_ids(src, "vec_id", ts, tsf)
             n_surv = src.count()
             reconciled = int(stale)
             updated = int(changed)
@@ -1704,9 +1798,7 @@ def maintain_ivf_index(
         survivors = vec.join(keep, "vec_id", "left_semi")
         if ts:
             # fold pending merge-on-read deletes into the same rebuild
-            survivors = survivors.where(
-                ~F.col("vec_id").isin(list(ts))
-            )
+            survivors = _without_ids(survivors, "vec_id", ts, tsf)
         n_surv = survivors.count()
         stale = total - n_surv
         if stale:
@@ -1744,7 +1836,7 @@ def maintain_ivf_index(
     if retrained:
         vectors = spark.read.parquet(f"{path}/vectors")
         if ts:
-            vectors = vectors.where(~F.col("vec_id").isin(list(ts)))
+            vectors = _without_ids(vectors, "vec_id", ts, tsf)
             n_left = vectors.count()
         else:
             n_left = total
@@ -1770,25 +1862,36 @@ def maintain_ivf_index(
         # n_vectors to (base − deleted), which preserves the APPEND
         # drift exactly: (total' − newbase) == (total − base).
         vec = spark.read.parquet(f"{path}/vectors")
-        d = (
-            vec.select("vec_id")
-            .where(F.col("vec_id").isin(list(ts)))
-            .distinct()
-            .count()
-        )
+        if tsf is not None:
+            # inclusive membership count past the literal cap: the
+            # semi-join twin of the NOT-IN crossover
+            d = (
+                vec.select("vec_id")
+                .join(F.broadcast(tsf.toDF("vec_id")), "vec_id",
+                      "left_semi")
+                .distinct()
+                .count()
+            )
+        else:
+            d = (
+                vec.select("vec_id")
+                .where(F.col("vec_id").isin(list(ts)))
+                .distinct()
+                .count()
+            )
         n_left = total - int(d)
         if n_left == 0:
             _drain()
             total = 0
         else:
-            survivors = vec.where(~F.col("vec_id").isin(list(ts)))
+            survivors = _without_ids(vec, "vec_id", ts, tsf)
             survivors.write.mode("overwrite").parquet(
                 f"{staged_root}/vectors"
             )
             post = spark.read.parquet(post_dir)
             cols = [c for c in post.columns if c != "cell"]
             (
-                post.where(~F.col("vec_id").isin(list(ts)))
+                _without_ids(post, "vec_id", ts, tsf)
                 .select(*cols, "cell")
                 .repartition(int(meta["n_cells"]), "cell")
                 .write.mode("overwrite")
@@ -1834,12 +1937,15 @@ def maintain_ivf_index(
         fs.delete(P(post_dir), True)
         if not fs.rename(P(staged), P(post_dir)):
             raise IOError(f"rename {staged} -> {post_dir} failed")
-        _clear_swapping(spark, path)
     if (recovered or reconciled or retrained or compacted or did_rebuild
             or ts_folded):
         # the layout changed under serving replicas — bump AFTER the
         # swap so the marker always names a consistent layout
         _bump_ivf_generation(spark, path)
+    # the _swapping marker outlives the bump by design (see _swap_in);
+    # unconditional — also garbage-collects a crashed writer's stray
+    # marker on a no-op pass
+    _clear_swapping(spark, path)
     return {
         "n_vectors": int(total),
         "appended_frac": round(float(appended_frac), 4),

@@ -106,12 +106,21 @@ def score_quality(
     coefficients — safe to run inline on the full corpus scan."""
     from pyspark.ml.functions import vector_to_array
 
-    prepared = df.withColumn(
+    # featurize NULL text as empty WITHOUT mutating the caller's
+    # column: the scored frame must carry the data through unchanged
+    # (r10 review — the old coalesce-in-place silently rewrote NULL
+    # text to '' in the OUTPUT, a data mutation hiding in a scoring
+    # pass)
+    _orig = "_qc_text_orig"
+    prepared = df.withColumn(_orig, F.col(text_col)).withColumn(
         text_col, F.coalesce(F.col(text_col), F.lit(""))
     )
-    scored = model.transform(prepared).withColumn(
-        prob_col, vector_to_array(F.col(_PROB_VEC)).getItem(1)
-    ).drop(_TOKENS, _FEATURES, _RAW_PRED, _PROB_VEC, _PRED)
+    scored = (
+        model.transform(prepared)
+        .withColumn(prob_col, vector_to_array(F.col(_PROB_VEC)).getItem(1))
+        .withColumn(text_col, F.col(_orig))
+        .drop(_orig, _TOKENS, _FEATURES, _RAW_PRED, _PROB_VEC, _PRED)
+    )
     if keep_threshold is not None:
         scored = scored.where(F.col(prob_col) >= keep_threshold)
     return scored

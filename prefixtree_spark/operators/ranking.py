@@ -501,6 +501,10 @@ def append_bm25_index(
                     .collect()[0][0]
                 )
                 _retire_txn(spark, path, txn, int(landed or 0))
+                if landed:
+                    # the crashed attempt DID change the layout and
+                    # never bumped — replicas must reload (r10 review)
+                    _bump_ivf_generation(spark, path)
                 return int(landed or 0)
             return 0
         total_len_delta = postings.agg(
@@ -682,9 +686,13 @@ def maintain_bm25_index(
             out.close()
 
     def _swap_in() -> None:
-        # the _swapping intent marker brackets exactly the rename
-        # window — probe_consistent readers discard-and-retry while
-        # it is up (the stated reader-during-swap contract, r10)
+        # the _swapping intent marker opens here and is cleared by
+        # _finish_swap AFTER the generation bump (r10 review: clearing
+        # at rename-end with the bump still pending let a probe that
+        # overlapped the renames pass both probe_consistent checks —
+        # no marker, unmoved generation — and return a mixed read;
+        # with bump-before-clear, any read overlapping the window sees
+        # the marker or the new generation, never neither)
         _mark_swapping(spark, path)
         for sub in _SWAP_ORDER:
             src = P(f"{staged_root}/{sub}")
@@ -695,6 +703,9 @@ def maintain_bm25_index(
                 if not fs.rename(src, dst):
                     raise IOError(f"rename {src} -> {dst} failed")
         fs.delete(P(staged_root), True)
+
+    def _finish_swap() -> None:
+        _bump_ivf_generation(spark, path)
         _clear_swapping(spark, path)
 
     # a stray marker with no swap in flight = a writer crashed inside
@@ -707,12 +718,48 @@ def maintain_bm25_index(
         if fs.exists(P(f"{staged_root}/_complete")):
             _swap_in()  # complete stage from a crashed swap: finish it
             recovered = True
-            _bump_ivf_generation(spark, path)
+            _finish_swap()
         else:
             fs.delete(P(staged_root), True)  # mid-write garbage
 
     def _clear_tombstones() -> None:
         fs.delete(P(f"{path}/_tombstones"), True)
+
+    def _stage_drained() -> None:
+        # index drained (corpus emptied / every doc stale): a zero-row
+        # partitionBy write creates NO files — an unreadable directory
+        # for every later probe (the ann._drain lesson). Truncate the
+        # data tables with ONE schema-bearing empty file each, placed
+        # INSIDE a bucket=0 partition dir for the bucketed tables so
+        # partition discovery keeps working and later partitionBy
+        # appends don't mix flat/partitioned structures. meta stays —
+        # the layout's params outlive its rows.
+        posts0 = spark.read.parquet(f"{path}/postings").drop("bucket").limit(0)
+        posts0.coalesce(1).write.mode("overwrite").parquet(
+            f"{staged_root}/postings/bucket=0"
+        )
+        (
+            spark.read.parquet(f"{path}/dfreq").drop("bucket").limit(0)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(f"{staged_root}/dfreq/bucket=0")
+        )
+        if fs.exists(P(f"{path}/docs")):  # pre-r10 layouts lack it
+            (
+                spark.read.parquet(f"{path}/docs").limit(0)
+                .coalesce(1).write.mode("overwrite")
+                .parquet(f"{staged_root}/docs")
+            )
+        spark.createDataFrame(
+            _pd.DataFrame(
+                {"n_docs": [0], "total_len": [0],
+                 "txn": _pd.array([None], dtype="object")}
+            ),
+            schema="n_docs long, total_len long, txn string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{staged_root}/stats")
+        _mark_complete()
+        _swap_in()
+        _clear_tombstones()
+        _finish_swap()
 
     ts = _load_bm25_tombstones(spark, path)
     n_ts0 = len(ts)
@@ -731,15 +778,21 @@ def maintain_bm25_index(
         # comes BACK (a corpus-level delete is the caller's job before
         # a rebuild; delete_bm25_ids is the index-level fast path).
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
-        save_bm25_index(
-            rebuild_from, id_col, text_col, staged_root,
-            n_buckets=int(n_buckets or meta.n_buckets), k1=float(meta.k1),
-            b=float(meta.b), idf=str(meta.idf),
-        )
-        _mark_complete()
-        _swap_in()
-        _clear_tombstones()
-        _bump_ivf_generation(spark, path)
+        if rebuild_from.limit(1).count() == 0:
+            # empty corpus: save_bm25_index would brick the layout
+            # (zero-row partitionBy writes no files) — drain instead
+            # (r10 review)
+            _stage_drained()
+        else:
+            save_bm25_index(
+                rebuild_from, id_col, text_col, staged_root,
+                n_buckets=int(n_buckets or meta.n_buckets),
+                k1=float(meta.k1), b=float(meta.b), idf=str(meta.idf),
+            )
+            _mark_complete()
+            _swap_in()
+            _clear_tombstones()
+            _finish_swap()
         return {
             "compacted": False,
             "files_per_bucket": 1.0,
@@ -775,126 +828,143 @@ def maintain_bm25_index(
             .select("doc_id")
         )
         n_deleted, n_changed = deleted_df.count(), changed_df.count()
-        if n_deleted == 0 and n_changed == 0 and not ts:
-            # converged: clean no-op (no swap, no generation bump)
+        if n_deleted or n_changed or ts:
+            meta = spark.read.parquet(f"{path}/meta").collect()[0]
+            nb = int(meta.n_buckets)
+            posts = spark.read.parquet(f"{path}/postings")
+            docs_tbl = spark.read.parquet(f"{path}/docs").select("doc_id", "h")
+            # stale = deleted ∪ changed ∪ pending tombstones; tombstones
+            # WIN over corpus presence (a tombstoned id the corpus still
+            # carries stays out until re-added through the normal path).
+            # Small stale sets go as literal NOT-IN inside the scans
+            # (id-stats file pruning); past the measured cap the ids stay
+            # distributed and anti-join instead — the same crossover as
+            # the append presence guard.
+            if n_deleted + n_changed + len(ts) <= _BM25_GUARD_STATIC_MAX:
+                changed_set = frozenset(r[0] for r in changed_df.collect())
+                stale = (
+                    frozenset(r[0] for r in deleted_df.collect())
+                    | changed_set
+                    | ts
+                )
+                surv_posts = posts.where(~F.col("doc_id").isin(list(stale)))
+                docs_surv = docs_tbl.where(~F.col("doc_id").isin(list(stale)))
+                changed_live = [i for i in changed_set if i not in ts]
+                changed_src = (
+                    corp.where(F.col("doc_id").isin(changed_live))
+                    if changed_live else None
+                )
+            else:
+                import pandas as _tspd
+
+                ts_df = spark.createDataFrame(
+                    _tspd.DataFrame({"doc_id": list(ts)}),
+                    schema=docs_tbl.select("doc_id").schema,
+                ) if ts else deleted_df.limit(0)
+                stale_df = (
+                    deleted_df.unionByName(changed_df)
+                    .unionByName(ts_df).distinct()
+                )
+                surv_posts = posts.join(stale_df, "doc_id", "left_anti")
+                docs_surv = docs_tbl.join(stale_df, "doc_id", "left_anti")
+                changed_src = corp.join(
+                    changed_df.join(ts_df, "doc_id", "left_anti"),
+                    "doc_id", "left_semi",
+                )
+            new_posts = surv_posts
+            if changed_src is not None:
+                new_posts = surv_posts.unionByName(
+                    _tokenize_postings(
+                        changed_src, "doc_id", "_rtext"
+                    ).withColumn("bucket", _term_bucket_col(F.col("term"), nb))
+                )
+            new_posts = new_posts.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                (
+                    new_posts.repartition(nb, "bucket")
+                    .sortWithinPartitions("bucket", "term")
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(f"{staged_root}/postings")
+                )
+                (
+                    new_posts.groupBy("bucket", "term")
+                    .agg(F.count(F.lit(1)).cast("long").alias("df"))
+                    .withColumn("txn", F.lit(None).cast("string"))
+                    .repartition(nb, "bucket")
+                    .sortWithinPartitions("bucket", "term")
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(f"{staged_root}/dfreq")
+                )
+                new_docs = docs_surv
+                if changed_src is not None:
+                    new_docs = new_docs.unionByName(
+                        _docs_fingerprints(changed_src, "doc_id", "_rtext")
+                    )
+                new_docs = new_docs.withColumn(
+                    "txn", F.lit(None).cast("string")
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                # docs/ is the authoritative doc list, so n_docs counts
+                # empty documents exactly — no postings-presence drift
+                n_docs = new_docs.count()
+                if n_docs == 0:
+                    # every document stale (corpus emptied, or an
+                    # empty reconcile frame marked all docs deleted):
+                    # the zero-row partitionBy writes above produced
+                    # FILE-LESS staged tables that would brick the
+                    # layout on swap (r10 review) — discard the stage
+                    # and drain instead
+                    new_docs.unpersist()
+                    new_posts.unpersist()
+                    fs.delete(P(staged_root), True)
+                    _stage_drained()
+                    return {
+                        "compacted": True,
+                        "files_per_bucket": 1.0,
+                        "recovered": recovered,
+                        "rebuilt": False,
+                        "reconciled": n_deleted + n_changed,
+                        "updated": n_changed,
+                        "tombstones_compacted": n_ts0,
+                    }
+                new_docs.write.mode("overwrite").parquet(f"{staged_root}/docs")
+                new_docs.unpersist()
+                total_len = new_posts.agg(
+                    F.coalesce(F.sum("tf"), F.lit(0)).cast("long")
+                ).collect()[0][0]
+                spark.createDataFrame(
+                    _pd.DataFrame(
+                        {"n_docs": [int(n_docs)],
+                         "total_len": [int(total_len)],
+                         "txn": _pd.array([None], dtype="object")}
+                    ),
+                    schema="n_docs long, total_len long, txn string",
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    f"{staged_root}/stats"
+                )
+            finally:
+                new_posts.unpersist()
+            _mark_complete()
+            _swap_in()
+            _clear_tombstones()
+            _finish_swap()
             return {
-                "compacted": False,
-                "files_per_bucket": 0.0,
+                "compacted": True,
+                "files_per_bucket": 1.0,
                 "recovered": recovered,
                 "rebuilt": False,
-                "reconciled": 0,
-                "updated": 0,
-                "tombstones_compacted": 0,
+                "reconciled": n_deleted + n_changed,
+                "updated": n_changed,
+                "tombstones_compacted": n_ts0,
             }
-        meta = spark.read.parquet(f"{path}/meta").collect()[0]
-        nb = int(meta.n_buckets)
-        posts = spark.read.parquet(f"{path}/postings")
-        docs_tbl = spark.read.parquet(f"{path}/docs").select("doc_id", "h")
-        # stale = deleted ∪ changed ∪ pending tombstones; tombstones
-        # WIN over corpus presence (a tombstoned id the corpus still
-        # carries stays out until re-added through the normal path).
-        # Small stale sets go as literal NOT-IN inside the scans
-        # (id-stats file pruning); past the measured cap the ids stay
-        # distributed and anti-join instead — the same crossover as
-        # the append presence guard.
-        if n_deleted + n_changed + len(ts) <= _BM25_GUARD_STATIC_MAX:
-            changed_set = frozenset(r[0] for r in changed_df.collect())
-            stale = (
-                frozenset(r[0] for r in deleted_df.collect())
-                | changed_set
-                | ts
-            )
-            surv_posts = posts.where(~F.col("doc_id").isin(list(stale)))
-            docs_surv = docs_tbl.where(~F.col("doc_id").isin(list(stale)))
-            changed_live = [i for i in changed_set if i not in ts]
-            changed_src = (
-                corp.where(F.col("doc_id").isin(changed_live))
-                if changed_live else None
-            )
-        else:
-            import pandas as _tspd
 
-            ts_df = spark.createDataFrame(
-                _tspd.DataFrame({"doc_id": list(ts)}),
-                schema=docs_tbl.select("doc_id").schema,
-            ) if ts else deleted_df.limit(0)
-            stale_df = (
-                deleted_df.unionByName(changed_df)
-                .unionByName(ts_df).distinct()
-            )
-            surv_posts = posts.join(stale_df, "doc_id", "left_anti")
-            docs_surv = docs_tbl.join(stale_df, "doc_id", "left_anti")
-            changed_src = corp.join(
-                changed_df.join(ts_df, "doc_id", "left_anti"),
-                "doc_id", "left_semi",
-            )
-        new_posts = surv_posts
-        if changed_src is not None:
-            new_posts = surv_posts.unionByName(
-                _tokenize_postings(
-                    changed_src, "doc_id", "_rtext"
-                ).withColumn("bucket", _term_bucket_col(F.col("term"), nb))
-            )
-        new_posts = new_posts.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            (
-                new_posts.repartition(nb, "bucket")
-                .sortWithinPartitions("bucket", "term")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(f"{staged_root}/postings")
-            )
-            (
-                new_posts.groupBy("bucket", "term")
-                .agg(F.count(F.lit(1)).cast("long").alias("df"))
-                .withColumn("txn", F.lit(None).cast("string"))
-                .repartition(nb, "bucket")
-                .sortWithinPartitions("bucket", "term")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(f"{staged_root}/dfreq")
-            )
-            new_docs = docs_surv
-            if changed_src is not None:
-                new_docs = new_docs.unionByName(
-                    _docs_fingerprints(changed_src, "doc_id", "_rtext")
-                )
-            new_docs = new_docs.withColumn(
-                "txn", F.lit(None).cast("string")
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-            # docs/ is the authoritative doc list, so n_docs counts
-            # empty documents exactly — no postings-presence drift
-            n_docs = new_docs.count()
-            new_docs.write.mode("overwrite").parquet(f"{staged_root}/docs")
-            new_docs.unpersist()
-            total_len = new_posts.agg(
-                F.coalesce(F.sum("tf"), F.lit(0)).cast("long")
-            ).collect()[0][0]
-            spark.createDataFrame(
-                _pd.DataFrame(
-                    {"n_docs": [int(n_docs)],
-                     "total_len": [int(total_len)],
-                     "txn": _pd.array([None], dtype="object")}
-                ),
-                schema="n_docs long, total_len long, txn string",
-            ).coalesce(1).write.mode("overwrite").parquet(
-                f"{staged_root}/stats"
-            )
-        finally:
-            new_posts.unpersist()
-        _mark_complete()
-        _swap_in()
-        _clear_tombstones()
-        _bump_ivf_generation(spark, path)
-        return {
-            "compacted": True,
-            "files_per_bucket": 1.0,
-            "recovered": recovered,
-            "rebuilt": False,
-            "reconciled": n_deleted + n_changed,
-            "updated": n_changed,
-            "tombstones_compacted": n_ts0,
-        }
+        # converged (nothing deleted/changed, no tombstones): no swap,
+        # no generation bump — but FALL THROUGH to the fragmentation
+        # check below (r10 review: returning here meant
+        # maintain_ingest(bm25_reconcile=True) never compacted append
+        # fragmentation while corpus content was unchanged — the
+        # steady state of a healthy pipeline)
 
     n_files, n_dirs = 0, 0
     for st in fs.listStatus(P(f"{path}/postings")):
@@ -1020,7 +1090,7 @@ def maintain_bm25_index(
         _mark_complete()
         _swap_in()
         _clear_tombstones()
-        _bump_ivf_generation(spark, path)
+        _finish_swap()
     return {
         "compacted": compacted,
         "files_per_bucket": round(files_per_bucket, 2),
@@ -1104,10 +1174,18 @@ def bm25_rank_indexed(
         # Lucene contract, documented on delete_bm25_ids. Literal
         # NOT-IN up to the measured cap, broadcast anti-join past it
         # (ann._without_ids — the plan-size crossover, r9 verdict #2)
-        from prefixtree_spark.operators.ann import _without_ids
+        from prefixtree_spark.operators.ann import (
+            _APPEND_GUARD_STATIC_MAX as _TS_CAP,
+            _without_ids,
+        )
 
         posts = _without_ids(
-            posts, "doc_id", ts, _bm25_tombstones_frame(spark, path)
+            posts, "doc_id", ts,
+            # sidecar frame only built past the literal cap — the hot
+            # probe path must not pay a parquet listing it won't use
+            # (r10 review)
+            _bm25_tombstones_frame(spark, path)
+            if len(ts) > _TS_CAP else None,
         )
     qenriched = qterms.join(dfreq, "term").crossJoin(F.broadcast(stats))
     scored = (
@@ -1214,10 +1292,15 @@ def sync_bm25_from_published(
         # explicit index-level deletes win over corpus presence until
         # maintenance compacts: append rejects tombstoned ids outright
         # (resurrection hazard), so the sync must not hand them back
-        from prefixtree_spark.operators.ann import _without_ids
+        from prefixtree_spark.operators.ann import (
+            _APPEND_GUARD_STATIC_MAX as _TS_CAP,
+            _without_ids,
+        )
 
         cand = _without_ids(
-            cand, id_col, ts, _bm25_tombstones_frame(spark, index_path)
+            cand, id_col, ts,
+            _bm25_tombstones_frame(spark, index_path)
+            if len(ts) > _TS_CAP else None,
         )
     tag = hashlib.sha256(root.encode()).hexdigest()[:12]
     appended = append_bm25_index(

@@ -1612,3 +1612,57 @@ def test_tombstone_filter_anti_join_crossover(spark, clustered, tmp_path, monkey
         ann.append_ivf_index(
             spark, path, df.where("vec_id = 0"), "vec_id", "embedding"
         )
+
+
+def test_ivf_unrecorded_full_replay_reports_original_count(
+    spark, clustered, tmp_path, monkeypatch
+):
+    """r10 review (the dense twin of ADVICE r9 #3): a replay after a
+    crash that landed BOTH tables but not the retired marker must
+    report the ORIGINAL appended count (recovered from the intent file
+    written before the first table write), while a fresh txn whose
+    delta is fully present still reports 0."""
+    import os
+
+    import prefixtree_spark.sources.io as _io
+
+    df, _ = clustered
+    path = str(tmp_path / "ivf_replaycnt")
+    ann.save_ivf_index(df.where("vec_id < 60"), "vec_id", "embedding",
+                       path, n_cells=4, sample_size=200)
+    delta = df.where("vec_id >= 60")
+    n_expected = delta.count()
+    # the crash: both tables land, then the process dies BEFORE the
+    # retired-txn marker — simulated by failing _retire_txn itself
+    real_retire = _io._retire_txn
+    monkeypatch.setattr(_io, "_retire_txn",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            RuntimeError("crash before marker")))
+    with pytest.raises(RuntimeError, match="crash before marker"):
+        ann.append_ivf_index(spark, path, delta, "vec_id", "embedding",
+                             txn="b1")
+    monkeypatch.setattr(_io, "_retire_txn", real_retire)
+    assert os.path.isdir(f"{path}/_txn_intents")  # the recovery record
+    n = ann.append_ivf_index(
+        spark, path, delta, "vec_id", "embedding", txn="b1"
+    )
+    assert n == n_expected and n > 0  # NOT 0
+    # recorded fast path agrees
+    assert ann.append_ivf_index(
+        spark, path, delta, "vec_id", "embedding", txn="b1"
+    ) == n
+    # intent cleaned up once the marker exists
+    assert not os.listdir(f"{path}/_txn_intents") if os.path.isdir(
+        f"{path}/_txn_intents") else True
+    # fresh txn, fully-present delta (the sync-overlap shape): 0
+    assert ann.append_ivf_index(
+        spark, path, delta, "vec_id", "embedding", txn="b2"
+    ) == 0
+    # no duplicates: vectors still one row per id
+    from pyspark.sql import functions as _F
+
+    dups = (
+        spark.read.parquet(f"{path}/vectors").groupBy("vec_id").count()
+        .where(_F.col("count") > 1).count()
+    )
+    assert dups == 0

@@ -83,3 +83,32 @@ def test_null_text_scores_as_empty(spark):
     rows = {r.doc_id: r.quality_prob
             for r in score_quality(model, df, "text").collect()}
     assert rows[1] == pytest.approx(rows[2])
+
+
+def test_score_quality_preserves_null_text(spark):
+    """Scoring must not mutate the data it scores: NULL text
+    featurizes as empty (engine-wide contract) but comes back NULL in
+    the scored frame — the old coalesce-in-place silently rewrote it
+    to '' (r10 review)."""
+    from prefixtree_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    train = spark.createDataFrame(
+        [("good clean prose with many words", 1)] * 8
+        + [("zzz", 0)] * 8,
+        ["text", "label"],
+    )
+    model = train_quality_classifier(train, "text", "label")
+    df = spark.createDataFrame(
+        [(1, "good clean prose"), (2, None)], ["doc_id", "text"]
+    )
+    scored = {r.doc_id: (r.text, r.quality_prob) for r in
+              score_quality(model, df, "text").collect()}
+    assert scored[1][0] == "good clean prose"
+    assert scored[2][0] is None          # NULL survives scoring
+    assert scored[2][1] is not None      # but still got a probability
+    assert set(score_quality(model, df, "text").columns) == {
+        "doc_id", "text", "quality_prob"
+    }

@@ -512,3 +512,67 @@ def test_crash_between_followers_each_heals_independently(
         g = spark.read.parquet(f"{p}/stats").groupBy().sum("n_docs", "total_len").collect()[0]
         w = spark.read.parquet(f"{tp}/stats").groupBy().sum("n_docs", "total_len").collect()[0]
         assert tuple(g) == tuple(w)
+
+
+def test_maintain_ingest_bm25_reconcile_converges_cow_corpus(spark, tmp_path):
+    """maintain_ingest(bm25_reconcile=True) — the sparse twin of the
+    ann_reconcile_with test above: COW update_published rewrites a
+    document's TEXT and delete_published removes another; maintenance
+    reconciles the persisted BM25 layout incrementally (fingerprint
+    diff, no full rebuild) and the stored probe ranks by the NEW text
+    with the deleted doc gone."""
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.operators import ranking
+    from prefixtree_spark.sources.io import (
+        delete_published,
+        read_published,
+        update_published,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = str(tmp_path / "ingb")
+    root, bpath = f"{base}/corpus", f"{base}/bm25"
+    ingest_batch(
+        docs.select("doc_id", "text"), root, "doc_id", "text",
+        threshold=0.8, n=3, bm25_index_path=bpath,
+        bm25_opts={"n_buckets": 8, "idf": "ratio"},
+    )
+    survivors = sorted(
+        r.doc_id for r in read_published(spark, root).select("doc_id").collect()
+    )
+    target, dead = survivors[0], survivors[-1]
+    update_published(
+        spark, root, f"doc_id = {target}",
+        {"text": F.lit("zzrewritten zzcorpus zztext")},
+    )
+    delete_published(spark, root, f"doc_id = {dead}")
+    rep = maintain_ingest(spark, root, bm25_index_path=bpath,
+                          bm25_reconcile=True)
+    assert rep[f"{bpath}_reconciled"] >= 2
+    assert not rep[f"{bpath}_rebuilt"]
+    # probe == in-session BM25 over the LIVE corpus
+    live = read_published(spark, root)
+    q = spark.createDataFrame(
+        [(1, ["zzrewritten", "zzcorpus"])], "qid long, terms array<string>"
+    )
+    got = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(spark, bpath, q, "qid", "terms").collect()
+    }
+    want = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank(
+            live, "doc_id", "text", q, "qid", "terms", idf="ratio"
+        ).collect()
+    }
+    assert got == want and got == {(1, target, 1)}
+    # the deleted doc is gone from the layout's doc list
+    ids = {
+        r.doc_id for r in spark.read.parquet(f"{bpath}/docs").collect()
+    }
+    assert dead not in ids and target in ids
+    # second maintenance: converged no-op
+    rep2 = maintain_ingest(spark, root, bm25_index_path=bpath,
+                           bm25_reconcile=True)
+    assert rep2[f"{bpath}_reconciled"] == 0

@@ -1057,3 +1057,98 @@ def test_bm25_tombstone_filter_anti_join_crossover(
             spark, path, sf_docs.where(sf_docs.doc_id.isin(dead)),
             "doc_id", "text",
         )
+
+
+def test_bm25_reconcile_empty_corpus_drains_not_bricks(spark, sf_docs, tmp_path):
+    """r10 review: reconciling against an EMPTIED corpus (every stored
+    doc stale) must drain the layout through schema-bearing empty
+    tables, not swap in file-less zero-row partitionBy writes that
+    brick every later probe. The drained layout keeps serving (empty
+    results) and accepts re-appends."""
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.operators import ranking
+
+    path = str(tmp_path / "bm25_drain")
+    ranking.save_bm25_index(sf_docs, "doc_id", "text", path,
+                            n_buckets=8, idf="ratio")
+    empty = sf_docs.where(F.lit(False))
+    rep = ranking.maintain_bm25_index(
+        spark, path, reconcile_with=empty, id_col="doc_id",
+        text_col="text",
+    )
+    assert rep["reconciled"] == sf_docs.count()
+    q = _doc_queries(spark)
+    # probes still work — empty, not erroring
+    assert ranking.bm25_rank_indexed(spark, path, q, "qid", "terms").count() == 0
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    assert stats.n_docs == 0 and stats.total_len == 0
+    # the layout accepts a fresh append and ranks again
+    n = ranking.append_bm25_index(spark, path, sf_docs, "doc_id", "text")
+    assert n == sf_docs.count()
+    want = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank(
+            sf_docs, "doc_id", "text", q, "qid", "terms", idf="ratio"
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(spark, path, q, "qid", "terms").collect()
+    }
+    assert got == want and got
+
+
+def test_bm25_rebuild_from_empty_corpus_drains(spark, sf_docs, tmp_path):
+    """The rebuild_from twin of the drain test: a wholesale rebuild
+    from an empty corpus drains instead of bricking."""
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.operators import ranking
+
+    path = str(tmp_path / "bm25_drain_rb")
+    ranking.save_bm25_index(sf_docs, "doc_id", "text", path,
+                            n_buckets=8, idf="ratio")
+    rep = ranking.maintain_bm25_index(
+        spark, path, rebuild_from=sf_docs.where(F.lit(False)),
+        id_col="doc_id", text_col="text",
+    )
+    assert rep["rebuilt"]
+    q = _doc_queries(spark)
+    assert ranking.bm25_rank_indexed(spark, path, q, "qid", "terms").count() == 0
+
+
+def test_bm25_reconcile_converged_still_compacts_fragmentation(
+    spark, sf_docs, tmp_path
+):
+    """r10 review: a converged reconcile (corpus content unchanged)
+    must still fall through to the fragmentation check — the steady
+    state of maintain_ingest(bm25_reconcile=True) is exactly appends
+    fragmenting buckets with no content churn."""
+    from prefixtree_spark.operators import ranking
+
+    path = str(tmp_path / "bm25_rec_frag")
+    thirds = [sf_docs.where(f"doc_id % 3 = {i}") for i in range(3)]
+    ranking.save_bm25_index(thirds[0], "doc_id", "text", path,
+                            n_buckets=4, idf="ratio")
+    for i, t in enumerate(thirds[1:], 1):
+        ranking.append_bm25_index(spark, path, t, "doc_id", "text",
+                                  txn=f"t{i}")
+    rep = ranking.maintain_bm25_index(
+        spark, path, max_files_per_bucket=1.0, reconcile_with=sf_docs,
+        id_col="doc_id", text_col="text",
+    )
+    assert rep["reconciled"] == 0  # content converged
+    assert rep["compacted"]        # but fragmentation still compacts
+    q = _doc_queries(spark)
+    want = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank(
+            sf_docs, "doc_id", "text", q, "qid", "terms", idf="ratio"
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(spark, path, q, "qid", "terms").collect()
+    }
+    assert got == want
