@@ -318,23 +318,43 @@ def save_bm25_index(
             F.coalesce(F.sum("tf"), F.lit(0)).cast("long")
         ).collect()[0][0]
         n_docs = docs.count()  # empty docs count toward n_docs (oracle rule)
-        (
-            postings.repartition(n_buckets, "bucket")
-            .sortWithinPartitions("bucket", "term")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(f"{path}/postings")
-        )
-        (
+        if n_docs == 0:
+            # fail loudly like save_ivf_index: zero-row partitionBy
+            # writes create FILE-LESS table dirs that brick every later
+            # probe; use maintain_bm25_index's drain for an
+            # intentionally-empty layout (r10 review follow-up)
+            raise ValueError("save_bm25_index: empty corpus")
+        dfreq_df = (
             postings.groupBy("bucket", "term")
             .agg(F.count(F.lit(1)).cast("long").alias("df"))
             .withColumn("txn", F.lit(None).cast("string"))
-            .repartition(n_buckets, "bucket")
-            .sortWithinPartitions("bucket", "term")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(f"{path}/dfreq")
         )
+        if total_len == 0:
+            # corpus of only EMPTY documents: same file-less hazard —
+            # one schema-bearing empty file per bucketed table, inside
+            # a bucket=0 partition dir (the ann._drain layout trick)
+            postings.drop("bucket").limit(0).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{path}/postings/bucket=0")
+            dfreq_df.drop("bucket").limit(0).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{path}/dfreq/bucket=0")
+        else:
+            (
+                postings.repartition(n_buckets, "bucket")
+                .sortWithinPartitions("bucket", "term")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{path}/postings")
+            )
+            (
+                dfreq_df
+                .repartition(n_buckets, "bucket")
+                .sortWithinPartitions("bucket", "term")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{path}/dfreq")
+            )
         # per-doc content fingerprints — the reconcile diff target.
         # Derived from the DOCS frame (not postings) so empty
         # documents get a row too.
@@ -986,6 +1006,15 @@ def maintain_bm25_index(
         posts = spark.read.parquet(f"{path}/postings")
         has_docs_tbl = fs.exists(P(f"{path}/docs"))
         if ts:
+            from prefixtree_spark.operators.ann import (
+                _APPEND_GUARD_STATIC_MAX as _TS_CAP,
+                _without_ids,
+            )
+
+            ts_frame = (
+                _bm25_tombstones_frame(spark, path)
+                if len(ts) > _TS_CAP else None
+            )
             # n_docs correction BEFORE filtering. With the docs/
             # fingerprint table (r10+) the count comes from it — the
             # authoritative doc list — so tombstoned EMPTY documents
@@ -993,22 +1022,24 @@ def maintain_bm25_index(
             # fall back to postings presence: their tombstoned empty
             # docs stay in n_docs until a corpus rebuild (idf-only,
             # bounded drift — they can never match a query).
-            if has_docs_tbl:
+            src_ids = (
+                spark.read.parquet(f"{path}/docs").select("doc_id")
+                if has_docs_tbl else posts.select("doc_id")
+            )
+            if ts_frame is not None:
+                # inclusive membership past the literal cap: the
+                # semi-join twin of the NOT-IN crossover
                 n_deleted = (
-                    spark.read.parquet(f"{path}/docs")
-                    .select("doc_id")
-                    .where(F.col("doc_id").isin(list(ts)))
-                    .distinct()
-                    .count()
+                    src_ids.join(F.broadcast(ts_frame), "doc_id",
+                                 "left_semi")
+                    .distinct().count()
                 )
             else:
                 n_deleted = (
-                    posts.select("doc_id")
-                    .where(F.col("doc_id").isin(list(ts)))
-                    .distinct()
-                    .count()
+                    src_ids.where(F.col("doc_id").isin(list(ts)))
+                    .distinct().count()
                 )
-            posts = posts.where(~F.col("doc_id").isin(list(ts)))
+            posts = _without_ids(posts, "doc_id", ts, ts_frame)
         else:
             n_deleted = 0
         posts = posts.persist(StorageLevel.MEMORY_AND_DISK)
@@ -1079,9 +1110,11 @@ def maintain_bm25_index(
                     "doc_id", "h"
                 )
                 if ts:
-                    docs_tbl = docs_tbl.where(
-                        ~F.col("doc_id").isin(list(ts))
+                    from prefixtree_spark.operators.ann import (
+                        _without_ids as _woi,
                     )
+
+                    docs_tbl = _woi(docs_tbl, "doc_id", ts, ts_frame)
                 docs_tbl.withColumn(
                     "txn", F.lit(None).cast("string")
                 ).write.mode("overwrite").parquet(f"{staged_root}/docs")

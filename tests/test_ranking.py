@@ -1152,3 +1152,47 @@ def test_bm25_reconcile_converged_still_compacts_fragmentation(
         for r in ranking.bm25_rank_indexed(spark, path, q, "qid", "terms").collect()
     }
     assert got == want
+
+
+def test_save_bm25_empty_and_all_empty_corpora(spark, tmp_path):
+    """save_bm25_index fails loudly on an empty corpus (file-less
+    partitionBy hazard; maintain's drain is the intentional form) and
+    handles a corpus of only EMPTY documents with schema-bearing
+    tables that keep probing and appending."""
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.operators import ranking
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty corpus"):
+        ranking.save_bm25_index(empty, "doc_id", "text",
+                                str(tmp_path / "bm25_none"), n_buckets=4)
+    # all-empty documents: n_docs > 0, zero postings
+    blank = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "   ")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "bm25_blank")
+    ranking.save_bm25_index(blank, "doc_id", "text", path, n_buckets=4,
+                            idf="ratio")
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    assert stats.n_docs == 3 and stats.total_len == 0
+    q = spark.createDataFrame([(1, ["anything"])], "qid long, terms array<string>")
+    assert ranking.bm25_rank_indexed(spark, path, q, "qid", "terms").count() == 0
+    # appending real documents onto the blank layout works
+    real = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "alpha gamma")], "doc_id long, text string"
+    )
+    assert ranking.append_bm25_index(spark, path, real, "doc_id", "text") == 2
+    q2 = spark.createDataFrame([(1, ["alpha", "beta"])], "qid long, terms array<string>")
+    got = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank_indexed(spark, path, q2, "qid", "terms").collect()
+    }
+    all_docs = blank.unionByName(real)
+    want = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in ranking.bm25_rank(
+            all_docs, "doc_id", "text", q2, "qid", "terms", idf="ratio"
+        ).collect()
+    }
+    assert got == want and got
