@@ -18,7 +18,11 @@ from prefixtree_spark._generation import probe_consistent
 from prefixtree_spark.operators.build import create, load_index, save_index
 from prefixtree_spark.operators.incremental import add_words, remove_words
 from prefixtree_spark.operators.prefix import prefix_search
-from prefixtree_spark.operators.ranking import bm25_rank, rrf_fuse
+from prefixtree_spark.operators.ranking import (
+    bm25_rank,
+    describe_bm25_index,
+    rrf_fuse,
+)
 from prefixtree_spark.operators.classifier import (
     load_quality_classifier,
     save_quality_classifier,
@@ -27,6 +31,7 @@ from prefixtree_spark.operators.classifier import (
 )
 from prefixtree_spark.operators.ann import (
     append_ivf_index,
+    describe_ivf_index,
     maintain_ivf_index,
     cosine_topk_ivf_pq,
     load_ivf_index,
@@ -162,6 +167,8 @@ __all__ = [
     "maintain_ivf_index",
     "load_ivf_index",
     "probe_consistent",
+    "describe_bm25_index",
+    "describe_ivf_index",
 ]
 
 __version__ = "0.1.0"

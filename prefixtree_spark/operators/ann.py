@@ -3114,3 +3114,64 @@ def cosine_topk_pq(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def describe_ivf_index(spark, path: str) -> dict:
+    """One-call operator's health view of a persisted IVF layout —
+    metadata only (listings, footers, tiny sidecars); the dense twin
+    of ``ranking.describe_bm25_index``. Reports the numbers the
+    maintenance policy acts on: appended drift vs the trained base
+    (the retrain trigger's input), files-per-cell vs the compaction
+    threshold, cell byte skew, pending tombstones, plus generation /
+    sync watermark / swap-in-flight."""
+    from prefixtree_spark._generation import (
+        is_swapping,
+        read_generation_cluster,
+    )
+    from prefixtree_spark.sources.io import _fs
+
+    fs, jvm = _fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    n_files, n_dirs, total_bytes, biggest = 0, 0, 0, 0
+    for st in fs.listStatus(P(f"{path}/postings")):
+        if not (st.isDirectory()
+                and st.getPath().getName().startswith("cell=")):
+            continue
+        n_dirs += 1
+        c_bytes = 0
+        for f in fs.listStatus(st.getPath()):
+            if f.getPath().getName().endswith(".parquet"):
+                n_files += 1
+                c_bytes += f.getLen()
+        total_bytes += c_bytes
+        biggest = max(biggest, c_bytes)
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    total = spark.read.parquet(f"{path}/vectors").count()  # footer-only
+    base = meta.get("n_vectors")
+    ts = _load_tombstones(spark, path)
+    pay = [
+        c for c in spark.read.parquet(f"{path}/vectors").columns
+        if c not in ("vec_id", "cv")
+    ]
+    return {
+        "n_cells": int(meta["n_cells"]),
+        "n_replicas": int(meta["n_replicas"]),
+        "dim": int(meta["dim"]),
+        "pq_m": int(meta.get("pq_m") or 0),
+        "n_vectors": int(total),
+        "trained_base": int(base) if base is not None else None,
+        "appended_frac": (
+            round(((total - base) + len(ts)) / total, 4)
+            if base is not None and total else 0.0
+        ),
+        "postings": {
+            "cells": n_dirs, "files": n_files, "bytes": total_bytes,
+            "max_cell_bytes": biggest,
+        },
+        "files_per_cell": round(n_files / max(1, n_dirs), 2),
+        "tombstones": len(ts),
+        "payload_cols": pay,
+        "generation": read_generation_cluster(spark, path),
+        "synced_version": _read_sync_watermark(spark, path),
+        "swap_in_progress": is_swapping(spark, path),
+    }

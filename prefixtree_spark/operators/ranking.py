@@ -1408,3 +1408,77 @@ def delete_bm25_ids(spark, path: str, ids) -> int:
     ).coalesce(1).write.mode("append").parquet(f"{path}/_tombstones")
     _bump_ivf_generation(spark, path)
     return len(id_list)
+
+
+def describe_bm25_index(spark, path: str) -> dict:
+    """One-call operator's health view of a persisted BM25 layout —
+    metadata only (directory listings, parquet footers, tiny
+    sidecars), nothing corpus-sized is scanned. The numbers feed the
+    same decisions ``maintain_bm25_index`` automates: files-per-bucket
+    vs the compaction threshold, pending merge-on-read debt
+    (tombstones, dfreq/stats increment rows), bucket byte skew (the
+    re-bucketing signal), plus the serving generation, sync watermark
+    and whether a swap is in flight."""
+    from prefixtree_spark._generation import (
+        is_swapping,
+        read_generation_cluster,
+    )
+    from prefixtree_spark.operators.ann import _read_sync_watermark
+    from prefixtree_spark.sources.io import _fs
+
+    fs, jvm = _fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+
+    def _bucket_stats(sub: str) -> dict:
+        n_files, n_dirs, total, biggest = 0, 0, 0, 0
+        if not fs.exists(P(f"{path}/{sub}")):
+            return {"buckets": 0, "files": 0, "bytes": 0,
+                    "max_bucket_bytes": 0}
+        for st in fs.listStatus(P(f"{path}/{sub}")):
+            if not (st.isDirectory()
+                    and st.getPath().getName().startswith("bucket=")):
+                continue
+            n_dirs += 1
+            b_bytes = 0
+            for f in fs.listStatus(st.getPath()):
+                if f.getPath().getName().endswith(".parquet"):
+                    n_files += 1
+                    b_bytes += f.getLen()
+            total += b_bytes
+            biggest = max(biggest, b_bytes)
+        return {"buckets": n_dirs, "files": n_files, "bytes": total,
+                "max_bucket_bytes": biggest}
+
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    posts = _bucket_stats("postings")
+    dfreq = _bucket_stats("dfreq")
+    srow = (
+        spark.read.parquet(f"{path}/stats")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_len").cast("long").alias("total_len"),
+        )
+        .collect()[0]
+    )
+    out = {
+        "n_buckets": int(meta.n_buckets),
+        "k1": float(meta.k1),
+        "b": float(meta.b),
+        "idf": str(meta.idf),
+        "n_docs": int(srow.n_docs or 0),
+        "total_len": int(srow.total_len or 0),
+        "postings": posts,
+        "dfreq": dfreq,
+        "files_per_bucket": round(
+            posts["files"] / max(1, posts["buckets"]), 2
+        ),
+        # merge-on-read debt the next maintenance pass retires
+        "stats_increments": int(srow.rows) - 1,
+        "tombstones": len(_load_bm25_tombstones(spark, path)),
+        "has_fingerprints": bool(fs.exists(P(f"{path}/docs"))),
+        "generation": read_generation_cluster(spark, path),
+        "synced_version": _read_sync_watermark(spark, path),
+        "swap_in_progress": is_swapping(spark, path),
+    }
+    return out

@@ -1666,3 +1666,28 @@ def test_ivf_unrecorded_full_replay_reports_original_count(
         .where(_F.col("count") > 1).count()
     )
     assert dups == 0
+
+
+def test_describe_ivf_index_reports_lifecycle_state(spark, clustered, tmp_path):
+    """The dense twin of describe_bm25_index: drift fraction tracks
+    appends+tombstones against the trained base; maintenance resets."""
+    df, _ = clustered
+    path = str(tmp_path / "ivf_desc")
+    ann.save_ivf_index(df.where("vec_id < 80"), "vec_id", "embedding",
+                       path, n_cells=4, sample_size=200, pq_m=4)
+    d0 = ann.describe_ivf_index(spark, path)
+    assert d0["n_cells"] == 4 and d0["pq_m"] == 4
+    assert d0["n_vectors"] == 80 and d0["trained_base"] == 80
+    assert d0["appended_frac"] == 0.0 and d0["tombstones"] == 0
+    ann.append_ivf_index(spark, path, df.where("vec_id >= 80"),
+                         "vec_id", "embedding")
+    ann.delete_ivf_ids(spark, path, [0, 1])
+    d1 = ann.describe_ivf_index(spark, path)
+    assert d1["n_vectors"] == 101
+    assert d1["appended_frac"] == round((21 + 2) / 101, 4)
+    assert d1["tombstones"] == 2 and d1["generation"] > d0["generation"]
+    rep = ann.maintain_ivf_index(spark, path, retrain_frac=0.5)
+    assert rep["tombstones_compacted"] == 2
+    d2 = ann.describe_ivf_index(spark, path)
+    assert d2["tombstones"] == 0 and d2["n_vectors"] == 99
+    assert not d2["swap_in_progress"]

@@ -731,7 +731,8 @@ def test_bm25_layout_property_random_corpora(spark, tmp_path):
                 (d, " ".join(rng.choice(vocab) for _ in range(n_tok)))
             )
         docs = spark.createDataFrame(rows, "doc_id long, text string")
-        split = rng.randint(0, n_docs)
+        # max(1,..): save_bm25_index rejects an empty base corpus now
+        split = max(1, rng.randint(0, n_docs))
         idf = rng.choice(["log", "ratio"])
         path = str(tmp_path / f"prop_{trial}")
         ranking.save_bm25_index(
@@ -1196,3 +1197,128 @@ def test_save_bm25_empty_and_all_empty_corpora(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_bm25_reconcile_property_random_evolutions(spark, tmp_path):
+    """Property over randomized corpus EVOLUTIONS (the reconcile twin
+    of the layout property test): for random corpora and random
+    add/update/delete sequences — including empty docs becoming
+    non-empty and vice versa — maintain_bm25_index(reconcile_with=)
+    plus append for the adds converges the layout so every query
+    answers identically to a FRESH in-session ranking over the evolved
+    corpus; a second reconcile is always a no-op."""
+    import random
+
+    from prefixtree_spark.operators import ranking
+
+    rng = random.Random(20260816)
+    vocab = [f"w{i}" for i in range(40)]
+
+    def _text():
+        return " ".join(
+            rng.choice(vocab) for _ in range(rng.randint(0, 25))
+        )
+
+    for trial in range(4):
+        n0 = rng.randint(6, 25)
+        base = {d: _text() for d in range(n0)}
+        docs0 = spark.createDataFrame(
+            list(base.items()), "doc_id long, text string"
+        )
+        path = str(tmp_path / f"recprop_{trial}")
+        ranking.save_bm25_index(
+            docs0, "doc_id", "text", path,
+            n_buckets=rng.choice([2, 4, 8]), idf="ratio",
+        )
+        # evolve: delete some, rewrite some, add some
+        evolved = dict(base)
+        for d in list(evolved):
+            r = rng.random()
+            if r < 0.2:
+                del evolved[d]                # delete
+            elif r < 0.5:
+                evolved[d] = _text()          # rewrite (may become same/empty)
+        adds = {n0 + i: _text() for i in range(rng.randint(0, 6))}
+        evolved.update(adds)
+        docs1 = spark.createDataFrame(
+            list(evolved.items()), "doc_id long, text string"
+        )
+        # adds through the append path (sync's half), then reconcile
+        # for updates/deletes (maintenance's half)
+        if adds:
+            ranking.append_bm25_index(
+                spark, path,
+                docs1.where(docs1.doc_id.isin(list(adds))),
+                "doc_id", "text", txn=f"adds{trial}",
+            )
+        rep = ranking.maintain_bm25_index(
+            spark, path, reconcile_with=docs1, id_col="doc_id",
+            text_col="text",
+        )
+        n_del = len(base) - len(set(base) & set(evolved))
+        # rewrites that drew identical text are NOT changes (the
+        # fingerprint is content-based, not event-based)
+        n_upd = sum(
+            1 for d in set(base) & set(evolved) if evolved[d] != base[d]
+        )
+        assert rep["reconciled"] == n_del + n_upd, trial
+        assert rep["updated"] == n_upd, trial
+        queries = spark.createDataFrame(
+            [
+                (qi, [rng.choice(vocab) for _ in range(rng.randint(1, 4))])
+                for qi in range(5)
+            ],
+            "qid long, terms array<string>",
+        )
+        want = {
+            (r.query_id, r.doc_id, r.rank)
+            for r in ranking.bm25_rank(
+                docs1, "doc_id", "text", queries, "qid", "terms",
+                idf="ratio",
+            ).collect()
+        }
+        got = {
+            (r.query_id, r.doc_id, r.rank)
+            for r in ranking.bm25_rank_indexed(
+                spark, path, queries, "qid", "terms"
+            ).collect()
+        }
+        assert got == want, trial
+        rep2 = ranking.maintain_bm25_index(
+            spark, path, reconcile_with=docs1, id_col="doc_id",
+            text_col="text",
+        )
+        assert rep2["reconciled"] == 0 and rep2["updated"] == 0, trial
+
+
+def test_describe_bm25_index_reports_lifecycle_state(spark, sf_docs, tmp_path):
+    """describe_bm25_index: a metadata-only health view whose numbers
+    track the lifecycle — appends raise files_per_bucket and
+    stats_increments, deletes raise tombstones, maintenance resets all
+    three and bumps the generation."""
+    from prefixtree_spark.operators import ranking
+
+    path = str(tmp_path / "bm25_desc")
+    halves = [sf_docs.where(f"doc_id % 2 = {i}") for i in range(2)]
+    ranking.save_bm25_index(halves[0], "doc_id", "text", path,
+                            n_buckets=4, idf="ratio")
+    d0 = ranking.describe_bm25_index(spark, path)
+    assert d0["n_buckets"] == 4 and d0["idf"] == "ratio"
+    assert d0["n_docs"] == halves[0].count()
+    assert d0["stats_increments"] == 0 and d0["tombstones"] == 0
+    assert d0["has_fingerprints"] and not d0["swap_in_progress"]
+    assert d0["postings"]["bytes"] > 0
+    ranking.append_bm25_index(spark, path, halves[1], "doc_id", "text",
+                              txn="d1")
+    dead = [r.doc_id for r in sf_docs.limit(2).collect()]
+    ranking.delete_bm25_ids(spark, path, dead)
+    d1 = ranking.describe_bm25_index(spark, path)
+    assert d1["n_docs"] == sf_docs.count()
+    assert d1["stats_increments"] == 1 and d1["tombstones"] == 2
+    assert d1["files_per_bucket"] > d0["files_per_bucket"]
+    assert d1["generation"] > d0["generation"]
+    ranking.maintain_bm25_index(spark, path, max_files_per_bucket=1.0)
+    d2 = ranking.describe_bm25_index(spark, path)
+    assert d2["stats_increments"] == 0 and d2["tombstones"] == 0
+    assert d2["files_per_bucket"] <= 1.0
+    assert d2["n_docs"] == sf_docs.count() - 2  # re-exacted post-delete
