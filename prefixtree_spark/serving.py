@@ -168,7 +168,29 @@ class PrefixTreeServer:
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 try:
                     if url.path == "/health":
+                        # replica health = what's served and from which
+                        # layout generation — the serving twin of the
+                        # cluster-side describe_* views (r10); handles
+                        # read once above/here, so a concurrent swap
+                        # can't report a mixed replica state
                         body = {"nodes": int(len(index.ids))}
+                        h_ann = srv.ann_index
+                        if h_ann is not None:
+                            body["ann"] = {
+                                "generation": int(h_ann.generation),
+                                "n_cells": int(len(h_ann.centroids)),
+                                "preloaded": bool(h_ann._preloaded),
+                                "tombstones": len(h_ann._tombstones),
+                            }
+                        h_sp = srv.sparse_index
+                        if h_sp is not None:
+                            body["sparse"] = {
+                                "generation": int(h_sp.generation),
+                                "n_docs": int(h_sp.n_docs),
+                                "n_buckets": int(h_sp.n_buckets),
+                                "preloaded": bool(h_sp._preloaded),
+                                "tombstones": len(h_sp._tombstones),
+                            }
                     elif url.path == "/search":
                         k = int(q.get("k", "1"))
                         if not 0 <= k <= max_k:

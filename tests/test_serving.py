@@ -988,3 +988,38 @@ def test_ann_http_filter_matches_string_typed_payloads(spark, tmp_path):
             f"/ann?v={vcsv}&k=5&nprobe=4&filter_col=year&filter_vals=2021"
         ))
         assert [int(v) for v, _ in hits] == want
+
+
+def test_health_reports_replica_index_state(spark, tmp_path):
+    """/health is the serving twin of the cluster describe_* views:
+    generation, size and preload/tombstone state for every handle the
+    replica serves — and absent sections for indexes not loaded."""
+    from prefixtree_spark.operators import ann, ranking
+    from prefixtree_spark.serving import (
+        load_local_bm25_index,
+        load_local_ivf_index,
+    )
+
+    docs, path = _bm25_fixture(spark, tmp_path)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ivf_path = str(tmp_path / "ivf_health")
+    ann.save_ivf_index(emb, "vec_id", "embedding", ivf_path, n_cells=8)
+    ranking.delete_bm25_ids(spark, path, [r.doc_id for r in docs.limit(1).collect()])
+
+    pt = create(_words_df(spark, SPARSE_WORDS), "word")
+    with PrefixTreeServer(
+        build_local_index(pt),
+        ann_index=load_local_ivf_index(ivf_path, preload=True),
+        sparse_index=load_local_bm25_index(path),
+    ) as srv:
+        h = _get(srv.url("/health"))
+        assert h["nodes"] > 0
+        assert h["ann"]["n_cells"] == 8 and h["ann"]["preloaded"]
+        assert h["ann"]["tombstones"] == 0
+        assert h["sparse"]["n_docs"] == docs.count()
+        assert h["sparse"]["tombstones"] == 1
+        assert h["sparse"]["generation"] >= 1  # save + delete bumped
+
+    with PrefixTreeServer(build_local_index(pt)) as srv2:
+        h2 = _get(srv2.url("/health"))
+        assert "ann" not in h2 and "sparse" not in h2
