@@ -1626,15 +1626,8 @@ def maintain_ivf_index(
             fs.delete(P(staged_compact), True)  # mid-write garbage
 
     meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
-    n_files, n_cell_dirs = 0, 0
-    for st in fs.listStatus(P(post_dir)):
-        if not (st.isDirectory() and st.getPath().getName().startswith("cell=")):
-            continue
-        n_cell_dirs += 1
-        for f in fs.listStatus(st.getPath()):
-            if f.getPath().getName().endswith(".parquet"):
-                n_files += 1
-    files_per_cell = n_files / max(1, n_cell_dirs)
+    _pstats = _partition_dir_stats(fs, P, post_dir, "cell=")
+    files_per_cell = _pstats["files"] / max(1, _pstats["dirs"])
     total = spark.read.parquet(f"{path}/vectors").count()
     ts = _load_tombstones(spark, path)
     n_ts0 = len(ts)
@@ -3116,6 +3109,30 @@ def cosine_topk_pq(
     )
 
 
+def _partition_dir_stats(fs, P, base: str, prefix: str) -> dict:
+    """ONE implementation of the 'list prefix= partition dirs, count
+    .parquet files/bytes' walk the compaction triggers and the
+    describe_* health views share — the two must never drift on what
+    counts as a data file (r10 review)."""
+    n_dirs, n_files, total, biggest = 0, 0, 0, 0
+    if not fs.exists(P(base)):
+        return {"dirs": 0, "files": 0, "bytes": 0, "max_dir_bytes": 0}
+    for st in fs.listStatus(P(base)):
+        if not (st.isDirectory()
+                and st.getPath().getName().startswith(prefix)):
+            continue
+        n_dirs += 1
+        d_bytes = 0
+        for f in fs.listStatus(st.getPath()):
+            if f.getPath().getName().endswith(".parquet"):
+                n_files += 1
+                d_bytes += f.getLen()
+        total += d_bytes
+        biggest = max(biggest, d_bytes)
+    return {"dirs": n_dirs, "files": n_files, "bytes": total,
+            "max_dir_bytes": biggest}
+
+
 def describe_ivf_index(spark, path: str) -> dict:
     """One-call operator's health view of a persisted IVF layout —
     metadata only (listings, footers, tiny sidecars); the dense twin
@@ -3132,27 +3149,15 @@ def describe_ivf_index(spark, path: str) -> dict:
 
     fs, jvm = _fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
-    n_files, n_dirs, total_bytes, biggest = 0, 0, 0, 0
-    for st in fs.listStatus(P(f"{path}/postings")):
-        if not (st.isDirectory()
-                and st.getPath().getName().startswith("cell=")):
-            continue
-        n_dirs += 1
-        c_bytes = 0
-        for f in fs.listStatus(st.getPath()):
-            if f.getPath().getName().endswith(".parquet"):
-                n_files += 1
-                c_bytes += f.getLen()
-        total_bytes += c_bytes
-        biggest = max(biggest, c_bytes)
+    post_stats = _partition_dir_stats(fs, P, f"{path}/postings", "cell=")
+    n_dirs, n_files = post_stats["dirs"], post_stats["files"]
+    total_bytes, biggest = post_stats["bytes"], post_stats["max_dir_bytes"]
     meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
-    total = spark.read.parquet(f"{path}/vectors").count()  # footer-only
+    vec = spark.read.parquet(f"{path}/vectors")  # one scan handle:
+    total = vec.count()  # footer-only count
     base = meta.get("n_vectors")
     ts = _load_tombstones(spark, path)
-    pay = [
-        c for c in spark.read.parquet(f"{path}/vectors").columns
-        if c not in ("vec_id", "cv")
-    ]
+    pay = [c for c in vec.columns if c not in ("vec_id", "cv")]
     return {
         "n_cells": int(meta["n_cells"]),
         "n_replicas": int(meta["n_replicas"]),

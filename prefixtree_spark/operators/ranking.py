@@ -332,7 +332,19 @@ def save_bm25_index(
         if total_len == 0:
             # corpus of only EMPTY documents: same file-less hazard —
             # one schema-bearing empty file per bucketed table, inside
-            # a bucket=0 partition dir (the ann._drain layout trick)
+            # a bucket=0 partition dir (the ann._drain layout trick).
+            # The table ROOTS are deleted first: the bucket=0 write
+            # overwrites only its own subdirectory, and a re-save over
+            # an existing layout would otherwise leave the old
+            # bucket=1..N files silently ranking the previous corpus
+            # (r10 review)
+            from prefixtree_spark.sources.io import _fs as _sfs
+
+            _f, _j = _sfs(spark, path)
+            for _sub in ("postings", "dfreq"):
+                _f.delete(
+                    _j.org.apache.hadoop.fs.Path(f"{path}/{_sub}"), True
+                )
             postings.drop("bucket").limit(0).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(f"{path}/postings/bucket=0")
@@ -798,7 +810,10 @@ def maintain_bm25_index(
         # comes BACK (a corpus-level delete is the caller's job before
         # a rebuild; delete_bm25_ids is the index-level fast path).
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
-        if rebuild_from.limit(1).count() == 0:
+        if (
+            rebuild_from.where(F.col(id_col).isNotNull())
+            .limit(1).count() == 0
+        ):
             # empty corpus: save_bm25_index would brick the layout
             # (zero-row partitionBy writes no files) — drain instead
             # (r10 review)
@@ -900,23 +915,41 @@ def maintain_bm25_index(
                 )
             new_posts = new_posts.persist(StorageLevel.MEMORY_AND_DISK)
             try:
-                (
-                    new_posts.repartition(nb, "bucket")
-                    .sortWithinPartitions("bucket", "term")
-                    .write.mode("overwrite")
-                    .partitionBy("bucket")
-                    .parquet(f"{staged_root}/postings")
-                )
-                (
+                # surviving docs may ALL be empty-text (postings zero
+                # but n_docs > 0): partitionBy would write file-less
+                # dirs — same hazard class as the full drain below,
+                # guarded per table (r10 review)
+                _np_empty = new_posts.limit(1).count() == 0
+                if _np_empty:
+                    new_posts.drop("bucket").limit(0).coalesce(1)                         .write.mode("overwrite").parquet(
+                            f"{staged_root}/postings/bucket=0"
+                        )
+                else:
+                    (
+                        new_posts.repartition(nb, "bucket")
+                        .sortWithinPartitions("bucket", "term")
+                        .write.mode("overwrite")
+                        .partitionBy("bucket")
+                        .parquet(f"{staged_root}/postings")
+                    )
+                _dfq = (
                     new_posts.groupBy("bucket", "term")
                     .agg(F.count(F.lit(1)).cast("long").alias("df"))
                     .withColumn("txn", F.lit(None).cast("string"))
-                    .repartition(nb, "bucket")
-                    .sortWithinPartitions("bucket", "term")
-                    .write.mode("overwrite")
-                    .partitionBy("bucket")
-                    .parquet(f"{staged_root}/dfreq")
                 )
+                if _np_empty:
+                    _dfq.drop("bucket").limit(0).coalesce(1)                         .write.mode("overwrite").parquet(
+                            f"{staged_root}/dfreq/bucket=0"
+                        )
+                else:
+                    (
+                        _dfq
+                        .repartition(nb, "bucket")
+                        .sortWithinPartitions("bucket", "term")
+                        .write.mode("overwrite")
+                        .partitionBy("bucket")
+                        .parquet(f"{staged_root}/dfreq")
+                    )
                 new_docs = docs_surv
                 if changed_src is not None:
                     new_docs = new_docs.unionByName(
@@ -986,15 +1019,10 @@ def maintain_bm25_index(
         # fragmentation while corpus content was unchanged — the
         # steady state of a healthy pipeline)
 
-    n_files, n_dirs = 0, 0
-    for st in fs.listStatus(P(f"{path}/postings")):
-        if not (st.isDirectory() and st.getPath().getName().startswith("bucket=")):
-            continue
-        n_dirs += 1
-        for f in fs.listStatus(st.getPath()):
-            if f.getPath().getName().endswith(".parquet"):
-                n_files += 1
-    files_per_bucket = n_files / max(1, n_dirs)
+    from prefixtree_spark.operators.ann import _partition_dir_stats
+
+    _pstats = _partition_dir_stats(fs, P, f"{path}/postings", "bucket=")
+    files_per_bucket = _pstats["files"] / max(1, _pstats["dirs"])
     compacted = False
     # tombstones force a compaction regardless of file counts: the
     # rewrite is what physically drops the deleted postings and
@@ -1044,28 +1072,49 @@ def maintain_bm25_index(
             n_deleted = 0
         posts = posts.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            (
-                posts.repartition(n_buckets, "bucket")
-                .sortWithinPartitions("bucket", "term")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(f"{staged_root}/postings")
-            )
+            # zero surviving postings (every posting-bearing doc
+            # tombstoned) would make the partitionBy writes below
+            # file-less and brick the layout on swap — the same r10
+            # hazard the reconcile/save paths guard; fall back to one
+            # schema-bearing empty file per table, keeping the
+            # SURVIVING doc list and stats exact (empty-text docs may
+            # outlive their corpus-mates)
+            _posts_empty = posts.limit(1).count() == 0
+            if _posts_empty:
+                posts.drop("bucket").limit(0).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(f"{staged_root}/postings/bucket=0")
+            else:
+                (
+                    posts.repartition(n_buckets, "bucket")
+                    .sortWithinPartitions("bucket", "term")
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(f"{staged_root}/postings")
+                )
             if ts:
                 # df can't roll up from the dfreq table any more (it
                 # counts deleted docs): recompute EXACTLY from the
                 # surviving postings — one row per (doc, term), so df
                 # is a plain per-term row count
-                (
+                _dfq = (
                     posts.groupBy("bucket", "term")
                     .agg(F.count(F.lit(1)).cast("long").alias("df"))
                     .withColumn("txn", F.lit(None).cast("string"))
-                    .repartition(n_buckets, "bucket")
-                    .sortWithinPartitions("bucket", "term")
-                    .write.mode("overwrite")
-                    .partitionBy("bucket")
-                    .parquet(f"{staged_root}/dfreq")
                 )
+                if _posts_empty:
+                    _dfq.drop("bucket").limit(0).coalesce(1).write.mode(
+                        "overwrite"
+                    ).parquet(f"{staged_root}/dfreq/bucket=0")
+                else:
+                    (
+                        _dfq
+                        .repartition(n_buckets, "bucket")
+                        .sortWithinPartitions("bucket", "term")
+                        .write.mode("overwrite")
+                        .partitionBy("bucket")
+                        .parquet(f"{staged_root}/dfreq")
+                    )
                 total_len = posts.agg(
                     F.coalesce(F.sum("tf"), F.lit(0)).cast("long")
                 ).collect()[0][0]
@@ -1075,17 +1124,25 @@ def maintain_bm25_index(
                     .collect()[0][0]
                 ) - n_deleted
             else:
-                (
+                _dfq = (
                     spark.read.parquet(f"{path}/dfreq")
                     .groupBy("bucket", "term")
                     .agg(F.sum("df").cast("long").alias("df"))
                     .withColumn("txn", F.lit(None).cast("string"))
-                    .repartition(n_buckets, "bucket")
-                    .sortWithinPartitions("bucket", "term")
-                    .write.mode("overwrite")
-                    .partitionBy("bucket")
-                    .parquet(f"{staged_root}/dfreq")
                 )
+                if _posts_empty:
+                    _dfq.drop("bucket").limit(0).coalesce(1).write.mode(
+                        "overwrite"
+                    ).parquet(f"{staged_root}/dfreq/bucket=0")
+                else:
+                    (
+                        _dfq
+                        .repartition(n_buckets, "bucket")
+                        .sortWithinPartitions("bucket", "term")
+                        .write.mode("overwrite")
+                        .partitionBy("bucket")
+                        .parquet(f"{staged_root}/dfreq")
+                    )
                 srow = (
                     spark.read.parquet(f"{path}/stats")
                     .agg(
@@ -1110,14 +1167,19 @@ def maintain_bm25_index(
                     "doc_id", "h"
                 )
                 if ts:
-                    from prefixtree_spark.operators.ann import (
-                        _without_ids as _woi,
-                    )
-
-                    docs_tbl = _woi(docs_tbl, "doc_id", ts, ts_frame)
-                docs_tbl.withColumn(
+                    # _without_ids already in scope: the same truthy-ts
+                    # guard imported it above
+                    docs_tbl = _without_ids(docs_tbl, "doc_id", ts, ts_frame)
+                _docs_out = docs_tbl.withColumn(
                     "txn", F.lit(None).cast("string")
-                ).write.mode("overwrite").parquet(f"{staged_root}/docs")
+                )
+                if _docs_out.limit(1).count() == 0:
+                    # zero-row non-coalesced write makes a file-less
+                    # dir; one schema-bearing file keeps it readable
+                    _docs_out = _docs_out.coalesce(1)
+                _docs_out.write.mode("overwrite").parquet(
+                    f"{staged_root}/docs"
+                )
         finally:
             posts.unpersist()
         _mark_complete()
@@ -1291,6 +1353,15 @@ def sync_bm25_from_published(
     has_index = fs.exists(jvm.org.apache.hadoop.fs.Path(f"{index_path}/meta"))
     if not has_index:
         corpus = read_published(spark, root)
+        if corpus.where(F.col(id_col).isNotNull()).limit(1).count() == 0:
+            # nothing indexable yet (empty live snapshot, or only
+            # NULL-id rows): the follower no-ops rather than crashing
+            # on save_bm25_index's empty-corpus raise (r10 review);
+            # the watermark advances so repeated syncs don't re-read
+            # the snapshot, and a later version with data re-enters
+            # this bootstrap (has_index is still False)
+            _write_sync_watermark(spark, index_path, live)
+            return 0
         save_bm25_index(
             corpus, id_col, text_col, index_path,
             n_buckets=n_buckets, k1=k1, b=b, idf=idf,
@@ -1430,24 +1501,11 @@ def describe_bm25_index(spark, path: str) -> dict:
     P = jvm.org.apache.hadoop.fs.Path
 
     def _bucket_stats(sub: str) -> dict:
-        n_files, n_dirs, total, biggest = 0, 0, 0, 0
-        if not fs.exists(P(f"{path}/{sub}")):
-            return {"buckets": 0, "files": 0, "bytes": 0,
-                    "max_bucket_bytes": 0}
-        for st in fs.listStatus(P(f"{path}/{sub}")):
-            if not (st.isDirectory()
-                    and st.getPath().getName().startswith("bucket=")):
-                continue
-            n_dirs += 1
-            b_bytes = 0
-            for f in fs.listStatus(st.getPath()):
-                if f.getPath().getName().endswith(".parquet"):
-                    n_files += 1
-                    b_bytes += f.getLen()
-            total += b_bytes
-            biggest = max(biggest, b_bytes)
-        return {"buckets": n_dirs, "files": n_files, "bytes": total,
-                "max_bucket_bytes": biggest}
+        from prefixtree_spark.operators.ann import _partition_dir_stats
+
+        st = _partition_dir_stats(fs, P, f"{path}/{sub}", "bucket=")
+        return {"buckets": st["dirs"], "files": st["files"],
+                "bytes": st["bytes"], "max_bucket_bytes": st["max_dir_bytes"]}
 
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     posts = _bucket_stats("postings")

@@ -43,7 +43,13 @@ across clients, not just across calls.
         exact-decimal RRF (the served form of the gated
         hybrid_dense_sparse_rrf workload; ``&mode=pq`` routes the
         dense side through ADC, ``&c=`` sets the RRF constant)
-    GET /health                             → {"nodes": N}
+    GET /health                             → {"nodes": N, ...}
+        (replica state, the serving twin of the cluster describe_*
+        views: an ``ann`` section — generation, n_cells, preloaded,
+        tombstones — when a vector handle is loaded, and a ``sparse``
+        section — generation, n_docs, n_buckets, preloaded,
+        tombstones — when a BM25 handle is; sections ABSENT for
+        indexes not loaded, so a balancer can gate on readiness)
 
 Operationally (documented, not sandbox-testable beyond localhost):
 run one server per replica behind any HTTP load balancer; each

@@ -1322,3 +1322,101 @@ def test_describe_bm25_index_reports_lifecycle_state(spark, sf_docs, tmp_path):
     assert d2["stats_increments"] == 0 and d2["tombstones"] == 0
     assert d2["files_per_bucket"] <= 1.0
     assert d2["n_docs"] == sf_docs.count() - 2  # re-exacted post-delete
+
+
+def test_bm25_tombstone_compaction_of_last_posting_doc_drains_postings(
+    spark, tmp_path
+):
+    """r10 review round 2: tombstoning every posting-BEARING doc while
+    empty-text docs survive must not brick the layout — the compaction
+    stages schema-bearing empty postings/dfreq, keeps the surviving
+    (empty) docs in stats/docs, and the layout stays probe-able and
+    appendable."""
+    from prefixtree_spark.operators import ranking
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "bm25_lastdoc")
+    ranking.save_bm25_index(docs, "doc_id", "text", path, n_buckets=4,
+                            idf="ratio")
+    ranking.delete_bm25_ids(spark, path, [1])
+    rep = ranking.maintain_bm25_index(spark, path)
+    assert rep["compacted"] and rep["tombstones_compacted"] == 1
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    assert stats.n_docs == 2 and stats.total_len == 0  # empty docs live
+    ids = {r.doc_id for r in spark.read.parquet(f"{path}/docs").collect()}
+    assert ids == {2, 3}
+    q = spark.createDataFrame([(1, ["hello"])], "qid long, terms array<string>")
+    assert ranking.bm25_rank_indexed(spark, path, q, "qid", "terms").count() == 0
+    assert ranking.append_bm25_index(
+        spark, path, spark.createDataFrame(
+            [(10, "hello again")], "doc_id long, text string"
+        ), "doc_id", "text",
+    ) == 1
+    got = {(r.query_id, r.doc_id) for r in
+           ranking.bm25_rank_indexed(spark, path, q, "qid", "terms").collect()}
+    assert got == {(1, 10)}
+
+
+def test_save_bm25_blank_resave_clears_stale_buckets(spark, tmp_path):
+    """r10 review round 2: re-saving an ALL-EMPTY-docs corpus over an
+    existing populated layout must clear the old bucket files — the
+    blank layout must not keep ranking the previous corpus."""
+    from prefixtree_spark.operators import ranking
+
+    path = str(tmp_path / "bm25_blankover")
+    real = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    ranking.save_bm25_index(real, "doc_id", "text", path, n_buckets=4,
+                            idf="ratio")
+    blank = spark.createDataFrame(
+        [(7, ""), (8, None)], "doc_id long, text string"
+    )
+    ranking.save_bm25_index(blank, "doc_id", "text", path, n_buckets=4,
+                            idf="ratio")
+    q = spark.createDataFrame(
+        [(1, ["alpha", "gamma"])], "qid long, terms array<string>"
+    )
+    assert ranking.bm25_rank_indexed(spark, path, q, "qid", "terms").count() == 0
+    assert spark.read.parquet(f"{path}/postings").count() == 0
+
+
+def test_sync_bm25_bootstrap_on_empty_corpus_noops(spark, tmp_path):
+    """r10 review round 2: a follower sync against a published corpus
+    whose live snapshot has no indexable rows returns 0 (advancing the
+    watermark) instead of crashing on the empty-corpus save guard; a
+    later version WITH data bootstraps normally."""
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.operators import ranking
+    from prefixtree_spark.sources.io import publish_version
+
+    root = str(tmp_path / "pub")
+    ipath = str(tmp_path / "bm25_sync")
+    # "no indexable rows" in its physically-publishable form: rows
+    # exist but every id is NULL (save_bm25_index drops them)
+    nulls = spark.createDataFrame(
+        [(None, "orphan text")], "doc_id long, text string"
+    )
+    publish_version(nulls.coalesce(1), root)
+    assert ranking.sync_bm25_from_published(
+        spark, root, ipath, "doc_id", "text", n_buckets=4, idf="ratio"
+    ) == 0
+    # repeated call: watermark advanced, still a clean no-op
+    assert ranking.sync_bm25_from_published(
+        spark, root, ipath, "doc_id", "text", n_buckets=4, idf="ratio"
+    ) == 0
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    publish_version(docs.coalesce(1), root)
+    n = ranking.sync_bm25_from_published(
+        spark, root, ipath, "doc_id", "text", n_buckets=4, idf="ratio"
+    )
+    assert n == 2
+    q = spark.createDataFrame([(1, ["alpha"])], "qid long, terms array<string>")
+    got = {(r.query_id, r.doc_id) for r in
+           ranking.bm25_rank_indexed(spark, ipath, q, "qid", "terms").collect()}
+    assert got == {(1, 1)}
