@@ -1744,18 +1744,30 @@ def maintain_ivf_index(
             .join(corp.select("vec_id"), "vec_id", "left_anti")
             .count()
         )
+        # change detection covers the PAYLOAD columns too (r10: a
+        # rewritten label/metadata with an unchanged vector previously
+        # kept serving stale payloads to filtered search forever —
+        # the filtered-ANN twin of the BM25 fingerprint rule). Null-
+        # safe per column: NULL==NULL is 'unchanged', NULL vs value is
+        # a change.
+        _ichg = ~F.col("_icv").eqNullSafe(F.col("_ccv"))
+        for c in pay:
+            _ichg = _ichg | ~F.col(f"_ip_{c}").eqNullSafe(F.col(f"_cp_{c}"))
         changed = (
             vec.select(
-                "vec_id", F.col("cv").cast("array<double>").alias("_icv")
+                "vec_id",
+                F.col("cv").cast("array<double>").alias("_icv"),
+                *[F.col(c).alias(f"_ip_{c}") for c in pay],
             )
             .join(
                 corp.select(
                     "vec_id",
                     F.col("cv").cast("array<double>").alias("_ccv"),
+                    *[F.col(c).alias(f"_cp_{c}") for c in pay],
                 ),
                 "vec_id",
             )
-            .where(F.col("_icv") != F.col("_ccv"))
+            .where(_ichg)
             .count()
         )
         stale = int(deleted) + int(changed)

@@ -1691,3 +1691,46 @@ def test_describe_ivf_index_reports_lifecycle_state(spark, clustered, tmp_path):
     d2 = ann.describe_ivf_index(spark, path)
     assert d2["tombstones"] == 0 and d2["n_vectors"] == 99
     assert not d2["swap_in_progress"]
+
+
+def test_reconcile_with_detects_payload_only_updates(spark, clustered, tmp_path):
+    """r10: a corpus row whose PAYLOAD metadata was rewritten (vector
+    unchanged) must count as changed and propagate — filtered search
+    over payload_cols layouts otherwise serves stale labels forever
+    (the filtered-ANN twin of the BM25 fingerprint rule)."""
+    from pyspark.sql import functions as F
+
+    df, _ = clustered
+    lab = df.withColumn(
+        "label", F.when(F.col("vec_id") < 50, "a").otherwise("b")
+    )
+    path = str(tmp_path / "ivf_payrec")
+    ann.save_ivf_index(lab, "vec_id", "embedding", path, n_cells=5,
+                       sample_size=300, payload_cols=["label"])
+    # rewrite ONE row's label in the corpus; vector untouched
+    corp2 = lab.withColumn(
+        "label",
+        F.when(F.col("vec_id") == 3, "relabeled").otherwise(F.col("label")),
+    ).select("vec_id", F.col("embedding").alias("cv"), "label")
+    rep = ann.maintain_ivf_index(spark, path, reconcile_with=corp2)
+    assert rep["updated"] == 1 and rep["reconciled"] == 1
+    stored = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{path}/vectors")
+        .where("vec_id IN (3, 4)").collect()
+    }
+    assert stored[3] == "relabeled" and stored[4] == "a"
+    # filtered search sees the NEW label
+    idx = ann.load_ivf_index(spark, path)
+    q = df.where("vec_id = 2")
+    got = {
+        r.vec_id
+        for r in ann.cosine_topk_ivf_index(
+            q, "vec_id", "embedding", idx, k=100,
+            nprobe=len(idx.centroids), where="label = 'relabeled'",
+        ).collect()
+    }
+    assert got == {3}
+    # convergence: second pass no-op
+    rep2 = ann.maintain_ivf_index(spark, path, reconcile_with=corp2)
+    assert rep2["updated"] == 0 and rep2["reconciled"] == 0
