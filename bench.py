@@ -102,6 +102,56 @@ def main() -> None:
             repeats=5,
         )
 
+    # Stateful streaming entries run EARLY for the same reason (round-10
+    # verdict #1): in r10 they ran LAST, immediately after the
+    # ingest_scale_verify extras built and tore down a ~6M-doc corpus in
+    # the same JVM, and recorded 8.75/7.24 s vs a quiet-machine 1.3-1.6 s
+    # (4-6x pure JVM/GC residue — the quiet probe in SCALING.md r11
+    # attributes it). Micro-batch latency is the most contention-
+    # sensitive number in the bench, so it gets the cleanest JVM.
+    import shutil as _st_sh
+    import tempfile as _st_tf
+
+    from prefixtree_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+    from prefixtree_spark.streaming.sessionize import streaming_sessionize
+
+    stream_dir = _st_tf.mkdtemp(prefix="bench_events_stream_")
+    _st_sh.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+
+    def sessionize_stream():
+        stream = read_events_stream(spark, stream_dir)
+        sink = run_stream_to_memory(
+            spark,
+            streaming_sessionize(stream, gap_minutes=30),
+            "bench_sessionize_stream",
+            output_mode="append",
+            timeout_s=300,
+        )
+        return sink.count()
+
+    quiet()
+    bench("events_sessionize_stream", sessionize_stream)
+
+    def topk_stream():
+        from prefixtree_spark.streaming.topk import latest_topk, streaming_topk
+
+        stream = read_events_stream(spark, stream_dir)
+        sink = run_stream_to_memory(
+            spark,
+            streaming_topk(stream, k=10),
+            "bench_topk_stream",
+            output_mode="append",
+            timeout_s=300,
+        )
+        return latest_topk(sink).count()
+
+    quiet()
+    bench("events_topk_stream", topk_stream)
+    _st_sh.rmtree(stream_dir, ignore_errors=True)
+
     # B3: index build
     pt_holder = {}
 
@@ -1418,48 +1468,11 @@ def main() -> None:
         )
     shutil.rmtree(scale_dir, ignore_errors=True)
 
-    # stateful streaming: sessionize the whole events stream end-to-end
-    # (availableNow file stream -> applyInPandasWithState -> memory sink)
+    # (the stateful-streaming entries moved to the TOP of the bench —
+    # round-10 verdict #1: running them after the scale extras polluted
+    # their micro-batch timings with JVM/GC residue)
     import shutil
     import tempfile
-
-    from prefixtree_spark.streaming.events import (
-        read_events_stream,
-        run_stream_to_memory,
-    )
-    from prefixtree_spark.streaming.sessionize import streaming_sessionize
-
-    stream_dir = tempfile.mkdtemp(prefix="bench_events_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
-
-    def sessionize_stream():
-        stream = read_events_stream(spark, stream_dir)
-        sink = run_stream_to_memory(
-            spark,
-            streaming_sessionize(stream, gap_minutes=30),
-            "bench_sessionize_stream",
-            output_mode="append",
-            timeout_s=300,
-        )
-        return sink.count()
-
-    bench("events_sessionize_stream", sessionize_stream)
-
-    def topk_stream():
-        from prefixtree_spark.streaming.topk import latest_topk, streaming_topk
-
-        stream = read_events_stream(spark, stream_dir)
-        sink = run_stream_to_memory(
-            spark,
-            streaming_topk(stream, k=10),
-            "bench_topk_stream",
-            output_mode="append",
-            timeout_s=300,
-        )
-        return latest_topk(sink).count()
-
-    bench("events_topk_stream", topk_stream)
-    shutil.rmtree(stream_dir, ignore_errors=True)
 
     # storage-format scan throughput (untimed extras — headline_total
     # unchanged): the same lineitem slice written as parquet / orc /
