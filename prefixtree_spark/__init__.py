@@ -15,6 +15,7 @@ pandas functions; no RDD API, no Catalyst extensions.
 """
 
 from prefixtree_spark._generation import probe_consistent
+from prefixtree_spark.plans.lifecycle import release_checkpoint
 from prefixtree_spark.operators.build import create, load_index, save_index
 from prefixtree_spark.operators.incremental import add_words, remove_words
 from prefixtree_spark.operators.prefix import prefix_search
@@ -167,6 +168,7 @@ __all__ = [
     "maintain_ivf_index",
     "load_ivf_index",
     "probe_consistent",
+    "release_checkpoint",
     "describe_bm25_index",
     "describe_ivf_index",
 ]

@@ -97,7 +97,7 @@ def is_swapping(spark, path: str) -> bool:
 
 
 def probe_consistent(spark, path: str, fn, *, retries: int = 2,
-                     wait_seconds: float = 0.2):
+                     wait_seconds: float = 0.2, consume=None):
     """THE cluster-side reader-during-swap contract (r9 missing #3),
     stated and enforced: a probe (``bm25_rank_indexed``, a loaded-IVF
     search, ...) that runs concurrently with a ``maintain_*_index``
@@ -116,6 +116,20 @@ def probe_consistent(spark, path: str, fn, *, retries: int = 2,
     marker that never clears means a maintenance process crashed
     mid-swap; the next ``maintain_*_index`` call recovers the swap
     and clears it.
+
+    STORAGE DUTY (r10 advice): the returned DataFrame is
+    ``localCheckpoint``-ed, and on checkpoints ``unpersist()`` is a
+    silent no-op and GC does not drain the blocks
+    (``plans/lifecycle``) — so a scheduler wrapping every probe would
+    pin one result set in executor storage per successful call for
+    the session lifetime. Two supported shapes:
+
+    - pass ``consume``: the checkpointed result is handed to
+      ``consume(df)`` (collect / count / write inside it), its pinned
+      blocks are released immediately after, and ``consume``'s return
+      value is returned. The DataFrame must not escape ``consume``.
+    - no ``consume``: the caller OWNS the checkpoint and must call
+      ``prefixtree_spark.release_checkpoint(df)`` once done reading.
 
     Plain un-wrapped probes remain correct under the WEAKER standing
     contract (don't serve from a layout mid-rebuild); this wrapper is
@@ -139,7 +153,12 @@ def probe_consistent(spark, path: str, fn, *, retries: int = 2,
             continue
         if (not is_swapping(spark, path)
                 and read_generation_cluster(spark, path) == g0):
-            return out
+            if consume is None:
+                return out
+            try:
+                return consume(out)
+            finally:
+                release_checkpoint(out)
         # discarded attempt: free its pinned blocks now — a plain
         # unpersist() is a no-op on checkpoints (plans/lifecycle), and
         # waiting for GC would accumulate one result set per retry

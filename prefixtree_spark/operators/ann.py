@@ -940,11 +940,21 @@ def _without_ids(df: DataFrame, col: str, ts: frozenset,
     sidecar frame instead. Maintenance force-compacts tombstones every
     pass, so the anti-join regime only covers a high-deletion-rate
     window between passes; it is a plan-size bound, not the steady
-    state."""
+    state.
+
+    NULL contract (r10 advice): rows with a NULL ``col`` are KEPT in
+    both regimes. A bare literal ``~isin`` evaluates to NULL on NULL
+    input and would silently drop such rows in one regime while the
+    anti-join branch kept them — the same call returning different
+    rows depending only on tombstone-set size. All index layouts
+    write non-null ids, so this is contract hardening for the shared
+    helper, not a live-path change."""
     if not ts:
         return df
     if len(ts) <= _APPEND_GUARD_STATIC_MAX or ts_df is None:
-        return df.where(~F.col(col).isin(list(ts)))
+        return df.where(
+            ~F.col(col).isin(list(ts)) | F.col(col).isNull()
+        )
     # broadcast the sidecar: the scan side never shuffles (a
     # shuffle-anti-join would move the whole pruned scan); a set past
     # ~10^5 ids is still megabytes — policy-bounded by the forced
@@ -1599,8 +1609,17 @@ def maintain_ivf_index(
         if fs.exists(P(f"{staged_root}/meta")):
             # a previous retrain finished its staged build but crashed
             # mid-swap: finish the swap first — the staged layout is
-            # complete and newer than whatever mix is live
+            # complete and newer than whatever mix is live. Bump and
+            # clear IMMEDIATELY (r10 advice; mirrors ranking's
+            # _finish_swap): the marker _swap_in raised must not stay
+            # up through the arbitrarily long count/reconcile/rebuild
+            # jobs below, or probe_consistent's bounded retries would
+            # exhaust and blame a crashed swap while maintenance is
+            # healthy. The maintenance work below opens its own
+            # marker window when (and only when) it swaps again.
             _swap_in(staged_root)
+            _bump_ivf_generation(spark, path)
+            _clear_swapping(spark, path)
             recovered = True
         else:
             # save crashed mid-write: the partial stage is garbage

@@ -483,6 +483,15 @@ def append_bm25_index(
     postings = _tokenize_postings(docs, id_col, text_col).withColumn(
         "bucket", _term_bucket_col(F.col("term"), n_buckets)
     )
+    # pre-r10 layouts have no docs/ fingerprint table; appends keep
+    # working (reconcile is what requires it). Computed up front: the
+    # presence filter below also reads it.
+    from prefixtree_spark.sources.io import _fs as _fs_
+
+    _dfs, _djvm = _fs_(spark, path)
+    has_docs = _dfs.exists(
+        _djvm.org.apache.hadoop.fs.Path(f"{path}/docs")
+    )
     if txn is not None:
         # presence filter BEFORE anything is counted: increments and
         # postings both derive from the genuinely-new rows, and the
@@ -490,12 +499,27 @@ def append_bm25_index(
         # postings (the table it reads) land last
         dids = docs.select(F.col(id_col).alias("doc_id")).distinct()
         n_ids = dids.count()
+        # empty-text docs never emit postings, so the postings-keyed
+        # filter cannot see a re-offered empty doc (r10 advice): a new
+        # txn would append a duplicate fingerprint row that
+        # reconcile_with then counts twice. When docs/ exists, the
+        # fingerprint table is a second presence source — EXCLUDING
+        # rows tagged with THIS txn, so an unrecorded replay (crash
+        # between the docs/ write and postings) recomputes the same
+        # delta instead of seeing its own partial write.
+        presence_srcs = [spark.read.parquet(f"{path}/postings")]
+        if has_docs:
+            presence_srcs.append(
+                spark.read.parquet(f"{path}/docs").where(
+                    ~F.col("txn").eqNullSafe(F.lit(txn))
+                )
+            )
         if n_ids <= _BM25_GUARD_STATIC_MAX:
             ids = [r[0] for r in dids.collect()]
             present = {
                 r[0]
-                for r in spark.read.parquet(f"{path}/postings")
-                .select("doc_id")
+                for src in presence_srcs
+                for r in src.select("doc_id")
                 .where(F.col("doc_id").isin(ids))
                 .distinct()
                 .collect()
@@ -506,13 +530,14 @@ def append_bm25_index(
                 )
                 docs = docs.where(~F.col(id_col).isin(list(present)))
         else:
-            existing = spark.read.parquet(f"{path}/postings").select("doc_id")
-            postings = postings.join(existing, "doc_id", "left_anti")
-            docs = docs.join(
-                existing.withColumnRenamed("doc_id", id_col).distinct(),
-                id_col,
-                "left_anti",
-            )
+            for src in presence_srcs:
+                existing = src.select("doc_id")
+                postings = postings.join(existing, "doc_id", "left_anti")
+                docs = docs.join(
+                    existing.withColumnRenamed("doc_id", id_col).distinct(),
+                    id_col,
+                    "left_anti",
+                )
     postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         n_new = docs.count()
@@ -543,14 +568,6 @@ def append_bm25_index(
             F.coalesce(F.sum("tf"), F.lit(0)).cast("long")
         ).collect()[0][0]
         write_df, write_stats, write_docs = True, True, True
-        # pre-r10 layouts have no docs/ fingerprint table; appends
-        # keep working (reconcile is what requires it)
-        from prefixtree_spark.sources.io import _fs as _fs_
-
-        _dfs, _djvm = _fs_(spark, path)
-        has_docs = _dfs.exists(
-            _djvm.org.apache.hadoop.fs.Path(f"{path}/docs")
-        )
         if txn is not None:
             if (
                 spark.read.parquet(f"{path}/dfreq")

@@ -68,6 +68,16 @@ def _ensure_cached_artifact(path: str, build) -> str:
     import uuid
 
     if not os.path.isdir(os.path.join(path, "meta")):
+        # a cache dir that exists WITHOUT meta/ is a corpse: a crash
+        # inside an in-place maintenance swap (live meta/ deleted
+        # before the staged rename landed) leaves one, and the
+        # os.rename below cannot publish onto a non-empty dir — the
+        # workload would then fail every run until someone removed the
+        # dir by hand (r10 advice). Delete and rebuild; the artifact
+        # is a deterministic fixture cache, so a rebuild is always
+        # byte-equivalent.
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
         staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         try:
             build(staging)
@@ -1629,18 +1639,54 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_signals(docs, "doc_id", "text", n=2)
 
 
-@workload("bpe_train_merges", None)
+# The bpe_train_merges oracle (r10 verdict #3): the merge LOOP is
+# iterative (merge i+1's pair statistics depend on merge i) and SQL
+# recursive CTEs cannot aggregate over the recursive reference, so the
+# sequence is not expressible as one query. Instead the full merge
+# SEQUENCE is pinned as a value-hashed fixture: generated by the
+# committed INDEPENDENT textbook trainer (tools/bpe_textbook_trainer.py
+# — naive from-scratch pair recount each iteration, no code shared
+# with operators/text.py) over the sf0.01 documents table, the scale
+# the driver gate and sweeps evaluate oracles at. Regenerate with:
+#   python tools/bpe_textbook_trainer.py /root/testdata/sf0.01 100 --sql
+# The corpus exhausts its pairs at 89 merges (every vocab word
+# collapses to one symbol), so the sequence is complete, not capped.
+_BPE_MERGES_FIXTURE_SF001 = """
+    SELECT * FROM (VALUES
+{rows}
+    ) AS t(merge_rank, left_sym, right_sym)
+"""
+
+
+def _load_bpe_fixture() -> str:
+    import os
+
+    fx = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools", "fixtures", "bpe_merges_sf0.01.tsv",
+    )
+    rows = []
+    with open(fx) as f:
+        for line in f:
+            rank, left, right = line.rstrip("\n").split("\t")
+            rows.append(f"      ({rank}, '{left}', '{right}')")
+    return _BPE_MERGES_FIXTURE_SF001.format(rows=",\n".join(rows))
+
+
+@workload("bpe_train_merges", _load_bpe_fixture())
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training end-to-end: distributed vocab-count pass,
     then the classic incremental merge loop over the aggregated
-    vocabulary. Iterative (merge i+1 depends on merge i) — not
-    SQL-expressible, so rows-only check here; merge-list equivalence
-    to the textbook trainer is pinned in tests/test_text.py."""
+    vocabulary. Hash-gated against the committed textbook-trainer
+    fixture (see ``_load_bpe_fixture`` above): rank order, pair
+    identity, and tiebreaks must all reproduce exactly. Merge-list
+    equivalence to a brute-force trainer at other corpora is
+    additionally pinned in tests/test_text.py."""
     docs = load_table(spark, sf_dir, "documents")
     merges = text.bpe_train(docs, "text", 100)
     return spark.createDataFrame(
         [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
-        ["merge_rank", "left", "right"],
+        ["merge_rank", "left_sym", "right_sym"],
     )
 
 

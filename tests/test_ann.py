@@ -1734,3 +1734,24 @@ def test_reconcile_with_detects_payload_only_updates(spark, clustered, tmp_path)
     # convergence: second pass no-op
     rep2 = ann.maintain_ivf_index(spark, path, reconcile_with=corp2)
     assert rep2["updated"] == 0 and rep2["reconciled"] == 0
+
+
+def test_without_ids_null_contract_same_in_both_regimes(spark, monkeypatch):
+    """r10 advice: rows with a NULL id column are KEPT by the shared
+    tombstone filter in BOTH regimes. A bare literal ~isin evaluates
+    to NULL on NULL input (dropping the row) while the anti-join
+    branch keeps it — the same call would return different rows
+    depending only on tombstone-set size."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c")], "vid long, payload string"
+    )
+    ts = frozenset([2])
+    ts_df = spark.createDataFrame([(2,)], "vid long")
+    lit_rows = {
+        r.payload for r in ann._without_ids(df, "vid", ts, ts_df).collect()
+    }
+    monkeypatch.setattr(ann, "_APPEND_GUARD_STATIC_MAX", 0)
+    aj_rows = {
+        r.payload for r in ann._without_ids(df, "vid", ts, ts_df).collect()
+    }
+    assert lit_rows == aj_rows == {"a", "c"}

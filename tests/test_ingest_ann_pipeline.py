@@ -576,3 +576,51 @@ def test_maintain_ingest_bm25_reconcile_converges_cow_corpus(spark, tmp_path):
     rep2 = maintain_ingest(spark, root, bm25_index_path=bpath,
                            bm25_reconcile=True)
     assert rep2[f"{bpath}_reconciled"] == 0
+
+
+def test_recovery_swap_clears_marker_before_maintenance_body(
+    spark, tmp_path, monkeypatch
+):
+    """r10 advice: the recovery swap at the top of maintain_ivf_index
+    must bump the generation and clear the _swapping marker
+    IMMEDIATELY (mirroring ranking's _finish_swap), not hold the
+    marker through the arbitrarily long count/reconcile/rebuild jobs
+    that follow — probe_consistent's bounded retries would exhaust
+    and blame a crashed swap while maintenance is healthy."""
+    import os
+
+    from prefixtree_spark._generation import read_generation
+
+    rng = np.random.default_rng(23)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(DIM)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf_rec_marker")
+    ann.save_ivf_index(df, "vec_id", "embedding", path, n_cells=4,
+                       sample_size=100)
+    # a complete staged rebuild + the stray marker a crash mid-swap
+    # leaves behind
+    ann.save_ivf_index(
+        spark.read.parquet(f"{path}/vectors"), "vec_id", "cv",
+        f"{path}/_rebuild", n_cells=4, sample_size=100, seed=7,
+    )
+    with open(os.path.join(path, "_swapping"), "w") as f:
+        f.write("1")
+    g0 = read_generation(path)
+    seen = {}
+    real_stats = ann._partition_dir_stats
+
+    def probing_stats(*a, **kw):
+        # first call in maintain runs right after the recovery block:
+        # the marker must already be down and the generation bumped
+        seen.setdefault("marker_up", os.path.exists(f"{path}/_swapping"))
+        seen.setdefault("gen", read_generation(path))
+        return real_stats(*a, **kw)
+
+    monkeypatch.setattr(ann, "_partition_dir_stats", probing_stats)
+    rep = ann.maintain_ivf_index(spark, path)
+    assert rep["recovered"] is True
+    assert seen["marker_up"] is False
+    assert seen["gen"] > g0
+    assert not os.path.exists(f"{path}/_swapping")

@@ -163,3 +163,26 @@ def test_ensure_cached_artifact_reraises_real_rename_failures(tmp_path, monkeypa
         raise AssertionError("build must not run when artifact exists")
 
     assert _ensure_cached_artifact(path2, _boom) == path2
+
+
+def test_ensure_cached_artifact_rebuilds_meta_less_corpse(tmp_path):
+    """r10 advice: a cache dir that exists WITHOUT meta/ (a crash
+    inside an in-place maintenance swap deletes live meta/ before the
+    staged rename lands) must be deleted and rebuilt — the rename
+    cannot publish onto a non-empty dir, so the old behavior failed
+    every subsequent run until the dir was removed by hand."""
+    import os
+
+    from prefixtree_spark.workloads_ext import _ensure_cached_artifact
+
+    path = str(tmp_path / "corpse")
+    os.makedirs(os.path.join(path, "postings"))  # meta-less corpse
+    built = []
+
+    def _build(staging):
+        built.append(staging)
+        os.makedirs(os.path.join(staging, "meta"))
+
+    assert _ensure_cached_artifact(path, _build) == path
+    assert built and os.path.isdir(os.path.join(path, "meta"))
+    assert not os.path.isdir(os.path.join(path, "postings"))

@@ -1420,3 +1420,67 @@ def test_sync_bm25_bootstrap_on_empty_corpus_noops(spark, tmp_path):
     got = {(r.query_id, r.doc_id) for r in
            ranking.bm25_rank_indexed(spark, ipath, q, "qid", "terms").collect()}
     assert got == {(1, 1)}
+
+
+def test_bm25_append_empty_doc_reoffer_no_duplicate_fingerprint(
+    spark, tmp_path
+):
+    """r10 advice: an EMPTY-TEXT doc never emits postings, so the
+    postings-keyed presence filter cannot see it when it is re-offered
+    under a NEW txn — without the docs/-keyed second presence source,
+    each re-offer appended a duplicate fingerprint row (reconcile then
+    counted the doc twice in its n_docs stamp and duplicated rows
+    through the changed-detection joins) and stats over-counted."""
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.operators import ranking
+
+    rows = [(0, "alpha beta gamma"), (1, ""), (2, "delta alpha")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    path = str(tmp_path / "bm25_empty_reoffer")
+    ranking.save_bm25_index(
+        docs, "doc_id", "text", path, n_buckets=4, idf="ratio"
+    )
+    # re-offer the empty doc (plus one genuinely-new doc) under a new
+    # txn — the sync-replays-a-snapshot shape
+    delta = spark.createDataFrame(
+        [(1, ""), (3, "epsilon beta")], ["doc_id", "text"]
+    )
+    n = ranking.append_bm25_index(
+        spark, path, delta, "doc_id", "text", txn="re1"
+    )
+    assert n == 1  # only doc 3 is new
+    fp_counts = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(f"{path}/docs")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert fp_counts == {0: 1, 1: 1, 2: 1, 3: 1}
+    n_docs = (
+        spark.read.parquet(f"{path}/stats")
+        .agg(F.sum("n_docs"))
+        .collect()[0][0]
+    )
+    assert n_docs == 4
+    # an unrecorded replay of the SAME txn still recomputes the same
+    # delta (the docs/-filter excludes this txn's own rows), so the
+    # exactly-once contract holds across the new presence source
+    n2 = ranking.append_bm25_index(
+        spark, path, delta, "doc_id", "text", txn="re1"
+    )
+    assert n2 == 1
+    assert (
+        spark.read.parquet(f"{path}/stats")
+        .agg(F.sum("n_docs"))
+        .collect()[0][0]
+        == 4
+    )
+    # reconcile against the unchanged corpus: a no-op, with the exact
+    # n_docs carried through
+    full = docs.unionByName(delta.where("doc_id = 3"))
+    rep = ranking.maintain_bm25_index(
+        spark, path, reconcile_with=full, id_col="doc_id", text_col="text"
+    )
+    assert rep["reconciled"] == 0 and rep["updated"] == 0

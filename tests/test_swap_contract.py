@@ -148,3 +148,42 @@ def test_swapping_marker_blocks_then_releases(spark, docs, tmp_path):
         lambda: ranking.bm25_rank_indexed(spark, path, q, "qid", "terms"),
     )
     assert out.count() > 0
+
+
+def test_probe_consistent_consume_releases_checkpoint(spark, docs, tmp_path):
+    """r10 advice (medium): the checkpointed result a successful probe
+    returns is invisible to unpersist() and GC — a scheduler wrapping
+    every probe would pin one result set per call for the session
+    lifetime. The consume= shape hands the result to the caller inside
+    the call and releases the pinned blocks before returning; the
+    no-consume shape pairs with the public release_checkpoint."""
+    from prefixtree_spark import release_checkpoint
+
+    path = str(tmp_path / "bm25_consume")
+    ranking.save_bm25_index(docs, "doc_id", "text", path, n_buckets=8,
+                            idf="ratio")
+    q = _doc_queries(spark)
+    sc = spark.sparkContext
+
+    def _n_cached():
+        return len([
+            r for r in sc._jsc.sc().getRDDStorageInfo()
+            if r.numCachedPartitions() > 0
+        ])
+
+    base = _n_cached()
+    rows = probe_consistent(
+        spark, path,
+        lambda: ranking.bm25_rank_indexed(spark, path, q, "qid", "terms"),
+        consume=lambda df: df.collect(),
+    )
+    assert rows and _n_cached() == base  # consumed AND released
+    # the caller-owned shape: blocks pinned until release_checkpoint
+    out = probe_consistent(
+        spark, path,
+        lambda: ranking.bm25_rank_indexed(spark, path, q, "qid", "terms"),
+    )
+    assert len(out.collect()) == len(rows)
+    assert _n_cached() == base + 1
+    release_checkpoint(out)
+    assert _n_cached() == base
