@@ -46,6 +46,7 @@ from prefixtree_spark.operators.ann import (
     pq_fit,
     quantize_embeddings,
     semantic_dedup,
+    semantic_dedup_ivf,
     semantic_dedup_kmeans,
 )
 from prefixtree_spark.operators.dedup import (
@@ -150,6 +151,7 @@ __all__ = [
     "distinct_counts",
     "pseudonymize",
     "semantic_dedup",
+    "semantic_dedup_ivf",
     "semantic_dedup_kmeans",
     "duplicate_spans",
     "line_dedup",

@@ -2828,6 +2828,84 @@ def semantic_dedup_kmeans(
     return out.withColumnRenamed("_sd_cluster", "cluster")
 
 
+def semantic_dedup_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float,
+    n_cells: int = 32,
+    n_replicas: int = 2,
+    iters: int = 12,
+    sample_size: int = 20_000,
+    seed: int = 42,
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """Corpus-wide SemDeDup WITHOUT ground-truth clusters, with IVF
+    candidate generation instead of a single-cell partition (r10
+    verdict #5): post each vector to its ``n_replicas`` nearest
+    k-means cells, take candidate pairs = vectors sharing ≥1 cell,
+    verify every candidate with the EXACT cosine at ``threshold``,
+    then apply the published dominance rule (Abbas et al. 2023 — drop
+    ``j`` when ANY ``i < j`` reaches the threshold). Returns the
+    surviving ids (one column, ``id_col``).
+
+    Exactness: precision is exact (every emitted pair is
+    exact-cosine-verified — the minhash-LSH discipline). Recall is 1
+    iff every qualifying pair shares at least one of its
+    ``n_replicas`` cells — the multi-probe replication knob;
+    production thresholds (≥0.9) make qualifying pairs nearly
+    coincident, so they share top cells with margin, and LOW
+    thresholds (the fixture's 0.3, on an unclustered corpus — IVF's
+    worst case) need wider replication; the gated fixture runs
+    recall-1 at the registered parameters and the recall tests pin
+    it. ``semantic_dedup_kmeans`` (single-cell, no replication)
+    remains the cheaper published trade.
+
+    Plan shape at 100 TB: centroids broadcast with the assignment
+    UDF's closure (k × dim floats); the posting explode multiplies
+    the corpus by ``n_replicas``; ONE shuffle on the cell key for the
+    self-equi-join (AQE splits skewed cells); work is
+    Σ|cell|² · r² / corpus-pairs — the SemDeDup economics, bought
+    with k. No all-pairs comparison anywhere; the exact verify runs
+    only on bucket-cohabiting pairs, JVM-side (``aggregate`` /
+    ``zip_with`` fold, no Python in the pair loop)."""
+    if centroids is None:
+        centroids = kmeans_fit(
+            df, vec_col, n_cells, iters=iters, sample_size=sample_size,
+            seed=seed,
+        )
+    # normalize exactly as semantic_dedup does: the pair predicate's
+    # doubles must match DuckDB's list_dot_product fold bit-for-bit
+    e = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            _as_double(F.col(vec_col)).alias("v0"),
+        )
+        .withColumn("nrm", F.sqrt(_dot(F.col("v0"), F.col("v0"))))
+        .select(
+            "vid",
+            F.transform("v0", lambda x: x / F.col("nrm")).alias("v"),
+        )
+    )
+    assign = _cell_assign_udf(centroids, min(n_replicas, len(centroids)))
+    posted = e.withColumn("cell", F.explode(assign(F.col("v"))))
+    a, b = posted.alias("a"), posted.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .where(_dot(F.col("a.v"), F.col("b.v")) >= threshold)
+        .select(F.col("b.vid").alias("vid"))
+        .distinct()
+    )
+    return e.join(dropped, "vid", "left_anti").select(
+        F.col("vid").alias(id_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # product quantization (PQ)
 # ---------------------------------------------------------------------------

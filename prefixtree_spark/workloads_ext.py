@@ -2216,6 +2216,101 @@ def semantic_dedup_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("label").alias("cluster"))
 
 
+def _semdedup_planted_corpus(emb: DataFrame) -> DataFrame:
+    """The semantic_dedup_corpus fixture corpus: the embeddings table
+    plus two classes of PLANTED near-dup twins, margins engineered so
+    no pair sits anywhere near the 0.9 gate threshold (measured: twin
+    pairs ≥ 0.999, every other pair ≤ 0.61 across sf0.001/0.01/0.1) —
+    cross-engine float noise in the construction cannot flip a pair.
+    Multiplicative perturbation (norm-relative) keeps the twin cosine
+    scale-free over the fixture's varying vector norms. ``hi`` twins
+    take HIGHER ids (twin dropped by the dominance rule); ``lo`` twins
+    take LOWER ids (the ORIGINAL dropped) — both rule directions
+    exercised. All-JVM expressions, rerun-identical; the oracle builds
+    the identical corpus in DuckDB (its lambda index is 1-based, hence
+    the ``i - 1`` there)."""
+    base = emb.select("vec_id", "embedding")
+    hi = base.where("vec_id % 5 = 0 AND vec_id % 10 != 0").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> float(double(x) * "
+            "(1.0d + 0.02d * sin(double(vec_id) * 13.0d + double(i)))))"
+        ).alias("embedding"),
+    )
+    lo = base.where("vec_id % 10 = 0 AND vec_id > 0").select(
+        (F.col("vec_id") - 1000000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> float(double(x) * "
+            "(1.0d + 0.03d * sin(double(vec_id) * 7.0d + double(i)))))"
+        ).alias("embedding"),
+    )
+    return base.unionByName(hi).unionByName(lo)
+
+
+@workload(
+    "semantic_dedup_corpus",
+    """
+    WITH base AS (SELECT vec_id, embedding FROM embeddings),
+    hi AS (
+      SELECT b.vec_id + 100000 AS vec_id,
+             list_transform(b.embedding, (x, i) -> CAST(x *
+               (1.0 + 0.02 * sin(b.vec_id * 13.0 + (i - 1.0))) AS FLOAT)
+             ) AS embedding
+      FROM base b WHERE b.vec_id % 5 = 0 AND b.vec_id % 10 <> 0
+    ),
+    lo AS (
+      SELECT b.vec_id - 1000000 AS vec_id,
+             list_transform(b.embedding, (x, i) -> CAST(x *
+               (1.0 + 0.03 * sin(b.vec_id * 7.0 + (i - 1.0))) AS FLOAT)
+             ) AS embedding
+      FROM base b WHERE b.vec_id % 10 = 0 AND b.vec_id > 0
+    ),
+    corpus AS (
+      SELECT * FROM base UNION ALL SELECT * FROM hi
+      UNION ALL SELECT * FROM lo
+    ),
+    e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM corpus),
+    e AS (
+      SELECT vec_id,
+             list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+      FROM e0
+    )
+    SELECT b.vec_id FROM e b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM e a
+      WHERE a.vec_id < b.vec_id AND list_dot_product(a.v, b.v) >= 0.9
+    )
+    """,
+)
+def semantic_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SemDeDup over a PUBLISHED corpus with IVF candidate
+    generation (r10 verdict #5): plant near-dup twins in the
+    embeddings fixture (``_semdedup_planted_corpus``), publish the
+    corpus through the versioned-table path, then
+    ``semantic_dedup_ivf`` — k-means cells, each vector posted to its
+    2 nearest cells, candidate pairs = cell cohabitants, EXACT cosine
+    verify at 0.9, dominance-rule survivors. The oracle computes the
+    full exact pairwise pass in DuckDB, so the hash is green only if
+    IVF candidate generation reaches every qualifying pair (measured
+    recall-1 with wide margins at this fixture's parameters across
+    sf0.001/0.01/0.1 — production thresholds ≥0.9 are exactly the
+    regime where near-dups share top cells). The all-pairs-free plan
+    is pinned by ``test_semantic_dedup_ivf_plan_no_cartesian``."""
+    import os
+
+    from prefixtree_spark.sources.io import publish_version, read_published
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _workload_cache_dir(sf_dir, "embeddings", "semdedup_pub")
+    if not os.path.isdir(os.path.join(path, "_manifest")):
+        publish_version(_semdedup_planted_corpus(emb), path)
+    pub = read_published(spark, path)
+    return ann.semantic_dedup_ivf(
+        pub, "vec_id", "embedding", threshold=0.9,
+        n_cells=16, n_replicas=2, seed=42,
+    )
+
+
 @workload("semantic_dedup_kmeans", None)
 def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end SemDeDup with the engine's own spherical k-means (10

@@ -1755,3 +1755,55 @@ def test_without_ids_null_contract_same_in_both_regimes(spark, monkeypatch):
         r.payload for r in ann._without_ids(df, "vid", ts, ts_df).collect()
     }
     assert lit_rows == aj_rows == {"a", "c"}
+
+
+def test_semantic_dedup_ivf_plan_no_cartesian(spark):
+    """The IVF-candidate SemDeDup plan must pair vectors through the
+    cell equi-join — never a cartesian/nested-loop all-pairs stage."""
+    rng = np.random.default_rng(31)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ann.semantic_dedup_ivf(
+        df, "vec_id", "embedding", threshold=0.9, n_cells=4,
+        n_replicas=2, sample_size=100, seed=5,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cell" in plan  # the equi-key the candidates ride
+
+
+def test_semantic_dedup_ivf_matches_exact_on_planted_twins(spark):
+    """Recall-1 on the planted-twin shape: near-identical twins (the
+    ≥0.9 regime the operator is FOR) are found through shared cells;
+    survivors equal the exhaustive pairwise pass."""
+    rng = np.random.default_rng(37)
+    base = rng.standard_normal((80, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(80)]
+    # twins: id+1000, multiplicative 2% perturbation -> cosine ~0.9998
+    for i in range(0, 80, 4):
+        tw = base[i] * (1.0 + 0.02 * np.sin(13.0 * i + np.arange(16)))
+        rows.append((i + 1000, [float(x) for x in tw]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id
+        for r in ann.semantic_dedup_ivf(
+            df, "vec_id", "embedding", threshold=0.9, n_cells=4,
+            n_replicas=2, sample_size=200, seed=5,
+        ).collect()
+    }
+    m = np.array([r[1] for r in rows])
+    ids = np.array([r[0] for r in rows])
+    order = np.argsort(ids)
+    ids_s, ms = ids[order], m[order]
+    ms = ms / np.linalg.norm(ms, axis=1, keepdims=True)
+    sims = ms @ ms.T
+    dropped = {
+        int(ids_s[j])
+        for i, j in zip(*np.where(np.triu(sims >= 0.9, 1)))
+    }
+    want = {int(x) for x in ids_s} - dropped
+    assert got == want
+    assert len(want) == 80  # every twin dropped, every base survives
