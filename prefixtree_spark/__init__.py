@@ -86,6 +86,10 @@ from prefixtree_spark.operators.relational import (
     resample_carry_forward,
 )
 from prefixtree_spark.pipeline import prepare_corpus
+from prefixtree_spark.sources.io import (
+    local_published_health,
+    published_table_health,
+)
 from prefixtree_spark.serving import (
     LocalVectorIndex,
     PrefixTreeServer,
@@ -173,6 +177,8 @@ __all__ = [
     "release_checkpoint",
     "describe_bm25_index",
     "describe_ivf_index",
+    "published_table_health",
+    "local_published_health",
 ]
 
 __version__ = "0.1.0"

@@ -121,6 +121,11 @@ class PrefixTreeServer:
         # /search k-clamp blocks. Sorted truncation + X-Truncated
         # header keeps short prefixes useful and the bound explicit.
         self.max_hits = int(max_hits)
+        # published-corpus roots reported through /health (r10 verdict
+        # #6): name -> local table root; each /health call summarizes
+        # version chain, live vs dead bytes, and vacuum debt via the
+        # replica-side local_published_health (listing only, no scan)
+        self._published_roots: dict[str, str] = {}
         self._host = host
         self._port = port
         self._httpd: ThreadingHTTPServer | None = None
@@ -150,6 +155,15 @@ class PrefixTreeServer:
         ``/sparse`` and ``/hybrid`` BM25 handle — same one-attribute-
         store atomicity, same read-once-on-entry request contract."""
         self.sparse_index = sparse_index
+
+    def attach_published(self, name: str, root: str) -> None:
+        """Report the published corpus at ``root`` (a LOCAL table
+        root) under ``published.<name>`` in ``/health``: version,
+        chain length, live vs dead bytes/files, vacuum debt — the
+        corpus-table analog of the ann/sparse generation sections.
+        Listing metadata only; pass ``None``-free local paths (the
+        serving process has no SparkSession)."""
+        self._published_roots[name] = root
 
     def start(self) -> "PrefixTreeServer":
         if self._httpd is not None:
@@ -196,6 +210,17 @@ class PrefixTreeServer:
                                 "n_buckets": int(h_sp.n_buckets),
                                 "preloaded": bool(h_sp._preloaded),
                                 "tombstones": len(h_sp._tombstones),
+                            }
+                        if srv._published_roots:
+                            from prefixtree_spark.sources.io import (
+                                local_published_health,
+                            )
+
+                            body["published"] = {
+                                nm: local_published_health(rt)
+                                for nm, rt in sorted(
+                                    srv._published_roots.items()
+                                )
                             }
                     elif url.path == "/search":
                         k = int(q.get("k", "1"))

@@ -620,6 +620,119 @@ def describe_published(spark: SparkSession, root: str) -> list[dict]:
     return out
 
 
+def _health_from_listing(
+    entries: "list[tuple[int, str]]",
+    dir_stats: "dict[str, tuple[int, int]]",
+    keep: int,
+) -> dict:
+    """The published-table health summary from raw listing data —
+    ``entries`` = sorted (version, manifest payload), ``dir_stats`` =
+    vdir → (bytes, files) for every ``v_*`` directory on disk. One
+    implementation shared by the cluster-side (Hadoop FS) and the
+    replica-side (plain ``os``) views so the two can never drift.
+
+    ``vacuum_debt_*`` = what ``vacuum_published(keep=keep)`` would
+    remove, IGNORING its in-flight grace window (debt is an
+    observability number; the grace is a deletion-safety rule)."""
+
+    def chain_dirs(idx: int) -> list[str]:
+        dirs: list[str] = []
+        for j in range(idx, -1, -1):
+            vdirs, _fmt, mode = _parse_entry(entries[j][1])
+            dirs.extend(vdirs)
+            if mode == "replace":
+                break
+        return dirs
+
+    live = chain_dirs(len(entries) - 1) if entries else []
+    kept: set[str] = set()
+    for i in range(max(0, len(entries) - keep), len(entries)):
+        kept.update(chain_dirs(i))
+    live_set = set(live)
+    dead = sorted(d for d in dir_stats if d not in live_set)
+    debt = sorted(d for d in dir_stats if d not in kept)
+    return {
+        "version": entries[-1][0] if entries else 0,
+        "n_versions": len(entries),
+        "chain_length": len(live),
+        "live_bytes": sum(dir_stats.get(d, (0, 0))[0] for d in live_set),
+        "live_files": sum(dir_stats.get(d, (0, 0))[1] for d in live_set),
+        "dead_dirs": len(dead),
+        "dead_bytes": sum(dir_stats[d][0] for d in dead),
+        "dead_files": sum(dir_stats[d][1] for d in dead),
+        "vacuum_debt_dirs": len(debt),
+        "vacuum_debt_bytes": sum(dir_stats[d][0] for d in debt),
+    }
+
+
+def published_table_health(
+    spark: SparkSession, root: str, *, keep: int = 2
+) -> dict:
+    """Table-level lifecycle observability for a published corpus —
+    the ``describe_ivf_index``/``describe_bm25_index`` analog the r10
+    verdict asked for (#6), complementing the per-segment
+    ``describe_published`` listing: ``version``, ``n_versions`` (time-
+    travel span), ``chain_length`` (segments every reader unions),
+    ``live_bytes/files`` (the serving snapshot), ``dead_bytes/files``
+    (superseded or orphaned ``v_*`` directories still on disk), and
+    ``vacuum_debt_*`` (what ``vacuum_published(keep=keep)`` would
+    reclaim). Listing metadata only — no data scan. The vacuum-policy
+    loop (``maintain_published``) converges ``vacuum_debt_dirs`` to 0
+    between ingest bursts; a debt that only grows means vacuum is not
+    scheduled or ``keep`` is unbounded."""
+    fs, jvm = _fs(spark, root)
+    entries = [
+        (n, _read_small_file(spark, p))
+        for n, p in _manifest_entries(spark, root)
+    ]
+    dir_stats: dict[str, tuple[int, int]] = {}
+    rootp = jvm.org.apache.hadoop.fs.Path(root)
+    if fs.exists(rootp):
+        for st in fs.listStatus(rootp):
+            name = st.getPath().getName()
+            if name.startswith("v_") and st.isDirectory():
+                s = fs.getContentSummary(st.getPath())
+                dir_stats[name] = (int(s.getLength()), int(s.getFileCount()))
+    return _health_from_listing(entries, dir_stats, keep)
+
+
+def local_published_health(root: str, *, keep: int = 2) -> dict:
+    """The replica-side twin of ``published_table_health`` — plain
+    ``os`` walks, no SparkSession — for serving processes reporting a
+    local published corpus through ``/health`` (the same split as
+    ``read_generation`` vs ``read_generation_cluster``)."""
+    import os
+
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    entries: list[tuple[int, str]] = []
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if name.isdigit():
+                with open(os.path.join(mdir, name)) as f:
+                    entries.append((int(name), f.read()))
+    entries.sort()
+    dir_stats: dict[str, tuple[int, int]] = {}
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            p = os.path.join(root, name)
+            if name.startswith("v_") and os.path.isdir(p):
+                nbytes = nfiles = 0
+                for dp, _dirs, files in os.walk(p):
+                    for fn in files:
+                        if fn.startswith("."):
+                            # Hadoop's ChecksumFileSystem hides .crc
+                            # sidecars from its listings; skip them so
+                            # both views report identical numbers
+                            continue
+                        try:
+                            nbytes += os.path.getsize(os.path.join(dp, fn))
+                            nfiles += 1
+                        except OSError:
+                            pass  # racing vacuum/compaction delete
+                dir_stats[name] = (nbytes, nfiles)
+    return _health_from_listing(entries, dir_stats, keep)
+
+
 def published_versions(spark: SparkSession, root: str) -> list[int]:
     """Version numbers still resolvable at ``root`` (oldest first):
     the valid inputs to ``read_published(version=)``. Shrinks only

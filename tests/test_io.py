@@ -1207,3 +1207,56 @@ def test_maintain_published_policy_converges(spark, tmp_path):
     # a fresh maintenance pass on a healthy table is a no-op
     rep2 = maintain_published(spark, root, max_chain=3, keep=2, grace_s=0)
     assert not rep2["compacted"]
+
+
+def test_published_table_health_and_vacuum_policy(spark, tmp_path):
+    """r10 verdict #6: table-level lifecycle observability — version
+    chain, live vs dead bytes, vacuum debt — and the policy loop
+    converging the debt to zero. The debt figure must PREDICT what
+    vacuum_published(keep=) actually removes (grace ignored)."""
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.sources.io import (
+        append_published,
+        local_published_health,
+        maintain_published,
+        publish_version,
+        published_table_health,
+        vacuum_published,
+    )
+
+    root = str(tmp_path / "pub_health")
+    df = spark.range(200).select(
+        F.col("id"), F.col("id").cast("string").alias("name")
+    )
+    publish_version(df, root)
+    append_published(df.where("id < 50"), root)
+    publish_version(df.where("id >= 100"), root)  # supersedes the chain
+    h = published_table_health(spark, root, keep=2)
+    assert h["version"] == 3 and h["n_versions"] == 3
+    assert h["chain_length"] == 1  # v3 is a replace
+    assert h["live_bytes"] > 0 and h["live_files"] > 0
+    # v1+v2 dirs are dead (not on the live chain) but v2's chain is
+    # kept at keep=2, so debt < dead here? keep=2 keeps chains of v2
+    # and v3; v2's chain includes v1's dir -> zero debt, two dead dirs
+    assert h["dead_dirs"] == 2 and h["dead_bytes"] > 0
+    assert h["vacuum_debt_dirs"] == 0
+    # at keep=1 both superseded dirs are debt, and the figure predicts
+    # the vacuum removal exactly
+    h1 = published_table_health(spark, root, keep=1)
+    assert h1["vacuum_debt_dirs"] == 2
+    # the replica-side twin agrees field-for-field (local root)
+    assert local_published_health(root, keep=1) == h1
+    removed = vacuum_published(spark, root, keep=1, grace_s=0)
+    assert removed == h1["vacuum_debt_dirs"]
+    h2 = published_table_health(spark, root, keep=1)
+    assert h2["dead_dirs"] == 0 and h2["vacuum_debt_dirs"] == 0
+    assert h2["n_versions"] == 1  # superseded manifest entries retired
+    # the policy loop end-to-end: churn again, maintain converges
+    append_published(df.where("id < 10"), root)
+    publish_version(df, root)
+    rep = maintain_published(spark, root, keep=1, grace_s=0)
+    assert rep["vacuum_removed"] >= 1
+    assert published_table_health(spark, root, keep=1)[
+        "vacuum_debt_dirs"
+    ] == 0

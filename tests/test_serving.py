@@ -1023,3 +1023,29 @@ def test_health_reports_replica_index_state(spark, tmp_path):
     with PrefixTreeServer(build_local_index(pt)) as srv2:
         h2 = _get(srv2.url("/health"))
         assert "ann" not in h2 and "sparse" not in h2
+
+
+def test_health_reports_attached_published_corpus(spark, tmp_path):
+    """/health gains a published-corpus section (r10 verdict #6): the
+    serving replica summarizes an attached table's version chain and
+    vacuum debt through the SparkSession-free local twin."""
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.sources.io import publish_version
+
+    root = str(tmp_path / "pub_srv")
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("string").alias("text")
+    )
+    publish_version(df, root)
+    publish_version(df.where("doc_id < 25"), root)
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3)
+    idx = build_local_index(pt)
+    srv = PrefixTreeServer(idx)
+    srv.attach_published("corpus", root)
+    with srv:
+        body = _get(srv.url("/health"))
+    pub = body["published"]["corpus"]
+    assert pub["version"] == 2 and pub["n_versions"] == 2
+    assert pub["chain_length"] == 1
+    assert pub["live_bytes"] > 0 and pub["dead_dirs"] == 1
