@@ -1049,3 +1049,187 @@ def test_health_reports_attached_published_corpus(spark, tmp_path):
     assert pub["version"] == 2 and pub["n_versions"] == 2
     assert pub["chain_length"] == 1
     assert pub["live_bytes"] > 0 and pub["dead_dirs"] == 1
+
+
+def test_multi_endpoint_hammer_across_both_family_swaps(spark, tmp_path):
+    """r10 verdict #4 — the reader-during-swap contract at realistic
+    concurrency: six client threads hammer /ann + /sparse + /hybrid
+    (plus /health) CONTINUOUSLY while BOTH index families swap
+    multiple times under them (IVF reconcile_with A→B→A→B, BM25
+    rebuild_from D1→D2→D1→D2). Every answer must be entirely one
+    generation's (a cross-family combination is legal — /hybrid reads
+    each handle once; a cross-GENERATION mix within one family is
+    not), zero errors/500s, and the stream converges on the final
+    generations. The r10(2).1 mixed-read window is exactly the bug
+    class only a hammer catches."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.operators import ann, ranking
+    from prefixtree_spark.serving import (
+        load_local_bm25_index,
+        load_local_ivf_index,
+        watch_bm25_index,
+        watch_ivf_index,
+    )
+    from tests.test_build import _words_df
+
+    # --- IVF fixture: two disjoint generations with distinct top-5 ---
+    df, rows, vq = _ivf_corpus(spark)
+    a_ids, b_ids = set(range(40)), set(range(100, 120))
+    dfA, dfB = df.where("vec_id < 40"), df.where("vec_id >= 100")
+    eA = _exact_top_ids(rows, a_ids, vq)
+    eB = _exact_top_ids(rows, b_ids, vq)
+    eAB = _exact_top_ids(rows, a_ids | b_ids, vq)  # mid-swap: append landed
+    assert len({eA, eB, eAB}) == 3
+    ivf_path = str(tmp_path / "ivf_hammer2")
+    ann.save_ivf_index(dfA, "vec_id", "embedding", ivf_path,
+                       n_cells=4, sample_size=200)
+
+    # --- BM25 fixture: two disjoint doc sets with distinct ranks ----
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d1, d2 = docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
+    bm_path = str(tmp_path / "bm25_hammer2")
+    ranking.save_bm25_index(d1, "doc_id", "text", bm_path,
+                            n_buckets=8, idf="ratio")
+    terms = ["the", "data", "of"]
+    qid = 900009
+    qdf = spark.createDataFrame([(qid, terms)], "qid long, terms array<string>")
+
+    def _sparse_expected(dsrc):
+        return tuple(
+            int(r.doc_id)
+            for r in ranking.bm25_rank(
+                dsrc, "doc_id", "text", qdf, "qid", "terms", idf="ratio"
+            ).orderBy("rank").limit(10).collect()
+        )
+    s1, s2 = _sparse_expected(d1), _sparse_expected(d2)
+    assert s1 != s2
+
+    def _hybrid_expected(dsrc, corpus_df):
+        bm = ranking.bm25_rank(
+            dsrc, "doc_id", "text", qdf, "qid", "terms", idf="ratio"
+        )
+        qv = spark.createDataFrame(
+            [(qid, [float(x) for x in vq])],
+            "vec_id long, embedding array<double>",
+        )
+        dense = ann.cosine_topk(
+            qv, "vec_id", "embedding", corpus_df, "vec_id", "embedding",
+            k=10,
+        ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+        return tuple(
+            (int(r.doc_id), int(r.rrf_rank))
+            for r in ranking.rrf_fuse([bm, dense], "query_id", "doc_id", k=5)
+            .orderBy("rrf_rank")
+            .collect()
+        )
+    hybrid_ok = {
+        _hybrid_expected(d, c)
+        for d in (d1, d2) for c in (dfA, dfB, df)
+    }
+    assert len(hybrid_ok) >= 2
+
+    pt = create(_words_df(spark, ["CAT"]), "word")
+    vcsv = ",".join(str(x) for x in vq)
+    urls = {
+        "ann": f"/ann?v={vcsv}&k=5&nprobe=4",
+        "sparse": f"/sparse?terms={','.join(terms)}&k=10",
+        "hybrid": f"/hybrid?terms={','.join(terms)}&v={vcsv}"
+                  "&k=5&k_each=10&nprobe=4",
+        "health": "/health",
+    }
+    with PrefixTreeServer(
+        build_local_index(pt),
+        ann_index=load_local_ivf_index(ivf_path, preload=True),
+        sparse_index=load_local_bm25_index(bm_path, preload=True),
+    ) as srv:
+        w1 = watch_ivf_index(srv, ivf_path, poll_seconds=0.2)
+        w2 = watch_bm25_index(srv, bm_path, poll_seconds=0.2)
+        halt = threading.Event()
+        seen = {"ann": [], "sparse": [], "hybrid": []}
+        errors: list = []
+
+        def client(kind):
+            while not halt.is_set():
+                try:
+                    out = _get(srv.url(urls[kind]))
+                    if kind == "ann":
+                        seen[kind].append(tuple(int(v) for v, _ in out))
+                    elif kind == "sparse":
+                        seen[kind].append(tuple(int(v) for v, _ in out))
+                    elif kind == "hybrid":
+                        seen[kind].append(
+                            tuple((int(i), int(r)) for i, r in out)
+                        )
+                except Exception as exc:  # any failure = contract broken
+                    errors.append((kind, exc))
+                    return
+
+        kinds = ["ann", "ann", "sparse", "sparse", "hybrid", "health"]
+        threads = [
+            threading.Thread(target=client, args=(k,)) for k in kinds
+        ]
+        for t in threads:
+            t.start()
+        try:
+            # M swaps per family, interleaved: each maintenance call is
+            # one staged swap under live load
+            def ivf_to(target_df, keep_ids):
+                # reconcile_with handles deletes/updates only; a full
+                # corpus flip is append (new ids) + reconcile_ids
+                # (drop the rest) — two staged layout changes, with
+                # the A∪B union as a legal intermediate generation
+                ann.append_ivf_index(
+                    spark, ivf_path, target_df, "vec_id", "embedding"
+                )
+                keep = spark.createDataFrame(
+                    [(int(i),) for i in sorted(keep_ids)], "vec_id long"
+                )
+                ann.maintain_ivf_index(spark, ivf_path, reconcile_ids=keep)
+
+            swaps = [
+                (lambda: ivf_to(dfB, b_ids)),
+                (lambda: ranking.maintain_bm25_index(
+                    spark, bm_path, rebuild_from=d2,
+                    id_col="doc_id", text_col="text")),
+                (lambda: ivf_to(dfA, a_ids)),
+                (lambda: ranking.maintain_bm25_index(
+                    spark, bm_path, rebuild_from=d1,
+                    id_col="doc_id", text_col="text")),
+                (lambda: ivf_to(dfB, b_ids)),
+                (lambda: ranking.maintain_bm25_index(
+                    spark, bm_path, rebuild_from=d2,
+                    id_col="doc_id", text_col="text")),
+            ]
+            for i, swap in enumerate(swaps):
+                time.sleep(0.4)  # let clients sample the current state
+                swap()
+            # convergence on the FINAL generations (B, d2)
+            deadline = time.time() + 20
+            while time.time() < deadline and not (
+                seen["ann"] and seen["ann"][-1] == eB
+                and seen["sparse"] and seen["sparse"][-1] == s2
+            ):
+                time.sleep(0.1)
+        finally:
+            halt.set()
+            for t in threads:
+                t.join(timeout=10)
+            w1.set()
+            w2.set()
+        assert not errors, errors[:3]
+        assert seen["ann"][-1] == eB and seen["sparse"][-1] == s2
+        bad_ann = [s for s in seen["ann"] if s not in (eA, eB, eAB)]
+        bad_sparse = [s for s in seen["sparse"] if s not in (s1, s2)]
+        bad_hybrid = [s for s in seen["hybrid"] if s not in hybrid_ok]
+        assert not bad_ann, bad_ann[:5]
+        assert not bad_sparse, bad_sparse[:5]
+        assert not bad_hybrid, bad_hybrid[:5]
+        # the hammer actually spanned swaps: the end-state generations
+        # of both families observed on both sides of a swap (the A∪B
+        # append intermediate may or may not be sampled — timing)
+        assert {eA, eB} <= {s for s in seen["ann"]}
+        assert {s for s in seen["sparse"]} == {s1, s2}
+        assert len(seen["hybrid"]) > 10
