@@ -1599,27 +1599,28 @@ def maintain_ivf_index(
                     raise IOError(f"rename {src} -> {dst} failed")
         fs.delete(P(staged), True)
 
-    # a stray marker with no writer alive = a crash inside a rename
-    # window; this call is the single writer now and recovers the
-    # stage below — the marker must not outlive that recovery
-    _clear_swapping(spark, path)
+    # RECOVERY FIRST, marker cleanup AFTER (r11 review: the previous
+    # order cleared a crashed writer's marker BEFORE the recovery
+    # renames below, opening a window in which a probe saw marker-down
+    # + unmoved generation over a still-half-renamed layout — a silent
+    # mixed read, the exact contract violation the marker exists to
+    # prevent). Each recovery path that changes the layout bumps the
+    # generation and clears the marker IMMEDIATELY (r10 advice;
+    # mirrors ranking's _finish_swap) instead of holding it through
+    # the arbitrarily long count/reconcile/rebuild jobs below; a
+    # marker still up after both recovery blocks is stray over a
+    # CONSISTENT layout (e.g. a crash after the renames finished but
+    # before the writer's own clear) and is garbage-collected then.
     recovered = False
     staged_root = f"{path}/_rebuild"
     if fs.exists(P(staged_root)):
         if fs.exists(P(f"{staged_root}/meta")):
             # a previous retrain finished its staged build but crashed
             # mid-swap: finish the swap first — the staged layout is
-            # complete and newer than whatever mix is live. Bump and
-            # clear IMMEDIATELY (r10 advice; mirrors ranking's
-            # _finish_swap): the marker _swap_in raised must not stay
-            # up through the arbitrarily long count/reconcile/rebuild
-            # jobs below, or probe_consistent's bounded retries would
-            # exhaust and blame a crashed swap while maintenance is
-            # healthy. The maintenance work below opens its own
-            # marker window when (and only when) it swaps again.
+            # complete and newer than whatever mix is live. _swap_in
+            # re-raises the marker for its own rename window.
             _swap_in(staged_root)
             _bump_ivf_generation(spark, path)
-            _clear_swapping(spark, path)
             recovered = True
         else:
             # save crashed mid-write: the partial stage is garbage
@@ -1634,15 +1635,20 @@ def maintain_ivf_index(
             # write job committed) — finish the swap
             if not fs.rename(P(staged_compact), P(post_dir)):
                 raise IOError(f"rename {staged_compact} -> {post_dir} failed")
+            _bump_ivf_generation(spark, path)
             recovered = True
         elif fs.exists(P(f"{staged_compact}/_SUCCESS")):
             # crashed between the committed write and the delete
             fs.delete(P(post_dir), True)
             if not fs.rename(P(staged_compact), P(post_dir)):
                 raise IOError(f"rename {staged_compact} -> {post_dir} failed")
+            _bump_ivf_generation(spark, path)
             recovered = True
         else:
             fs.delete(P(staged_compact), True)  # mid-write garbage
+    # any remaining marker is a crashed writer's stray over a layout
+    # the recovery above has made (or verified) consistent
+    _clear_swapping(spark, path)
 
     meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
     _pstats = _partition_dir_stats(fs, P, post_dir, "cell=")
@@ -1961,7 +1967,10 @@ def maintain_ivf_index(
         fs.delete(P(post_dir), True)
         if not fs.rename(P(staged), P(post_dir)):
             raise IOError(f"rename {staged} -> {post_dir} failed")
-    if (recovered or reconciled or retrained or compacted or did_rebuild
+    # NB recovery is NOT in this condition: its paths bumped
+    # immediately after their swaps (r11 review — a second bump here
+    # made replicas reload the full index twice for one layout change)
+    if (reconciled or retrained or compacted or did_rebuild
             or ts_folded):
         # the layout changed under serving replicas — bump AFTER the
         # swap so the marker always names a consistent layout
@@ -2840,6 +2849,7 @@ def semantic_dedup_ivf(
     sample_size: int = 20_000,
     seed: int = 42,
     centroids: "np.ndarray | None" = None,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """Corpus-wide SemDeDup WITHOUT ground-truth clusters, with IVF
     candidate generation instead of a single-cell partition (r10
@@ -2890,7 +2900,34 @@ def semantic_dedup_ivf(
     )
     assign = _cell_assign_udf(centroids, min(n_replicas, len(centroids)))
     posted = e.withColumn("cell", F.explode(assign(F.col("v"))))
-    a, b = posted.alias("a"), posted.alias("b")
+    if max_cell is not None:
+        # same fail-fast contract as semantic_dedup's max_cluster: a
+        # degenerate clustering (near-duplicate corpus collapsing into
+        # one cell) would otherwise silently run a Σ|cell|²·r²
+        # quadratic join — surface it; re-fit with larger n_cells or
+        # pre-split instead of burying the blow-up
+        hot = (
+            posted.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_cell)
+            .limit(1)
+            .collect()
+        )
+        if hot:
+            raise ValueError(
+                f"cell {hot[0]['cell']} holds {hot[0]['n']} postings "
+                f"(> max_cell={max_cell}); re-fit with more cells or "
+                "pre-split before semantic_dedup_ivf"
+            )
+    # spread the probe side when the scan arrives in fewer splits than
+    # the cluster has slots — same single-task hazard (and fix) as
+    # semantic_dedup's probe hint
+    spark = df.sparkSession
+    slots = spark.sparkContext.defaultParallelism
+    probe = posted
+    if posted.rdd.getNumPartitions() < slots:
+        probe = posted.repartition(slots)
+    a, b = probe.alias("a"), posted.alias("b")
     dropped = (
         a.join(
             b,

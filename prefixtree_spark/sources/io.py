@@ -708,8 +708,11 @@ def local_published_health(root: str, *, keep: int = 2) -> dict:
     if os.path.isdir(mdir):
         for name in os.listdir(mdir):
             if name.isdigit():
-                with open(os.path.join(mdir, name)) as f:
-                    entries.append((int(name), f.read()))
+                try:
+                    with open(os.path.join(mdir, name)) as f:
+                        entries.append((int(name), f.read()))
+                except OSError:
+                    pass  # racing vacuum retired this entry mid-listing
     entries.sort()
     dir_stats: dict[str, tuple[int, int]] = {}
     if os.path.isdir(root):

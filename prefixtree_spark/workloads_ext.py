@@ -1658,7 +1658,12 @@ _BPE_MERGES_FIXTURE_SF001 = """
 """
 
 
-def _load_bpe_fixture() -> str:
+def _load_bpe_fixture() -> "str | None":
+    """None (→ rows-only gate) when the fixture file is absent — a
+    vendored install without tools/ must degrade to the pre-r11
+    behavior for ONE workload, not break the whole registry import
+    (r11 review). Symbols are SQL-escaped ('' doubling): a corpus
+    whose tokens carry apostrophes must not emit a broken oracle."""
     import os
 
     fx = os.path.join(
@@ -1666,10 +1671,14 @@ def _load_bpe_fixture() -> str:
         "tools", "fixtures", "bpe_merges_sf0.01.tsv",
     )
     rows = []
-    with open(fx) as f:
-        for line in f:
-            rank, left, right = line.rstrip("\n").split("\t")
-            rows.append(f"      ({rank}, '{left}', '{right}')")
+    try:
+        with open(fx) as f:
+            for line in f:
+                rank, left, right = line.rstrip("\n").split("\t")
+                le, ri = left.replace("'", "''"), right.replace("'", "''")
+                rows.append(f"      ({rank}, '{le}', '{ri}')")
+    except OSError:
+        return None
     return _BPE_MERGES_FIXTURE_SF001.format(rows=",\n".join(rows))
 
 
@@ -2302,7 +2311,18 @@ def semantic_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     path = _workload_cache_dir(sf_dir, "embeddings", "semdedup_pub")
-    if not os.path.isdir(os.path.join(path, "_manifest")):
+    # cache guard = a COMMITTED manifest entry, not the dir (r11
+    # review: a crash after publish_version created _manifest/.tmp-*
+    # but before its rename-commit would otherwise skip the publish
+    # forever and fail every read — the cache-corpse class this
+    # round's _ensure_cached_artifact fix closed). A re-publish onto
+    # a half-published root is safe: versions append, orphan dirs are
+    # vacuum fodder.
+    mdir = os.path.join(path, "_manifest")
+    committed = os.path.isdir(mdir) and any(
+        n.isdigit() for n in os.listdir(mdir)
+    )
+    if not committed:
         publish_version(_semdedup_planted_corpus(emb), path)
     pub = read_published(spark, path)
     return ann.semantic_dedup_ivf(

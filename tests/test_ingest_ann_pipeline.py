@@ -624,3 +624,6 @@ def test_recovery_swap_clears_marker_before_maintenance_body(
     assert seen["marker_up"] is False
     assert seen["gen"] > g0
     assert not os.path.exists(f"{path}/_swapping")
+    # exactly ONE bump for one layout change (r11 review: recovery in
+    # the end-of-call bump condition made replicas reload twice)
+    assert read_generation(path) == seen["gen"]

@@ -76,7 +76,10 @@ def main() -> None:
     merges = textbook_bpe(texts, n_merges)
     if "--sql" in sys.argv:
         rows = ",\n      ".join(
-            f"({i + 1}, '{l}', '{r}')" for i, (l, r) in enumerate(merges)
+            "({}, '{}', '{}')".format(
+                i + 1, l.replace("'", "''"), r.replace("'", "''")
+            )
+            for i, (l, r) in enumerate(merges)
         )
         print(
             "    SELECT * FROM (VALUES\n      "
