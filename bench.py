@@ -492,6 +492,15 @@ def main() -> None:
             # GC-outlier spread at repeats=3 in the r05 final run
             repeats=5 if name == "events_resampled_hourly" else 3,
         )
+    # r11: the IVF-candidate SemDeDup gate workload (publish once,
+    # cached; per-call = assignment + cell self-join + exact verify) —
+    # extra, not headline: the headline SemDeDup cost is
+    # semantic_dedup_labeled above
+    bench(
+        "semantic_dedup_corpus",
+        lambda: catalog["semantic_dedup_corpus"](spark, sf_dir).count(),
+        extra=True,
+    )
 
     # minhash stage breakdown (round-5 verdict #3): time each pipeline
     # stage separately, materialized via cache+count. Isolated warm
