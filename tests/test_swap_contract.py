@@ -159,31 +159,45 @@ def test_probe_consistent_consume_releases_checkpoint(spark, docs, tmp_path):
     no-consume shape pairs with the public release_checkpoint."""
     from prefixtree_spark import release_checkpoint
 
+    import time
+
     path = str(tmp_path / "bm25_consume")
     ranking.save_bm25_index(docs, "doc_id", "text", path, n_buckets=8,
                             idf="ratio")
     q = _doc_queries(spark)
     sc = spark.sparkContext
 
-    def _n_cached():
-        return len([
-            r for r in sc._jsc.sc().getRDDStorageInfo()
+    def _cached_ids():
+        return {
+            r.id()
+            for r in sc._jsc.sc().getRDDStorageInfo()
             if r.numCachedPartitions() > 0
-        ])
+        }
 
-    base = _n_cached()
+    def _settles_to(base, deadline_s=15.0):
+        # release_checkpoint's unpersist is non-blocking: under a
+        # loaded suite the storage listing lags the call — poll
+        end = time.time() + deadline_s
+        while time.time() < end:
+            extra = _cached_ids() - base
+            if not extra:
+                return True
+            time.sleep(0.2)
+        return False
+
+    base = _cached_ids()
     rows = probe_consistent(
         spark, path,
         lambda: ranking.bm25_rank_indexed(spark, path, q, "qid", "terms"),
         consume=lambda df: df.collect(),
     )
-    assert rows and _n_cached() == base  # consumed AND released
+    assert rows and _settles_to(base)  # consumed AND released
     # the caller-owned shape: blocks pinned until release_checkpoint
     out = probe_consistent(
         spark, path,
         lambda: ranking.bm25_rank_indexed(spark, path, q, "qid", "terms"),
     )
     assert len(out.collect()) == len(rows)
-    assert _n_cached() == base + 1
+    assert len(_cached_ids() - base) == 1  # the pinned checkpoint
     release_checkpoint(out)
-    assert _n_cached() == base
+    assert _settles_to(base)
