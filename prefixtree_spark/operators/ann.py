@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1632,13 +1633,23 @@ def maintain_ivf_index(
         if not fs.exists(P(post_dir)):
             # crashed between delete(postings) and rename: the stage is
             # complete by construction (the delete only runs after the
-            # write job committed) — finish the swap
+            # write job committed) — finish the swap. Marked: the
+            # crashed compactor's own marker may be absent (it died
+            # before raising it in the SUCCESS-no-marker sub-case
+            # below), and this rename is a live-layout mutation
+            _mark_swapping(spark, path)
             if not fs.rename(P(staged_compact), P(post_dir)):
                 raise IOError(f"rename {staged_compact} -> {post_dir} failed")
             _bump_ivf_generation(spark, path)
             recovered = True
         elif fs.exists(P(f"{staged_compact}/_SUCCESS")):
-            # crashed between the committed write and the delete
+            # crashed between the committed write and _mark_swapping/
+            # the delete — NO stray marker exists in this window, so
+            # raise one before mutating the live postings dir (r11
+            # review second pass: an unmarked delete+rename here was
+            # exactly the mixed-read window the first pass closed for
+            # the pre-recovery clear)
+            _mark_swapping(spark, path)
             fs.delete(P(post_dir), True)
             if not fs.rename(P(staged_compact), P(post_dir)):
                 raise IOError(f"rename {staged_compact} -> {post_dir} failed")
@@ -2905,7 +2916,16 @@ def semantic_dedup_ivf(
         # degenerate clustering (near-duplicate corpus collapsing into
         # one cell) would otherwise silently run a Σ|cell|²·r²
         # quadratic join — surface it; re-fit with larger n_cells or
-        # pre-split instead of burying the blow-up
+        # pre-split instead of burying the blow-up. The guard pass
+        # materializes `posted` (PERSISTED here: unlike semantic_dedup,
+        # whose recomputed input is cheap native transforms, each
+        # recomputation of `posted` is a corpus round-trip through the
+        # Python assignment UDF — r11 review); the pinned rows —
+        # (vid, cell, v), corpus × n_replicas — then feed both join
+        # sides. The block lives with the returned plan: the caller
+        # unpersists (or lets the session end) once the result is
+        # consumed.
+        posted = posted.persist(StorageLevel.MEMORY_AND_DISK)
         hot = (
             posted.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n"))

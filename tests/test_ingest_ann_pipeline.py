@@ -627,3 +627,64 @@ def test_recovery_swap_clears_marker_before_maintenance_body(
     # exactly ONE bump for one layout change (r11 review: recovery in
     # the end-of-call bump condition made replicas reload twice)
     assert read_generation(path) == seen["gen"]
+
+
+def test_compact_recovery_marks_before_mutating_live_postings(
+    spark, tmp_path, monkeypatch
+):
+    """r11 review (second pass): a compactor that crashed AFTER its
+    staged write committed but BEFORE it raised the _swapping marker
+    leaves a complete postings_compact stage and NO marker. The next
+    maintain call's recovery must raise the marker before its
+    delete+rename of the live postings dir — an unmarked mutation is
+    a mixed-read window for probes whose generation check also passes
+    (the recovery bump lands only after the rename)."""
+    import os
+    import shutil as _sh
+
+    rng = np.random.default_rng(29)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(DIM)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf_compact_rec")
+    ann.save_ivf_index(df, "vec_id", "embedding", path, n_cells=4,
+                       sample_size=100)
+    # the crash artifact: a complete committed stage, marker DOWN
+    _sh.copytree(f"{path}/postings", f"{path}/postings_compact")
+    if not os.path.exists(f"{path}/postings_compact/_SUCCESS"):
+        open(f"{path}/postings_compact/_SUCCESS", "w").close()
+    assert not os.path.exists(f"{path}/_swapping")
+    seen = {}
+    real_bump = ann._bump_ivf_generation
+
+    def probing_bump(sp, p):
+        # the recovery bump runs right after the rename: the marker
+        # must be UP here (raised before the delete), proving the
+        # mutation window was bracketed
+        seen.setdefault("marker_up_at_bump", os.path.exists(
+            f"{path}/_swapping"
+        ))
+        return real_bump(sp, p)
+
+    monkeypatch.setattr(ann, "_bump_ivf_generation", probing_bump)
+    rep = ann.maintain_ivf_index(spark, path)
+    assert rep["recovered"] is True
+    assert seen["marker_up_at_bump"] is True
+    assert not os.path.exists(f"{path}/_swapping")
+    assert not os.path.exists(f"{path}/postings_compact")
+    # the recovered layout still searches exactly
+    idx = ann.load_ivf_index(spark, path)
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk_ivf_index(
+            df, "vec_id", "embedding", idx, k=3, nprobe=4
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.cosine_topk(
+            df, "vec_id", "embedding", df, "vec_id", "embedding", k=3
+        ).collect()
+    }
+    assert got == want
