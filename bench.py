@@ -292,6 +292,93 @@ def main() -> None:
     skew_words.unpersist()
     skew_q.unpersist()
 
+    # SemDeDup-at-scale evidence (r11, untimed extras — headline
+    # unchanged): a synthetic corpus big enough that cell-boundary
+    # splits actually occur (planted near-dup twins, every 8th base
+    # vector; ground truth = the twin set by construction, margins
+    # verified in the workload fixture's method). The claims on
+    # record: (a) single-cell assignment (the published SemDeDup
+    # trade, n_replicas=1) MISSES the twins split across a boundary;
+    # (b) multi-probe replication (n_replicas=2) recovers recall 1.0;
+    # (c) precision is exact in both (candidates are exact-verified);
+    # (d) the scored-candidate count vs all-pairs is the pruning
+    # factor that makes the quadratic rule tractable. Centroids are
+    # fit ONCE and shared — the fit isn't the claim.
+    import shutil as _sd_sh
+    import tempfile as _sd_tf
+
+    import numpy as _sd_np
+    import pandas as _sd_pd
+
+    from prefixtree_spark.operators import ann as _sd_ann
+
+    # 240k×sf: at sf0.1's 24k base the cell-boundary misses the block
+    # exists to demonstrate actually occur (quiet probe: reps=1 recall
+    # 0.9943 at 27k vectors, 1.0 at 9k — the trade is scale-dependent)
+    sd_n = max(2_000, int(240_000 * float(sf)))
+    sd_rng = _sd_np.random.default_rng(17)
+    sd_base = sd_rng.standard_normal((sd_n, 64))
+    sd_twin_src = _sd_np.arange(0, sd_n, 8)
+    sd_twins = sd_base[sd_twin_src] * (
+        1.0 + 0.02 * _sd_np.sin(
+            13.0 * sd_twin_src[:, None] + _sd_np.arange(64)[None, :]
+        )
+    )
+    sd_ids = _sd_np.concatenate(
+        [_sd_np.arange(sd_n), sd_twin_src + 10_000_000]
+    )
+    sd_m = _sd_np.vstack([sd_base, sd_twins])
+    sd_dir = _sd_tf.mkdtemp(prefix="bench_semdedup_scale_")
+    spark.createDataFrame(
+        _sd_pd.DataFrame({
+            "vec_id": sd_ids.astype("int64"),
+            "embedding": [r.astype("float64").tolist() for r in sd_m],
+        })
+    ).repartition(16).write.mode("overwrite").parquet(f"{sd_dir}/corpus")
+    sd_corpus = spark.read.parquet(f"{sd_dir}/corpus")
+    extras["semdedup_scale_n"] = int(len(sd_ids))
+    extras["semdedup_scale_twins"] = int(len(sd_twin_src))
+    t0 = time.time()
+    sd_cent = _sd_ann.kmeans_fit(sd_corpus, "embedding", 64, seed=42)
+    extras["semdedup_scale_fit_sec"] = round(time.time() - t0, 3)
+    sd_want = set((sd_twin_src + 10_000_000).tolist())
+    sd_all = set(sd_ids.tolist())
+    for reps in (1, 2):
+        t0 = time.time()
+        surv = {
+            r[0]
+            for r in _sd_ann.semantic_dedup_ivf(
+                sd_corpus, "vec_id", "embedding", threshold=0.9,
+                n_cells=64, n_replicas=reps, seed=42, centroids=sd_cent,
+            ).collect()
+        }
+        extras[f"semdedup_scale_reps{reps}_sec"] = round(time.time() - t0, 3)
+        dropped = sd_all - surv
+        extras[f"semdedup_scale_reps{reps}_recall"] = round(
+            len(dropped & sd_want) / max(1, len(sd_want)), 4
+        )
+        extras[f"semdedup_scale_reps{reps}_false_drops"] = len(
+            dropped - sd_want
+        )
+        # scored-candidate slots: one exact dot per same-cell pair —
+        # the work the cell partition bounds; all-pairs is the bar
+        from pyspark.sql import functions as _sd_F
+
+        assign = _sd_ann._cell_assign_udf(sd_cent, reps)
+        slots = (
+            sd_corpus.withColumn(
+                "cell", _sd_F.explode(assign(_sd_F.col("embedding")))
+            )
+            .groupBy("cell")
+            .agg(_sd_F.count(_sd_F.lit(1)).alias("n"))
+            .agg(_sd_F.sum(_sd_F.expr("n * (n - 1) / 2")).cast("long"))
+            .collect()[0][0]
+        )
+        extras[f"semdedup_scale_reps{reps}_pair_slots"] = int(slots)
+    n_tot = len(sd_ids)
+    extras["semdedup_scale_allpairs"] = n_tot * (n_tot - 1) // 2
+    _sd_sh.rmtree(sd_dir, ignore_errors=True)
+
     # B4: serving path — 100 point queries on the preloaded handle
     # (the same one the warm batch entry reuses; building a second
     # LocalIndex here would double-pay the collect+merge)
