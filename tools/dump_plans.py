@@ -249,6 +249,21 @@ def main() -> None:
         "of silently going quadratic.",
     )
     prose(
+        "Semantic dedup (IVF candidates) — semantic_dedup_ivf",
+        "The corpus-wide variant (r11): centroids broadcast inside the\n"
+        "assignment UDF's closure (k × dim floats — never a join side); the\n"
+        "posting explode multiplies the corpus by n_replicas; ONE Exchange on\n"
+        "the cell key for the self-equi-join (AQE splits skewed cells), then\n"
+        "the same dropped-id distinct + LeftAnti shape as semantic_dedup.\n"
+        "The exact-cosine verify is the JVM fold inside the join condition —\n"
+        "only cell-cohabiting pairs are ever scored (bench extras record the\n"
+        "slot count vs all-pairs: 22.8M vs 364M at 27k vectors, r=2).\n"
+        "No CartesianProduct / BroadcastNestedLoopJoin anywhere\n"
+        "(test_semantic_dedup_ivf_plan_no_cartesian); max_cell fail-fasts\n"
+        "degenerate clusterings, persisting the guarded posting set so the\n"
+        "guard pass is not a second corpus trip through Python.",
+    )
+    prose(
         "Temperature mixing — mixture_resample",
         "One hash-agg to per-group masses (#domains rows), exact-integer rate\n"
         "computation driver-side (arbitrary-precision ints), broadcast\n"
