@@ -757,11 +757,15 @@ def maintain_bm25_index(
         _bump_ivf_generation(spark, path)
         _clear_swapping(spark, path)
 
-    # a stray marker with no swap in flight = a writer crashed inside
-    # its rename window; this maintenance call is the single writer
-    # now, and it recovers/garbage-collects the stage below — the
-    # marker must not outlive that recovery
-    _clear_swapping(spark, path)
+    # RECOVERY FIRST, marker cleanup AFTER (r11 review, the IVF twin's
+    # finding applied here too: clearing a crashed writer's marker
+    # BEFORE the recovery renames opened a window in which a probe saw
+    # marker-down + unmoved generation over a half-renamed layout — a
+    # silent mixed read). _swap_in re-raises the marker for its own
+    # rename window and _finish_swap bumps-then-clears; a marker still
+    # up after the block is stray over a CONSISTENT layout (crash
+    # after the renames finished, before the writer's clear) and is
+    # garbage-collected then.
     recovered = False
     if fs.exists(P(staged_root)):
         if fs.exists(P(f"{staged_root}/_complete")):
@@ -770,6 +774,7 @@ def maintain_bm25_index(
             _finish_swap()
         else:
             fs.delete(P(staged_root), True)  # mid-write garbage
+    _clear_swapping(spark, path)
 
     def _clear_tombstones() -> None:
         fs.delete(P(f"{path}/_tombstones"), True)

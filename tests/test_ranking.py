@@ -1484,3 +1484,66 @@ def test_bm25_append_empty_doc_reoffer_no_duplicate_fingerprint(
         spark, path, reconcile_with=full, id_col="doc_id", text_col="text"
     )
     assert rep["reconciled"] == 0 and rep["updated"] == 0
+
+
+def test_bm25_recovery_clears_marker_only_after_swap(
+    spark, tmp_path, monkeypatch
+):
+    """r11 review (IVF twin's finding, applied here): a crashed
+    writer's stray _swapping marker must NOT be cleared before the
+    recovery swap finishes — clearing first exposes the half-renamed
+    layout to probes as marker-down + unmoved-generation (a silent
+    mixed read). Pin: the first clear_swapping call during a
+    recovering maintain happens only once the staged root is gone."""
+    import os
+    import shutil as _sh
+
+    import prefixtree_spark._generation as gen
+    from prefixtree_spark.operators import ranking
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i % 5} shared") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "bm25_rec_marker")
+    ranking.save_bm25_index(docs, "doc_id", "text", path, n_buckets=4,
+                            idf="ratio")
+    # the crash artifact: a COMPLETE stage (copy of the live tables +
+    # the _complete marker) and the stray marker a mid-swap crash
+    # leaves behind
+    staged = f"{path}/_compact"
+    os.makedirs(staged)
+    for sub in ("postings", "dfreq", "docs", "meta", "stats"):
+        if os.path.isdir(f"{path}/{sub}"):
+            _sh.copytree(f"{path}/{sub}", f"{staged}/{sub}")
+    open(f"{staged}/_complete", "w").write("1")
+    open(f"{path}/_swapping", "w").write("1")
+    seen = {}
+    real_clear = gen.clear_swapping
+
+    def probing_clear(sp, p):
+        seen.setdefault("staged_gone_at_first_clear",
+                        not os.path.exists(staged))
+        return real_clear(sp, p)
+
+    monkeypatch.setattr(gen, "clear_swapping", probing_clear)
+    rep = ranking.maintain_bm25_index(spark, path)
+    assert rep["recovered"] is True
+    assert seen["staged_gone_at_first_clear"] is True
+    assert not os.path.exists(f"{path}/_swapping")
+    # the recovered layout still serves
+    q = _doc_queries_from(spark, docs)
+    assert ranking.bm25_rank_indexed(
+        spark, path, q, "qid", "terms"
+    ).count() > 0
+
+
+def _doc_queries_from(spark, docs):
+    from pyspark.sql import functions as F
+
+    return docs.select(
+        F.col("doc_id").alias("qid"),
+        F.slice(
+            F.regexp_extract_all("text", F.lit(r"\S+"), 0), 1, 3
+        ).alias("terms"),
+    ).where("doc_id % 4 = 0 AND size(terms) >= 3")
