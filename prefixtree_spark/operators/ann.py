@@ -1581,14 +1581,15 @@ def maintain_ivf_index(
     def _swap_in(staged: str) -> None:
         # meta LAST: its presence under staged is the completeness
         # marker, so the swap is resumable from any crash point. The
-        # _swapping intent marker opens here and is cleared ONLY at
-        # the end of this maintenance call, AFTER the generation bump
-        # (r10 review: clearing at rename-end with the bump still
-        # pending let a probe that overlapped the renames pass both
-        # probe_consistent checks — no marker, unmoved generation —
-        # and return a mixed read; with bump-before-clear, any read
-        # overlapping the window sees the marker or the new
-        # generation, never neither)
+        # _swapping intent marker opens here and is cleared only
+        # AFTER the caller's generation bump (r10 review: clearing at
+        # rename-end with the bump still pending let a probe that
+        # overlapped the renames pass both probe_consistent checks —
+        # no marker, unmoved generation — and return a mixed read;
+        # with bump-before-clear, any read overlapping the window sees
+        # the marker or the new generation, never neither). Recovery
+        # callers clear right after their bump (r10 advice); the
+        # maintenance-body callers clear at the end of the call.
         _mark_swapping(spark, path)
         for sub in _SWAP_ORDER:
             src = P(f"{staged}/{sub}")
