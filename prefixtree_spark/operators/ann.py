@@ -2862,6 +2862,7 @@ def semantic_dedup_ivf(
     seed: int = 42,
     centroids: "np.ndarray | None" = None,
     max_cell: int | None = None,
+    consume=None,
 ) -> DataFrame:
     """Corpus-wide SemDeDup WITHOUT ground-truth clusters, with IVF
     candidate generation instead of a single-cell partition (r10
@@ -2891,7 +2892,15 @@ def semantic_dedup_ivf(
     Σ|cell|² · r² / corpus-pairs — the SemDeDup economics, bought
     with k. No all-pairs comparison anywhere; the exact verify runs
     only on bucket-cohabiting pairs, JVM-side (``aggregate`` /
-    ``zip_with`` fold, no Python in the pair loop)."""
+    ``zip_with`` fold, no Python in the pair loop).
+
+    Storage contract with ``max_cell`` (the only path that persists):
+    the survivor ids come back eagerly localCheckpoint-ed and the
+    internal posting pin is released before return — call
+    ``release_checkpoint(result)`` when done, or pass ``consume``
+    (result handed to it, everything released after — the
+    ``probe_consistent`` shape). Without ``max_cell`` the return is
+    the usual lazy plan and ``consume``, if given, just wraps it."""
     if centroids is None:
         centroids = kmeans_fit(
             df, vec_col, n_cells, iters=iters, sample_size=sample_size,
@@ -2923,9 +2932,13 @@ def semantic_dedup_ivf(
         # recomputation of `posted` is a corpus round-trip through the
         # Python assignment UDF — r11 review); the pinned rows —
         # (vid, cell, v), corpus × n_replicas — then feed both join
-        # sides. The block lives with the returned plan: the caller
-        # unpersists (or lets the session end) once the result is
-        # consumed.
+        # sides. The pin is RELEASED inside this call (r11 verdict #6 /
+        # advice): the survivor set — one id column, tiny next to the
+        # posting — is eagerly localCheckpoint-ed (cutting its lineage
+        # to `posted`), `posted` is unpersisted, and the caller gets
+        # either the checkpoint (its handle for release_checkpoint) or,
+        # with ``consume``, the callback's value with zero residue —
+        # probe_consistent's consume contract (_generation.py).
         posted = posted.persist(StorageLevel.MEMORY_AND_DISK)
         hot = (
             posted.groupBy("cell")
@@ -2935,6 +2948,7 @@ def semantic_dedup_ivf(
             .collect()
         )
         if hot:
+            posted.unpersist()  # fail-fast must not leave the pin
             raise ValueError(
                 f"cell {hot[0]['cell']} holds {hot[0]['n']} postings "
                 f"(> max_cell={max_cell}); re-fit with more cells or "
@@ -2959,9 +2973,25 @@ def semantic_dedup_ivf(
         .select(F.col("b.vid").alias("vid"))
         .distinct()
     )
-    return e.join(dropped, "vid", "left_anti").select(
+    survivors = e.join(dropped, "vid", "left_anti").select(
         F.col("vid").alias(id_col)
     )
+    if max_cell is None:
+        if consume is not None:
+            return consume(survivors)  # nothing pinned on this path
+        return survivors
+    from prefixtree_spark.plans.lifecycle import release_checkpoint
+
+    try:
+        out = survivors.localCheckpoint(eager=True)
+    finally:
+        posted.unpersist()
+    if consume is None:
+        return out  # caller owns the (id-column-sized) checkpoint
+    try:
+        return consume(out)
+    finally:
+        release_checkpoint(out)
 
 
 # ---------------------------------------------------------------------------

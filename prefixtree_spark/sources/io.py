@@ -681,17 +681,24 @@ def published_table_health(
     between ingest bursts; a debt that only grows means vacuum is not
     scheduled or ``keep`` is unbounded."""
     fs, jvm = _fs(spark, root)
-    entries = [
-        (n, _read_small_file(spark, p))
-        for n, p in _manifest_entries(spark, root)
-    ]
+    entries = []
+    for n, p in _manifest_entries(spark, root):
+        try:
+            entries.append((n, _read_small_file(spark, p)))
+        except Exception:
+            pass  # racing vacuum retired this entry mid-listing
+            # (same tolerance as local_published_health — the two
+            # views must not drift under concurrency, r11 advice)
     dir_stats: dict[str, tuple[int, int]] = {}
     rootp = jvm.org.apache.hadoop.fs.Path(root)
     if fs.exists(rootp):
         for st in fs.listStatus(rootp):
             name = st.getPath().getName()
             if name.startswith("v_") and st.isDirectory():
-                s = fs.getContentSummary(st.getPath())
+                try:
+                    s = fs.getContentSummary(st.getPath())
+                except Exception:
+                    continue  # dir vanished between listing and stat
                 dir_stats[name] = (int(s.getLength()), int(s.getFileCount()))
     return _health_from_listing(entries, dir_stats, keep)
 

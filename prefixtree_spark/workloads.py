@@ -33,6 +33,16 @@ SparkFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, SparkFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Oracles whose SQL is only valid for a specific corpus (committed
+# fixtures generated from one sf_dir). Maps workload name to
+# (guard_sql, expected) — ``guard_sql`` runs on the SAME DuckDB views
+# as the oracle; when its single value differs from ``expected`` the
+# harness must degrade that workload to rows-only instead of producing
+# a false FAIL against a fixture from a different corpus (r11 advice).
+# The driver's own gate always evaluates oracles at sf0.01, where the
+# guards hold; this protects the any-sf_dir local harness and sweeps.
+ORACLE_GUARDS: dict[str, tuple[str, str]] = {}
+
 
 def workload(name: str, oracle: str | None):
     def deco(fn: SparkFn) -> SparkFn:

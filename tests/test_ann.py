@@ -1807,3 +1807,63 @@ def test_semantic_dedup_ivf_matches_exact_on_planted_twins(spark):
     want = {int(x) for x in ids_s} - dropped
     assert got == want
     assert len(want) == 80  # every twin dropped, every base survives
+
+
+def test_semantic_dedup_ivf_max_cell_releases_pin(spark):
+    """r11 verdict #6 / advice: the max_cell guard's internal posting
+    persist must be released INSIDE the call — result identical to the
+    unguarded path, returned as a caller-owned checkpoint (releasable),
+    with the consume shape leaving zero residue; the fail-fast raise
+    must not leave the pin either."""
+    import time
+
+    import pytest
+
+    from prefixtree_spark.plans.lifecycle import release_checkpoint
+
+    rng = np.random.default_rng(41)
+    base = rng.standard_normal((60, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    for i in range(0, 60, 5):
+        tw = base[i] * (1.0 + 0.01 * np.cos(7.0 * i + np.arange(16)))
+        rows.append((i + 1000, [float(x) for x in tw]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.9, n_cells=4, n_replicas=2, sample_size=200, seed=5)
+    sc = spark.sparkContext
+
+    def cached_ids():
+        return {
+            r.id()
+            for r in sc._jsc.sc().getRDDStorageInfo()
+            if r.numCachedPartitions() > 0
+        }
+
+    def settles_to(base_ids, deadline_s=15.0):
+        end = time.time() + deadline_s
+        while time.time() < end:
+            if not (cached_ids() - base_ids):
+                return True
+            time.sleep(0.2)
+        return False
+
+    want = {r.vec_id for r in ann.semantic_dedup_ivf(df, "vec_id", "embedding", **kw).collect()}
+
+    base_ids = cached_ids()
+    # caller-owned checkpoint shape
+    out = ann.semantic_dedup_ivf(df, "vec_id", "embedding", max_cell=10_000, **kw)
+    assert {r.vec_id for r in out.collect()} == want
+    release_checkpoint(out)
+    assert settles_to(base_ids)
+
+    # consume shape: zero residue after return
+    got = ann.semantic_dedup_ivf(
+        df, "vec_id", "embedding", max_cell=10_000,
+        consume=lambda d: {r.vec_id for r in d.collect()}, **kw,
+    )
+    assert got == want
+    assert settles_to(base_ids)
+
+    # fail-fast raise releases the pin too
+    with pytest.raises(ValueError, match="max_cell"):
+        ann.semantic_dedup_ivf(df, "vec_id", "embedding", max_cell=1, **kw)
+    assert settles_to(base_ids)

@@ -1309,3 +1309,51 @@ def test_local_published_health_survives_concurrent_vacuum(spark, tmp_path):
     assert n_reads[0] > 5
     h = local_published_health(root, keep=1)
     assert h["vacuum_debt_dirs"] == 0 and h["version"] == 7
+
+
+def test_published_table_health_survives_concurrent_vacuum(spark, tmp_path):
+    """r11 advice: the CLUSTER-side health view must tolerate the same
+    vacuum race its local twin is pinned for — a manifest entry or v_*
+    dir retired between the listing and the read skips, never raises."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark.sources.io import (
+        published_table_health,
+        publish_version,
+        vacuum_published,
+    )
+
+    root = str(tmp_path / "pub_race_cluster")
+    df = spark.range(500).select(
+        F.col("id"), F.col("id").cast("string").alias("name")
+    )
+    publish_version(df, root)
+    halt = threading.Event()
+    errors: list = []
+    n_reads = [0]
+
+    def reader():
+        while not halt.is_set():
+            try:
+                h = published_table_health(spark, root, keep=1)
+                assert h["n_versions"] >= 0
+                n_reads[0] += 1
+            except Exception as exc:
+                errors.append(exc)
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(6):
+            publish_version(df.where(f"id % 7 = {i % 7}"), root)
+            vacuum_published(spark, root, keep=1, grace_s=0)
+    finally:
+        halt.set()
+        t.join(timeout=30)
+    assert not errors, errors[:2]
+    assert n_reads[0] > 2
+    h = published_table_health(spark, root, keep=1)
+    assert h["vacuum_debt_dirs"] == 0 and h["version"] == 7

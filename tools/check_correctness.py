@@ -37,6 +37,7 @@ def main() -> int:
     only = set(sys.argv[2:])
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entrymod
+    from prefixtree_spark import workloads
     from prefixtree_spark.session import get_spark
     from prefixtree_spark.sources.tables import TABLES
 
@@ -63,6 +64,17 @@ def main() -> int:
         if name not in oracles:
             print(f"weak  {name}: rows={len(got)} (no oracle) {t_spark:.1f}s")
             continue
+        guard = workloads.ORACLE_GUARDS.get(name)
+        if guard is not None:
+            guard_sql, expected = guard
+            if str(con.sql(guard_sql).fetchone()[0]) != expected:
+                # fixture oracle from a different corpus: rows-only,
+                # not a false FAIL (r11 advice)
+                print(
+                    f"weak  {name}: rows={len(got)} "
+                    f"(oracle scoped to another corpus) {t_spark:.1f}s"
+                )
+                continue
         t0 = time.time()
         try:
             exp = con.sql(oracles[name]).df()
