@@ -14,7 +14,12 @@ Everything is DataFrame-in / DataFrame-out; kernels are Arrow-vectorized
 pandas functions; no RDD API, no Catalyst extensions.
 """
 
-from prefixtree_spark._generation import probe_consistent
+from prefixtree_spark._generation import (
+    MaintenanceLeaseHeld,
+    acquire_maintenance_lease,
+    probe_consistent,
+    release_maintenance_lease,
+)
 from prefixtree_spark.plans.lifecycle import release_checkpoint
 from prefixtree_spark.operators.build import create, load_index, save_index
 from prefixtree_spark.operators.incremental import add_words, remove_words
@@ -173,7 +178,10 @@ __all__ = [
     "sync_ivf_from_published",
     "maintain_ivf_index",
     "load_ivf_index",
+    "MaintenanceLeaseHeld",
+    "acquire_maintenance_lease",
     "probe_consistent",
+    "release_maintenance_lease",
     "release_checkpoint",
     "describe_bm25_index",
     "describe_ivf_index",

@@ -96,6 +96,84 @@ def is_swapping(spark, path: str) -> bool:
     )
 
 
+class MaintenanceLeaseHeld(RuntimeError):
+    """Another maintainer holds the layout's writer lease."""
+
+
+def acquire_maintenance_lease(
+    spark, path: str, *, ttl_s: float = 3600.0
+) -> str:
+    """Claim the single-writer lease for a persisted layout (r11
+    verdict #3): ``maintain_*_index`` calls this before touching the
+    layout, so two concurrent maintainers can no longer interleave
+    staged renames — the swap protocol is reader-safe but assumes ONE
+    writer, and this makes the engine enforce what docstrings used to
+    delegate to an external scheduler.
+
+    Mechanics: create-if-absent of ``path/_maintenance_lease`` through
+    the same atomic claim primitive as manifest commits
+    (``sources.io._atomic_create`` — link(2) on local FS, no-replace
+    rename on HDFS), body = a fresh uuid token returned to the caller.
+    A live lease raises ``MaintenanceLeaseHeld`` (fail loud, don't
+    queue — the caller's scheduler decides). A lease older than
+    ``ttl_s`` (filesystem mtime) is a crashed maintainer's: it is
+    stolen and the crashed run's half-done swap is then healed by the
+    normal recovery path at the start of the maintenance body.
+    ``ttl_s`` must exceed the longest plausible maintenance run —
+    stealing from a LIVE slow maintainer re-opens the race the lease
+    closes."""
+    import uuid
+
+    from prefixtree_spark.sources.io import _atomic_create, _fs
+
+    fs, jvm = _fs(spark, path)
+    lp = jvm.org.apache.hadoop.fs.Path(f"{path}/_maintenance_lease")
+    token = uuid.uuid4().hex
+    for attempt in range(2):  # second pass only after a steal
+        try:
+            st = fs.getFileStatus(lp)
+            age_ms = (
+                jvm.java.lang.System.currentTimeMillis()
+                - st.getModificationTime()
+            )
+        except Exception:
+            st = None  # absent (or vanished mid-check): try to claim
+            age_ms = None
+        if st is not None:
+            if age_ms < ttl_s * 1000:
+                raise MaintenanceLeaseHeld(
+                    f"maintenance lease at {path!r} is held "
+                    f"(age {age_ms / 1000.0:.1f}s < ttl {ttl_s}s); "
+                    "another maintain_*_index run is in flight"
+                )
+            fs.delete(lp, False)  # stale: crashed maintainer — steal
+        if _atomic_create(spark, f"{path}/_maintenance_lease", token):
+            return token
+        # lost the claim race to another maintainer
+        if attempt == 0:
+            continue  # their lease might itself be stale; re-examine
+    raise MaintenanceLeaseHeld(
+        f"maintenance lease at {path!r} was claimed by a concurrent "
+        "maintainer"
+    )
+
+
+def release_maintenance_lease(spark, path: str, token: str) -> None:
+    """Release the writer lease — FENCED: deletes only when the lease
+    body still carries ``token``, so a maintainer whose stale lease
+    was stolen (it outlived ``ttl_s``) cannot delete the new owner's
+    lease on its way out."""
+    from prefixtree_spark.sources.io import _fs, _read_small_file
+
+    fs, jvm = _fs(spark, path)
+    lease = f"{path}/_maintenance_lease"
+    try:
+        if _read_small_file(spark, lease) == token:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(lease), False)
+    except Exception:
+        pass  # already stolen or removed — we are fenced out
+
+
 def probe_consistent(spark, path: str, fn, *, retries: int = 2,
                      wait_seconds: float = 0.2, consume=None):
     """THE cluster-side reader-during-swap contract (r9 missing #3),

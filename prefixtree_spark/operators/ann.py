@@ -1499,6 +1499,49 @@ def maintain_ivf_index(
     seed: int = 42,
     reconcile_ids: "DataFrame | None" = None,
     reconcile_with: "DataFrame | None" = None,
+    lease_ttl_s: float = 3600.0,
+) -> dict:
+    """``_maintain_ivf_index_locked`` under the layout's single-writer
+    lease (r11 verdict #3): the staged-swap protocol is reader-safe
+    (generation + marker) but assumes one maintainer — two concurrent
+    ``maintain_*`` calls could interleave staged renames. The lease
+    (``_generation.acquire_maintenance_lease``) makes the engine
+    enforce that exclusion: a concurrent call raises
+    ``MaintenanceLeaseHeld`` instead of corrupting the layout, and a
+    crashed maintainer's lease is stolen after ``lease_ttl_s`` with
+    its half-done swap healed by the normal recovery path. See the
+    locked body's docstring for the maintenance semantics."""
+    from prefixtree_spark._generation import (
+        acquire_maintenance_lease,
+        release_maintenance_lease,
+    )
+
+    token = acquire_maintenance_lease(spark, path, ttl_s=lease_ttl_s)
+    try:
+        return _maintain_ivf_index_locked(
+            spark,
+            path,
+            retrain_frac=retrain_frac,
+            max_files_per_cell=max_files_per_cell,
+            sample_size=sample_size,
+            seed=seed,
+            reconcile_ids=reconcile_ids,
+            reconcile_with=reconcile_with,
+        )
+    finally:
+        release_maintenance_lease(spark, path, token)
+
+
+def _maintain_ivf_index_locked(
+    spark,
+    path: str,
+    *,
+    retrain_frac: float = 0.3,
+    max_files_per_cell: float = 4.0,
+    sample_size: int = 20_000,
+    seed: int = 42,
+    reconcile_ids: "DataFrame | None" = None,
+    reconcile_with: "DataFrame | None" = None,
 ) -> dict:
     """The maintenance policy loop for a persisted IVF index — the ANN
     analog of ``maintain_published``. Call it out of band (it rewrites

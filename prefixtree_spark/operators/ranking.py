@@ -645,6 +645,46 @@ def maintain_bm25_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: "int | None" = None,
+    lease_ttl_s: float = 3600.0,
+) -> dict:
+    """``_maintain_bm25_index_locked`` under the layout's single-writer
+    lease — the same writer-writer exclusion as
+    ``ann.maintain_ivf_index`` (r11 verdict #3): a concurrent
+    maintainer raises ``MaintenanceLeaseHeld`` instead of interleaving
+    staged renames; a crashed maintainer's lease is stolen after
+    ``lease_ttl_s`` and its half-done swap healed by the recovery
+    path. Maintenance semantics in the locked body's docstring."""
+    from prefixtree_spark._generation import (
+        acquire_maintenance_lease,
+        release_maintenance_lease,
+    )
+
+    token = acquire_maintenance_lease(spark, path, ttl_s=lease_ttl_s)
+    try:
+        return _maintain_bm25_index_locked(
+            spark,
+            path,
+            max_files_per_bucket=max_files_per_bucket,
+            rebuild_from=rebuild_from,
+            reconcile_with=reconcile_with,
+            id_col=id_col,
+            text_col=text_col,
+            n_buckets=n_buckets,
+        )
+    finally:
+        release_maintenance_lease(spark, path, token)
+
+
+def _maintain_bm25_index_locked(
+    spark,
+    path: str,
+    *,
+    max_files_per_bucket: float = 4.0,
+    rebuild_from: "DataFrame | None" = None,
+    reconcile_with: "DataFrame | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: "int | None" = None,
 ) -> dict:
     """Maintenance for a persisted BM25 layout — the sparse twin of
     ``ann.maintain_ivf_index``'s compaction half (there is no trained

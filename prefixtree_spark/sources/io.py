@@ -442,26 +442,34 @@ def _publish_entry(
 def _try_commit(spark: SparkSession, root: str, n: int, payload: str) -> bool:
     """One attempt at atomically installing manifest entry ``n`` with
     ``payload``; True iff WE committed it (False = another publisher
-    owns that version number; the caller cleans up its own data dirs).
+    owns that version number; the caller cleans up its own data dirs)."""
+    return _atomic_create(spark, f"{root}/{_MANIFEST_DIR}/{n}", payload)
+
+
+def _atomic_create(spark: SparkSession, final_path: str, payload: str) -> bool:
+    """Create ``final_path`` with ``payload`` iff it does not exist;
+    True iff WE created it — the create-if-absent primitive behind
+    manifest commits and the maintenance writer lease.
 
     Arbitration: HDFS rename refuses an existing destination, but
     RawLocalFileSystem delegates to rename(2), which silently REPLACES
-    it — two publishers that both computed n would both "win" and the
-    first's committed entry (and data) would vanish. On a local FS,
-    publish via link(2) instead (java.nio.Files.createLink):
-    hard-linking the fully-written tmp onto the final name is atomic
-    AND fails if the destination exists, so exactly one racer can ever
-    commit a given version — no exists→rename window at all. On HDFS
-    the rename itself arbitrates (no-replace semantics); the read-back
-    content check (payload embeds the publisher's uuid'd vdir) stays
-    as belt-and-braces on both paths."""
+    it — two claimants would both "win" and the first's committed
+    content would vanish. On a local FS, claim via link(2) instead
+    (java.nio.Files.createLink): hard-linking the fully-written tmp
+    onto the final name is atomic AND fails if the destination exists,
+    so exactly one racer can ever claim a given name — no
+    exists→rename window at all. On HDFS the rename itself arbitrates
+    (no-replace semantics); the read-back content check (payloads
+    embed the claimant's uuid) stays as belt-and-braces on both
+    paths."""
     import uuid as _uuid
 
-    fs, jvm = _fs(spark, root)
+    fs, jvm = _fs(spark, final_path)
+    parent, name = final_path.rsplit("/", 1)
     tmp = jvm.org.apache.hadoop.fs.Path(
-        f"{root}/{_MANIFEST_DIR}/.tmp-{_uuid.uuid4().hex}"
+        f"{parent}/.tmp-{name}-{_uuid.uuid4().hex}"
     )
-    final = jvm.org.apache.hadoop.fs.Path(f"{root}/{_MANIFEST_DIR}/{n}")
+    final = jvm.org.apache.hadoop.fs.Path(final_path)
     out = fs.create(tmp, False)
     try:
         out.write(bytearray(payload.encode("utf-8")))

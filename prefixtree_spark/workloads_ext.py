@@ -940,16 +940,51 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("query_id", "vec_id")
 
 
-@workload("ann_topk_lsh", None)
+@workload(
+    "ann_topk_lsh",
+    """
+    SELECT vec_id AS query_id, CAST(1 AS INT) AS recall_ok
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via random-hyperplane LSH + exact rerank —
-    recall < 1 by design, so no SQL oracle (rows-only check); recall
-    vs the exact path is asserted in tests/test_ann.py."""
+    """Random-hyperplane LSH top-10, hash-gated on a DETERMINISTIC
+    per-query recall floor (r11 verdict #5 — this row was rows-only):
+    the seeded LSH result is compared against the exact ``cosine_topk``
+    in the same plan, and the gate emits ``(query_id, recall_ok)``
+    with ``recall_ok = recall@10 >= 0.7``. The oracle asserts every
+    query clears the floor — a broken hash family, seed drift, or a
+    bucket-join bug collapses recall and the hash goes red. Registered
+    at production-recall parameters (5 planes × 64 tables: measured
+    per-query min recall 1.0 at sf0.001/0.01/0.1, so the 0.7 floor has
+    wide margin); the sharper speed/recall trades stay in
+    tests/test_ann.py and the bench extras."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where("vec_id % 50 = 0")
-    return ann.cosine_topk_lsh(
+    lsh = ann.cosine_topk_lsh(
         q, "vec_id", "embedding", emb, "vec_id", "embedding",
-        k=10, dim=64, n_planes=6, n_tables=24,
+        k=10, dim=64, n_planes=5, n_tables=64,
+    )
+    exact = ann.cosine_topk(
+        q, "vec_id", "embedding", emb, "vec_id", "embedding", k=10
+    )
+    hits = lsh.select("query_id", "vec_id").intersect(
+        exact.select("query_id", "vec_id")
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+    )
+    return per_q.select(
+        "query_id",
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact") >= 0.7
+        ).cast("int").alias("recall_ok"),
     )
 
 
@@ -2961,22 +2996,32 @@ def docs_update_published(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-@workload("docs_quality_classifier", None)
+@workload(
+    "docs_quality_classifier",
+    """
+    SELECT count(*) AS n_holdout, CAST(1 AS INT) AS acc_ok
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
 def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learned quality filter (operators/classifier.py) distilled from
-    the heuristic: label the documents table by quality_score >= its
-    median, train the hashed-BoW logistic regression on the labels,
-    score every doc map-only (no Exchange in the scoring plan — pinned
-    in tests). No SQL oracle (a trained model isn't SQL-expressible);
-    the gate's rows-only check holds because every doc scores exactly
-    one row. Accuracy/threshold properties live in
-    tests/test_classifier.py.
+    """Learned quality filter (operators/classifier.py), hash-gated on
+    a DETERMINISTIC train/holdout accuracy floor (r11 verdict #5 —
+    this row was rows-only): label the documents by
+    ``quality_score >= train-split median``, train the hashed-BoW
+    logistic regression on the ``doc_id % 5 <> 0`` split, score the
+    held-out fifth map-only (no Exchange in the scoring plan — pinned
+    in tests), and emit ONE row ``(n_holdout, acc_ok)`` with
+    ``acc_ok = holdout accuracy >= 0.85``. Training is a deterministic
+    function of the corpus (seedless LBFGS over hashed features), so
+    the gate is exactly reproducible; measured accuracy is
+    0.96/0.99/0.982 at sf0.001/0.01/0.1 — wide margin over the floor,
+    but a broken tokenizer/hasher/optimizer drops it through.
+    Threshold/probability properties stay in tests/test_classifier.py.
 
     The fitted model is CACHED per fixture (``_workload_cache_dir``):
-    training (30 LBFGS iterations over the hashed BoW) is a
-    deterministic function of the documents table and dominated the
-    workload's sweep wall (r7 verdict #6); the scoring pass — the
-    thing this workload gates — runs fresh every time."""
+    LBFGS over the hashed BoW dominated the workload's sweep wall
+    (r7 verdict #6); the scoring pass — the thing this workload
+    gates — runs fresh every time."""
     import os
     import shutil
     import uuid
@@ -2996,20 +3041,22 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nothing but sweep wall (measured 8.7 s -> 2.4 s train at sf0.01);
     # larger corpora keep the full space
     n_feat = 1 << (15 if docs.count() <= 2000 else 18)
-    mpath = _workload_cache_dir(sf_dir, "documents", f"qualclf_f{n_feat}")
+    scores = quality_score(docs, "doc_id", "text")
+    med = scores.where("doc_id % 5 <> 0").agg(
+        F.expr("percentile_approx(quality, 0.5, 10000)")
+    ).first()[0]
+    labeled = docs.join(scores, "doc_id").select(
+        "doc_id", "text",
+        (F.col("quality") >= med).cast("int").alias("label"),
+    )
+    holdout = labeled.where("doc_id % 5 = 0")
+    mpath = _workload_cache_dir(sf_dir, "documents", f"qualclf_h5_f{n_feat}")
     if os.path.isdir(mpath):
         model = load_quality_classifier(spark, mpath)
     else:
-        scores = quality_score(docs, "doc_id", "text")
-        med = scores.agg(
-            F.expr("percentile_approx(quality, 0.5, 10000)")
-        ).first()[0]
-        labeled = docs.join(scores, "doc_id").select(
-            "doc_id", "text",
-            (F.col("quality") >= med).cast("int").alias("label"),
-        )
         model = train_quality_classifier(
-            labeled, "text", "label", n_features=n_feat
+            labeled.where("doc_id % 5 <> 0"), "text", "label",
+            n_features=n_feat,
         )
         staging = f"{mpath}.tmp-{uuid.uuid4().hex[:8]}"
         save_quality_classifier(model, staging)
@@ -3017,8 +3064,15 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rename(staging, mpath)
         except OSError:
             shutil.rmtree(staging, ignore_errors=True)  # racer won
-    return score_quality(model, docs, "text").select(
-        "doc_id", (F.col("quality_prob") >= 0.5).cast("int").alias("kept")
+    pred = score_quality(model, holdout, "text").select(
+        "doc_id", (F.col("quality_prob") >= 0.5).cast("int").alias("pred")
+    )
+    joined = pred.join(holdout.select("doc_id", "label"), "doc_id")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_holdout"),
+        (
+            F.avg((F.col("pred") == F.col("label")).cast("double")) >= 0.85
+        ).cast("int").alias("acc_ok"),
     )
 
 
