@@ -477,6 +477,7 @@ def create(
     keep_duplicates: bool = False,
     trim: str = "both",
     builder_budget_bytes: int = 256 << 20,
+    bytes: bool = False,
 ) -> DataFrame:
     """Build a distributed prefix-tree node table from a string column.
 
@@ -527,11 +528,26 @@ def create(
     TRAILING whitespace only (PrefixTree.ecl:77, SURVEY.md §2.7 F1) —
     under it a word with leading spaces keeps them and is a distinct
     dictionary entry.
+
+    ``bytes=True`` builds the tree over UTF-8 BYTES instead of
+    codepoints — full parity with the reference, whose ECL ``STRING``
+    is a byte string (PrefixTree.ecl:74-78; a non-ASCII character is
+    several DP cells there, one here by default). Implementation: the
+    word column is re-read as ISO-8859-1 (each UTF-8 byte becomes
+    exactly one char — bijective), so every kernel, the length bands,
+    and ``max_word_len`` operate in byte space unchanged; ``query``
+    must be called with the SAME flag (same caller duty as ``trim``),
+    and it decodes result columns back to UTF-8 strings. This also
+    matches DuckDB/PostgreSQL ``levenshtein``, which count bytes.
     """
     words = df.select(
         _trim_fn(trim)(F.col(col) if isinstance(col, str) else col).alias("word")
     )
     words = words.where(F.col("word") != "")
+    if bytes:
+        words = words.select(
+            F.decode(F.encode("word", "UTF-8"), "ISO-8859-1").alias("word")
+        )
     if max_word_len is not None:
         words = words.where(F.length("word") <= max_word_len)
     n = num_partitions or words.sparkSession.sparkContext.defaultParallelism

@@ -729,6 +729,7 @@ def query(
     colocated: bool = False,
     index: "LocalIndex | None" = None,
     tree_partitioned: bool = False,
+    bytes: bool = False,
 ) -> DataFrame:
     """Batch fuzzy search ≡ QueryThorLevenshtein (PrefixTree.ecl:314-446).
 
@@ -753,7 +754,31 @@ def query(
     bucketed on ``parent_id`` are DETECTED automatically
     (``index_is_bucketed``) — the flag exists for layouts the detector
     cannot see (e.g. a DataFrame you repartitioned yourself).
+
+    ``bytes=True`` matches a tree built with ``create(..., bytes=True)``
+    — edits count UTF-8 BYTES (the reference's ECL byte-string
+    semantics, PrefixTree.ecl:74-78, and DuckDB ``levenshtein``'s):
+    query strings enter the same ISO-8859-1 byte-surrogate space as the
+    build, every kernel runs unchanged, and the result's
+    ``query_string``/``node`` columns decode back to real UTF-8
+    strings. The caller passes the SAME flag on both sides (same duty
+    as ``trim``); mixing modes silently miscounts non-ASCII edits.
     """
+    if bytes:
+        enc = queries.select(
+            F.decode(F.encode(F.col(col), "UTF-8"), "ISO-8859-1").alias(col)
+        )
+        out = query(
+            pt, enc, col, max_distance, mode=mode, colocated=colocated,
+            index=index, tree_partitioned=tree_partitioned,
+        )
+        return out.select(
+            F.decode(F.encode("query_string", "ISO-8859-1"), "UTF-8").alias(
+                "query_string"
+            ),
+            F.decode(F.encode("node", "ISO-8859-1"), "UTF-8").alias("node"),
+            "final_distance",
+        )
     k = int(max_distance)
     # semantics: one result set per DISTINCT query string
     qdf = (

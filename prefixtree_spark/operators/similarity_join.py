@@ -37,6 +37,7 @@ def similarity_join(
     mode: str = "auto",
     max_word_len: int | None = None,
     metric: str = "levenshtein",
+    bytes: bool = False,
 ) -> DataFrame:
     """All (left_value, right_value, distance) pairs with edit distance
     ≤ ``max_distance`` between trimmed non-empty distinct values.
@@ -53,6 +54,10 @@ def similarity_join(
     (``functions/damerau.py``; cost O(candidates), never
     |left|×|right|).
 
+    ``bytes=True`` counts edits over UTF-8 BYTES (the reference's ECL
+    byte-string semantics and DuckDB ``levenshtein``'s) instead of
+    codepoints — value columns still come back as real UTF-8 strings.
+
     ``max_word_len=None`` (default) indexes right-side values of ANY
     length — the relational contract is "all pairs", so the tree
     builder's reference-parity 255-char cap must not silently drop
@@ -64,14 +69,18 @@ def similarity_join(
         raise ValueError(
             f"metric must be 'levenshtein' or 'damerau', got {metric!r}"
         )
-    pt = create(right, rcol, max_word_len=max_word_len)
+    pt = create(right, rcol, max_word_len=max_word_len, bytes=bytes)
     queries = left.select(F.trim(F.col(lcol)).alias("q")).where(F.col("q") != "")
+    # byte mode: lengths below must count BYTES (octet_length) and the
+    # exact-DL rerank must run in the same byte-surrogate space the
+    # tree used — query() itself hands back decoded UTF-8 strings
+    _len = F.octet_length if bytes else F.length
     if metric == "damerau":
         from prefixtree_spark.functions.damerau import dl_pairs_udf
 
         cand = query(
             pt, queries.distinct(), "q", 2 * max_distance, mode=mode,
-            colocated=True,
+            colocated=True, bytes=bytes,
         )
         dl = dl_pairs_udf()
         # Three plan rules, each measured at sf0.1 (164k candidates):
@@ -89,22 +98,28 @@ def similarity_join(
         #     running the traversal feeding each. The pinned frame is
         #     the tree-pruned candidate set, never a cross join.
         sc = cand.sparkSession.sparkContext
+
+        def _dl_arg(c):
+            if not bytes:
+                return F.col(c)
+            return F.decode(F.encode(F.col(c), "UTF-8"), "ISO-8859-1")
+
         scored = (
             cand.where(
-                F.abs(F.length("query_string") - F.length("node"))
-                <= max_distance
+                F.abs(_len("query_string") - _len("node")) <= max_distance
             )
             .repartition(sc.defaultParallelism)
             .select(
                 F.col("query_string").alias("left_value"),
                 F.col("node").alias("right_value"),
-                dl(F.col("query_string"), F.col("node")).alias("distance"),
+                dl(_dl_arg("query_string"), _dl_arg("node")).alias("distance"),
             )
             .localCheckpoint(eager=True)
         )
         return scored.where(F.col("distance") <= max_distance)
     matches = query(
-        pt, queries.distinct(), "q", max_distance, mode=mode, colocated=True
+        pt, queries.distinct(), "q", max_distance, mode=mode, colocated=True,
+        bytes=bytes,
     )
     return matches.select(
         F.col("query_string").alias("left_value"),
@@ -124,6 +139,7 @@ def similarity_join_rows(
     lprefix: str = "l_",
     rprefix: str = "r_",
     metric: str = "levenshtein",
+    bytes: bool = False,
 ) -> DataFrame:
     """``similarity_join`` with full row payloads: every matching
     (left row, right row) pair within the distance bound, columns
@@ -132,7 +148,8 @@ def similarity_join_rows(
     equi-joins on the trimmed value — payload width never enters the
     similarity computation."""
     pairs = similarity_join(
-        left, lcol, right, rcol, max_distance, mode=mode, metric=metric
+        left, lcol, right, rcol, max_distance, mode=mode, metric=metric,
+        bytes=bytes,
     )
     lpref = left.select(
         *[F.col(c).alias(f"{lprefix}{c}") for c in left.columns]
@@ -156,6 +173,7 @@ def best_match(
     *,
     mode: str = "auto",
     metric: str = "levenshtein",
+    bytes: bool = False,
 ) -> DataFrame:
     """Top-1 fuzzy match per left value: the closest right-side word
     within ``max_distance`` (ties break lexicographically on the word —
@@ -164,7 +182,8 @@ def best_match(
     from pyspark.sql import Window
 
     pairs = similarity_join(
-        left, lcol, right, rcol, max_distance, mode=mode, metric=metric
+        left, lcol, right, rcol, max_distance, mode=mode, metric=metric,
+        bytes=bytes,
     )
     w = Window.partitionBy("left_value").orderBy(
         F.asc("distance"), F.asc("right_value")
@@ -190,6 +209,7 @@ def suggest(
     *,
     mode: str = "auto",
     metric: str = "levenshtein",
+    bytes: bool = False,
 ) -> DataFrame:
     """Frequency-weighted spell suggestion (the autocorrect ranking):
     the best vocabulary word per left value, ranked by (distance ASC,
@@ -210,7 +230,8 @@ def suggest(
         F.col(freq_col).cast("long").alias("freq"),
     ).groupBy("right_value").agg(F.max("freq").alias("freq"))
     pairs = similarity_join(
-        left, lcol, vocab, vcol, max_distance, mode=mode, metric=metric
+        left, lcol, vocab, vcol, max_distance, mode=mode, metric=metric,
+        bytes=bytes,
     )
     scored = pairs.join(stats, "right_value")
     w = Window.partitionBy("left_value").orderBy(
@@ -236,6 +257,7 @@ def fuzzy_dedup(
     max_iter: int = 50,
     collect_edges_below: int = 5_000_000,
     metric: str = "levenshtein",
+    bytes: bool = False,
 ) -> DataFrame:
     """Cluster distinct values whose edit distance ≤ k (``metric``:
     Levenshtein, or unrestricted Damerau-Levenshtein) into
@@ -253,7 +275,8 @@ def fuzzy_dedup(
     # internally, so keeping both (a,b) and (b,a) only doubled the
     # edge volume (and the driver collect under the threshold)
     edges = (
-        similarity_join(df, col, df, col, max_distance, metric=metric)
+        similarity_join(df, col, df, col, max_distance, metric=metric,
+                        bytes=bytes)
         .where(F.col("left_value") < F.col("right_value"))
         .select(F.col("left_value").alias("src"), F.col("right_value").alias("dst"))
     )

@@ -13,8 +13,11 @@ Determinism rules:
     expressible in both engines (no randomness);
   - no floats in hashed output unless bit-reproducible in both engines
     (ANN outputs id sets, not scores);
-  - only ASCII columns in fuzzy workloads (DuckDB levenshtein counts
-    UTF-8 bytes; the engine counts codepoints — equal on ASCII).
+  - fuzzy workloads use ASCII columns when comparing in the engine's
+    default codepoint mode (DuckDB levenshtein counts UTF-8 bytes —
+    equal on ASCII only); ``bytes=True`` workloads
+    (fuzzy_join_unicode_bytes) lift the restriction by counting bytes
+    on BOTH sides.
 """
 
 from __future__ import annotations
@@ -263,6 +266,54 @@ def fuzzy_dedup_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     return fuzzy_dedup(cust, "c_name", 1)
+
+
+# Accent injection for the byte-mode workload: the SAME nested-replace
+# expression runs in Spark and DuckDB, so both engines see identical
+# non-ASCII vocabularies ('o'→'ö', 'e'→'é' — each a 2-byte UTF-8 char).
+_ACCENT = "replace(replace({col}, 'o', 'ö'), 'e', 'é')"
+
+
+@workload(
+    "fuzzy_join_unicode_bytes",
+    f"""
+    WITH w0 AS (
+      SELECT DISTINCT trim({_ACCENT.format(col='c_name')}) AS word
+      FROM customer WHERE trim(c_name) <> ''
+    ),
+    q AS (
+      SELECT DISTINCT trim({_PERTURB_SQL.format(
+          col='(' + _ACCENT.format(col='c_name') + ')', key='c_custkey'
+      )}) AS left_value
+      FROM customer WHERE c_custkey % 20 = 11
+    )
+    SELECT q.left_value, w0.word AS right_value,
+           levenshtein(q.left_value, w0.word) AS distance
+    FROM q, w0
+    WHERE levenshtein(q.left_value, w0.word) <= 2
+    """,
+)
+def fuzzy_join_unicode_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-semantics fuzzy join on a non-ASCII vocabulary (r11 verdict
+    #7 — the last documented reference divergence): customer names are
+    accented ('o'→'ö', 'e'→'é'), queries delete one character, and the
+    join runs with ``bytes=True`` — edits count UTF-8 bytes exactly as
+    the reference's ECL byte strings (PrefixTree.ecl:74-78) and
+    DuckDB's ``levenshtein`` do, so the oracle no longer needs the
+    ASCII-only restriction (workloads.py module docstring). A deleted
+    accented character costs 2 here (its two bytes) and 1 in codepoint
+    mode — the hash is green only if byte mode is real."""
+    from prefixtree_spark.operators.similarity_join import similarity_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    acc = _ACCENT.format(col="c_name")
+    words = cust.select(F.expr(acc).alias("w"))
+    queries = cust.where("c_custkey % 20 = 11").select(
+        F.expr(
+            _PERTURB_SPARK.format(col=f"({acc})", key="c_custkey")
+        ).alias("q")
+    )
+    return similarity_join(queries, "q", words, "w", 2, bytes=True)
 
 
 # Deterministic TRANSPOSITION perturbation: swap the adjacent characters

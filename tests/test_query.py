@@ -265,3 +265,106 @@ def test_similarity_join_long_values_not_dropped(spark):
     comps = {r.value: r.component for r in
              fuzzy_dedup(both, "v", 1).collect()}
     assert comps[long_a] == comps[long_b]  # clustered, not silently split
+
+
+def test_bytes_mode_counts_utf8_bytes(spark):
+    """create/query with bytes=True implement the reference's ECL
+    byte-string semantics (PrefixTree.ecl:74-78): a 2-byte character
+    substitution costs 2 edits; default mode counts codepoints (1)."""
+    from prefixtree_spark import create, query
+
+    words = ["héllo", "hello", "wörld"]
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    qdf = spark.createDataFrame([("hello",), ("wörld",)], ["q"])
+
+    # codepoint mode: héllo is 1 edit from hello
+    pt_cp = create(df, "word")
+    got_cp = {
+        (r.query_string, r.node, r.final_distance)
+        for r in query(pt_cp, qdf, "q", 1).collect()
+    }
+    assert ("hello", "héllo", 1) in got_cp
+
+    # byte mode: é is 2 bytes -> distance 2; exact non-ASCII matches
+    # still come back as REAL utf-8 strings at distance 0
+    pt_b = create(df, "word", bytes=True)
+    got_b1 = {
+        (r.query_string, r.node, r.final_distance)
+        for r in query(pt_b, qdf, "q", 1, bytes=True).collect()
+    }
+    assert ("hello", "hello", 0) in got_b1
+    assert ("wörld", "wörld", 0) in got_b1
+    assert not any(n == "héllo" and q == "hello" for q, n, _ in got_b1)
+    got_b2 = {
+        (r.query_string, r.node, r.final_distance)
+        for r in query(pt_b, qdf, "q", 2, bytes=True).collect()
+    }
+    assert ("hello", "héllo", 2) in got_b2
+
+
+def test_bytes_mode_matches_brute_byte_levenshtein(spark):
+    """Randomized cross-check: byte-mode tree results == brute-force
+    Levenshtein over the UTF-8 byte strings, on a mixed ASCII/accented
+    vocabulary, every query mode."""
+    import random
+
+    from prefixtree_spark import create, query
+    from tests.conftest import brute_levenshtein
+
+    rng = random.Random(23)
+    alphabet = "abcäöé"
+    vocab = sorted({
+        "".join(rng.choices(alphabet, k=rng.randint(1, 7)))
+        for _ in range(120)
+    })
+    queries = [
+        "".join(rng.choices(alphabet, k=rng.randint(1, 7))) for _ in range(25)
+    ]
+    df = spark.createDataFrame([(w,) for w in vocab], ["word"])
+    qdf = spark.createDataFrame([(q,) for q in set(queries)], ["q"])
+    pt = create(df, "word", num_partitions=3, bytes=True)
+
+    def bl(a, b):
+        return brute_levenshtein(
+            a.encode("utf-8").decode("latin-1"),
+            b.encode("utf-8").decode("latin-1"),
+        )
+
+    exp = {
+        (q, w, bl(q, w))
+        for q in set(queries)
+        for w in vocab
+        if bl(q, w) <= 2
+    }
+    for mode in ("broadcast_tree", "broadcast_queries", "bfs"):
+        got = {
+            (r.query_string, r.node, r.final_distance)
+            for r in query(pt, qdf, "q", 2, mode=mode, bytes=True).collect()
+        }
+        assert got == exp, mode
+
+
+def test_bytes_mode_similarity_join_damerau(spark):
+    """Byte-mode Damerau: an adjacent swap of two MULTI-BYTE chars is
+    NOT one byte-level transposition (the byte sequences interleave) —
+    matches DuckDB's damerau_levenshtein byte counting."""
+    import duckdb
+
+    from prefixtree_spark.operators.similarity_join import similarity_join
+
+    left = spark.createDataFrame([("éa",), ("ab",)], ["q"])
+    right = spark.createDataFrame([("aé",), ("ba",), ("ab",)], ["w"])
+    got = {
+        (r.left_value, r.right_value, r.distance)
+        for r in similarity_join(
+            left, "q", right, "w", 2, metric="damerau", bytes=True
+        ).collect()
+    }
+    for lv, rv in [("éa", "aé"), ("ab", "ba"), ("ab", "ab"), ("éa", "ab")]:
+        want = duckdb.sql(
+            f"select damerau_levenshtein('{lv}', '{rv}')"
+        ).fetchone()[0]
+        if want <= 2:
+            assert (lv, rv, want) in got, (lv, rv, want)
+        else:
+            assert not any(a == lv and b == rv for a, b, _ in got)
