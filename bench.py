@@ -474,10 +474,16 @@ def main() -> None:
     try:
         _qmod._AUTO_BROADCAST_NODES = 0
         _qmod._AUTO_BROADCAST_QUERIES = 5000
-        t0 = time.time()
-        n = query(pt_big, q_big, "q", 2, mode="auto").count()
-        extras["both_big_auto_k2_sec"] = round(time.time() - t0, 3)
-        extras["both_big_auto_k2_rows"] = n
+        # HEADLINE (r11 verdict #8): the both-sides-big chunked
+        # traversal is THE 100 TB query path, and until r12 it lived
+        # only in single-shot extras — regression-guard it every round
+        # with the full median protocol. r11 extras band: 1.485 s
+        # cold single-shot at this exact shape.
+        bench(
+            "fuzzy_both_big_auto",
+            lambda: query(pt_big, q_big, "q", 2, mode="auto").count(),
+            repeats=3,
+        )
     finally:
         _qmod._AUTO_BROADCAST_NODES, _qmod._AUTO_BROADCAST_QUERIES = saved
     pt_big.unpersist()

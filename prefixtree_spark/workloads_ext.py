@@ -55,7 +55,7 @@ def _workload_cache_dir(sf_dir: str, table: str, key: str) -> str:
     )
 
 
-def _ensure_cached_artifact(path: str, build) -> str:
+def _ensure_cached_artifact(path: str, build, *, stale_s: float = 60.0) -> str:
     """Build-to-staging-then-rename for the per-fixture index caches:
     ``build(staging_dir)`` writes the artifact, the rename publishes it
     atomically under the final name (a crashed build never leaves a
@@ -65,19 +65,33 @@ def _ensure_cached_artifact(path: str, build) -> str:
     the same 12-line block pasted seven times)."""
     import os
     import shutil
+    import time
     import uuid
 
     if not os.path.isdir(os.path.join(path, "meta")):
-        # a cache dir that exists WITHOUT meta/ is a corpse: a crash
-        # inside an in-place maintenance swap (live meta/ deleted
-        # before the staged rename landed) leaves one, and the
-        # os.rename below cannot publish onto a non-empty dir — the
-        # workload would then fail every run until someone removed the
-        # dir by hand (r10 advice). Delete and rebuild; the artifact
-        # is a deterministic fixture cache, so a rebuild is always
-        # byte-equivalent.
-        if os.path.isdir(path):
-            shutil.rmtree(path, ignore_errors=True)
+        # a cache dir that exists WITHOUT meta/ is EITHER a corpse (a
+        # crash inside an in-place maintenance swap — live meta/
+        # deleted before the staged rename landed — leaves one, and
+        # the os.rename below cannot publish onto a non-empty dir; r10
+        # advice) OR a healthy concurrent run transiting exactly that
+        # window (r11 advice: blind rmtree here deleted the artifact
+        # out from under the swapper). Disambiguate by AGE: the swap
+        # window is sub-second and every mutation refreshes the dir
+        # mtime, so poll for meta/ to (re)appear and reclaim only a
+        # dir that has stayed meta-less past ``stale_s`` — provably a
+        # corpse. A rebuild is always byte-equivalent (deterministic
+        # fixture cache).
+        while os.path.isdir(path):
+            if os.path.isdir(os.path.join(path, "meta")):
+                return path  # the concurrent swap landed; cache valid
+            try:
+                age = time.time() - os.stat(path).st_mtime
+            except OSError:
+                break  # vanished mid-check (racer reclaimed): rebuild
+            if age > stale_s:
+                shutil.rmtree(path, ignore_errors=True)
+                break
+            time.sleep(0.25)
         staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         try:
             build(staging)

@@ -177,6 +177,13 @@ def test_ensure_cached_artifact_rebuilds_meta_less_corpse(tmp_path):
 
     path = str(tmp_path / "corpse")
     os.makedirs(os.path.join(path, "postings"))  # meta-less corpse
+    # age the corpse past the staleness threshold (r11 advice: a YOUNG
+    # meta-less dir may be a healthy concurrent swap mid-window and
+    # must NOT be reclaimed; only provably stale dirs are)
+    import time
+
+    old = time.time() - 3600
+    os.utime(path, (old, old))
     built = []
 
     def _build(staging):
@@ -186,3 +193,34 @@ def test_ensure_cached_artifact_rebuilds_meta_less_corpse(tmp_path):
     assert _ensure_cached_artifact(path, _build) == path
     assert built and os.path.isdir(os.path.join(path, "meta"))
     assert not os.path.isdir(os.path.join(path, "postings"))
+
+
+def test_ensure_cached_artifact_waits_out_concurrent_swap(tmp_path):
+    """r11 advice: a meta-less dir younger than the staleness threshold
+    is a concurrent maintenance swap's transient window, not a corpse —
+    the sweep must WAIT for meta/ to land and then use the artifact,
+    never delete it out from under the swapper."""
+    import os
+    import threading
+    import time
+
+    from prefixtree_spark.workloads_ext import _ensure_cached_artifact
+
+    path = str(tmp_path / "swapping")
+    os.makedirs(os.path.join(path, "postings"))  # mid-swap: no meta yet
+
+    def _finish_swap():
+        time.sleep(1.0)
+        os.makedirs(os.path.join(path, "meta"))  # the swap lands
+
+    t = threading.Thread(target=_finish_swap)
+    t.start()
+
+    def _boom(staging):
+        raise AssertionError("must not rebuild over a live swap")
+
+    try:
+        assert _ensure_cached_artifact(path, _boom, stale_s=30.0) == path
+    finally:
+        t.join()
+    assert os.path.isdir(os.path.join(path, "postings"))  # untouched
