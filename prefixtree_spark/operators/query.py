@@ -1075,7 +1075,7 @@ def _cached_local_index(pt: DataFrame) -> LocalIndex:
 
 def query_one(
     index: LocalIndex | DataFrame, s: str, max_distance: int,
-    *, metric: str = "levenshtein",
+    *, metric: str = "levenshtein", bytes: bool = False,
 ) -> list[tuple[str, int]]:
     """Single-string fuzzy lookup ≡ QueryRoxieLevenshtein
     (PrefixTree.ecl:459-588): returns [(word, distance)] sorted.
@@ -1086,6 +1086,11 @@ def query_one(
     the batch join. The rerank is a handful of scalar DPs over the
     tree-pruned candidate list — point-lookup latency stays
     point-lookup-shaped.
+
+    ``bytes=True``: byte-semantics lookup against an index built with
+    ``create(..., bytes=True)`` — edits count UTF-8 bytes (the
+    reference's ECL byte strings), results come back as real UTF-8
+    strings; same both-sides caller duty as the batch ``query``.
 
     Pass a ``LocalIndex`` (``build_local_index``) for explicit handle
     control. A DataFrame argument is served from a small LRU of
@@ -1098,6 +1103,19 @@ def query_one(
         )
     if isinstance(index, DataFrame):
         index = _cached_local_index(index)
+    if bytes:
+        # byte semantics against an index built with create(bytes=True)
+        # — the same ISO-8859-1 byte-surrogate space as the batch path
+        # (see query()); results decode back to real UTF-8. The sort
+        # order survives the decode: UTF-8 byte order IS codepoint
+        # order, so surrogate ties break identically.
+        raw = query_one(
+            index,
+            s.encode("utf-8").decode("latin-1"),
+            max_distance,
+            metric=metric,
+        )
+        return [(w.encode("latin-1").decode("utf-8"), d) for w, d in raw]
     if metric == "damerau":
         from prefixtree_spark.functions.damerau import damerau_levenshtein
 

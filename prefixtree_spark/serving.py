@@ -99,8 +99,14 @@ class PrefixTreeServer:
         ann_index: "LocalVectorIndex | None" = None, max_ann_k: int = 100,
         sparse_index: "LocalSparseIndex | None" = None,
         max_terms: int = 64,
+        bytes_mode: bool = False,
     ):
         self.index = index
+        # byte-semantics serving: the loaded index was built with
+        # create(bytes=True), so /search queries enter (and results
+        # leave) the UTF-8 byte-surrogate space via query_one(bytes=)
+        # — the served twin of the batch byte mode (r12)
+        self.bytes_mode = bool(bytes_mode)
         # optional vector sidecar: GET /ann?v=<csv floats>&k=&nprobe=
         # serves top-k cosine neighbors from a LocalVectorIndex (the
         # IVF-FLAT serving handle); swap-able like the word index
@@ -250,13 +256,14 @@ class PrefixTreeServer:
                                 f"probed radius)",
                             )
                             return
-                        if metric == "damerau":
+                        if metric == "damerau" or srv.bytes_mode:
                             from prefixtree_spark.operators.query import (
                                 query_one,
                             )
 
                             hits = query_one(
-                                index, q["q"], k, metric="damerau"
+                                index, q["q"], k, metric=metric,
+                                bytes=srv.bytes_mode,
                             )
                         else:
                             hits = index.search(q["q"], k)

@@ -1233,3 +1233,29 @@ def test_multi_endpoint_hammer_across_both_family_swaps(spark, tmp_path):
         assert {eA, eB} <= {s for s in seen["ann"]}
         assert {s for s in seen["sparse"]} == {s1, s2}
         assert len(seen["hybrid"]) > 10
+
+
+def test_server_bytes_mode_serves_byte_distances(spark):
+    """bytes_mode serving: the loaded index was built with
+    create(bytes=True); /search edits count UTF-8 bytes (é = 2) and
+    results decode back to real UTF-8 strings — both metrics."""
+    import urllib.parse
+
+    from prefixtree_spark import create
+    from prefixtree_spark.operators.query import build_local_index
+
+    words = ["héllo", "hello", "ab", "ba"]
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    pt = create(df, "word", bytes=True)
+    with PrefixTreeServer(build_local_index(pt), bytes_mode=True) as srv:
+        q = urllib.parse.quote("héllo")
+        got1 = {tuple(x) for x in _get(srv.url(f"/search?q={q}&k=1"))}
+        assert got1 == {("héllo", 0)}  # real utf-8 back, byte distance
+        got2 = {tuple(x) for x in _get(srv.url(f"/search?q={q}&k=2"))}
+        assert got2 == {("héllo", 0), ("hello", 2)}
+        # damerau byte mode through the same endpoint
+        got3 = {
+            tuple(x)
+            for x in _get(srv.url("/search?q=ab&k=1&metric=damerau"))
+        }
+        assert got3 == {("ab", 0), ("ba", 1)}
