@@ -186,6 +186,7 @@ def remove_words(
     *,
     trim: str = "both",
     pruned: bool | None = None,
+    bytes: bool = False,
 ) -> DataFrame:
     """Delete ``df[col]``'s words from the node table ``pt`` and return
     the updated table. Equivalent, as query-result SETS, to
@@ -206,7 +207,9 @@ def remove_words(
     ``trim`` MUST match the build's trim mode: a ``trim="right"``
     index keeps leading-space words as distinct entries, and full-
     trimming the removal delta here would silently delete the WRONG
-    word (the trimmed homograph) instead.
+    word (the trimmed homograph) instead. ``bytes`` likewise: a
+    ``create(bytes=True)`` index stores byte-surrogate labels, and an
+    un-transformed delta would miss every non-ASCII end-cap.
 
     ``pruned``: None (default) auto-chooses from two metadata counts —
     a removal batch smaller than half the forest count provably
@@ -228,6 +231,10 @@ def remove_words(
     words = df.select(
         _trim_fn(trim)(F.col(col) if isinstance(col, str) else col).alias("word")
     ).where(F.col("word") != "")
+    if bytes:
+        words = words.select(
+            F.decode(F.encode("word", "UTF-8"), "ISO-8859-1").alias("word")
+        )
     hits = (
         pt.where("is_word")
         .join(words, pt["node"] == words["word"])
@@ -310,17 +317,20 @@ def add_words(
     prefix_len: int | None = None,
     trim: str = "both",
     pruned: bool | None = None,
+    bytes: bool = False,
 ) -> DataFrame:
     """Insert ``df[col]``'s words into the node table ``pt`` and return
     the updated table (same schema). Equivalent, as query-result SETS,
     to ``create(old_words ∪ delta)`` — pinned by property tests and the
     ``pt_add_words`` oracle workload.
 
-    ``prefix_len`` and ``trim`` must match the values used at
-    ``create`` time: a prefix_len mismatch only costs locality (extra
-    roots are harmless, SURVEY.md §0), but a trim mismatch changes
-    WHICH word the delta spells on a ``trim="right"`` index (leading
-    spaces are significant there). ``keep_duplicates`` tables are not
+    ``prefix_len``, ``trim``, and ``bytes`` must match the values used
+    at ``create`` time: a prefix_len mismatch only costs locality
+    (extra roots are harmless, SURVEY.md §0), but a trim mismatch
+    changes WHICH word the delta spells on a ``trim="right"`` index
+    (leading spaces are significant there), and a bytes mismatch
+    inserts codepoint strings into a byte-surrogate tree (or vice
+    versa), silently corrupting non-ASCII entries. ``keep_duplicates`` tables are not
     supported (the multiplicity column would need merge semantics —
     rebuild instead). ``pruned`` as in ``remove_words``: sparse deltas
     route only touched forests through Python (auto by default).
@@ -330,6 +340,10 @@ def add_words(
     words = df.select(
         _trim_fn(trim)(F.col(col) if isinstance(col, str) else col).alias("word")
     ).where(F.col("word") != "")
+    if bytes:
+        words = words.select(
+            F.decode(F.encode("word", "UTF-8"), "ISO-8859-1").alias("word")
+        )
     if max_word_len is not None:
         words = words.where(F.length("word") <= max_word_len)
     # sparse/bulk gate input, counted BEFORE the anti-join so the gate

@@ -280,3 +280,47 @@ def test_n_forests_hint_skips_probe_and_rides_saves(spark, tmp_path):
     assert {r.node for r in out2.where("is_word").collect()} == {
         "DOG", "CART", "DART",
     }
+
+
+def test_bytes_mode_deltas_match_monolithic_byte_build(spark):
+    """add_words/remove_words on a create(bytes=True) index must speak
+    the same byte-surrogate space: grow-then-shrink equals the
+    monolithic byte build as a query-result set, non-ASCII words
+    included."""
+    from prefixtree_spark import add_words, create, query, remove_words
+
+    base = ["héllo", "wörld", "plain"]
+    extra = ["hëllo", "worle"]
+    df = spark.createDataFrame([(w,) for w in base], ["word"])
+    pt = create(df, "word", bytes=True, num_partitions=2)
+    pt = add_words(
+        pt, spark.createDataFrame([(w,) for w in extra], ["word"]),
+        "word", bytes=True,
+    )
+    pt = remove_words(
+        pt, spark.createDataFrame([("plain",), ("wörld",)], ["word"]),
+        "word", bytes=True,
+    )
+    mono = create(
+        spark.createDataFrame(
+            [(w,) for w in ["héllo", "hëllo", "worle"]], ["word"]
+        ),
+        "word", bytes=True, num_partitions=2,
+    )
+    qdf = spark.createDataFrame([("héllo",), ("worle",)], ["q"])
+    got = {
+        (r.query_string, r.node, r.final_distance)
+        for r in query(pt, qdf, "q", 2, bytes=True).collect()
+    }
+    want = {
+        (r.query_string, r.node, r.final_distance)
+        for r in query(mono, qdf, "q", 2, bytes=True).collect()
+    }
+    assert got == want and got
+    # byte semantics really held through the deltas: hëllo is 2 byte
+    # edits from héllo (ë and é differ in their second UTF-8 byte...
+    # verify against the DuckDB byte oracle instead of guessing)
+    import duckdb
+
+    d = duckdb.sql("select levenshtein('héllo','hëllo')").fetchone()[0]
+    assert ("héllo", "hëllo", d) in got or d > 2
