@@ -341,7 +341,20 @@ class PrefixTreeServer:
                             for d, r in fused
                         ]
                     elif url.path == "/prefix":
-                        hits = index.search_prefix(q["p"])
+                        if srv.bytes_mode:
+                            # byte-surrogate trie: probe with the
+                            # prefix's UTF-8 bytes, decode words back
+                            # (byte-prefix == string-prefix for whole-
+                            # codepoint prefixes, and UTF-8 byte order
+                            # == codepoint order so the sort survives)
+                            hits = [
+                                w.encode("latin-1").decode("utf-8")
+                                for w in index.search_prefix(
+                                    q["p"].encode("utf-8").decode("latin-1")
+                                )
+                            ]
+                        else:
+                            hits = index.search_prefix(q["p"])
                         truncated = len(hits) > srv.max_hits
                         body = hits[: srv.max_hits]
                     else:

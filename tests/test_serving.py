@@ -1259,3 +1259,8 @@ def test_server_bytes_mode_serves_byte_distances(spark):
             for x in _get(srv.url("/search?q=ab&k=1&metric=damerau"))
         }
         assert got3 == {("ab", 0), ("ba", 1)}
+        # /prefix probes the surrogate trie with utf-8 bytes and
+        # decodes results back
+        p = urllib.parse.quote("h\u00e9")
+        assert _get(srv.url(f"/prefix?p={p}")) == ["héllo"]
+        assert _get(srv.url("/prefix?p=h")) == ["hello", "héllo"]
