@@ -230,26 +230,50 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("events_value_quantiles_approx", None)
+@workload(
+    "events_value_quantiles_approx",
+    """
+    SELECT event_type,
+           CAST(1 AS INT) AS p25_ok, CAST(1 AS INT) AS p50_ok,
+           CAST(1 AS INT) AS p75_ok, CAST(1 AS INT) AS p95_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch twin of ``events_value_quantiles`` — the 100 TB path.
-
-    ``approx_percentile`` aggregates a bounded-memory quantile summary
-    (Greenwald-Khanna style) with map-side partial merge, so per-group
-    state is O(accuracy), independent of group cardinality — exact
-    ``percentile`` materializes every value per group. Error is
-    RANK-based (≤ n/accuracy ranks), not value-based; the accuracy
-    band vs the exact twin is asserted in tests/test_relational.py.
-    No SQL oracle: DuckDB's approx sketch is a different algorithm, so
-    the driver records the rows-only check."""
+    """Sketch twin of ``events_value_quantiles`` — the 100 TB path,
+    hash-gated on the sketch's own guarantee (r12; this row was
+    rows-only). ``approx_percentile`` aggregates a bounded-memory
+    quantile summary (Greenwald-Khanna style) with map-side partial
+    merge, so per-group state is O(accuracy), independent of group
+    cardinality. Its error is RANK-based: ≤ n/accuracy ranks, i.e.
+    relative rank error ≤ 1e-4 at accuracy 10,000. The gate checks
+    each sketch value lies inside the EXACT percentile bracket at
+    rank ±0.01 — a 100× margin over the guarantee — and emits one
+    flag row per group; the oracle asserts every flag. The sketch's
+    merge order may vary run to run, but any run satisfies the
+    guarantee, so the flags are deterministic where raw values are
+    not. Numeric error bands vs the exact twin stay in
+    tests/test_relational.py."""
     ev = load_table(spark, sf_dir, "events")
     acc = 10_000
-    return ev.groupBy("event_type").agg(
-        F.expr(f"approx_percentile(value, 0.25, {acc})").alias("p25"),
-        F.expr(f"approx_percentile(value, 0.5, {acc})").alias("p50"),
-        F.expr(f"approx_percentile(value, 0.75, {acc})").alias("p75"),
-        F.expr(f"approx_percentile(value, 0.95, {acc})").alias("p95"),
-    )
+    cols = ["event_type"]
+    aggs = []
+    for q in (25, 50, 75, 95):
+        f = q / 100.0
+        aggs += [
+            F.expr(f"approx_percentile(value, {f}, {acc})").alias(f"a{q}"),
+            F.expr(f"percentile(value, {max(f - 0.01, 0.0)})").alias(f"lo{q}"),
+            F.expr(f"percentile(value, {min(f + 0.01, 1.0)})").alias(f"hi{q}"),
+        ]
+    g = ev.groupBy("event_type").agg(*aggs)
+    for q in (25, 50, 75, 95):
+        cols.append(
+            (
+                (F.col(f"a{q}") >= F.col(f"lo{q}"))
+                & (F.col(f"a{q}") <= F.col(f"hi{q}"))
+            ).cast("int").alias(f"p{q}_ok")
+        )
+    return g.select(*cols)
 
 
 @workload(
@@ -462,14 +486,33 @@ def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("events_distinct_users_approx", None)
+@workload(
+    "events_distinct_users_approx",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_exact,
+           CAST(1 AS INT) AS sketch_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ sketch cardinality next to the exact count — the
-    100 TB path (fixed-size mergeable state, one sketch shuffle). No
-    SQL oracle: DuckDB's approx sketch differs; the error band vs the
-    exact column is asserted in tests/test_relational.py."""
+    100 TB path (fixed-size mergeable state, one sketch shuffle) —
+    hash-gated (r12; this row was rows-only): ``n_exact`` is hashed
+    exactly against the SQL count, and the sketch must land within
+    ±10% of it (rsd=0.02 → 5σ — effectively certain for a working
+    HLL++, broken for a corrupted one) or within ±5 absolute for tiny
+    groups, where the sparse-mode sketch is exact anyway. Numeric
+    error bands stay in tests/test_relational.py."""
     ev = load_table(spark, sf_dir, "events")
-    return relational.distinct_counts(ev, "event_type", "user_id", rsd=0.02)
+    out = relational.distinct_counts(ev, "event_type", "user_id", rsd=0.02)
+    tol = F.greatest(0.1 * F.col("n_exact"), F.lit(5.0))
+    return out.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact")) <= tol
+        ).cast("int").alias("sketch_ok"),
+    )
 
 
 @workload(
