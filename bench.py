@@ -594,6 +594,15 @@ def main() -> None:
         lambda: catalog["semantic_dedup_corpus"](spark, sf_dir).count(),
         extra=True,
     )
+    # r12: byte-semantics fuzzy join (bytes=True end to end on an
+    # accented vocabulary) — extra, recorded so the "byte mode costs
+    # one encode/decode Project, nothing more" claim is measured every
+    # round next to the codepoint-mode entries above
+    bench(
+        "fuzzy_join_unicode_bytes",
+        lambda: catalog["fuzzy_join_unicode_bytes"](spark, sf_dir).count(),
+        extra=True,
+    )
 
     # minhash stage breakdown (round-5 verdict #3): time each pipeline
     # stage separately, materialized via cache+count. Isolated warm
