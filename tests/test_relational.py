@@ -43,10 +43,7 @@ def test_approx_quantiles_within_rank_tolerance(spark):
     accuracy=10000 the rank error is ≤ n/10000 ranks per group, so the
     approx quantile must land inside the exact [p-eps, p+eps] value
     band. Checked per (event_type, percentile)."""
-    from prefixtree_spark.workloads_rel import (
-        events_value_quantiles,
-        events_value_quantiles_approx,
-    )
+    from prefixtree_spark.workloads_rel import events_value_quantiles_approx
 
     exact_band = {}
     ev = load_table(spark, SF_SMOKE, "events")
@@ -64,13 +61,27 @@ def test_approx_quantiles_within_rank_tolerance(spark):
         ).collect()
         for r in rows:
             exact_band[(r.event_type, p)] = (r.lo, r.hi)
-    approx = events_value_quantiles_approx(spark, SF_SMOKE).collect()
+    # the raw sketch values, at the tighter +-0.005 band (the gated
+    # workload asserts its own +-0.01 band and now emits FLAGS — r12)
+    acc = 10_000
+    approx = ev.groupBy("event_type").agg(
+        *[
+            F.expr(f"approx_percentile(value, {p}, {acc})").alias(col)
+            for p, col in [(0.25, "p25"), (0.5, "p50"),
+                           (0.75, "p75"), (0.95, "p95")]
+        ]
+    ).collect()
     assert len(approx) > 0
     for r in approx:
         for p, col in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")]:
             lo, hi = exact_band[(r.event_type, p)]
             v = getattr(r, col)
             assert lo <= v <= hi, (r.event_type, p, v, lo, hi)
+    # and the gated workload's flags are all green
+    gated = events_value_quantiles_approx(spark, SF_SMOKE).collect()
+    assert gated and all(
+        r.p25_ok == r.p50_ok == r.p75_ok == r.p95_ok == 1 for r in gated
+    )
 
 
 def test_sessionize_values(spark):
