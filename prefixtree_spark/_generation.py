@@ -127,27 +127,74 @@ def acquire_maintenance_lease(
     from prefixtree_spark.sources.io import _atomic_create, _fs
 
     fs, jvm = _fs(spark, path)
-    lp = jvm.org.apache.hadoop.fs.Path(f"{path}/_maintenance_lease")
+    P = jvm.org.apache.hadoop.fs.Path
+    lease = f"{path}/_maintenance_lease"
+    lp = P(lease)
     token = uuid.uuid4().hex
-    for attempt in range(2):  # second pass only after a steal
+
+    def _age_ms(p) -> "int | None":
         try:
-            st = fs.getFileStatus(lp)
-            age_ms = (
+            return (
                 jvm.java.lang.System.currentTimeMillis()
-                - st.getModificationTime()
+                - fs.getFileStatus(p).getModificationTime()
             )
         except Exception:
-            st = None  # absent (or vanished mid-check): try to claim
-            age_ms = None
-        if st is not None:
-            if age_ms < ttl_s * 1000:
+            return None  # absent (or vanished mid-check)
+
+    # GC stray steal/release corpses from crashed fencing operations
+    # (harmless dotfiles, but unbounded accumulation is litter)
+    try:
+        for st in fs.listStatus(P(path)):
+            name = st.getPath().getName()
+            if name.startswith(".lease_") and (
+                jvm.java.lang.System.currentTimeMillis()
+                - st.getModificationTime()
+            ) > ttl_s * 1000:
+                fs.delete(st.getPath(), False)
+    except Exception:
+        pass
+
+    for attempt in range(2):  # second pass only after a steal
+        age = _age_ms(lp)
+        if age is not None:
+            if age < ttl_s * 1000:
                 raise MaintenanceLeaseHeld(
                     f"maintenance lease at {path!r} is held "
-                    f"(age {age_ms / 1000.0:.1f}s < ttl {ttl_s}s); "
+                    f"(age {age / 1000.0:.1f}s < ttl {ttl_s}s); "
                     "another maintain_*_index run is in flight"
                 )
-            fs.delete(lp, False)  # stale: crashed maintainer — steal
-        if _atomic_create(spark, f"{path}/_maintenance_lease", token):
+            # STEAL, fenced (r12 review #1): delete-then-create would
+            # let two concurrent stealers each delete the OTHER's
+            # fresh lease (stat-stale / stat-stale / B steals+claims /
+            # C deletes B's claim). Rename-to-unique instead: the
+            # source vanishes with the first rename, so exactly one
+            # stealer removes the stale lease; losers fall through to
+            # _atomic_create and lose that too. Post-rename verify:
+            # if the renamed file is YOUNG, the stale holder released
+            # and a NEW maintainer claimed between our stat and
+            # rename — restore it and report held. (Residual: a
+            # third claimant landing inside the restore window orphans
+            # the restored owner — three actors inside one mtime
+            # check; the delete design failed with two.)
+            corpse = P(f"{path}/.lease_steal_{token}")
+            try:
+                renamed = fs.rename(lp, corpse)
+            except Exception:
+                renamed = False
+            if renamed:
+                cage = _age_ms(corpse)
+                if cage is not None and cage < ttl_s * 1000:
+                    try:
+                        if not fs.rename(corpse, lp):
+                            fs.delete(corpse, False)
+                    except Exception:
+                        pass
+                    raise MaintenanceLeaseHeld(
+                        f"maintenance lease at {path!r} was re-claimed "
+                        "while this steal was in flight"
+                    )
+                fs.delete(corpse, False)
+        if _atomic_create(spark, lease, token):
             return token
         # lost the claim race to another maintainer
         if attempt == 0:
@@ -159,19 +206,40 @@ def acquire_maintenance_lease(
 
 
 def release_maintenance_lease(spark, path: str, token: str) -> None:
-    """Release the writer lease — FENCED: deletes only when the lease
-    body still carries ``token``, so a maintainer whose stale lease
-    was stolen (it outlived ``ttl_s``) cannot delete the new owner's
-    lease on its way out."""
+    """Release the writer lease — FENCED: only the holder of ``token``
+    can remove the live lease. A read-then-delete would leave a window
+    in which a just-stolen-from maintainer deletes its successor's
+    fresh lease (r12 review #2); instead the lease is renamed to a
+    unique name FIRST (atomic claim of the file), its body checked,
+    and a mismatched lease renamed straight back. (Residual: a third
+    claimant inside the rename-back window — same three-actor bound
+    as the steal path.)"""
+    import uuid
+
     from prefixtree_spark.sources.io import _fs, _read_small_file
 
     fs, jvm = _fs(spark, path)
-    lease = f"{path}/_maintenance_lease"
+    P = jvm.org.apache.hadoop.fs.Path
+    lp = P(f"{path}/_maintenance_lease")
+    tmp = P(f"{path}/.lease_release_{uuid.uuid4().hex}")
     try:
-        if _read_small_file(spark, lease) == token:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(lease), False)
+        if not fs.rename(lp, tmp):
+            return  # lease gone (stolen + released, or never created)
     except Exception:
-        pass  # already stolen or removed — we are fenced out
+        return
+    try:
+        body = _read_small_file(spark, str(tmp))
+    except Exception:
+        body = None
+    if body == token:
+        fs.delete(tmp, False)
+        return
+    # not ours — a stealer owns the lease now; put it back untouched
+    try:
+        if not fs.rename(tmp, lp):
+            fs.delete(tmp, False)
+    except Exception:
+        pass
 
 
 def probe_consistent(spark, path: str, fn, *, retries: int = 2,

@@ -545,9 +545,9 @@ def create(
     )
     words = words.where(F.col("word") != "")
     if bytes:
-        words = words.select(
-            F.decode(F.encode("word", "UTF-8"), "ISO-8859-1").alias("word")
-        )
+        from prefixtree_spark.functions.bytesurrogate import to_byte_surrogate
+
+        words = words.select(to_byte_surrogate("word").alias("word"))
     if max_word_len is not None:
         words = words.where(F.length("word") <= max_word_len)
     n = num_partitions or words.sparkSession.sparkContext.defaultParallelism

@@ -232,9 +232,9 @@ def remove_words(
         _trim_fn(trim)(F.col(col) if isinstance(col, str) else col).alias("word")
     ).where(F.col("word") != "")
     if bytes:
-        words = words.select(
-            F.decode(F.encode("word", "UTF-8"), "ISO-8859-1").alias("word")
-        )
+        from prefixtree_spark.functions.bytesurrogate import to_byte_surrogate
+
+        words = words.select(to_byte_surrogate("word").alias("word"))
     hits = (
         pt.where("is_word")
         .join(words, pt["node"] == words["word"])
@@ -341,9 +341,9 @@ def add_words(
         _trim_fn(trim)(F.col(col) if isinstance(col, str) else col).alias("word")
     ).where(F.col("word") != "")
     if bytes:
-        words = words.select(
-            F.decode(F.encode("word", "UTF-8"), "ISO-8859-1").alias("word")
-        )
+        from prefixtree_spark.functions.bytesurrogate import to_byte_surrogate
+
+        words = words.select(to_byte_surrogate("word").alias("word"))
     if max_word_len is not None:
         words = words.where(F.length("word") <= max_word_len)
     # sparse/bulk gate input, counted BEFORE the anti-join so the gate

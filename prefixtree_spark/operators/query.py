@@ -765,18 +765,19 @@ def query(
     as ``trim``); mixing modes silently miscounts non-ASCII edits.
     """
     if bytes:
-        enc = queries.select(
-            F.decode(F.encode(F.col(col), "UTF-8"), "ISO-8859-1").alias(col)
+        from prefixtree_spark.functions.bytesurrogate import (
+            from_byte_surrogate,
+            to_byte_surrogate,
         )
+
+        enc = queries.select(to_byte_surrogate(F.col(col)).alias(col))
         out = query(
             pt, enc, col, max_distance, mode=mode, colocated=colocated,
             index=index, tree_partitioned=tree_partitioned,
         )
         return out.select(
-            F.decode(F.encode("query_string", "ISO-8859-1"), "UTF-8").alias(
-                "query_string"
-            ),
-            F.decode(F.encode("node", "ISO-8859-1"), "UTF-8").alias("node"),
+            from_byte_surrogate("query_string").alias("query_string"),
+            from_byte_surrogate("node").alias("node"),
             "final_distance",
         )
     k = int(max_distance)
@@ -1109,13 +1110,15 @@ def query_one(
         # (see query()); results decode back to real UTF-8. The sort
         # order survives the decode: UTF-8 byte order IS codepoint
         # order, so surrogate ties break identically.
-        raw = query_one(
-            index,
-            s.encode("utf-8").decode("latin-1"),
-            max_distance,
-            metric=metric,
+        from prefixtree_spark.functions.bytesurrogate import (
+            py_from_byte_surrogate,
+            py_to_byte_surrogate,
         )
-        return [(w.encode("latin-1").decode("utf-8"), d) for w, d in raw]
+
+        raw = query_one(
+            index, py_to_byte_surrogate(s), max_distance, metric=metric
+        )
+        return [(py_from_byte_surrogate(w), d) for w, d in raw]
     if metric == "damerau":
         from prefixtree_spark.functions.damerau import damerau_levenshtein
 

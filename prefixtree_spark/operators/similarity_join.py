@@ -102,7 +102,11 @@ def similarity_join(
         def _dl_arg(c):
             if not bytes:
                 return F.col(c)
-            return F.decode(F.encode(F.col(c), "UTF-8"), "ISO-8859-1")
+            from prefixtree_spark.functions.bytesurrogate import (
+                to_byte_surrogate,
+            )
+
+            return to_byte_surrogate(F.col(c))
 
         scored = (
             cand.where(

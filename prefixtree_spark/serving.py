@@ -346,17 +346,28 @@ class PrefixTreeServer:
                             # prefix's UTF-8 bytes, decode words back
                             # (byte-prefix == string-prefix for whole-
                             # codepoint prefixes, and UTF-8 byte order
-                            # == codepoint order so the sort survives)
-                            hits = [
-                                w.encode("latin-1").decode("utf-8")
-                                for w in index.search_prefix(
-                                    q["p"].encode("utf-8").decode("latin-1")
-                                )
+                            # == codepoint order so the sort survives).
+                            # Truncate BEFORE decoding: a one-byte
+                            # prefix can match the whole dictionary,
+                            # and decoding discarded hits is wasted
+                            # per-request CPU (r12 review #6)
+                            from prefixtree_spark.functions.bytesurrogate import (
+                                py_from_byte_surrogate,
+                                py_to_byte_surrogate,
+                            )
+
+                            raw = index.search_prefix(
+                                py_to_byte_surrogate(q["p"])
+                            )
+                            truncated = len(raw) > srv.max_hits
+                            body = [
+                                py_from_byte_surrogate(w)
+                                for w in raw[: srv.max_hits]
                             ]
                         else:
                             hits = index.search_prefix(q["p"])
-                        truncated = len(hits) > srv.max_hits
-                        body = hits[: srv.max_hits]
+                            truncated = len(hits) > srv.max_hits
+                            body = hits[: srv.max_hits]
                     else:
                         self.send_error(404)
                         return

@@ -694,9 +694,15 @@ def published_table_health(
         try:
             entries.append((n, _read_small_file(spark, p)))
         except Exception:
-            pass  # racing vacuum retired this entry mid-listing
-            # (same tolerance as local_published_health — the two
-            # views must not drift under concurrency, r11 advice)
+            # Tolerate ONLY the vacuum race (entry retired between the
+            # listing and the read — same tolerance as
+            # local_published_health, r11 advice). A still-present
+            # entry that cannot be read is a real failure (permissions,
+            # corruption, transient FS outage): re-raise, because a
+            # health view that silently drops versions reports a
+            # HEALTHIER table than exists (r12 review #4).
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(p)):
+                raise
     dir_stats: dict[str, tuple[int, int]] = {}
     rootp = jvm.org.apache.hadoop.fs.Path(root)
     if fs.exists(rootp):

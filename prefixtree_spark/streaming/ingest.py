@@ -679,6 +679,8 @@ def maintain_ingest(
     bm25_max_files_per_bucket: float = 4.0,
     bm25_rebuild: "bool | tuple[str, str]" = False,
     bm25_reconcile: "bool | tuple[str, str]" = False,
+    lease_ttl_s: float = 3600.0,
+    lease_wait: bool = False,
 ) -> dict[str, int]:
     """Out-of-band maintenance for an ingest pair (corpus + bands):
     when either table's live chain exceeds ``max_segments``, fold it
@@ -695,7 +697,13 @@ def maintain_ingest(
     ranges — then ``ingest_batch``'s pinned literal-IN candidate fetch
     prunes whole files by parquet id stats instead of scanning every
     corpus file. The bands table stays hash-laid-out: its reader is a
-    (band, bucket) equi-join, which file stats can't prune."""
+    (band, bucket) equi-join, which file stats can't prune.
+
+    ``lease_ttl_s`` passes through to the index writer leases; a
+    concurrently-held lease SKIPS that index's maintenance and records
+    ``<path>_lease_held: 1`` in the report (vacuum/compaction already
+    ran; the next scheduled pass converges) — set ``lease_wait=True``
+    to get the raising behavior instead."""
     from prefixtree_spark.sources.io import (
         compact_published,
         published_chain_length,
@@ -755,16 +763,33 @@ def maintain_ingest(
             rec_with = pub.select(
                 F.col(rid).alias("vec_id"), F.col(rvec).alias("cv"), *pay
             ).where(F.col("cv").isNotNull())
-        rep = maintain_ivf_index(
-            spark, ann_index_path,
-            retrain_frac=ann_retrain_frac,
-            max_files_per_cell=ann_max_files_per_cell,
-            reconcile_ids=reconcile,
-            reconcile_with=rec_with,
-        )
-        out[f"{ann_index_path}_retrained"] = int(rep["retrained"])
-        out[f"{ann_index_path}_compacted"] = int(rep["compacted"])
-        out[f"{ann_index_path}_reconciled"] = int(rep["reconciled"])
+        # lease discipline (r12 review #3): a held index lease must
+        # not abort the whole maintenance pass after the vacuum half
+        # already ran — record the skip in the report and let the next
+        # scheduled run converge. lease_ttl_s passes through so
+        # pipelines whose maintenance takes minutes are not blocked an
+        # hour by a crashed run's stale lease.
+        from prefixtree_spark._generation import MaintenanceLeaseHeld
+
+        try:
+            rep = maintain_ivf_index(
+                spark, ann_index_path,
+                retrain_frac=ann_retrain_frac,
+                max_files_per_cell=ann_max_files_per_cell,
+                reconcile_ids=reconcile,
+                reconcile_with=rec_with,
+                lease_ttl_s=lease_ttl_s,
+            )
+        except MaintenanceLeaseHeld:
+            if not lease_wait:
+                out[f"{ann_index_path}_lease_held"] = 1
+                rep = None
+            else:
+                raise
+        if rep is not None:
+            out[f"{ann_index_path}_retrained"] = int(rep["retrained"])
+            out[f"{ann_index_path}_compacted"] = int(rep["compacted"])
+            out[f"{ann_index_path}_reconciled"] = int(rep["reconciled"])
     if bm25_index_path is not None:
         # the sparse side: compact merge-on-read increments when
         # appends fragment the buckets; ``bm25_reconcile=True`` (or an
@@ -785,20 +810,31 @@ def maintain_ingest(
         rb_id, rb_text = (
             spec if isinstance(spec, tuple) else ("doc_id", "text")
         )
-        srep = maintain_bm25_index(
-            spark, bm25_index_path,
-            max_files_per_bucket=bm25_max_files_per_bucket,
-            rebuild_from=(
-                read_published(spark, root) if bm25_rebuild else None
-            ),
-            reconcile_with=(
-                read_published(spark, root) if bm25_reconcile else None
-            ),
-            id_col=rb_id, text_col=rb_text,
-        )
-        out[f"{bm25_index_path}_compacted"] = int(srep["compacted"])
-        out[f"{bm25_index_path}_rebuilt"] = int(srep["rebuilt"])
-        out[f"{bm25_index_path}_reconciled"] = int(srep["reconciled"])
+        from prefixtree_spark._generation import MaintenanceLeaseHeld
+
+        try:
+            srep = maintain_bm25_index(
+                spark, bm25_index_path,
+                max_files_per_bucket=bm25_max_files_per_bucket,
+                rebuild_from=(
+                    read_published(spark, root) if bm25_rebuild else None
+                ),
+                reconcile_with=(
+                    read_published(spark, root) if bm25_reconcile else None
+                ),
+                id_col=rb_id, text_col=rb_text,
+                lease_ttl_s=lease_ttl_s,
+            )
+        except MaintenanceLeaseHeld:
+            if not lease_wait:
+                out[f"{bm25_index_path}_lease_held"] = 1
+                srep = None
+            else:
+                raise
+        if srep is not None:
+            out[f"{bm25_index_path}_compacted"] = int(srep["compacted"])
+            out[f"{bm25_index_path}_rebuilt"] = int(srep["rebuilt"])
+            out[f"{bm25_index_path}_reconciled"] = int(srep["reconciled"])
     return out
 
 

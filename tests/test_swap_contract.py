@@ -323,3 +323,49 @@ def test_maintenance_lease_stale_steal_and_fenced_release(spark, tmp_path):
     assert os.path.exists(lease)
     release_maintenance_lease(spark, path, stolen)
     assert not os.path.exists(lease)
+
+
+def test_maintenance_lease_concurrent_stealers_single_winner(spark, tmp_path):
+    """r12 review #1: N maintainers racing to steal ONE stale lease —
+    the rename-fenced steal admits exactly one winner, and no loser
+    deletes the winner's fresh lease on its way out (the delete-based
+    steal failed exactly this way)."""
+    import os
+    import threading
+    import time
+
+    from prefixtree_spark import MaintenanceLeaseHeld
+    from prefixtree_spark._generation import acquire_maintenance_lease
+
+    path = str(tmp_path / "lease_stampede")
+    os.makedirs(path)
+    lease = os.path.join(path, "_maintenance_lease")
+    with open(lease, "w") as f:
+        f.write("deadbeef" * 4)  # the crashed maintainer's token
+    old = time.time() - 120
+    os.utime(lease, (old, old))
+
+    tokens: list = []
+    held = []
+    errors = []
+    barrier = threading.Barrier(6)
+
+    def run():
+        barrier.wait()
+        try:
+            tokens.append(acquire_maintenance_lease(spark, path, ttl_s=10))
+        except MaintenanceLeaseHeld:
+            held.append(1)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors, errors[:2]
+    assert len(tokens) == 1 and len(held) == 5, (tokens, held)
+    # the winner's fresh lease is intact and carries the winner's token
+    with open(lease) as f:
+        assert f.read() == tokens[0]
