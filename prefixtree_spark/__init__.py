@@ -18,6 +18,7 @@ from prefixtree_spark._generation import (
     MaintenanceLeaseHeld,
     acquire_maintenance_lease,
     probe_consistent,
+    refresh_maintenance_lease,
     release_maintenance_lease,
 )
 from prefixtree_spark.plans.lifecycle import release_checkpoint
@@ -181,6 +182,7 @@ __all__ = [
     "MaintenanceLeaseHeld",
     "acquire_maintenance_lease",
     "probe_consistent",
+    "refresh_maintenance_lease",
     "release_maintenance_lease",
     "release_checkpoint",
     "describe_bm25_index",

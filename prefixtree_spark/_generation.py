@@ -141,12 +141,20 @@ def acquire_maintenance_lease(
         except Exception:
             return None  # absent (or vanished mid-check)
 
-    # GC stray steal/release corpses from crashed fencing operations
-    # (harmless dotfiles, but unbounded accumulation is litter)
+    # GC stray corpses from crashed fencing/claim operations (harmless
+    # dotfiles, but unbounded accumulation is litter): the steal/release
+    # rename targets AND the _atomic_create tmps a claimant strands if
+    # it crashes between fs.create(tmp) and the link/rename (r12 advice
+    # #4 — those carry the .tmp-_maintenance_lease- prefix, which the
+    # .lease_ match missed, so repeated claimant crashes accumulated
+    # them unboundedly)
     try:
         for st in fs.listStatus(P(path)):
             name = st.getPath().getName()
-            if name.startswith(".lease_") and (
+            if (
+                name.startswith(".lease_")
+                or name.startswith(".tmp-_maintenance_lease-")
+            ) and (
                 jvm.java.lang.System.currentTimeMillis()
                 - st.getModificationTime()
             ) > ttl_s * 1000:
@@ -211,9 +219,20 @@ def release_maintenance_lease(spark, path: str, token: str) -> None:
     in which a just-stolen-from maintainer deletes its successor's
     fresh lease (r12 review #2); instead the lease is renamed to a
     unique name FIRST (atomic claim of the file), its body checked,
-    and a mismatched lease renamed straight back. (Residual: a third
-    claimant inside the rename-back window — same three-actor bound
-    as the steal path.)"""
+    and a mismatched lease renamed straight back.
+
+    r13 (r12 advice #3): the rename-aside is gated behind a READ IN
+    PLACE. The r12 shape renamed EVERY late release aside, so a
+    stolen-from maintainer's release could resurrect a successor's
+    already-released lease with only two actors (A renames aside; B
+    releases, sees nothing, succeeds; A restores B's dead lease — an
+    orphan blocking all maintenance for up to ttl). Reading first means
+    a release whose token no longer matches returns WITHOUT touching
+    the file; the aside/restore machinery now runs only when the body
+    matched moments ago, narrowing the restore hazard from "every late
+    release" to a steal landing inside one read-to-rename window — and
+    a restore in THAT window puts back a lease that was live at the
+    read, not a released corpse."""
     import uuid
 
     from prefixtree_spark.sources.io import _fs, _read_small_file
@@ -221,10 +240,16 @@ def release_maintenance_lease(spark, path: str, token: str) -> None:
     fs, jvm = _fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
     lp = P(f"{path}/_maintenance_lease")
+    try:
+        body0 = _read_small_file(spark, str(lp))
+    except Exception:
+        return  # lease gone (stolen + released, or never created)
+    if body0 != token:
+        return  # a stealer owns the lease now — don't touch it
     tmp = P(f"{path}/.lease_release_{uuid.uuid4().hex}")
     try:
         if not fs.rename(lp, tmp):
-            return  # lease gone (stolen + released, or never created)
+            return  # vanished between read and rename (released twice)
     except Exception:
         return
     try:
@@ -234,10 +259,52 @@ def release_maintenance_lease(spark, path: str, token: str) -> None:
     if body == token:
         fs.delete(tmp, False)
         return
-    # not ours — a stealer owns the lease now; put it back untouched
+    # a steal replaced the lease between our read and rename — the
+    # renamed file is the STEALER's live lease; put it back untouched
     try:
         if not fs.rename(tmp, lp):
             fs.delete(tmp, False)
+    except Exception:
+        pass
+
+
+def refresh_maintenance_lease(spark, path: str, token: str) -> None:
+    """Heartbeat + fence for a long maintenance run (r12 advice #2).
+
+    The lease TTL is mtime-based and was never refreshed mid-run, so
+    any ``maintain_*`` run longer than ``lease_ttl_s`` silently lost
+    exclusion to a stealing concurrent maintainer — re-opening the
+    two-writer staged-rename race the lease exists to close. The locked
+    maintenance bodies call this between phases and IMMEDIATELY BEFORE
+    each live-layout swap:
+
+    - fence: re-read the lease body; if it no longer carries ``token``
+      the lease was stolen (this run overran its TTL and a new
+      maintainer owns the layout) — raise ``MaintenanceLeaseHeld``
+      BEFORE mutating the layout, so the steal costs this run its
+      result, never the layout its consistency;
+    - heartbeat: push the lease mtime forward (``fs.setTimes``) so the
+      TTL clock restarts at every phase boundary — a run whose phases
+      each fit inside the TTL now holds exclusion for the whole run,
+      however long, and ``ttl_s`` only needs to exceed the longest
+      PHASE, not the longest run. Best-effort: a filesystem that
+      refuses setTimes degrades to the r12 behavior (fence still
+      enforced)."""
+    from prefixtree_spark.sources.io import _fs, _read_small_file
+
+    fs, jvm = _fs(spark, path)
+    lp = jvm.org.apache.hadoop.fs.Path(f"{path}/_maintenance_lease")
+    try:
+        body = _read_small_file(spark, f"{path}/_maintenance_lease")
+    except Exception:
+        body = None
+    if body != token:
+        raise MaintenanceLeaseHeld(
+            f"maintenance lease at {path!r} was stolen mid-run (this "
+            "run overran its ttl); aborting before the layout swap"
+        )
+    try:
+        fs.setTimes(lp, jvm.java.lang.System.currentTimeMillis(), -1)
     except Exception:
         pass
 

@@ -1527,6 +1527,7 @@ def maintain_ivf_index(
             seed=seed,
             reconcile_ids=reconcile_ids,
             reconcile_with=reconcile_with,
+            _lease_token=token,
         )
     finally:
         release_maintenance_lease(spark, path, token)
@@ -1542,6 +1543,7 @@ def _maintain_ivf_index_locked(
     seed: int = 42,
     reconcile_ids: "DataFrame | None" = None,
     reconcile_with: "DataFrame | None" = None,
+    _lease_token: "str | None" = None,
 ) -> dict:
     """The maintenance policy loop for a persisted IVF index — the ANN
     analog of ``maintain_published``. Call it out of band (it rewrites
@@ -1614,6 +1616,7 @@ def _maintain_ivf_index_locked(
     from prefixtree_spark._generation import (
         clear_swapping as _clear_swapping,
         mark_swapping as _mark_swapping,
+        refresh_maintenance_lease as _refresh_lease,
     )
     from prefixtree_spark.sources.io import _fs
 
@@ -1621,7 +1624,17 @@ def _maintain_ivf_index_locked(
     P = jvm.org.apache.hadoop.fs.Path
     _SWAP_ORDER = ("vectors", "postings", "centroids", "pq_books", "meta")
 
+    def _fence() -> None:
+        # heartbeat + steal fence (r12 advice #2): refresh the lease
+        # TTL at phase boundaries, and abort BEFORE any live-layout
+        # mutation if the lease was stolen mid-run (this run overran
+        # its ttl) — the steal costs this run its result, never the
+        # layout its consistency
+        if _lease_token is not None:
+            _refresh_lease(spark, path, _lease_token)
+
     def _swap_in(staged: str) -> None:
+        _fence()
         # meta LAST: its presence under staged is the completeness
         # marker, so the swap is resumable from any crash point. The
         # _swapping intent marker opens here and is cleared only
@@ -1730,6 +1743,7 @@ def _maintain_ivf_index_locked(
         # ``src``, so the sidecar clears with the swap (a crash before
         # the clear leaves tombstones that no-op against the already-
         # filtered layout — harmless).
+        _fence()  # heartbeat before the long staged save
         save_ivf_index(
             src, "vec_id", "cv", staged_root,
             n_cells=int(meta["n_cells"]),
@@ -2018,6 +2032,7 @@ def _maintain_ivf_index_locked(
             .partitionBy("cell")
             .parquet(staged)
         )
+        _fence()
         _mark_swapping(spark, path)
         fs.delete(P(post_dir), True)
         if not fs.rename(P(staged), P(post_dir)):

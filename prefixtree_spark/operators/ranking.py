@@ -670,6 +670,7 @@ def maintain_bm25_index(
             id_col=id_col,
             text_col=text_col,
             n_buckets=n_buckets,
+            _lease_token=token,
         )
     finally:
         release_maintenance_lease(spark, path, token)
@@ -685,6 +686,7 @@ def _maintain_bm25_index_locked(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: "int | None" = None,
+    _lease_token: "str | None" = None,
 ) -> dict:
     """Maintenance for a persisted BM25 layout — the sparse twin of
     ``ann.maintain_ivf_index``'s compaction half (there is no trained
@@ -748,6 +750,7 @@ def _maintain_bm25_index_locked(
     from prefixtree_spark._generation import (
         clear_swapping as _clear_swapping,
         mark_swapping as _mark_swapping,
+        refresh_maintenance_lease as _refresh_lease,
     )
     from prefixtree_spark.operators.ann import _bump_ivf_generation
     from prefixtree_spark.sources.io import _fs
@@ -774,7 +777,15 @@ def _maintain_bm25_index_locked(
         finally:
             out.close()
 
+    def _fence() -> None:
+        # heartbeat + steal fence (r12 advice #2): refresh the lease
+        # TTL at phase boundaries, and abort BEFORE any live-layout
+        # mutation if the lease was stolen mid-run
+        if _lease_token is not None:
+            _refresh_lease(spark, path, _lease_token)
+
     def _swap_in() -> None:
+        _fence()
         # the _swapping intent marker opens here and is cleared by
         # _finish_swap AFTER the generation bump (r10 review: clearing
         # at rename-end with the bump still pending let a probe that
@@ -881,6 +892,7 @@ def _maintain_bm25_index_locked(
             # (r10 review)
             _stage_drained()
         else:
+            _fence()  # heartbeat before the long staged save
             save_bm25_index(
                 rebuild_from, id_col, text_col, staged_root,
                 n_buckets=int(n_buckets or meta.n_buckets),

@@ -2416,17 +2416,116 @@ def semantic_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("semantic_dedup_kmeans", None)
+@workload(
+    "semantic_dedup_kmeans",
+    """
+    WITH e0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id,
+             list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+      FROM e0
+    ),
+    dom AS (
+      SELECT b.vec_id FROM e b
+      WHERE EXISTS (
+        SELECT 1 FROM e a
+        WHERE a.vec_id < b.vec_id AND list_dot_product(a.v, b.v) >= 0.3
+      )
+    )
+    SELECT vec_id, CAST(1 AS INT) AS drop_sound,
+           CAST(1 AS INT) AS cluster_clean,
+           (SELECT COUNT(*) FROM dom)::BIGINT AS n_dom
+    FROM embeddings
+    """,
+)
 def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end SemDeDup with the engine's own spherical k-means (10
     clusters ≈ the fixture's generative label count) instead of the
-    ground-truth labels. Approximate by construction — boundary pairs
-    split across clusters are never compared — so rows-only here;
-    agreement with the labeled variant is asserted in tests."""
+    ground-truth labels, hash-gated on the DETERMINISTIC guarantees the
+    algorithm actually makes (r12 verdict #4 — this was the last
+    rows-only row). The learned clustering itself is NOT deterministic
+    across partitionings (measured: repartition(7) moves ~150 of 500
+    survivor ids — Lloyd's float partial sums are order-sensitive), so
+    gating on the survivor set or its recall vs the labeled twin
+    (measured 0.57-0.66, no stable floor) would be flaky by
+    construction. What IS invariant for EVERY clustering:
+
+    - ``drop_sound``: a dropped vector must have a lower-id cosine-≥θ
+      neighbor SOMEWHERE in the corpus (any in-cluster dominator is a
+      corpus-wide dominator). Computed with the SAME normalized-double
+      JVM fold the dedup itself uses, so the subset relation is exact
+      regardless of float boundaries — a broken assignment UDF, join
+      predicate, or threshold comparison emits unsound drops and the
+      flag goes red.
+    - ``cluster_clean``: no two SURVIVORS in the same learned cluster
+      may sit at cosine ≥ θ with ordered ids — the dominance rule
+      applied completely within every cluster.
+    - ``n_dom``: the corpus-wide dominated count, hashed directly
+      against DuckDB's own all-pairs computation — the
+      non-self-fulfilling anchor proving the Spark-side reference set
+      the flags compare against wasn't itself broken (the
+      ``n_exact``-tether discipline from the HLL gate).
+
+    Recall-vs-exhaustive trades stay in tests/test_ann.py."""
+    from prefixtree_spark.operators.ann import _as_double, _dot
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann.semantic_dedup_kmeans(
+    km = ann.semantic_dedup_kmeans(
         emb, "vec_id", "embedding", k=10, threshold=0.3, seed=42
-    ).select("vec_id", "cluster")
+    )
+    e = (
+        emb.select(
+            F.col("vec_id").alias("vid"),
+            _as_double(F.col("embedding")).alias("v0"),
+        )
+        .withColumn("nrm", F.sqrt(_dot(F.col("v0"), F.col("v0"))))
+        .select("vid", F.transform("v0", lambda x: x / F.col("nrm")).alias("v"))
+    )
+    # corpus-wide dominated set — same fold, same normalization as the
+    # operator, so membership comparison is bit-exact
+    ea, eb = e.alias("a"), e.alias("b")
+    dom = (
+        ea.join(eb, F.col("a.vid") < F.col("b.vid"))
+        .where(_dot(F.col("a.v"), F.col("b.v")) >= 0.3)
+        .select(F.col("b.vid").alias("vid"))
+        .distinct()
+    )
+    surv = km.select(F.col("vec_id").alias("vid"), "cluster")
+    dropped = e.select("vid").join(surv.select("vid"), "vid", "left_anti")
+    unsound = dropped.join(dom, "vid", "left_anti").withColumn(
+        "_unsound", F.lit(1)
+    )
+    # survivor pairs violating the within-cluster dominance rule
+    sv = surv.join(e, "vid")
+    sa, sb = sv.alias("sa"), sv.alias("sb")
+    cviol = (
+        sa.join(
+            sb,
+            (F.col("sa.cluster") == F.col("sb.cluster"))
+            & (F.col("sa.vid") < F.col("sb.vid")),
+        )
+        .where(_dot(F.col("sa.v"), F.col("sb.v")) >= 0.3)
+        .select(F.col("sb.vid").alias("vid"))
+        .distinct()
+        .withColumn("_cviol", F.lit(1))
+    )
+    n_dom = F.broadcast(
+        dom.agg(F.count(F.lit(1)).cast("long").alias("n_dom"))
+    )
+    return (
+        e.select("vid")
+        .join(unsound, "vid", "left")
+        .join(cviol, "vid", "left")
+        .crossJoin(n_dom)
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.col("_unsound").isNull().cast("int").alias("drop_sound"),
+            F.col("_cviol").isNull().cast("int").alias("cluster_clean"),
+            "n_dom",
+        )
+    )
 
 
 @workload(

@@ -253,11 +253,22 @@ def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     merge order may vary run to run, but any run satisfies the
     guarantee, so the flags are deterministic where raw values are
     not. Numeric error bands vs the exact twin stay in
-    tests/test_relational.py."""
+    tests/test_relational.py.
+
+    Small-group floor (r12 advice #1): the bracket bounds come from
+    Spark's INTERPOLATED exact percentile, while the sketch returns a
+    rank-nearest DATA VALUE — for groups where 0.01·n is under a
+    couple of ranks and values have gaps, an exact sketch value can
+    fall outside the interpolated bracket (a 2-row group [0,100]:
+    approx p50 = 0, lo = percentile(0.49) = 49 — false red). Groups
+    below 200 rows pass unconditionally: at accuracy 10,000 the sketch
+    is EXACT for any group under 10,000 rows, so the floor waives only
+    the bracket's interpolation artifact, never a sketch error; above
+    the floor 0.01·n ≥ 2 ranks and the bracket is sound."""
     ev = load_table(spark, sf_dir, "events")
     acc = 10_000
     cols = ["event_type"]
-    aggs = []
+    aggs = [F.count("value").alias("_n")]
     for q in (25, 50, 75, 95):
         f = q / 100.0
         aggs += [
@@ -269,8 +280,11 @@ def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     for q in (25, 50, 75, 95):
         cols.append(
             (
-                (F.col(f"a{q}") >= F.col(f"lo{q}"))
-                & (F.col(f"a{q}") <= F.col(f"hi{q}"))
+                (F.col("_n") < 200)
+                | (
+                    (F.col(f"a{q}") >= F.col(f"lo{q}"))
+                    & (F.col(f"a{q}") <= F.col(f"hi{q}"))
+                )
             ).cast("int").alias(f"p{q}_ok")
         )
     return g.select(*cols)

@@ -84,6 +84,41 @@ def test_approx_quantiles_within_rank_tolerance(spark):
     )
 
 
+def test_approx_quantile_gate_small_gap_groups(spark, tmp_path):
+    """r12 advice #1: the gate's bracket uses Spark's INTERPOLATED
+    exact percentile while the sketch returns a rank-nearest DATA
+    VALUE, so a tiny group with value gaps (2 rows [0,100]: approx
+    p50=0, interpolated lo at 0.49 = 49) produced a false-red flag on
+    an EXACT sketch answer. The r13 size floor (groups < 200 rows pass
+    unconditionally — the sketch is exact there at accuracy 10,000)
+    must keep the gate green on exactly that corpus."""
+    from prefixtree_spark.workloads_rel import events_value_quantiles_approx
+
+    rows = [
+        (0, "2024-01-01 00:00:00", 1, "gap2", 0.0, "{}"),
+        (1, "2024-01-01 00:01:00", 1, "gap2", 100.0, "{}"),
+        (2, "2024-01-01 00:02:00", 2, "gap3", 0.0, "{}"),
+        (3, "2024-01-01 00:03:00", 2, "gap3", 1.0, "{}"),
+        (4, "2024-01-01 00:04:00", 2, "gap3", 1000.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "s", "user_id", "event_type", "value", "props"]
+    ).select(
+        "event_id",
+        F.col("s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    sf_dir = str(tmp_path / "tiny_sf")
+    ev.coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+    gated = events_value_quantiles_approx(spark, sf_dir).collect()
+    assert len(gated) == 2
+    for r in gated:
+        assert r.p25_ok == r.p50_ok == r.p75_ok == r.p95_ok == 1, r
+
+
 def test_sessionize_values(spark):
     rows = [
         (1, 100, "2024-01-01 00:00:00"),

@@ -369,3 +369,167 @@ def test_maintenance_lease_concurrent_stealers_single_winner(spark, tmp_path):
     # the winner's fresh lease is intact and carries the winner's token
     with open(lease) as f:
         assert f.read() == tokens[0]
+
+
+def test_maintenance_lease_three_actor_release_race(spark, tmp_path):
+    """r12 verdict #6 + advice #3: stale holder A, stealer B, and a
+    third claimant C racing through A's late release. The r12 release
+    renamed EVERY late release aside, so C could claim inside the
+    aside window (two live claims) and A's rename-back could clobber
+    C's fresh lease with B's. The r13 read-in-place fence means A's
+    release (token mismatch) returns without touching the file, so C
+    must always see B's fresh lease and lose; exactly one live lease
+    survives, carrying B's token."""
+    import os
+    import threading
+    import time
+
+    from prefixtree_spark import MaintenanceLeaseHeld
+    from prefixtree_spark._generation import (
+        acquire_maintenance_lease,
+        release_maintenance_lease,
+    )
+
+    path = str(tmp_path / "lease_three_actor")
+    os.makedirs(path)
+    lease = os.path.join(path, "_maintenance_lease")
+    for _ in range(10):
+        a = acquire_maintenance_lease(spark, path, ttl_s=5)
+        old = time.time() - 100
+        os.utime(lease, (old, old))
+        b = acquire_maintenance_lease(spark, path, ttl_s=5)  # the steal
+        c_claims: list = []
+        c_errors: list = []
+        barrier = threading.Barrier(2)
+
+        def release_a(a=a):
+            barrier.wait()
+            release_maintenance_lease(spark, path, a)
+
+        def claim_c():
+            barrier.wait()
+            for _ in range(5):
+                try:
+                    c_claims.append(
+                        acquire_maintenance_lease(spark, path, ttl_s=5)
+                    )
+                    return
+                except MaintenanceLeaseHeld:
+                    pass
+                except Exception as e:  # pragma: no cover
+                    c_errors.append(e)
+                    return
+
+        threads = [
+            threading.Thread(target=release_a),
+            threading.Thread(target=claim_c),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not c_errors, c_errors
+        # B's fresh lease must have blocked C every time, and A's late
+        # release must not have removed or resurrected anything
+        assert not c_claims, "third claimant won against a live lease"
+        with open(lease) as f:
+            assert f.read() == b
+        release_maintenance_lease(spark, path, b)
+        assert not os.path.exists(lease)
+    # after the dust settles a fresh claim works
+    c = acquire_maintenance_lease(spark, path, ttl_s=5)
+    release_maintenance_lease(spark, path, c)
+
+
+def test_refresh_maintenance_lease_heartbeats_and_fences(spark, tmp_path):
+    """r12 advice #2: refresh pushes the TTL clock forward (a long run
+    that heartbeats per phase keeps exclusion past its original ttl)
+    and raises MaintenanceLeaseHeld when the lease was stolen mid-run."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from prefixtree_spark import MaintenanceLeaseHeld, refresh_maintenance_lease
+    from prefixtree_spark._generation import (
+        acquire_maintenance_lease,
+        release_maintenance_lease,
+    )
+
+    path = str(tmp_path / "lease_refresh")
+    os.makedirs(path)
+    lease = os.path.join(path, "_maintenance_lease")
+    token = acquire_maintenance_lease(spark, path, ttl_s=5)
+    # age past the ttl — without a heartbeat the next claim would steal
+    old = time.time() - 100
+    os.utime(lease, (old, old))
+    refresh_maintenance_lease(spark, path, token)
+    assert os.path.getmtime(lease) > time.time() - 30  # clock restarted
+    with _pytest.raises(MaintenanceLeaseHeld):
+        acquire_maintenance_lease(spark, path, ttl_s=5)
+    # steal it for real, then the overrun holder's refresh must fence
+    os.utime(lease, (old, old))
+    stolen = acquire_maintenance_lease(spark, path, ttl_s=5)
+    with _pytest.raises(MaintenanceLeaseHeld):
+        refresh_maintenance_lease(spark, path, token)
+    release_maintenance_lease(spark, path, stolen)
+    # absent lease (released under us) fences too
+    with _pytest.raises(MaintenanceLeaseHeld):
+        refresh_maintenance_lease(spark, path, token)
+
+
+def test_lease_claim_tmp_corpse_gc(spark, tmp_path):
+    """r12 advice #4: a claimant that crashes between fs.create(tmp)
+    and the link/rename strands a .tmp-_maintenance_lease-<uuid> file;
+    acquire-time GC must collect it once it is older than the ttl."""
+    import os
+    import time
+
+    from prefixtree_spark._generation import (
+        acquire_maintenance_lease,
+        release_maintenance_lease,
+    )
+
+    path = str(tmp_path / "lease_tmp_gc")
+    os.makedirs(path)
+    corpse = os.path.join(path, ".tmp-_maintenance_lease-deadbeef01")
+    with open(corpse, "w") as f:
+        f.write("crashed-claimant-token")
+    old = time.time() - 100
+    os.utime(corpse, (old, old))
+    fresh = os.path.join(path, ".tmp-_maintenance_lease-deadbeef02")
+    with open(fresh, "w") as f:
+        f.write("in-flight-claimant-token")
+    token = acquire_maintenance_lease(spark, path, ttl_s=5)
+    assert not os.path.exists(corpse)  # stale corpse collected
+    assert os.path.exists(fresh)  # in-flight tmp (young) untouched
+    release_maintenance_lease(spark, path, token)
+
+
+def test_maintain_bm25_fences_stolen_lease_before_swap(spark, docs, tmp_path):
+    """End-to-end fence: a locked maintenance body holding a token its
+    layout's lease no longer carries must abort BEFORE mutating the
+    layout (generation unchanged, no staged swap applied)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from prefixtree_spark import MaintenanceLeaseHeld
+    from prefixtree_spark._generation import read_generation
+    from prefixtree_spark.operators.ranking import (
+        _maintain_bm25_index_locked,
+        save_bm25_index,
+    )
+
+    path = str(tmp_path / "bm25_fence")
+    corpus = docs.select("doc_id", "text").limit(50)
+    save_bm25_index(corpus, "doc_id", "text", path, n_buckets=4)
+    g0 = read_generation(path)
+    # no lease file exists, so ANY token reads as stolen — the locked
+    # body must raise before its staged swap lands
+    with _pytest.raises(MaintenanceLeaseHeld):
+        _maintain_bm25_index_locked(
+            spark, path,
+            rebuild_from=corpus.where(F.col("doc_id") % 2 == 0),
+            _lease_token="not-the-lease-holder",
+        )
+    assert read_generation(path) == g0
