@@ -1851,6 +1851,7 @@ def main() -> None:
     # whose median moved more than 20% either way — the note is the
     # record the round writeup must either explain or carry as a
     # watch item.
+    comparable: dict = {}
     try:
         import glob as _glob
 
@@ -1885,6 +1886,27 @@ def main() -> None:
                         "spread rule's radar, flagged by the 20% "
                         "absolute-delta rule (band <3s)"
                     )
+            # Like-for-like round comparison IN the JSON (r12 verdict
+            # #4): the raw headline total moves whenever an entry is
+            # promoted into or retired from the headline (r12's
+            # fuzzy_both_big_auto added ~32 s and read as a phantom 39%
+            # regression). Rule: `comparable_total` sums ONLY the
+            # entries present in BOTH this run and the newest recorded
+            # round bench at the same sf; `comparable_prev_total` is
+            # the same intersection summed from that record. A judge
+            # reading only the JSON compares those two; `value` stays
+            # the full total for absolute tracking.
+            shared = [
+                n for n in times if n in prev.get("queries", {})
+            ]
+            comparable.update(
+                comparable_total=round(sum(times[n] for n in shared), 3),
+                comparable_prev_total=round(
+                    sum(prev["queries"][n] for n in shared), 3
+                ),
+                comparable_vs=prev_name,
+                comparable_n=len(shared),
+            )
     except Exception:
         pass  # a malformed historical record must not fail the bench
     # The driver captures only the last ~2KB of stdout and parses the
@@ -1911,6 +1933,7 @@ def main() -> None:
             "queries": times,
             "sf": float(sf),
             "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            **comparable,
         }
     )
     assert len(headline) <= 1800, (
