@@ -486,6 +486,42 @@ def main() -> None:
         )
     finally:
         _qmod._AUTO_BROADCAST_NODES, _qmod._AUTO_BROADCAST_QUERIES = saved
+
+    # filegroups at a 10x query side (r12 verdict #5): the chunked
+    # strategy with the driver OFF the data path — query side written
+    # to parquet file groups executor-side, traversal tasks read their
+    # group from storage, the driver handles only paths. Evidence
+    # recorded: (a) driver RSS stays flat across the run (the
+    # toLocalIterator path would deserialize every query string into
+    # the driver heap), (b) wall is ~linear in chunk count (two chunk
+    # sizes at the same shape), (c) row parity with the broadcast-
+    # chunked path at the same shape. Single-shot untimed extras.
+    def _rss_mb() -> float:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return round(int(line.split()[1]) / 1024, 1)
+        return -1.0
+
+    # One filegroups run per round as the regression line; the full
+    # evidence set (two chunk counts ~equal wall 118.8/112.8 s,
+    # filegroups RSS delta 0.0-0.1 MB vs +9.9 MB for the
+    # toLocalIterator funnel at the same shape, identical 2,612,158
+    # rows) is the SCALING.md r13 record — rerunning the funnel
+    # comparison every round would add ~220 s for a structural fact.
+    q10 = (
+        cust.crossJoin(spark.range(10).withColumnRenamed("id", "i"))
+        .selectExpr(f"concat({perturb}, '_', cast(i as string)) as q")
+    )
+    extras["filegroups_10x_queries"] = q10.distinct().count()
+    rss0 = _rss_mb()
+    t0 = time.time()
+    n_fg = _qmod._query_broadcast_queries_filegroups(
+        pt_big, q10.distinct(), 2, colocated=True, chunk_size=25_000
+    ).count()
+    extras["filegroups_10x_sec"] = round(time.time() - t0, 3)
+    extras["filegroups_10x_rows"] = n_fg
+    extras["filegroups_10x_rss_delta_mb"] = round(_rss_mb() - rss0, 1)
     pt_big.unpersist()
 
     # giant-forest regime (round-5 verdict #1): the same both-big shape

@@ -42,6 +42,13 @@ streamed in bounded chunks; the tree never moves), re-sharding the
 tree first if its per-partition forests exceed a traversal task's
 budget. bfs is explicit-opt-in only (``mode="bfs"``) — it was measured
 to lose to brute force at k>=2 (SCALING.md round-4/5).
+
+``mode="filegroups"`` is the chunked strategy with the driver taken
+off the data path: the query side is hashed into parquet file groups
+executor-side and each chunk's traversal tasks read their group from
+shared storage — for query sides so large that even streaming them
+through the driver (toLocalIterator + per-chunk broadcast) would make
+the driver NIC the throughput ceiling.
 """
 
 from __future__ import annotations
@@ -451,6 +458,126 @@ def _query_broadcast_queries_chunked(
     return out
 
 
+def _query_broadcast_queries_filegroups(
+    pt: DataFrame,
+    qdf: DataFrame,
+    k: int,
+    *,
+    colocated: bool = False,
+    chunk_size: int | None = None,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Both-sides-big strategy without the driver funnel (r12 verdict
+    #5): the query side is written to parquet FILE GROUPS by the
+    executors, and each chunk's traversal tasks read their group's
+    file directly — the driver orchestrates only paths and never
+    deserializes a single query string.
+
+    ``_query_broadcast_queries_chunked`` streams the query side
+    through ``toLocalIterator`` and re-broadcasts each chunk, which is
+    correct and memory-bounded but puts the driver NIC on the data
+    path twice per chunk (collect up, broadcast down). At a truly
+    query-side-huge scale (billions of strings) that funnel is the
+    throughput ceiling. Here the movement is executors → shared
+    storage → executors: one distributed write hashed on the query
+    column (each DISTINCT string lands in exactly one group, so chunk
+    results cannot duplicate), then per chunk every traversal task
+    reads the group file from storage at aggregate-cluster read
+    bandwidth. Per-chunk structure is otherwise identical to the
+    broadcast path (same colocated zero-shuffle traversal, same eager
+    pin per chunk), so correctness is the same union-of-chunks
+    argument.
+
+    ``scratch_dir`` must be visible to every executor (any shared
+    filesystem; defaults to a local tempdir, which is exactly right on
+    local[...] and on a cluster must be overridden with e.g. an HDFS
+    or object-store path). Task-side reads go through pyarrow on the
+    plain path."""
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    spark = pt.sparkSession
+    if chunk_size is None:
+        chunk_size = _AUTO_BROADCAST_QUERIES
+    chunk_size = max(1, chunk_size)
+    qcol = qdf.columns[0]
+    owned = None
+    if not colocated:
+        # colocate ONCE for all chunks, explicit N (the AQE-coalesce
+        # trap — see _query_broadcast_queries_chunked)
+        n_part = max(
+            pt.rdd.getNumPartitions(),
+            spark.sparkContext.defaultParallelism,
+        )
+        owned = pt = pt.repartition(n_part, "compute_node").persist()
+        pt.count()
+    own_scratch = scratch_dir is None
+    root = (
+        tempfile.mkdtemp(prefix="ptq_filegroups_")
+        if own_scratch
+        else os.path.join(scratch_dir, f"ptq_filegroups_{_uuid.uuid4().hex}")
+    )
+    out_dir = os.path.join(root, "query_groups")
+    try:
+        n_q = qdf.count()
+        n_files = max(1, -(-n_q // chunk_size))
+        # hash-partition on the query column: every distinct string in
+        # exactly one file group — written executor-side, no driver hop
+        qdf.repartition(n_files, qcol).write.mode("overwrite").parquet(out_dir)
+        files = sorted(
+            os.path.join(out_dir, f)
+            for f in os.listdir(out_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        chunks: list[DataFrame] = []
+        for path in files:
+            chunks.append(
+                _query_filegroup(pt, path, qcol, k).localCheckpoint(eager=True)
+            )
+        if not chunks:
+            return spark.createDataFrame([], RESULT_SCHEMA)
+        out = chunks[0]
+        for c in chunks[1:]:
+            out = out.unionByName(c)
+        return out
+    finally:
+        if owned is not None:
+            owned.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _query_filegroup(
+    pt: DataFrame, chunk_path: str, qcol: str, k: int
+) -> DataFrame:
+    """One file-group chunk of ``_query_broadcast_queries_filegroups``:
+    the colocated per-forest traversal of ``_query_broadcast_queries``,
+    except each task reads the chunk's query strings from storage
+    instead of a driver broadcast. Only the path string rides the task
+    closure."""
+
+    def run_partition(batches):
+        import pyarrow.parquet as pq
+
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        strings = [
+            s
+            for s in pq.read_table(chunk_path, columns=[qcol])
+            .column(0)
+            .to_pylist()
+            if s is not None
+        ]
+        if not strings:
+            return
+        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        yield _traverse_pdf(pdf, QueryBatch(strings), k)
+
+    return pt.mapInPandas(run_partition, schema=RESULT_SCHEMA)
+
+
 def reshard(pt: DataFrame, *, num_partitions: int | None = None) -> DataFrame:
     """Rebuild ``pt``'s forest layout from its end-cap words at a
     partition count whose per-partition forests fit a traversal task's
@@ -809,6 +936,18 @@ def query(
     if mode == "broadcast_queries":
         return _query_broadcast_queries(
             pt, [r[0] for r in qdf.collect()], k, colocated=colocated
+        )
+    if mode == "filegroups":
+        # both-sides-big without the driver funnel: the query side is
+        # hashed into parquet file groups executor-side and each
+        # chunk's traversal tasks read their group straight from
+        # storage — the driver never deserializes query text (the
+        # billions-of-queries scale path; see
+        # _query_broadcast_queries_filegroups). Opt-in: at the measured
+        # sf0.1 both-big shape the toLocalIterator chunk loop is
+        # equal-or-faster (SCALING r13), so auto keeps choosing it.
+        return _query_broadcast_queries_filegroups(
+            pt, qdf, k, colocated=colocated
         )
     if mode == "auto":
         # persist so the size probe and the chosen strategy share one

@@ -432,3 +432,51 @@ def test_auto_routes_midsize_tree_to_distributed_traversal(spark, monkeypatch):
     got2 = {(r.query_string, r.node, r.final_distance) for r in res2.collect()}
     assert not routed  # broadcast_queries not used
     assert got2 == _expected(SPARSE_WORDS, QUERIES, 1)
+
+
+def test_filegroups_mode_matches_other_modes(spark, monkeypatch):
+    """mode="filegroups" (r12 verdict #5: the both-big strategy with
+    the driver off the data path) must return the exact row set of the
+    brute-force expectation, in multiple file-group chunks, without
+    the driver ever deserializing query text (the toLocalIterator of
+    the broadcast-chunked path is monkeypatched to fail)."""
+    import prefixtree_spark.operators.query as qmod
+
+    monkeypatch.setattr(qmod, "_AUTO_BROADCAST_QUERIES", 2)  # force >1 group
+    group_paths = []
+    real_fg = qmod._query_filegroup
+    monkeypatch.setattr(
+        qmod,
+        "_query_filegroup",
+        lambda pt, path, qcol, k: group_paths.append(path)
+        or real_fg(pt, path, qcol, k),
+    )
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3)
+    qdf = spark.createDataFrame([(q,) for q in QUERIES], ["q"])
+    monkeypatch.setattr(
+        type(qdf),
+        "toLocalIterator",
+        lambda self, *a, **kw: pytest.fail(
+            "filegroups mode streamed query text through the driver"
+        ),
+    )
+    res = qmod.query(pt, qdf, "q", 2, mode="filegroups")
+    got = {(r.query_string, r.node, r.final_distance) for r in res.collect()}
+    assert got == _expected(SPARSE_WORDS, QUERIES, 2)
+    assert len(group_paths) >= 2  # genuinely chunked into file groups
+
+
+def test_filegroups_colocated_zero_shuffle(spark):
+    """colocated=True filegroups must keep the tree side shuffle-free,
+    exactly like the broadcast-chunked path."""
+    import prefixtree_spark.operators.query as qmod
+
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3).cache()
+    pt.count()
+    qdf = spark.createDataFrame([(q,) for q in QUERIES], ["q"])
+    res = qmod._query_broadcast_queries_filegroups(
+        pt, qdf.select(F.col("q")).distinct(), 1, colocated=True
+    )
+    got = {(r.query_string, r.node, r.final_distance) for r in res.collect()}
+    assert got == _expected(SPARSE_WORDS, QUERIES, 1)
+    pt.unpersist()
