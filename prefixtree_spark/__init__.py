@@ -107,8 +107,10 @@ from prefixtree_spark.operators.query import (
     build_local_index,
     clear_local_index_cache,
     query,
+    query_groups,
     query_one,
     reshard,
+    write_query_groups,
 )
 from prefixtree_spark.functions.damerau import damerau_levenshtein
 from prefixtree_spark.operators.similarity_join import (
@@ -120,8 +122,10 @@ from prefixtree_spark.operators.similarity_join import (
 __all__ = [
     "create",
     "query",
+    "query_groups",
     "query_one",
     "reshard",
+    "write_query_groups",
     "LocalIndex",
     "build_local_index",
     "PrefixTreeServer",

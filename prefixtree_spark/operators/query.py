@@ -521,23 +521,87 @@ def _query_broadcast_queries_filegroups(
     )
     out_dir = os.path.join(root, "query_groups")
     try:
-        n_q = qdf.count()
-        n_files = max(1, -(-n_q // chunk_size))
-        # hash-partition on the query column: every distinct string in
-        # exactly one file group — written executor-side, no driver hop
-        qdf.repartition(n_files, qcol).write.mode("overwrite").parquet(out_dir)
-        files = sorted(
-            os.path.join(out_dir, f)
-            for f in os.listdir(out_dir)
-            if f.startswith("part-") and f.endswith(".parquet")
+        write_query_groups(qdf, qcol, out_dir, chunk_size=chunk_size)
+        return query_groups(pt, out_dir, k, colocated=True, _qcol=qcol)
+    finally:
+        if owned is not None:
+            owned.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def write_query_groups(
+    queries: DataFrame, col: str, path: str, *, chunk_size: int | None = None
+) -> int:
+    """Write a query side to parquet FILE GROUPS for ``query_groups``:
+    distinct non-null strings hash-partitioned on the query column into
+    ``ceil(n / chunk_size)`` files — each string in exactly one group,
+    so downstream chunk results cannot duplicate. The write is
+    executor-side end to end; the driver never holds a query string.
+
+    The write-once/query-many half of the filegroups strategy: a
+    pipeline that matches the same (huge) query corpus against many
+    trees, distances, or index generations pays the distinct + write
+    once and every ``query_groups`` call after that is pure traversal.
+    Returns the number of file groups written."""
+    import os
+
+    if chunk_size is None:
+        chunk_size = _AUTO_BROADCAST_QUERIES
+    chunk_size = max(1, chunk_size)
+    qdf = (
+        queries.select(F.col(col).alias(col))
+        .where(F.col(col).isNotNull())
+        .distinct()
+    )
+    n_q = qdf.count()
+    n_files = max(1, -(-n_q // chunk_size))
+    qdf.repartition(n_files, col).write.mode("overwrite").parquet(path)
+    return len(_list_query_groups(path))
+
+
+def query_groups(
+    pt: DataFrame,
+    path: str,
+    max_distance: int,
+    *,
+    colocated: bool = False,
+    _qcol: str | None = None,
+) -> DataFrame:
+    """Batch fuzzy search over a query side pre-written by
+    ``write_query_groups`` — the both-sides-big strategy with the
+    driver off the data path, as a reusable public step. One colocated
+    zero-shuffle traversal of the (distributed) tree per file group;
+    each group's traversal tasks read the group file straight from
+    storage; per-group results are pinned eagerly and unioned. Same
+    result contract as ``query``: DataFrame[query_string, node,
+    final_distance].
+
+    ``path`` must be visible to every executor (shared storage on a
+    real cluster). ``colocated=True`` promises ``pt`` is fresh from
+    ``create``/``load_index`` — else the tree is colocated once here
+    for all groups."""
+    k = int(max_distance)
+    spark = pt.sparkSession
+    files = _list_query_groups(path)
+    if not files:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    if _qcol is None:
+        import pyarrow.parquet as pq
+
+        _qcol = pq.ParquetFile(files[0]).schema_arrow.names[0]
+    owned = None
+    if not colocated:
+        n_part = max(
+            pt.rdd.getNumPartitions(),
+            spark.sparkContext.defaultParallelism,
         )
-        chunks: list[DataFrame] = []
-        for path in files:
-            chunks.append(
-                _query_filegroup(pt, path, qcol, k).localCheckpoint(eager=True)
-            )
-        if not chunks:
-            return spark.createDataFrame([], RESULT_SCHEMA)
+        owned = pt = pt.repartition(n_part, "compute_node").persist()
+        pt.count()
+    try:
+        chunks = [
+            _query_filegroup(pt, f, _qcol, k).localCheckpoint(eager=True)
+            for f in files
+        ]
         out = chunks[0]
         for c in chunks[1:]:
             out = out.unionByName(c)
@@ -545,7 +609,16 @@ def _query_broadcast_queries_filegroups(
     finally:
         if owned is not None:
             owned.unpersist()
-        shutil.rmtree(root, ignore_errors=True)
+
+
+def _list_query_groups(path: str) -> list[str]:
+    import os
+
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
 
 
 def _query_filegroup(

@@ -480,3 +480,23 @@ def test_filegroups_colocated_zero_shuffle(spark):
     got = {(r.query_string, r.node, r.final_distance) for r in res.collect()}
     assert got == _expected(SPARSE_WORDS, QUERIES, 1)
     pt.unpersist()
+
+
+def test_write_query_groups_reusable_across_distances(spark, tmp_path):
+    """Public write-once/query-many surface: write_query_groups writes
+    the distinct query side executor-side; query_groups then serves
+    repeated traversals (different k here) off the SAME groups with no
+    rewrite, matching brute force each time."""
+    from prefixtree_spark import query_groups, write_query_groups
+
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3)
+    qdf = spark.createDataFrame([(q,) for q in QUERIES + QUERIES], ["q"])
+    path = str(tmp_path / "qgroups")
+    n_groups = write_query_groups(qdf, "q", path, chunk_size=2)
+    assert n_groups >= 2
+    for k in (1, 2):
+        got = {
+            (r.query_string, r.node, r.final_distance)
+            for r in query_groups(pt, path, k).collect()
+        }
+        assert got == _expected(SPARSE_WORDS, QUERIES, k), k
