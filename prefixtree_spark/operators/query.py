@@ -127,6 +127,18 @@ _DRIVER_MERGE_NODES = 100_000
 # _query_broadcast_queries_chunked).
 _AUTO_BROADCAST_QUERIES = 1_000_000
 
+# Beyond this many distinct query strings, even STREAMING the query
+# side through the driver (toLocalIterator + per-chunk re-broadcast)
+# makes the driver NIC the throughput ceiling (~2+ GB of text funneled
+# up and back down per pass at this count) — mode="auto" switches its
+# chunk loop to the filegroups strategy: executors write parquet query
+# groups, traversal tasks read them from shared storage, the driver
+# handles only paths. On a real cluster set
+# spark.prefixtree.filegroups.scratch to a shared-filesystem path;
+# unset, the scratch defaults to a driver-local tempdir (correct on
+# local[...] where all executors share the host).
+_AUTO_FILEGROUP_QUERIES = 20_000_000
+
 # With both sides big, auto mode chunks the query side as long as the
 # tree's per-partition forests still fit one traversal task (the
 # colocated mapInPandas materializes a partition's forest in pandas:
@@ -513,6 +525,10 @@ def _query_broadcast_queries_filegroups(
         )
         owned = pt = pt.repartition(n_part, "compute_node").persist()
         pt.count()
+    if scratch_dir is None:
+        scratch_dir = spark.conf.get(
+            "spark.prefixtree.filegroups.scratch", None
+        )
     own_scratch = scratch_dir is None
     root = (
         tempfile.mkdtemp(prefix="ptq_filegroups_")
@@ -1075,7 +1091,8 @@ def query(
             # shuffle TWICE.
             qdf = qdf.persist()
             try:
-                if qdf.count() <= _AUTO_BROADCAST_QUERIES:
+                n_q = qdf.count()
+                if n_q <= _AUTO_BROADCAST_QUERIES:
                     # materialize the traversal off the cached tree, then
                     # release it (the pinned result no longer needs pt)
                     return _query_broadcast_queries(
@@ -1083,13 +1100,21 @@ def query(
                     ).localCheckpoint(eager=True)
                 # big tree x big query set: chunk the query side through
                 # the distributed-tree traversal (round-4 verdict #2 — bfs
-                # measurably loses to brute force here at k>=2).
+                # measurably loses to brute force here at k>=2). Past
+                # _AUTO_FILEGROUP_QUERIES the chunk loop itself switches
+                # to filegroups — identical per-chunk traversal, but the
+                # query text moves executors → storage → executors
+                # instead of twice through the driver NIC (SCALING r13:
+                # flat driver RSS, ~equal wall, identical rows).
+                run_chunked = (
+                    _query_broadcast_queries_filegroups
+                    if n_q > _AUTO_FILEGROUP_QUERIES
+                    else _query_broadcast_queries_chunked
+                )
                 per_part = n_nodes / max(1, pt.rdd.getNumPartitions())
                 if per_part <= _CHUNK_MAX_PARTITION_NODES:
                     if colocated:
-                        return _query_broadcast_queries_chunked(
-                            pt, qdf, k, colocated=True
-                        )
+                        return run_chunked(pt, qdf, k, colocated=True)
                     # colocate HERE from the still-cached tree, then
                     # release OUR pin before the chunk loop: letting
                     # chunked pin its own copy while this frame's pt
@@ -1110,9 +1135,7 @@ def query(
                         pt2.count()
                         if owned:
                             pt.unpersist()
-                        return _query_broadcast_queries_chunked(
-                            pt2, qdf, k, colocated=True
-                        )
+                        return run_chunked(pt2, qdf, k, colocated=True)
                     finally:
                         pt2.unpersist()
                 # per-partition forests exceed a traversal task's
@@ -1130,9 +1153,7 @@ def query(
                 try:
                     if owned:
                         pt.unpersist()
-                    return _query_broadcast_queries_chunked(
-                        pt3, qdf, k, colocated=True
-                    )
+                    return run_chunked(pt3, qdf, k, colocated=True)
                 finally:
                     pt3.unpersist()
             finally:

@@ -500,3 +500,35 @@ def test_write_query_groups_reusable_across_distances(spark, tmp_path):
             for r in query_groups(pt, path, k).collect()
         }
         assert got == _expected(SPARSE_WORDS, QUERIES, k), k
+
+
+def test_auto_routes_huge_query_side_to_filegroups(spark, monkeypatch):
+    """Past _AUTO_FILEGROUP_QUERIES, auto's chunk loop must switch to
+    the filegroups strategy (driver off the data path) — same rows,
+    file-group chunks actually used, toLocalIterator never called."""
+    import prefixtree_spark.operators.query as qmod
+
+    monkeypatch.setattr(qmod, "_AUTO_BROADCAST_NODES", 0)
+    monkeypatch.setattr(qmod, "_AUTO_BROADCAST_QUERIES", 2)
+    monkeypatch.setattr(qmod, "_AUTO_FILEGROUP_QUERIES", 2)
+    group_paths = []
+    real_fg = qmod._query_filegroup
+    monkeypatch.setattr(
+        qmod,
+        "_query_filegroup",
+        lambda pt, path, qcol, k: group_paths.append(path)
+        or real_fg(pt, path, qcol, k),
+    )
+    monkeypatch.setattr(
+        qmod,
+        "_query_broadcast_queries_chunked",
+        lambda *a, **kw: pytest.fail(
+            "auto used the driver-funnel chunk loop past the filegroup bound"
+        ),
+    )
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3)
+    qdf = spark.createDataFrame([(q,) for q in QUERIES], ["q"])
+    res = qmod.query(pt, qdf, "q", 1, mode="auto")
+    got = {(r.query_string, r.node, r.final_distance) for r in res.collect()}
+    assert got == _expected(SPARSE_WORDS, QUERIES, 1)
+    assert len(group_paths) >= 2
