@@ -6,6 +6,7 @@ from prefixtree_spark.streaming.events import (
     read_events_stream,
     streaming_tumbling_counts,
 )
+from prefixtree_spark.streaming.fuzzy import streaming_fuzzy_match
 from prefixtree_spark.streaming.ingest import (
     ingest_batch,
     ingest_sequential,
@@ -22,6 +23,7 @@ from prefixtree_spark.streaming.topk import latest_topk, streaming_topk
 __all__ = [
     "read_events_stream",
     "streaming_tumbling_counts",
+    "streaming_fuzzy_match",
     "streaming_sessionize",
     "streaming_topk",
     "latest_topk",

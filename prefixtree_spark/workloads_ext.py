@@ -3337,3 +3337,64 @@ def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, "vec_id", "embedding", idx, k=10, nprobe=32, pad_factor=200
     ).select("query_id", "vec_id")
     return _pin_rows(spark, out)
+
+
+@workload(
+    "customer_fuzzy_match_stream",
+    """
+    WITH q AS (
+      SELECT c_custkey,
+             concat(substr(c_name, 1, (c_custkey % length(c_name))::INT),
+                    substr(c_name, (c_custkey % length(c_name))::INT + 2)) AS q
+      FROM customer WHERE c_custkey % 20 = 3
+    ),
+    w AS (SELECT DISTINCT trim(c_name) AS word FROM customer
+          WHERE trim(c_name) <> '')
+    SELECT q.c_custkey, q.q, w.word AS match_word,
+           levenshtein(q.q, w.word) AS match_distance
+    FROM q, w
+    WHERE levenshtein(q.q, w.word) <= 1
+    """,
+)
+def customer_fuzzy_match_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fuzzy match run FOR REAL inside the gate: an
+    availableNow file stream of perturbed customer names enriched
+    against the broadcast-once c_name tree handle
+    (streaming/fuzzy.py — the Roxie serving path fed by a stream,
+    PrefixTree.ecl:459-588). Per-ROW enrichment semantics (each event
+    keeps its key and gains its matches), so the oracle joins on the
+    keyed query table, not a distinct vocabulary. After the
+    availableNow run drains, the append sink equals the batch join
+    row-for-row."""
+    import shutil
+    import tempfile
+
+    from prefixtree_spark.operators.build import create
+    from prefixtree_spark.operators.query import build_local_index
+    from prefixtree_spark.streaming.events import run_stream_to_memory
+    from prefixtree_spark.streaming.fuzzy import streaming_fuzzy_match
+
+    cust = load_table(spark, sf_dir, "customer")
+    handle = build_local_index(create(cust, "c_name"))
+    perturb = (
+        "concat(substring(c_name, 1, cast(c_custkey % length(c_name) as int)),"
+        " substring(c_name, cast(c_custkey % length(c_name) as int) + 2))"
+    )
+    stage = tempfile.mkdtemp(prefix="stream_fuzzy_match_")
+    try:
+        shutil.copy(f"{sf_dir}/customer.parquet", f"{stage}/customer.parquet")
+        stream = (
+            spark.readStream.schema(cust.schema)
+            .parquet(stage)
+            .where("c_custkey % 20 = 3")
+            .select("c_custkey", F.expr(perturb).alias("q"))
+        )
+        return run_stream_to_memory(
+            spark,
+            streaming_fuzzy_match(stream, "q", handle, 1, how="inner"),
+            "customer_fuzzy_match_stream_sink",
+            output_mode="append",
+            timeout_s=300,
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
