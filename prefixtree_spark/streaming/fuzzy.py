@@ -38,6 +38,7 @@ def streaming_fuzzy_match(
     max_distance: int,
     *,
     how: str = "inner",
+    bytes: bool = False,
 ) -> DataFrame:
     """Match ``df[col]`` (streaming or batch) against a prebuilt
     ``LocalIndex``; returns the input columns plus ``match_word`` and
@@ -46,6 +47,13 @@ def streaming_fuzzy_match(
     ``how="inner"`` drops rows with no match ≤ ``max_distance``;
     ``how="left"`` keeps them with null match columns (the
     audit/monitoring shape: unmatched events stay visible).
+
+    ``bytes=True`` matches a handle built from a ``create(...,
+    bytes=True)`` tree — edits count UTF-8 BYTES (the same duty-pair
+    contract as ``query``/``query_one``): the traversal runs in the
+    shared byte-surrogate space while the stream's payload columns,
+    including ``col``, pass through untouched and ``match_word``
+    decodes back to real UTF-8.
 
     The index is broadcast ONCE per session (the handle's cached Spark
     broadcast); each task deserializes the prebuilt CSR arrays instead
@@ -57,6 +65,7 @@ def streaming_fuzzy_match(
     k = int(max_distance)
     spark = df.sparkSession
     bt = index.spark_broadcast(spark)
+    bytes_mode = bytes
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -67,19 +76,34 @@ def streaming_fuzzy_match(
     in_cols = list(df.columns)
 
     def run(batches):
+        from prefixtree_spark.functions.bytesurrogate import (
+            py_from_byte_surrogate,
+            py_to_byte_surrogate,
+        )
+
         idx = bt.value
         for pdf in batches:
             if not len(pdf):
                 continue
             qs = sorted(set(pdf[col].dropna().astype(str)))
             if qs:
-                res = _traverse_index(idx, QueryBatch(qs), k).rename(
+                # byte mode: the DP runs in surrogate space; the merge
+                # key decodes back so payload rows join on REAL strings
+                dp_qs = (
+                    [py_to_byte_surrogate(q) for q in qs] if bytes_mode else qs
+                )
+                res = _traverse_index(idx, QueryBatch(dp_qs), k).rename(
                     columns={
                         "query_string": "__q",
                         "node": "match_word",
                         "final_distance": "match_distance",
                     }
                 )
+                if bytes_mode:
+                    res["__q"] = res["__q"].map(py_from_byte_surrogate)
+                    res["match_word"] = res["match_word"].map(
+                        py_from_byte_surrogate
+                    )
             else:
                 res = pd.DataFrame(
                     columns=["__q", "match_word", "match_distance"]

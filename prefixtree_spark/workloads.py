@@ -163,6 +163,49 @@ def fuzzy_join_bfs_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "fuzzy_join_filegroups_mode",
+    f"""
+    WITH q AS (
+      SELECT DISTINCT {_PERTURB_SQL.format(col='c_name', key='c_custkey')} AS query_string
+      FROM customer WHERE c_custkey % 100 = 7
+    ),
+    w AS (SELECT DISTINCT trim(c_name) AS word FROM customer WHERE trim(c_name) <> '')
+    SELECT q.query_string, w.word AS node,
+           levenshtein(q.query_string, w.word) AS final_distance
+    FROM q, w
+    WHERE levenshtein(q.query_string, w.word) <= 1
+    """,
+)
+def fuzzy_join_filegroups_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same capability through the filegroups strategy (r13: both-sides
+    -big with the driver off the data path — executors write the query
+    side to hash-partitioned parquet groups, traversal tasks read their
+    group from storage). Driven through the public write-once/
+    query-many surface with the chunk size forced down, so the
+    fixture-sized run genuinely exercises multiple file groups."""
+    import shutil
+    import tempfile
+
+    from prefixtree_spark.operators.query import query_groups, write_query_groups
+
+    cust = load_table(spark, sf_dir, "customer")
+    pt = create(cust, "c_name")
+    qdf = cust.where("c_custkey % 100 = 7").select(
+        F.expr(_PERTURB_SPARK.format(col="c_name", key="c_custkey")).alias("q")
+    )
+    gdir = tempfile.mkdtemp(prefix="wl_filegroups_")
+    try:
+        write_query_groups(qdf, "q", gdir, chunk_size=20)
+        out = query_groups(pt, gdir, 1)
+        # localCheckpointed per group inside query_groups, so the
+        # staging dir is safe to remove after materialization
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        shutil.rmtree(gdir, ignore_errors=True)
+
+
+@workload(
     "best_match_customer",
     f"""
     WITH q AS (

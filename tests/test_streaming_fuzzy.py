@@ -88,3 +88,26 @@ def test_payload_columns_survive(spark):
 def test_bad_how_rejected(spark):
     with pytest.raises(ValueError, match="how"):
         streaming_fuzzy_match(_events(spark), "q", _handle(spark), 1, how="outer")
+
+
+def test_bytes_mode_counts_utf8_bytes(spark):
+    """bytes=True pairs with a byte-mode handle: 'café' vs 'cafe' is 2
+    BYTE edits (é is 2 UTF-8 bytes), so at k=1 byte mode keeps the two
+    apart while codepoint mode merges them; payload strings stay real
+    UTF-8 in the output."""
+    words = spark.createDataFrame([("café",), ("cafe",)], ["word"])
+    hb = build_local_index(create(words, "word", bytes=True))
+    hc = build_local_index(create(words, "word"))
+    ev = spark.createDataFrame([(1, "café"), (2, "cafe")], ["event_id", "q"])
+    got_b = {
+        (r.event_id, r.q, r.match_word, r.match_distance)
+        for r in streaming_fuzzy_match(ev, "q", hb, 1, bytes=True).collect()
+    }
+    assert got_b == {(1, "café", "café", 0), (2, "cafe", "cafe", 0)}
+    got_c = {
+        (r.event_id, r.match_word, r.match_distance)
+        for r in streaming_fuzzy_match(ev, "q", hc, 1).collect()
+    }
+    assert got_c == {
+        (1, "café", 0), (1, "cafe", 1), (2, "cafe", 0), (2, "café", 1),
+    }
