@@ -77,3 +77,34 @@ def test_spark_end_to_end_random(spark):
         if brute_levenshtein(q, w) <= 2
     }
     assert got == exp
+
+
+def test_spark_all_modes_random_vocabulary(spark):
+    """Every physical strategy — broadcast_tree, broadcast_queries,
+    bfs, filegroups — returns the identical brute-force set on a
+    random vocabulary (the cross-mode identity the regime router
+    relies on)."""
+    rng = random.Random(1234)
+    words = list({
+        "".join(rng.choices("abcdef", k=rng.randint(1, 9))) for _ in range(150)
+    })
+    queries = list({
+        "".join(rng.choices("abcdef", k=rng.randint(0, 9))) for _ in range(20)
+    })
+    wdf = spark.createDataFrame([(w,) for w in words], ["word"])
+    qdf = spark.createDataFrame([(q,) for q in queries], ["q"])
+    pt = create(wdf, "word", num_partitions=4).cache()
+    pt.count()
+    exp = {
+        (q, w, brute_levenshtein(q, w))
+        for q in queries
+        for w in words
+        if brute_levenshtein(q, w) <= 2
+    }
+    for mode in ("broadcast_tree", "broadcast_queries", "bfs", "filegroups"):
+        got = {
+            (r.query_string, r.node, r.final_distance)
+            for r in query(pt, qdf, "q", 2, mode=mode).collect()
+        }
+        assert got == exp, mode
+    pt.unpersist()
