@@ -39,6 +39,7 @@ def streaming_fuzzy_match(
     *,
     how: str = "inner",
     bytes: bool = False,
+    best_only: bool = False,
 ) -> DataFrame:
     """Match ``df[col]`` (streaming or batch) against a prebuilt
     ``LocalIndex``; returns the input columns plus ``match_word`` and
@@ -47,6 +48,13 @@ def streaming_fuzzy_match(
     ``how="inner"`` drops rows with no match ≤ ``max_distance``;
     ``how="left"`` keeps them with null match columns (the
     audit/monitoring shape: unmatched events stay visible).
+
+    ``best_only=True`` emits ONE row per input row — the minimum-
+    distance match, ties broken lexicographically on the word (the
+    same deterministic rule as ``best_match``) — the streaming
+    entity-resolution shape. Computed per distinct string inside each
+    Arrow batch (matches for a string are complete within its batch),
+    so it needs no cross-batch state and stays append-mode safe.
 
     ``bytes=True`` matches a handle built from a ``create(...,
     bytes=True)`` tree — edits count UTF-8 BYTES (the same duty-pair
@@ -103,6 +111,16 @@ def streaming_fuzzy_match(
                     res["__q"] = res["__q"].map(py_from_byte_surrogate)
                     res["match_word"] = res["match_word"].map(
                         py_from_byte_surrogate
+                    )
+                if best_only and len(res):
+                    # min distance per string, ties to the smaller word
+                    # (deterministic, same rule as best_match) — decided
+                    # AFTER any byte decode so the tie-break is on the
+                    # real string in both modes
+                    res = (
+                        res.sort_values(["__q", "match_distance", "match_word"])
+                        .groupby("__q", as_index=False)
+                        .head(1)
                     )
             else:
                 res = pd.DataFrame(

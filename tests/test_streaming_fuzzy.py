@@ -111,3 +111,26 @@ def test_bytes_mode_counts_utf8_bytes(spark):
     assert got_c == {
         (1, "café", 0), (1, "cafe", 1), (2, "cafe", 0), (2, "café", 1),
     }
+
+
+def test_best_only_single_deterministic_match(spark):
+    """best_only=True: one row per input row, minimum distance, ties
+    broken lexicographically; how='left' keeps unmatched rows."""
+    ev = _events(spark)
+    rows = streaming_fuzzy_match(
+        ev, "q", _handle(spark), 1, how="left", best_only=True
+    ).collect()
+    by_id = {r.event_id: (r.match_word, r.match_distance) for r in rows}
+    assert len(rows) == 5  # exactly one row per input row
+    assert by_id[1] == ("cat", 0)
+    assert by_id[2] == ("cart", 0)
+    assert by_id[3] == (None, None)   # unmatched kept under left
+    assert by_id[4] == ("cat", 0)
+    assert by_id[5] == (None, None)   # null query kept under left
+    # tie case: "dag" is distance 1 from both "dig" and "dog" — the
+    # lexicographically smaller word wins
+    tie = spark.createDataFrame([(9, "dag")], ["event_id", "q"])
+    r = streaming_fuzzy_match(
+        tie, "q", _handle(spark), 1, best_only=True
+    ).collect()
+    assert [(x.match_word, x.match_distance) for x in r] == [("dig", 1)]
