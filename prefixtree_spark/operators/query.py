@@ -596,8 +596,22 @@ def query_groups(
     real cluster). ``colocated=True`` promises ``pt`` is fresh from
     ``create``/``load_index`` — else the tree is colocated once here
     for all groups."""
+    import os
+
     k = int(max_distance)
     spark = pt.sparkSession
+    # refuse a partial write: a crashed/in-flight write_query_groups
+    # leaves part files without the _SUCCESS marker, and serving those
+    # would silently DROP every query in the unwritten groups — the
+    # worst failure mode for a correctness-critical join. (The interim
+    # filegroups mode path always writes then reads in-process, so its
+    # marker is guaranteed present.)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        raise ValueError(
+            f"query groups at {path!r} are incomplete (no _SUCCESS "
+            "marker): write_query_groups did not finish — rerun it "
+            "before serving queries from this directory"
+        )
     files = _list_query_groups(path)
     if not files:
         return spark.createDataFrame([], RESULT_SCHEMA)

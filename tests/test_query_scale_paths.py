@@ -532,3 +532,20 @@ def test_auto_routes_huge_query_side_to_filegroups(spark, monkeypatch):
     got = {(r.query_string, r.node, r.final_distance) for r in res.collect()}
     assert got == _expected(SPARSE_WORDS, QUERIES, 1)
     assert len(group_paths) >= 2
+
+
+def test_query_groups_refuses_partial_write(spark, tmp_path):
+    """A groups dir whose _SUCCESS marker is missing (crashed or
+    in-flight write_query_groups) must be refused — serving it would
+    silently drop every query in the unwritten groups."""
+    import os
+
+    from prefixtree_spark import query_groups, write_query_groups
+
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3)
+    qdf = spark.createDataFrame([(q,) for q in QUERIES], ["q"])
+    path = str(tmp_path / "partial_groups")
+    write_query_groups(qdf, "q", path, chunk_size=2)
+    os.remove(os.path.join(path, "_SUCCESS"))
+    with pytest.raises(ValueError, match="_SUCCESS"):
+        query_groups(pt, path, 1)
