@@ -44,7 +44,7 @@ class QueryBatch:
     the path consumed so far and ``queries[i][:j]``.
     """
 
-    __slots__ = ("queries", "codes", "lens", "max_len", "_js", "_valid")
+    __slots__ = ("queries", "codes", "lens", "max_len", "_js", "_valid", "_padT")
 
     def __init__(self, queries: list[str]):
         self.queries = queries
@@ -58,6 +58,7 @@ class QueryBatch:
         self._js = np.arange(self.max_len + 1, dtype=np.int32)
         # valid[i, j] == True where j <= len(queries[i])
         self._valid = self._js[None, :] <= self.lens[:, None]
+        self._padT = {}  # k -> padded transposed code matrix (see codes_T_padded)
 
     def __len__(self) -> int:
         return len(self.queries)
@@ -77,6 +78,26 @@ class QueryBatch:
         """Last valid DP cell = exact distance(path, query)
         (≡ GetFinalDistance, PrefixTree.ecl:387-394)."""
         return rows[np.arange(len(idx)), self.lens[idx]]
+
+    def codes_T_padded(self, k: int) -> np.ndarray:
+        """Transposed code matrix padded for the banded state kernel:
+        row r holds query char position ``r - k`` (poison -1 outside
+        [0, max_len)), so the window's char rows for path position
+        ``p`` and in-label offset ``t`` are the contiguous slice
+        ``[p+t : p+t+2k+1]`` — no per-char fancy gather. Rows cover
+        every window the traversal can reach before pruning
+        (p ≤ max_len + k); beyond-allocation steps are handled by the
+        kernel's all-poison fallback. Cached per k (one traversal uses
+        one k)."""
+        cached = self._padT.get(k)
+        if cached is None:
+            n = len(self.queries)
+            rows = self.max_len + 3 * k + 2
+            cached = np.full((rows, n), -1, dtype=np.int32)
+            if self.max_len:
+                cached[k : k + self.max_len] = self.codes.T
+            self._padT[k] = cached
+        return cached
 
 
 def extend_rows(
@@ -220,6 +241,111 @@ def extend_rows_banded(
         out += js_w
         cur = out
     return cur if cur is not rows else rows.copy()
+
+
+# ---------------------------------------------------------------------------
+# transposed banded state kernel — the r13 traversal hot loop
+# ---------------------------------------------------------------------------
+#
+# Same Ukkonen band as above, but the window state is stored TRANSPOSED:
+# shape (W, n) with W = 2k+1, so each window cell w is one contiguous
+# (n,) row. The r13 profile of the both-big traversal put 80% of task
+# time inside ``extend_rows_banded`` — at W=5 the (n, W) layout spends
+# most of that in numpy fixed costs (``ufunc.accumulate`` machinery for
+# the 5-cell insertion chain, per-edge fancy gathers, strided column
+# ops). Transposed, every per-char op is a handful of contiguous-row
+# ufunc calls and the insertion chain is W-1 explicit ``minimum`` calls.
+# Semantics are IDENTICAL to the (n, W) kernel (property-pinned by
+# test_banded_state_kernel_equals_row_kernel and the banded-vs-full
+# traversal test).
+
+
+def banded_initial_state(k: int, n: int) -> np.ndarray:
+    """Transposed twin of ``banded_initial_rows``: (W, n) window at
+    p=0; row w holds j = w - k → distance(ε, q[:j]) = j, BIG for j<0."""
+    js = np.arange(-k, k + 1, dtype=np.int32)
+    col = np.where(js >= 0, js, BIG).astype(np.int32)
+    return np.repeat(col[:, None], max(n, 0), axis=1)
+
+
+def state_row_mins(
+    lens_sub: np.ndarray, state: np.ndarray, p: int, k: int
+) -> np.ndarray:
+    """Branch-and-bound lower bound over valid window cells (0 ≤ j ≤
+    len(q)) on the transposed state — per-row masked running min, no
+    (n, W) temporaries. ``lens_sub`` is ``batch.lens[idx]``."""
+    W = 2 * k + 1
+    out = np.full(state.shape[1], BIG, dtype=np.int32)
+    for w in range(W):
+        j = p - k + w
+        if j < 0:
+            continue
+        # masked min: only cells with j <= len(q) participate
+        np.minimum(out, state[w], out=out, where=lens_sub >= j)
+    return out
+
+
+def state_final_distances(
+    lens_sub: np.ndarray, state: np.ndarray, p: int, k: int
+) -> np.ndarray:
+    """Exact distance = cell j = len(q); callers guarantee
+    |len(q) - p| ≤ k (end-cap length band), so the cell is in window."""
+    w = lens_sub - (p - k)
+    return state[w, np.arange(state.shape[1])]
+
+
+def extend_state_banded(
+    padT_sub: np.ndarray,
+    state: np.ndarray,
+    label: str,
+    p: int,
+    k: int,
+) -> np.ndarray:
+    """Advance a (W, n) transposed window state by ``label``'s chars.
+
+    ``padT_sub`` is the active queries' slice of
+    ``QueryBatch.codes_T_padded(k)`` restricted to the rows this edge
+    reads — ``padT[p : p + len(label) + 2k][:, idx]`` — one gather per
+    edge; per char the needed (W, n) char matrix is the contiguous view
+    ``padT_sub[t : t + W]``. ``p`` is the path length BEFORE the edge.
+    Does not mutate ``state``; returns a fresh (W, n) array."""
+    W = 2 * k + 1
+    n = state.shape[1]
+    buf_a = np.empty((W, n), dtype=np.int32)
+    buf_b = np.empty((W, n), dtype=np.int32)
+    neq = np.empty((W, n), dtype=np.int32)
+    scratch = np.empty(n, dtype=np.int32)
+    rows_avail = padT_sub.shape[0]
+    cur = state
+    for t, ch in enumerate(label):
+        c = ord(ch)
+        out = buf_a if cur is not buf_a else buf_b
+        if t + W <= rows_avail:
+            # (W, n) substitution costs: 1 where the window char differs
+            np.not_equal(padT_sub[t : t + W], c, out=neq, casting="unsafe")
+        else:
+            # window ran past the padded matrix — every char is poison
+            # (only reachable in the guaranteed-pruned p > max_len + k
+            # zone; values stay exact-and-large, never ≤ k)
+            neq.fill(1)
+        # diag: (j-1, prev) sits at the SAME w after the window shift
+        np.add(cur, neq, out=out)
+        # up: (j, prev) sits at w+1; w = W-1 has no up (outside window)
+        if W > 1:
+            np.add(cur[1:], 1, out=neq[: W - 1])  # reuse neq as scratch
+            np.minimum(out[: W - 1], neq[: W - 1], out=out[: W - 1])
+        # j == 0 boundary: distance(path, ε) = p+t+1; j < 0 is padding
+        w0 = k - (p + t + 1)
+        if w0 >= 0:
+            if w0 < W:
+                out[w0] = p + t + 1
+            out[: min(w0, W)] = BIG
+        # insertion chain out[w] = min(out[w], out[w-1] + 1)
+        for w in range(1, W):
+            np.add(out[w - 1], 1, out=scratch)
+            np.minimum(out[w], scratch, out=out[w])
+        cur = out
+    return cur if cur is not state else state.copy()
 
 
 def extend_rows_multi(

@@ -254,10 +254,10 @@ def _traverse_banded(
     whole word, and the length band has already enforced
     |len(q) - p| ≤ k, so the final cell is in window."""
     from prefixtree_spark.functions.levenshtein import (
-        banded_final_distances,
-        banded_initial_rows,
-        banded_row_mins,
-        extend_rows_banded,
+        banded_initial_state,
+        extend_state_banded,
+        state_final_distances,
+        state_row_mins,
     )
 
     out_q: list[str] = []
@@ -268,25 +268,35 @@ def _traverse_banded(
         return out_q, out_w, out_d
     ids, labels = index.ids, index.labels
     is_word, mins, maxs = index.is_word, index.mins, index.maxs
+    W = 2 * k + 1
+    padT = batch.codes_T_padded(k)
+    n_padT = padT.shape[0]
 
     all_idx = np.arange(len(batch))
-    init_rows = banded_initial_rows(batch, k, len(batch))
     qlens = batch.lens
 
-    stack: list[tuple[np.ndarray, np.ndarray, np.ndarray, int]] = [
-        (roots, all_idx, init_rows, 0)
+    # stack entries: (children, active idx, their qlens, transposed
+    # (W, n) state, path length). Carrying the gathered qlens avoids a
+    # fancy index per edge; state/idx/lens are shared (never mutated)
+    # across a frame's children, so all-true masks skip the copies.
+    stack: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]] = [
+        (roots, all_idx, qlens, banded_initial_state(k, len(batch)), 0)
     ]
     while stack:
-        kid_positions, idx, rows, p = stack.pop()
+        kid_positions, idx, lens_a, state, p = stack.pop()
         for pos in kid_positions:
             lo, hi = int(mins[pos]), int(maxs[pos])
-            band = (qlens[idx] >= lo - k) & (qlens[idx] <= hi + k)
-            if not band.any():
-                continue
-            sub_idx = idx[band]
-            sub_rows = rows[band]
+            band = (lens_a >= lo - k) & (lens_a <= hi + k)
+            if not band.all():
+                if not band.any():
+                    continue
+                sub_idx = idx[band]
+                sub_lens = lens_a[band]
+                sub_state = state[:, band]
+            else:
+                sub_idx, sub_lens, sub_state = idx, lens_a, state
             if is_word[pos]:
-                finals = banded_final_distances(batch, sub_rows, sub_idx, p, k)
+                finals = state_final_distances(sub_lens, sub_state, p, k)
                 hit = finals <= k
                 if hit.any():
                     word = labels[pos]
@@ -296,29 +306,48 @@ def _traverse_banded(
                         out_d.append(int(d))
                 continue
             label = labels[pos]
-            new_rows = extend_rows_banded(batch, sub_rows, sub_idx, label, p, k)
+            # one gather per edge: the rows this edge's chars read
+            # (p .. p+L+W-2), restricted to the active columns
+            padT_sub = padT[p : min(p + len(label) + W - 1, n_padT), :][
+                :, sub_idx
+            ]
+            new_state = extend_state_banded(padT_sub, sub_state, label, p, k)
             new_p = p + len(label)
-            alive = banded_row_mins(batch, new_rows, sub_idx, new_p, k) <= k
-            if alive.any():
+            alive = state_row_mins(sub_lens, new_state, new_p, k) <= k
+            if alive.all():
                 kids = index.kids(int(ids[pos]))
                 if kids is not None:
-                    stack.append((kids, sub_idx[alive], new_rows[alive], new_p))
+                    stack.append((kids, sub_idx, sub_lens, new_state, new_p))
+            elif alive.any():
+                kids = index.kids(int(ids[pos]))
+                if kids is not None:
+                    stack.append(
+                        (
+                            kids,
+                            sub_idx[alive],
+                            sub_lens[alive],
+                            new_state[:, alive],
+                            new_p,
+                        )
+                    )
     return out_q, out_w, out_d
 
 
 # Banded-kernel dispatch: the band wins where DP element count
 # dominates (large still-active sets over many edges) and loses where
-# per-edge numpy fixed costs dominate (small batches, or k=1 where
-# branch-and-bound collapses the active set within a few edges and the
-# window is only 3 cells). Measured on the r8 fixtures (36k-node
-# merged tree / 4.4k-node hash forests, ~38-char names):
-#   k=1, any batch ≤ 4k:        full wins (0.68 vs 1.12 s at 1.5k q)
-#   k=2, 750 q merged tree:     full wins (1.15 vs 1.36 s)
-#   k=2, 2.5k-4k q merged tree: ~tie (1.80/1.73, 2.29/2.15 s)
-#   k=2, 5k q per hash forest:  banded 2.1x (5.19 -> 2.48 s); the
-#     distributed chunk 21-30 -> 7.4 s, both-big auto 58.5 -> 25.9 s
-# So: banded iff k >= 2 AND the batch is big enough to keep active
-# sets array-sized through the walk.
+# per-edge numpy fixed costs dominate (small batches, where
+# branch-and-bound collapses the active set within a few edges).
+# Measured on the r8 fixtures with the (n, W) row kernel, re-measured
+# r13 after the transposed (W, n) state kernel cut the banded per-edge
+# fixed cost ~3x (contiguous-row ufuncs + manual insertion chain
+# replacing ufunc.accumulate):
+#   k=2, 5000 q, 4.7k-node forest: banded 1.07 s vs full 3.1+ s (r13)
+#   k=2, 750 q, 1.3k-node forest:  banded 0.128 vs full 0.182 s (r13)
+#   k=1, 750 q, same forest:       banded 0.074 vs full 0.087 s (r13)
+#   k∈{1,2}, 100 q (serving):      full wins by ~10-15% (r13)
+# So: banded iff k >= 1 AND the batch is big enough to keep active
+# sets array-sized through the walk (k=0 degenerates to a 1-cell
+# window where the full kernel's single row is already minimal).
 _BANDED_MIN_QUERIES = 1024
 
 
@@ -328,7 +357,7 @@ def _traverse_auto(
     """Kernel dispatch (see the measured regime table above); the two
     kernels are result-identical (property-pinned)."""
     if (
-        k >= 2
+        k >= 1
         and len(batch) >= _BANDED_MIN_QUERIES
         and 2 * k + 1 < batch.max_len + 1
     ):
@@ -450,6 +479,26 @@ def _query_broadcast_queries_chunked(
     # stall chunk formation. query_groups (whose chunks are pure Spark
     # jobs with no driver iterator to starve) is where the overlap
     # pays, and has it.
+    #
+    # Fetch granularity (r13): toLocalIterator runs ONE job per
+    # partition of its input, so iterating the query side at its
+    # shuffle-partition count pays a driver round trip per (small)
+    # partition — ~90 ms each, ~3 s of the measured 28 s both-big wall
+    # at 32 partitions. Coalescing the (persisted) query side to
+    # ~chunk-sized partitions makes fetch jobs as big as the chunks the
+    # loop builds anyway: same driver-memory bound (one partition ≈ one
+    # chunk in flight), 10x fewer round trips. coalesce() is narrow —
+    # reading from the cache, no shuffle; chunk membership may shift,
+    # which is invisible in the unioned result (each distinct string
+    # traverses exactly once either way).
+    lvl = qdf.storageLevel
+    n_q_parts = qdf.rdd.getNumPartitions()
+    if (lvl.useMemory or lvl.useDisk) and n_q_parts > 1:
+        # sizing needs a count; only the persisted path (mode="auto",
+        # which pins the query side for its own probe) gets it for free
+        target = max(1, min(n_q_parts, -(-qdf.count() // chunk_size)))
+        if target < n_q_parts:
+            qdf = qdf.coalesce(target)
     chunks: list[DataFrame] = []
     buf: list[str] = []
 

@@ -149,3 +149,63 @@ def test_banded_traverse_equals_full_randomized():
             if levenshtein(q, w) <= k
         }
         assert full == brute, (trial, k)
+
+
+def test_banded_state_kernel_equals_row_kernel():
+    """The transposed (W, n) state kernel (r13: extend_state_banded /
+    state_row_mins / state_final_distances) must agree cell-for-cell
+    with the (n, W) row kernel it replaced in the traversal, across
+    random labels, path positions, and k — including windows that run
+    past the padded code matrix (the guaranteed-pruned zone)."""
+    import random
+
+    import numpy as np
+
+    from prefixtree_spark.functions.levenshtein import (
+        QueryBatch,
+        banded_final_distances,
+        banded_initial_rows,
+        banded_initial_state,
+        banded_row_mins,
+        extend_rows_banded,
+        extend_state_banded,
+        state_final_distances,
+        state_row_mins,
+    )
+
+    rng = random.Random(7)
+    alpha = "ABCD"
+    for trial in range(60):
+        n = rng.randint(1, 12)
+        queries = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 10)))
+            for _ in range(n)
+        ]
+        k = rng.choice([0, 1, 2, 3, 7])
+        W = 2 * k + 1
+        batch = QueryBatch(queries)
+        idx = np.arange(n)
+        padT = batch.codes_T_padded(k)
+        rows = banded_initial_rows(batch, k, n)
+        state = banded_initial_state(k, n)
+        assert (state.T == rows).all()
+        p = 0
+        for _ in range(rng.randint(1, 5)):
+            label = "".join(
+                rng.choice(alpha) for _ in range(rng.randint(1, 6))
+            )
+            rows = extend_rows_banded(batch, rows, idx, label, p, k)
+            padT_sub = padT[p : min(p + len(label) + W - 1, padT.shape[0]), :][
+                :, idx
+            ]
+            state = extend_state_banded(padT_sub, state, label, p, k)
+            p += len(label)
+            assert (state.T == rows).all(), (trial, p, k, queries)
+            old_mins = banded_row_mins(batch, rows, idx, p, k)
+            new_mins = state_row_mins(batch.lens[idx], state, p, k)
+            assert (old_mins == new_mins).all(), (trial, p, k)
+            in_window = np.abs(batch.lens[idx] - p) <= k
+            if in_window.all():
+                old_fin = banded_final_distances(batch, rows, idx, p, k)
+                new_fin = state_final_distances(batch.lens[idx], state, p, k)
+                assert (old_fin == new_fin).all(), (trial, p, k)
