@@ -834,6 +834,23 @@ def _own_persist(df: DataFrame):
     return (df.persist() if owned else df), owned
 
 
+# _query_broadcast_tree batch spreading (r13): bounded probe size and
+# per-task slice target. The r7 "no repartition" rule was measured
+# with the old kernel, whose per-edge fixed cost made every task walk
+# the whole tree at the same speed regardless of batch size. With the
+# r13 kernel the walk is pruning-bound: a task with an 8x smaller
+# batch prunes its active set ~2x earlier (measured on the 31.7k-node
+# merged tree, 750 queries: whole-batch 1.21 s vs max 8-way slice
+# 0.54 s at k=1; 2.58 vs 1.65 s at k=2). So SMALL batches are now
+# spread across tasks — the extra CPU (each task still walks the tree
+# top) is free on otherwise-idle cores, and the wall follows the max
+# slice. Query sides beyond the probe bound stream through unchanged
+# (they already fill every task; a full shuffle of a huge side would
+# cost more than it saves).
+_SPREAD_MAX_QUERIES = 32_768
+_SPREAD_TARGET_SLICE = 96
+
+
 def _query_broadcast_tree(
     queries: DataFrame, qcol: str, index: "LocalIndex", k: int
 ) -> DataFrame:
@@ -859,13 +876,26 @@ def _query_broadcast_tree(
             if qs:
                 yield _traverse_index(idx, QueryBatch(qs), k)
 
-    # NOT repartitioned before the mapInPandas (measured, r7): the
-    # batch DP amortizes each node visit across every active query, so
-    # splitting a 1024-query batch over 32 tasks makes each task walk
-    # the whole tree anyway — 2.1 s either way at 36k nodes, k=2, and
-    # the shuffle only hurts point batches. Large batches belong on
-    # the distributed traversal (auto routes them there).
-    return queries.select(F.col(qcol)).mapInPandas(run, schema=RESULT_SCHEMA)
+    src = queries.select(F.col(qcol))
+    # spread small batches (see the regime note above the constants);
+    # the bounded limit+count probe never scans more than the bound + 1
+    n_bound = src.limit(_SPREAD_MAX_QUERIES + 1).count()
+    if n_bound <= _SPREAD_MAX_QUERIES:
+        n_part = max(
+            1,
+            min(
+                spark.sparkContext.defaultParallelism,
+                -(-n_bound // _SPREAD_TARGET_SLICE),
+            ),
+        )
+        # explicit repartition: AQE coalesces the (tiny) distinct
+        # shuffle upstream to ~1 partition, so the plan's static
+        # partition count cannot be trusted — an explicit N is exempt
+        # from coalescing and the shuffle moves at most the probed
+        # (small) byte size
+        if n_part > 1:
+            src = src.repartition(n_part)
+    return src.mapInPandas(run, schema=RESULT_SCHEMA)
 
 
 def _query_bfs(
