@@ -44,6 +44,45 @@ def test_dl_fuzz_matches_duckdb(duck):
     assert got == want
 
 
+def test_dl_batch_matches_scalar_exhaustive():
+    """The r13 batch-vectorized kernel must equal the scalar DP on every
+    alphabet-3 pair to length 4 (14,641 pairs — covers transposition,
+    flank-trim and trivial-core dispatch corners), plus fuzz over longer
+    mixed-alphabet strings and the long-string scalar fallback."""
+    import itertools
+
+    import numpy as np
+
+    from prefixtree_spark.functions.damerau import dl_batch
+
+    words = [""]
+    for ln in range(1, 5):
+        words += ["".join(t) for t in itertools.product("abc", repeat=ln)]
+    a_l = [a for a in words for _ in words]
+    b_l = [b for _ in words for b in words]
+    got = dl_batch(a_l, b_l)
+    exp = np.array([damerau_levenshtein(a, b) for a, b in zip(a_l, b_l)])
+    assert (got == exp).all()
+
+    rng = random.Random(13)
+    pools = ["ab", "abcde", "abcdefghij", "áβ☃ab", "aabb"]
+    a_l, b_l = [], []
+    for _ in range(4000):
+        pool = rng.choice(pools)
+        a_l.append(
+            "".join(rng.choice(pool) for _ in range(rng.randint(0, 24)))
+        )
+        b_l.append(
+            "".join(rng.choice(pool) for _ in range(rng.randint(0, 24)))
+        )
+    # long tail exercises the scalar-fallback route
+    a_l += ["x" * 600, "x" * 600 + "ab"]
+    b_l += ["x" * 600 + "y", "x" * 600 + "ba"]
+    got = dl_batch(a_l, b_l)
+    exp = np.array([damerau_levenshtein(a, b) for a, b in zip(a_l, b_l)])
+    assert (got == exp).all()
+
+
 def test_dl_lev_bound_property():
     """lev <= 2*dl — the inequality the candidate superset rides on."""
     from prefixtree_spark.functions.levenshtein import levenshtein
