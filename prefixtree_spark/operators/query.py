@@ -383,6 +383,31 @@ def _traverse_index(idx: "LocalIndex", batch: QueryBatch, k: int) -> pd.DataFram
 # ---------------------------------------------------------------------------
 
 
+def _colocate_forests(pt: DataFrame) -> DataFrame:
+    """Reshuffle the node table so each partition holds whole forests,
+    spread evenly — the colocation shuffle ahead of a chunk loop.
+
+    RANGE partitioning at 2x parallelism, not hash at 1x (r13): the
+    number of forests is ~the build partition count, which is ~the
+    partition count of THIS shuffle at any scale — hashing n keys into
+    n buckets idles ~1/e of the cluster (measured at the bench both-big
+    shape: 32 forests -> only 18 of 32 tasks non-empty, chunk job
+    4.4-4.7 s). Range partitioning separates keys near-perfectly and
+    balances by sampled row counts; 2x buckets makes singleton-forest
+    partitions the common case (measured: 32/32 tasks busy, max task
+    4.2 -> 1.95 s, chunk job 2.2-2.7 s). Equal keys land in one range
+    partition, so the whole-forest contract holds. The explicit N also
+    dodges the AQE-coalesce trap (the node table's small byte size
+    otherwise coalesces to ~1 partition and the loop runs single-task).
+    The range sampling pass is one extra job, paid once per chunk LOOP,
+    never per chunk."""
+    n_part = 2 * max(
+        pt.rdd.getNumPartitions(),
+        pt.sparkSession.sparkContext.defaultParallelism,
+    )
+    return pt.repartitionByRange(n_part, "compute_node")
+
+
 def _query_broadcast_queries(
     pt: DataFrame, query_strings: list[str], k: int, *, colocated: bool = False
 ) -> DataFrame:
@@ -456,20 +481,10 @@ def _query_broadcast_queries_chunked(
     owned = None
     if not colocated:
         # colocate ONCE for all chunks (the per-call strategy would
-        # re-shuffle the tree per chunk through its groupBy); hashing
-        # by compute_node keeps whole forests together, which is all
-        # the colocated traversal needs. EXPLICIT N: a column-only
-        # repartition is an AQE-coalesce trap — the node table's small
-        # byte size (~100 B/node) coalesces to ~1 partition and every
-        # chunk's traversal then runs single-task (the r7
-        # groupBy().applyInPandas lesson, re-found here in r8: the
-        # both-big bench ran 44 s where the same traversal presharded
-        # ran 19 s)
-        n_part = max(
-            pt.rdd.getNumPartitions(),
-            spark.sparkContext.defaultParallelism,
-        )
-        owned = pt = pt.repartition(n_part, "compute_node").persist()
+        # re-shuffle the tree per chunk through its groupBy); range
+        # spread at 2x parallelism — see _colocate_forests for the
+        # measured hash-collision/AQE rationale
+        owned = pt = _colocate_forests(pt).persist()
         pt.count()
     # Deliberately SERIAL (r13): pipelining the traversal onto a worker
     # thread while the main thread pulls the next chunk off
@@ -574,13 +589,9 @@ def _query_broadcast_queries_filegroups(
     qcol = qdf.columns[0]
     owned = None
     if not colocated:
-        # colocate ONCE for all chunks, explicit N (the AQE-coalesce
-        # trap — see _query_broadcast_queries_chunked)
-        n_part = max(
-            pt.rdd.getNumPartitions(),
-            spark.sparkContext.defaultParallelism,
-        )
-        owned = pt = pt.repartition(n_part, "compute_node").persist()
+        # colocate ONCE for all chunks — see _colocate_forests for the
+        # range-spread/AQE rationale
+        owned = pt = _colocate_forests(pt).persist()
         pt.count()
     if scratch_dir is None:
         scratch_dir = spark.conf.get(
@@ -689,11 +700,8 @@ def query_groups(
         _qcol = pq.ParquetFile(files[0]).schema_arrow.names[0]
     owned = None
     if not colocated:
-        n_part = max(
-            pt.rdd.getNumPartitions(),
-            spark.sparkContext.defaultParallelism,
-        )
-        owned = pt = pt.repartition(n_part, "compute_node").persist()
+        # see _colocate_forests for the range-spread/AQE rationale
+        owned = pt = _colocate_forests(pt).persist()
         pt.count()
     try:
         if max_concurrent <= 1 or len(files) == 1:
@@ -1249,15 +1257,12 @@ def query(
                     # whole run — in exactly the regime defined by the
                     # tree being too big to collect. Overlap now lasts
                     # one repartition pass (caller-owned caches stay).
-                    # EXPLICIT N (r8): without it AQE coalesced this
-                    # exchange to ~1 partition and the whole chunk loop
-                    # traversed single-task — both_big_auto_k2 44 s vs
-                    # 19 s for the identical presharded traversal.
-                    n_part = max(
-                        pt.rdd.getNumPartitions(),
-                        pt.sparkSession.sparkContext.defaultParallelism,
-                    )
-                    pt2 = pt.repartition(n_part, "compute_node").persist()
+                    # Range spread at explicit 2x N — see
+                    # _colocate_forests (hash-collision idle cores +
+                    # the r8 AQE-coalesce trap: both_big_auto_k2 44 s
+                    # vs 19 s when this exchange coalesced to ~1
+                    # partition).
+                    pt2 = _colocate_forests(pt).persist()
                     try:
                         pt2.count()
                         if owned:
