@@ -647,6 +647,25 @@ def _read_index_meta(spark: SparkSession, path: str) -> int | None:
         return None  # pre-meta saves / foreign files: probe instead
 
 
+def _restore_colocation(df: DataFrame) -> DataFrame:
+    """Forest-per-partition colocation for a freshly read node table.
+
+    Range spread at an EXPLICIT 2x-parallelism count (r13): the
+    column-only ``repartition("compute_node")`` this used to be is an
+    AQE-coalesce trap — the node table's small byte size coalesces the
+    exchange to ONE partition (measured: a 36k-node sf0.1 index came
+    back as exactly 1 partition), so every subsequent colocated
+    traversal ran single-task. Range partitioning also avoids the
+    n-forests-into-n-buckets hash-collision idle (see query.py
+    ``_colocate_forests``); equal keys cannot straddle a range
+    boundary, so whole forests stay together."""
+    n_part = 2 * max(
+        df.rdd.getNumPartitions(),
+        df.sparkSession.sparkContext.defaultParallelism,
+    )
+    return df.repartitionByRange(n_part, "compute_node")
+
+
 def load_index(spark: SparkSession, path: str, *, colocated: bool = False) -> DataFrame:
     """Read a saved node table. ``colocated=True`` restores
     forest-per-partition colocation with one repartition so subsequent
@@ -655,7 +674,7 @@ def load_index(spark: SparkSession, path: str, *, colocated: bool = False) -> Da
     partitions at row-group boundaries)."""
     df = spark.read.parquet(path)
     if colocated:
-        df = df.repartition("compute_node")
+        df = _restore_colocation(df)
     n = _read_index_meta(spark, path)
     if n is not None:
         set_n_forests_hint(df, n)
@@ -685,7 +704,7 @@ def load_published_index(
 
     df = read_published(spark, root)
     if colocated:
-        df = df.repartition("compute_node")
+        df = _restore_colocation(df)
     return df
 
 

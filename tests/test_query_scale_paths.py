@@ -35,6 +35,33 @@ def test_save_load_colocated_roundtrip(spark, tmp_path):
     assert got == _expected(SPARSE_WORDS, QUERIES, 1)
 
 
+def test_load_colocated_spreads_forests(spark, tmp_path):
+    """load_index(colocated=True) must restore MULTI-partition
+    colocation: the old column-only repartition was AQE-coalesced to
+    one partition on the node table's tiny byte size, so every
+    subsequent colocated traversal ran single-task (r13)."""
+    pt = create(_words_df(spark, SPARSE_WORDS), "word", num_partitions=3)
+    path = str(tmp_path / "idx_spread")
+    save_index(pt, path)
+    loaded = load_index(spark, path, colocated=True)
+    n_busy = (
+        loaded.groupBy(F.spark_partition_id().alias("p")).count().count()
+    )
+    assert n_busy > 1, f"colocated load collapsed to {n_busy} partition(s)"
+    # forests must stay whole: every compute_node in exactly 1 partition
+    split = (
+        loaded.select("compute_node", F.spark_partition_id().alias("p"))
+        .distinct()
+        .groupBy("compute_node")
+        .count()
+        .where("count > 1")
+        .count()
+    )
+    assert split == 0
+    got = _run(spark, loaded, QUERIES, 1, "broadcast_queries")
+    assert got == _expected(SPARSE_WORDS, QUERIES, 1)
+
+
 def test_similarity_join_rows_payload(spark):
     from prefixtree_spark.operators.similarity_join import similarity_join_rows
 
