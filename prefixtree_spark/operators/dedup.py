@@ -444,18 +444,34 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(
-    shingles: DataFrame, *, num_perm: int = 64, seed: int = 42
-) -> DataFrame:
-    """(doc, sig: array<long>) — ``num_perm`` MinHash values per doc.
+def _grouped_shingle_hashes(sh: DataFrame) -> DataFrame:
+    """(doc, hs: array<long>) — each doc's distinct shingle set as
+    xxhash64 fingerprints, grouped once (map-side partial collect_list;
+    the shuffle carries each base hash exactly once).
 
-    One JVM xxhash64 per shingle (the base hash), then all permutations
-    at once per Arrow batch with multiply-shift hashing
-    (``(a_i * h) mod 2^64 >> 3`` for odd random ``a_i`` — a universal
-    family, vectorized as one uint64 outer product in numpy). Compared
-    to exploding shingles × permutations this moves ``num_perm×`` less
-    data through the shuffle: the only wide stage is the per-doc
-    grouping of base hashes."""
+    This is the shared input of BOTH MinHash stages (r13 fusion): the
+    signature UDF consumes it directly, and the LSH verify computes
+    exact intersections over the same fingerprint arrays
+    (``_jaccard_from_grouped``) instead of re-joining the exploded
+    shingle rows per candidate pair.  The signatures have always
+    reduced shingles to this 64-bit space before the permutations, so
+    verifying on it adds no new collision assumption — a cross-doc
+    xxhash64 collision perturbing one pair's intersection has
+    p ≈ n1·n2/2^64, far below the probability of an LSH band collision
+    admitting (or a sketch miss dropping) the same pair."""
+    return (
+        sh.select("doc", F.xxhash64("shingle").alias("h"))
+        .groupBy("doc")
+        .agg(F.collect_list("h").alias("hs"))
+    )
+
+
+def _signatures_from_grouped(
+    grouped: DataFrame, *, num_perm: int = 64, seed: int = 42
+) -> DataFrame:
+    """(doc, sig) from pre-grouped fingerprint arrays — the UDF half of
+    ``minhash_signatures`` for callers that hold (and reuse) the
+    grouped table."""
     rng = np.random.default_rng(seed)
     mults = (rng.integers(1, 1 << 63, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
 
@@ -474,11 +490,54 @@ def minhash_signatures(
                 out.append(m.min(axis=0).astype(np.int64))
         return pd.Series(out)
 
-    hashed = shingles.select("doc", F.xxhash64("shingle").alias("h"))
-    # collect_list gets map-side partial aggregation; the shuffle
-    # carries each base hash once
-    grouped = hashed.groupBy("doc").agg(F.collect_list("h").alias("hs"))
     return grouped.select("doc", sig_udf("hs").alias("sig"))
+
+
+def minhash_signatures(
+    shingles: DataFrame, *, num_perm: int = 64, seed: int = 42
+) -> DataFrame:
+    """(doc, sig: array<long>) — ``num_perm`` MinHash values per doc.
+
+    One JVM xxhash64 per shingle (the base hash), then all permutations
+    at once per Arrow batch with multiply-shift hashing
+    (``(a_i * h) mod 2^64 >> 3`` for odd random ``a_i`` — a universal
+    family, vectorized as one uint64 outer product in numpy). Compared
+    to exploding shingles × permutations this moves ``num_perm×`` less
+    data through the shuffle: the only wide stage is the per-doc
+    grouping of base hashes."""
+    return _signatures_from_grouped(
+        _grouped_shingle_hashes(shingles), num_perm=num_perm, seed=seed
+    )
+
+
+def _jaccard_from_grouped(
+    grouped: DataFrame, threshold: float, candidates: DataFrame
+) -> DataFrame:
+    """The LSH verify over pre-grouped fingerprint arrays: two joins of
+    the (id1, id2) candidates against the per-doc arrays, intersection
+    and set sizes computed per pair as JVM array expressions — no
+    exploded candidates×shingles shuffle, no separate size groupBy
+    (``size(hs)`` IS the exact distinct-shingle count).  Collision
+    caveat in ``_grouped_shingle_hashes``; measured −20-30% on the
+    dedup_minhash_lsh entry with identical rows
+    (tools/probe_minhash_r13.py)."""
+    h1 = grouped.select(F.col("doc").alias("id1"), F.col("hs").alias("hs1"))
+    h2 = grouped.select(F.col("doc").alias("id2"), F.col("hs").alias("hs2"))
+    sized = (
+        candidates.join(h1, "id1")
+        .join(h2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect("hs1", "hs2")).alias("ic"),
+            F.size("hs1").alias("sz1"),
+            F.size("hs2").alias("sz2"),
+        )
+    )
+    jac = F.col("ic") / (F.col("sz1") + F.col("sz2") - F.col("ic"))
+    return sized.where(jac >= threshold).select(
+        "id1", "id2", F.round(jac, 6).alias("jaccard")
+    )
 
 
 def _band_buckets(sig: DataFrame, bands: int, rows: int) -> DataFrame:
@@ -519,14 +578,9 @@ def minhash_lsh_pairs(
     verification, so the whole pipeline operates on one consistent
     filtered shingle space (see ``_apply_max_df``)."""
     assert num_perm % bands == 0
-    sh = _apply_max_df(
-        token_shingles(df, id_col, text_col, n), max_df
-    ).cache()
-    return _pin_release(
-        _lsh_pairs_from_shingles(
-            sh, threshold=threshold, num_perm=num_perm, bands=bands
-        ),
-        sh,
+    sh = _apply_max_df(token_shingles(df, id_col, text_col, n), max_df)
+    return _lsh_pairs_from_shingles(
+        sh, threshold=threshold, num_perm=num_perm, bands=bands
     )
 
 
@@ -538,12 +592,16 @@ def _lsh_pairs_from_shingles(
     bands: int,
 ) -> DataFrame:
     """The shingles-in core of ``minhash_lsh_pairs`` for callers that
-    already hold (doc, shingle) rows. ``sh`` must be pinned by the
-    caller (several branches of one plan consume it); the caller also
-    owns releasing it — ``minhash_lsh_pairs`` does both via
-    ``_pin_release``."""
+    already hold (doc, shingle) rows.  ``sh`` is consumed exactly once
+    (by the grouped-fingerprint build) — the r13 fusion pins the
+    GROUPED table instead and feeds it to both the signature UDF and
+    the hash-set verify, so callers no longer need to cache the
+    exploded shingle rows."""
+    grouped = _grouped_shingle_hashes(sh).cache()
     banded = _band_buckets(
-        minhash_signatures(sh, num_perm=num_perm), bands, num_perm // bands
+        _signatures_from_grouped(grouped, num_perm=num_perm),
+        bands,
+        num_perm // bands,
     )
     x, y = banded.alias("x"), banded.alias("y")
     candidates = (
@@ -556,8 +614,11 @@ def _lsh_pairs_from_shingles(
         .select(F.col("x.doc").alias("id1"), F.col("y.doc").alias("id2"))
         .distinct()
     )
-    # exact verification of candidates only
-    return _jaccard_from_shingles(sh, threshold, candidates=candidates)
+    # exact verification of candidates only, over the same fingerprint
+    # arrays the signatures were built from
+    return _pin_release(
+        _jaccard_from_grouped(grouped, threshold, candidates), grouped
+    )
 
 
 def incremental_lsh_pairs(
@@ -587,13 +648,17 @@ def incremental_lsh_pairs(
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
-    sh_new = token_shingles(new_df, id_col, text_col, n).cache()
-    sh_cor = token_shingles(corpus_df, id_col, text_col, n).cache()
+    g_new = _grouped_shingle_hashes(
+        token_shingles(new_df, id_col, text_col, n)
+    ).cache()
+    g_cor = _grouped_shingle_hashes(
+        token_shingles(corpus_df, id_col, text_col, n)
+    ).cache()
     b_new = _band_buckets(
-        minhash_signatures(sh_new, num_perm=num_perm), bands, rows
+        _signatures_from_grouped(g_new, num_perm=num_perm), bands, rows
     )
     b_cor = _band_buckets(
-        minhash_signatures(sh_cor, num_perm=num_perm), bands, rows
+        _signatures_from_grouped(g_cor, num_perm=num_perm), bands, rows
     )
     candidates = (
         b_new.select(F.col("doc").alias("new_id"), "band", "bucket")
@@ -604,30 +669,27 @@ def incremental_lsh_pairs(
         .select("new_id", "corpus_id")
         .distinct()
     )
-    # bipartite exact verify: intersections equi-join each side's
-    # shingles on (id, shingle) — both keys in the join condition
-    a = sh_new.select(F.col("doc").alias("new_id"), F.col("shingle").alias("s"))
-    b = sh_cor.select(F.col("doc").alias("corpus_id"), F.col("shingle").alias("s"))
-    inter = (
-        candidates.join(a, "new_id")
-        .join(b, ["corpus_id", "s"])
-        .groupBy("new_id", "corpus_id")
-        .agg(F.count(F.lit(1)).alias("ic"))
-    )
-    sz_new = sh_new.groupBy("doc").agg(F.count(F.lit(1)).alias("sz1")).select(
-        F.col("doc").alias("new_id"), "sz1"
-    )
-    sz_cor = sh_cor.groupBy("doc").agg(F.count(F.lit(1)).alias("sz2")).select(
-        F.col("doc").alias("corpus_id"), "sz2"
+    # bipartite verify over each side's grouped fingerprint arrays —
+    # the same r13 fusion as ``_lsh_pairs_from_shingles`` (collision
+    # caveat in ``_grouped_shingle_hashes``)
+    h1 = g_new.select(F.col("doc").alias("new_id"), F.col("hs").alias("hs1"))
+    h2 = g_cor.select(F.col("doc").alias("corpus_id"), F.col("hs").alias("hs2"))
+    sized = (
+        candidates.join(h1, "new_id")
+        .join(h2, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.size(F.array_intersect("hs1", "hs2")).alias("ic"),
+            F.size("hs1").alias("sz1"),
+            F.size("hs2").alias("sz2"),
+        )
     )
     jac = F.col("ic") / (F.col("sz1") + F.col("sz2") - F.col("ic"))
-    out = (
-        inter.join(sz_new, "new_id")
-        .join(sz_cor, "corpus_id")
-        .where(jac >= threshold)
-        .select("new_id", "corpus_id", F.round(jac, 6).alias("jaccard"))
+    out = sized.where(jac >= threshold).select(
+        "new_id", "corpus_id", F.round(jac, 6).alias("jaccard")
     )
-    return _pin_release(out, sh_new, sh_cor)
+    return _pin_release(out, g_new, g_cor)
 
 
 # ---------------------------------------------------------------------------

@@ -408,6 +408,38 @@ def _colocate_forests(pt: DataFrame) -> DataFrame:
     return pt.repartitionByRange(n_part, "compute_node")
 
 
+class _QueryPayload:
+    """Broadcast holder for a traversal's query batch: ships ONLY the
+    strings, builds the ``QueryBatch`` lazily ON THE WORKER and memoizes
+    it on the unpickled holder — which the pyspark broadcast registry
+    caches per worker process — so every per-task derived cost (the
+    dense codes matrix, the valid mask, the per-k padded transpose) is
+    paid once per WORKER per chunk instead of once per TASK, while the
+    wire still carries the compact string list (the prebuilt-QueryBatch
+    broadcast alternative ships the padded int32 codes matrix, ~9x the
+    bytes at name-length payloads — wrong trade at the 1M-query chunk
+    cap even though it measured the same locally; probe_payload_r13).
+    Workers run tasks serially, so the memo needs no lock."""
+
+    __slots__ = ("queries", "_batch")
+
+    def __init__(self, queries: list[str]):
+        self.queries = queries
+        self._batch = None
+
+    def __getstate__(self):
+        return self.queries
+
+    def __setstate__(self, qs):
+        self.queries = qs
+        self._batch = None
+
+    def batch(self) -> QueryBatch:
+        if self._batch is None:
+            self._batch = QueryBatch(self.queries)
+        return self._batch
+
+
 def _query_broadcast_queries(
     pt: DataFrame, query_strings: list[str], k: int, *, colocated: bool = False
 ) -> DataFrame:
@@ -422,14 +454,14 @@ def _query_broadcast_queries(
     first. At scale the zero-shuffle path is the point of this mode:
     only the (small) query batch moves."""
     spark = pt.sparkSession
-    bq = spark.sparkContext.broadcast(query_strings)
+    bq = spark.sparkContext.broadcast(_QueryPayload(query_strings))
 
     def run_partition(batches):
         frames = [pdf for pdf in batches if len(pdf)]
         if not frames:
             return
         pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-        yield _traverse_pdf(pdf, QueryBatch(bq.value), k)
+        yield _traverse_pdf(pdf, bq.value.batch(), k)
 
     if colocated:
         return pt.mapInPandas(run_partition, schema=RESULT_SCHEMA)
@@ -742,6 +774,42 @@ def _list_query_groups(path: str) -> list[str]:
     )
 
 
+# Per-WORKER memo of file-group query batches: every traversal task of
+# one chunk job reads the same group file and builds the same
+# QueryBatch; with reused python workers (spark.python.worker.reuse,
+# the default) the second and later tasks on a worker can skip both.
+# Keyed by (path, qcol, mtime_ns, size) so a rewritten group file can
+# never serve a stale batch. Capacity 2 = query_groups' default
+# max_concurrent (two group jobs interleave tasks on one worker);
+# memory bound is capacity x one chunk's QueryBatch footprint per
+# worker — the same order a single running task already holds today.
+_FILEGROUP_BATCH_CACHE: "OrderedDict[tuple, QueryBatch]" = OrderedDict()
+_FILEGROUP_BATCH_CAPACITY = 2
+
+
+def _filegroup_batch(chunk_path: str, qcol: str) -> QueryBatch:
+    import os
+
+    st = os.stat(chunk_path)
+    key = (chunk_path, qcol, st.st_mtime_ns, st.st_size)
+    cached = _FILEGROUP_BATCH_CACHE.get(key)
+    if cached is not None:
+        _FILEGROUP_BATCH_CACHE.move_to_end(key)
+        return cached
+    import pyarrow.parquet as pq
+
+    strings = [
+        s
+        for s in pq.read_table(chunk_path, columns=[qcol]).column(0).to_pylist()
+        if s is not None
+    ]
+    batch = QueryBatch(strings)
+    _FILEGROUP_BATCH_CACHE[key] = batch
+    while len(_FILEGROUP_BATCH_CACHE) > _FILEGROUP_BATCH_CAPACITY:
+        _FILEGROUP_BATCH_CACHE.popitem(last=False)
+    return batch
+
+
 def _query_filegroup(
     pt: DataFrame, chunk_path: str, qcol: str, k: int
 ) -> DataFrame:
@@ -749,25 +817,18 @@ def _query_filegroup(
     the colocated per-forest traversal of ``_query_broadcast_queries``,
     except each task reads the chunk's query strings from storage
     instead of a driver broadcast. Only the path string rides the task
-    closure."""
+    closure; the read + QueryBatch build are memoized per worker
+    (``_filegroup_batch``)."""
 
     def run_partition(batches):
-        import pyarrow.parquet as pq
-
         frames = [pdf for pdf in batches if len(pdf)]
         if not frames:
             return
-        strings = [
-            s
-            for s in pq.read_table(chunk_path, columns=[qcol])
-            .column(0)
-            .to_pylist()
-            if s is not None
-        ]
-        if not strings:
+        batch = _filegroup_batch(chunk_path, qcol)
+        if not len(batch):
             return
         pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-        yield _traverse_pdf(pdf, QueryBatch(strings), k)
+        yield _traverse_pdf(pdf, batch, k)
 
     return pt.mapInPandas(run_partition, schema=RESULT_SCHEMA)
 
