@@ -383,6 +383,26 @@ def _traverse_index(idx: "LocalIndex", batch: QueryBatch, k: int) -> pd.DataFram
 # ---------------------------------------------------------------------------
 
 
+def _union_all(frames: list[DataFrame]) -> DataFrame:
+    """Balanced (pairwise-tree) union of per-chunk results.
+
+    A linear ``unionByName`` chain builds a plan tree whose depth is
+    the CHUNK COUNT — at the thousands-of-chunks scale the filegroups
+    strategy exists for, analyzer/optimizer recursion over that chain
+    is itself a driver cost and, far enough out, a stack-depth hazard.
+    The pairwise tree bounds depth at log2(n) (12 levels at 4096
+    chunks). Same rows, same order-insensitive result; measured equal
+    warm and ~1.5x faster on the first (plan-building) pass at 400
+    chunks (tools probe, r13)."""
+    fs = frames
+    while len(fs) > 1:
+        fs = [
+            fs[i].unionByName(fs[i + 1]) if i + 1 < len(fs) else fs[i]
+            for i in range(0, len(fs), 2)
+        ]
+    return fs[0]
+
+
 def _colocate_forests(pt: DataFrame) -> DataFrame:
     """Reshuffle the node table so each partition holds whole forests,
     spread evenly — the colocation shuffle ahead of a chunk loop.
@@ -568,10 +588,7 @@ def _query_broadcast_queries_chunked(
             owned.unpersist()
     if not chunks:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    out = chunks[0]
-    for c in chunks[1:]:
-        out = out.unionByName(c)
-    return out
+    return _union_all(chunks)
 
 
 def _query_broadcast_queries_filegroups(
@@ -755,10 +772,7 @@ def query_groups(
                         files,
                     )
                 )
-        out = chunks[0]
-        for c in chunks[1:]:
-            out = out.unionByName(c)
-        return out
+        return _union_all(chunks)
     finally:
         if owned is not None:
             owned.unpersist()
