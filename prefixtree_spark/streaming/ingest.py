@@ -66,6 +66,8 @@ from pyspark.sql import functions as F
 from prefixtree_spark.operators import dedup
 from prefixtree_spark.operators.dedup import (
     _band_buckets,
+    _grouped_shingle_hashes,
+    _signatures_from_grouped,
     minhash_signatures,
     token_shingles,
 )
@@ -439,10 +441,16 @@ def ingest_batch(
             b_cor = _doc_bands(corpus, id_col, text_col, n, num_perm, bands)
             publish_version(b_cor, broot)
             b_cor = read_published(spark, broot)
-        sh_new = token_shingles(surv, id_col, text_col, n).cache()
-        pins.append(sh_new)
+        # r13 fusion (see dedup._grouped_shingle_hashes): pin the
+        # batch's GROUPED fingerprint arrays once; the signature UDF
+        # and the hash-set verify below both consume them, so the
+        # exploded shingle rows are never cached or re-joined
+        g_new = _grouped_shingle_hashes(
+            token_shingles(surv, id_col, text_col, n)
+        ).cache()
+        pins.append(g_new)
         b_new = _band_buckets(
-            minhash_signatures(sh_new, num_perm=num_perm),
+            _signatures_from_grouped(g_new, num_perm=num_perm),
             bands,
             num_perm // bands,
         ).persist()  # reused at step 4 for the survivors' bands
@@ -498,26 +506,31 @@ def ingest_batch(
                 id_col,
                 "left_semi",
             )
-        sh_cor = token_shingles(cand_corpus, id_col, text_col, n)
-        a = sh_new.select(F.col("doc").alias("new_id"), F.col("shingle").alias("s"))
-        b = sh_cor.select(F.col("doc").alias("corpus_id"), F.col("shingle").alias("s"))
-        inter = (
-            candidates.join(a, "new_id")
-            .join(b, ["corpus_id", "s"])
-            .groupBy("new_id", "corpus_id")
-            .agg(F.count(F.lit(1)).alias("ic"))
+        # bipartite verify over grouped fingerprint arrays (the r13
+        # fusion — no exploded candidates×shingles join, sizes read
+        # from the array lengths); the corpus side still shingles ONLY
+        # the candidate docs selected above
+        g_cor = _grouped_shingle_hashes(
+            token_shingles(cand_corpus, id_col, text_col, n)
         )
-        sz_new = sh_new.groupBy("doc").agg(F.count(F.lit(1)).alias("sz1")).select(
-            F.col("doc").alias("new_id"), "sz1"
+        h1 = g_new.select(F.col("doc").alias("new_id"), F.col("hs").alias("hs1"))
+        h2 = g_cor.select(
+            F.col("doc").alias("corpus_id"), F.col("hs").alias("hs2")
         )
-        sz_cor = sh_cor.groupBy("doc").agg(F.count(F.lit(1)).alias("sz2")).select(
-            F.col("doc").alias("corpus_id"), "sz2"
+        sized = (
+            candidates.join(h1, "new_id")
+            .join(h2, "corpus_id")
+            .select(
+                "new_id",
+                "corpus_id",
+                F.size(F.array_intersect("hs1", "hs2")).alias("ic"),
+                F.size("hs1").alias("sz1"),
+                F.size("hs2").alias("sz2"),
+            )
         )
         jac = F.col("ic") / (F.col("sz1") + F.col("sz2") - F.col("ic"))
         hits = (
-            inter.join(sz_new, "new_id")
-            .join(sz_cor, "corpus_id")
-            .where(jac >= threshold)
+            sized.where(jac >= threshold)
             .groupBy("new_id")
             .agg(F.min("corpus_id").alias("_cm"))
         )
