@@ -647,11 +647,22 @@ def main() -> None:
     # readings in full bench runs are contention, not the collect_list
     # signature shuffle. Recorded per round so a real regression in any
     # one stage is attributable.
+    #
+    # Measurement fix, r13 session 3 (declared per the bench contract,
+    # extras only — no `queries` entry touched): the stages now mirror
+    # the FUSED pipeline the entry actually runs (grouped fingerprint
+    # arrays feeding both the signature UDF and the hash-set verify).
+    # `minhash_stage_shingle` keeps its meaning (tokenize+shingle, now
+    # materialized through the grouped build it feeds);
+    # `minhash_stage_signature` is the UDF over the grouped table;
+    # `minhash_stage_verify` is the array-intersect verify. Pre-fusion
+    # rounds' numbers measured the exploded-verify shape and are not
+    # directly comparable for signature/verify.
     from prefixtree_spark.operators.dedup import (
-        _apply_max_df,
         _band_buckets,
-        _jaccard_from_shingles,
-        minhash_signatures,
+        _grouped_shingle_hashes,
+        _jaccard_from_grouped,
+        _signatures_from_grouped,
         token_shingles,
     )
 
@@ -659,13 +670,13 @@ def main() -> None:
     docs_mh.count()
     for tag in ("cold", "warm"):  # second pass is the recorded warm one
         t0 = time.time()
-        sh_mh = _apply_max_df(
-            token_shingles(docs_mh, "doc_id", "text", 3), None
+        g_mh = _grouped_shingle_hashes(
+            token_shingles(docs_mh, "doc_id", "text", 3)
         ).cache()
-        sh_mh.count()
+        g_mh.count()
         extras[f"minhash_stage_shingle_{tag}"] = round(time.time() - t0, 3)
         t0 = time.time()
-        sig_mh = minhash_signatures(sh_mh, num_perm=64).cache()
+        sig_mh = _signatures_from_grouped(g_mh, num_perm=64).cache()
         sig_mh.count()
         extras[f"minhash_stage_signature_{tag}"] = round(time.time() - t0, 3)
         t0 = time.time()
@@ -685,9 +696,9 @@ def main() -> None:
         cand_mh.count()
         extras[f"minhash_stage_band_join_{tag}"] = round(time.time() - t0, 3)
         t0 = time.time()
-        _jaccard_from_shingles(sh_mh, 0.8, candidates=cand_mh).count()
+        _jaccard_from_grouped(g_mh, 0.8, cand_mh).count()
         extras[f"minhash_stage_verify_{tag}"] = round(time.time() - t0, 3)
-        sh_mh.unpersist()
+        g_mh.unpersist()
         sig_mh.unpersist()
         cand_mh.unpersist()
     docs_mh.unpersist()
