@@ -522,6 +522,29 @@ def main() -> None:
     extras["filegroups_10x_sec"] = round(time.time() - t0, 3)
     extras["filegroups_10x_rows"] = n_fg
     extras["filegroups_10x_rss_delta_mb"] = round(_rss_mb() - rss0, 1)
+
+    # r13 verdict #7: core-scaling probe for the TRAVERSAL family —
+    # untimed extra sized so the c8/c32 ratio can express parallelism
+    # (at sf0.1 nearly every headline entry is fixed-cost/scheduler
+    # bound: BENCH_r13_c8 total ~= BENCH_r13 total). The shape is
+    # pinned independent of the core count: the tree is built at an
+    # EXPLICIT 64 partitions (the headline pt_big uses
+    # defaultParallelism, so its c8 build has 8 forests and the work
+    # itself differs between runs) and the whole 12.7k-query batch
+    # runs as ONE colocated traversal job of 64 tasks — identical DP
+    # work at any core count, so wall ratio ~= core utilization.
+    # Second (warm) run is the comparable number.
+    pt_sp = create(words_big, "w", num_partitions=64).persist()
+    pt_sp.count()
+    qs_sp = [r[0] for r in q_big.distinct().collect()]
+    for tag in ("cold", "warm"):
+        t0 = time.time()
+        n_sp = _qmod._query_broadcast_queries(
+            pt_sp, qs_sp, 2, colocated=True
+        ).count()
+        extras[f"scaleprobe_traversal_{tag}_sec"] = round(time.time() - t0, 3)
+    extras["scaleprobe_traversal_rows"] = n_sp
+    pt_sp.unpersist()
     pt_big.unpersist()
 
     # giant-forest regime (round-5 verdict #1): the same both-big shape
@@ -702,6 +725,40 @@ def main() -> None:
         sig_mh.unpersist()
         cand_mh.unpersist()
     docs_mh.unpersist()
+
+    # r13 verdict #7: core-scaling probe for the LSH band-join family —
+    # untimed extra, same protocol as scaleprobe_traversal. The corpus
+    # is replicated 3x with a per-replica tail token (shingles stay
+    # ~identical so every replica pair becomes a candidate): ~3x the
+    # signature UDF work and ~9x the band-join/verify pairs, enough
+    # compute for the c8/c32 ratio to express parallelism. Shuffle
+    # partitioning pinned at 64 so both runs shuffle identically.
+    docs_sp = (
+        load_table(spark, sf_dir, "documents")
+        .crossJoin(spark.range(3).withColumnRenamed("id", "rep"))
+        .selectExpr(
+            "doc_id * 4 + rep as doc_id",
+            "concat(text, ' zz', cast(rep as string)) as text",
+        )
+        .cache()
+    )
+    docs_sp.count()
+    _saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try:
+        from prefixtree_spark.operators import dedup as _dedup_ops
+
+        for tag in ("cold", "warm"):
+            t0 = time.time()
+            n_spm = _dedup_ops.minhash_lsh_pairs(
+                docs_sp, "doc_id", "text", n=3, num_perm=64,
+                bands=32, threshold=0.8,
+            ).count()
+            extras[f"scaleprobe_lsh_{tag}_sec"] = round(time.time() - t0, 3)
+        extras["scaleprobe_lsh_rows"] = n_spm
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", _saved_sp)
+    docs_sp.unpersist()
 
     # IVF accuracy/speed curve (untimed extras — headline_total
     # unchanged): recall@10 vs the exact top-k across the two levers
@@ -1420,6 +1477,31 @@ def main() -> None:
             spark, f"{bm_dir}/idx", q_bm, "qid", "terms"
         ).count(),
     )
+    # r13 verdict #7: core-scaling probe for the BM25-postings family —
+    # same protocol as scaleprobe_traversal (untimed extra, shape
+    # pinned via explicit shuffle partitioning, warm run comparable).
+    # Every document is a query (5,000 x 3-term), so the postings/
+    # scoring join carries ~40x the headline entry's query terms and
+    # the probe is join-compute bound instead of fixed-cost bound.
+    q_sp_bm = docs_bm.select(
+        F.col("doc_id").alias("qid"),
+        F.slice(
+            F.regexp_extract_all("text", F.lit(r"\S+"), 0), 1, 3
+        ).alias("terms"),
+    ).where("size(terms) >= 3")
+    _saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try:
+        for tag in ("cold", "warm"):
+            t0 = time.time()
+            n_spb = rank_ops.bm25_rank(
+                docs_bm, "doc_id", "text", q_sp_bm, "qid", "terms", idf="ratio"
+            ).count()
+            extras[f"scaleprobe_bm25_{tag}_sec"] = round(time.time() - t0, 3)
+        extras["scaleprobe_bm25_rows"] = n_spb
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", _saved_sp)
+
     # replica-side latency (untimed extras): one LocalSparseIndex
     # lookup and one fused /hybrid-equivalent (sparse + dense + RRF,
     # in-process — HTTP adds only transport) — the keep-alive serving

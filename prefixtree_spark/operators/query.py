@@ -139,6 +139,13 @@ _AUTO_BROADCAST_QUERIES = 1_000_000
 # local[...] where all executors share the host).
 _AUTO_FILEGROUP_QUERIES = 20_000_000
 
+# Chunk jobs the funnel loop keeps in flight (driver threads). 1 =
+# strictly serial (the r13-measured default when fetch ran one job per
+# small partition); >1 overlaps the next chunk's toLocalIterator fetch
+# with the current chunk's traversal job (guide §2.6). The driver
+# memory bound becomes this many chunks of query strings in flight.
+_CHUNK_PIPELINE_DEPTH = 1
+
 # With both sides big, auto mode chunks the query side as long as the
 # tree's per-partition forests still fit one traversal task (the
 # colocated mapInPandas materializes a partition's forest in pandas:
@@ -383,8 +390,21 @@ def _traverse_index(idx: "LocalIndex", batch: QueryBatch, k: int) -> pd.DataFram
 # ---------------------------------------------------------------------------
 
 
+# Above this many chunk frames, _union_all collapses each block of
+# this size into ONE re-checkpointed frame before unioning further:
+# the balanced tree bounds plan DEPTH at log2(n), but plan SIZE (one
+# leaf per chunk) still grows linearly, and at the thousands-of-chunks
+# scale filegroups exists for, analyzer time + driver plan memory grow
+# with it on every action against the returned frame (r13 verdict #6).
+# The collapse costs one extra pass over each block's (already
+# materialized) results — reading cached blocks, writing one combined
+# checkpoint — and keeps every later plan at <= this many leaves.
+_UNION_COLLAPSE_FANOUT = 64
+
+
 def _union_all(frames: list[DataFrame]) -> DataFrame:
-    """Balanced (pairwise-tree) union of per-chunk results.
+    """Balanced (pairwise-tree) union of per-chunk results, with plan
+    SIZE bounded by block-collapsing past ``_UNION_COLLAPSE_FANOUT``.
 
     A linear ``unionByName`` chain builds a plan tree whose depth is
     the CHUNK COUNT — at the thousands-of-chunks scale the filegroups
@@ -393,14 +413,30 @@ def _union_all(frames: list[DataFrame]) -> DataFrame:
     The pairwise tree bounds depth at log2(n) (12 levels at 4096
     chunks). Same rows, same order-insensitive result; measured equal
     warm and ~1.5x faster on the first (plan-building) pass at 400
-    chunks (tools probe, r13)."""
+    chunks (tools probe, r13). Past the fanout, each block of
+    ``_UNION_COLLAPSE_FANOUT`` checkpointed chunk results is unioned
+    and re-checkpointed eagerly, so the frame handed back never carries
+    more than fanout leaves no matter how many chunks ran (the r13
+    400-frame probe measured the first action's plan pass growing with
+    leaf count even on the balanced tree)."""
+
+    def tree(fs: list[DataFrame]) -> DataFrame:
+        while len(fs) > 1:
+            fs = [
+                fs[i].unionByName(fs[i + 1]) if i + 1 < len(fs) else fs[i]
+                for i in range(0, len(fs), 2)
+            ]
+        return fs[0]
+
     fs = frames
-    while len(fs) > 1:
+    while len(fs) > _UNION_COLLAPSE_FANOUT:
         fs = [
-            fs[i].unionByName(fs[i + 1]) if i + 1 < len(fs) else fs[i]
-            for i in range(0, len(fs), 2)
+            tree(fs[i : i + _UNION_COLLAPSE_FANOUT]).localCheckpoint(
+                eager=True
+            )
+            for i in range(0, len(fs), _UNION_COLLAPSE_FANOUT)
         ]
-    return fs[0]
+    return tree(fs)
 
 
 def _colocate_forests(pt: DataFrame) -> DataFrame:
@@ -473,6 +509,23 @@ def _query_broadcast_queries(
     Otherwise a groupBy(compute_node) shuffle restores colocation
     first. At scale the zero-shuffle path is the point of this mode:
     only the (small) query batch moves."""
+    df, _bq = _query_broadcast_queries_bc(
+        pt, query_strings, k, colocated=colocated
+    )
+    return df
+
+
+def _query_broadcast_queries_bc(
+    pt: DataFrame, query_strings: list[str], k: int, *, colocated: bool = False
+):
+    """`_query_broadcast_queries` returning ``(df, broadcast)`` so loop
+    callers can ``destroy()`` each chunk's broadcast right after its
+    eager checkpoint (r13 advice): each reused Python worker otherwise
+    retains every chunk's unpickled payload (and its memoized
+    QueryBatch, ~9x the string bytes) in its broadcast registry until
+    the JVM ContextCleaner happens to GC the handle — nondeterministic
+    worker RSS growth at the thousands-of-chunks scale the chunk loops
+    target."""
     spark = pt.sparkSession
     bq = spark.sparkContext.broadcast(_QueryPayload(query_strings))
 
@@ -484,7 +537,7 @@ def _query_broadcast_queries(
         yield _traverse_pdf(pdf, bq.value.batch(), k)
 
     if colocated:
-        return pt.mapInPandas(run_partition, schema=RESULT_SCHEMA)
+        return pt.mapInPandas(run_partition, schema=RESULT_SCHEMA), bq
     # restore colocation with an EXPLICIT-count repartition + the same
     # per-partition traversal — NOT groupBy().applyInPandas: AQE
     # coalesces the group exchange's small byte size to ~1 partition
@@ -499,8 +552,11 @@ def _query_broadcast_queries(
     n_part = max(
         pt.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism
     )
-    return pt.repartition(n_part, "compute_node").mapInPandas(
-        run_partition, schema=RESULT_SCHEMA
+    return (
+        pt.repartition(n_part, "compute_node").mapInPandas(
+            run_partition, schema=RESULT_SCHEMA
+        ),
+        bq,
     )
 
 
@@ -567,22 +623,58 @@ def _query_broadcast_queries_chunked(
         if target < n_q_parts:
             qdf = qdf.coalesce(target)
     chunks: list[DataFrame] = []
-    buf: list[str] = []
 
-    def flush():
-        chunks.append(
-            _query_broadcast_queries(pt, buf, k, colocated=True)
-            .localCheckpoint(eager=True)
-        )
+    def run_chunk(buf: list[str]) -> DataFrame:
+        df, bq = _query_broadcast_queries_bc(pt, buf, k, colocated=True)
+        df = df.localCheckpoint(eager=True)
+        # the checkpoint materialized every partition: the chunk's
+        # broadcast is dead weight from here. Destroy it NOW (r13
+        # advice) — otherwise every reused Python worker retains every
+        # chunk's unpickled payload + memoized QueryBatch in its
+        # broadcast registry until ContextCleaner GC happens to run,
+        # i.e. nondeterministic worker RSS growth over thousands of
+        # chunks.
+        bq.destroy()
+        return df
 
+    depth = max(1, int(_CHUNK_PIPELINE_DEPTH))
     try:
-        for row in qdf.toLocalIterator():
-            buf.append(row[0])
-            if len(buf) >= chunk_size:
-                flush()
+        if depth == 1:
+            buf: list[str] = []
+            for row in qdf.toLocalIterator():
+                buf.append(row[0])
+                if len(buf) >= chunk_size:
+                    chunks.append(run_chunk(buf))
+                    buf = []
+            if buf:
+                chunks.append(run_chunk(buf))
+        else:
+            # overlap the NEXT chunk's fetch with the current chunk's
+            # traversal job (guide §2.6): the traversal jobs leave the
+            # cluster idle during each chunk's driver turnaround
+            # (string fetch + broadcast + checkpoint bookkeeping), and
+            # with the fetch coalesced to chunk-sized partitions the
+            # r13 contention (per-partition fetch jobs starving chunk
+            # formation) is gone. Bounded: at most ``depth`` chunk
+            # jobs in flight, so the driver-memory bound stays
+            # ``depth`` chunks of strings.
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            pending: "deque" = deque()
+            with ThreadPoolExecutor(max_workers=depth) as pool:
                 buf = []
-        if buf:
-            flush()
+                for row in qdf.toLocalIterator():
+                    buf.append(row[0])
+                    if len(buf) >= chunk_size:
+                        pending.append(pool.submit(run_chunk, buf))
+                        buf = []
+                        while len(pending) >= depth:
+                            chunks.append(pending.popleft().result())
+                if buf:
+                    pending.append(pool.submit(run_chunk, buf))
+                while pending:
+                    chunks.append(pending.popleft().result())
     finally:
         if owned is not None:
             owned.unpersist()
@@ -753,9 +845,12 @@ def query_groups(
         owned = pt = _colocate_forests(pt).persist()
         pt.count()
     try:
+        cap = max(2, int(max_concurrent))
         if max_concurrent <= 1 or len(files) == 1:
             chunks = [
-                _query_filegroup(pt, f, _qcol, k).localCheckpoint(eager=True)
+                _query_filegroup(
+                    pt, f, _qcol, k, cache_capacity=cap
+                ).localCheckpoint(eager=True)
                 for f in files
             ]
         else:
@@ -767,7 +862,7 @@ def query_groups(
                 chunks = list(
                     pool.map(
                         lambda f: _query_filegroup(
-                            pt, f, _qcol, k
+                            pt, f, _qcol, k, cache_capacity=cap
                         ).localCheckpoint(eager=True),
                         files,
                     )
@@ -793,15 +888,20 @@ def _list_query_groups(path: str) -> list[str]:
 # QueryBatch; with reused python workers (spark.python.worker.reuse,
 # the default) the second and later tasks on a worker can skip both.
 # Keyed by (path, qcol, mtime_ns, size) so a rewritten group file can
-# never serve a stale batch. Capacity 2 = query_groups' default
-# max_concurrent (two group jobs interleave tasks on one worker);
-# memory bound is capacity x one chunk's QueryBatch footprint per
-# worker — the same order a single running task already holds today.
+# never serve a stale batch. Capacity scales with the number of group
+# jobs interleaving tasks on one worker (query_groups passes its
+# max_concurrent — r13 advice: the hardcoded 2 silently thrashed the
+# LRU whenever a caller raised max_concurrent, every task rebuilding
+# its QueryBatch); memory bound is capacity x one chunk's QueryBatch
+# footprint per worker — the same order ``capacity`` concurrently
+# running tasks already hold today.
 _FILEGROUP_BATCH_CACHE: "OrderedDict[tuple, QueryBatch]" = OrderedDict()
 _FILEGROUP_BATCH_CAPACITY = 2
 
 
-def _filegroup_batch(chunk_path: str, qcol: str) -> QueryBatch:
+def _filegroup_batch(
+    chunk_path: str, qcol: str, capacity: int = _FILEGROUP_BATCH_CAPACITY
+) -> QueryBatch:
     import os
 
     st = os.stat(chunk_path)
@@ -819,26 +919,27 @@ def _filegroup_batch(chunk_path: str, qcol: str) -> QueryBatch:
     ]
     batch = QueryBatch(strings)
     _FILEGROUP_BATCH_CACHE[key] = batch
-    while len(_FILEGROUP_BATCH_CACHE) > _FILEGROUP_BATCH_CAPACITY:
+    cap = max(int(capacity), _FILEGROUP_BATCH_CAPACITY)
+    while len(_FILEGROUP_BATCH_CACHE) > cap:
         _FILEGROUP_BATCH_CACHE.popitem(last=False)
     return batch
 
 
 def _query_filegroup(
-    pt: DataFrame, chunk_path: str, qcol: str, k: int
+    pt: DataFrame, chunk_path: str, qcol: str, k: int, cache_capacity: int = 2
 ) -> DataFrame:
     """One file-group chunk of ``_query_broadcast_queries_filegroups``:
     the colocated per-forest traversal of ``_query_broadcast_queries``,
     except each task reads the chunk's query strings from storage
     instead of a driver broadcast. Only the path string rides the task
     closure; the read + QueryBatch build are memoized per worker
-    (``_filegroup_batch``)."""
+    (``_filegroup_batch``, LRU sized to the caller's job concurrency)."""
 
     def run_partition(batches):
         frames = [pdf for pdf in batches if len(pdf)]
         if not frames:
             return
-        batch = _filegroup_batch(chunk_path, qcol)
+        batch = _filegroup_batch(chunk_path, qcol, cache_capacity)
         if not len(batch):
             return
         pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]

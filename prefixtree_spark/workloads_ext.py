@@ -28,21 +28,41 @@ def _pin_rows(spark, out):
     return df
 
 
+# Root for THIS PROCESS's workload artifact caches. Deliberately a
+# fresh mkdtemp per process (r13 verdict #8): the previous stable
+# tempdir name persisted trained models/saved indexes ACROSS runs keyed
+# on the fixture — never bench-visible (the bench builds its stored
+# indexes in fresh mkdtemp dirs inside the run), but literally
+# "intermediates keyed on the fixture, persisted across runs", which
+# the no-precompute rule forbids. Per-process scoping keeps the only
+# behavior the cache exists for (a single sweep re-running a workload
+# family shares one seeded deterministic build) while guaranteeing
+# every new bench/oracle invocation rebuilds from the parquet inputs.
+_RUN_CACHE_ROOT: str | None = None
+
+
 def _workload_cache_dir(sf_dir: str, table: str, key: str) -> str:
-    """Per-fixture cache directory for expensive DETERMINISTIC workload
-    artifacts (trained models, saved indexes): a correctness sweep
-    re-runs every workload, so an artifact rebuilt per run from the
-    same seeded build multiplies sweep wall for zero information —
-    the gated RESULT is identical by construction (seeded kmeans/LR on
-    an immutable fixture). Keyed by the fixture file's identity
-    (path + size + mtime), so a regenerated fixture invalidates the
-    cache; entries live in the OS tempdir and die with it. Callers
-    must build-to-temp-then-rename so a crashed build never leaves a
-    half-written artifact under the final name."""
+    """Per-fixture, PER-PROCESS cache directory for expensive
+    DETERMINISTIC workload artifacts (trained models, saved indexes):
+    a correctness sweep re-runs every workload, so an artifact rebuilt
+    per call from the same seeded build multiplies sweep wall for zero
+    information — the gated RESULT is identical by construction
+    (seeded kmeans/LR on an immutable fixture). Keyed by the fixture
+    file's identity (path + size + mtime) WITHIN a process-private
+    mkdtemp root, so nothing survives the process: every fresh run
+    recomputes from the parquet inputs (no cross-run precompute).
+    Callers must build-to-temp-then-rename so a crashed build never
+    leaves a half-written artifact under the final name."""
+    import atexit
     import hashlib
     import os
+    import shutil
     import tempfile
 
+    global _RUN_CACHE_ROOT
+    if _RUN_CACHE_ROOT is None:
+        _RUN_CACHE_ROOT = tempfile.mkdtemp(prefix="ptspark_wl_run_")
+        atexit.register(shutil.rmtree, _RUN_CACHE_ROOT, ignore_errors=True)
     fp = os.path.join(sf_dir, f"{table}.parquet")
     try:
         st = os.stat(fp)
@@ -50,9 +70,7 @@ def _workload_cache_dir(sf_dir: str, table: str, key: str) -> str:
     except OSError:
         ident = fp
     h = hashlib.sha256(ident.encode()).hexdigest()[:16]
-    return os.path.join(
-        tempfile.gettempdir(), f"ptspark_wl_{key}_{h}"
-    )
+    return os.path.join(_RUN_CACHE_ROOT, f"ptspark_wl_{key}_{h}")
 
 
 def _ensure_cached_artifact(path: str, build, *, stale_s: float = 60.0) -> str:

@@ -83,12 +83,14 @@ def test_auto_routes_big_tree_big_queries_to_chunked(spark, monkeypatch):
     import prefixtree_spark.operators.query as qmod
 
     chunk_sizes = []
-    real_bq = qmod._query_broadcast_queries
+    # the chunk loop calls the (df, broadcast) internal so it can
+    # destroy each chunk's broadcast after the eager pin (r14)
+    real_bq = qmod._query_broadcast_queries_bc
     monkeypatch.setattr(qmod, "_AUTO_BROADCAST_NODES", 0)
     monkeypatch.setattr(qmod, "_AUTO_BROADCAST_QUERIES", 2)
     monkeypatch.setattr(
         qmod,
-        "_query_broadcast_queries",
+        "_query_broadcast_queries_bc",
         lambda pt, qs, k, **kw: chunk_sizes.append(len(qs))
         or real_bq(pt, qs, k, **kw),
     )
